@@ -1,0 +1,84 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.search.Bm25
+
+/** The index artifact: what the reference keeps as one DuckDB file (tables +
+  * FTS + HNSW indexes, reference `src/db.py:103-167`) becomes a directory of
+  * Parquet datasets (SURVEY.md §1.3):
+  *
+  * {{{
+  *   <dir>/documents/   doc_id, file_path, header_path, line_start, line_end,
+  *                      content, tokens: array<string>, embedding: array<float>
+  *   <dir>/postings/    term, doc_id, tf         (hash-partitioned by term)
+  *   <dir>/termdf/      term, df
+  *   <dir>/doclen/      doc_id, dl
+  *   <dir>/stats/       n_docs, avgdl            (single row)
+  *   <dir>/settings/    key, value               (embedding_model/_dim, …)
+  * }}}
+  *
+  * The FTS inverted index is replaced by the postings/termdf/doclen/stats
+  * statistics tables (SURVEY.md §2.4); the HNSW index by brute-force top-k
+  * over `documents.embedding` (exact — SURVEY.md §2.5 V2).
+  */
+final case class IndexData(
+    documents: DataFrame,
+    postings: DataFrame,
+    termdf: DataFrame,
+    doclen: DataFrame,
+    stats: DataFrame,
+    settings: DataFrame) {
+
+  /** Cache the search-path datasets for a long-lived serving session
+    * (SURVEY.md §3.3). */
+  def cached(): IndexData = copy(
+    documents = documents.cache(),
+    postings = postings.cache(),
+    termdf = termdf.cache(),
+    doclen = doclen.cache(),
+    stats = stats.cache(),
+    settings = settings.cache())
+
+  /** S6-style point lookup (reference `src/db.py:181-196`). */
+  def setting(key: String): Option[String] =
+    settings.filter(col("key") === key).select("value")
+      .collect().headOption.map(_.getString(0))
+
+  def save(dir: String): Unit = {
+    documents.write.mode("overwrite").parquet(s"$dir/documents")
+    // Partition postings by term hash so a query's broadcast-join probe and
+    // any term-keyed maintenance touch co-located partitions at 100 TB scale.
+    postings.repartition(col("term")).write.mode("overwrite").parquet(s"$dir/postings")
+    termdf.write.mode("overwrite").parquet(s"$dir/termdf")
+    doclen.write.mode("overwrite").parquet(s"$dir/doclen")
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    settings.coalesce(1).write.mode("overwrite").parquet(s"$dir/settings")
+  }
+}
+
+object IndexData {
+
+  def load(spark: SparkSession, dir: String): IndexData = IndexData(
+    documents = spark.read.parquet(s"$dir/documents"),
+    postings = spark.read.parquet(s"$dir/postings"),
+    termdf = spark.read.parquet(s"$dir/termdf"),
+    doclen = spark.read.parquet(s"$dir/doclen"),
+    stats = spark.read.parquet(s"$dir/stats"),
+    settings = spark.read.parquet(s"$dir/settings"))
+
+  /** Derive the full artifact from a `documents` DataFrame that already has
+    * (doc_id, tokens[, embedding]) columns — the F1–F3 stats build
+    * (SURVEY.md §2.4). */
+  def fromDocuments(documents: DataFrame, settings: DataFrame): IndexData = {
+    val doclen = Bm25.docLengths(documents)
+    val posting = Bm25.postings(documents)
+    IndexData(
+      documents = documents,
+      postings = posting,
+      termdf = Bm25.docFreq(posting),
+      doclen = doclen,
+      stats = Bm25.corpusStats(doclen),
+      settings = settings)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analyze.{Analyzer, Chunker, DefaultAnalyzer, MarkdownChunker}
+import graft.core.Schemas.{Chunk, Setting}
+import graft.embed.Embedder
+
+/** The INDEX write path (SURVEY.md §2.12, §3.1) as one distributed job:
+  *
+  *   S1/S2 binaryFile scan → X1 front-matter strip (inside chunker) →
+  *   T2 chunk (flatMap) → T1 tokenize → T3 embed (mapPartitions, batched) →
+  *   X5 path trim → S3 write documents → F1–F3 stats build → S5 settings
+  *
+  * vs the reference (`src/indexer.py:20-179`): its ProcessPoolExecutor file
+  * fan-out (`src/splitter.py:419-428`) becomes partition parallelism of the
+  * file scan; its driver-side embedding loop (`src/indexer.py:85-96`) moves
+  * to executors. Nothing is ever collected to the driver — the 100 TB
+  * posture (SURVEY.md §7.4).
+  */
+object IndexJob {
+
+  final case class Options(
+      chunkSize: Int = 512,
+      overlap: Int = 50,
+      trimPathPrefix: Option[String] = None,
+      clear: Boolean = true, // reference `--clear`, `src/indexer.py:48-50`
+      embedBatchSize: Int = 8) // reference `src/models/embedding.py:51`
+
+  /** Scan directories for markdown files (S1/S2). `binaryFile` pushes the
+    * `*.md` glob into file listing (P6) and parallelizes by file. */
+  def scanMarkdown(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.md")
+      .option("recursiveFileLookup", "true")
+      .load(dirs: _*)
+      .select(col("path").as("file_path"), decode(col("content"), "UTF-8").as("text"))
+
+  /** Files → chunks, the T2 UDTF as `flatMap`. */
+  def chunkFiles(files: DataFrame, chunker: Chunker): Dataset[Chunk] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select("file_path", "text").as[(String, String)]
+      .flatMap { case (path, text) => chunker.chunk(path, text) }
+  }
+
+  /** Chunks → documents rows with deterministic ids, trimmed paths and
+    * embeddings. Embedding runs per-partition with internal batching
+    * (T3; batch_size mirrors reference `src/models/embedding.py:51`). Ids are
+    * content-addressed (sha1 of path:lines) rather than ULIDs — time-ordered
+    * randomness is not load-bearing (SURVEY.md §2.8 X9) and determinism makes
+    * the artifact reproducible. */
+  def embedChunks(chunks: Dataset[Chunk], embedder: Embedder, opts: Options): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val batch = opts.embedBatchSize
+    val rows = chunks.mapPartitions { it =>
+      it.grouped(batch).flatMap { g =>
+        val vecs = embedder.embed(g.map(_.content))
+        g.lazyZip(vecs).map { (c, v) => (c, v) }
+      }
+    }
+    val df = rows.toDF("chunk", "embedding").select(col("chunk.*"), col("embedding"))
+    val trimmed = opts.trimPathPrefix match {
+      case Some(p) =>
+        // X5: strip prefix then any leading '/' (reference `src/indexer.py:112-136`)
+        df.withColumn("filePath",
+          regexp_replace(
+            regexp_replace(col("filePath"), lit("^" + java.util.regex.Pattern.quote(p)), lit("")),
+            lit("^/+"), lit("")))
+      case None => df
+    }
+    trimmed.select(
+      sha1(concat_ws(":", col("filePath"), col("lineStart"), col("lineEnd"))).as("doc_id"),
+      col("filePath").as("file_path"),
+      col("headerPath").as("header_path"),
+      col("lineStart").as("line_start"),
+      col("lineEnd").as("line_end"),
+      col("content"),
+      col("tokens"),
+      col("embedding"))
+  }
+
+  /** Full INDEX job: markdown dirs → saved index artifact at `indexDir`. */
+  def run(
+      spark: SparkSession,
+      dirs: Seq[String],
+      indexDir: String,
+      embedder: Embedder,
+      analyzer: Analyzer = DefaultAnalyzer,
+      opts: Options = Options()): IndexData = {
+    import spark.implicits._
+    val chunker = new MarkdownChunker(opts.chunkSize, opts.overlap, analyzer)
+    val files = scanMarkdown(spark, dirs)
+    val docs = embedChunks(chunkFiles(files, chunker), embedder, opts)
+    val settings = Seq(
+      Setting("embedding_model", embedder.name),
+      Setting("embedding_dim", embedder.dim.toString)).toDF()
+    val index = IndexData.fromDocuments(docs, settings)
+    index.save(indexDir)
+    IndexData.load(spark, indexDir)
+  }
+
+  /** Build an in-memory index straight from an existing table of documents
+    * (used by tests and the testdata-corpus queries): any DataFrame with an
+    * id column and a text column. */
+  def fromTable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokensExpr: DataFrame => org.apache.spark.sql.Column,
+      embeddings: Option[DataFrame] = None): IndexData = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(
+      col(idCol).cast("string").as("doc_id"),
+      col(textCol).as("content"))
+      .withColumn("tokens", tokensExpr(df))
+    val docs = embeddings match {
+      case Some(e) => base.join(e, Seq("doc_id"), "left")
+      case None    => base
+    }
+    IndexData.fromDocuments(docs, Seq.empty[Setting].toDF())
+  }
+}

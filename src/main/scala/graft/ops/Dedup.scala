@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (BASELINE.json
+  * north-star surface): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * All signature math is integer arithmetic over a portable token hash, so a
+  * SQL oracle reproduces it exactly (see the `*Sql` mirrors). Everything is
+  * expression-level (array HOFs + hash aggregates, no UDF), so the whole
+  * dedup pipeline stays inside WholeStageCodegen.
+  *
+  * 100 TB posture: signatures are computed per-row (map-only); the only
+  * shuffles are (a) the exact-dup `groupBy(contentHash)` and (b) the LSH
+  * `groupBy(band, bucket)` — both key-partitioned, skew-bounded because a
+  * band bucket only collects near-identical documents. Candidate
+  * verification joins by doc id pairs, never all-pairs.
+  */
+object Dedup {
+
+  /** Modulus for MinHash permutations (prime). */
+  val P = 1000003L
+  /** Bucket-combining prime for band hashes. */
+  val NumHashes = 8
+  val RowsPerBand = 4 // ⇒ 2 bands
+
+  /** Portable token hash: a few ascii probes + length. Weak as a hash, but
+    * deterministic, collision-tolerant (both engines see identical values),
+    * and expressible in ANSI-ish SQL — the property the oracle needs.
+    * ascii('') = 0 in both Spark and DuckDB, so short tokens are safe. */
+  def tokHash(c: Column): Column =
+    (ascii(substring(c, 1, 1)) * 961 +
+      ascii(substring(c, 2, 1)) * 31 +
+      ascii(substring(c, 3, 1)) +
+      length(c) * 7919).cast("long")
+
+  def tokHashSql(e: String): String =
+    s"CAST(ascii(substr($e, 1, 1)) * 961 + ascii(substr($e, 2, 1)) * 31 + " +
+      s"ascii(substr($e, 3, 1)) + length($e) * 7919 AS BIGINT)"
+
+  /** Token 3-gram shingles as strings. Requires size(tokens) >= 3. */
+  def shingles(tokens: Column): Column =
+    transform(sequence(lit(1), size(tokens) - 2),
+      i => concat_ws(" ",
+        element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2)))
+
+  def shinglesSql(toks: String): String =
+    s"list_transform(generate_series(1, len($toks) - 2), " +
+      s"i -> $toks[i] || ' ' || $toks[i + 1] || ' ' || $toks[i + 2])"
+
+  /** MinHash permutation parameters (fixed literals, mirrored in SQL). */
+  def hashParams(j: Int): (Int, Int) = (2 * j + 3, 97 * j + 11)
+
+  /** j-th MinHash of an array of shingle hashes: min((a·h + b) mod P). */
+  def minhash(shingleHashes: Column, j: Int): Column = {
+    val (a, b) = hashParams(j)
+    array_min(transform(shingleHashes, h => (h * a + b) % P))
+  }
+
+  def minhashSql(hashesExpr: String, j: Int): String = {
+    val (a, b) = hashParams(j)
+    s"list_min(list_transform($hashesExpr, h -> (h * $a + $b) % $P))"
+  }
+
+  /** LSH band bucket from 4 consecutive minhashes (band `b` of 2). */
+  def bandBucket(mh: Seq[Column], band: Int): Column = {
+    val ws = Seq(31L, 37L, 41L, 43L)
+    (0 until RowsPerBand).map(r => mh(band * RowsPerBand + r) * ws(r)).reduce(_ + _)
+  }
+
+  def bandBucketSql(mhCols: Seq[String], band: Int): String = {
+    val ws = Seq(31, 37, 41, 43)
+    (0 until RowsPerBand).map(r => s"${mhCols(band * RowsPerBand + r)} * ${ws(r)}").mkString(" + ")
+  }
+
+  /** Exact duplicate groups: hash-groupBy on content (map-side partial agg;
+    * one shuffle on the content hash, never on raw text at scale — group by
+    * md5 so the shuffle key is 32 bytes, not the document). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count("*").cast("long").as("n_dups"))
+
+  /** Per-document MinHash signature columns mh0..mh{n-1} + band buckets.
+    * Input must have ≥3 tokens per row (filter first). */
+  def withMinhashSignature(df: DataFrame, tokensCol: String): DataFrame = {
+    val sh = transform(shingles(col(tokensCol)), s => tokHash(s))
+    val withH = df.withColumn("_sh", sh)
+    val withMh = (0 until NumHashes).foldLeft(withH) { (acc, j) =>
+      acc.withColumn(s"mh$j", minhash(col("_sh"), j))
+    }
+    val mh = (0 until NumHashes).map(j => col(s"mh$j"))
+    withMh
+      .withColumn("band0", bandBucket(mh, 0))
+      .withColumn("band1", bandBucket(mh, 1))
+      .drop("_sh")
+  }
+
+  /** 16-bit SimHash over token hashes: bit b set iff the ±1 majority vote of
+    * ((h >> b) & 1) is non-negative. */
+  val SimhashBits = 16
+  def simhash(tokenHashes: Column): Column =
+    (0 until SimhashBits).map { b =>
+      val vote = aggregate(tokenHashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2L - 1L))
+      when(vote >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def simhashSql(hashesExpr: String): String =
+    (0 until SimhashBits).map { b =>
+      s"(CASE WHEN list_sum(list_transform($hashesExpr, h -> ((h >> $b) & 1) * 2 - 1)) >= 0 " +
+        s"THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Exact Jaccard similarity of two DISTINCT-element array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a).cast("double") + size(b).cast("double") - inter)
+  }
+
+  def jaccardSql(a: String, b: String): String = {
+    val inter = s"CAST(len(list_filter($a, x -> list_contains($b, x))) AS DOUBLE)"
+    s"$inter / (CAST(len($a) AS DOUBLE) + CAST(len($b) AS DOUBLE) - $inter)"
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor building blocks over an `array<float>`
+  * embedding column (BASELINE.json north-star surface).
+  *
+  * Baseline: exact brute-force cosine top-k (`TakeOrderedAndProject`, no full
+  * sort). Scale paths:
+  *  - IVF: assign every vector to its nearest centroid; at query time search
+  *    only the probed centroid's partition. The assignment is one broadcast
+  *    cross join (centroids are tiny) + a windowed argmin — at 100 TB the
+  *    corpus partitions BY cluster id, so a query touches 1/K of the data.
+  *  - Sign-LSH: bucket = sign bits of dot products against a small set of
+  *    hyperplanes; candidate pairs only form within a bucket, so the
+  *    near-dup join is `groupBy(bucket)` — never all-pairs.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector.
+    * `queries`: (qid, qvec); `corpus`: (id, vec). Broadcast the query side.
+    * Ties broken on rounded distance then id, so results are deterministic. */
+  def bruteForceTopK(
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .withColumn("dist", VectorOps.cosineDist(col(vecCol), col(qvecCol)))
+    val filtered = if (excludeSelf) joined.filter(col(qidCol) =!= col(idCol)) else joined
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(round(col("dist"), 6).asc, col(idCol).asc)
+    filtered
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF assignment: nearest centroid per vector (argmin via windowed
+    * row_number with deterministic tiebreak). `centroids`: (cid, cvec). */
+  def ivfAssign(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(round(col("_cdist"), 6).asc, col(cidCol).asc)
+    corpus.crossJoin(broadcast(centroids))
+      .withColumn("_cdist", VectorOps.cosineDist(col(vecCol), col(cvecCol)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+      .withColumnRenamed("_cdist", "centroid_dist")
+  }
+
+  /** Sign-LSH bucket id: bit b set iff dot(vec, plane_b) > 0.
+    * `planes`: broadcast-sized (bit, pvec) rows pivoted into columns first —
+    * here expressed directly over a Seq of plane vector columns. */
+  def signLshBucket(vec: Column, planes: Seq[Column]): Column =
+    planes.zipWithIndex.map { case (p, b) =>
+      when(VectorOps.dot(vec, p) > 0.0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

@@ -1,0 +1,337 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.queries.Q.t
+
+/** The training-data-pipeline surface (BASELINE.json north star): dedup
+  * (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding near-dup),
+  * similarity search (brute-force, IVF, sign-LSH), text analysis, multimodal
+  * plumbing, windowed/event analytics.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"), col("text"),
+      split(col("text"), " ").as("tokens"))
+
+  /** events with ts as epoch-nanos long (Spark has no nanosecond timestamp;
+    * the oracle mirrors with `epoch_ns(ts)`). */
+  private def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+  }
+
+  private val HourNs = 3600000000000L
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Deduplication ----
+
+    // Exact dedup: hash-groupBy on content hash (32-byte shuffle key)
+    Q("q_dedup_exact",
+      (s, d) => Dedup.exactGroups(docs(s, d), "doc_id", "text").orderBy("keep_id"),
+      Some("SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, " +
+        "CAST(count(*) AS BIGINT) AS n_dups FROM documents GROUP BY md5(text) ORDER BY keep_id")),
+
+    // MinHash signatures + LSH band buckets (bounded sample of the corpus)
+    Q("q_dedup_minhash_sig",
+      (s, d) => Dedup.withMinhashSignature(
+          docs(s, d).filter(size(col("tokens")) >= 3 && col("doc_id") < 100), "tokens")
+        .select(Seq(col("doc_id")) ++
+          (0 until Dedup.NumHashes).map(j => col(s"mh$j")) ++
+          Seq(col("band0"), col("band1")): _*)
+        .orderBy("doc_id"),
+      Some {
+        val sh = Dedup.shinglesSql("toks")
+        val hs = s"list_transform($sh, s -> ${Dedup.tokHashSql("s")})"
+        val mhs = (0 until Dedup.NumHashes).map(j => s"${Dedup.minhashSql("hs", j)} AS mh$j")
+        val bands = Seq(
+          Dedup.bandBucketSql((0 until 8).map(j => s"mh$j"), 0) + " AS band0",
+          Dedup.bandBucketSql((0 until 8).map(j => s"mh$j"), 1) + " AS band1")
+        s"WITH ${Q.toksCte}, hsh AS (SELECT doc_id, $hs AS hs FROM toks WHERE len(toks) >= 3 AND doc_id < 100), " +
+          s"mh AS (SELECT doc_id, ${mhs.mkString(", ")} FROM hsh) " +
+          s"SELECT doc_id, ${(0 until 8).map(j => s"mh$j").mkString(", ")}, ${bands.mkString(", ")} " +
+          "FROM mh ORDER BY doc_id"
+      }),
+
+    // LSH candidate pairs + exact-Jaccard verification (full corpus).
+    // Candidates only form inside a band bucket — never an all-pairs join.
+    Q("q_dedup_minhash_pairs",
+      (s, d) => {
+        val sig = Dedup.withMinhashSignature(
+          docs(s, d).filter(size(col("tokens")) >= 3), "tokens")
+        val bands = sig.select(col("doc_id"), explode(array(
+          struct(lit(0).as("band"), col("band0").as("bucket")),
+          struct(lit(1).as("band"), col("band1").as("bucket")))).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        val pairs = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val shingleSets = docs(s, d).filter(size(col("tokens")) >= 3)
+          .select(col("doc_id"), array_distinct(Dedup.shingles(col("tokens"))).as("ds"))
+        pairs
+          .join(shingleSets.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
+          .join(shingleSets.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            round(Dedup.jaccard(col("dsa"), col("dsb")), 6).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val sh = Dedup.shinglesSql("toks")
+        val hs = s"list_transform($sh, s -> ${Dedup.tokHashSql("s")})"
+        val mhs = (0 until Dedup.NumHashes).map(j => s"${Dedup.minhashSql("hs", j)} AS mh$j")
+        s"WITH ${Q.toksCte}, " +
+          s"shc AS (SELECT doc_id, list_distinct($sh) AS ds, $hs AS hs FROM toks WHERE len(toks) >= 3), " +
+          s"mh AS (SELECT doc_id, ${mhs.mkString(", ")} FROM shc), " +
+          s"bands AS (SELECT doc_id, 0 AS band, ${Dedup.bandBucketSql((0 until 8).map(j => s"mh$j"), 0)} AS bucket FROM mh " +
+          s"UNION ALL SELECT doc_id, 1, ${Dedup.bandBucketSql((0 until 8).map(j => s"mh$j"), 1)} FROM mh), " +
+          "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b " +
+          "ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id) " +
+          "SELECT doc_a, doc_b, " +
+          s"round(${Dedup.jaccardSql("sa.ds", "sb.ds")}, 6) AS jaccard " +
+          "FROM pairs JOIN shc sa ON pairs.doc_a = sa.doc_id JOIN shc sb ON pairs.doc_b = sb.doc_id " +
+          "ORDER BY doc_a, doc_b"
+      }),
+
+    // 16-bit SimHash signatures (bounded sample)
+    Q("q_dedup_simhash",
+      (s, d) => docs(s, d).filter(col("doc_id") < 100)
+        .withColumn("hs", transform(col("tokens"), t => Dedup.tokHash(t)))
+        .select(col("doc_id"), Dedup.simhash(col("hs")).as("simhash"))
+        .orderBy("doc_id"),
+      Some(s"WITH ${Q.toksCte}, " +
+        s"th AS (SELECT doc_id, list_transform(toks, t -> ${Dedup.tokHashSql("t")}) AS hs " +
+        "FROM toks WHERE doc_id < 100) " +
+        s"SELECT doc_id, CAST(${Dedup.simhashSql("hs")} AS BIGINT) AS simhash FROM th ORDER BY doc_id")),
+
+    // n-gram Jaccard between consecutive documents (the pairwise-verify
+    // kernel, driven by a deterministic pairing)
+    Q("q_dedup_ngram_jaccard",
+      (s, d) => {
+        val ss = docs(s, d).filter(size(col("tokens")) >= 3)
+          .select(col("doc_id"), array_distinct(Dedup.shingles(col("tokens"))).as("ds"))
+        ss.select(col("doc_id").as("doc_a"), col("ds").as("dsa"))
+          .join(ss.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_a"))
+          .select(col("doc_a"), col("doc_b"),
+            round(Dedup.jaccard(col("dsa"), col("dsb")), 6).as("jaccard"))
+          .orderBy("doc_a")
+      },
+      Some(s"WITH ${Q.toksCte}, " +
+        s"shc AS (SELECT doc_id, list_distinct(${Dedup.shinglesSql("toks")}) AS ds FROM toks WHERE len(toks) >= 3) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        s"round(${Dedup.jaccardSql("a.ds", "b.ds")}, 6) AS jaccard " +
+        "FROM shc a JOIN shc b ON b.doc_id = a.doc_id + 1 ORDER BY doc_a")),
+
+    // Embedding-cosine near-duplicates over a deterministic pairing
+    Q("q_dedup_embed_neardup",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+        val b = e.select((col("vec_id") - 1).as("vec_a"), col("vec_id").as("vec_b"), col("embedding").as("vb"))
+        a.join(b, Seq("vec_a"))
+          .withColumn("sim", lit(1.0) - graft.functions.VectorOps.cosineDist(col("va"), col("vb")))
+          .filter(round(col("sim"), 6) > 0.2)
+          .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+          .orderBy("vec_a")
+      },
+      Some("WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        s"1.0 - (${Q.cosineDistSql("a.embedding", "b.embedding")}) AS sim " +
+        "FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1) " +
+        "SELECT vec_a, vec_b, round(sim, 6) AS sim FROM p WHERE round(sim, 6) > 0.2 ORDER BY vec_a")),
+
+    // ---- Similarity search ----
+
+    // Brute-force cosine top-k for a batch of query vectors
+    Q("q_sim_topk",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val qs = e.filter(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.bruteForceTopK(qs, "qid", "qvec", e, "vec_id", "embedding", 5)
+          .select(col("qid"), col("vec_id"), col("rank"), round(col("dist"), 6).as("dist"))
+          .orderBy("qid", "rank")
+      },
+      Some("WITH qs AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id IN (0, 1, 2)), " +
+        s"dd AS (SELECT qid, vec_id, ${Q.cosineDistSql("embedding", "qvec")} AS dist " +
+        "FROM embeddings CROSS JOIN qs WHERE vec_id != qid), " +
+        "rr AS (SELECT qid, vec_id, dist, CAST(row_number() OVER " +
+        "(PARTITION BY qid ORDER BY round(dist, 6), vec_id) AS BIGINT) AS rank FROM dd) " +
+        "SELECT qid, vec_id, rank, round(dist, 6) AS dist FROM rr WHERE rank <= 5 ORDER BY qid, rank")),
+
+    // IVF coarse quantization: nearest-centroid assignment → cluster sizes
+    Q("q_sim_ivf_clusters",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cent = e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        Similarity.ivfAssign(e, "vec_id", "embedding", cent, "cid", "cvec")
+          .groupBy("cid").agg(count("*").cast("long").as("n"))
+          .orderBy("cid")
+      },
+      Some("WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 4), " +
+        s"dd AS (SELECT vec_id, cid, ${Q.cosineDistSql("embedding", "cvec")} AS cdist " +
+        "FROM embeddings CROSS JOIN cent), " +
+        "asg AS (SELECT vec_id, cid, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY round(cdist, 6), cid) AS rn FROM dd) " +
+        "SELECT cid, CAST(count(*) AS BIGINT) AS n FROM asg WHERE rn = 1 GROUP BY cid ORDER BY cid")),
+
+    // Sign-LSH bucketing: 4 hyperplanes → 16 buckets → histogram
+    Q("q_sim_lsh_buckets",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val planes = (0 until 4).map(i =>
+          e.filter(col("vec_id") === i).select(col("embedding").as(s"p$i")))
+        val withPlanes = planes.foldLeft(e)((acc, p) => acc.crossJoin(broadcast(p)))
+        withPlanes
+          .withColumn("bucket",
+            Similarity.signLshBucket(col("embedding"), (0 until 4).map(i => col(s"p$i"))))
+          .groupBy("bucket").agg(count("*").cast("long").as("n"))
+          .orderBy("bucket")
+      },
+      Some {
+        val planes = (0 until 4).map(i =>
+          s"p$i AS (SELECT embedding AS pv$i FROM embeddings WHERE vec_id = $i)")
+        val bits = (0 until 4).map(i =>
+          s"(CASE WHEN ${Q.dotSql("embedding", s"pv$i")} > 0.0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+        s"WITH ${planes.mkString(", ")}, " +
+          s"bk AS (SELECT vec_id, ${bits.mkString(" + ")} AS bucket " +
+          "FROM embeddings CROSS JOIN p0 CROSS JOIN p1 CROSS JOIN p2 CROSS JOIN p3) " +
+          "SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM bk GROUP BY bucket ORDER BY bucket"
+      }),
+
+    // ---- Text analysis ----
+
+    Q("q_text_langid",
+      (s, d) => docs(s, d)
+        .withColumn("n_the", TextAnalysis.markerCount(col("tokens"), "the"))
+        .withColumn("n_a", TextAnalysis.markerCount(col("tokens"), "a"))
+        .withColumn("n_data", TextAnalysis.markerCount(col("tokens"), "data"))
+        .select(col("doc_id"), col("n_the"), col("n_a"), col("n_data"),
+          TextAnalysis.langId(col("n_the"), col("n_a"), col("n_data")).as("pred_lang"))
+        .orderBy("doc_id"),
+      Some(s"WITH ${Q.toksCte}, m AS (SELECT doc_id, " +
+        s"${TextAnalysis.markerCountSql("toks", "the")} AS n_the, " +
+        s"${TextAnalysis.markerCountSql("toks", "a")} AS n_a, " +
+        s"${TextAnalysis.markerCountSql("toks", "data")} AS n_data FROM toks) " +
+        s"SELECT doc_id, n_the, n_a, n_data, ${TextAnalysis.langIdSql("n_the", "n_a", "n_data")} AS pred_lang " +
+        "FROM m ORDER BY doc_id")),
+
+    Q("q_text_quality",
+      (s, d) => docs(s, d)
+        .withColumn("n_tok", size(col("tokens")).cast("long"))
+        .withColumn("n_stop", TextAnalysis.stopwordCount(col("tokens")))
+        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tok").cast("double"))
+        .select(col("doc_id"), col("n_tok"), col("n_stop"),
+          round(TextAnalysis.avgTokenLen(col("text"), col("n_tok")), 6).as("avg_tok_len"),
+          round(col("stop_ratio"), 6).as("stop_ratio"),
+          round(TextAnalysis.qualityScore(col("n_tok"), col("stop_ratio")), 6).as("quality"))
+        .orderBy("doc_id"),
+      Some(s"WITH ${Q.toksCte}, m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok, " +
+        s"${TextAnalysis.stopwordCountSql("toks")} AS n_stop, " +
+        s"${TextAnalysis.avgTokenLenSql("d.text", "len(toks)")} AS avg_tok_len " +
+        "FROM toks JOIN documents d USING (doc_id)), " +
+        "r AS (SELECT doc_id, n_tok, n_stop, avg_tok_len, " +
+        "CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stop_ratio FROM m) " +
+        "SELECT doc_id, n_tok, n_stop, round(avg_tok_len, 6) AS avg_tok_len, " +
+        "round(stop_ratio, 6) AS stop_ratio, " +
+        s"round(${TextAnalysis.qualityScoreSql("n_tok", "stop_ratio")}, 6) AS quality " +
+        "FROM r ORDER BY doc_id")),
+
+    // Token counting: whitespace + regex ("BPE-ish" fixed-width pieces)
+    Q("q_text_tokencount",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("([a-z]+)"), lit(1))).cast("long").as("word_tokens"),
+          size(regexp_extract_all(col("text"), lit("([a-z]{1,4})"), lit(1))).cast("long").as("bpe_pieces"))
+        .orderBy("doc_id"),
+      Some(s"WITH ${Q.toksCte} SELECT doc_id, CAST(len(toks) AS BIGINT) AS ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '([a-z]+)', 1)) AS BIGINT) AS word_tokens, " +
+        "CAST(len(regexp_extract_all(text, '([a-z]{1,4})', 1)) AS BIGINT) AS bpe_pieces " +
+        "FROM toks JOIN documents USING (doc_id) ORDER BY doc_id")),
+
+    // Document fingerprints: order-sensitive rolling-style hash + md5
+    Q("q_text_fingerprint",
+      (s, d) => docs(s, d)
+        .withColumn("hs", transform(col("tokens"), t => Dedup.tokHash(t)))
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("hs")).as("fp"),
+          md5(col("text")).as("content_md5"))
+        .orderBy("doc_id"),
+      Some(s"WITH ${Q.toksCte} SELECT doc_id, " +
+        s"${TextAnalysis.fingerprintSql("toks")} AS fp, md5(text) AS content_md5 " +
+        "FROM toks JOIN documents USING (doc_id) ORDER BY doc_id")),
+
+    // ---- Multimodal plumbing ----
+
+    // Binary payload + batched stub decode via mapPartitions (the
+    // mapInPandas-shaped plumbing; decode itself is a deterministic fake)
+    Q("q_mm_decode_stub",
+      (s, d) => {
+        val payload = t(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        Multimodal.decodeMeta(payload, "doc_id", "payload", Multimodal.StubDecoder)
+          .toDF().orderBy("doc_id")
+      },
+      Some("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "64 + CAST(octet_length(encode(text)) AS BIGINT) % 577 AS width, " +
+        "64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 481 AS height, " +
+        "1 + CAST(octet_length(encode(text)) AS BIGINT) % 4 AS channels " +
+        "FROM documents ORDER BY doc_id")),
+
+    // ---- Event / windowed analytics ----
+
+    // Running aggregates per key (ordered by unique event_id; ns timestamps
+    // are not portable between engines, so ordering avoids them)
+    Q("q_w1_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d).filter(col("user_id") < 20)
+          .select(col("user_id"), col("event_id"),
+            row_number().over(Window.partitionBy(col("user_id")).orderBy(col("event_id"))).cast("long").as("rn"),
+            round(sum(col("value")).over(w), 4).as("run_value"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("SELECT user_id, event_id, " +
+        "CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS rn, " +
+        "round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_value " +
+        "FROM events WHERE user_id < 20 ORDER BY user_id, event_id")),
+
+    // Tumbling-window aggregation (the batch shape of the Structured
+    // Streaming job in graft.streaming; buckets on epoch-nanos so both
+    // engines agree without a nanosecond timestamp type)
+    Q("q_stream_tumbling_hourly",
+      (s, d) => events(s, d)
+        .withColumn("bucket", expr(s"ts div $HourNs") * HourNs)
+        .groupBy("bucket", "event_type")
+        .agg(
+          count("*").cast("long").as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .orderBy("bucket", "event_type"),
+      Some(s"SELECT (epoch_ns(ts) // $HourNs) * $HourNs AS bucket, event_type, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY bucket, event_type")),
+
+    // JSON property extraction from the event payload
+    Q("q_json_extract",
+      (s, d) => events(s, d).filter(col("event_id") < 500)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
+        "FROM events WHERE event_id < 500 ORDER BY event_id")),
+
+    // X9: id generation — inherently non-deterministic, rows-only check
+    // (SURVEY.md §2.8 X9)
+    Q("q_x9_idgen",
+      (s, d) => t(s, d, "documents").select(col("doc_id"), expr("uuid()").as("gen_id")),
+      None))
+}

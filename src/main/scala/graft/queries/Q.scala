@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared query of the engine's public surface (SURVEY.md §2.12):
+  * a Spark implementation plus (when SQL-expressible) a DuckDB oracle that
+  * must produce the identical result on the same parquet tables.
+  *
+  * Determinism rules (the driver hash-compares after sorting columns by
+  * name):
+  *  - every computed column is aliased identically in both engines;
+  *  - every float column is `round(x, 6)` in both engines, with identical
+  *    double-precision expression structure so the pre-rounding values agree
+  *    to ~1 ulp;
+  *  - money/quantity sums go through exact DECIMAL arithmetic, then cast to
+  *    double;
+  *  - every ORDER BY carries a unique-key tiebreak, and LIMIT queries order
+  *    by the ROUNDED score so the cut line is identical in both engines.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Shared DuckDB CTE fragments for the documents corpus. Tokenization is
+    * `string_split(text, ' ')` — identical to Spark's `split(text, ' ')` on
+    * this single-space-joined corpus (SURVEY.md §7.4: tokens are data; both
+    * engines must consume the same tokens). */
+  val toksCte: String =
+    "toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"
+
+  val doclenCte: String =
+    "doclen AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks)"
+
+  val statsCte: String =
+    "stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM doclen)"
+
+  val postingCte: String =
+    "posting AS (SELECT doc_id, unnest(toks) AS term FROM toks)"
+
+  val tfCte: String =
+    "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf " +
+      "FROM posting GROUP BY doc_id, term)"
+
+  val dfCte: String =
+    "tdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)"
+
+  /** All BM25 statistics CTEs chained. */
+  val bm25Ctes: String =
+    Seq(toksCte, doclenCte, statsCte, postingCte, tfCte, dfCte).mkString(", ")
+
+  /** Per-(term,doc) BM25 contribution in DuckDB SQL — mirrors
+    * [[graft.search.Bm25.termScore]] term for term (k1=1.2, b=0.75,
+    * Okapi idf; SURVEY.md §2.4 F4). */
+  val bm25TermSql: String =
+    "ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0) " +
+      "* (CAST(tf AS DOUBLE) * 2.2) " +
+      "/ (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))"
+
+  /** BM25 scores CTE for a query term list like `['spark','join']`. */
+  def bm25ScoresCte(termsSqlList: String): String =
+    s"q AS (SELECT unnest($termsSqlList) AS term), " +
+      s"scores AS (SELECT tf.doc_id, sum($bm25TermSql) AS score " +
+      "FROM tf JOIN q USING (term) JOIN tdf USING (term) " +
+      "JOIN doclen ON tf.doc_id = doclen.doc_id CROSS JOIN stats GROUP BY tf.doc_id)"
+
+  /** DuckDB double-precision dot product of two FLOAT[] lists, summed in
+    * element order — bit-compatible with [[graft.functions.VectorOps.dot]]. */
+  def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  def cosineDistSql(a: String, b: String): String =
+    s"1.0 - ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+}

@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+import graft.queries.Q.t
+import graft.search.{Bm25, HybridSearch}
+
+/** The search-engine surface over the testdata corpus: BM25 statistics
+  * (F1–F4), vector distance + top-k (V1/V2), candidate union (U1), score
+  * fusion (J2 + A4), deterministic rerank (T4 stand-in) and the end-to-end
+  * no-rerank SEARCH pipeline (SURVEY.md §2.12).
+  *
+  * The corpus is `documents.parquet` tokenized by whitespace (tokens are
+  * data — SURVEY.md §7.4) and `embeddings.parquet` keyed `vec_id == doc_id`.
+  * The query is the fixed term list ("spark", "join", "merge"); the query
+  * vector is the `vec_id = 0` embedding, so the oracle sees identical inputs.
+  */
+object SearchQueries {
+
+  private val queryTerms = Seq("spark", "join", "merge")
+  private val queryTermsSql = "['spark', 'join', 'merge']"
+  private val K = 10
+
+  /** documents with a real `tokens` array column. */
+  private def docs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("tokens"))
+
+  /** BM25 top-K leg with the cut line on the ROUNDED score (both engines
+    * agree on the boundary — see [[Q]] determinism rules). */
+  private def ftsLeg(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val doclen = Bm25.docLengths(dd)
+    val posting = Bm25.postings(dd)
+    Bm25.scores(queryTerms, posting, Bm25.docFreq(posting), doclen, Bm25.corpusStats(doclen))
+      .orderBy(round(col("score"), 6).desc, col("doc_id").asc)
+      .limit(K)
+      .withColumnRenamed("score", "fts_score")
+  }
+
+  /** Cosine-distance leg: embeddings as doc vectors, query vector = vec 0. */
+  private def vssAll(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        VectorOps.cosineDist(col("embedding"), col("qv")).as("vss_score"))
+  }
+
+  private def vssLeg(s: SparkSession, d: String): DataFrame =
+    vssAll(s, d)
+      .orderBy(round(col("vss_score"), 6).asc, col("doc_id").asc)
+      .limit(K)
+
+  /** J2 full-outer fusion of the two top-K lists (NOT the corpus —
+    * SURVEY.md §4.3 candidate-set semantics) + A4 hybrid score. */
+  private def fused(s: SparkSession, d: String): DataFrame =
+    ftsLeg(s, d).join(vssLeg(s, d), Seq("doc_id"), "full_outer")
+      .withColumn("score", HybridSearch.hybridScore(col("fts_score"), col("vss_score")))
+
+  private val fusedCtes: String =
+    Q.bm25Ctes + ", " + Q.bm25ScoresCte(queryTermsSql) + ", " +
+      s"fts AS (SELECT doc_id, score AS fts_score FROM scores ORDER BY round(score, 6) DESC, doc_id LIMIT $K), " +
+      "qvt AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+      s"vd AS (SELECT vec_id AS doc_id, ${Q.cosineDistSql("embedding", "qv")} AS vss_score FROM embeddings CROSS JOIN qvt), " +
+      s"vss AS (SELECT doc_id, vss_score FROM vd ORDER BY round(vss_score, 6) ASC, doc_id LIMIT $K), " +
+      "fused AS (SELECT COALESCE(fts.doc_id, vss.doc_id) AS doc_id, fts_score, vss_score, " +
+      "CASE WHEN fts_score IS NOT NULL AND vss_score IS NOT NULL THEN (fts_score + vss_score) / 2.0 " +
+      "WHEN fts_score IS NOT NULL THEN fts_score * 0.8 " +
+      "WHEN vss_score IS NOT NULL THEN vss_score * 0.8 ELSE 0.0 END AS score " +
+      "FROM fts FULL OUTER JOIN vss ON fts.doc_id = vss.doc_id)"
+
+  val all: Seq[Q] = Seq(
+
+    // F1: document lengths
+    Q("q_f1_doclen",
+      (s, d) => Bm25.docLengths(docs(s, d)).orderBy("doc_id"),
+      Some(s"WITH ${Q.toksCte}, ${Q.doclenCte} SELECT doc_id, dl FROM doclen ORDER BY doc_id")),
+
+    // F1b: corpus constants (n_docs, avgdl) — exact sum/count division
+    Q("q_f1_corpus_stats",
+      (s, d) => Bm25.corpusStats(Bm25.docLengths(docs(s, d)))
+        .select(col("n_docs"), round(col("avgdl"), 6).as("avgdl")),
+      Some(s"WITH ${Q.toksCte}, ${Q.doclenCte}, ${Q.statsCte} " +
+        "SELECT n_docs, round(avgdl, 6) AS avgdl FROM stats")),
+
+    // F2: term frequencies (postings). Bounded to doc_id < 200 to keep the
+    // compared artifact small; the full postings build is exercised by every
+    // BM25 query below.
+    Q("q_f2_term_freq",
+      (s, d) => Bm25.postings(docs(s, d)).filter(col("doc_id") < 200)
+        .orderBy("doc_id", "term"),
+      Some(s"WITH ${Q.toksCte}, ${Q.postingCte}, ${Q.tfCte} " +
+        "SELECT doc_id, term, tf FROM tf WHERE doc_id < 200 ORDER BY doc_id, term")),
+
+    // F3: document frequencies
+    Q("q_f3_doc_freq",
+      (s, d) => Bm25.docFreq(Bm25.postings(docs(s, d))).orderBy("term"),
+      Some(s"WITH ${Q.toksCte}, ${Q.postingCte}, ${Q.tfCte}, ${Q.dfCte} " +
+        "SELECT term, df FROM tdf ORDER BY term")),
+
+    // F4 + O1: BM25 scoring, top-20
+    Q("q_f4_bm25_topk",
+      (s, d) => {
+        val dd = docs(s, d)
+        val doclen = Bm25.docLengths(dd)
+        val posting = Bm25.postings(dd)
+        Bm25.scores(queryTerms, posting, Bm25.docFreq(posting), doclen, Bm25.corpusStats(doclen))
+          .select(col("doc_id"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some(s"WITH ${Q.bm25Ctes}, ${Q.bm25ScoresCte(queryTermsSql)} " +
+        "SELECT doc_id, round(score, 6) AS score FROM scores " +
+        "ORDER BY round(score, 6) DESC, doc_id LIMIT 20")),
+
+    // V1: cosine distance of every vector against the query vector
+    Q("q_v1_cosine_dist",
+      (s, d) => vssAll(s, d)
+        .select(col("doc_id").as("vec_id"), round(col("vss_score"), 6).as("dist"))
+        .orderBy("vec_id"),
+      Some("WITH qvt AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) " +
+        s"SELECT vec_id, round(${Q.cosineDistSql("embedding", "qv")}, 6) AS dist " +
+        "FROM embeddings CROSS JOIN qvt ORDER BY vec_id")),
+
+    // V2 + O2: exact brute-force nearest-neighbor top-K (the HNSW replacement)
+    Q("q_v2_knn",
+      (s, d) => vssLeg(s, d)
+        .select(col("doc_id").as("vec_id"), round(col("vss_score"), 6).as("dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc),
+      Some("WITH qvt AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+        s"vd AS (SELECT vec_id, ${Q.cosineDistSql("embedding", "qv")} AS dist FROM embeddings CROSS JOIN qvt) " +
+        s"SELECT vec_id, round(dist, 6) AS dist FROM vd ORDER BY round(dist, 6) ASC, vec_id LIMIT $K")),
+
+    // U1: union + dedup of the two candidate-id lists (reference `src/searcher.py:152-166`)
+    Q("q_u1_candidate_union",
+      (s, d) => ftsLeg(s, d).select("doc_id")
+        .union(vssLeg(s, d).select("doc_id"))
+        .distinct().orderBy("doc_id"),
+      Some(s"WITH $fusedCtes SELECT DISTINCT doc_id FROM " +
+        "(SELECT doc_id FROM fts UNION ALL SELECT doc_id FROM vss) ORDER BY doc_id")),
+
+    // J2 + A4: fused hybrid scores over the candidate union
+    Q("q_a4_hybrid_fusion",
+      (s, d) => fused(s, d)
+        .select(col("doc_id"), round(col("fts_score"), 6).as("fts_score"),
+          round(col("vss_score"), 6).as("vss_score"), round(col("score"), 6).as("score"))
+        .orderBy(round(col("score"), 6).desc, col("doc_id").asc),
+      Some(s"WITH $fusedCtes " +
+        "SELECT doc_id, round(fts_score, 6) AS fts_score, round(vss_score, 6) AS vss_score, " +
+        "round(score, 6) AS score FROM fused ORDER BY round(score, 6) DESC, doc_id")),
+
+    // O6: stable merge order — FTS hits (by BM25 rank) before VSS-only hits
+    // (reference `src/searcher.py:152-166`)
+    Q("q_o6_merge_order",
+      (s, d) => {
+        val f = fused(s, d)
+          .withColumn("k1", when(col("fts_score").isNotNull, 0).otherwise(1))
+          .withColumn("k2", when(col("fts_score").isNotNull, -round(col("fts_score"), 6))
+            .otherwise(round(col("vss_score"), 6)))
+        f.withColumn("rank", row_number().over(
+            Window.orderBy(col("k1").asc, col("k2").asc, col("doc_id").asc)).cast("long"))
+          .select("doc_id", "rank").orderBy("rank")
+      },
+      Some(s"WITH $fusedCtes " +
+        "SELECT doc_id, CAST(row_number() OVER (ORDER BY " +
+        "CASE WHEN fts_score IS NOT NULL THEN 0 ELSE 1 END, " +
+        "CASE WHEN fts_score IS NOT NULL THEN -round(fts_score, 6) ELSE round(vss_score, 6) END, " +
+        "doc_id) AS BIGINT) AS rank FROM fused ORDER BY rank")),
+
+    // T4 stand-in: deterministic token-overlap rerank of the fused candidates
+    // |Q∩D| / sqrt(|Q|·|D|) over distinct tokens (graft.rerank.TokenOverlapReranker)
+    Q("q_t4_rerank_overlap",
+      (s, d) => {
+        val dd = docs(s, d).withColumn("dtoks", array_distinct(col("tokens")))
+        fused(s, d).join(dd, Seq("doc_id"))
+          .withColumn("overlap",
+            size(array_intersect(col("dtoks"), lit(queryTerms.toArray))).cast("double"))
+          .select(col("doc_id"),
+            round(col("overlap") /
+              sqrt(lit(3.0) * size(col("dtoks")).cast("double")), 6).as("rerank_score"))
+          .orderBy(round(col("rerank_score"), 6).desc, col("doc_id").asc)
+      },
+      Some(s"WITH $fusedCtes, dt AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS dtoks FROM documents) " +
+        "SELECT fused.doc_id, round(CAST(len(list_filter(dtoks, t -> t IN ('spark', 'join', 'merge'))) AS DOUBLE) " +
+        "/ sqrt(3.0 * CAST(len(dtoks) AS DOUBLE)), 6) AS rerank_score " +
+        "FROM fused JOIN dt ON fused.doc_id = dt.doc_id " +
+        "ORDER BY rerank_score DESC, fused.doc_id")),
+
+    // End-to-end SEARCH (no rerank): fuse → fetch (J1) → path rewrite (X6) →
+    // threshold (P4) → top-k (O5) — the fully deterministic surface
+    // (SURVEY.md §2.12 SEARCH)
+    Q("q_search_e2e_norerank",
+      (s, d) => {
+        val full = t(s, d, "documents")
+          .select(col("doc_id"),
+            concat(lit("corpus/"), regexp_replace(col("source"), "^src", "")).as("file_path"))
+        full.join(broadcast(fused(s, d)), Seq("doc_id"))
+          .filter(col("score") > 0.01)
+          .select(col("doc_id"), col("file_path"), round(col("score"), 6).as("score"))
+          .orderBy(round(col("score"), 6).desc, col("doc_id").asc)
+          .limit(5)
+      },
+      Some(s"WITH $fusedCtes " +
+        "SELECT doc_id, 'corpus/' || regexp_replace(source, '^src', '') AS file_path, " +
+        "round(score, 6) AS score FROM fused JOIN documents USING (doc_id) " +
+        "WHERE score > 0.01 ORDER BY round(score, 6) DESC, doc_id LIMIT 5")))
+}

@@ -1,0 +1,88 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 over explicit statistics tables.
+  *
+  * The reference delegates BM25 to DuckDB's FTS extension
+  * (`match_bm25`, reference `src/searcher.py:112-120`; index built with
+  * `stemmer='none', stopwords='none'`, reference `src/db.py:139-150`).
+  * Spark has no inverted index, so the hidden aggregates are materialized at
+  * index time as DataFrames (SURVEY.md §2.4 F1–F3) and the score is one
+  * broadcast join + hash aggregate at query time (F4):
+  *
+  *   score(q,d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+  *   idf(t)     = ln((N − df + 0.5)/(df + 0.5) + 1)       (Okapi, DuckDB FTS)
+  *   k1 = 1.2, b = 0.75                                    (DuckDB defaults)
+  *
+  * At 100 TB: `postings` is the large table, hash-partitioned by `term` at
+  * index time; the query side is a ≤dozens-row broadcast, so scoring is a
+  * map-side broadcast join + one partial/final hash aggregate over only the
+  * matching postings — no full-corpus shuffle.
+  */
+object Bm25 {
+  val K1 = 1.2
+  val B = 0.75
+
+  /** F1: per-document token count. Input needs (idCol, tokensCol). */
+  def docLengths(docs: DataFrame, idCol: String = "doc_id", tokensCol: String = "tokens"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), size(col(tokensCol)).cast("long").as("dl"))
+
+  /** Corpus constants as a 1-row DataFrame (kept lazy/broadcastable rather
+    * than collected to the driver). avgdl = exact long sum / count, divided in
+    * double — deterministic regardless of partitioning. */
+  def corpusStats(doclen: DataFrame): DataFrame =
+    doclen.agg(
+      count("*").cast("long").as("n_docs"),
+      (sum("dl").cast("double") / count("*").cast("double")).as("avgdl"))
+
+  /** F2: term frequencies — the postings list. One shuffle (hash aggregate
+    * with map-side partial combine). */
+  def postings(docs: DataFrame, idCol: String = "doc_id", tokensCol: String = "tokens"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(col(tokensCol)).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count("*").cast("long").as("tf"))
+
+  /** F3: document frequency per term. `postings` is already distinct per
+    * (doc_id, term), so a plain count suffices — no countDistinct shuffle. */
+  def docFreq(postings: DataFrame): DataFrame =
+    postings.groupBy("term").agg(count("*").cast("long").as("df"))
+
+  /** Okapi idf as used by DuckDB FTS. All operands doubles. */
+  def idf(df: Column, nDocs: Column): Column =
+    log((nDocs.cast("double") - df.cast("double") + lit(0.5)) / (df.cast("double") + lit(0.5)) + lit(1.0))
+
+  /** Per-(term,doc) BM25 contribution. */
+  def termScore(tf: Column, df: Column, dl: Column, nDocs: Column, avgdl: Column): Column =
+    idf(df, nDocs) *
+      (tf.cast("double") * lit(K1 + 1.0)) /
+      (tf.cast("double") + lit(K1) * (lit(1.0) - lit(B) + lit(B) * dl.cast("double") / avgdl))
+
+  /** F4: BM25 scores of all documents matching ≥1 query term.
+    * Output: (doc_id, score). Only distinct query terms contribute once each
+    * (bag-of-words query, matching DuckDB FTS `match_bm25` semantics). */
+  def scores(
+      queryTerms: Seq[String],
+      postings: DataFrame,
+      termdf: DataFrame,
+      doclen: DataFrame,
+      stats: DataFrame): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val q = queryTerms.distinct.toDF("term")
+    postings
+      .join(broadcast(q), "term")
+      .join(broadcast(termdf.join(broadcast(q), "term")), "term")
+      .join(doclen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(sum(termScore($"tf", $"df", $"dl", $"n_docs", $"avgdl")).as("score"))
+  }
+
+  /** Top-k BM25 with deterministic doc_id tiebreak →
+    * `TakeOrderedAndProject`, no full sort (SURVEY.md §2.6 O1). */
+  def topK(scored: DataFrame, k: Int): DataFrame =
+    scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+}

@@ -1,0 +1,139 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.analyze.{Analyzer, DefaultAnalyzer}
+import graft.embed.Embedder
+import graft.functions.VectorOps
+import graft.index.IndexData
+import graft.rerank.Reranker
+
+/** The SEARCH read path (SURVEY.md §2.12, §3.2) as one composed DataFrame
+  * plan:
+  *
+  *   T1 tokenize query → F4 BM25 top-k ∥ V1/V2 cosine top-k →
+  *   J2 full-outer fusion + A4 hybrid score → J1 candidate fetch →
+  *   X6 path rewrite → O3 sort → [T4 rerank] → P4 threshold → O5 limit
+  *
+  * Everything online touches ≤2k candidate rows, so every join is a broadcast
+  * hash join and the only `TakeOrderedAndProject`s are the two top-k scans —
+  * no shuffle wider than k rows (SURVEY.md §4.2).
+  */
+object HybridSearch {
+
+  final case class Options(
+      k: Int = 5, // reference default top_k=5, `src/cli.py:279-284`
+      rerank: Boolean = true,
+      removePathPrefix: Option[String] = None,
+      addPathPrefix: Option[String] = None,
+      scoreThreshold: Double = 0.01, // reference `src/searcher.py:313`
+      rerankTruncate: Int = 2048, // reference `src/models/reranker.py:86`
+      rerankBatchSize: Int = 8) // reference `src/models/reranker.py:60`
+
+  /** A4 — the hybrid score fusion rule (reference `src/searcher.py:218-241`):
+    * both present → mean; exactly one → 0.8·that; neither → 0.
+    * Faithfully averages a BM25 score with a cosine *distance* — dimensionally
+    * odd but it is the reference's defined semantics (SURVEY.md §2.9). */
+  def hybridScore(fts: Column, vss: Column): Column =
+    when(fts.isNotNull && vss.isNotNull, (fts + vss) / 2.0)
+      .when(fts.isNotNull, fts * 0.8)
+      .when(vss.isNotNull, vss * 0.8)
+      .otherwise(0.0)
+
+  /** X6 — query-time path rewrite: remove prefix, then add prefix
+    * (remove BEFORE add, reference `src/searcher.py:191-216`). */
+  def rewritePath(path: Column, remove: Option[String], add: Option[String]): Column = {
+    val removed = remove match {
+      case Some(p) =>
+        regexp_replace(path, lit("^" + java.util.regex.Pattern.quote(p) + "/?"), lit(""))
+      case None => path
+    }
+    add match {
+      case Some(p) => concat(lit(p.stripSuffix("/") + "/"), removed)
+      case None    => removed
+    }
+  }
+
+  /** VSS leg: exact brute-force cosine top-k over the embedding column —
+    * the engine's replacement for HNSW (exact ⊇ approximate; SURVEY.md §4.3).
+    * Score is the cosine DISTANCE, ascending (reference
+    * `src/searcher.py:135-143`). */
+  def vssTopK(documents: DataFrame, queryVec: Array[Float], k: Int): DataFrame = {
+    val qv = typedlit(queryVec.toSeq)
+    documents
+      .filter(col("embedding").isNotNull)
+      .select(col("doc_id"), VectorOps.cosineDist(col("embedding"), qv).as("vss_score"))
+      .orderBy(col("vss_score").asc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Full hybrid search. `embedder=None` degrades to FTS-only, mirroring the
+    * reference's VSS-failure fallback (reference `src/searcher.py:148-150`);
+    * `reranker=None` ⇔ `--no-rerank` (reference `src/cli.py:305-309`). */
+  def search(
+      index: IndexData,
+      query: String,
+      analyzer: Analyzer = DefaultAnalyzer,
+      embedder: Option[Embedder] = None,
+      reranker: Option[Reranker] = None,
+      opts: Options = Options()): DataFrame = {
+
+    val spark = index.documents.sparkSession
+    import spark.implicits._
+
+    val terms = analyzer.tokenize(query)
+    val fts = Bm25.topK(
+      Bm25.scores(terms, index.postings, index.termdf, index.doclen, index.stats), opts.k)
+      .withColumnRenamed("score", "fts_score")
+
+    // J2 + A4: fuse the two top-k lists — fusion re-ranks the union of the
+    // two top-k lists, NOT the corpus (reference `src/searcher.py:112-166`;
+    // SURVEY.md §4.3 candidate-set semantics).
+    val fused = embedder match {
+      case Some(e) =>
+        val vss = vssTopK(index.documents, e.embed(Seq(query)).head, opts.k)
+        fts.join(vss, Seq("doc_id"), "full_outer")
+      case None =>
+        fts.withColumn("vss_score", lit(null).cast("double"))
+    }
+    val candidates = fused
+      .withColumn("score", hybridScore(col("fts_score"), col("vss_score")))
+
+    // J1: candidate fetch — broadcast the ≤2k candidate ids into the
+    // documents scan (reference IN-list fetch, `src/searcher.py:172-180`).
+    val hits = index.documents
+      .join(broadcast(candidates), Seq("doc_id"))
+      .withColumn("file_path",
+        rewritePath(col("file_path"), opts.removePathPrefix, opts.addPathPrefix))
+      .select("doc_id", "file_path", "header_path", "line_start", "line_end",
+        "content", "score", "fts_score", "vss_score")
+
+    val reranked = reranker match {
+      case Some(rr) if opts.rerank =>
+        val batch = opts.rerankBatchSize
+        val trunc = opts.rerankTruncate
+        val q = query
+        // T4: batched rerank, scores re-attached by doc_id (not position).
+        val rrScores = hits
+          .select(col("doc_id"), substring(col("content"), 1, trunc).as("t"))
+          .as[(String, String)]
+          .mapPartitions { it =>
+            it.grouped(batch).flatMap { g =>
+              val ss = rr.score(q, g.map(_._2))
+              g.lazyZip(ss).map { (p, s) => (p._1, s) }
+            }
+          }
+          .toDF("doc_id", "rerank_score")
+        hits.join(broadcast(rrScores), Seq("doc_id"))
+          .withColumn("original_score", col("score"))
+          .withColumn("score", col("rerank_score"))
+          .drop("rerank_score")
+      case _ => hits
+    }
+
+    reranked
+      .filter(col("score") > lit(opts.scoreThreshold)) // P4
+      .orderBy(col("score").desc, col("doc_id").asc) // O3/O4
+      .limit(opts.k) // O5
+  }
+}
