@@ -20,6 +20,10 @@ object Smoke {
     println(s"entry returned ${rows.length} rows:")
     df.show(20, 80, vertical = false)
     require(rows.nonEmpty, "entry must return rows")
+
+    val rollup = graft.streaming.EventsStream.runOnce(spark, "/root/testdata/sf0.001")
+    println(s"streaming hourly rollup: ${rollup.count()} buckets")
+    rollup.orderBy("bucket_start", "event_type").show(5)
     spark.stop()
   }
 }

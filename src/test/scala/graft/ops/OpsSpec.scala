@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exact dedup groups identical content") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(df, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(groups.length == 2)
+    assert(groups.head.getAs[Long]("keep_id") == 1L)
+    assert(groups.head.getAs[Long]("n_dups") == 2L)
+  }
+
+  test("minhash signatures are equal for identical docs, differ for unrelated ones") {
+    val t1 = "the quick brown fox jumps over the lazy dog again and again".split(" ").toSeq
+    val t3 = "completely different content with nothing shared at all here now".split(" ").toSeq
+    val df = Seq((1L, t1), (2L, t1), (3L, t3)).toDF("doc_id", "tokens")
+    val sig = Dedup.withMinhashSignature(df, "tokens").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (0 until Dedup.NumHashes).map(j => r.getAs[Long](s"mh$j")))
+      .toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("simhash of near-identical docs is closer than unrelated docs") {
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = "spark sql engine with catalyst optimizer and tungsten runtime".split(" ").toSeq
+    val near = base.updated(2, "engines")
+    val far = "grape banana orange kiwi melon apple pear plum peach lime".split(" ").toSeq
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "tokens")
+      .withColumn("hs", transform($"tokens", t => Dedup.tokHash(t)))
+      .select($"doc_id", Dedup.simhash($"hs").as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hamming(m(1L), m(2L)) < hamming(m(1L), m(3L)))
+  }
+
+  test("jaccard over distinct shingle arrays") {
+    val df = Seq((Seq("a b c", "b c d"), Seq("a b c", "x y z")))
+      .toDF("a", "b")
+      .select(Dedup.jaccard($"a", $"b").as("j"))
+    assert(math.abs(df.head().getDouble(0) - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("brute-force top-k returns self-excluded nearest neighbors") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1f)), (3L, Array(0.8f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" === 0L)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val top = Similarity.bruteForceTopK(qs, "qid", "qvec", vecs, "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 3L))
+  }
+
+  test("ivf assigns each vector to its nearest centroid") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (10L, Array(0.95f, 0.05f)), (11L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val cent = vecs.filter($"vec_id" < 2)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val asg = Similarity.ivfAssign(vecs, "vec_id", "embedding", cent, "cid", "cvec")
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asg(10L) == 0L && asg(11L) == 1L)
+    assert(asg(0L) == 0L && asg(1L) == 1L)
+  }
+
+  test("stub media decoder is deterministic and batch-shaped") {
+    val df = Seq((1L, "abc"), (2L, "defghij")).toDF("doc_id", "text")
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+    val meta = Multimodal.decodeMeta(df, "doc_id", "payload", Multimodal.StubDecoder)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).n_bytes == 3L && meta(2L).n_bytes == 7L)
+    assert(meta(1L).width == 64L + 3 % 577)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.search
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.core.Schemas.Setting
+import graft.functions.VectorOps
+import graft.index.IndexData
+
+class SearchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    // (doc_id, content, tokens, embedding)
+    ("d1", "spark runs fast", Seq("spark", "runs", "fast"), Array(1f, 0f, 0f)),
+    ("d2", "duck db is a database", Seq("duck", "db", "is", "a", "database"), Array(0f, 1f, 0f)),
+    ("d3", "spark spark spark", Seq("spark", "spark", "spark"), Array(0.6f, 0.8f, 0f)),
+    ("d4", "unrelated words entirely", Seq("unrelated", "words", "entirely"), Array(0f, 0f, 1f)))
+    .toDF("doc_id", "content", "tokens", "embedding")
+    .withColumn("file_path", concat(lit("docs/"), col("doc_id")))
+    .withColumn("header_path", lit(""))
+    .withColumn("line_start", lit(1)).withColumn("line_end", lit(1))
+
+  private def index = IndexData.fromDocuments(corpus,
+    Seq(Setting("embedding_model", "test")).toDF())
+
+  test("BM25 matches the Okapi formula computed by hand") {
+    val scored = Bm25.scores(Seq("spark"), index.postings, index.termdf,
+      index.doclen, index.stats)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // corpus: N=4 docs, df(spark)=2, dl = [3,5,3,3], avgdl = 3.5
+    val idf = math.log((4 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    def ts(tf: Int, dl: Int): Double =
+      idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 3.5))
+    assert(math.abs(scored("d1") - ts(1, 3)) < 1e-12)
+    assert(math.abs(scored("d3") - ts(3, 3)) < 1e-12)
+    assert(!scored.contains("d2") && !scored.contains("d4"))
+  }
+
+  test("cosine distance matches known geometry") {
+    val df = Seq((Array(1f, 0f, 0f), Array(0.6f, 0.8f, 0f))).toDF("a", "b")
+      .select(VectorOps.cosineDist($"a", $"b").as("d"))
+    val d = df.head().getDouble(0)
+    assert(math.abs(d - (1.0 - 0.6)) < 1e-6) // unit vectors: 1 - dot
+  }
+
+  test("hybridScore implements the reference fusion rule") {
+    val rows = Seq(
+      (Some(1.0), Some(0.5)), (Some(1.0), None), (None, Some(0.5)),
+      (None: Option[Double], None: Option[Double]))
+      .toDF("fts", "vss")
+      .select(HybridSearch.hybridScore($"fts", $"vss").as("s"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(rows == Seq(0.75, 0.8, 0.4, 0.0))
+  }
+
+  test("search end-to-end: fusion, candidate-set semantics, path rewrite, k") {
+    val hits = HybridSearch.search(
+      index, "spark database",
+      analyzer = graft.analyze.WhitespaceAnalyzer,
+      embedder = Some(new graft.embed.FixedVectorEmbedder(Array(1f, 0f, 0f))),
+      reranker = None,
+      opts = HybridSearch.Options(k = 3,
+        removePathPrefix = Some("docs"), addPathPrefix = Some("new"))).collect()
+    assert(hits.nonEmpty && hits.length <= 3)
+    // Reference-fusion quirk (SURVEY.md §2.9): the hybrid score AVERAGES a
+    // BM25 score with a cosine DISTANCE, so d1's perfect vector match
+    // (distance 0) halves its mean, while FTS-only d2 keeps 0.8×BM25 with
+    // the rarer term 'database' — d2 ranks first, d1 must still be present.
+    assert(hits.head.getAs[String]("doc_id") == "d2")
+    val d1 = hits.find(_.getAs[String]("doc_id") == "d1").get
+    assert(d1.getAs[String]("file_path") == "new/d1")
+    assert(d1.getAs[Double]("vss_score") == 0.0)
+    // scores sorted descending
+    val scores = hits.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("search degrades to FTS-only without an embedder (reference VSS fallback)") {
+    val hits = HybridSearch.search(index, "spark",
+      analyzer = graft.analyze.WhitespaceAnalyzer,
+      embedder = None, reranker = None,
+      opts = HybridSearch.Options(k = 5)).collect()
+    assert(hits.map(_.getAs[String]("doc_id")).toSet == Set("d1", "d3"))
+    hits.foreach(r => assert(r.isNullAt(r.fieldIndex("vss_score"))))
+  }
+
+  test("deterministic reranker reorders by token overlap") {
+    val hits = HybridSearch.search(index, "spark runs",
+      analyzer = graft.analyze.WhitespaceAnalyzer,
+      embedder = None,
+      reranker = Some(new graft.rerank.TokenOverlapReranker(
+        graft.analyze.WhitespaceAnalyzer.tokenize)),
+      opts = HybridSearch.Options(k = 4)).collect()
+    // d1 shares both query tokens -> highest overlap score
+    assert(hits.head.getAs[String]("doc_id") == "d1")
+    assert(hits.head.getAs[Double]("score") > hits.last.getAs[Double]("score"))
+  }
+}

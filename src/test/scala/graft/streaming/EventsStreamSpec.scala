@@ -1,0 +1,21 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class EventsStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("streaming hourly rollup equals the batch rollup over the same files") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventsStream.runOnce(spark, dir)
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+
+    val batch = EventsStream.hourlyRollup(
+      spark.read.parquet(s"$dir/events.parquet"))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+}
