@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.analyze.DefaultAnalyzer
+import graft.embed.HashingEmbedder
+import graft.index.{IndexData, IndexJob}
+import graft.rerank.TokenOverlapReranker
+import graft.search.HybridSearch
+
+/** CLI mirroring the reference's command surface (`src/cli.py:37-434`):
+  *
+  * {{{
+  *   graft.Cli index  --db DIR --docs D1 [D2 ...] [--clear] [--trim-path-prefix P]
+  *                    [--chunk-size N] [--overlap N] [--embedding-dim N]
+  *   graft.Cli search --db DIR --query Q [--top-k K] [--no-rerank]
+  *                    [--remove-path-prefix P] [--add-path-prefix P]
+  *   graft.Cli serve  --db DIR [--top-k K]
+  * }}}
+  *
+  * `--db` is the index *directory* (the artifact of SURVEY.md §1.3), not a
+  * DuckDB file. `serve` is the reference's MCP-stdio shape
+  * (`src/server.py:97-103`): JSON lines on stdin
+  * (`{"query": "...", "top_k": 5}`) answered with `{"results": [...]}` on
+  * stdout, over a long-lived SparkSession with the search-path datasets
+  * cached (SURVEY.md §3.3).
+  */
+object Cli {
+
+  private def arg(args: Array[String], name: String): Option[String] = {
+    val i = args.indexOf(name)
+    if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+  }
+  private def multiArg(args: Array[String], name: String): Seq[String] = {
+    val i = args.indexOf(name)
+    if (i < 0) Seq.empty
+    else args.drop(i + 1).takeWhile(!_.startsWith("--")).toSeq
+  }
+  private def flag(args: Array[String], name: String): Boolean = args.contains(name)
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("index")  => indexCmd(args.tail)
+    case Some("search") => searchCmd(args.tail)
+    case Some("serve")  => serveCmd(args.tail)
+    case _ =>
+      System.err.println("usage: graft.Cli index|search|serve [options]")
+      sys.exit(2)
+  }
+
+  private def indexCmd(a: Array[String]): Unit = {
+    val db = arg(a, "--db").getOrElse(sys.error("--db required"))
+    val docs = multiArg(a, "--docs")
+    require(docs.nonEmpty, "--docs requires at least one directory")
+    val spark = session()
+    val opts = IndexJob.Options(
+      chunkSize = arg(a, "--chunk-size").map(_.toInt).getOrElse(512),
+      overlap = arg(a, "--overlap").map(_.toInt).getOrElse(50),
+      trimPathPrefix = arg(a, "--trim-path-prefix"),
+      clear = flag(a, "--clear"))
+    val dim = arg(a, "--embedding-dim").map(_.toInt).getOrElse(64)
+    val index = IndexJob.run(spark, docs, db, new HashingEmbedder(dim), DefaultAnalyzer, opts)
+    println(s"indexed ${index.documents.count()} chunks into $db")
+    spark.stop()
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def hitsJson(hits: Array[org.apache.spark.sql.Row]): String =
+    hits.map { r =>
+      val opt = (n: String) => if (r.isNullAt(r.fieldIndex(n))) "null" else r.getAs[Double](n).toString
+      s"""{"doc_id":${jsonStr(r.getAs[String]("doc_id"))},""" +
+        s""""file_path":${jsonStr(r.getAs[String]("file_path"))},""" +
+        s""""header_path":${jsonStr(Option(r.getAs[String]("header_path")).getOrElse(""))},""" +
+        s""""line_start":${r.getAs[Int]("line_start")},"line_end":${r.getAs[Int]("line_end")},""" +
+        s""""content":${jsonStr(r.getAs[String]("content"))},""" +
+        s""""score":${r.getAs[Double]("score")},""" +
+        s""""fts_score":${opt("fts_score")},"vss_score":${opt("vss_score")}}"""
+    }.mkString("[", ",", "]")
+
+  private def runSearch(index: IndexData, query: String, k: Int, rerank: Boolean,
+      removeP: Option[String], addP: Option[String]) = {
+    val dim = index.setting("embedding_dim").map(_.toInt).getOrElse(64)
+    HybridSearch.search(index, query,
+      analyzer = DefaultAnalyzer,
+      embedder = Some(new HashingEmbedder(dim)),
+      reranker = if (rerank) Some(new TokenOverlapReranker()) else None,
+      opts = HybridSearch.Options(k = k, rerank = rerank,
+        removePathPrefix = removeP, addPathPrefix = addP)).collect()
+  }
+
+  private def searchCmd(a: Array[String]): Unit = {
+    val db = arg(a, "--db").getOrElse(sys.error("--db required"))
+    val query = arg(a, "--query").getOrElse(sys.error("--query required"))
+    val spark = session()
+    val index = IndexData.load(spark, db)
+    val hits = runSearch(index, query,
+      arg(a, "--top-k").map(_.toInt).getOrElse(5),
+      !flag(a, "--no-rerank"),
+      arg(a, "--remove-path-prefix"), arg(a, "--add-path-prefix"))
+    println(s"""{"results":${hitsJson(hits)}}""")
+    spark.stop()
+  }
+
+  /** Minimal JSON-line request parser for `{"query": "...", "top_k": N}` —
+    * the only request shape the reference tool accepts
+    * (`src/server.py:71-95`). */
+  private val QueryRe = """"query"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+  private val TopKRe = """"top_k"\s*:\s*(\d+)""".r
+
+  private def serveCmd(a: Array[String]): Unit = {
+    val db = arg(a, "--db").getOrElse(sys.error("--db required"))
+    val defaultK = arg(a, "--top-k").map(_.toInt).getOrElse(5)
+    val spark = session()
+    val index = IndexData.load(spark, db).cached()
+    index.stats.count() // materialize caches before serving
+    System.err.println(s"[graft] serving index $db on stdio; one JSON request per line")
+    scala.io.Source.stdin.getLines().foreach { line =>
+      if (line.trim.nonEmpty) {
+        try {
+          val query = QueryRe.findFirstMatchIn(line)
+            .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+            .getOrElse(sys.error("missing \"query\""))
+          val k = TopKRe.findFirstMatchIn(line).map(_.group(1).toInt).getOrElse(defaultK)
+          val hits = runSearch(index, query, k, rerank = true, None, None)
+          println(s"""{"results":${hitsJson(hits)}}""")
+        } catch {
+          case e: Throwable => println(s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
+        }
+        System.out.flush()
+      }
+    }
+    spark.stop()
+  }
+}
