@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** Registers the engine's native functions for SQL use:
+  *
+  * {{{
+  *   spark.sql("SELECT cosine_distance(embedding, qv) FROM ...")
+  * }}}
+  *
+  * Install either at session build time
+  * (`SparkSession.builder().withExtensions(new GraftExtensions)`) or on a
+  * live session via [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_distance"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[CosineDistance].getName, "cosine_distance"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          CosineDistance(exprs(0), exprs(1))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[DotProduct].getName, "dot_product"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          DotProduct(exprs(0), exprs(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Register on an already-built session. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_distance", exprs => CosineDistance(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  }
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Expression ⇄ Column conversions for custom Catalyst expressions.
+  *
+  * Spark 4 made these `private[sql]` (`org.apache.spark.sql.classic
+  * .ExpressionUtils`), so extension libraries expose them via a shim package
+  * under `org.apache.spark.sql` — the established pattern for Spark-native
+  * add-ons. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
