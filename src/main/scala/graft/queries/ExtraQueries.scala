@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.Q.t
+
+/** Analytics depth beyond the reference surface: the relational patterns a
+  * large-scale training-data pipeline leans on daily — multiway broadcast
+  * joins, windowed top-n / deltas, sessionization, exact quantiles, rollups,
+  * ordered aggregation, conditional pivots.
+  */
+object ExtraQueries {
+
+  private def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+  }
+
+  private val SessionGapNs = 1800000000000L // 30 min
+
+  val all: Seq[Q] = Seq(
+
+    // Multiway join: revenue by region (TPC-H Q5 shape). nation/region
+    // broadcast; orders⨝customer is the only real shuffle.
+    Q("q_join_multiway",
+      (s, d) => {
+        val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+        val nat = t(s, d, "nation").select("n_nationkey", "n_regionkey")
+        val reg = t(s, d, "region").select("r_regionkey", "r_name")
+        t(s, d, "orders")
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+            count("*").cast("long").as("n_orders"))
+          .orderBy("r_name")
+      },
+      Some("SELECT r_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, " +
+        "CAST(count(*) AS BIGINT) AS n_orders FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name ORDER BY r_name")),
+
+    // Top-n per group via window rank — the per-key candidate-pruning shape
+    Q("q_topn_per_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        t(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .orderBy("l_returnflag", "rank")
+      },
+      Some("SELECT * FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, " +
+        "CAST(row_number() OVER (PARTITION BY l_returnflag " +
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS rank " +
+        "FROM lineitem) WHERE rank <= 3 ORDER BY l_returnflag, rank")),
+
+    // Gap-based sessionization: lag → new-session flag → running session id →
+    // per-session stats. THE canonical event-pipeline op; at scale it is one
+    // shuffle on user_id and everything else is window-local.
+    Q("q_sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val sess = events(s, d).filter(col("user_id") < 10)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull || col("ts") - col("prev_ts") > SessionGapNs, 1L).otherwise(0L))
+          .withColumn("session_seq", sum(col("new_sess")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        sess.groupBy("user_id", "session_seq")
+          .agg(
+            count("*").cast("long").as("n_events"),
+            min(col("event_id")).as("first_event"),
+            max(col("ts")).as("max_ts"), min(col("ts")).as("min_ts"))
+          // integer div: ns spans overflow double-precision division
+          .withColumn("duration_s", expr("(max_ts - min_ts) div 1000000000"))
+          .select("user_id", "session_seq", "n_events", "first_event", "duration_s")
+          .orderBy("user_id", "session_seq")
+      },
+      Some(s"WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events WHERE user_id < 10), " +
+        "lagged AS (SELECT user_id, event_id, tsn, " +
+        "lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS prev_ts FROM e), " +
+        "flagged AS (SELECT user_id, event_id, tsn, " +
+        s"CASE WHEN prev_ts IS NULL OR tsn - prev_ts > $SessionGapNs THEN 1 ELSE 0 END AS new_sess FROM lagged), " +
+        "sess AS (SELECT user_id, event_id, tsn, " +
+        "CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsn, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM flagged) " +
+        "SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events, " +
+        "min(event_id) AS first_event, CAST((max(tsn) - min(tsn)) // 1000000000 AS BIGINT) AS duration_s " +
+        "FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq")),
+
+    // Exact median per group (interpolating percentile)
+    Q("q_percentile_median",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+          count("*").cast("long").as("n"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price, " +
+        "CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    // Rollup with explicit subtotal markers (portable NULL handling)
+    Q("q_rollup_aggregate",
+      (s, d) => t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count("*").cast("long").as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("<all>")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus"),
+      Some("SELECT coalesce(l_returnflag, '<all>') AS returnflag, " +
+        "coalesce(l_linestatus, '<all>') AS linestatus, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
+        "ORDER BY returnflag, linestatus")),
+
+    // lag/lead deltas per key — feature-engineering staple
+    Q("q_lag_delta",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        events(s, d).filter(col("user_id") < 10)
+          .select(col("user_id"), col("event_id"), col("value"))
+          .withColumn("prev_value", lag(col("value"), 1).over(w))
+          .withColumn("delta", round(col("value") - col("prev_value"), 4))
+          .withColumn("next_event", lead(col("event_id"), 1).over(w))
+          .select("user_id", "event_id", "delta", "next_event")
+          .orderBy("user_id", "event_id")
+      },
+      Some("SELECT user_id, event_id, " +
+        "round(value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id), 4) AS delta, " +
+        "lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS next_event " +
+        "FROM events WHERE user_id < 10 ORDER BY user_id, event_id")),
+
+    // Exact distinct counts per group
+    Q("q_distinct_count",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).cast("long").as("n_parts"),
+          countDistinct(col("l_suppkey")).cast("long").as("n_supps"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts, " +
+        "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    // Histogram by explicit integer bucketing (portable width_bucket)
+    Q("q_histogram",
+      (s, d) => t(s, d, "events")
+        .select((col("value") / 50.0).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count("*").cast("long").as("n"))
+        .orderBy("bucket"),
+      Some("SELECT CAST(trunc(value / 50.0) AS BIGINT) AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1 ORDER BY bucket")),
+
+    // Ordered set aggregation: deterministic string_agg via sorted arrays
+    Q("q_string_agg_sorted",
+      (s, d) => t(s, d, "documents")
+        .groupBy("source")
+        .agg(array_join(array_sort(collect_set(col("lang"))), ",").as("langs"),
+          count("*").cast("long").as("n_docs"))
+        .orderBy("source"),
+      Some("SELECT source, array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs, " +
+        "CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source ORDER BY source")),
+
+    // Conditional pivot: per-source doc counts by language (fixed columns)
+    Q("q_pivot_conditional",
+      (s, d) => t(s, d, "documents")
+        .groupBy("source")
+        .agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+          sum(when(col("lang") === "es", 1L).otherwise(0L)).as("n_es"),
+          sum(when(col("lang") === "zh", 1L).otherwise(0L)).as("n_zh"),
+          sum(when(!col("lang").isin("en", "es", "zh"), 1L).otherwise(0L)).as("n_other"))
+        .orderBy("source"),
+      Some("SELECT source, " +
+        "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en, " +
+        "CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es, " +
+        "CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh, " +
+        "CAST(sum(CASE WHEN lang NOT IN ('en', 'es', 'zh') THEN 1 ELSE 0 END) AS BIGINT) AS n_other " +
+        "FROM documents GROUP BY source ORDER BY source")))
+}
