@@ -72,7 +72,10 @@ object Cli {
       trimPathPrefix = arg(a, "--trim-path-prefix"),
       clear = flag(a, "--clear"))
     val dim = arg(a, "--embedding-dim").map(_.toInt).getOrElse(64)
-    val index = IndexJob.run(spark, docs, db, new HashingEmbedder(dim), DefaultAnalyzer, opts)
+    val index = arg(a, "--embedder").getOrElse("hashing") match {
+      case "tfidf" => IndexJob.runTfIdf(spark, docs, db, dim, DefaultAnalyzer, opts)
+      case _       => IndexJob.run(spark, docs, db, new HashingEmbedder(dim), DefaultAnalyzer, opts)
+    }
     println(s"indexed ${index.documents.count()} chunks into $db")
     spark.stop()
   }
@@ -97,12 +100,23 @@ object Cli {
         s""""fts_score":${opt("fts_score")},"vss_score":${opt("vss_score")}}"""
     }.mkString("[", ",", "]")
 
-  private def runSearch(index: IndexData, query: String, k: Int, rerank: Boolean,
-      removeP: Option[String], addP: Option[String]) = {
+  /** Query-time embedder must match the index-time model — resolved from the
+    * index `settings`, like the reference (`src/cli.py:327-338`). */
+  private def embedderFor(index: IndexData, db: String): graft.embed.Embedder = {
     val dim = index.setting("embedding_dim").map(_.toInt).getOrElse(64)
+    index.setting("embedding_model") match {
+      case Some(m) if m.startsWith("tfidf-") =>
+        graft.embed.TfIdfEmbed.load(index.documents.sparkSession, s"$db/tfidf_model")
+          .embedder(DefaultAnalyzer.tokenize)
+      case _ => new HashingEmbedder(dim)
+    }
+  }
+
+  private def runSearch(index: IndexData, db: String, query: String, k: Int, rerank: Boolean,
+      removeP: Option[String], addP: Option[String]) = {
     HybridSearch.search(index, query,
       analyzer = DefaultAnalyzer,
-      embedder = Some(new HashingEmbedder(dim)),
+      embedder = Some(embedderFor(index, db)),
       reranker = if (rerank) Some(new TokenOverlapReranker()) else None,
       opts = HybridSearch.Options(k = k, rerank = rerank,
         removePathPrefix = removeP, addPathPrefix = addP)).collect()
@@ -113,7 +127,7 @@ object Cli {
     val query = arg(a, "--query").getOrElse(sys.error("--query required"))
     val spark = session()
     val index = IndexData.load(spark, db)
-    val hits = runSearch(index, query,
+    val hits = runSearch(index, db, query,
       arg(a, "--top-k").map(_.toInt).getOrElse(5),
       !flag(a, "--no-rerank"),
       arg(a, "--remove-path-prefix"), arg(a, "--add-path-prefix"))
@@ -141,7 +155,7 @@ object Cli {
             .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
             .getOrElse(sys.error("missing \"query\""))
           val k = TopKRe.findFirstMatchIn(line).map(_.group(1).toInt).getOrElse(defaultK)
-          val hits = runSearch(index, query, k, rerank = true, None, None)
+          val hits = runSearch(index, db, query, k, rerank = true, None, None)
           println(s"""{"results":${hitsJson(hits)}}""")
         } catch {
           case e: Throwable => println(s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")

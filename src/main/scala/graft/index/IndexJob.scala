@@ -101,6 +101,45 @@ object IndexJob {
     IndexData.load(spark, indexDir)
   }
 
+  /** Full INDEX job with DataFrame-native TF-IDF embeddings instead of a
+    * per-row [[Embedder]]: the bulk path when embedding needs whole-corpus
+    * statistics (IDF fit) — one distributed fit + transform, no driver
+    * loops. */
+  def runTfIdf(
+      spark: SparkSession,
+      dirs: Seq[String],
+      indexDir: String,
+      dim: Int = 256,
+      analyzer: Analyzer = DefaultAnalyzer,
+      opts: Options = Options()): IndexData = {
+    import spark.implicits._
+    val chunker = new MarkdownChunker(opts.chunkSize, opts.overlap, analyzer)
+    val chunks = chunkFiles(scanMarkdown(spark, dirs), chunker).toDF()
+    val (embedded, model) = graft.embed.TfIdfEmbed.fitTransform(chunks, "tokens", dim)
+    model.save(spark, s"$indexDir/tfidf_model")
+    val trimmed = opts.trimPathPrefix match {
+      case Some(p) =>
+        embedded.withColumn("filePath",
+          regexp_replace(
+            regexp_replace(col("filePath"), lit("^" + java.util.regex.Pattern.quote(p)), lit("")),
+            lit("^/+"), lit("")))
+      case None => embedded
+    }
+    val docs = trimmed.select(
+      sha1(concat_ws(":", col("filePath"), col("lineStart"), col("lineEnd"))).as("doc_id"),
+      col("filePath").as("file_path"),
+      col("headerPath").as("header_path"),
+      col("lineStart").as("line_start"),
+      col("lineEnd").as("line_end"),
+      col("content"), col("tokens"), col("embedding"))
+    val settings = Seq(
+      Setting("embedding_model", model.name),
+      Setting("embedding_dim", dim.toString)).toDF()
+    val index = IndexData.fromDocuments(docs, settings)
+    index.save(indexDir)
+    IndexData.load(spark, indexDir)
+  }
+
   /** Build an in-memory index straight from an existing table of documents
     * (used by tests and the testdata-corpus queries): any DataFrame with an
     * id column and a text column. */

@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MLlib-backed approximate nearest neighbors — the library scale path for
+  * V2 when brute force is too expensive (SURVEY.md §2.5 V2 note).
+  *
+  * `BucketedRandomProjectionLSH` is Euclidean; on UNIT vectors
+  * ‖a−b‖² = 2·(1−cos), so Euclidean rank order equals cosine rank order —
+  * callers must pre-normalize (index-time normalization is the engine
+  * default, SURVEY.md §4.2). At scale the corpus is hashed once
+  * (`model.transform` persisted); each query probes only colliding buckets
+  * instead of scanning the corpus.
+  */
+object ApproxKnn {
+
+  /** Approximate top-k by cosine distance over a pre-normalized
+    * `array<float>` embedding column. Returns (idCol, dist, plus query cols).
+    */
+  def approxTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Float], k: Int,
+      bucketLength: Double = 1.0, numHashTables: Int = 4): DataFrame = {
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val prepared = corpus
+      .withColumn("_mlvec", toVec(col(vecCol)))
+      .select(col(idCol), col("_mlvec"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("_mlvec").setOutputCol("_hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+      .setSeed(42L)
+    val model = lsh.fit(prepared)
+    val q = Vectors.dense(queryVec.map(_.toDouble))
+    model.approxNearestNeighbors(prepared, q, k, "_l2dist").toDF()
+      .withColumn("dist", col("_l2dist") * col("_l2dist") / 2.0) // = 1 − cos on unit vectors
+      .select(col(idCol), col("dist"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.embed
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.functions.VectorOps
+import graft.ops.ApproxKnn
+
+class EmbedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("TF-IDF embedding: unit norm and shared-vocabulary geometry") {
+    val df = Seq(
+      (1L, Seq("spark", "sql", "engine")),
+      (2L, Seq("spark", "sql", "runtime")),
+      (3L, Seq("grape", "banana", "kiwi")))
+      .toDF("id", "tokens")
+    val emb = TfIdfEmbed.withTfIdfEmbedding(df, "tokens", dim = 64)
+    assert(emb.schema("embedding").dataType.simpleString == "array<float>")
+    val rows = emb.select($"id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // unit norm
+    rows.values.foreach { v =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-5)
+    }
+    // doc1 closer to doc2 (shares 'spark sql') than to doc3 (shares nothing)
+    def cos(a: Seq[Float], b: Seq[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    assert(cos(rows(1L), rows(2L)) > cos(rows(1L), rows(3L)) + 0.1)
+  }
+
+  test("MLlib LSH approx kNN agrees with brute force on an easy corpus") {
+    val rnd = new scala.util.Random(11)
+    def unit(dim: Int) = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val corpus = (0 until 300).map(i => (i.toLong, unit(16))).toDF("id", "vec")
+    val qv = corpus.filter($"id" === 0).select($"vec").as[Array[Float]].head()
+
+    val approx = ApproxKnn.approxTopK(corpus, "id", "vec", qv, k = 5,
+        bucketLength = 2.0, numHashTables = 8)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val exact = corpus
+      .withColumn("d", VectorOps.cosineDist($"vec", typedlit(qv.toSeq)))
+      .orderBy($"d".asc).limit(5)
+      .collect().map(_.getAs[Long]("id")).toSet
+    // generous LSH settings on a small corpus: expect high recall incl. self
+    assert(approx.contains(0L))
+    assert((approx & exact).size >= 3, s"approx=$approx exact=$exact")
+  }
+}
