@@ -52,6 +52,33 @@ object Similarity {
       .withColumnRenamed("_cdist", "centroid_dist")
   }
 
+  /** Exact top-k neighbors via the custom [[graft.plans.CosineKnnJoin]]
+    * operator: broadcast query side, one bounded heap per query per corpus
+    * partition, ≤ partitions×Q×k candidate rows out — no N×Q
+    * materialization, no wide shuffle (unlike [[bruteForceTopK]]'s
+    * crossJoin+window plan). Same results, deterministic (rounded-dist, id)
+    * ordering. */
+  def knnJoin(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.plans.{CosineKnnJoin, GraftStrategies}
+    val spark = corpus.sparkSession
+    GraftStrategies.install(spark)
+    val l = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val r = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+    // heap keeps k+1 when self-matches are dropped afterwards (self is ≤1 slot)
+    val heapK = if (excludeSelf) k + 1 else k
+    val cand = ColumnBridge.ofRows(spark,
+      CosineKnnJoin(ColumnBridge.logicalPlan(l), ColumnBridge.logicalPlan(r), heapK))
+    val filtered = if (excludeSelf) cand.filter(col("id") =!= col("qid")) else cand
+    val w = Window.partitionBy(col("qid")).orderBy(round(col("dist"), 6).asc, col("id").asc)
+    filtered
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Sign-LSH bucket id: bit b set iff dot(vec, plane_b) > 0.
     * `planes`: broadcast-sized (bit, pvec) rows pivoted into columns first —
     * here expressed directly over a Seq of plane vector columns. */

@@ -1,0 +1,171 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.DoubleType
+
+/** kNN join as a first-class operator (SURVEY.md §4.2's "custom Strategy"
+  * option, realized): for each query vector, the k nearest corpus vectors by
+  * cosine distance.
+  *
+  * Why an operator instead of `crossJoin → row_number → filter`: the
+  * compositional plan materializes |corpus|×|queries| joined rows, shuffles
+  * them, and sorts per query. This operator broadcasts the (small) query
+  * side and keeps one bounded heap per query per corpus partition — the
+  * cross product is consumed on the fly, nothing is materialized or
+  * shuffled, and each partition emits at most queries×k candidate rows. At
+  * 100 TB that is the difference between an O(N·Q) shuffle and a map-only
+  * pass with a tiny combine.
+  *
+  * Contract (enforced by the API wrapper in
+  * [[graft.ops.Similarity.knnJoin]]): left child = corpus projected to
+  * (id, vec: array<float>), right child = queries projected to
+  * (qid, qvec: array<float>). Output: (id, qid, dist) with partition-local
+  * top-k semantics — the wrapper applies the final exact per-query top-k on
+  * the ≤ partitions×Q×k candidates. Heap ordering uses (round(dist,6), id)
+  * — identical to the final ordering, so pruning never changes the result.
+  */
+case class CosineKnnJoin(
+    left: LogicalPlan, right: LogicalPlan, k: Int,
+    // constructor parameter so Catalyst tree copies preserve the exprId —
+    // a `val` would mint a fresh attribute on every transform and break
+    // downstream references
+    distAttr: AttributeReference =
+      AttributeReference("dist", DoubleType, nullable = false)())
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    Seq(left.output.head, right.output.head, distAttr)
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(distAttr)
+
+  override protected def withNewChildrenInternal(
+      l: LogicalPlan, r: LogicalPlan): LogicalPlan = copy(left = l, right = r)
+}
+
+case class CosineKnnJoinExec(left: SparkPlan, right: SparkPlan, k: Int,
+    output: Seq[Attribute])
+  extends BinaryExecNode {
+
+  override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): SparkPlan =
+    copy(left = l, right = r)
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(output.last)
+
+  /** HALF_UP at 6 decimals for non-negative distances — the same cut the
+    * deterministic final ordering uses. */
+  private def key(d: Double): Long = math.floor(d * 1e6 + 0.5).toLong
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // Query side: collect + broadcast primitive arrays (qid, qvec, |qvec|).
+    val queryRows = right.executeCollect()
+    val queries = queryRows.map { r =>
+      val qid = r.get(0, right.output.head.dataType)
+      val arr = r.getArray(1)
+      val v = new Array[Float](arr.numElements())
+      var i = 0
+      while (i < v.length) { v(i) = arr.getFloat(i); i += 1 }
+      var nb = 0.0
+      i = 0
+      while (i < v.length) { nb += v(i).toDouble * v(i).toDouble; i += 1 }
+      (qid, v, math.sqrt(nb))
+    }
+    val bc = sparkContext.broadcast(queries)
+    val kLocal = k
+    val schema = output.map(_.dataType)
+    val leftIdType = left.output.head.dataType
+    val rightIdType = right.output.head.dataType
+
+    left.execute().mapPartitions { iter =>
+      val qs = bc.value
+      // per-query bounded max-heaps ordered by (rounded dist, id) descending
+      // so the worst candidate is on top
+      final case class Cand(id: Any, distKey: Long, dist: Double)
+      def idCompare(a: Any, b: Any): Int = (a, b) match {
+        case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
+        case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
+        case (x: org.apache.spark.unsafe.types.UTF8String,
+              y: org.apache.spark.unsafe.types.UTF8String) => x.compareTo(y)
+        case _ => 0
+      }
+      val heapOrd = new java.util.Comparator[Cand] {
+        def compare(a: Cand, b: Cand): Int = {
+          val c = java.lang.Long.compare(b.distKey, a.distKey) // worst first
+          if (c != 0) c else idCompare(b.id, a.id)
+        }
+      }
+      val heaps = Array.fill(qs.length)(new java.util.PriorityQueue[Cand](kLocal + 1, heapOrd))
+
+      iter.foreach { row =>
+        val id = row.get(0, leftIdType) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+          case other => other
+        }
+        val arr = row.getArray(1)
+        val n = arr.numElements()
+        var qi = 0
+        while (qi < qs.length) {
+          val (_, qv, qnorm) = qs(qi)
+          if (qv.length == n) {
+            var dot = 0.0
+            var na = 0.0
+            var i = 0
+            while (i < n) {
+              val x = arr.getFloat(i).toDouble
+              dot += x * qv(i)
+              na += x * x
+              i += 1
+            }
+            val dist = 1.0 - dot / (math.sqrt(na) * qnorm)
+            val h = heaps(qi)
+            val cand = Cand(id, key(dist), dist)
+            if (h.size < kLocal) h.add(cand)
+            else {
+              val worst = h.peek()
+              if (heapOrd.compare(cand, worst) > 0) { h.poll(); h.add(cand) }
+            }
+          }
+          qi += 1
+        }
+      }
+
+      val proj = UnsafeProjection.create(schema.toArray)
+      val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        val qid = qs(qi)._1
+        import scala.jdk.CollectionConverters._
+        h.iterator().asScala.toSeq.map { c =>
+          out.update(0, c.id)
+          out.update(1, qid)
+          out.update(2, c.dist)
+          proj(out).copy(): InternalRow
+        }
+      }
+    }
+  }
+}
+
+/** Plans [[CosineKnnJoin]]; install once per session via
+  * [[GraftStrategies.install]] or `SparkSessionExtensions.injectPlannerStrategy`. */
+object CosineKnnStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j @ CosineKnnJoin(l, r, k, _) =>
+      CosineKnnJoinExec(planLater(l), planLater(r), k, j.output) :: Nil
+    case _ => Nil
+  }
+}
+
+object GraftStrategies {
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(CosineKnnStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ CosineKnnStrategy
+    }
+}

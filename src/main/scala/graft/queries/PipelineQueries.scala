@@ -163,6 +163,24 @@ object PipelineQueries {
         "(PARTITION BY qid ORDER BY round(dist, 6), vec_id) AS BIGINT) AS rank FROM dd) " +
         "SELECT qid, vec_id, rank, round(dist, 6) AS dist FROM rr WHERE rank <= 5 ORDER BY qid, rank")),
 
+    // Same result through the custom CosineKnnJoin operator (LogicalPlan +
+    // Strategy + heap-pruned Exec) — the no-shuffle top-k-pushdown plan
+    Q("q_sim_knn_join",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val qs = e.filter(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.knnJoin(e, "vec_id", "embedding", qs, "qid", "qvec", 5)
+          .select(col("qid"), col("id").as("vec_id"), col("rank"), round(col("dist"), 6).as("dist"))
+          .orderBy("qid", "rank")
+      },
+      Some("WITH qs AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id IN (0, 1, 2)), " +
+        s"dd AS (SELECT qid, vec_id, ${Q.cosineDistSql("embedding", "qvec")} AS dist " +
+        "FROM embeddings CROSS JOIN qs WHERE vec_id != qid), " +
+        "rr AS (SELECT qid, vec_id, dist, CAST(row_number() OVER " +
+        "(PARTITION BY qid ORDER BY round(dist, 6), vec_id) AS BIGINT) AS rank FROM dd) " +
+        "SELECT qid, vec_id, rank, round(dist, 6) AS dist FROM rr WHERE rank <= 5 ORDER BY qid, rank")),
+
     // IVF coarse quantization: nearest-centroid assignment → cluster sizes
     Q("q_sim_ivf_clusters",
       (s, d) => {
