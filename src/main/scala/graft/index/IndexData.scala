@@ -45,6 +45,17 @@ final case class IndexData(
     settings.filter(col("key") === key).select("value")
       .collect().headOption.map(_.getString(0))
 
+  /** S5: keyed upsert into the settings dataset (reference
+    * `INSERT OR REPLACE`, `src/db.py:170-178`) — read-modify-write of the
+    * small sidecar, returning the updated artifact. */
+  def upsertSetting(key: String, value: String): IndexData = {
+    val spark = settings.sparkSession
+    import spark.implicits._
+    val updated = settings.filter(col("key") =!= key)
+      .unionByName(Seq((key, value)).toDF("key", "value"))
+    copy(settings = updated)
+  }
+
   def save(dir: String): Unit = {
     documents.write.mode("overwrite").parquet(s"$dir/documents")
     // Partition postings by term hash so a query's broadcast-join probe and

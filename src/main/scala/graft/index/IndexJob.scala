@@ -92,7 +92,22 @@ object IndexJob {
     import spark.implicits._
     val chunker = new MarkdownChunker(opts.chunkSize, opts.overlap, analyzer)
     val files = scanMarkdown(spark, dirs)
-    val docs = embedChunks(chunkFiles(files, chunker), embedder, opts)
+    val fresh = embedChunks(chunkFiles(files, chunker), embedder, opts)
+    // S4 semantics (reference `--clear`, `src/indexer.py:48-50`): with
+    // clear=false, existing documents are kept and re-indexed paths are
+    // replaced (keyed anti-join, then union); stats always rebuild from the
+    // merged corpus. clear=true starts from empty.
+    val incremental = !opts.clear && new java.io.File(s"$indexDir/documents").exists()
+    val docs =
+      if (!incremental) fresh
+      else {
+        val existing = spark.read.parquet(s"$indexDir/documents")
+        val freshPaths = fresh.select("file_path").distinct()
+        existing.join(freshPaths, Seq("file_path"), "left_anti")
+          .unionByName(fresh)
+          // materialize before overwriting the parquet dir being read
+          .localCheckpoint(true)
+      }
     val settings = Seq(
       Setting("embedding_model", embedder.name),
       Setting("embedding_dim", embedder.dim.toString)).toDF()

@@ -170,6 +170,50 @@ object ExtraQueries {
       Some("SELECT source, array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs, " +
         "CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source ORDER BY source")),
 
+    // As-of join: latest event at-or-before each order's timestamp, per
+    // customer. Spark lacks a native ASOF JOIN — emulated as range join +
+    // windowed argmax (the standard pattern); the oracle uses DuckDB's
+    // NATIVE `ASOF LEFT JOIN`, so parity here checks the emulation against a
+    // first-class implementation.
+    Q("q_asof_join",
+      (s, d) => {
+        val o = t(s, d, "orders").filter(col("o_custkey") < 20)
+          .select(col("o_orderkey"), col("o_custkey"),
+            // parquet NTZ timestamp -> epoch under the UTC session zone,
+            // matching DuckDB's epoch_ms on its naive TIMESTAMP
+            (unix_millis(col("o_orderdate").cast("timestamp")) * 1000000L).as("om"))
+        val e = events(s, d).filter(col("user_id") < 20)
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val w = Window.partitionBy(col("o_orderkey"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        o.join(e, col("o_custkey") === col("user_id") && col("ts") <= col("om"), "left")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_orderkey"), col("o_custkey"), col("event_id").as("last_event"))
+          .orderBy("o_orderkey")
+      },
+      Some("WITH o AS (SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) * 1000000 AS om " +
+        "FROM orders WHERE o_custkey < 20), " +
+        "e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id FROM events WHERE user_id < 20) " +
+        "SELECT o_orderkey, o_custkey, event_id AS last_event " +
+        "FROM o ASOF LEFT JOIN e ON o.o_custkey = e.user_id AND e.tsn <= o.om " +
+        "ORDER BY o_orderkey")),
+
+    // Cube: all grouping-set combinations with portable subtotal markers
+    Q("q_cube_aggregate",
+      (s, d) => t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count("*").cast("long").as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+          coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+          col("n"))
+        .orderBy("status", "priority"),
+      Some("SELECT coalesce(o_orderstatus, '<all>') AS status, " +
+        "coalesce(o_orderpriority, '<all>') AS priority, " +
+        "CAST(count(*) AS BIGINT) AS n FROM orders " +
+        "GROUP BY CUBE (o_orderstatus, o_orderpriority) ORDER BY status, priority")),
+
     // Conditional pivot: per-source doc counts by language (fixed columns)
     Q("q_pivot_conditional",
       (s, d) => t(s, d, "documents")

@@ -141,6 +141,21 @@ object SearchQueries {
       Some(s"WITH $fusedCtes SELECT DISTINCT doc_id FROM " +
         "(SELECT doc_id FROM fts UNION ALL SELECT doc_id FROM vss) ORDER BY doc_id")),
 
+    // U2/U3: intersection and difference of the candidate-id lists
+    Q("q_u2_candidate_intersect",
+      (s, d) => ftsLeg(s, d).select("doc_id")
+        .intersect(vssLeg(s, d).select("doc_id"))
+        .orderBy("doc_id"),
+      Some(s"WITH $fusedCtes SELECT doc_id FROM fts " +
+        "INTERSECT SELECT doc_id FROM vss ORDER BY doc_id")),
+
+    Q("q_u3_candidate_except",
+      (s, d) => ftsLeg(s, d).select("doc_id")
+        .except(vssLeg(s, d).select("doc_id"))
+        .orderBy("doc_id"),
+      Some(s"WITH $fusedCtes SELECT doc_id FROM fts " +
+        "EXCEPT SELECT doc_id FROM vss ORDER BY doc_id")),
+
     // J2 + A4: fused hybrid scores over the candidate union
     Q("q_a4_hybrid_fusion",
       (s, d) => fused(s, d)

@@ -62,5 +62,28 @@ class IndexJobSpec extends AnyFunSuite {
       opts = HybridSearch.Options(k = 2)).collect()
     assert(hits.nonEmpty)
     assert(hits.head.getAs[String]("header_path") == "Search Engines/Full Text")
+
+    // incremental re-index (clear=false): re-indexed path replaced, new file
+    // added, untouched file kept (S4 semantics)
+    Files.writeString(new java.io.File(docs, "a.md").toPath,
+      "# Rewritten\n\nNow only one section about gardening.\n")
+    Files.writeString(new java.io.File(docs, "c.md").toPath,
+      "# New File\n\nFresh content arrives.\n")
+    val index2 = IndexJob.run(spark, Seq(docs.getAbsolutePath), indexDir, embedder,
+      opts = IndexJob.Options(clear = false,
+        trimPathPrefix = Some("file:" + docs.getAbsolutePath)))
+    val docs2 = index2.documents.collect()
+    val byPath = docs2.groupBy(_.getAs[String]("file_path"))
+    assert(byPath.keySet == Set("a.md", "c.md", "sub/b.md"))
+    assert(byPath("a.md").length == 1) // replaced, old 3 sections gone
+    assert(byPath("a.md").head.getAs[String]("header_path") == "Rewritten")
+    assert(index2.stats.collect().head.getAs[Long]("n_docs") == 3L)
+
+    // S5: settings upsert is keyed replace
+    val upserted = index2.upsertSetting("embedding_model", "other")
+      .upsertSetting("new_key", "v1")
+    assert(upserted.setting("embedding_model").contains("other"))
+    assert(upserted.setting("new_key").contains("v1"))
+    assert(upserted.settings.count() == index2.settings.count() + 1)
   }
 }
