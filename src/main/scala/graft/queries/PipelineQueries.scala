@@ -347,6 +347,38 @@ object PipelineQueries {
       Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
         "FROM events WHERE event_id < 500 ORDER BY event_id")),
 
+    // T2/X2/X3: the markdown chunker run as a flatMap UDTF over synthetic
+    // two-section markdown built from each document; the oracle predicts
+    // chunk boundaries, header paths, 1-indexed line numbers and token
+    // counts (DefaultAnalyzer ≡ lowercase [a-z0-9]+ runs on this ASCII
+    // corpus) in plain SQL.
+    Q("q_t2_chunker",
+      (s, d) => {
+        import s.implicits._
+        val chunker = new graft.analyze.MarkdownChunker()
+        t(s, d, "documents").select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)]
+          .flatMap { case (id, src, text) =>
+            val md = s"# $src\n\n$text\n\n## tail\n\n${text.take(50)}"
+            chunker.chunk(src, md).map(c =>
+              (id, c.filePath, c.headerPath, c.lineStart, c.lineEnd, c.tokens.size.toLong))
+          }
+          .toDF("doc_id", "file_path", "header_path", "line_start", "line_end", "n_tokens")
+          .orderBy("doc_id", "line_start")
+      },
+      Some {
+        def toks(e: String) =
+          s"CAST(len(regexp_extract_all(lower($e), '([a-z0-9]+)', 1)) AS BIGINT)"
+        "SELECT doc_id, source AS file_path, source AS header_path, " +
+          "1 AS line_start, 3 AS line_end, " +
+          toks("'# ' || source || chr(10) || chr(10) || text") + " AS n_tokens " +
+          "FROM documents " +
+          "UNION ALL " +
+          "SELECT doc_id, source, source || '/tail', 5, 7, " +
+          toks("'## tail' || chr(10) || chr(10) || substr(text, 1, 50)") +
+          " FROM documents ORDER BY doc_id, line_start"
+      }),
+
     // X9: id generation — inherently non-deterministic, rows-only check
     // (SURVEY.md §2.8 X9)
     Q("q_x9_idgen",
