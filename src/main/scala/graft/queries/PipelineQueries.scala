@@ -302,6 +302,41 @@ object PipelineQueries {
         "1 + CAST(octet_length(encode(text)) AS BIGINT) % 4 AS channels " +
         "FROM documents ORDER BY doc_id")),
 
+    // Frame sampling: one row per sampled frame with deterministic stride —
+    // the one-to-many media op (explode of a generated index range)
+    Q("q_mm_frame_sample",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), (col("n_chars") % 30 + 1).as("n_frames"))
+        .select(col("doc_id"), col("n_frames"),
+          explode(sequence(lit(0L), col("n_frames") - 1, lit(5L))).as("frame_idx"))
+        .orderBy("doc_id", "frame_idx"),
+      Some("SELECT doc_id, n_chars % 30 + 1 AS n_frames, " +
+        "unnest(generate_series(0, n_chars % 30, 5)) AS frame_idx " +
+        "FROM documents ORDER BY doc_id, frame_idx")),
+
+    // Feature extraction stub: fixed-size feature vector derived from the
+    // payload hash (stands in for an audio/image feature net); projected to
+    // scalars for comparison. Feeds the same similarity machinery as real
+    // embeddings.
+    Q("q_mm_feature_hash",
+      (s, d) => {
+        val feat = transform(sequence(lit(1), lit(32)),
+          j => ascii(substring(md5(col("text")), j, lit(1))).cast("double") / 128.0)
+        t(s, d, "documents")
+          .withColumn("f", feat)
+          .select(col("doc_id"),
+            round(element_at(col("f"), 1), 6).as("f0"),
+            round(element_at(col("f"), 17), 6).as("f16"),
+            round(graft.functions.VectorOps.l2NormHof(col("f")), 6).as("fnorm"))
+          .orderBy("doc_id")
+      },
+      Some("WITH ft AS (SELECT doc_id, list_transform(generate_series(1, 32), " +
+        "j -> CAST(ascii(substr(md5(text), j, 1)) AS DOUBLE) / 128.0) AS f FROM documents) " +
+        "SELECT doc_id, round(f[1], 6) AS f0, round(f[17], 6) AS f16, " +
+        "round(sqrt(list_sum(list_transform(generate_series(1, len(f)), " +
+        "i -> CAST(f[i] AS DOUBLE) * CAST(f[i] AS DOUBLE)))), 6) AS fnorm " +
+        "FROM ft ORDER BY doc_id")),
+
     // ---- Event / windowed analytics ----
 
     // Running aggregates per key (ordered by unique event_id; ns timestamps
