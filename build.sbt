@@ -28,4 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Bench/Verify compile 120+ generated classes in one JVM; keep JIT alive
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -140,6 +140,34 @@ object ExtraQueries {
         "lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS next_event " +
         "FROM events WHERE user_id < 10 ORDER BY user_id, event_id")),
 
+    // Skew-resistant aggregation: two-phase salted groupBy. event_type has
+    // ~5 values over the whole table — a direct groupBy funnels each key
+    // into one reducer; salting fans the partial aggregation across 16
+    // buckets per key, then the tiny (key, salt) partials combine. Same
+    // result, no hot partition at 100 TB.
+    Q("q_skew_salted_agg",
+      (s, d) => events(s, d)
+        .withColumn("_salt", pmod(col("event_id"), lit(16)))
+        .groupBy("event_type", "_salt")
+        .agg(count("*").as("_n"),
+          sum(col("value").cast("decimal(18,4)")).as("_sv"))
+        .groupBy("event_type")
+        .agg(sum(col("_n")).cast("long").as("n"),
+          sum(col("_sv")).cast("double").as("sum_value"))
+        .orderBy("event_type"),
+      Some("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY event_type ORDER BY event_type")),
+
+    // HLL sketch distinct count — engine-specific estimates, so the gate is
+    // rows-only; EmbedSpec-style accuracy is asserted in ScalaTest instead
+    Q("q_approx_distinct",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag"),
+      None),
+
     // Exact distinct counts per group
     Q("q_distinct_count",
       (s, d) => t(s, d, "lineitem")

@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every declared query executes and every oracle key has a query") {
+    val qs = graft.SparkEntry.queries
+    val oracles = graft.SparkEntry.oracleSql
+    assert(oracles.keySet.subsetOf(qs.keySet))
+    // names are unique by construction of the map; spot-run a few cheap ones
+    Seq("q_p1_projection", "q_histogram", "q_skew_salted_agg").foreach { n =>
+      assert(qs(n)(spark, dir).limit(1).count() >= 0)
+    }
+  }
+
+  test("salted aggregation equals the direct groupBy") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    val direct = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("event_type").agg(count("*").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = graft.SparkEntry.queries("q_skew_salted_agg")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    assert(salted == direct)
+  }
+
+  test("approx_count_distinct is within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val rows = li.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("a"),
+        countDistinct(col("l_partkey")).as("e"))
+      .collect()
+    rows.foreach { r =>
+      val (a, e) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(a - e) / e < 0.05, s"approx $a vs exact $e")
+    }
+  }
+}
