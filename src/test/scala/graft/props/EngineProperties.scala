@@ -1,0 +1,84 @@
+package graft.props
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import graft.analyze.{DefaultAnalyzer, FrontMatter, MarkdownChunker}
+
+/** Property-based invariants (SURVEY.md §5 item 3) — pure-Scala engine
+  * parts, no SparkSession needed. */
+object EngineProperties extends Properties("graft") {
+
+  // ---- A4 fusion invariants (reference src/searcher.py:218-241) ----
+  // Scala reimplementation of the rule used to cross-check the Column
+  // expression in SearchSpec; here we pin its algebraic invariants.
+  private def fuse(fts: Option[Double], vss: Option[Double]): Double =
+    (fts, vss) match {
+      case (Some(f), Some(v)) => (f + v) / 2.0
+      case (Some(f), None)    => f * 0.8
+      case (None, Some(v))    => v * 0.8
+      case (None, None)       => 0.0
+    }
+
+  private val scoreGen = Gen.option(Gen.choose(0.0, 10.0))
+
+  property("fusion: both present is the mean") =
+    forAll(Gen.choose(0.0, 10.0), Gen.choose(0.0, 10.0)) { (f, v) =>
+      math.abs(fuse(Some(f), Some(v)) - (f + v) / 2.0) < 1e-12
+    }
+
+  property("fusion: singletons scale by 0.8, bounded by input") =
+    forAll(Gen.choose(0.0, 10.0)) { f =>
+      fuse(Some(f), None) == f * 0.8 && fuse(Some(f), None) <= f
+    }
+
+  property("fusion: non-negative for non-negative inputs") =
+    forAll(scoreGen, scoreGen) { (f, v) => fuse(f, v) >= 0.0 }
+
+  // ---- analyzer invariants ----
+  property("analyzer: tokens are non-empty and lower-case") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val toks = DefaultAnalyzer.tokenize(s)
+      toks.forall(t => t.nonEmpty && t == t.toLowerCase)
+    }
+
+  property("analyzer: idempotent over its own output") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val once = DefaultAnalyzer.tokenize(s)
+      DefaultAnalyzer.tokenize(once.mkString(" ")) == once
+    }
+
+  // ---- front matter invariants ----
+  property("front matter: strip is idempotent") =
+    forAll(Gen.asciiStr) { s =>
+      FrontMatter.strip(FrontMatter.strip(s)) == FrontMatter.strip(s)
+    }
+
+  // ---- chunker invariants ----
+  private val lineGen: Gen[String] = Gen.frequency(
+    4 -> Gen.alphaNumStr.map(w => s"text $w"),
+    1 -> Gen.choose(1, 4).map(l => "#" * l + " Head"),
+    2 -> Gen.const(""))
+  private val docGen: Gen[String] =
+    Gen.listOfN(25, lineGen).map(_.mkString("\n"))
+  private val chunker = new MarkdownChunker()
+
+  property("chunker: line ranges ordered, 1-indexed, within doc") =
+    forAll(docGen) { doc =>
+      val n = doc.split("\n", -1).length
+      chunker.chunk("f.md", doc).forall(c =>
+        c.lineStart >= 1 && c.lineStart <= c.lineEnd && c.lineEnd <= n)
+    }
+
+  property("chunker: chunk tokens come from the analyzer over its content") =
+    forAll(docGen) { doc =>
+      chunker.chunk("f.md", doc).forall(c =>
+        c.tokens == DefaultAnalyzer.tokenize(c.content))
+    }
+
+  property("chunker: header paths are /-joined non-empty segments") =
+    forAll(docGen) { doc =>
+      chunker.chunk("f.md", doc).forall { c =>
+        c.headerPath.isEmpty || c.headerPath.split("/").forall(_.nonEmpty)
+      }
+    }
+}
