@@ -133,6 +133,19 @@ object CoreQueries {
         "CAST(length(substr(text, 1, 2048)) AS BIGINT) AS rerank_len " +
         "FROM documents ORDER BY doc_id")),
 
+    // X4: tokens ⇄ space-joined string round trip (the reference stores the
+    // joined form for DuckDB-FTS plumbing, `src/splitter.py:47`; Spark keeps
+    // the array and joins only on export)
+    Q("q_x4_tokens_join",
+      (s, d) => t(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          substring(concat_ws(" ", split(col("text"), " ")), 1, 80).as("joined"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, substr(array_to_string(string_split(text, ' '), ' '), 1, 80) AS joined, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok " +
+        "FROM documents WHERE doc_id < 100 ORDER BY doc_id")),
+
     // TPC-H Q1-shaped aggregate: exact DECIMAL sums cast to double so both
     // engines agree bit-for-bit regardless of partial-aggregation order.
     Q("q_agg_pricing_summary",
