@@ -32,8 +32,7 @@ object SearchQueries {
   private def ftsLeg(s: SparkSession, d: String): DataFrame = {
     val dd = docs(s, d)
     val doclen = Bm25.docLengths(dd)
-    val posting = Bm25.postings(dd)
-    Bm25.scores(queryTerms, posting, Bm25.docFreq(posting), doclen, Bm25.corpusStats(doclen))
+    Bm25.scoresSelfContained(queryTerms, Bm25.postings(dd), doclen, Bm25.corpusStats(doclen))
       .orderBy(round(col("score"), 6).desc, col("doc_id").asc)
       .limit(K)
       .withColumnRenamed("score", "fts_score")
@@ -105,8 +104,7 @@ object SearchQueries {
       (s, d) => {
         val dd = docs(s, d)
         val doclen = Bm25.docLengths(dd)
-        val posting = Bm25.postings(dd)
-        Bm25.scores(queryTerms, posting, Bm25.docFreq(posting), doclen, Bm25.corpusStats(doclen))
+        Bm25.scoresSelfContained(queryTerms, Bm25.postings(dd), doclen, Bm25.corpusStats(doclen))
           .select(col("doc_id"), round(col("score"), 6).as("score"))
           .orderBy(col("score").desc, col("doc_id").asc)
           .limit(20)

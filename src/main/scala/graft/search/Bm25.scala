@@ -81,6 +81,29 @@ object Bm25 {
       .agg(sum(termScore($"tf", $"df", $"dl", $"n_docs", $"avgdl")).as("score"))
   }
 
+  /** Self-contained scoring for ad-hoc corpora (no precomputed artifact):
+    * derives df from the postings themselves with a window count instead of
+    * a second aggregation branch — the explode+groupBy subtree runs ONCE
+    * (the dual-branch plan recomputed it; see PLANS.md). Same values. */
+  def scoresSelfContained(
+      queryTerms: Seq[String],
+      postings: DataFrame,
+      doclen: DataFrame,
+      stats: DataFrame): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val q = queryTerms.distinct.toDF("term")
+    val withDf = postings
+      .join(broadcast(q), "term")
+      .withColumn("df", count("*").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("term")).cast("long"))
+    withDf
+      .join(doclen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(sum(termScore($"tf", $"df", $"dl", $"n_docs", $"avgdl")).as("score"))
+  }
+
   /** Top-k BM25 with deterministic doc_id tiebreak →
     * `TakeOrderedAndProject`, no full sort (SURVEY.md §2.6 O1). */
   def topK(scored: DataFrame, k: Int): DataFrame =

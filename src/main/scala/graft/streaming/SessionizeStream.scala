@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming sessionization via `flatMapGroupsWithState` — the
+  * custom-state Structured Streaming surface (gap-based sessions per user,
+  * the streaming twin of the batch `q_sessionize` query).
+  *
+  * State per user is one open session (bounded); a session closes and is
+  * emitted when an event arrives more than `gapNs` after the previous one,
+  * or when the processing-time timeout fires with no new events. At scale
+  * the stream shuffles once on `user_id` and state lives in the state store,
+  * checkpointed per micro-batch.
+  */
+object SessionizeStream {
+
+  final case class Event(event_id: Long, ts: Long, user_id: Long, value: Double)
+
+  final case class SessionState(
+      startTs: Long, lastTs: Long, nEvents: Long, firstEvent: Long)
+
+  final case class Session(
+      user_id: Long, first_event: Long, n_events: Long, duration_s: Long)
+
+  val DefaultGapNs: Long = 1800000000000L // 30 min, mirrors q_sessionize
+
+  private def toSession(userId: Long, st: SessionState): Session =
+    Session(userId, st.firstEvent, st.nEvents, (st.lastTs - st.startTs) / 1000000000L)
+
+  /** The per-group state transition. Events within a micro-batch arrive
+    * unordered — sort by (ts, event_id) before folding. */
+  def updateState(gapNs: Long, armTimeout: Boolean)(
+      userId: Long,
+      events: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(toSession(userId, _)).iterator
+      state.remove()
+      return out
+    }
+    val sorted = events.toSeq.sortBy(e => (e.ts, e.event_id))
+    val closed = Seq.newBuilder[Session]
+    var cur = state.getOption
+    sorted.foreach { e =>
+      cur match {
+        case Some(st) if e.ts - st.lastTs <= gapNs =>
+          cur = Some(st.copy(lastTs = e.ts, nEvents = st.nEvents + 1))
+        case Some(st) =>
+          closed += toSession(userId, st)
+          cur = Some(SessionState(e.ts, e.ts, 1L, e.event_id))
+        case None =>
+          cur = Some(SessionState(e.ts, e.ts, 1L, e.event_id))
+      }
+    }
+    cur match {
+      case Some(st) =>
+        state.update(st)
+        if (armTimeout) state.setTimeoutDuration("1 hour")
+      case None => ()
+    }
+    closed.result().iterator
+  }
+
+  /** Apply the stateful sessionization to a (possibly streaming) event
+    * Dataset.
+    *
+    * `timeout`: production streams use `ProcessingTimeTimeout` so idle users'
+    * open sessions eventually flush; the one-shot drain path uses `NoTimeout`
+    * — with a processing-time timeout the engine keeps scheduling empty
+    * micro-batches to honor pending timers, which never settles for a
+    * finite source. */
+  def sessionize(
+      events: Dataset[Event], gapNs: Long = DefaultGapNs,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        updateState(gapNs, timeout != GroupStateTimeout.NoTimeout))
+  }
+
+  /** Drain the event files through the streaming sessionizer once; open
+    * sessions stay in state (only closed sessions emit), so callers compare
+    * against the batch result restricted to closed sessions. */
+  def runOnce(spark: SparkSession, dir: String, gapNs: Long = DefaultGapNs,
+      queryName: String = "sessions"): Dataset[Session] = {
+    import spark.implicits._
+    val events = EventsStream.readEventsStream(spark, dir)
+      .selectExpr("event_id", "ts", "user_id", "value").as[Event]
+    val q = sessionize(events, gapNs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName).as[Session]
+  }
+}
