@@ -166,10 +166,16 @@ object IndexJob {
       embeddings: Option[DataFrame] = None): IndexData = {
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.select(
+    // honor the full documents schema (§1.3) so the search path works on
+    // table-derived indexes too: the table id doubles as the file path
+    val base = df.withColumn("tokens", tokensExpr(df)).select(
       col(idCol).cast("string").as("doc_id"),
-      col(textCol).as("content"))
-      .withColumn("tokens", tokensExpr(df))
+      col(idCol).cast("string").as("file_path"),
+      lit("").as("header_path"),
+      lit(1).as("line_start"),
+      lit(1).as("line_end"),
+      col(textCol).as("content"),
+      col("tokens"))
     val docs = embeddings match {
       case Some(e) => base.join(e, Seq("doc_id"), "left")
       case None    => base

@@ -45,6 +45,13 @@ case class CosineKnnJoin(
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(distAttr)
 
+  /** The exec reads BOTH child columns positionally (id at 0, vector at 1),
+    * but only the ids appear in `output` — without declaring the vectors
+    * referenced, ColumnPruning inserts Projects that drop them and the exec
+    * reads empty arrays. */
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(left.output ++ right.output)
+
   override protected def withNewChildrenInternal(
       l: LogicalPlan, r: LogicalPlan): LogicalPlan = copy(left = l, right = r)
 }

@@ -1,0 +1,81 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.analyze.{Analyzer, DefaultAnalyzer}
+import graft.embed.Embedder
+import graft.index.IndexData
+import graft.ops.Similarity
+
+/** Bulk query evaluation: run MANY hybrid searches against the index in one
+  * composed job — the offline/eval-set path the one-query-at-a-time
+  * reference cannot express (`src/searcher.py:76` is request-at-a-time).
+  *
+  * Both legs stay batch-shaped:
+  *  - FTS: all queries' terms form one small (qid, term) broadcast joined
+  *    into postings once; per-(qid, doc) scores aggregate in one pass and
+  *    rank per query with a window — corpus postings are scanned ONCE for
+  *    the whole query set.
+  *  - VSS: the query vectors drive one [[graft.plans.CosineKnnJoin]] —
+  *    heap-pruned map-only pass over the corpus, again once for all queries.
+  *
+  * Fusion applies the reference scoring rule per (qid, doc).
+  */
+object BatchSearch {
+
+  final case class Options(k: Int = 5, scoreThreshold: Double = 0.01)
+
+  /** @param queries (qid, query text) pairs — qid must be unique.
+    * @return (qid, doc_id, fts_score, vss_score, score, rank), rank 1..k
+    *         per qid by descending hybrid score. */
+  def searchBatch(
+      index: IndexData,
+      queries: Seq[(String, String)],
+      analyzer: Analyzer = DefaultAnalyzer,
+      embedder: Option[Embedder] = None,
+      opts: Options = Options()): DataFrame = {
+
+    val spark = index.documents.sparkSession
+    import spark.implicits._
+
+    // ---- FTS leg: one broadcast of every query's terms ----
+    val qterms = queries
+      .flatMap { case (qid, text) => analyzer.tokenize(text).distinct.map(qid -> _) }
+      .toDF("qid", "term")
+    val perTerm = index.postings
+      .join(broadcast(qterms), "term")
+      .join(broadcast(index.termdf), "term")
+      .join(index.doclen, "doc_id")
+      .crossJoin(broadcast(index.stats))
+    val ftsScores = perTerm
+      .groupBy("qid", "doc_id")
+      .agg(sum(Bm25.termScore($"tf", $"df", $"dl", $"n_docs", $"avgdl")).as("fts_score"))
+    val wFts = Window.partitionBy($"qid").orderBy($"fts_score".desc, $"doc_id".asc)
+    val fts = ftsScores
+      .withColumn("_r", row_number().over(wFts)).filter($"_r" <= opts.k).drop("_r")
+
+    // ---- VSS leg: one kNN join over all query vectors ----
+    val vss = embedder match {
+      case Some(e) =>
+        val vecs = queries.map { case (qid, text) => (qid, e.embed(Seq(text)).head.toSeq) }
+          .toDF("qid", "qvec")
+        Similarity.knnJoin(
+          index.documents.filter($"embedding".isNotNull)
+            .select($"doc_id", $"embedding"),
+          "doc_id", "embedding", vecs, "qid", "qvec", opts.k, excludeSelf = false)
+          .select($"qid", col("id").as("doc_id"), col("dist").as("vss_score"))
+      case None =>
+        Seq.empty[(String, String, Double)].toDF("qid", "doc_id", "vss_score")
+    }
+
+    // ---- fusion + per-query rank ----
+    val fused = fts.join(vss, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("score", HybridSearch.hybridScore($"fts_score", $"vss_score"))
+      .filter($"score" > opts.scoreThreshold)
+    val wRank = Window.partitionBy($"qid").orderBy($"score".desc, $"doc_id".asc)
+    fused
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter($"rank" <= opts.k)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Plan-shape regression guards: the architecture claims in PLANS.md, held
+  * by assertion so a refactor can't silently regress them. */
+class PlanRegressionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("filters and projections reach the parquet scan") {
+    val p = plan("q_p4_threshold")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(n_chars,300)"), p.take(600))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"), p.take(600))
+  }
+
+  test("semi join broadcasts the filtered build side") {
+    val p = plan("q_j1_semi_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("vector top-k plans as TakeOrderedAndProject, no global sort of the corpus") {
+    val p = plan("q_v2_knn")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
+  test("knn join uses the custom operator, not a materialized cross product") {
+    val p = plan("q_sim_knn_join")
+    assert(p.contains("CosineKnnJoin"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("self-contained BM25 builds the postings subtree once") {
+    val p = plan("q_f4_bm25_topk")
+    // one Generate (explode) for postings; a second would mean the df branch
+    // re-derives the subtree
+    val generates = "\\bGenerate explode".r.findAllIn(p).length
+    assert(generates == 1, s"expected 1 explode, got $generates")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.search
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.embed.HashingEmbedder
+import graft.index.IndexJob
+
+class BatchSearchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("batch search equals per-query hybrid search") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id".cast("string").as("doc_id"), $"embedding")
+    val index = IndexJob.fromTable(
+      docs, "doc_id", "text",
+      df => split(df("text"), " "), embeddings = Some(emb))
+
+    val embedder = new HashingEmbedder(64, graft.analyze.WhitespaceAnalyzer.tokenize)
+    val queries = Seq(
+      "q0" -> "spark join merge",
+      "q1" -> "window batch stream",
+      "q2" -> "customer order value")
+
+    val batch = BatchSearch.searchBatch(index, queries,
+      analyzer = graft.analyze.WhitespaceAnalyzer,
+      embedder = Some(embedder),
+      opts = BatchSearch.Options(k = 5))
+      .collect()
+      .groupBy(_.getAs[String]("qid"))
+      .view.mapValues(_.map(r =>
+        (r.getAs[String]("doc_id"), math.rint(r.getAs[Double]("score") * 1e9))).toSet)
+      .toMap
+
+    queries.foreach { case (qid, text) =>
+      val single = HybridSearch.search(index, text,
+        analyzer = graft.analyze.WhitespaceAnalyzer,
+        embedder = Some(embedder), reranker = None,
+        opts = HybridSearch.Options(k = 5)).collect()
+        .map(r => (r.getAs[String]("doc_id"), math.rint(r.getAs[Double]("score") * 1e9))).toSet
+      assert(batch(qid) == single, s"mismatch for $qid")
+    }
+  }
+}
