@@ -201,6 +201,59 @@ object SearchQueries {
         "FROM fused JOIN dt ON fused.doc_id = dt.doc_id " +
         "ORDER BY rerank_score DESC, fused.doc_id")),
 
+    // Bulk query evaluation: three hybrid searches in ONE job (BatchSearch)
+    // — one postings scan and one kNN pass for the whole query set; the
+    // oracle replicates the per-qid BM25 + cosine + fusion pipeline.
+    Q("q_batch_search",
+      (s, d) => {
+        import s.implicits._
+        val dd = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id").cast("string").as("doc_id"), col("embedding"))
+        val index = graft.index.IndexJob.fromTable(
+          dd, "doc_id", "text", df => split(df("text"), " "), embeddings = Some(emb))
+        val texts = Seq("0" -> "spark join merge", "1" -> "window batch stream",
+          "2" -> "customer order value")
+        val qvecs = t(s, d, "embeddings").filter(col("vec_id") < 3)
+          .select(col("vec_id").cast("string"), col("embedding"))
+          .as[(String, Array[Float])].collect().toMap
+        val lookup = new graft.embed.LookupEmbedder(
+          texts.map { case (qid, text) => text -> qvecs(qid) }.toMap)
+        graft.search.BatchSearch.searchBatch(index, texts,
+          analyzer = graft.analyze.WhitespaceAnalyzer,
+          embedder = Some(lookup),
+          opts = graft.search.BatchSearch.Options(k = 5, rankRounding = 6))
+          .select(col("qid"), col("doc_id"), round(col("score"), 6).as("score"), col("rank"))
+          .orderBy("qid", "rank")
+      },
+      Some {
+        val toksStr =
+          "toks AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS toks FROM documents)"
+        val qt = "(VALUES ('0','spark'),('0','join'),('0','merge')," +
+          "('1','window'),('1','batch'),('1','stream')," +
+          "('2','customer'),('2','order'),('2','value')) AS qt(qid, term)"
+        s"WITH $toksStr, ${Q.doclenCte}, ${Q.statsCte}, ${Q.postingCte}, ${Q.tfCte}, ${Q.dfCte}, " +
+          s"qscores AS (SELECT qid, tf.doc_id, sum(${Q.bm25TermSql}) AS fts_score " +
+          s"FROM tf JOIN $qt USING (term) JOIN tdf USING (term) " +
+          "JOIN doclen ON tf.doc_id = doclen.doc_id CROSS JOIN stats GROUP BY qid, tf.doc_id), " +
+          "ftop AS (SELECT qid, doc_id, fts_score FROM (SELECT *, row_number() OVER " +
+          "(PARTITION BY qid ORDER BY round(fts_score, 6) DESC, doc_id) AS rn FROM qscores) WHERE rn <= 5), " +
+          "qvt AS (SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3), " +
+          s"vd AS (SELECT qid, CAST(e.vec_id AS VARCHAR) AS doc_id, ${Q.cosineDistSql("e.embedding", "qvec")} AS vss_score " +
+          "FROM embeddings e CROSS JOIN qvt), " +
+          "vtop AS (SELECT qid, doc_id, vss_score FROM (SELECT *, row_number() OVER " +
+          "(PARTITION BY qid ORDER BY round(vss_score, 6), doc_id) AS rn FROM vd) WHERE rn <= 5), " +
+          "fused AS (SELECT COALESCE(f.qid, v.qid) AS qid, COALESCE(f.doc_id, v.doc_id) AS doc_id, " +
+          "CASE WHEN fts_score IS NOT NULL AND vss_score IS NOT NULL THEN (fts_score + vss_score) / 2.0 " +
+          "WHEN fts_score IS NOT NULL THEN fts_score * 0.8 " +
+          "WHEN vss_score IS NOT NULL THEN vss_score * 0.8 ELSE 0.0 END AS score " +
+          "FROM ftop f FULL OUTER JOIN vtop v ON f.qid = v.qid AND f.doc_id = v.doc_id) " +
+          "SELECT qid, doc_id, round(score, 6) AS score, rank FROM " +
+          "(SELECT qid, doc_id, score, CAST(row_number() OVER " +
+          "(PARTITION BY qid ORDER BY round(score, 6) DESC, doc_id) AS BIGINT) AS rank " +
+          "FROM fused WHERE score > 0.01) WHERE rank <= 5 ORDER BY qid, rank"
+      }),
+
     // End-to-end SEARCH (no rerank): fuse → fetch (J1) → path rewrite (X6) →
     // threshold (P4) → top-k (O5) — the fully deterministic surface
     // (SURVEY.md §2.12 SEARCH)

@@ -24,7 +24,10 @@ import graft.ops.Similarity
   */
 object BatchSearch {
 
-  final case class Options(k: Int = 5, scoreThreshold: Double = 0.01)
+  /** `rankRounding`: when ≥ 0, rank on scores rounded to that many decimals
+    * (with id tiebreak) — reproducible eval-set ordering across runs and
+    * engines; −1 ranks on raw scores. */
+  final case class Options(k: Int = 5, scoreThreshold: Double = 0.01, rankRounding: Int = -1)
 
   /** @param queries (qid, query text) pairs — qid must be unique.
     * @return (qid, doc_id, fts_score, vss_score, score, rank), rank 1..k
@@ -51,7 +54,9 @@ object BatchSearch {
     val ftsScores = perTerm
       .groupBy("qid", "doc_id")
       .agg(sum(Bm25.termScore($"tf", $"df", $"dl", $"n_docs", $"avgdl")).as("fts_score"))
-    val wFts = Window.partitionBy($"qid").orderBy($"fts_score".desc, $"doc_id".asc)
+    def rankKey(c: org.apache.spark.sql.Column) =
+      if (opts.rankRounding >= 0) round(c, opts.rankRounding) else c
+    val wFts = Window.partitionBy($"qid").orderBy(rankKey($"fts_score").desc, $"doc_id".asc)
     val fts = ftsScores
       .withColumn("_r", row_number().over(wFts)).filter($"_r" <= opts.k).drop("_r")
 
@@ -73,7 +78,7 @@ object BatchSearch {
     val fused = fts.join(vss, Seq("qid", "doc_id"), "full_outer")
       .withColumn("score", HybridSearch.hybridScore($"fts_score", $"vss_score"))
       .filter($"score" > opts.scoreThreshold)
-    val wRank = Window.partitionBy($"qid").orderBy($"score".desc, $"doc_id".asc)
+    val wRank = Window.partitionBy($"qid").orderBy(rankKey($"score").desc, $"doc_id".asc)
     fused
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter($"rank" <= opts.k)
