@@ -144,6 +144,29 @@ object PipelineQueries {
         "FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1) " +
         "SELECT vec_a, vec_b, round(sim, 6) AS sim FROM p WHERE round(sim, 6) > 0.2 ORDER BY vec_a")),
 
+    // Semantic near-dup via nearest neighbor: every vector's single nearest
+    // other vector (through the custom kNN operator — one map-only pass),
+    // flagged as near-duplicate under a distance threshold. The real
+    // embedding-dedup shape: at 100 TB the same operator runs per
+    // IVF/LSH bucket instead of globally.
+    Q("q_dedup_embed_knn",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val qs = e.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.knnJoin(e, "vec_id", "embedding", qs, "qid", "qvec", 1)
+          .select(col("qid").as("vec_id"), col("id").as("nn_id"),
+            round(col("dist"), 6).as("nn_dist"),
+            (round(col("dist"), 6) < 0.45).as("near_dup"))
+          .orderBy("vec_id")
+      },
+      Some("WITH dd AS (SELECT q.vec_id AS vec_id, e.vec_id AS nn_id, " +
+        s"${Q.cosineDistSql("e.embedding", "q.embedding")} AS dist " +
+        "FROM embeddings e CROSS JOIN embeddings q WHERE e.vec_id != q.vec_id), " +
+        "rr AS (SELECT vec_id, nn_id, dist, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY round(dist, 6), nn_id) AS rn FROM dd) " +
+        "SELECT vec_id, nn_id, round(dist, 6) AS nn_dist, round(dist, 6) < 0.45 AS near_dup " +
+        "FROM rr WHERE rn = 1 ORDER BY vec_id")),
+
     // ---- Similarity search ----
 
     // Brute-force cosine top-k for a batch of query vectors

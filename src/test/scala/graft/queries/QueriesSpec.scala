@@ -11,6 +11,11 @@ class QueriesSpec extends AnyFunSuite {
     val qs = graft.SparkEntry.queries
     val oracles = graft.SparkEntry.oracleSql
     assert(oracles.keySet.subsetOf(qs.keySet))
+    // duplicate names would silently shadow each other in the map
+    val names = Seq(CoreQueries.all, SearchQueries.all, PipelineQueries.all,
+      ExtraQueries.all).flatten.map(_.name)
+    assert(names.distinct.size == names.size,
+      names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }.mkString(","))
     // names are unique by construction of the map; spot-run a few cheap ones
     Seq("q_p1_projection", "q_histogram", "q_skew_salted_agg").foreach { n =>
       assert(qs(n)(spark, dir).limit(1).count() >= 0)
