@@ -131,3 +131,62 @@ case class CosineDistance(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Unit-normalize an `array<float>` in ONE pass (norm, then scaled copy) —
+  * the Column-API formulation (`transform(a, x => x / l2Norm(a))`) inlines
+  * the norm computation into every element's lambda, i.e. O(dim²) per row.
+  * Zero vectors pass through unchanged. */
+case class L2Normalize(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def prettyName: String = "l2_normalize"
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Float](n)
+    var norm = 0.0
+    var i = 0
+    while (i < n) { val v = x.getFloat(i).toDouble; norm += v * v; i += 1 }
+    norm = java.lang.Math.sqrt(norm)
+    i = 0
+    while (i < n) {
+      out(i) = if (norm == 0.0) x.getFloat(i) else (x.getFloat(i) / norm).toFloat
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val norm = ctx.freshName("norm")
+      val out = ctx.freshName("out")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |float[] $out = new float[$n];
+         |double $norm = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = (double) $a.getFloat($i);
+         |  $norm += $v * $v;
+         |}
+         |$norm = java.lang.Math.sqrt($norm);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $norm == 0.0 ? $a.getFloat($i) : (float) ($a.getFloat($i) / $norm);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

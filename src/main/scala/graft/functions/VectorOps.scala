@@ -56,9 +56,10 @@ object VectorOps {
       lit(0.0),
       (acc, v) => acc + v))
 
-  /** Unit-normalize an array<float> vector (double math, cast back to float).
-    * Pre-normalizing at index time turns cosine into a dot product
-    * (SURVEY.md §4.2). */
+  /** Unit-normalize an array<float> vector — single-pass codegen'd
+    * [[L2Normalize]] (the `transform`+`l2Norm` composition re-evaluates the
+    * norm per element). Pre-normalizing at index time turns cosine into a
+    * dot product (SURVEY.md §4.2). Zero vectors pass through. */
   def normalize(a: Column): Column =
-    transform(a, x => (x.cast("double") / l2Norm(a)).cast("float"))
+    ColumnBridge.column(L2Normalize(ColumnBridge.expression(a)))
 }

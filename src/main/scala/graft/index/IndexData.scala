@@ -56,6 +56,11 @@ final case class IndexData(
     copy(settings = updated)
   }
 
+  /** Persist an artifact whose DataFrames are already cheap to recompute (or
+    * cached). For artifacts rooted in an expensive pipeline (chunk + embed),
+    * use [[IndexData.write]] — it materializes documents ONCE and derives
+    * the stats tables from the written parquet instead of re-running the
+    * upstream lineage per dataset. */
   def save(dir: String): Unit = {
     documents.write.mode("overwrite").parquet(s"$dir/documents")
     // Partition postings by term hash so a query's broadcast-join probe and
@@ -69,6 +74,23 @@ final case class IndexData(
 }
 
 object IndexData {
+
+  /** Write a full artifact from a documents DataFrame with an expensive
+    * lineage: documents parquet first, then every stats table derived from
+    * the re-read parquet — the chunk/embed pipeline executes exactly once
+    * instead of once per derived dataset. */
+  def write(documents: DataFrame, settings: DataFrame, dir: String): IndexData = {
+    val spark = documents.sparkSession
+    documents.write.mode("overwrite").parquet(s"$dir/documents")
+    val docsOnDisk = spark.read.parquet(s"$dir/documents")
+    val derived = fromDocuments(docsOnDisk, settings)
+    derived.postings.repartition(col("term")).write.mode("overwrite").parquet(s"$dir/postings")
+    derived.termdf.write.mode("overwrite").parquet(s"$dir/termdf")
+    derived.doclen.write.mode("overwrite").parquet(s"$dir/doclen")
+    derived.stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    settings.coalesce(1).write.mode("overwrite").parquet(s"$dir/settings")
+    load(spark, dir)
+  }
 
   def load(spark: SparkSession, dir: String): IndexData = IndexData(
     documents = spark.read.parquet(s"$dir/documents"),

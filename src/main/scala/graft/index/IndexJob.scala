@@ -97,7 +97,12 @@ object IndexJob {
     // clear=false, existing documents are kept and re-indexed paths are
     // replaced (keyed anti-join, then union); stats always rebuild from the
     // merged corpus. clear=true starts from empty.
-    val incremental = !opts.clear && new java.io.File(s"$indexDir/documents").exists()
+    // FileSystem API, not java.io.File: indexDir may be hdfs://, s3a://, …
+    // — java.io.File.exists() is always false there, which would silently
+    // turn a clear=false merge into a destructive full overwrite.
+    val docsPath = new org.apache.hadoop.fs.Path(indexDir, "documents")
+    val incremental = !opts.clear &&
+      docsPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(docsPath)
     val docs =
       if (!incremental) fresh
       else {
@@ -111,9 +116,8 @@ object IndexJob {
     val settings = Seq(
       Setting("embedding_model", embedder.name),
       Setting("embedding_dim", embedder.dim.toString)).toDF()
-    val index = IndexData.fromDocuments(docs, settings)
-    index.save(indexDir)
-    IndexData.load(spark, indexDir)
+    // write-then-derive: the chunk+embed lineage executes exactly once
+    IndexData.write(docs, settings, indexDir)
   }
 
   /** Full INDEX job with DataFrame-native TF-IDF embeddings instead of a
@@ -150,9 +154,7 @@ object IndexJob {
     val settings = Seq(
       Setting("embedding_model", model.name),
       Setting("embedding_dim", dim.toString)).toDF()
-    val index = IndexData.fromDocuments(docs, settings)
-    index.save(indexDir)
-    IndexData.load(spark, indexDir)
+    IndexData.write(docs, settings, indexDir)
   }
 
   /** Build an in-memory index straight from an existing table of documents

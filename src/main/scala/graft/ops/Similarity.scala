@@ -66,8 +66,11 @@ object Similarity {
     import graft.plans.{CosineKnnJoin, GraftStrategies}
     val spark = corpus.sparkSession
     GraftStrategies.install(spark)
-    val l = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val r = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+    // null vectors can never match; filtering here keeps the exec total
+    val l = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val r = queries.filter(col(qvecCol).isNotNull)
+      .select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
     // heap keeps k+1 when self-matches are dropped afterwards (self is ≤1 slot)
     val heapK = if (excludeSelf) k + 1 else k
     val cand = ColumnBridge.ofRows(spark,

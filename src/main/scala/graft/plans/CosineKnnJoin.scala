@@ -73,16 +73,19 @@ case class CosineKnnJoinExec(left: SparkPlan, right: SparkPlan, k: Int,
   override protected def doExecute(): RDD[InternalRow] = {
     // Query side: collect + broadcast primitive arrays (qid, qvec, |qvec|).
     val queryRows = right.executeCollect()
-    val queries = queryRows.map { r =>
-      val qid = r.get(0, right.output.head.dataType)
-      val arr = r.getArray(1)
-      val v = new Array[Float](arr.numElements())
-      var i = 0
-      while (i < v.length) { v(i) = arr.getFloat(i); i += 1 }
-      var nb = 0.0
-      i = 0
-      while (i < v.length) { nb += v(i).toDouble * v(i).toDouble; i += 1 }
-      (qid, v, math.sqrt(nb))
+    val queries = queryRows.flatMap { r =>
+      if (r.isNullAt(1)) None // null query vector: contributes no matches
+      else {
+        val qid = r.get(0, right.output.head.dataType)
+        val arr = r.getArray(1)
+        val v = new Array[Float](arr.numElements())
+        var i = 0
+        while (i < v.length) { v(i) = arr.getFloat(i); i += 1 }
+        var nb = 0.0
+        i = 0
+        while (i < v.length) { nb += v(i).toDouble * v(i).toDouble; i += 1 }
+        Some((qid, v, math.sqrt(nb)))
+      }
     }
     val bc = sparkContext.broadcast(queries)
     val kLocal = k
@@ -100,7 +103,10 @@ case class CosineKnnJoinExec(left: SparkPlan, right: SparkPlan, k: Int,
         case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
         case (x: org.apache.spark.unsafe.types.UTF8String,
               y: org.apache.spark.unsafe.types.UTF8String) => x.compareTo(y)
-        case _ => 0
+        case (x, _) =>
+          // a silent 0 would break the deterministic heap-vs-final ordering
+          throw new UnsupportedOperationException(
+            s"CosineKnnJoin id tiebreak supports long/int/string ids, got ${x.getClass.getName}")
       }
       val heapOrd = new java.util.Comparator[Cand] {
         def compare(a: Cand, b: Cand): Int = {
@@ -111,35 +117,43 @@ case class CosineKnnJoinExec(left: SparkPlan, right: SparkPlan, k: Int,
       val heaps = Array.fill(qs.length)(new java.util.PriorityQueue[Cand](kLocal + 1, heapOrd))
 
       iter.foreach { row =>
-        val id = row.get(0, leftIdType) match {
-          case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
-          case other => other
-        }
-        val arr = row.getArray(1)
-        val n = arr.numElements()
-        var qi = 0
-        while (qi < qs.length) {
-          val (_, qv, qnorm) = qs(qi)
-          if (qv.length == n) {
-            var dot = 0.0
-            var na = 0.0
-            var i = 0
-            while (i < n) {
-              val x = arr.getFloat(i).toDouble
-              dot += x * qv(i)
-              na += x * x
-              i += 1
-            }
-            val dist = 1.0 - dot / (math.sqrt(na) * qnorm)
-            val h = heaps(qi)
-            val cand = Cand(id, key(dist), dist)
-            if (h.size < kLocal) h.add(cand)
-            else {
-              val worst = h.peek()
-              if (heapOrd.compare(cand, worst) > 0) { h.poll(); h.add(cand) }
-            }
+        if (!row.isNullAt(1)) { // null embeddings can't match (HOF semantics)
+          val id = row.get(0, leftIdType) match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+            case other => other
           }
-          qi += 1
+          val arr = row.getArray(1)
+          val n = arr.numElements()
+          var qi = 0
+          while (qi < qs.length) {
+            val (_, qv, qnorm) = qs(qi)
+            if (qv.length == n) {
+              var dot = 0.0
+              var na = 0.0
+              var i = 0
+              while (i < n) {
+                val x = arr.getFloat(i).toDouble
+                dot += x * qv(i)
+                na += x * x
+                i += 1
+              }
+              val dist = 1.0 - dot / (math.sqrt(na) * qnorm)
+              // NaN (zero-norm side) would key() to 0 — the BEST distKey —
+              // and evict genuine neighbors; a NaN distance can never be a
+              // nearest neighbor, so drop it here (brute force sorts NaN
+              // last, same observable result for k < corpus size)
+              if (!dist.isNaN) {
+                val h = heaps(qi)
+                val cand = Cand(id, key(dist), dist)
+                if (h.size < kLocal) h.add(cand)
+                else {
+                  val worst = h.peek()
+                  if (heapOrd.compare(cand, worst) > 0) { h.poll(); h.add(cand) }
+                }
+              }
+            }
+            qi += 1
+          }
         }
       }
 

@@ -46,9 +46,12 @@ object BatchSearch {
     val qterms = queries
       .flatMap { case (qid, text) => analyzer.tokenize(text).distinct.map(qid -> _) }
       .toDF("qid", "term")
+    // restrict termdf to the query terms BEFORE broadcasting — the full
+    // vocabulary df table is corpus-sized
+    val qtermDf = index.termdf.join(broadcast(qterms.select("term").distinct()), "term")
     val perTerm = index.postings
       .join(broadcast(qterms), "term")
-      .join(broadcast(index.termdf), "term")
+      .join(broadcast(qtermDf), "term")
       .join(index.doclen, "doc_id")
       .crossJoin(broadcast(index.stats))
     val ftsScores = perTerm

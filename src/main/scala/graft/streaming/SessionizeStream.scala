@@ -17,6 +17,9 @@ object SessionizeStream {
 
   final case class Event(event_id: Long, ts: Long, user_id: Long, value: Double)
 
+  /** `firstEvent` is the MINIMUM event_id in the session (not the id of the
+    * earliest-ts event) — matching the batch `q_sessionize` aggregation so
+    * the two surfaces agree even when ids are not assigned in ts order. */
   final case class SessionState(
       startTs: Long, lastTs: Long, nEvents: Long, firstEvent: Long)
 
@@ -45,7 +48,8 @@ object SessionizeStream {
     sorted.foreach { e =>
       cur match {
         case Some(st) if e.ts - st.lastTs <= gapNs =>
-          cur = Some(st.copy(lastTs = e.ts, nEvents = st.nEvents + 1))
+          cur = Some(st.copy(lastTs = e.ts, nEvents = st.nEvents + 1,
+            firstEvent = math.min(st.firstEvent, e.event_id)))
         case Some(st) =>
           closed += toSession(userId, st)
           cur = Some(SessionState(e.ts, e.ts, 1L, e.event_id))

@@ -43,6 +43,20 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("l2 normalize: unit output, zero-vector passthrough, single-pass values") {
+    val df = Seq(
+      (1L, Some(Seq(3f, 4f))),
+      (2L, Some(Seq(0f, 0f))),
+      (3L, None: Option[Seq[Float]]))
+      .toDF("id", "v")
+      .select($"id", VectorOps.normalize($"v").as("nv"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else r.getSeq[Float](1))).toMap
+    assert(rows(1L) == Seq(0.6f, 0.8f))
+    assert(rows(2L) == Seq(0f, 0f)) // zero vector passes through
+    assert(rows(3L) == null)
+  }
+
   test("functions are callable from SQL after registration") {
     GraftExtensions.register(spark)
     randomVecs(4, 8).createOrReplaceTempView("vex")

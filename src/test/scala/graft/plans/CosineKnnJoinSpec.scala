@@ -33,6 +33,26 @@ class CosineKnnJoinSpec extends AnyFunSuite {
     assert(viaOp.size == 4 * 7)
   }
 
+  test("null and zero-norm vectors never crowd out real neighbors") {
+    val base = corpus(50, 8, 3)
+    val degenerate = Seq(
+      (1000L, Array.fill(8)(0f)), // zero norm -> NaN distance
+      (1001L, Array.fill(8)(0f)),
+      (1002L, Array.fill(8)(0f)))
+      .toDF("vec_id", "embedding")
+    val nulls = Seq(2000L).toDF("vec_id")
+      .withColumn("embedding", org.apache.spark.sql.functions.lit(null)
+        .cast("array<float>"))
+    val c = base.unionByName(degenerate).unionByName(nulls)
+    val qs = base.filter($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val top = Similarity.knnJoin(c, "vec_id", "embedding", qs, "qid", "qvec", 5)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(top.size == 5)
+    // no NaN-distance or null-embedding ids in the result
+    assert(top.forall(_ < 1000L), s"degenerate ids leaked: $top")
+  }
+
   test("physical plan contains the custom exec and no cartesian/window over the corpus") {
     val c = corpus(100, 8, 3)
     val qs = c.filter($"vec_id" === 0)
