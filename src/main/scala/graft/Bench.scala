@@ -30,20 +30,20 @@ object Bench {
     // availability fluctuates heavily, and the first execution of a plan pays
     // one-time codegen-compile + JIT costs that aren't the query's cost.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var failed = false
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
           case e: Throwable =>
-            failed = true
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      // -1 marks failure in the JSON — elapsed-until-exception would read as
-      // a plausible (even flattering) timing
-      name -> (if (failed) -1.0 else times.min)
+      // min over SUCCESSFUL runs; -1 marks a query with no successful run
+      // (elapsed-until-exception would read as a plausible timing)
+      name -> times.minOption.getOrElse(-1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

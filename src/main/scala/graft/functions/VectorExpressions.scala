@@ -135,7 +135,9 @@ case class CosineDistance(left: Expression, right: Expression)
 /** Unit-normalize an `array<float>` in ONE pass (norm, then scaled copy) —
   * the Column-API formulation (`transform(a, x => x / l2Norm(a))`) inlines
   * the norm computation into every element's lambda, i.e. O(dim²) per row.
-  * Zero vectors pass through unchanged. */
+  * Zero vectors pass through unchanged. Null ELEMENTS (legal under a
+  * containsNull=true input type, never produced by this engine's pipelines)
+  * contribute 0.0 — embedding vectors are dense by contract. */
 case class L2Normalize(child: Expression)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 

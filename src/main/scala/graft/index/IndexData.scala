@@ -53,6 +53,10 @@ final case class IndexData(
     import spark.implicits._
     val updated = settings.filter(col("key") =!= key)
       .unionByName(Seq((key, value)).toDF("key", "value"))
+      // materialize: the lineage reads $dir/settings, which a subsequent
+      // save(dir) overwrites — read-before-overwrite needs a checkpoint
+      // (settings is a handful of rows)
+      .localCheckpoint(true)
     copy(settings = updated)
   }
 

@@ -66,10 +66,14 @@ object Similarity {
     import graft.plans.{CosineKnnJoin, GraftStrategies}
     val spark = corpus.sparkSession
     GraftStrategies.install(spark)
-    // null vectors can never match; filtering here keeps the exec total
-    val l = corpus.filter(col(vecCol).isNotNull)
+    // null ids/vectors can never participate; filtering here keeps the exec
+    // total (null id would NPE the strict tiebreak; null vec can't match).
+    // NaN distances (zero-norm vectors) are excluded by the exec — brute
+    // force instead sorts them last, so results differ only when fewer than
+    // k finite-distance candidates exist.
+    val l = corpus.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val r = queries.filter(col(qvecCol).isNotNull)
+    val r = queries.filter(col(qidCol).isNotNull && col(qvecCol).isNotNull)
       .select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
     // heap keeps k+1 when self-matches are dropped afterwards (self is ≤1 slot)
     val heapK = if (excludeSelf) k + 1 else k

@@ -26,7 +26,10 @@ object BatchSearch {
 
   /** `rankRounding`: when ≥ 0, rank on scores rounded to that many decimals
     * (with id tiebreak) — reproducible eval-set ordering across runs and
-    * engines; −1 ranks on raw scores. */
+    * engines; −1 ranks on raw scores. Note the VSS leg always ranks on
+    * 6-decimal-rounded distance (the kNN operator's deterministic key), so
+    * per-query parity with [[HybridSearch]] holds up to distance ties inside
+    * 1e-6 at the k boundary. */
   final case class Options(k: Int = 5, scoreThreshold: Double = 0.01, rankRounding: Int = -1)
 
   /** @param queries (qid, query text) pairs — qid must be unique.
@@ -66,7 +69,11 @@ object BatchSearch {
     // ---- VSS leg: one kNN join over all query vectors ----
     val vss = embedder match {
       case Some(e) =>
-        val vecs = queries.map { case (qid, text) => (qid, e.embed(Seq(text)).head.toSeq) }
+        // one batched embed call for the whole query set (the Embedder
+        // contract exists for exactly this amortization)
+        val embedded = e.embed(queries.map(_._2))
+        val vecs = queries.zip(embedded)
+          .map { case ((qid, _), v) => (qid, v.toSeq) }
           .toDF("qid", "qvec")
         Similarity.knnJoin(
           index.documents.filter($"embedding".isNotNull)

@@ -48,7 +48,13 @@ object SessionizeStream {
     sorted.foreach { e =>
       cur match {
         case Some(st) if e.ts - st.lastTs <= gapNs =>
-          cur = Some(st.copy(lastTs = e.ts, nEvents = st.nEvents + 1,
+          // min/max guards against cross-batch disorder: a late event must
+          // not roll lastTs backwards (wrong gap decisions, negative
+          // durations) or leave startTs after an earlier arrival
+          cur = Some(st.copy(
+            startTs = math.min(st.startTs, e.ts),
+            lastTs = math.max(st.lastTs, e.ts),
+            nEvents = st.nEvents + 1,
             firstEvent = math.min(st.firstEvent, e.event_id)))
         case Some(st) =>
           closed += toSession(userId, st)
@@ -77,6 +83,9 @@ object SessionizeStream {
   def sessionize(
       events: Dataset[Event], gapNs: Long = DefaultGapNs,
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[Session] = {
+    require(timeout != GroupStateTimeout.EventTimeTimeout,
+      "event-time timeouts need setTimeoutTimestamp + a watermark; " +
+        "this sessionizer supports NoTimeout and ProcessingTimeTimeout")
     val spark = events.sparkSession
     import spark.implicits._
     events

@@ -79,11 +79,16 @@ class IndexJobSpec extends AnyFunSuite {
     assert(byPath("a.md").head.getAs[String]("header_path") == "Rewritten")
     assert(index2.stats.collect().head.getAs[Long]("n_docs") == 3L)
 
-    // S5: settings upsert is keyed replace
+    // S5: settings upsert is keyed replace AND persists back to the same dir
+    // (the lineage reads the path being overwritten — regression guard)
     val upserted = index2.upsertSetting("embedding_model", "other")
       .upsertSetting("new_key", "v1")
     assert(upserted.setting("embedding_model").contains("other"))
     assert(upserted.setting("new_key").contains("v1"))
     assert(upserted.settings.count() == index2.settings.count() + 1)
+    upserted.settings.coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/settings")
+    val reloaded = graft.index.IndexData.load(spark, indexDir)
+    assert(reloaded.setting("new_key").contains("v1"))
   }
 }
