@@ -38,6 +38,17 @@ object EventsStream {
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exactly-once dedup by event id: `dropDuplicates` with a
+    * watermark bounding the dedup state window — the streaming twin of the
+    * batch exact-dedup operator. State holds only ids inside the watermark
+    * horizon, so memory is bounded at any scale. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "2 hours")
+      .dropDuplicates("event_id")
+      .drop("ets")
+
   /** Open a streaming source over a directory of event parquet files. */
   def readEventsStream(spark: SparkSession, dir: String, glob: String = "events.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -18,4 +18,16 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming dedup by event_id equals batch distinct") {
+    val dir = "/root/testdata/sf0.001"
+    val q = EventsStream.dedupedEvents(EventsStream.readEventsStream(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dedup").count()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .dropDuplicates("event_id").count()
+    assert(streamed == batch && streamed > 0)
+  }
 }
