@@ -437,6 +437,20 @@ object PipelineQueries {
           " FROM documents ORDER BY doc_id, line_start"
       }),
 
+    // MLlib BucketedRandomProjectionLSH approximate kNN — the library ANN
+    // scale path. Approximate results are engine-specific, so rows-only
+    // gate; accuracy vs brute force is asserted in EmbedSpec.
+    Q("q_sim_approx_lsh",
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "embeddings")
+        val qv = e.filter(col("vec_id") === 0)
+          .select("embedding").as[Array[Float]].head()
+        graft.ops.ApproxKnn.approxTopK(e, "vec_id", "embedding", qv, 10,
+          bucketLength = 2.0, numHashTables = 8)
+      },
+      None),
+
     // X9: id generation — inherently non-deterministic, rows-only check
     // (SURVEY.md §2.8 X9)
     Q("q_x9_idgen",

@@ -93,4 +93,43 @@ object BatchSearch {
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter($"rank" <= opts.k)
   }
+
+  /** Batch search + batched rerank: candidates of ALL queries rerank in one
+    * `mapPartitions` pass (scores re-attached by (qid, doc_id), never by
+    * position), then re-rank per query — the full eval pipeline. */
+  def searchBatchReranked(
+      index: IndexData,
+      queries: Seq[(String, String)],
+      reranker: graft.rerank.Reranker,
+      analyzer: Analyzer = DefaultAnalyzer,
+      embedder: Option[Embedder] = None,
+      opts: Options = Options(),
+      rerankBatchSize: Int = 8,
+      rerankTruncate: Int = 2048): DataFrame = {
+    val spark = index.documents.sparkSession
+    import spark.implicits._
+    val queryText = queries.toMap
+    val candidates = searchBatch(index, queries, analyzer, embedder, opts)
+      .withColumnRenamed("score", "original_score")
+      .drop("rank")
+    val withText = candidates.join(index.documents.select($"doc_id", $"content"), Seq("doc_id"))
+    val rrScores = withText
+      .select($"qid", $"doc_id", substring($"content", 1, rerankTruncate).as("t"))
+      .as[(String, String, String)]
+      .mapPartitions { it =>
+        it.grouped(rerankBatchSize).flatMap { g =>
+          // one reranker call per (batch, query) group — queries inside a
+          // batch are usually homogeneous after the per-qid candidate join
+          g.groupBy(_._1).iterator.flatMap { case (qid, rows) =>
+            val ss = reranker.score(queryText(qid), rows.map(_._3))
+            rows.lazyZip(ss).map { (r, s) => (r._1, r._2, s) }
+          }
+        }
+      }
+      .toDF("qid", "doc_id", "score")
+    val wRank = Window.partitionBy($"qid").orderBy(round($"score", 6).desc, $"doc_id".asc)
+    candidates.join(rrScores, Seq("qid", "doc_id"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter($"rank" <= opts.k)
+  }
 }

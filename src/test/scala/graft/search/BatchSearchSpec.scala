@@ -43,5 +43,19 @@ class BatchSearchSpec extends AnyFunSuite {
         .map(r => (r.getAs[String]("doc_id"), math.rint(r.getAs[Double]("score") * 1e9))).toSet
       assert(batch(qid) == single, s"mismatch for $qid")
     }
+
+    // reranked batch: same candidate sets, scores replaced by the
+    // deterministic overlap reranker, per-query ranks contiguous
+    val rr = BatchSearch.searchBatchReranked(index, queries,
+      new graft.rerank.TokenOverlapReranker(graft.analyze.WhitespaceAnalyzer.tokenize),
+      analyzer = graft.analyze.WhitespaceAnalyzer,
+      embedder = Some(embedder),
+      opts = BatchSearch.Options(k = 5)).collect()
+    val byQid = rr.groupBy(_.getAs[String]("qid"))
+    assert(byQid.keySet == queries.map(_._1).toSet)
+    byQid.foreach { case (qid, rows) =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rows.length).toSeq)
+      assert(rows.map(_.getAs[String]("doc_id")).toSet.subsetOf(batch(qid).map(_._1)))
+    }
   }
 }
