@@ -179,6 +179,42 @@ object ExtraQueries {
         "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
 
+    // Statistical moments from EXACT decimal power sums: built-in stddev/
+    // corr accumulate doubles in partition order (not cross-engine
+    // reproducible), so variance/correlation derive from Σx, Σx², Σxy
+    // computed in exact DECIMAL, cast to double, then the same closed-form
+    // expression in both engines — bit-identical results.
+    Q("q_stat_moments",
+      (s, d) => {
+        val x = col("l_quantity").cast("decimal(18,2)")
+        val y = col("l_extendedprice").cast("decimal(18,2)")
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            count("*").cast("double").as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(y).cast("double").as("sy"),
+            sum((x * x).cast("decimal(38,4)")).cast("double").as("sxx"),
+            sum((y * y).cast("decimal(38,4)")).cast("double").as("syy"),
+            sum((x * y).cast("decimal(38,4)")).cast("double").as("sxy"))
+          .select(col("l_returnflag"),
+            round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1.0), 6).as("var_qty"),
+            round((col("sxy") - col("sx") * col("sy") / col("n")) /
+              sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
+                (col("syy") - col("sy") * col("sy") / col("n"))), 6).as("corr_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("WITH m AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS syy, " +
+        "CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, round((sxx - sx * sx / n) / (n - 1.0), 6) AS var_qty, " +
+        "round((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_qty_price " +
+        "FROM m ORDER BY l_returnflag")),
+
     // Histogram by explicit integer bucketing (portable width_bucket)
     Q("q_histogram",
       (s, d) => t(s, d, "events")
