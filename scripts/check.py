@@ -9,6 +9,7 @@ name and rows by all columns, and compares values exactly.
 """
 import sys, json, glob, math
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -30,7 +31,10 @@ def cmp(name, spark_df, oracle_df):
         if str(av.dtype).startswith("float") or str(bv.dtype).startswith("float"):
             av = av.astype(float).fillna(math.nan)
             bv = bv.astype(float).fillna(math.nan)
-            neq = ~((av == bv) | (av.isna() & bv.isna()))
+            # Sign-aware: the driver hashes FORMATTED values, so -0.0 != 0.0
+            # even though they compare numerically equal.
+            same_sign = np.signbit(av.to_numpy()) == np.signbit(bv.to_numpy())
+            neq = ~(((av == bv) & same_sign) | (av.isna() & bv.isna()))
         else:
             av = av.astype(str); bv = bv.astype(str)
             neq = av != bv

@@ -130,13 +130,13 @@ object ExtraQueries {
         events(s, d).filter(col("user_id") < 10)
           .select(col("user_id"), col("event_id"), col("value"))
           .withColumn("prev_value", lag(col("value"), 1).over(w))
-          .withColumn("delta", round(col("value") - col("prev_value"), 4))
+          .withColumn("delta", Q.r4(col("value") - col("prev_value")))
           .withColumn("next_event", lead(col("event_id"), 1).over(w))
           .select("user_id", "event_id", "delta", "next_event")
           .orderBy("user_id", "event_id")
       },
       Some("SELECT user_id, event_id, " +
-        "round(value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id), 4) AS delta, " +
+        s"${Q.r4Sql("value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id)")} AS delta, " +
         "lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS next_event " +
         "FROM events WHERE user_id < 10 ORDER BY user_id, event_id")),
 
@@ -198,10 +198,10 @@ object ExtraQueries {
             sum((y * y).cast("decimal(38,4)")).cast("double").as("syy"),
             sum((x * y).cast("decimal(38,4)")).cast("double").as("sxy"))
           .select(col("l_returnflag"),
-            round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1.0), 6).as("var_qty"),
-            round((col("sxy") - col("sx") * col("sy") / col("n")) /
+            Q.r6((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1.0)).as("var_qty"),
+            Q.r6((col("sxy") - col("sx") * col("sy") / col("n")) /
               sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
-                (col("syy") - col("sy") * col("sy") / col("n"))), 6).as("corr_qty_price"))
+                (col("syy") - col("sy") * col("sy") / col("n")))).as("corr_qty_price"))
           .orderBy("l_returnflag")
       },
       Some("WITH m AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n, " +
@@ -211,8 +211,8 @@ object ExtraQueries {
         "CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS syy, " +
         "CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy " +
         "FROM lineitem GROUP BY l_returnflag) " +
-        "SELECT l_returnflag, round((sxx - sx * sx / n) / (n - 1.0), 6) AS var_qty, " +
-        "round((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_qty_price " +
+        s"SELECT l_returnflag, ${Q.r6Sql("(sxx - sx * sx / n) / (n - 1.0)")} AS var_qty, " +
+        s"${Q.r6Sql("(sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))")} AS corr_qty_price " +
         "FROM m ORDER BY l_returnflag")),
 
     // Histogram by explicit integer bucketing (portable width_bucket)

@@ -155,7 +155,7 @@ object PipelineQueries {
         val qs = e.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         Similarity.knnJoin(e, "vec_id", "embedding", qs, "qid", "qvec", 1)
           .select(col("qid").as("vec_id"), col("id").as("nn_id"),
-            round(col("dist"), 6).as("nn_dist"),
+            Q.r6(col("dist")).as("nn_dist"),
             (round(col("dist"), 6) < 0.45).as("near_dup"))
           .orderBy("vec_id")
       },
@@ -164,7 +164,7 @@ object PipelineQueries {
         "FROM embeddings e CROSS JOIN embeddings q WHERE e.vec_id != q.vec_id), " +
         "rr AS (SELECT vec_id, nn_id, dist, row_number() OVER " +
         "(PARTITION BY vec_id ORDER BY round(dist, 6), nn_id) AS rn FROM dd) " +
-        "SELECT vec_id, nn_id, round(dist, 6) AS nn_dist, round(dist, 6) < 0.45 AS near_dup " +
+        s"SELECT vec_id, nn_id, ${Q.r6Sql("dist")} AS nn_dist, round(dist, 6) < 0.45 AS near_dup " +
         "FROM rr WHERE rn = 1 ORDER BY vec_id")),
 
     // ---- Similarity search ----
@@ -176,7 +176,7 @@ object PipelineQueries {
         val qs = e.filter(col("vec_id").isin(0, 1, 2))
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         Similarity.bruteForceTopK(qs, "qid", "qvec", e, "vec_id", "embedding", 5)
-          .select(col("qid"), col("vec_id"), col("rank"), round(col("dist"), 6).as("dist"))
+          .select(col("qid"), col("vec_id"), col("rank"), Q.r6(col("dist")).as("dist"))
           .orderBy("qid", "rank")
       },
       Some("WITH qs AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id IN (0, 1, 2)), " +
@@ -184,7 +184,7 @@ object PipelineQueries {
         "FROM embeddings CROSS JOIN qs WHERE vec_id != qid), " +
         "rr AS (SELECT qid, vec_id, dist, CAST(row_number() OVER " +
         "(PARTITION BY qid ORDER BY round(dist, 6), vec_id) AS BIGINT) AS rank FROM dd) " +
-        "SELECT qid, vec_id, rank, round(dist, 6) AS dist FROM rr WHERE rank <= 5 ORDER BY qid, rank")),
+        s"SELECT qid, vec_id, rank, ${Q.r6Sql("dist")} AS dist FROM rr WHERE rank <= 5 ORDER BY qid, rank")),
 
     // Same result through the custom CosineKnnJoin operator (LogicalPlan +
     // Strategy + heap-pruned Exec) — the no-shuffle top-k-pushdown plan
@@ -194,7 +194,7 @@ object PipelineQueries {
         val qs = e.filter(col("vec_id").isin(0, 1, 2))
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         Similarity.knnJoin(e, "vec_id", "embedding", qs, "qid", "qvec", 5)
-          .select(col("qid"), col("id").as("vec_id"), col("rank"), round(col("dist"), 6).as("dist"))
+          .select(col("qid"), col("id").as("vec_id"), col("rank"), Q.r6(col("dist")).as("dist"))
           .orderBy("qid", "rank")
       },
       Some("WITH qs AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id IN (0, 1, 2)), " +
@@ -202,7 +202,7 @@ object PipelineQueries {
         "FROM embeddings CROSS JOIN qs WHERE vec_id != qid), " +
         "rr AS (SELECT qid, vec_id, dist, CAST(row_number() OVER " +
         "(PARTITION BY qid ORDER BY round(dist, 6), vec_id) AS BIGINT) AS rank FROM dd) " +
-        "SELECT qid, vec_id, rank, round(dist, 6) AS dist FROM rr WHERE rank <= 5 ORDER BY qid, rank")),
+        s"SELECT qid, vec_id, rank, ${Q.r6Sql("dist")} AS dist FROM rr WHERE rank <= 5 ORDER BY qid, rank")),
 
     // IVF coarse quantization: nearest-centroid assignment → cluster sizes
     Q("q_sim_ivf_clusters",
@@ -371,13 +371,13 @@ object PipelineQueries {
         events(s, d).filter(col("user_id") < 20)
           .select(col("user_id"), col("event_id"),
             row_number().over(Window.partitionBy(col("user_id")).orderBy(col("event_id"))).cast("long").as("rn"),
-            round(sum(col("value")).over(w), 4).as("run_value"))
+            Q.r4(sum(col("value")).over(w)).as("run_value"))
           .orderBy("user_id", "event_id")
       },
       Some("SELECT user_id, event_id, " +
         "CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS rn, " +
-        "round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_value " +
+        s"${Q.r4Sql("sum(value) OVER (PARTITION BY user_id ORDER BY event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS run_value " +
         "FROM events WHERE user_id < 20 ORDER BY user_id, event_id")),
 
     // Tumbling-window aggregation (the batch shape of the Structured

@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{lit, round}
 
 /** One declared query of the engine's public surface (SURVEY.md §2.12):
   * a Spark implementation plus (when SQL-expressible) a DuckDB oracle that
@@ -77,4 +78,21 @@ object Q {
 
   def cosineDistSql(a: String, b: String): String =
     s"1.0 - ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Projection-safe rounding: `round(x, p) + 0.0` canonicalizes IEEE `-0.0`
+    * to `+0.0` (`-0.0 + 0.0 == +0.0`). Needed because DuckDB's `round`
+    * preserves the sign of a tiny negative (`round(-1e-16, 6) = -0.0`) while
+    * Spark's BigDecimal-based `round` does not, and the driver hashes
+    * FORMATTED values ("-0.0" != "0.0"). Use for every projected rounded
+    * column whose pre-rounding value can be a tiny negative: cosine
+    * distances (self-distance is `1 - x/(√x·√x)` ≈ ±1e-16), lag deltas,
+    * variance/correlation residuals, running sums. Must be applied to BOTH
+    * engines so nonzero values stay bit-identical. */
+  def r6(c: Column): Column = round(c, 6) + lit(0.0)
+
+  def r4(c: Column): Column = round(c, 4) + lit(0.0)
+
+  def r6Sql(x: String): String = s"(round($x, 6) + 0.0)"
+
+  def r4Sql(x: String): String = s"(round($x, 4) + 0.0)"
 }

@@ -113,23 +113,24 @@ object SearchQueries {
         "SELECT doc_id, round(score, 6) AS score FROM scores " +
         "ORDER BY round(score, 6) DESC, doc_id LIMIT 20")),
 
-    // V1: cosine distance of every vector against the query vector
+    // V1: cosine distance of every vector against the query vector.
+    // Q.r6 (round + 0.0) canonicalizes the self-distance row's -0.0.
     Q("q_v1_cosine_dist",
       (s, d) => vssAll(s, d)
-        .select(col("doc_id").as("vec_id"), round(col("vss_score"), 6).as("dist"))
+        .select(col("doc_id").as("vec_id"), Q.r6(col("vss_score")).as("dist"))
         .orderBy("vec_id"),
       Some("WITH qvt AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) " +
-        s"SELECT vec_id, round(${Q.cosineDistSql("embedding", "qv")}, 6) AS dist " +
+        s"SELECT vec_id, ${Q.r6Sql(Q.cosineDistSql("embedding", "qv"))} AS dist " +
         "FROM embeddings CROSS JOIN qvt ORDER BY vec_id")),
 
     // V2 + O2: exact brute-force nearest-neighbor top-K (the HNSW replacement)
     Q("q_v2_knn",
       (s, d) => vssLeg(s, d)
-        .select(col("doc_id").as("vec_id"), round(col("vss_score"), 6).as("dist"))
+        .select(col("doc_id").as("vec_id"), Q.r6(col("vss_score")).as("dist"))
         .orderBy(col("dist").asc, col("vec_id").asc),
       Some("WITH qvt AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
         s"vd AS (SELECT vec_id, ${Q.cosineDistSql("embedding", "qv")} AS dist FROM embeddings CROSS JOIN qvt) " +
-        s"SELECT vec_id, round(dist, 6) AS dist FROM vd ORDER BY round(dist, 6) ASC, vec_id LIMIT $K")),
+        s"SELECT vec_id, ${Q.r6Sql("dist")} AS dist FROM vd ORDER BY round(dist, 6) ASC, vec_id LIMIT $K")),
 
     // U1: union + dedup of the two candidate-id lists (reference `src/searcher.py:152-166`)
     Q("q_u1_candidate_union",
@@ -157,12 +158,12 @@ object SearchQueries {
     // J2 + A4: fused hybrid scores over the candidate union
     Q("q_a4_hybrid_fusion",
       (s, d) => fused(s, d)
-        .select(col("doc_id"), round(col("fts_score"), 6).as("fts_score"),
-          round(col("vss_score"), 6).as("vss_score"), round(col("score"), 6).as("score"))
+        .select(col("doc_id"), Q.r6(col("fts_score")).as("fts_score"),
+          Q.r6(col("vss_score")).as("vss_score"), Q.r6(col("score")).as("score"))
         .orderBy(round(col("score"), 6).desc, col("doc_id").asc),
       Some(s"WITH $fusedCtes " +
-        "SELECT doc_id, round(fts_score, 6) AS fts_score, round(vss_score, 6) AS vss_score, " +
-        "round(score, 6) AS score FROM fused ORDER BY round(score, 6) DESC, doc_id")),
+        s"SELECT doc_id, ${Q.r6Sql("fts_score")} AS fts_score, ${Q.r6Sql("vss_score")} AS vss_score, " +
+        s"${Q.r6Sql("score")} AS score FROM fused ORDER BY round(score, 6) DESC, doc_id")),
 
     // O6: stable merge order — FTS hits (by BM25 rank) before VSS-only hits
     // (reference `src/searcher.py:152-166`)
