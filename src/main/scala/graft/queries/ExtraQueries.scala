@@ -235,25 +235,37 @@ object ExtraQueries {
         "CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source ORDER BY source")),
 
     // As-of join: latest event at-or-before each order's timestamp, per
-    // customer. Spark lacks a native ASOF JOIN — emulated as range join +
-    // windowed argmax (the standard pattern); the oracle uses DuckDB's
-    // NATIVE `ASOF LEFT JOIN`, so parity here checks the emulation against a
-    // first-class implementation.
+    // customer. Spark lacks a native ASOF JOIN — planned as a UNION-MERGE:
+    // tag orders and events into one keyed stream, one window per user
+    // ordered by time, and read the running `last_value` of the event id.
+    // One shuffle on the user key, O(orders + events) — no range-join
+    // candidate explosion (the naive range join + argmax materializes every
+    // prior event per order, which blows up on a skewed power-user at 100 TB).
+    // The oracle uses DuckDB's NATIVE `ASOF LEFT JOIN`, so parity checks the
+    // plan against a first-class implementation.
     Q("q_asof_join",
       (s, d) => {
         val o = t(s, d, "orders").filter(col("o_custkey") < 20)
-          .select(col("o_orderkey"), col("o_custkey"),
+          .select(col("o_custkey").as("uid"),
             // parquet NTZ timestamp -> epoch under the UTC session zone,
             // matching DuckDB's epoch_ms on its naive TIMESTAMP
-            (unix_millis(col("o_orderdate").cast("timestamp")) * 1000000L).as("om"))
+            (unix_millis(col("o_orderdate").cast("timestamp")) * 1000000L).as("t"),
+            lit(null).cast("long").as("ev"),
+            col("o_orderkey"))
         val e = events(s, d).filter(col("user_id") < 20)
-          .select(col("user_id"), col("ts"), col("event_id"))
-        val w = Window.partitionBy(col("o_orderkey"))
-          .orderBy(col("ts").desc, col("event_id").desc)
-        o.join(e, col("o_custkey") === col("user_id") && col("ts") <= col("om"), "left")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("o_orderkey"), col("o_custkey"), col("event_id").as("last_event"))
+          .select(col("user_id").as("uid"), col("ts").as("t"),
+            col("event_id").as("ev"), lit(null).cast("long").as("o_orderkey"))
+        // Events sort BEFORE orders at equal t (`ev` nulls-last ties the
+        // probe row after same-instant events — `tsn <= om` is inclusive);
+        // among same-t events the max event_id wins, matching the old
+        // argmax tie-break.
+        val w = Window.partitionBy(col("uid"))
+          .orderBy(col("t").asc, col("ev").asc_nulls_last)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.union(o)
+          .withColumn("last_event", last(col("ev"), ignoreNulls = true).over(w))
+          .filter(col("o_orderkey").isNotNull)
+          .select(col("o_orderkey"), col("uid").as("o_custkey"), col("last_event"))
           .orderBy("o_orderkey")
       },
       Some("WITH o AS (SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) * 1000000 AS om " +

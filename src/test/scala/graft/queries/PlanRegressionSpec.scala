@@ -36,6 +36,17 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("asof join plans as union-merge: one shuffle, no join node") {
+    val p = plan("q_asof_join")
+    // The union-merge plan must never materialize order×event candidate
+    // pairs: no join operator of any kind, exactly one exchange for the
+    // per-user window (plus the final presentation sort's range exchange).
+    assert(!p.contains("Join"), p.take(1200))
+    assert(p.contains("Union"), p.take(1200))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges\n${p.take(1500)}")
+  }
+
   test("self-contained BM25 builds the postings subtree once") {
     val p = plan("q_f4_bm25_topk")
     // one Generate (explode) for postings; a second would mean the df branch
