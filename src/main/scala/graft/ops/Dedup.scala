@@ -112,6 +112,18 @@ object Dedup {
         s"THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Embedding near-dup at scale: per-bucket nearest neighbor (via
+    * [[Similarity.nearDupInBuckets]]) flagged under a cosine-distance
+    * threshold. `bucketed` must already carry a bucket column (sign-LSH or
+    * IVF assignment) — candidates only form inside a bucket, so the corpus
+    * is never broadcast or collected (contrast the global kNN shape, which
+    * is only valid for bounded query sets). */
+  def nearDupByLsh(
+      bucketed: DataFrame, idCol: String, vecCol: String, bucketCol: String,
+      threshold: Double): DataFrame =
+    Similarity.nearDupInBuckets(bucketed, idCol, vecCol, bucketCol)
+      .withColumn("near_dup", round(col("dist"), 6) < threshold)
+
   /** Exact Jaccard similarity of two DISTINCT-element array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -93,4 +93,33 @@ object Similarity {
     planes.zipWithIndex.map { case (p, b) =>
       when(VectorOps.dot(vec, p) > 0.0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Per-vector nearest neighbor WITHIN its bucket — the scale path for
+    * embedding near-dup (composes with [[signLshBucket]] or [[ivfAssign]]).
+    *
+    * Unlike [[knnJoin]] with the corpus as the query side (which collects
+    * and broadcasts every query vector to the driver), nothing here leaves
+    * the executors: the self-join is an equi-join keyed on the bucket id
+    * (one shuffle), so candidate pairs only form inside a bucket, and the
+    * per-vector argmin is a window over each vector's own candidates.
+    * Intermediate size is Σ n_b² over buckets — controlled by plane count
+    * (more planes → smaller buckets) exactly like the MinHash LSH pairs
+    * pipeline. Vectors alone in their bucket emit no row (no in-bucket
+    * candidate; at scale those are "no near-dup" by construction). */
+  def nearDupInBuckets(
+      bucketed: DataFrame, idCol: String, vecCol: String,
+      bucketCol: String): DataFrame = {
+    val a = bucketed.select(
+      col(bucketCol).as("bucket"), col(idCol).as("vec_id"), col(vecCol).as("_va"))
+    val b = bucketed.select(
+      col(bucketCol).as("bucket"), col(idCol).as("nn_id"), col(vecCol).as("_vb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(round(col("dist"), 6).asc, col("nn_id").asc)
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("dist", VectorOps.cosineDist(col("_va"), col("_vb")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("vec_id"), col("bucket"), col("nn_id"), col("dist"))
+  }
 }

@@ -167,6 +167,43 @@ object PipelineQueries {
         s"SELECT vec_id, nn_id, ${Q.r6Sql("dist")} AS nn_dist, round(dist, 6) < 0.45 AS near_dup " +
         "FROM rr WHERE rn = 1 ORDER BY vec_id")),
 
+    // Bucketed near-dup — the 100 TB shape of the query above: sign-LSH
+    // bucket (4 hyperplanes = embeddings 0..3, as q_sim_lsh_buckets) →
+    // per-bucket nearest neighbor → threshold. Candidates only form inside
+    // a bucket (equi-join on bucket id, ONE shuffle); the corpus is never
+    // collected to the driver or broadcast, unlike the global kNN operator
+    // whose query side must stay bounded.
+    Q("q_dedup_embed_lsh_knn",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val planes = (0 until 4).map(i =>
+          e.filter(col("vec_id") === i).select(col("embedding").as(s"p$i")))
+        val bucketed = planes.foldLeft(e)((acc, p) => acc.crossJoin(broadcast(p)))
+          .withColumn("bucket",
+            Similarity.signLshBucket(col("embedding"), (0 until 4).map(i => col(s"p$i"))))
+          .select(col("vec_id"), col("embedding"), col("bucket"))
+        Dedup.nearDupByLsh(bucketed, "vec_id", "embedding", "bucket", 0.45)
+          .select(col("vec_id"), col("bucket"), col("nn_id"),
+            Q.r6(col("dist")).as("nn_dist"), col("near_dup"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val planes = (0 until 4).map(i =>
+          s"p$i AS (SELECT embedding AS pv$i FROM embeddings WHERE vec_id = $i)")
+        val bits = (0 until 4).map(i =>
+          s"(CASE WHEN ${Q.dotSql("embedding", s"pv$i")} > 0.0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+        s"WITH ${planes.mkString(", ")}, " +
+          s"bk AS (SELECT vec_id, embedding, ${bits.mkString(" + ")} AS bucket " +
+          "FROM embeddings CROSS JOIN p0 CROSS JOIN p1 CROSS JOIN p2 CROSS JOIN p3), " +
+          "dd AS (SELECT a.vec_id, a.bucket, b.vec_id AS nn_id, " +
+          s"${Q.cosineDistSql("a.embedding", "b.embedding")} AS dist " +
+          "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id != b.vec_id), " +
+          "rr AS (SELECT vec_id, bucket, nn_id, dist, row_number() OVER " +
+          "(PARTITION BY vec_id ORDER BY round(dist, 6), nn_id) AS rn FROM dd) " +
+          s"SELECT vec_id, bucket, nn_id, ${Q.r6Sql("dist")} AS nn_dist, " +
+          "round(dist, 6) < 0.45 AS near_dup FROM rr WHERE rn = 1 ORDER BY vec_id"
+      }),
+
     // ---- Similarity search ----
 
     // Brute-force cosine top-k for a batch of query vectors

@@ -47,6 +47,15 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges\n${p.take(1500)}")
   }
 
+  test("bucketed embed near-dup never collects the corpus") {
+    val p = plan("q_dedup_embed_lsh_knn")
+    // The scale path must not route through CosineKnnJoin (whose query side
+    // is executeCollect'ed to the driver) nor form all-pairs: candidates
+    // come from an equi-join on the bucket id.
+    assert(!p.contains("CosineKnnJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("self-contained BM25 builds the postings subtree once") {
     val p = plan("q_f4_bm25_topk")
     // one Generate (explode) for postings; a second would mean the df branch
