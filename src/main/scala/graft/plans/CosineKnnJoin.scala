@@ -66,9 +66,19 @@ case class CosineKnnJoinExec(left: SparkPlan, right: SparkPlan, k: Int,
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(output.last)
 
-  /** HALF_UP at 6 decimals for non-negative distances — the same cut the
-    * deterministic final ordering uses. */
-  private def key(d: Double): Long = math.floor(d * 1e6 + 0.5).toLong
+  /** Heap key = Spark's `round(dist, 6)` — BigDecimal HALF_UP on the EXACT
+    * binary double — as an unscaled long. This is bit-for-bit the final
+    * window's ordering key, so partition-local pruning can never evict a
+    * candidate the final ranking would keep (a `floor(d*1e6+0.5)` key can
+    * disagree with BigDecimal rounding near .5·1e-6 boundaries). */
+  private def exactKey(d: Double): Long =
+    new java.math.BigDecimal(d).setScale(6, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValue()
+
+  /** Cheap screen within ±1 of [[exactKey]] (|fl(d·1e6) − d·1e6| < 1e-9 for
+    * cosine distances ≤ 2) — lets the hot loop skip the BigDecimal for the
+    * overwhelming majority of candidates that can't enter a full heap. */
+  private def fastKey(d: Double): Long = math.floor(d * 1e6 + 0.5).toLong
 
   override protected def doExecute(): RDD[InternalRow] = {
     // Query side: collect + broadcast primitive arrays (qid, qvec, |qvec|).
@@ -144,11 +154,16 @@ case class CosineKnnJoinExec(left: SparkPlan, right: SparkPlan, k: Int,
               // last, same observable result for k < corpus size)
               if (!dist.isNaN) {
                 val h = heaps(qi)
-                val cand = Cand(id, key(dist), dist)
-                if (h.size < kLocal) h.add(cand)
+                if (h.size < kLocal) h.add(Cand(id, exactKey(dist), dist))
                 else {
                   val worst = h.peek()
-                  if (heapOrd.compare(cand, worst) > 0) { h.poll(); h.add(cand) }
+                  // fastKey is within ±1 of exactKey, so a candidate more
+                  // than 1 over the worst key can never displace it — only
+                  // boundary cases pay for the exact BigDecimal rounding
+                  if (fastKey(dist) <= worst.distKey + 1) {
+                    val cand = Cand(id, exactKey(dist), dist)
+                    if (heapOrd.compare(cand, worst) > 0) { h.poll(); h.add(cand) }
+                  }
                 }
               }
             }

@@ -32,15 +32,20 @@ object BatchSearch {
     * 1e-6 at the k boundary. */
   final case class Options(k: Int = 5, scoreThreshold: Double = 0.01, rankRounding: Int = -1)
 
-  /** @param queries (qid, query text) pairs — qid must be unique.
-    * @return (qid, doc_id, fts_score, vss_score, score, rank), rank 1..k
-    *         per qid by descending hybrid score. */
-  def searchBatch(
+  private def rankKey(opts: Options)(c: org.apache.spark.sql.Column) =
+    if (opts.rankRounding >= 0) round(c, opts.rankRounding) else c
+
+  /** The fused per-(qid, doc) candidate set — each leg cut to its per-query
+    * top-k, fused by the reference scoring rule, but NOT yet thresholded or
+    * cut to the final k. This is the set the rerank stage must see
+    * (mirroring [[HybridSearch.search]], which reranks the full fused
+    * candidate union and only thresholds the post-rerank score). */
+  private def fusedCandidates(
       index: IndexData,
       queries: Seq[(String, String)],
-      analyzer: Analyzer = DefaultAnalyzer,
-      embedder: Option[Embedder] = None,
-      opts: Options = Options()): DataFrame = {
+      analyzer: Analyzer,
+      embedder: Option[Embedder],
+      opts: Options): DataFrame = {
 
     val spark = index.documents.sparkSession
     import spark.implicits._
@@ -60,9 +65,7 @@ object BatchSearch {
     val ftsScores = perTerm
       .groupBy("qid", "doc_id")
       .agg(sum(Bm25.termScore($"tf", $"df", $"dl", $"n_docs", $"avgdl")).as("fts_score"))
-    def rankKey(c: org.apache.spark.sql.Column) =
-      if (opts.rankRounding >= 0) round(c, opts.rankRounding) else c
-    val wFts = Window.partitionBy($"qid").orderBy(rankKey($"fts_score").desc, $"doc_id".asc)
+    val wFts = Window.partitionBy($"qid").orderBy(rankKey(opts)($"fts_score").desc, $"doc_id".asc)
     val fts = ftsScores
       .withColumn("_r", row_number().over(wFts)).filter($"_r" <= opts.k).drop("_r")
 
@@ -84,11 +87,25 @@ object BatchSearch {
         Seq.empty[(String, String, Double)].toDF("qid", "doc_id", "vss_score")
     }
 
-    // ---- fusion + per-query rank ----
-    val fused = fts.join(vss, Seq("qid", "doc_id"), "full_outer")
+    // ---- fusion ----
+    fts.join(vss, Seq("qid", "doc_id"), "full_outer")
       .withColumn("score", HybridSearch.hybridScore($"fts_score", $"vss_score"))
+  }
+
+  /** @param queries (qid, query text) pairs — qid must be unique.
+    * @return (qid, doc_id, fts_score, vss_score, score, rank), rank 1..k
+    *         per qid by descending hybrid score. */
+  def searchBatch(
+      index: IndexData,
+      queries: Seq[(String, String)],
+      analyzer: Analyzer = DefaultAnalyzer,
+      embedder: Option[Embedder] = None,
+      opts: Options = Options()): DataFrame = {
+    val spark = index.documents.sparkSession
+    import spark.implicits._
+    val fused = fusedCandidates(index, queries, analyzer, embedder, opts)
       .filter($"score" > opts.scoreThreshold)
-    val wRank = Window.partitionBy($"qid").orderBy(rankKey($"score").desc, $"doc_id".asc)
+    val wRank = Window.partitionBy($"qid").orderBy(rankKey(opts)($"score").desc, $"doc_id".asc)
     fused
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter($"rank" <= opts.k)
@@ -96,7 +113,13 @@ object BatchSearch {
 
   /** Batch search + batched rerank: candidates of ALL queries rerank in one
     * `mapPartitions` pass (scores re-attached by (qid, doc_id), never by
-    * position), then re-rank per query — the full eval pipeline. */
+    * position), then re-rank per query — the full eval pipeline.
+    *
+    * Parity with [[HybridSearch.search]]: the FULL fused candidate set (the
+    * union of both per-query top-k legs, before any hybrid-score cut) feeds
+    * the reranker, and `opts.scoreThreshold` applies to the RERANKED score
+    * before the final per-query top-k — so a single query through either
+    * surface returns the same documents. */
   def searchBatchReranked(
       index: IndexData,
       queries: Seq[(String, String)],
@@ -109,9 +132,8 @@ object BatchSearch {
     val spark = index.documents.sparkSession
     import spark.implicits._
     val queryText = queries.toMap
-    val candidates = searchBatch(index, queries, analyzer, embedder, opts)
+    val candidates = fusedCandidates(index, queries, analyzer, embedder, opts)
       .withColumnRenamed("score", "original_score")
-      .drop("rank")
     val withText = candidates.join(index.documents.select($"doc_id", $"content"), Seq("doc_id"))
     val rrScores = withText
       .select($"qid", $"doc_id", substring($"content", 1, rerankTruncate).as("t"))
@@ -129,6 +151,7 @@ object BatchSearch {
       .toDF("qid", "doc_id", "score")
     val wRank = Window.partitionBy($"qid").orderBy(round($"score", 6).desc, $"doc_id".asc)
     candidates.join(rrScores, Seq("qid", "doc_id"))
+      .filter($"score" > opts.scoreThreshold)
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter($"rank" <= opts.k)
   }

@@ -40,12 +40,31 @@ object HybridSearch {
       .when(vss.isNotNull, vss * 0.8)
       .otherwise(0.0)
 
+  /** POSIX normpath for a user-supplied path prefix (mirrors the
+    * reference's `os.path.normpath` before its startswith check,
+    * `src/searcher.py:191-216`): collapse `//`, resolve `.` and `..`
+    * segments, drop the trailing `/` — so `./docs/`, `docs//` and `docs`
+    * all strip the same indexed prefix. */
+  private[search] def normPrefix(p: String): String = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    p.split("/").foreach {
+      case "" | "." => ()
+      case ".." if out.nonEmpty && out.last != ".." => out.remove(out.length - 1)
+      case seg => out += seg
+    }
+    val body = out.mkString("/")
+    if (p.startsWith("/")) "/" + body
+    else if (body.isEmpty) "."
+    else body
+  }
+
   /** X6 — query-time path rewrite: remove prefix, then add prefix
     * (remove BEFORE add, reference `src/searcher.py:191-216`). */
   def rewritePath(path: Column, remove: Option[String], add: Option[String]): Column = {
     val removed = remove match {
       case Some(p) =>
-        regexp_replace(path, lit("^" + java.util.regex.Pattern.quote(p) + "/?"), lit(""))
+        regexp_replace(path,
+          lit("^" + java.util.regex.Pattern.quote(normPrefix(p)) + "/?"), lit(""))
       case None => path
     }
     add match {

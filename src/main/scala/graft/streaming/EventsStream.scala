@@ -38,15 +38,19 @@ object EventsStream {
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("n"), col("sum_value"))
 
-  /** Streaming exactly-once dedup by event id: `dropDuplicates` with a
-    * watermark bounding the dedup state window — the streaming twin of the
-    * batch exact-dedup operator. State holds only ids inside the watermark
-    * horizon, so memory is bounded at any scale. */
+  /** Streaming exactly-once dedup by event id — the streaming twin of the
+    * batch exact-dedup operator. `dropDuplicatesWithinWatermark` evicts an
+    * id's state once the watermark passes its event time, so memory really
+    * is bounded on a long-running stream (plain `dropDuplicates("event_id")`
+    * would keep every id forever: state only ages out when the event-time
+    * column is part of the dedup key). Duplicates are therefore only
+    * guaranteed to be dropped while they arrive within the watermark delay
+    * of the first occurrence — the standard at-scale dedup contract. */
   def dedupedEvents(events: DataFrame): DataFrame =
     events
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ets", "2 hours")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .drop("ets")
 
   /** Open a streaming source over a directory of event parquet files. */

@@ -44,18 +44,30 @@ class BatchSearchSpec extends AnyFunSuite {
       assert(batch(qid) == single, s"mismatch for $qid")
     }
 
-    // reranked batch: same candidate sets, scores replaced by the
-    // deterministic overlap reranker, per-query ranks contiguous
-    val rr = BatchSearch.searchBatchReranked(index, queries,
-      new graft.rerank.TokenOverlapReranker(graft.analyze.WhitespaceAnalyzer.tokenize),
+    // reranked batch parity: the batch rerank surface must return the SAME
+    // documents+scores as per-query HybridSearch.search with the same
+    // reranker — full fused candidate set reranked, threshold applied to
+    // the reranked score (not the pre-rerank hybrid score)
+    val reranker =
+      new graft.rerank.TokenOverlapReranker(graft.analyze.WhitespaceAnalyzer.tokenize)
+    val rr = BatchSearch.searchBatchReranked(index, queries, reranker,
       analyzer = graft.analyze.WhitespaceAnalyzer,
       embedder = Some(embedder),
       opts = BatchSearch.Options(k = 5)).collect()
     val byQid = rr.groupBy(_.getAs[String]("qid"))
     assert(byQid.keySet == queries.map(_._1).toSet)
-    byQid.foreach { case (qid, rows) =>
+    byQid.foreach { case (_, rows) =>
       assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rows.length).toSeq)
-      assert(rows.map(_.getAs[String]("doc_id")).toSet.subsetOf(batch(qid).map(_._1)))
+    }
+    queries.foreach { case (qid, text) =>
+      val single = HybridSearch.search(index, text,
+        analyzer = graft.analyze.WhitespaceAnalyzer,
+        embedder = Some(embedder), reranker = Some(reranker),
+        opts = HybridSearch.Options(k = 5)).collect()
+        .map(r => (r.getAs[String]("doc_id"), math.rint(r.getAs[Double]("score") * 1e9))).toSet
+      val fromBatch = byQid(qid)
+        .map(r => (r.getAs[String]("doc_id"), math.rint(r.getAs[Double]("score") * 1e9))).toSet
+      assert(fromBatch == single, s"rerank parity mismatch for $qid")
     }
   }
 }
