@@ -124,16 +124,48 @@ object Cli {
 
   private def searchCmd(a: Array[String]): Unit = {
     val db = arg(a, "--db").getOrElse(sys.error("--db required"))
-    val query = arg(a, "--query").getOrElse(sys.error("--query required"))
+    val k = arg(a, "--top-k").map(_.toInt).getOrElse(5)
+    val rerank = !flag(a, "--no-rerank")
+    val removeP = arg(a, "--remove-path-prefix")
+    val addP = arg(a, "--add-path-prefix")
     val spark = session()
-    val index = IndexData.load(spark, db)
-    val hits = runSearch(index, db, query,
-      arg(a, "--top-k").map(_.toInt).getOrElse(5),
-      !flag(a, "--no-rerank"),
-      arg(a, "--remove-path-prefix"), arg(a, "--add-path-prefix"))
-    println(s"""{"results":${hitsJson(hits)}}""")
+    arg(a, "--query") match {
+      case Some(query) =>
+        val index = IndexData.load(spark, db)
+        val hits = runSearch(index, db, query, k, rerank, removeP, addP)
+        println(s"""{"results":${hitsJson(hits)}}""")
+      case None =>
+        // Interactive mode (reference `src/cli.py:345-379`: `search` without
+        // a query loops on prompted input): one query per stdin line, blanks
+        // skipped, EOF exits. The index datasets stay cached across queries.
+        val index = IndexData.load(spark, db).cached()
+        index.stats.count() // materialize caches before the first prompt
+        System.err.println(s"[graft] interactive search on $db; one query per line, EOF exits")
+        interactiveLoop(index, db, scala.io.Source.stdin.getLines(), System.out,
+          k, rerank, removeP, addP)
+    }
     spark.stop()
   }
+
+  /** The interactive `search` session body, parameterized over input/output
+    * so a spec can script it without forking a JVM. */
+  private[graft] def interactiveLoop(
+      index: IndexData, db: String, lines: Iterator[String],
+      out: java.io.PrintStream, k: Int, rerank: Boolean,
+      removeP: Option[String], addP: Option[String]): Unit =
+    lines.foreach { line =>
+      val query = line.trim
+      if (query.nonEmpty) {
+        try {
+          val hits = runSearch(index, db, query, k, rerank, removeP, addP)
+          out.println(s"""{"results":${hitsJson(hits)}}""")
+        } catch {
+          case e: Throwable =>
+            out.println(s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
+        }
+        out.flush()
+      }
+    }
 
   /** Minimal JSON-line request parser for `{"query": "...", "top_k": N}` —
     * the only request shape the reference tool accepts

@@ -143,7 +143,12 @@ object BatchSearch {
           // one reranker call per (batch, query) group — queries inside a
           // batch are usually homogeneous after the per-qid candidate join
           g.groupBy(_._1).iterator.flatMap { case (qid, rows) =>
-            val ss = reranker.score(queryText(qid), rows.map(_._3))
+            // a failing batch degrades those rows to their pre-rerank
+            // hybrid score (coalesce below) instead of failing the job —
+            // same contract as HybridSearch.search
+            val ss =
+              try reranker.score(queryText(qid), rows.map(_._3)).map(Option(_))
+              catch { case scala.util.control.NonFatal(_) => rows.map(_ => Option.empty[Double]) }
             rows.lazyZip(ss).map { (r, s) => (r._1, r._2, s) }
           }
         }
@@ -151,6 +156,7 @@ object BatchSearch {
       .toDF("qid", "doc_id", "score")
     val wRank = Window.partitionBy($"qid").orderBy(round($"score", 6).desc, $"doc_id".asc)
     candidates.join(rrScores, Seq("qid", "doc_id"))
+      .withColumn("score", coalesce($"score", $"original_score"))
       .filter($"score" > opts.scoreThreshold)
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter($"rank" <= opts.k)

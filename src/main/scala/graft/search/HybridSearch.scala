@@ -133,19 +133,26 @@ object HybridSearch {
         val trunc = opts.rerankTruncate
         val q = query
         // T4: batched rerank, scores re-attached by doc_id (not position).
+        // A failing reranker batch degrades to the pre-rerank hybrid score
+        // instead of failing the query (reference `src/searcher.py:296-310`
+        // restores original_score on any rerank exception; the distributed
+        // failure domain is the batch, so an isolated bad batch degrades
+        // only its own rows).
         val rrScores = hits
           .select(col("doc_id"), substring(col("content"), 1, trunc).as("t"))
           .as[(String, String)]
           .mapPartitions { it =>
             it.grouped(batch).flatMap { g =>
-              val ss = rr.score(q, g.map(_._2))
+              val ss =
+                try rr.score(q, g.map(_._2)).map(Option(_))
+                catch { case scala.util.control.NonFatal(_) => g.map(_ => Option.empty[Double]) }
               g.lazyZip(ss).map { (p, s) => (p._1, s) }
             }
           }
           .toDF("doc_id", "rerank_score")
         hits.join(broadcast(rrScores), Seq("doc_id"))
           .withColumn("original_score", col("score"))
-          .withColumn("score", col("rerank_score"))
+          .withColumn("score", coalesce(col("rerank_score"), col("original_score")))
           .drop("rerank_score")
       case _ => hits
     }

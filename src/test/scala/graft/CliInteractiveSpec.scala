@@ -1,0 +1,37 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Schemas.Setting
+import graft.index.IndexData
+
+/** Scripted session through the interactive `search` loop (reference
+  * `src/cli.py:345-379`: `search` without `--query` prompts per line). */
+class CliInteractiveSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("interactive search loop answers each line and skips blanks") {
+    import spark.implicits._
+    val corpus = Seq(
+      ("d1", "spark runs fast", Seq("spark", "runs", "fast"), Array(1f, 0f, 0f)),
+      ("d2", "duck db database", Seq("duck", "db", "database"), Array(0f, 1f, 0f)))
+      .toDF("doc_id", "content", "tokens", "embedding")
+      .withColumn("file_path", concat(lit("docs/"), col("doc_id")))
+      .withColumn("header_path", lit(""))
+      .withColumn("line_start", lit(1)).withColumn("line_end", lit(1))
+    val index = IndexData.fromDocuments(corpus,
+      Seq(Setting("embedding_model", "hashing"), Setting("embedding_dim", "3")).toDF())
+
+    val bos = new ByteArrayOutputStream()
+    Cli.interactiveLoop(index, "unused-db", Iterator("spark", "", "   ", "database"),
+      new PrintStream(bos, true, "UTF-8"), k = 3, rerank = false,
+      removeP = None, addP = None)
+
+    val outLines = bos.toString("UTF-8").trim.split("\n").toSeq
+    assert(outLines.length == 2, outLines) // blank lines produce no output
+    assert(outLines.forall(_.startsWith("""{"results":""")), outLines)
+    assert(outLines.head.contains("\"doc_id\":\"d1\""), outLines.head)
+    assert(outLines(1).contains("\"doc_id\":\"d2\""), outLines(1))
+  }
+}

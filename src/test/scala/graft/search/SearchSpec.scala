@@ -86,6 +86,28 @@ class SearchSpec extends AnyFunSuite {
     hits.foreach(r => assert(r.isNullAt(r.fieldIndex("vss_score"))))
   }
 
+  test("throwing reranker degrades to the pre-rerank ordering, not an exception") {
+    val throwing = new graft.rerank.Reranker {
+      def name: String = "throwing"
+      def score(query: String, texts: Seq[String]): Seq[Double] =
+        throw new RuntimeException("model unavailable")
+    }
+    val base = HybridSearch.search(index, "spark database",
+      analyzer = graft.analyze.WhitespaceAnalyzer,
+      embedder = None, reranker = None,
+      opts = HybridSearch.Options(k = 4)).collect()
+    val degraded = HybridSearch.search(index, "spark database",
+      analyzer = graft.analyze.WhitespaceAnalyzer,
+      embedder = None, reranker = Some(throwing),
+      opts = HybridSearch.Options(k = 4)).collect()
+    // reference `src/searcher.py:296-310`: rerank failure restores
+    // original_score — same docs, same scores, same order as no-rerank
+    assert(degraded.map(_.getAs[String]("doc_id")).toSeq ==
+      base.map(_.getAs[String]("doc_id")).toSeq)
+    assert(degraded.map(_.getAs[Double]("score")).toSeq ==
+      base.map(_.getAs[Double]("score")).toSeq)
+  }
+
   test("deterministic reranker reorders by token overlap") {
     val hits = HybridSearch.search(index, "spark runs",
       analyzer = graft.analyze.WhitespaceAnalyzer,
