@@ -14,15 +14,18 @@ import graft.search.HybridSearch
   *                    [--chunk-size N] [--overlap N] [--embedding-dim N]
   *   graft.Cli search --db DIR --query Q [--top-k K] [--no-rerank]
   *                    [--remove-path-prefix P] [--add-path-prefix P]
-  *   graft.Cli serve  --db DIR [--top-k K]
+  *   graft.Cli serve  --db DIR [--top-k K] [--tool-name N] [--tool-description D]
+  *                    [--transport stdio|http] [--port P] [--path /mcp]
+  *                    [--trim-prefix P] [--add-prefix P] [--protocol jsonl]
   * }}}
   *
   * `--db` is the index *directory* (the artifact of SURVEY.md §1.3), not a
-  * DuckDB file. `serve` is the reference's MCP-stdio shape
-  * (`src/server.py:97-103`): JSON lines on stdin
-  * (`{"query": "...", "top_k": 5}`) answered with `{"results": [...]}` on
-  * stdout, over a long-lived SparkSession with the search-path datasets
-  * cached (SURVEY.md §3.3).
+  * DuckDB file. `search` without `--query` enters the interactive loop
+  * (reference `src/cli.py:345-379`). `serve` speaks MCP — JSON-RPC 2.0
+  * initialize / tools/list / tools/call over stdio or http
+  * (`src/server.py:19-98`) — over a long-lived SparkSession with the
+  * search-path datasets cached (SURVEY.md §3.3); `--protocol jsonl` keeps
+  * the legacy one-JSON-per-line protocol.
   */
 object Cli {
 
@@ -168,32 +171,63 @@ object Cli {
     }
 
   /** Minimal JSON-line request parser for `{"query": "...", "top_k": N}` —
-    * the only request shape the reference tool accepts
-    * (`src/server.py:71-95`). */
+    * the legacy pre-MCP protocol, kept under `--protocol jsonl`. */
   private val QueryRe = """"query"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
   private val TopKRe = """"top_k"\s*:\s*(\d+)""".r
 
+  /** `serve` — the reference's MCP server surface (`src/server.py:19-98`):
+    * one configurable search tool (`--tool-name` / `--tool-description`,
+    * defaults matching `server.py:22-23`) over MCP stdio (default) or the
+    * single-response mode of streamable-http (`--transport http`, `--port`,
+    * `--path`). `--protocol jsonl` keeps the legacy one-JSON-per-line shape. */
   private def serveCmd(a: Array[String]): Unit = {
     val db = arg(a, "--db").getOrElse(sys.error("--db required"))
     val defaultK = arg(a, "--top-k").map(_.toInt).getOrElse(5)
+    val removeP = arg(a, "--trim-prefix")
+    val addP = arg(a, "--add-prefix")
     val spark = session()
     val index = IndexData.load(spark, db).cached()
     index.stats.count() // materialize caches before serving
-    System.err.println(s"[graft] serving index $db on stdio; one JSON request per line")
-    scala.io.Source.stdin.getLines().foreach { line =>
-      if (line.trim.nonEmpty) {
-        try {
-          val query = QueryRe.findFirstMatchIn(line)
-            .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
-            .getOrElse(sys.error("missing \"query\""))
-          val k = TopKRe.findFirstMatchIn(line).map(_.group(1).toInt).getOrElse(defaultK)
-          val hits = runSearch(index, db, query, k, rerank = true, None, None)
-          println(s"""{"results":${hitsJson(hits)}}""")
-        } catch {
-          case e: Throwable => println(s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
+
+    def answer(query: String, k: Int): String = {
+      val hits = runSearch(index, db, query, k, rerank = true, removeP, addP)
+      s"""{"results":${hitsJson(hits)}}"""
+    }
+
+    arg(a, "--protocol") match {
+      case Some("jsonl") =>
+        System.err.println(s"[graft] serving index $db on stdio; one JSON request per line")
+        scala.io.Source.stdin.getLines().foreach { line =>
+          if (line.trim.nonEmpty) {
+            try {
+              val query = QueryRe.findFirstMatchIn(line)
+                .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+                .getOrElse(sys.error("missing \"query\""))
+              val k = TopKRe.findFirstMatchIn(line).map(_.group(1).toInt).getOrElse(defaultK)
+              println(answer(query, k))
+            } catch {
+              case e: Throwable => println(s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
+            }
+            System.out.flush()
+          }
         }
-        System.out.flush()
-      }
+      case _ =>
+        val mcp = new graft.serve.McpServer(
+          toolName = arg(a, "--tool-name").getOrElse("search_documents"),
+          toolDescription = arg(a, "--tool-description").getOrElse("Search for local documents"),
+          searchFn = answer)
+        arg(a, "--transport") match {
+          case Some("http") | Some("streamable-http") =>
+            val port = arg(a, "--port").map(_.toInt).getOrElse(8765)
+            val path = arg(a, "--path").getOrElse("/mcp")
+            System.err.println(s"[graft] MCP http server for $db on :$port$path")
+            val server = mcp.runHttp(port, path)
+            try Thread.currentThread().join() // serve until killed
+            finally server.stop(0)
+          case _ =>
+            System.err.println(s"[graft] MCP stdio server for $db")
+            mcp.runStdio(scala.io.Source.stdin.getLines(), System.out)
+        }
     }
     spark.stop()
   }

@@ -1,0 +1,171 @@
+package graft.serve
+
+import com.fasterxml.jackson.databind.node.{JsonNodeFactory, ObjectNode}
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** MCP (Model Context Protocol) server exposing ONE search tool — the
+  * reference's serve surface (`src/server.py:19-98`: FastMCP registering a
+  * configurable `search_documents` tool over stdio or streamable-http).
+  *
+  * The wire protocol is JSON-RPC 2.0, one message per line on stdio:
+  * `initialize` → `notifications/initialized` → `tools/list` /
+  * `tools/call`. Tool results carry the reference-shaped
+  * `{"results": [...]}` JSON as text content. The HTTP transport accepts a
+  * POST with one JSON-RPC message per request and answers with a single
+  * JSON response (the non-streaming mode of MCP's streamable-http).
+  *
+  * Transport-agnostic core: [[handle]] maps a request line to an optional
+  * response line, so stdio, HTTP, and tests share the same logic.
+  */
+final class McpServer(
+    toolName: String,
+    toolDescription: String,
+    searchFn: (String, Int) => String,
+    serverName: String = "graft-hybrid-doc-search",
+    serverVersion: String = "0.2.0") {
+
+  private val mapper = new ObjectMapper()
+  private val f = JsonNodeFactory.instance
+
+  val ProtocolVersion = "2025-03-26"
+
+  private def resp(id: JsonNode): ObjectNode = {
+    val o = f.objectNode()
+    o.put("jsonrpc", "2.0")
+    o.set[ObjectNode]("id", if (id == null) f.nullNode() else id)
+    o
+  }
+
+  private def error(id: JsonNode, code: Int, message: String): String = {
+    val o = resp(id)
+    val e = o.putObject("error")
+    e.put("code", code)
+    e.put("message", message)
+    mapper.writeValueAsString(o)
+  }
+
+  private def toolSpec: ObjectNode = {
+    val t = f.objectNode()
+    t.put("name", toolName)
+    t.put("description", toolDescription)
+    val schema = t.putObject("inputSchema")
+    schema.put("type", "object")
+    val props = schema.putObject("properties")
+    val q = props.putObject("query")
+    q.put("type", "string")
+    q.put("description", "Search query")
+    val k = props.putObject("top_k")
+    k.put("type", "integer")
+    k.put("description", "Number of results to return")
+    k.put("default", 5)
+    schema.putArray("required").add("query")
+    t
+  }
+
+  /** One JSON-RPC message in, at most one response line out (notifications
+    * and malformed non-id messages produce None). */
+  def handle(line: String): Option[String] = {
+    val msg =
+      try mapper.readTree(line)
+      catch { case _: Exception => return Some(error(null, -32700, "parse error")) }
+    val id = msg.get("id")
+    val method = Option(msg.get("method")).map(_.asText()).getOrElse("")
+
+    method match {
+      case _ if method.startsWith("notifications/") => None
+
+      case "initialize" =>
+        val o = resp(id)
+        val r = o.putObject("result")
+        // echo the client's requested version when present (MCP handshake
+        // lets the server pick a mutually-supported version)
+        val pv = Option(msg.get("params")).flatMap(p => Option(p.get("protocolVersion")))
+          .map(_.asText()).getOrElse(ProtocolVersion)
+        r.put("protocolVersion", pv)
+        r.putObject("capabilities").putObject("tools")
+        val si = r.putObject("serverInfo")
+        si.put("name", serverName)
+        si.put("version", serverVersion)
+        Some(mapper.writeValueAsString(o))
+
+      case "ping" =>
+        val o = resp(id)
+        o.putObject("result")
+        Some(mapper.writeValueAsString(o))
+
+      case "tools/list" =>
+        val o = resp(id)
+        o.putObject("result").putArray("tools").add(toolSpec)
+        Some(mapper.writeValueAsString(o))
+
+      case "tools/call" =>
+        val params = Option(msg.get("params")).getOrElse(f.objectNode())
+        val name = Option(params.get("name")).map(_.asText()).getOrElse("")
+        if (name != toolName)
+          Some(error(id, -32602, s"unknown tool: $name"))
+        else {
+          val args = Option(params.get("arguments")).getOrElse(f.objectNode())
+          Option(args.get("query")).map(_.asText()) match {
+            case None => Some(error(id, -32602, "missing required argument: query"))
+            case Some(query) =>
+              val topK = Option(args.get("top_k")).map(_.asInt(5)).getOrElse(5)
+              val o = resp(id)
+              val r = o.putObject("result")
+              val content = r.putArray("content")
+              try {
+                val resultsJson = searchFn(query, topK)
+                val c = content.addObject()
+                c.put("type", "text")
+                c.put("text", resultsJson)
+                r.put("isError", false)
+              } catch {
+                case e: Throwable =>
+                  val c = content.addObject()
+                  c.put("type", "text")
+                  c.put("text", String.valueOf(e.getMessage))
+                  r.put("isError", true)
+              }
+              Some(mapper.writeValueAsString(o))
+          }
+        }
+
+      case _ if id != null =>
+        Some(error(id, -32601, s"method not found: $method"))
+
+      case _ => None // unknown notification
+    }
+  }
+
+  /** stdio transport: one JSON-RPC message per line. */
+  def runStdio(in: Iterator[String], out: java.io.PrintStream): Unit =
+    in.foreach { l =>
+      if (l.trim.nonEmpty) handle(l).foreach { r => out.println(r); out.flush() }
+    }
+
+  /** Minimal streamable-http transport: POST `path` with one JSON-RPC
+    * message, answered with a single JSON body (202 for notifications).
+    * Returns the bound server so callers can stop it. */
+  def runHttp(port: Int, path: String): com.sun.net.httpserver.HttpServer = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(port), 0)
+    server.createContext(path, new com.sun.net.httpserver.HttpHandler {
+      def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        try {
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          McpServer.this.handle(body) match {
+            case Some(r) =>
+              val bytes = r.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              ex.getResponseHeaders.set("Content-Type", "application/json")
+              ex.sendResponseHeaders(200, bytes.length)
+              ex.getResponseBody.write(bytes)
+            case None =>
+              ex.sendResponseHeaders(202, -1)
+          }
+        } finally ex.close()
+      }
+    })
+    server.start()
+    server
+  }
+}
