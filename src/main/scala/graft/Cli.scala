@@ -73,7 +73,13 @@ object Cli {
       chunkSize = arg(a, "--chunk-size").map(_.toInt).getOrElse(512),
       overlap = arg(a, "--overlap").map(_.toInt).getOrElse(50),
       trimPathPrefix = arg(a, "--trim-path-prefix"),
-      clear = flag(a, "--clear"))
+      clear = flag(a, "--clear"),
+      // reference `--splitter` enum (`src/cli.py:71-98`): llama-index ≙
+      // "header" (default), chonkie ≙ "recursive"
+      splitter = arg(a, "--splitter").map(_.toLowerCase).getOrElse("header") match {
+        case "chonkie" | "recursive" => "recursive"
+        case _                       => "header"
+      })
     val dim = arg(a, "--embedding-dim").map(_.toInt).getOrElse(64)
     val index = arg(a, "--embedder").getOrElse("hashing") match {
       case "tfidf" => IndexJob.runTfIdf(spark, docs, db, dim, DefaultAnalyzer, opts)

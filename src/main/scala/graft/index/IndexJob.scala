@@ -25,7 +25,18 @@ object IndexJob {
       overlap: Int = 50,
       trimPathPrefix: Option[String] = None,
       clear: Boolean = true, // reference `--clear`, `src/indexer.py:48-50`
-      embedBatchSize: Int = 8) // reference `src/models/embedding.py:51`
+      embedBatchSize: Int = 8, // reference `src/models/embedding.py:51`
+      // splitter strategy enum (reference `--splitter`, `src/cli.py:71-98`,
+      // factory `src/splitter.py:621-651`): "header" = the llama-index
+      // header strategy (MarkdownChunker), "recursive"/"chonkie" = the
+      // chonkie recursive strategy (RecursiveChunker)
+      splitter: String = "header")
+
+  /** The `--splitter` factory (reference `src/splitter.py:621-651`). */
+  def chunkerFor(opts: Options, analyzer: Analyzer): Chunker = opts.splitter match {
+    case "recursive" | "chonkie" => new graft.analyze.RecursiveChunker(opts.chunkSize, analyzer)
+    case _ => new MarkdownChunker(opts.chunkSize, opts.overlap, analyzer)
+  }
 
   /** Scan directories for markdown files (S1/S2). `binaryFile` pushes the
     * `*.md` glob into file listing (P6) and parallelizes by file. */
@@ -90,7 +101,7 @@ object IndexJob {
       analyzer: Analyzer = DefaultAnalyzer,
       opts: Options = Options()): IndexData = {
     import spark.implicits._
-    val chunker = new MarkdownChunker(opts.chunkSize, opts.overlap, analyzer)
+    val chunker = chunkerFor(opts, analyzer)
     val files = scanMarkdown(spark, dirs)
     val fresh = embedChunks(chunkFiles(files, chunker), embedder, opts)
     // S4 semantics (reference `--clear`, `src/indexer.py:48-50`): with
@@ -132,7 +143,7 @@ object IndexJob {
       analyzer: Analyzer = DefaultAnalyzer,
       opts: Options = Options()): IndexData = {
     import spark.implicits._
-    val chunker = new MarkdownChunker(opts.chunkSize, opts.overlap, analyzer)
+    val chunker = chunkerFor(opts, analyzer)
     val chunks = chunkFiles(scanMarkdown(spark, dirs), chunker).toDF()
     val (embedded, model) = graft.embed.TfIdfEmbed.fitTransform(chunks, "tokens", dim)
     model.save(spark, s"$indexDir/tfidf_model")

@@ -474,6 +474,32 @@ object PipelineQueries {
           " FROM documents ORDER BY doc_id, line_start"
       }),
 
+    // T2 twin for the SECOND splitter strategy (chonkie-recursive,
+    // reference splitter.py:126-218): constant-shaped markdown per document
+    // whose 11 tokens exceed the budget of 8, forcing the header-level
+    // recursive split into two predictable chunks. Exercises the strategy's
+    // observable differences: a chunk's own leading header is excluded from
+    // its header_path, and there is no overlap.
+    Q("q_t2_chunker_recursive",
+      (s, d) => {
+        import s.implicits._
+        val chunker = new graft.analyze.RecursiveChunker(chunkSize = 8)
+        t(s, d, "documents").select(col("doc_id"), col("source"))
+          .as[(Long, String)]
+          .flatMap { case (id, src) =>
+            val md = s"# sec$id\n\nalpha beta gamma\n\n## sub\n\none two three four five six"
+            chunker.chunk(src, md).map(c =>
+              (id, c.filePath, c.headerPath, c.lineStart, c.lineEnd, c.tokens.size.toLong))
+          }
+          .toDF("doc_id", "file_path", "header_path", "line_start", "line_end", "n_tokens")
+          .orderBy("doc_id", "line_start")
+      },
+      Some("SELECT doc_id, source AS file_path, '' AS header_path, " +
+        "1 AS line_start, 3 AS line_end, CAST(4 AS BIGINT) AS n_tokens FROM documents " +
+        "UNION ALL " +
+        "SELECT doc_id, source, 'sec' || doc_id, 5, 7, CAST(7 AS BIGINT) " +
+        "FROM documents ORDER BY doc_id, line_start")),
+
     // MLlib BucketedRandomProjectionLSH approximate kNN — the library ANN
     // scale path. Approximate results are engine-specific, so rows-only
     // gate; accuracy vs brute force is asserted in EmbedSpec.

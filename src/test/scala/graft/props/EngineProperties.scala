@@ -81,4 +81,39 @@ object EngineProperties extends Properties("graft") {
         c.headerPath.isEmpty || c.headerPath.split("/").forall(_.nonEmpty)
       }
     }
+
+  // ---- recursive (chonkie-strategy) chunker invariants ----
+  // Small budget so the generator actually exercises the recursive split +
+  // merge machinery, not just the fits-whole fast path.
+  private val recursive = new graft.analyze.RecursiveChunker(chunkSize = 12)
+
+  property("recursive chunker: line ranges ordered, 1-indexed, monotone, within doc") =
+    forAll(docGen) { doc =>
+      val n = doc.split("\n", -1).length
+      val cs = recursive.chunk("f.md", doc)
+      cs.forall(c => c.lineStart >= 1 && c.lineStart <= c.lineEnd && c.lineEnd <= n) &&
+        cs.zip(cs.drop(1)).forall { case (a, b) => a.lineStart <= b.lineStart }
+    }
+
+  property("recursive chunker: covers every non-whitespace character exactly once") =
+    forAll(docGen) { doc =>
+      val got = recursive.chunk("f.md", doc)
+        .map(_.content.filterNot(_.isWhitespace)).mkString
+      got == FrontMatter.strip(doc).filterNot(_.isWhitespace)
+    }
+
+  property("recursive chunker: analyzer tokens, budget respected on word-shaped docs") =
+    forAll(docGen) { doc =>
+      // every generated word is a single analyzer token, so the hard-split
+      // word groups can never exceed the token budget either
+      recursive.chunk("f.md", doc).forall(c =>
+        c.tokens == DefaultAnalyzer.tokenize(c.content) && c.tokens.size <= 12)
+    }
+
+  property("both chunker strategies: header paths are /-joined non-empty segments") =
+    forAll(docGen) { doc =>
+      recursive.chunk("f.md", doc).forall { c =>
+        c.headerPath.isEmpty || c.headerPath.split("/").forall(_.nonEmpty)
+      }
+    }
 }
