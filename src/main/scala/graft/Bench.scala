@@ -20,11 +20,17 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftStrategies.install(spark)
 
-    // JVM/codegen warmup on a tiny scale factor so the first measured query
-    // doesn't pay one-time JIT + codegen-compile costs.
-    SparkEntry.queries.get("q_f4_bm25_topk")
-      .foreach(fn => fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save())
+    // JVM/codegen warmup: one full pass of EVERY query at the smallest scale
+    // factor, so each measured plan has already paid its one-time
+    // codegen-compile + JIT cost (a single-query warmup left every other
+    // plan's first timed iteration carrying it — on this jittery host that
+    // produced 20× phantom outliers in round 1).
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () } // failures surface in the timed loop
+    }
 
     // Two timed iterations per query, report the min: the host VM's CPU
     // availability fluctuates heavily, and the first execution of a plan pays

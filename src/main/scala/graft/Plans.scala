@@ -16,6 +16,7 @@ object Plans {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftStrategies.install(spark)
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q_f4_bm25_topk", "q_v2_knn", "q_a4_hybrid_fusion", "q_j1_semi_join",
       "q_agg_pricing_summary", "q_agg_nation_revenue", "q_p4_threshold",

@@ -1,0 +1,220 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType, StringType}
+import graft.functions.CosineDistance
+
+/** Plan rewrite: brute-force cosine top-k → the heap-pruned
+  * [[CosineKnnJoin]] operator, automatically.
+  *
+  * Users writing the natural DataFrame formulation of exact kNN —
+  *
+  * {{{
+  *   corpus.crossJoin(broadcast(queryVec))
+  *     .select(col("id"), cosineDist(col("vec"), col("qv")).as("dist"))
+  *     .orderBy(round(col("dist"), 6).asc, col("id").asc)
+  *     .limit(k)
+  * }}}
+  *
+  * — get a plan that computes |corpus| distances, then top-k's them
+  * (`TakeOrderedAndProject`: per-partition k-heaps on the FINAL projected
+  * rows). That is already linear, but it evaluates the distance expression
+  * through the row pipeline and carries every scored row to the sort
+  * operator. This rule rewrites the shape into [[CosineKnnJoin]], which
+  * fuses scoring and heap pruning into one tight primitive loop per corpus
+  * partition and emits only ≤ partitions×k candidates; the original
+  * Sort+Limit stays on top to pick the exact global top-k from those
+  * candidates, so results are bit-identical.
+  *
+  * Matched shape (either Limit arrangement Catalyst produces —
+  * `Limit(Sort(Project(Join)))` or, after `PushProjectionThroughLimit`,
+  * `Limit(Project(Sort(Project(Join))))`):
+  *
+  *  - projection of exactly (id-attribute, `cosine_distance(vec, qvec)`)
+  *    with `vec` a bare corpus attribute, and `qvec` EITHER a bare attribute
+  *    from the other side of a condition-free cross join OR a foldable
+  *    array<float> literal (`cosineDist(col, lit(qv))` — no join at all);
+  *    either argument order (the distance is symmetric);
+  *  - `ORDER BY round(dist, 6) ASC [+0.0 canonicalization], id ASC` —
+  *    exactly the operator's heap ordering. Spark's `round` (BigDecimal
+  *    HALF_UP) never produces `-0.0`, so the rounded sort key and the
+  *    operator's unscaled-long heap key induce the same total order; a sort
+  *    on the UNROUNDED distance is deliberately NOT matched (partition-local
+  *    pruning by the rounded key could then evict a raw-order-better tie);
+  *  - `LIMIT k` with the same literal on both Limit nodes;
+  *  - id type long/int/string (the operator's deterministic tiebreak domain);
+  *  - both vector attributes provably non-null (`IsNotNull` constraint or
+  *    non-nullable schema) — a null distance would sort FIRST under the
+  *    default ASC NULLS FIRST while the operator drops unmatchable rows, so
+  *    without the proof the rule declines rather than change results.
+  *
+  * Like [[graft.ops.Similarity.knnJoin]], the operator excludes NaN
+  * distances (zero-norm vectors) and assumes uniform vector dimensionality;
+  * both are engine-wide embedding-table contracts (a zero-norm or
+  * dim-mismatched vector is never a meaningful neighbor).
+  *
+  * The query side is `executeCollect`ed by the exec — the matched shape is a
+  * broadcast-style cross join, where the planner would collect that side
+  * anyway. Kill switch: `spark.graft.ann.rewrite=false`.
+  *
+  * Install via [[GraftStrategies.install]] (session-local) or
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (cluster-wide).
+  */
+object AnnTopKRewrite extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.ann.rewrite"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(ConfKey, "true").toBoolean) plan
+    else plan.transformDown {
+      case lim @ GlobalLimit(gl @ IntegerLiteral(k), LocalLimit(IntegerLiteral(k2), inner))
+          if k == k2 && k > 0 =>
+        val parts = inner match {
+          case s: Sort => Some((None, s))
+          case p @ Project(_, s: Sort) => Some((Some(p), s))
+          case _ => None
+        }
+        parts.flatMap { case (outerPrj, sort) =>
+          rewrite(k, gl, outerPrj, sort)
+        }.getOrElse(lim)
+    }
+
+  private def rewrite(k: Int, limitLit: Expression, outerPrj: Option[Project],
+      sort: Sort): Option[LogicalPlan] = sort match {
+    case Sort(
+        orders @ Seq(SortOrder(key1, Ascending, _, _), SortOrder(key2, Ascending, _, _)),
+        true,
+        Project(projList, src),
+        hint)
+        if projList.size == 2 =>
+      for {
+        (distAlias, x, y) <- projList.collectFirst {
+          case a @ Alias(CosineDistance(l, r), _) => (a, l, r)
+        }
+        idEntry = projList.find(_.exprId != distAlias.exprId).get
+        idBase <- idEntry match {
+          case a: AttributeReference => Some(a)
+          case Alias(a: AttributeReference, _) => Some(a)
+          case _ => None
+        }
+        if Seq(LongType, IntegerType, StringType).contains(idBase.dataType)
+        if isRound6Of(key1, distAlias.toAttribute) && key2.semanticEquals(idEntry.toAttribute)
+        (corpus, cvec, queryPlan) <- resolveSides(src, x, y, idBase)
+        if provablyNotNull(corpus, cvec)
+      } yield {
+        val left = Project(Seq(idBase, cvec), corpus)
+        val knn = CosineKnnJoin(left, queryPlan, k)
+        // rebind the dist column to the operator's output, keeping the
+        // original exprId so the untouched Sort/Limit/outer plans resolve
+        val rebound = projList.map {
+          case a @ Alias(_: CosineDistance, name) =>
+            Alias(knn.distAttr, name)(exprId = a.exprId, qualifier = a.qualifier)
+          case other => other
+        }
+        val newSort = Sort(orders, global = true, Project(rebound, knn), hint)
+        val newInner: LogicalPlan = outerPrj.map(p => p.copy(child = newSort)).getOrElse(newSort)
+        GlobalLimit(limitLit, LocalLimit(limitLit, newInner))
+      }
+    case _ => None
+  }
+
+  /** Two supported sources for the query vector:
+    *  - a cross-joined query-side plan (both cosine args are attributes);
+    *  - a foldable literal (`cosineDist(vec, lit(qv))`) — becomes a
+    *    single-row [[LocalRelation]] query side.
+    * Returns (corpus plan, corpus vector attr, (qid, qvec) query plan). */
+  private def resolveSides(src: LogicalPlan, x: Expression, y: Expression,
+      id: AttributeReference)
+      : Option[(LogicalPlan, AttributeReference, LogicalPlan)] = (src, x, y) match {
+    case (Join(jl, jr, jt, cond, _), va: AttributeReference, vb: AttributeReference)
+        if (jt == Cross || jt == Inner) && cond.forall(_ == Literal.TrueLiteral) =>
+      pickSides(jl, jr, va, vb, id).flatMap { case (corpus, query, cvec, qvec) =>
+        if (provablyNotNull(query, qvec)) {
+          Some((corpus, cvec,
+            Project(Seq(Alias(Literal(0L), "qid")(), Alias(qvec, "qvec")()), query)))
+        } else None
+      }
+    case (_, va: AttributeReference, qlit: Literal) =>
+      literalQuerySide(qlit).flatMap { q =>
+        if (src.outputSet.contains(va) && src.outputSet.contains(id)) Some((src, va, q))
+        else None
+      }
+    case (_, qlit: Literal, vb: AttributeReference) =>
+      literalQuerySide(qlit).flatMap { q =>
+        if (src.outputSet.contains(vb) && src.outputSet.contains(id)) Some((src, vb, q))
+        else None
+      }
+    case _ => None
+  }
+
+  /** A non-null, non-empty, finite, nonzero-norm literal query vector as a
+    * one-row (qid, qvec) LocalRelation; None declines the rewrite (a
+    * zero-norm or non-finite query makes every distance NaN, which the
+    * original plan sorts LAST but the operator drops). */
+  private def literalQuerySide(qlit: Literal): Option[LogicalPlan] = qlit match {
+    case Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+        t @ ArrayType(FloatType, _)) if arr != null && arr.numElements() > 0 =>
+      val fs = arr.toFloatArray()
+      var norm = 0.0
+      fs.foreach(f => norm += f.toDouble * f.toDouble)
+      if (java.lang.Double.isFinite(norm) && norm > 0.0) {
+        val out = Seq(
+          AttributeReference("qid", LongType, nullable = false)(),
+          AttributeReference("qvec", t, nullable = false)())
+        Some(LocalRelation(out, Seq(InternalRow(0L, arr.copy())), isStreaming = false))
+      } else None
+    case _ => None
+  }
+
+  private def pickSides(jl: LogicalPlan, jr: LogicalPlan, va: AttributeReference,
+      vb: AttributeReference, id: AttributeReference)
+      : Option[(LogicalPlan, LogicalPlan, AttributeReference, AttributeReference)] =
+    if (jl.outputSet.contains(va) && jl.outputSet.contains(id) && jr.outputSet.contains(vb)) {
+      Some((jl, jr, va, vb))
+    } else if (jl.outputSet.contains(vb) && jl.outputSet.contains(id) && jr.outputSet.contains(va)) {
+      Some((jl, jr, vb, va))
+    } else if (jr.outputSet.contains(va) && jr.outputSet.contains(id) && jl.outputSet.contains(vb)) {
+      Some((jr, jl, va, vb))
+    } else if (jr.outputSet.contains(vb) && jr.outputSet.contains(id) && jl.outputSet.contains(va)) {
+      Some((jr, jl, vb, va))
+    } else None
+
+  /** `round(dist, 6)`, optionally `+ 0.0` on either side (the engine's
+    * signed-zero canonicalization `Q.r6`; `+0.0` maps `-0.0` to `0.0` and is
+    * order-preserving, so both spellings induce the heap-key order). */
+  private def isRound6Of(e: Expression, dist: Attribute): Boolean = e match {
+    case Round(c, Literal(6, IntegerType), _) => c.semanticEquals(dist)
+    case a: Add =>
+      (isRound6Of(a.left, dist) && isPositiveZero(a.right)) ||
+        (isPositiveZero(a.left) && isRound6Of(a.right, dist))
+    case _ => false
+  }
+
+  private def isPositiveZero(e: Expression): Boolean = e match {
+    // +0.0 exactly — adding -0.0 would NOT canonicalize (-0.0 + -0.0 = -0.0)
+    case Literal(v: Double, DoubleType) => java.lang.Double.doubleToRawLongBits(v) == 0L
+    case _ => false
+  }
+
+  /** Null rows sort first under ASC NULLS FIRST but the operator drops them;
+    * only rewrite when the plan proves no nulls reach the distance. */
+  private def provablyNotNull(plan: LogicalPlan, a: Attribute): Boolean =
+    !a.nullable || plan.constraints.exists {
+      case IsNotNull(x: Attribute) => x.semanticEquals(a)
+      case _ => false
+    }
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions`: cluster-wide
+  * registration of the engine's planner strategy and optimizer rules. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => CosineKnnStrategy)
+    ext.injectOptimizerRule(_ => AnnTopKRewrite)
+  }
+}

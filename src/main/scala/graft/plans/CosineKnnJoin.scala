@@ -199,9 +199,14 @@ object CosineKnnStrategy extends SparkStrategy {
 }
 
 object GraftStrategies {
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(CosineKnnStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ CosineKnnStrategy
     }
+    if (!spark.experimental.extraOptimizations.contains(AnnTopKRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AnnTopKRewrite
+    }
+  }
 }

@@ -38,9 +38,12 @@ object SearchQueries {
       .withColumnRenamed("score", "fts_score")
   }
 
-  /** Cosine-distance leg: embeddings as doc vectors, query vector = vec 0. */
+  /** Cosine-distance leg: embeddings as doc vectors, query vector = vec 0.
+    * The `isNotNull` guard (a no-op on this data) puts an `IsNotNull`
+    * constraint in the plan so [[graft.plans.AnnTopKRewrite]] can prove the
+    * top-k rewrite safe. */
   private def vssAll(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "embeddings")
+    val e = t(s, d, "embeddings").filter(col("embedding").isNotNull)
     val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     e.crossJoin(broadcast(qv))
       .select(col("vec_id").as("doc_id"),

@@ -82,7 +82,10 @@ object HybridSearch {
     documents
       .filter(col("embedding").isNotNull)
       .select(col("doc_id"), VectorOps.cosineDist(col("embedding"), qv).as("vss_score"))
-      .orderBy(col("vss_score").asc, col("doc_id").asc)
+      // engine-wide determinism convention (Q rules): cut lines order by the
+      // ROUNDED score + unique id — also the exact shape AnnTopKRewrite
+      // turns into the CosineKnnJoin heap plan
+      .orderBy(round(col("vss_score"), 6).asc, col("doc_id").asc)
       .limit(k)
   }
 

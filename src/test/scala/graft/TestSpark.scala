@@ -14,6 +14,7 @@ object TestSpark {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftStrategies.install(s)
     s
   }
 }

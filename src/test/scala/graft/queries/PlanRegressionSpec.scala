@@ -25,8 +25,12 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
-  test("vector top-k plans as TakeOrderedAndProject, no global sort of the corpus") {
+  test("vector top-k rewrites to the heap operator; top-k never global-sorts") {
     val p = plan("q_v2_knn")
+    // AnnTopKRewrite turns the brute-force crossJoin+sort+limit into
+    // CosineKnnJoin; the remaining Sort+Limit over its ≤partitions×k
+    // candidates plans as TakeOrderedAndProject.
+    assert(p.contains("CosineKnnJoin"), p.take(800))
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
   }
 
