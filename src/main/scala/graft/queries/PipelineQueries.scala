@@ -26,6 +26,48 @@ object PipelineQueries {
 
   private val HourNs = 3600000000000L
 
+  /** LSH candidate pairs verified with exact Jaccard (rounded) — shared by
+    * the pairs query and the dup-cluster components query. Candidates only
+    * form inside a band bucket; never an all-pairs join. */
+  private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = Dedup.withMinhashSignature(
+      docs(s, d).filter(size(col("tokens")) >= 3), "tokens")
+    val bands = sig.select(col("doc_id"), explode(array(
+      struct(lit(0).as("band"), col("band0").as("bucket")),
+      struct(lit(1).as("band"), col("band1").as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val shingleSets = docs(s, d).filter(size(col("tokens")) >= 3)
+      .select(col("doc_id"), array_distinct(Dedup.shingles(col("tokens"))).as("ds"))
+    pairs
+      .join(shingleSets.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
+      .join(shingleSets.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(Dedup.jaccard(col("dsa"), col("dsb")), 6).as("jaccard"))
+  }
+
+  /** Oracle mirror of [[minhashVerifiedPairs]]: CTE chain ending in
+    * `verified(doc_a, doc_b, jaccard)`. */
+  private val minhashPairsCtes: String = {
+    val sh = Dedup.shinglesSql("toks")
+    val hs = s"list_transform($sh, s -> ${Dedup.tokHashSql("s")})"
+    val mhs = (0 until Dedup.NumHashes).map(j => s"${Dedup.minhashSql("hs", j)} AS mh$j")
+    s"${Q.toksCte}, " +
+      s"shc AS (SELECT doc_id, list_distinct($sh) AS ds, $hs AS hs FROM toks WHERE len(toks) >= 3), " +
+      s"mh AS (SELECT doc_id, ${mhs.mkString(", ")} FROM shc), " +
+      s"bands AS (SELECT doc_id, 0 AS band, ${Dedup.bandBucketSql((0 until 8).map(j => s"mh$j"), 0)} AS bucket FROM mh " +
+      s"UNION ALL SELECT doc_id, 1, ${Dedup.bandBucketSql((0 until 8).map(j => s"mh$j"), 1)} FROM mh), " +
+      "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b " +
+      "ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
+      "verified AS (SELECT doc_a, doc_b, " +
+      s"round(${Dedup.jaccardSql("sa.ds", "sb.ds")}, 6) AS jaccard " +
+      "FROM pairs JOIN shc sa ON pairs.doc_a = sa.doc_id JOIN shc sb ON pairs.doc_b = sb.doc_id)"
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- Deduplication ----
@@ -60,43 +102,37 @@ object PipelineQueries {
     // LSH candidate pairs + exact-Jaccard verification (full corpus).
     // Candidates only form inside a band bucket — never an all-pairs join.
     Q("q_dedup_minhash_pairs",
+      (s, d) => minhashVerifiedPairs(s, d).orderBy("doc_a", "doc_b"),
+      Some(s"WITH $minhashPairsCtes " +
+        "SELECT doc_a, doc_b, jaccard FROM verified ORDER BY doc_a, doc_b")),
+
+    // Dup-CLUSTER resolution: connected components over the verified LSH
+    // pairs (jaccard ≥ 0.5 edges). Pairwise near-dup hits aren't a dedup
+    // decision yet — if A≈B and B≈C all three are one cluster and exactly
+    // one canonical doc (min id) survives. Min-label propagation, one
+    // equi-join shuffle per round, rounds = cluster diameter (see
+    // graft.ops.Components for the 100 TB posture).
+    Q("q_dedup_components",
       (s, d) => {
-        val sig = Dedup.withMinhashSignature(
-          docs(s, d).filter(size(col("tokens")) >= 3), "tokens")
-        val bands = sig.select(col("doc_id"), explode(array(
-          struct(lit(0).as("band"), col("band0").as("bucket")),
-          struct(lit(1).as("band"), col("band1").as("bucket")))).as("bb"))
-          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-        val pairs = bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        val shingleSets = docs(s, d).filter(size(col("tokens")) >= 3)
-          .select(col("doc_id"), array_distinct(Dedup.shingles(col("tokens"))).as("ds"))
-        pairs
-          .join(shingleSets.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
-          .join(shingleSets.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            round(Dedup.jaccard(col("dsa"), col("dsb")), 6).as("jaccard"))
-          .orderBy("doc_a", "doc_b")
+        val edges = minhashVerifiedPairs(s, d).filter(col("jaccard") >= 0.5)
+        val nodes = t(s, d, "documents").select(col("doc_id"))
+        val comp = graft.ops.Components.connectedComponents(
+          nodes, "doc_id", edges, "doc_a", "doc_b")
+        val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+        comp.join(sizes, Seq("comp"))
+          .select(col("id").as("doc_id"), col("comp").as("component"),
+            col("cluster_size"), (col("id") === col("comp")).as("is_canonical"))
+          .orderBy("doc_id")
       },
-      Some {
-        val sh = Dedup.shinglesSql("toks")
-        val hs = s"list_transform($sh, s -> ${Dedup.tokHashSql("s")})"
-        val mhs = (0 until Dedup.NumHashes).map(j => s"${Dedup.minhashSql("hs", j)} AS mh$j")
-        s"WITH ${Q.toksCte}, " +
-          s"shc AS (SELECT doc_id, list_distinct($sh) AS ds, $hs AS hs FROM toks WHERE len(toks) >= 3), " +
-          s"mh AS (SELECT doc_id, ${mhs.mkString(", ")} FROM shc), " +
-          s"bands AS (SELECT doc_id, 0 AS band, ${Dedup.bandBucketSql((0 until 8).map(j => s"mh$j"), 0)} AS bucket FROM mh " +
-          s"UNION ALL SELECT doc_id, 1, ${Dedup.bandBucketSql((0 until 8).map(j => s"mh$j"), 1)} FROM mh), " +
-          "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b " +
-          "ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id) " +
-          "SELECT doc_a, doc_b, " +
-          s"round(${Dedup.jaccardSql("sa.ds", "sb.ds")}, 6) AS jaccard " +
-          "FROM pairs JOIN shc sa ON pairs.doc_a = sa.doc_id JOIN shc sb ON pairs.doc_b = sb.doc_id " +
-          "ORDER BY doc_a, doc_b"
-      }),
+      Some(s"WITH RECURSIVE $minhashPairsCtes, " +
+        "edges AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5), " +
+        "sym AS (SELECT doc_a AS a, doc_b AS b FROM edges UNION SELECT doc_b, doc_a FROM edges), " +
+        "reach(x, r) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.x), " +
+        "comp AS (SELECT x AS doc_id, min(r) AS component FROM reach GROUP BY x), " +
+        "cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY component) " +
+        "SELECT doc_id, component, cluster_size, doc_id = component AS is_canonical " +
+        "FROM comp JOIN cs USING (component) ORDER BY doc_id")),
 
     // 16-bit SimHash signatures (bounded sample)
     Q("q_dedup_simhash",
@@ -344,6 +380,47 @@ object PipelineQueries {
       Some(s"WITH ${Q.toksCte} SELECT doc_id, " +
         s"${TextAnalysis.fingerprintSql("toks")} AS fp, md5(text) AS content_md5 " +
         "FROM toks JOIN documents USING (doc_id) ORDER BY doc_id")),
+
+    // ---- Corpus curation ----
+
+    // Deterministic stratified sampling: md5-prefix threshold with a
+    // per-language rate (en downsampled to ~25%, the rest ~50%). Map-only,
+    // no RNG state — the same doc is kept on every run, on any cluster, so
+    // a 100 TB sample is reproducible and resumable shard by shard.
+    Q("q_sample_stratified",
+      (s, d) => t(s, d, "documents")
+        .withColumn("h", substring(md5(col("text")), 1, 8))
+        .filter(col("h") < when(col("lang") === "en", lit("40000000"))
+          .otherwise(lit("80000000")))
+        .select(col("doc_id"), col("lang"), col("h"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, lang, substr(md5(text), 1, 8) AS h FROM documents " +
+        "WHERE substr(md5(text), 1, 8) < CASE WHEN lang = 'en' THEN '40000000' ELSE '80000000' END " +
+        "ORDER BY doc_id")),
+
+    // Sequence packing for pretraining: docs stream into fixed token-budget
+    // packs (budget 2048) in deterministic doc_id order WITHIN each language
+    // partition — the shuffle key is the partition column, the cumsum is a
+    // per-group window, and no global ordering is ever required (a single
+    // global cumsum would serialize the corpus through one reducer).
+    Q("q_pack_sequences",
+      (s, d) => {
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs(s, d).join(t(s, d, "documents").select("doc_id", "lang"), Seq("doc_id"))
+          .withColumn("n_tokens", size(col("tokens")).cast("long"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            floor((col("cum") - col("n_tokens")) / lit(2048.0)).cast("long").as("pack_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH ${Q.toksCte}, " +
+        "tk AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens " +
+        "FROM toks JOIN documents USING (doc_id)), " +
+        "c AS (SELECT doc_id, lang, n_tokens, sum(n_tokens) OVER " +
+        "(PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM tk) " +
+        "SELECT doc_id, lang, n_tokens, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id " +
+        "FROM c ORDER BY doc_id")),
 
     // ---- Multimodal plumbing ----
 
