@@ -422,6 +422,73 @@ object PipelineQueries {
         "SELECT doc_id, lang, n_tokens, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id " +
         "FROM c ORDER BY doc_id")),
 
+    // Benchmark decontamination: fraction of each training doc's distinct
+    // shingles that appear anywhere in the benchmark subset (docs 0-24
+    // stand in for an eval set). The standard pretraining hygiene pass:
+    // explode shingles once, broadcast the (small) benchmark shingle set,
+    // count hits per doc — at 100 TB the only shuffle is the per-doc
+    // aggregation; the benchmark side stays a broadcast however big the
+    // corpus grows.
+    Q("q_decontaminate",
+      (s, d) => {
+        val sh = docs(s, d).filter(size(col("tokens")) >= 3)
+          .select(col("doc_id"),
+            explode(array_distinct(Dedup.shingles(col("tokens")))).as("sh"))
+        val bench = sh.filter(col("doc_id") < 25).select("sh").distinct()
+        sh.filter(col("doc_id") >= 25)
+          .join(broadcast(bench.withColumn("hit", lit(1L))), Seq("sh"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+          .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+            Q.r6(col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+              .as("contamination"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH ${Q.toksCte}, " +
+        s"shx AS (SELECT doc_id, unnest(list_distinct(${Dedup.shinglesSql("toks")})) AS sh " +
+        "FROM toks WHERE len(toks) >= 3), " +
+        "bench AS (SELECT DISTINCT sh FROM shx WHERE doc_id < 25), " +
+        "tr AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles, " +
+        "CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated " +
+        "FROM shx s LEFT JOIN bench b ON s.sh = b.sh WHERE s.doc_id >= 25 GROUP BY s.doc_id) " +
+        "SELECT doc_id, n_shingles, n_contaminated, " +
+        s"${Q.r6Sql("CAST(n_contaminated AS DOUBLE) / CAST(n_shingles AS DOUBLE)")} AS contamination " +
+        "FROM tr ORDER BY doc_id")),
+
+    // Embedding QA: per-(label, dimension) centroid and variance — the
+    // drift/collapse monitor for an embedding pipeline. Floats are
+    // quantized to 1e-6 integers BEFORE summing (floor(v·1e6 + 0.5), exact
+    // long arithmetic), so the aggregate is order-independent: Spark's
+    // partial/final aggregation tree and DuckDB's sequential sum get the
+    // SAME integer, and the round-6 oracle can never flake on double
+    // summation order. One explode + one partial-agg'd groupBy; no window.
+    Q("q_embed_centroids",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val nD = col("n")
+        e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(col("label"), col("pos").cast("long").as("pos"),
+            floor(col("v").cast("double") * 1e6 + 0.5).cast("long").as("sv"))
+          .groupBy("label", "pos")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(col("sv")).cast("double").as("s"),
+            sum(col("sv") * col("sv")).cast("double").as("ss"))
+          .select(col("label"), col("pos"),
+            Q.r6(col("s") / (nD * 1e6)).as("centroid"),
+            Q.r6((col("ss") - col("s") * col("s") / nD) / ((nD - 1.0) * 1e12)).as("dim_var"))
+          .orderBy("label", "pos")
+      },
+      Some("WITH ex AS (SELECT label, CAST(i - 1 AS BIGINT) AS pos, " +
+        "CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS sv " +
+        "FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i) WHERE i <= len(embedding)), " +
+        "ag AS (SELECT label, pos, CAST(count(*) AS DOUBLE) AS n, " +
+        "CAST(sum(sv) AS DOUBLE) AS s, CAST(sum(sv * sv) AS DOUBLE) AS ss " +
+        "FROM ex GROUP BY label, pos) " +
+        s"SELECT label, pos, ${Q.r6Sql("s / (n * 1e6)")} AS centroid, " +
+        s"${Q.r6Sql("(ss - s * s / n) / ((n - 1.0) * 1e12)")} AS dim_var " +
+        "FROM ag ORDER BY label, pos")),
+
     // ---- Multimodal plumbing ----
 
     // Binary payload + batched stub decode via mapPartitions (the
