@@ -356,6 +356,65 @@ object PipelineQueries {
         s"round(${TextAnalysis.qualityScoreSql("n_tok", "stop_ratio")}, 6) AS quality " +
         "FROM r ORDER BY doc_id")),
 
+    // Repetition ratio (Gopher-style rep-3gram): fraction of a doc's 3-gram
+    // occurrences that are duplicates — high values flag boilerplate/looped
+    // generations. Map-only list arithmetic, no shuffle.
+    Q("q_text_repetition",
+      (s, d) => docs(s, d).filter(size(col("tokens")) >= 3)
+        .withColumn("sh", Dedup.shingles(col("tokens")))
+        .select(col("doc_id"),
+          size(col("sh")).cast("long").as("n_ngrams"),
+          size(array_distinct(col("sh"))).cast("long").as("n_distinct"))
+        .select(col("doc_id"), col("n_ngrams"), col("n_distinct"),
+          Q.r6(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams").cast("double"))
+            .as("rep_ratio"))
+        .orderBy("doc_id"),
+      Some(s"WITH ${Q.toksCte}, " +
+        s"sh AS (SELECT doc_id, ${Dedup.shinglesSql("toks")} AS sh FROM toks WHERE len(toks) >= 3), " +
+        "m AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_ngrams, " +
+        "CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct FROM sh) " +
+        "SELECT doc_id, n_ngrams, n_distinct, " +
+        s"${Q.r6Sql("1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_ngrams AS DOUBLE)")} AS rep_ratio " +
+        "FROM m ORDER BY doc_id")),
+
+    // The curation DECISION: compose length, quality-score and repetition
+    // signals into keep/drop + first-failing-reason — the single-pass filter
+    // verdict a pretraining pipeline applies before anything expensive
+    // (dedup, embedding) runs. Thresholds compare ROUNDED signals so both
+    // engines agree at rule boundaries.
+    Q("q_quality_gate",
+      (s, d) => {
+        val base = docs(s, d).filter(size(col("tokens")) >= 3)
+          .withColumn("n_tokens", size(col("tokens")).cast("long"))
+          .withColumn("stop_ratio",
+            TextAnalysis.stopwordCount(col("tokens")).cast("double") /
+              col("n_tokens").cast("double"))
+          .withColumn("quality",
+            Q.r6(TextAnalysis.qualityScore(col("n_tokens"), col("stop_ratio"))))
+          .withColumn("sh", Dedup.shingles(col("tokens")))
+          .withColumn("rep_ratio", Q.r6(lit(1.0) -
+            size(array_distinct(col("sh"))).cast("double") /
+              size(col("sh")).cast("double")))
+        base.select(col("doc_id"), col("n_tokens"), col("quality"), col("rep_ratio"),
+            when(col("n_tokens") < 20, "too_short")
+              .when(col("quality") < 0.5, "low_quality")
+              .when(col("rep_ratio") > 0.2, "repetitive").as("drop_reason"))
+          .withColumn("keep", col("drop_reason").isNull)
+          .orderBy("doc_id")
+      },
+      Some(s"WITH ${Q.toksCte}, " +
+        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        s"${TextAnalysis.stopwordCountSql("toks")} AS n_stop, " +
+        s"${Dedup.shinglesSql("toks")} AS sh FROM toks WHERE len(toks) >= 3), " +
+        "r AS (SELECT doc_id, n_tokens, " +
+        s"${Q.r6Sql(TextAnalysis.qualityScoreSql("n_tokens", "CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)"))} AS quality, " +
+        s"${Q.r6Sql("1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE)")} AS rep_ratio FROM m), " +
+        "v AS (SELECT doc_id, n_tokens, quality, rep_ratio, " +
+        "CASE WHEN n_tokens < 20 THEN 'too_short' WHEN quality < 0.5 THEN 'low_quality' " +
+        "WHEN rep_ratio > 0.2 THEN 'repetitive' END AS drop_reason FROM r) " +
+        "SELECT doc_id, n_tokens, quality, rep_ratio, drop_reason, " +
+        "drop_reason IS NULL AS keep FROM v ORDER BY doc_id")),
+
     // Token counting: whitespace + regex ("BPE-ish" fixed-width pieces)
     Q("q_text_tokencount",
       (s, d) => docs(s, d)
