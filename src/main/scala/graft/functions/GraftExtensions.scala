@@ -2,18 +2,25 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-/** Registers the engine's native functions for SQL use:
+/** The engine's single `spark.sql.extensions` entry point: native SQL
+  * functions, the [[graft.plans.CosineKnnStrategy]] planner strategy, and
+  * the [[graft.plans.AnnTopKRewrite]] optimizer rule.
   *
   * {{{
   *   spark.sql("SELECT cosine_distance(embedding, qv) FROM ...")
+  *   // brute-force cosine top-k auto-rewrites to the CosineKnnJoin heap plan
   * }}}
   *
   * Install either at session build time
-  * (`SparkSession.builder().withExtensions(new GraftExtensions)`) or on a
-  * live session via [[GraftExtensions.register]].
+  * (`SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`) or on a
+  * live session via [[GraftExtensions.register]] +
+  * [[graft.plans.GraftStrategies.install]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => graft.plans.CosineKnnStrategy)
+    e.injectOptimizerRule(_ => graft.plans.AnnTopKRewrite)
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_distance"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -1,6 +1,5 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
@@ -63,7 +62,7 @@ import graft.functions.CosineDistance
   * anyway. Kill switch: `spark.graft.ann.rewrite=false`.
   *
   * Install via [[GraftStrategies.install]] (session-local) or
-  * `spark.sql.extensions=graft.plans.GraftExtensions` (cluster-wide).
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (cluster-wide).
   */
 object AnnTopKRewrite extends Rule[LogicalPlan] {
 
@@ -96,7 +95,9 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
         (distAlias, x, y) <- projList.collectFirst {
           case a @ Alias(CosineDistance(l, r), _) => (a, l, r)
         }
-        idEntry = projList.find(_.exprId != distAlias.exprId).get
+        // a duplicate-exprId projection (Project([a, a])) has no id entry —
+        // decline rather than throw inside the optimizer
+        idEntry <- projList.find(_.exprId != distAlias.exprId)
         idBase <- idEntry match {
           case a: AttributeReference => Some(a)
           case Alias(a: AttributeReference, _) => Some(a)
@@ -210,11 +211,6 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
     }
 }
 
-/** `spark.sql.extensions=graft.plans.GraftExtensions`: cluster-wide
-  * registration of the engine's planner strategy and optimizer rules. */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectPlannerStrategy(_ => CosineKnnStrategy)
-    ext.injectOptimizerRule(_ => AnnTopKRewrite)
-  }
-}
+// Cluster-wide registration (strategy + rule + SQL functions) lives in
+// graft.functions.GraftExtensions — the engine's single
+// `spark.sql.extensions` entry point.

@@ -466,8 +466,9 @@ object PipelineQueries {
       (s, d) => {
         val w = Window.partitionBy("lang").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        docs(s, d).join(t(s, d, "documents").select("doc_id", "lang"), Seq("doc_id"))
-          .withColumn("n_tokens", size(col("tokens")).cast("long"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
           .withColumn("cum", sum(col("n_tokens")).over(w))
           .select(col("doc_id"), col("lang"), col("n_tokens"),
             floor((col("cum") - col("n_tokens")) / lit(2048.0)).cast("long").as("pack_id"))

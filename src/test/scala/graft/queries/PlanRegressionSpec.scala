@@ -60,6 +60,23 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("decontamination broadcasts the benchmark shingle set") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("sequence packing windows per language, never a global cumsum") {
+    val p = plan("q_pack_sequences")
+    assert(p.contains("Exchange hashpartitioning(lang"), p.take(1200))
+  }
+
+  test("embedding centroids aggregate with a map-side partial") {
+    val p = plan("q_embed_centroids")
+    assert(p.contains("partial_"), p.take(1200))
+    assert(p.contains("Exchange hashpartitioning(label"), p.take(1200))
+  }
+
   test("self-contained BM25 builds the postings subtree once") {
     val p = plan("q_f4_bm25_topk")
     // one Generate (explode) for postings; a second would mean the df branch

@@ -108,6 +108,12 @@ class SearchSpec extends AnyFunSuite {
       base.map(_.getAs[Double]("score")).toSeq)
   }
 
+  test("P5: a query matching no document returns empty, not an error") {
+    val res = HybridSearch.search(index, "zzz qqq nothing_matches_this",
+      analyzer = graft.analyze.WhitespaceAnalyzer, embedder = None, reranker = None)
+    assert(res.collect().isEmpty)
+  }
+
   test("deterministic reranker reorders by token overlap") {
     val hits = HybridSearch.search(index, "spark runs",
       analyzer = graft.analyze.WhitespaceAnalyzer,
