@@ -221,13 +221,15 @@ object Cli {
         val mcp = new graft.serve.McpServer(
           toolName = arg(a, "--tool-name").getOrElse("search_documents"),
           toolDescription = arg(a, "--tool-description").getOrElse("Search for local documents"),
-          searchFn = answer)
+          searchFn = answer,
+          defaultTopK = defaultK)
         arg(a, "--transport") match {
           case Some("http") | Some("streamable-http") =>
             val port = arg(a, "--port").map(_.toInt).getOrElse(8765)
             val path = arg(a, "--path").getOrElse("/mcp")
-            System.err.println(s"[graft] MCP http server for $db on :$port$path")
-            val server = mcp.runHttp(port, path)
+            val host = arg(a, "--host").getOrElse("127.0.0.1")
+            System.err.println(s"[graft] MCP http server for $db on $host:$port$path")
+            val server = mcp.runHttp(port, path, host)
             try Thread.currentThread().join() // serve until killed
             finally server.stop(0)
           case _ =>

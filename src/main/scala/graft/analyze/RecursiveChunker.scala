@@ -42,6 +42,74 @@ final class RecursiveChunker(
     val text = FrontMatter.strip(rawText)
     if (text.trim.isEmpty) return Seq.empty
 
+    // One forward pass builds the line index (start offsets) and the header
+    // index (line idx, level, title) — per-chunk lookups are then binary
+    // searches instead of full-prefix substring+split rescans, keeping a
+    // many-chunk document O(n log n) rather than O(n × chunks).
+    val lineStarts = {
+      val b = Array.newBuilder[Int]
+      b += 0
+      var i = 0
+      while (i < text.length) { if (text(i) == '\n') b += i + 1; i += 1 }
+      b.result()
+    }
+    val headerIdx = {
+      val b = Vector.newBuilder[(Int, Int, String)] // (line idx, level, title)
+      var li = 0
+      while (li < lineStarts.length) {
+        val st = lineStarts(li)
+        val en = if (li + 1 < lineStarts.length) lineStarts(li + 1) - 1 else text.length
+        val line = text.substring(st, en)
+        if (HeaderLine.matches(line)) {
+          b += ((li, line.takeWhile(_ == '#').length, line.dropWhile(_ == '#').trim))
+        }
+        li += 1
+      }
+      b.result()
+    }
+    def lineOf(off: Int): Int = {
+      // last line start <= off
+      var lo = 0; var hi = lineStarts.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (lineStarts(mid) <= off) lo = mid else hi = mid - 1
+      }
+      lo
+    }
+    def headerPathAt(off: Int): String = {
+      val li = lineOf(off)
+      var headers = List.empty[String]
+      var current = Int.MaxValue
+      def consider(level: Int, title: String): Unit =
+        if (level < current) {
+          current = level
+          // a bare "##" line resets nesting but contributes no segment —
+          // header paths are /-joined NON-EMPTY segments
+          if (title.nonEmpty) headers = title :: headers
+        }
+      // the partial current line before the chunk start counts as preceding
+      // text (reference semantics: header path derives from text[0:off))
+      val partial = text.substring(lineStarts(li), off)
+      if (partial.nonEmpty && HeaderLine.matches(partial))
+        consider(partial.takeWhile(_ == '#').length, partial.dropWhile(_ == '#').trim)
+      // full lines strictly before, walked backwards through the header index
+      var hi = {
+        var res = -1
+        var lo = 0; var h = headerIdx.length - 1
+        while (lo <= h) {
+          val mid = (lo + h) >>> 1
+          if (headerIdx(mid)._1 < li) { res = mid; lo = mid + 1 } else h = mid - 1
+        }
+        res
+      }
+      while (hi >= 0) {
+        val (_, level, title) = headerIdx(hi)
+        consider(level, title)
+        hi -= 1
+      }
+      headers.mkString("/")
+    }
+
     val spans = rec(text, 0, text.length, level = 0)
     spans.flatMap { case (s0, e0) =>
       // trim whitespace edges, preserving offsets for line numbers
@@ -54,36 +122,13 @@ final class RecursiveChunker(
         val content = text.substring(s, e)
         Some(Chunk(
           filePath = filePath,
-          headerPath = headerPathBefore(text, s),
-          lineStart = countNl(text, s) + 1 + skipped,
-          lineEnd = countNl(text, e) + 1 + skipped,
+          headerPath = headerPathAt(s),
+          lineStart = lineOf(s) + 1 + skipped,
+          lineEnd = lineOf(e) + 1 + skipped,
           content = content,
           tokens = analyzer.tokenize(content)))
       }
     }
-  }
-
-  private def countNl(text: String, until: Int): Int = {
-    var n = 0; var i = 0
-    while (i < until) { if (text(i) == '\n') n += 1; i += 1 }
-    n
-  }
-
-  /** Reference `src/splitter.py:174-200`: walk the preceding lines backwards,
-    * collecting each header strictly higher-level than any already seen. */
-  private def headerPathBefore(text: String, off: Int): String = {
-    var headers = List.empty[String]
-    var current = Int.MaxValue
-    text.substring(0, off).split("\n", -1).reverseIterator.foreach { line =>
-      if (line.startsWith("#")) {
-        val level = line.takeWhile(_ == '#').length
-        if (level < current) {
-          current = level
-          headers = line.dropWhile(_ == '#').trim :: headers
-        }
-      }
-    }
-    headers.mkString("/")
   }
 
   private def tok(text: String, s: Int, e: Int): Int =
@@ -166,7 +211,10 @@ final class RecursiveChunker(
       pts.result()
   }
 
-  /** Last level: groups of `chunkSize` whitespace-delimited words. */
+  /** Last level: greedy word packing against the ANALYZER-token budget (a
+    * fixed word count would overshoot chunkSize when words tokenize to
+    * multiple analyzer tokens, e.g. punctuation-dense text). Every group
+    * takes at least one word, so a single word over budget still emits. */
   private def hardSplit(text: String, s: Int, e: Int): Seq[(Int, Int)] = {
     // word spans
     val words = Seq.newBuilder[(Int, Int)]
@@ -179,8 +227,15 @@ final class RecursiveChunker(
         words += ((ws, i))
       }
     }
-    words.result().grouped(math.max(1, chunkSize)).map { g =>
-      (g.head._1, g.last._2)
-    }.toSeq
+    val out = Seq.newBuilder[(Int, Int)]
+    var start = -1; var end = -1; var acc = 0
+    words.result().foreach { case (a, b) =>
+      val n = tok(text, a, b)
+      if (start < 0) { start = a; end = b; acc = n }
+      else if (acc + n <= math.max(1, chunkSize)) { end = b; acc += n }
+      else { out += ((start, end)); start = a; end = b; acc = n }
+    }
+    if (start >= 0) out += ((start, end))
+    out.result()
   }
 }

@@ -54,14 +54,16 @@ object Components {
       val nbrMin = sym
         .join(labels.select(col("id").as("b"), col("comp").as("nc")), Seq("b"))
         .groupBy(col("a").as("id")).agg(min(col("nc")).as("nbr"))
-      val next = labels
+      // carry the previous label through the merge join so convergence is a
+      // filter on this frame — not a third full-label-set join per round
+      val stepped = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
         .localCheckpoint()
-      changed = next.join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
-        .filter(col("comp") =!= col("old")).count()
-      labels = next
+      changed = stepped.filter(col("comp") =!= col("prev")).count()
+      labels = stepped.select("id", "comp")
       i += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")

@@ -106,7 +106,10 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
         if Seq(LongType, IntegerType, StringType).contains(idBase.dataType)
         if isRound6Of(key1, distAlias.toAttribute) && key2.semanticEquals(idEntry.toAttribute)
         (corpus, cvec, queryPlan) <- resolveSides(src, x, y, idBase)
-        if provablyNotNull(corpus, cvec)
+        // the id must be provably non-null too: the operator's deterministic
+        // tiebreak can't compare null ids, while the original plan would
+        // happily emit them (NULLS FIRST)
+        if provablyNotNull(corpus, cvec) && provablyNotNull(corpus, idBase)
       } yield {
         val left = Project(Seq(idBase, cvec), corpus)
         val knn = CosineKnnJoin(left, queryPlan, k)

@@ -43,7 +43,8 @@ object SearchQueries {
     * constraint in the plan so [[graft.plans.AnnTopKRewrite]] can prove the
     * top-k rewrite safe. */
   private def vssAll(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "embeddings").filter(col("embedding").isNotNull)
+    val e = t(s, d, "embeddings")
+      .filter(col("embedding").isNotNull && col("vec_id").isNotNull)
     val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     e.crossJoin(broadcast(qv))
       .select(col("vec_id").as("doc_id"),

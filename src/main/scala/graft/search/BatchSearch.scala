@@ -154,7 +154,10 @@ object BatchSearch {
         }
       }
       .toDF("qid", "doc_id", "score")
-    val wRank = Window.partitionBy($"qid").orderBy(round($"score", 6).desc, $"doc_id".asc)
+    // RAW reranked score, same as HybridSearch.search's final sort — a
+    // rounded key here would pick a different k-th doc than the single-query
+    // surface when reranked scores differ by <1e-6 at the cut line
+    val wRank = Window.partitionBy($"qid").orderBy($"score".desc, $"doc_id".asc)
     candidates.join(rrScores, Seq("qid", "doc_id"))
       .withColumn("score", coalesce($"score", $"original_score"))
       .filter($"score" > opts.scoreThreshold)

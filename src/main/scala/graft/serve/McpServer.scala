@@ -22,7 +22,8 @@ final class McpServer(
     toolDescription: String,
     searchFn: (String, Int) => String,
     serverName: String = "graft-hybrid-doc-search",
-    serverVersion: String = "0.2.0") {
+    serverVersion: String = "0.2.0",
+    defaultTopK: Int = 5) {
 
   private val mapper = new ObjectMapper()
   private val f = JsonNodeFactory.instance
@@ -57,7 +58,7 @@ final class McpServer(
     val k = props.putObject("top_k")
     k.put("type", "integer")
     k.put("description", "Number of results to return")
-    k.put("default", 5)
+    k.put("default", defaultTopK)
     schema.putArray("required").add("query")
     t
   }
@@ -70,6 +71,11 @@ final class McpServer(
       catch { case _: Exception => return Some(error(null, -32700, "parse error")) }
     val id = msg.get("id")
     val method = Option(msg.get("method")).map(_.asText()).getOrElse("")
+
+    // JSON-RPC 2.0: a message without an id is a NOTIFICATION — it never
+    // gets a response, whatever the method (an "id":null reply is reserved
+    // for parse/invalid-request errors and corrupts strict clients)
+    if (id == null || id.isNull) return None
 
     method match {
       case _ if method.startsWith("notifications/") => None
@@ -108,7 +114,8 @@ final class McpServer(
           Option(args.get("query")).map(_.asText()) match {
             case None => Some(error(id, -32602, "missing required argument: query"))
             case Some(query) =>
-              val topK = Option(args.get("top_k")).map(_.asInt(5)).getOrElse(5)
+              val topK = Option(args.get("top_k")).map(_.asInt(defaultTopK))
+                .getOrElse(defaultTopK)
               val o = resp(id)
               val r = o.putObject("result")
               val content = r.putArray("content")
@@ -129,10 +136,8 @@ final class McpServer(
           }
         }
 
-      case _ if id != null =>
+      case _ =>
         Some(error(id, -32601, s"method not found: $method"))
-
-      case _ => None // unknown notification
     }
   }
 
@@ -145,9 +150,13 @@ final class McpServer(
   /** Minimal streamable-http transport: POST `path` with one JSON-RPC
     * message, answered with a single JSON body (202 for notifications).
     * Returns the bound server so callers can stop it. */
-  def runHttp(port: Int, path: String): com.sun.net.httpserver.HttpServer = {
+  def runHttp(port: Int, path: String,
+      host: String = "127.0.0.1"): com.sun.net.httpserver.HttpServer = {
+    // loopback by default: this serves the user's LOCAL document index —
+    // binding the wildcard interface would expose it to the whole network
+    // (the reference's FastMCP http default is 127.0.0.1 for the same reason)
     val server = com.sun.net.httpserver.HttpServer.create(
-      new java.net.InetSocketAddress(port), 0)
+      new java.net.InetSocketAddress(host, port), 0)
     server.createContext(path, new com.sun.net.httpserver.HttpHandler {
       def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
         try {

@@ -59,9 +59,12 @@ object NearDupStream {
     // deterministic fold order within a micro-batch
     val arrivals = docs.toSeq.map(_.doc_id).distinct.sorted
     var st = state.getOption.getOrElse(BucketState(Nil, saturated = false))
+    // O(1) membership per arrival (List.contains per doc would make a hot
+    // bucket O(n²) over its lifetime); the List stays the stored encoding
+    var memberSet = st.members.toSet
     val out = Seq.newBuilder[DupCandidate]
     arrivals.foreach { id =>
-      if (!st.members.contains(id)) {
+      if (!memberSet.contains(id)) {
         if (st.saturated) {
           () // saturated: membership frozen, nothing emitted
         } else if (st.members.size >= maxPerBucket) {
@@ -70,6 +73,7 @@ object NearDupStream {
         } else {
           st.members.foreach(prev => out += DupCandidate(id, prev, band, bucket))
           st = st.copy(members = id :: st.members)
+          memberSet += id
         }
       }
     }
