@@ -58,6 +58,30 @@ class RecursiveChunkerSpec extends AnyFunSuite {
     assert(!cs.head.content.contains("title:"))
   }
 
+  test("only real headers enter header paths; bare ## contributes no segment") {
+    // shebang / #include lines start with '#' but are NOT markdown headers
+    val md = "# Real\n\n#!/usr/bin/env bash\n#include <x.h>\n\n" +
+      "words " * 30 + "\n\n## \n\nmore words here " * 10
+    val cs = new RecursiveChunker(chunkSize = 20).chunk("f.md", md)
+    assert(cs.nonEmpty)
+    cs.foreach { c =>
+      assert(!c.headerPath.contains("!/usr/bin"), c.headerPath)
+      assert(!c.headerPath.contains("include"), c.headerPath)
+      // non-empty /-joined segments only (a bare "##" adds nothing)
+      assert(c.headerPath.split("/").forall(seg => c.headerPath.isEmpty || seg.nonEmpty),
+        c.headerPath)
+    }
+  }
+
+  test("hardSplit packs by analyzer tokens, not whitespace words") {
+    // each "word" is 4 DefaultAnalyzer tokens (a,b,c,d) — no newlines or
+    // sentence punctuation, so this reaches the word-level last resort
+    val text = Seq.fill(12)("a,b,c,d").mkString(" ")
+    val cs = new RecursiveChunker(chunkSize = 8).chunk("f.md", text)
+    assert(cs.forall(_.tokens.size <= 8), cs.map(_.tokens.size))
+    assert(cs.map(_.tokens.size).sum == 48)
+  }
+
   test("factory selects strategy by enum name") {
     import graft.index.IndexJob
     val rec = IndexJob.chunkerFor(IndexJob.Options(splitter = "recursive"), DefaultAnalyzer)

@@ -114,6 +114,21 @@ class AnnRewriteSpec extends AnyFunSuite {
     assert(!physical(df).contains("CosineKnnJoin"))
   }
 
+  test("declines: nullable id without an IsNotNull proof (tiebreak can't compare nulls)") {
+    val rnd = new scala.util.Random(9)
+    val rows = (0 until 40).map(i => Row(i.toLong, Array.fill(16)(rnd.nextFloat()).toSeq))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = true), // id NOT provably non-null
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val c = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+    val qv = c.filter($"vec_id" === 3).select($"embedding".as("qv"))
+    val df = c.crossJoin(broadcast(qv))
+      .select($"vec_id", VectorOps.cosineDist($"embedding", $"qv").as("dist"))
+      .orderBy(round($"dist", 6).asc, $"vec_id".asc)
+      .limit(5)
+    assert(!physical(df).contains("CosineKnnJoin"))
+  }
+
   test("declines: nullable vector without an IsNotNull proof") {
     // toDF gives nullable columns; no isNotNull filter anywhere in the plan
     val rnd = new scala.util.Random(7)

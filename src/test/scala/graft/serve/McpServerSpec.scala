@@ -58,6 +58,24 @@ class McpServerSpec extends AnyFunSuite {
     assert(garbage.contains(""""code":-32700"""), garbage)
   }
 
+  test("id-less messages are notifications: no response, even for known methods") {
+    assert(stub.handle("""{"jsonrpc":"2.0","method":"ping"}""").isEmpty)
+    assert(stub.handle("""{"jsonrpc":"2.0","method":"initialize","params":{}}""").isEmpty)
+    assert(stub.handle("""{"jsonrpc":"2.0","method":"notifications/initialized"}""").isEmpty)
+    // with an id, the same methods respond
+    assert(stub.handle("""{"jsonrpc":"2.0","id":9,"method":"ping"}""").exists(_.contains("\"id\":9")))
+  }
+
+  test("configured default top_k reaches the schema and the call fallback") {
+    val k7 = new McpServer("t", "d",
+      (_, k) => s"""{"results":[{"k":$k}]}""", defaultTopK = 7)
+    assert(k7.handle("""{"jsonrpc":"2.0","id":1,"method":"tools/list"}""")
+      .exists(_.contains("\"default\":7")))
+    val call = k7.handle(
+      """{"jsonrpc":"2.0","id":2,"method":"tools/call","params":{"name":"t","arguments":{"query":"x"}}}""")
+    assert(call.exists(_.contains("\\\"k\\\":7")))
+  }
+
   test("a throwing search surfaces as isError, not a dead server") {
     val boom = new McpServer("t", "d", (_, _) => throw new RuntimeException("no index"))
     val r = boom.handle(
