@@ -15,7 +15,7 @@ import graft.search.HybridSearch
   *   graft.Cli search --db DIR --query Q [--top-k K] [--no-rerank]
   *                    [--remove-path-prefix P] [--add-path-prefix P]
   *   graft.Cli serve  --db DIR [--top-k K] [--tool-name N] [--tool-description D]
-  *                    [--transport stdio|http] [--port P] [--path /mcp]
+  *                    [--transport stdio|http] [--host H] [--port P] [--path /mcp]
   *                    [--trim-prefix P] [--add-prefix P] [--protocol jsonl]
   * }}}
   *

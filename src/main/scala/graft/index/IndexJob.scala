@@ -104,15 +104,29 @@ object IndexJob {
     val chunker = chunkerFor(opts, analyzer)
     val files = scanMarkdown(spark, dirs)
     val fresh = embedChunks(chunkFiles(files, chunker), embedder, opts)
-    // S4 semantics (reference `--clear`, `src/indexer.py:48-50`): with
-    // clear=false, existing documents are kept and re-indexed paths are
-    // replaced (keyed anti-join, then union); stats always rebuild from the
-    // merged corpus. clear=true starts from empty.
+    val settings = Seq(
+      Setting("embedding_model", embedder.name),
+      Setting("embedding_dim", embedder.dim.toString)).toDF()
+    mergeAndWrite(spark, fresh, settings, indexDir, clear = opts.clear)
+  }
+
+  /** S4 semantics (reference `--clear`, `src/indexer.py:48-50`): with
+    * clear=false, existing documents are kept and re-indexed paths are
+    * replaced (keyed anti-join, then union); stats always rebuild from the
+    * merged corpus. clear=true starts from empty. Shared by the batch run
+    * and the streaming incremental indexer
+    * ([[graft.streaming.IndexStream]], one call per micro-batch). */
+  def mergeAndWrite(
+      spark: SparkSession,
+      fresh: DataFrame,
+      settings: DataFrame,
+      indexDir: String,
+      clear: Boolean): IndexData = {
     // FileSystem API, not java.io.File: indexDir may be hdfs://, s3a://, …
     // — java.io.File.exists() is always false there, which would silently
     // turn a clear=false merge into a destructive full overwrite.
     val docsPath = new org.apache.hadoop.fs.Path(indexDir, "documents")
-    val incremental = !opts.clear &&
+    val incremental = !clear &&
       docsPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(docsPath)
     val docs =
       if (!incremental) fresh
@@ -124,9 +138,6 @@ object IndexJob {
           // materialize before overwriting the parquet dir being read
           .localCheckpoint(true)
       }
-    val settings = Seq(
-      Setting("embedding_model", embedder.name),
-      Setting("embedding_dim", embedder.dim.toString)).toDF()
     // write-then-derive: the chunk+embed lineage executes exactly once
     IndexData.write(docs, settings, indexDir)
   }
