@@ -102,7 +102,7 @@ final class RecursiveChunker(
         }
         res
       }
-      while (hi >= 0) {
+      while (hi >= 0 && current > 1) { // no header can beat level 1
         val (_, level, title) = headerIdx(hi)
         consider(level, title)
         hi -= 1

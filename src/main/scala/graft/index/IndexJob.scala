@@ -38,14 +38,28 @@ object IndexJob {
     case _ => new MarkdownChunker(opts.chunkSize, opts.overlap, analyzer)
   }
 
+  /** The markdown source contract, shared by the batch scan and the
+    * streaming indexer so the two can never drift: glob, recursion, and the
+    * raw-bytes → (file_path, text) projection. */
+  val MarkdownGlob = "*.md"
+
+  def decodeMarkdownFiles(files: DataFrame): DataFrame =
+    files.select(col("path").as("file_path"), decode(col("content"), "UTF-8").as("text"))
+
+  def settingsFor(spark: SparkSession, embedder: Embedder): DataFrame = {
+    import spark.implicits._
+    Seq(
+      Setting("embedding_model", embedder.name),
+      Setting("embedding_dim", embedder.dim.toString)).toDF()
+  }
+
   /** Scan directories for markdown files (S1/S2). `binaryFile` pushes the
     * `*.md` glob into file listing (P6) and parallelizes by file. */
   def scanMarkdown(spark: SparkSession, dirs: Seq[String]): DataFrame =
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.md")
+    decodeMarkdownFiles(spark.read.format("binaryFile")
+      .option("pathGlobFilter", MarkdownGlob)
       .option("recursiveFileLookup", "true")
-      .load(dirs: _*)
-      .select(col("path").as("file_path"), decode(col("content"), "UTF-8").as("text"))
+      .load(dirs: _*))
 
   /** Files → chunks, the T2 UDTF as `flatMap`. */
   def chunkFiles(files: DataFrame, chunker: Chunker): Dataset[Chunk] = {
@@ -104,10 +118,8 @@ object IndexJob {
     val chunker = chunkerFor(opts, analyzer)
     val files = scanMarkdown(spark, dirs)
     val fresh = embedChunks(chunkFiles(files, chunker), embedder, opts)
-    val settings = Seq(
-      Setting("embedding_model", embedder.name),
-      Setting("embedding_dim", embedder.dim.toString)).toDF()
-    mergeAndWrite(spark, fresh, settings, indexDir, clear = opts.clear)
+    mergeAndWrite(spark, fresh, settingsFor(spark, embedder), indexDir,
+      clear = opts.clear)
   }
 
   /** S4 semantics (reference `--clear`, `src/indexer.py:48-50`): with

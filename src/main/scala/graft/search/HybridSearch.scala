@@ -80,7 +80,10 @@ object HybridSearch {
   def vssTopK(documents: DataFrame, queryVec: Array[Float], k: Int): DataFrame = {
     val qv = typedlit(queryVec.toSeq)
     documents
-      .filter(col("embedding").isNotNull)
+      // doc_id isNotNull is a no-op on data (ids are sha1s) but puts the
+      // IsNotNull constraint in the plan that AnnTopKRewrite requires to
+      // prove the CosineKnnJoin rewrite safe for this leg too
+      .filter(col("embedding").isNotNull && col("doc_id").isNotNull)
       .select(col("doc_id"), VectorOps.cosineDist(col("embedding"), qv).as("vss_score"))
       // engine-wide determinism convention (Q rules): cut lines order by the
       // ROUNDED score + unique id — also the exact shape AnnTopKRewrite

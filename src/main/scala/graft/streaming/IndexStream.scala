@@ -1,13 +1,11 @@
 package graft.streaming
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 import graft.analyze.{Analyzer, DefaultAnalyzer}
-import graft.core.Schemas.Setting
 import graft.embed.Embedder
-import graft.index.{IndexData, IndexJob}
+import graft.index.IndexJob
 
 /** Streaming incremental INDEX: a file stream of markdown documents feeds
   * the SAME chunk → embed → merge pipeline as the batch [[IndexJob]], one
@@ -15,12 +13,20 @@ import graft.index.{IndexData, IndexJob}
   * index artifact follows.
   *
   * Structure: the `binaryFile` source discovers new `*.md` files (the
-  * checkpoint's file log guarantees exactly-once per file), and
-  * `foreachBatch` runs the batch pipeline on each arrival set, ending in
-  * [[IndexJob.mergeAndWrite]] — the identical replace-by-path merge the
-  * batch job uses, so a drained stream's artifact is byte-equal to a batch
-  * run over the same files (content-addressed ids make this exact;
-  * IndexStreamSpec asserts it).
+  * checkpoint's file log guarantees exactly-once per file; `maxFileAge` is
+  * disabled so old-mtime files copied in later — `cp -p`, `rsync -a` — are
+  * still picked up), and `foreachBatch` runs the batch pipeline on each
+  * arrival set, ending in [[IndexJob.mergeAndWrite]] — the identical
+  * replace-by-path merge the batch job uses, so a drained stream over a set
+  * of files produces the same artifact as a batch run over them
+  * (content-addressed ids make this exact; IndexStreamSpec asserts it).
+  *
+  * Semantics are APPEND-ONLY PER PATH: Spark's file source never re-emits a
+  * path it has already processed, so an in-place EDIT of an indexed file is
+  * not picked up — re-indexing changed content needs a batch
+  * `IndexJob.run(clear = false)` (whose replace-by-path merge handles it)
+  * or writing the new content under a new path. This is the file source's
+  * contract, stated here so nobody infers CDC semantics that aren't there.
   *
   * Scale posture: per micro-batch the chunk+embed work is proportional to
   * NEW files only; the merge anti-joins existing documents by `file_path`
@@ -50,18 +56,19 @@ object IndexStream {
       analyzer: Analyzer = DefaultAnalyzer,
       opts: IndexJob.Options = IndexJob.Options(),
       checkpointDir: Option[String] = None): StreamingQuery = {
-    import spark.implicits._
     val chunker = IndexJob.chunkerFor(opts, analyzer)
-    val settings = Seq(
-      Setting("embedding_model", embedder.name),
-      Setting("embedding_dim", embedder.dim.toString)).toDF()
+    // source config and settings shared with the batch job — one contract
+    val settings = IndexJob.settingsFor(spark, embedder)
 
-    val files = spark.readStream.format("binaryFile")
-      .option("pathGlobFilter", "*.md")
-      .option("recursiveFileLookup", "true")
-      .schema(binaryFileSchema)
-      .load(docsDir)
-      .select(col("path").as("file_path"), decode(col("content"), "UTF-8").as("text"))
+    val files = IndexJob.decodeMarkdownFiles(
+      spark.readStream.format("binaryFile")
+        .option("pathGlobFilter", IndexJob.MarkdownGlob)
+        .option("recursiveFileLookup", "true")
+        // default is 7 days: files with mtimes older than (newest seen − 7d)
+        // would silently never index
+        .option("maxFileAge", "36500d")
+        .schema(binaryFileSchema)
+        .load(docsDir))
 
     files.writeStream
       .option("checkpointLocation",

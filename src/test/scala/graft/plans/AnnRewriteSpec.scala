@@ -114,6 +114,19 @@ class AnnRewriteSpec extends AnyFunSuite {
     assert(!physical(df).contains("CosineKnnJoin"))
   }
 
+  test("fires on HybridSearch.vssTopK over a parquet-backed corpus (production leg)") {
+    val rnd = new scala.util.Random(31)
+    val tmp = java.nio.file.Files.createTempDirectory("ann-vss").toString
+    (0 until 80).map(i => (s"doc$i", Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("doc_id", "embedding").write.mode("overwrite").parquet(tmp)
+    // parquet round-trip: nullable columns, constraints must come from the
+    // filters vssTopK itself adds
+    val docs = spark.read.parquet(tmp)
+    val df = graft.search.HybridSearch.vssTopK(docs, Array.fill(16)(0.5f), 5)
+    assert(physical(df).contains("CosineKnnJoin"), physical(df).take(900))
+    assert(df.collect().length == 5)
+  }
+
   test("declines: nullable id without an IsNotNull proof (tiebreak can't compare nulls)") {
     val rnd = new scala.util.Random(9)
     val rows = (0 until 40).map(i => Row(i.toLong, Array.fill(16)(rnd.nextFloat()).toSeq))

@@ -28,17 +28,18 @@ class IndexStreamSpec extends AnyFunSuite {
 
     write(docs, "a.md", "# Alpha\n\nspark merges sorted runs fast\n")
     val q = IndexStream.start(spark, docs, streamIdx, embedder)
-    q.processAllAvailable()
+    try {
+      q.processAllAvailable()
 
-    // first file indexed and searchable mid-stream
-    val mid = IndexData.load(spark, streamIdx)
-    assert(mid.documents.count() >= 1)
+      // first file indexed and searchable mid-stream
+      val mid = IndexData.load(spark, streamIdx)
+      assert(mid.documents.count() >= 1)
 
-    // two more files arrive in a later micro-batch
-    write(docs, "b.md", "# Beta\n\nvector cosine search embedding space\n\n## Sub\n\nmore body text\n")
-    write(docs, "c.md", "plain text body with no headers at all\n")
-    q.processAllAvailable()
-    q.stop()
+      // two more files arrive in a later micro-batch
+      write(docs, "b.md", "# Beta\n\nvector cosine search embedding space\n\n## Sub\n\nmore body text\n")
+      write(docs, "c.md", "plain text body with no headers at all\n")
+      q.processAllAvailable()
+    } finally q.stop() // a failed assertion must not leak the stream
 
     val streamed = IndexData.load(spark, streamIdx)
     val batch = IndexJob.run(spark, Seq(docs), batchIdx, new HashingEmbedder(dim = 16))
