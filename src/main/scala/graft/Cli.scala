@@ -12,6 +12,7 @@ import graft.search.HybridSearch
   * {{{
   *   graft.Cli index  --db DIR --docs D1 [D2 ...] [--clear] [--trim-path-prefix P]
   *                    [--chunk-size N] [--overlap N] [--embedding-dim N]
+  *                    [--watch]   (stream NEW files into the index until killed)
   *   graft.Cli search --db DIR --query Q [--top-k K] [--no-rerank]
   *                    [--remove-path-prefix P] [--add-path-prefix P]
   *   graft.Cli serve  --db DIR [--top-k K] [--tool-name N] [--tool-description D]
@@ -81,11 +82,22 @@ object Cli {
         case _                       => "header"
       })
     val dim = arg(a, "--embedding-dim").map(_.toInt).getOrElse(64)
-    val index = arg(a, "--embedder").getOrElse("hashing") match {
-      case "tfidf" => IndexJob.runTfIdf(spark, docs, db, dim, DefaultAnalyzer, opts)
-      case _       => IndexJob.run(spark, docs, db, new HashingEmbedder(dim), DefaultAnalyzer, opts)
+    if (flag(a, "--watch")) {
+      // incremental streaming mode: keep folding NEW files from the first
+      // docs dir into the index until killed (append-only per path — see
+      // graft.streaming.IndexStream's contract)
+      require(docs.size == 1, "--watch takes exactly one docs directory")
+      val q = graft.streaming.IndexStream.start(
+        spark, docs.head, db, new HashingEmbedder(dim), DefaultAnalyzer, opts)
+      System.err.println(s"[graft] watching ${docs.head} -> $db (ctrl-c to stop)")
+      q.awaitTermination()
+    } else {
+      val index = arg(a, "--embedder").getOrElse("hashing") match {
+        case "tfidf" => IndexJob.runTfIdf(spark, docs, db, dim, DefaultAnalyzer, opts)
+        case _       => IndexJob.run(spark, docs, db, new HashingEmbedder(dim), DefaultAnalyzer, opts)
+      }
+      println(s"indexed ${index.documents.count()} chunks into $db")
     }
-    println(s"indexed ${index.documents.count()} chunks into $db")
     spark.stop()
   }
 
