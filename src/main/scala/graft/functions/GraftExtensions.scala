@@ -33,6 +33,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[DotProduct].getName, "dot_product"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           DotProduct(exprs(0), exprs(1))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("topk_desc"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[TopKDesc].getName, "topk_desc"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          TopKDesc(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+            .toAggregateExpression()))
   }
 }
 
@@ -43,5 +50,10 @@ object GraftExtensions {
       "cosine_distance", exprs => CosineDistance(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_desc",
+      exprs => TopKDesc(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression(),
+      "built-in")
   }
 }

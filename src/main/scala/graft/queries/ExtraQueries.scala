@@ -61,6 +61,29 @@ object ExtraQueries {
         "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS rank " +
         "FROM lineitem) WHERE rank <= 3 ORDER BY l_returnflag, rank")),
 
+    // Per-group top-k as a CUSTOM TypedImperativeAggregate ([[graft.functions
+    // .TopKDesc]]): a bounded min-heap buffer makes the partial aggregate
+    // map-side and ships ≤ k doubles per group to the shuffle — unlike the
+    // window formulation above (q_topn_per_group), which shuffles and sorts
+    // EVERY group member. Prices scaled to exact integer cents
+    // (floor(x·100 + 0.5), identical both engines) so the joined-string
+    // comparison is float-format-proof.
+    Q("q_topk_agg",
+      (s, d) => {
+        val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("double")
+        t(s, d, "lineitem")
+          .select(col("l_returnflag"), cents.as("cents"))
+          .groupBy("l_returnflag")
+          .agg(graft.functions.Aggregates.topkDesc(col("cents"), 5).as("tk"))
+          .select(col("l_returnflag"),
+            concat_ws(",", transform(col("tk"), v => v.cast("long").cast("string")))
+              .as("top5_cents"))
+          .orderBy("l_returnflag")
+      },
+      Some("WITH c AS (SELECT l_returnflag, CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents FROM lineitem) " +
+        "SELECT l_returnflag, array_to_string(list_slice(list(cents ORDER BY cents DESC), 1, 5), ',') AS top5_cents " +
+        "FROM c GROUP BY l_returnflag ORDER BY l_returnflag")),
+
     // Gap-based sessionization: lag → new-session flag → running session id →
     // per-session stats. THE canonical event-pipeline op; at scale it is one
     // shuffle on user_id and everything else is window-local.
