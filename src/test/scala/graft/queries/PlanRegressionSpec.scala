@@ -77,6 +77,14 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("Exchange hashpartitioning(label"), p.take(1200))
   }
 
+  test("topk aggregate runs object-hash with a map-side partial") {
+    val p = plan("q_topk_agg")
+    // TypedImperativeAggregate plans as ObjectHashAggregate; the partial
+    // before the exchange is the whole point (≤k values/group shuffled)
+    assert(p.contains("ObjectHashAggregate"), p.take(900))
+    assert(p.contains("partial_topk_desc"), p.take(900))
+  }
+
   test("self-contained BM25 builds the postings subtree once") {
     val p = plan("q_f4_bm25_topk")
     // one Generate (explode) for postings; a second would mean the df branch
