@@ -51,10 +51,43 @@ object Bench {
       // (elapsed-until-exception would read as a plausible timing)
       name -> times.minOption.getOrElse(-1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0)
+
+    // Full per-query timings go to a FILE: the harness that reads our stdout
+    // keeps only a ~2KB tail, and the full 80-query map alone exceeds that —
+    // in rounds 1 and 2 the one-line JSON was truncated mid-line and never
+    // parsed. stdout gets a compact headline subset that always fits.
+    val allJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val detailsPath = java.nio.file.Paths.get("bench_details.json")
+    java.nio.file.Files.write(detailsPath,
+      (f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$allJson,"sf":"$sfDir"}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    val headlineSet = Headline.filter(results.toMap.contains)
+    val head = results.filter(r => headlineSet.contains(r._1))
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$head,""" +
+      s""""n_queries":${results.size},"failed":$failed,""" +
+      s""""queries_all":"${detailsPath.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Representative subset printed on stdout — one per engine area (search,
+    * vectors, dedup, curation, analytics, streaming, text, multimodal) so
+    * the one-line summary stays a complete cross-section while fitting the
+    * consumer's 2KB tail window. Everything runs and everything lands in
+    * bench_details.json; only the printed map is subset. */
+  private val Headline: Seq[String] = Seq(
+    "q_agg_pricing_summary", "q_asof_join", "q_batch_search",
+    "q_decontaminate", "q_dedup_components", "q_dedup_embed_lsh_knn",
+    "q_dedup_exact", "q_dedup_minhash_pairs", "q_f4_bm25_topk",
+    "q_mm_frame_sample", "q_o1_topk_desc", "q_pack_sequences",
+    "q_percentile_median", "q_search_e2e_norerank", "q_sessionize",
+    "q_sim_knn_join", "q_sim_topk", "q_skew_salted_agg",
+    "q_stream_tumbling_hourly", "q_t2_chunker", "q_text_quality",
+    "q_topn_per_group", "q_u1_candidate_union", "q_v2_knn",
+    "q_w1_running_sum")
 }

@@ -87,6 +87,11 @@ object Cli {
       // docs dir into the index until killed (append-only per path — see
       // graft.streaming.IndexStream's contract)
       require(docs.size == 1, "--watch takes exactly one docs directory")
+      // tfidf needs a global fit over a static corpus — incompatible with an
+      // unbounded stream; erroring beats silently indexing with hashing
+      require(arg(a, "--embedder").forall(_ != "tfidf"),
+        "--watch supports only the hashing embedder (tfidf needs a global corpus fit); " +
+          "drop --embedder tfidf or run a batch `index` instead")
       val q = graft.streaming.IndexStream.start(
         spark, docs.head, db, new HashingEmbedder(dim), DefaultAnalyzer, opts)
       System.err.println(s"[graft] watching ${docs.head} -> $db (ctrl-c to stop)")

@@ -10,22 +10,29 @@ import org.apache.spark.sql.functions._
   * survives). Reference scope ends at pairwise candidates; this is the
   * pipeline extension (SURVEY.md §2 pipeline surface).
   *
-  * Algorithm: iterative min-label propagation. Every node starts labeled
-  * with itself; each round every node takes the min of its own label and its
-  * neighbors' labels; fixpoint = every node carries the min node id of its
-  * component (the deterministic canonical representative).
+  * Algorithm: alternating large-star/small-star (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC '14). Each round rewires every
+  * edge toward the locally-known minimum:
   *
-  * Scale posture: each round is one equi-join on node id (hash shuffle) +
-  * one partial-aggregated groupBy — no all-pairs anything, and the edge set
-  * an LSH dedup feeds in is already band-bucketed (|E| ≪ |V|²). Rounds =
-  * graph diameter; near-dup clusters are small and dense (diameter ≤ 3-4 in
-  * practice) so the loop converges in a handful of rounds. For adversarial
-  * long-chain graphs the known upgrade is large-star/small-star
-  * (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
-  * '14), which converges in O(log n) rounds with the same per-round shape —
-  * the loop body below is deliberately factored so that swap is local.
-  * Lineage is cut every round (`localCheckpoint`) so the plan doesn't grow
-  * exponentially across iterations.
+  *  - large-star(u): every STRICTLY LARGER neighbor of `u` is re-attached to
+  *    `min(Γ(u) ∪ {u})`;
+  *  - small-star(u): every smaller-or-equal neighbor (and `u` itself) is
+  *    re-attached to `min(Γ⁻(u) ∪ {u})`.
+  *
+  * Both operations preserve connectivity, and the alternation converges in
+  * O(log n) rounds in practice (O(log² n) proven) — a function of component
+  * SIZE, not diameter, so chain-shaped near-dup clusters (overlapping
+  * shingle chains) that would take diameter rounds under plain min-label
+  * propagation settle logarithmically. At the fixpoint the edge set is a
+  * forest of stars, each centered at its component's minimum id.
+  *
+  * Scale posture: each half-round is one hash-shuffle groupBy(min) + one
+  * equi-join on node id over the CURRENT edge set — no all-pairs anything,
+  * and the edge set an LSH dedup feeds in is already band-bucketed
+  * (|E| ≪ |V|²). Star-rewiring also concentrates edges onto component
+  * minima, so the working set shrinks monotonically toward one edge per
+  * non-root node. Lineage is cut every round (`localCheckpoint`) so the
+  * plan doesn't grow across iterations.
   */
 object Components {
 
@@ -35,38 +42,63 @@ object Components {
   def connectedComponents(
       nodes: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25): DataFrame = {
-    // symmetrize once; candidate pairs arrive deduped but direction matters
-    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      maxIter: Int = 30): DataFrame = {
+    // canonical undirected edge set: (larger, smaller), deduped, no loops
+    var cur = edges
+      .select(greatest(col(srcCol), col(dstCol)).as("u"),
+        least(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
 
-    var labels = nodes.select(col(idCol).as("id"))
-      .distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
-
-    var changed = 1L
+    var converged = false
     var i = 0
-    while (changed > 0 && i < maxIter) {
-      // min label among each node's neighbors (map-side partial min first)
-      val nbrMin = sym
-        .join(labels.select(col("id").as("b"), col("comp").as("nc")), Seq("b"))
-        .groupBy(col("a").as("id")).agg(min(col("nc")).as("nbr"))
-      // carry the previous label through the merge join so convergence is a
-      // filter on this frame — not a third full-label-set join per round
-      val stepped = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
-          col("comp").as("prev"))
-        .localCheckpoint()
-      changed = stepped.filter(col("comp") =!= col("prev")).count()
-      labels = stepped.select("id", "comp")
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      // both sides are distinct sets: equal size + empty one-way difference
+      // ⇒ set equality (the fixpoint test from the paper)
+      converged = next.count() == cur.count() && next.except(cur).isEmpty
+      cur = next
       i += 1
     }
-    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
-    labels
+    require(converged,
+      s"connectedComponents (large-star/small-star) did not converge in $maxIter " +
+        s"rounds — rounds grow ~log(component size), so this graph is either " +
+        s"astronomically large or the edge input is unstable; raise maxIter or " +
+        s"inspect the edges feeding this call (e.g. q_dedup_components' LSH pairs)")
+
+    // fixpoint edges form stars (child → component-min root); min() is
+    // defensive — at the fixpoint each child carries exactly one root
+    val roots = cur.groupBy(col("u").as("id")).agg(min(col("v")).as("comp"))
+    nodes.select(col(idCol).as("id")).distinct()
+      .join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
+  /** Re-attach each node's strictly larger neighbors to its local minimum:
+    * emit (v, min(Γ(u) ∪ {u})) for every v ∈ Γ(u), v > u. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.filter(col("v") > col("u"))
+      .join(m, Seq("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Re-attach each node's smaller neighbors (and itself) to the minimum of
+    * those neighbors: with edges oriented (u > v), emit (v, min(Γ⁻(u))) for
+    * every v ∈ Γ⁻(u) plus (u, min(Γ⁻(u))). */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val or = e
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+    val m = or.groupBy("u").agg(min(col("v")).as("m"))
+    val nbr = or.join(m, Seq("u")).select(col("v").as("u"), col("m").as("v"))
+    nbr.union(m.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
   }
 }

@@ -57,9 +57,12 @@ import graft.functions.CosineDistance
   * both are engine-wide embedding-table contracts (a zero-norm or
   * dim-mismatched vector is never a meaningful neighbor).
   *
-  * The query side is `executeCollect`ed by the exec — the matched shape is a
-  * broadcast-style cross join, where the planner would collect that side
-  * anyway. Kill switch: `spark.graft.ann.rewrite=false`.
+  * The query side is `executeCollect`ed by the exec, so the cross-join arm
+  * additionally requires that side to be PROVABLY driver-sized: a broadcast
+  * hint on it, or a `maxRows` bound ≤ `spark.graft.ann.maxQueryRows`
+  * (default 10000). An unhinted large-large cartesian cosine top-k stays on
+  * the planner's CartesianProduct path rather than becoming a driver
+  * collect. Kill switch: `spark.graft.ann.rewrite=false`.
   *
   * Install via [[GraftStrategies.install]] (session-local) or
   * `spark.sql.extensions=graft.functions.GraftExtensions` (cluster-wide).
@@ -135,10 +138,10 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
   private def resolveSides(src: LogicalPlan, x: Expression, y: Expression,
       id: AttributeReference)
       : Option[(LogicalPlan, AttributeReference, LogicalPlan)] = (src, x, y) match {
-    case (Join(jl, jr, jt, cond, _), va: AttributeReference, vb: AttributeReference)
+    case (Join(jl, jr, jt, cond, hint), va: AttributeReference, vb: AttributeReference)
         if (jt == Cross || jt == Inner) && cond.forall(_ == Literal.TrueLiteral) =>
       pickSides(jl, jr, va, vb, id).flatMap { case (corpus, query, cvec, qvec) =>
-        if (provablyNotNull(query, qvec)) {
+        if (provablyNotNull(query, qvec) && boundedQuerySide(query, jl, jr, hint)) {
           Some((corpus, cvec,
             Project(Seq(Alias(Literal(0L), "qid")(), Alias(qvec, "qvec")()), query)))
         } else None
@@ -173,6 +176,22 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
         Some(LocalRelation(out, Seq(InternalRow(0L, arr.copy())), isStreaming = false))
       } else None
     case _ => None
+  }
+
+  /** The exec `executeCollect`s the query side, so the rewrite must PROVE it
+    * is driver-sized before firing: either the user hinted broadcast on that
+    * side (the documented spelling) or the plan has a row-count bound
+    * (`maxRows`, e.g. a Limit or a LocalRelation) under the cap. A plain
+    * condition-free cross join of two large tables is a legal cartesian
+    * cosine top-k the planner handles as CartesianProduct — rewriting it
+    * would turn a slow-but-correct plan into a driver OOM, so decline. */
+  private def boundedQuerySide(query: LogicalPlan, jl: LogicalPlan, jr: LogicalPlan,
+      hint: JoinHint): Boolean = {
+    val cap = conf.getConfString("spark.graft.ann.maxQueryRows", "10000").toLong
+    val hinted =
+      (query.eq(jl) && hint.leftHint.exists(_.strategy.contains(BROADCAST))) ||
+        (query.eq(jr) && hint.rightHint.exists(_.strategy.contains(BROADCAST)))
+    hinted || query.maxRows.exists(_ <= cap)
   }
 
   private def pickSides(jl: LogicalPlan, jr: LogicalPlan, va: AttributeReference,

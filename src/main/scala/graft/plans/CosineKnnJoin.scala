@@ -66,13 +66,18 @@ case class CosineKnnJoinExec(left: SparkPlan, right: SparkPlan, k: Int,
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(output.last)
 
-  /** Heap key = Spark's `round(dist, 6)` — BigDecimal HALF_UP on the EXACT
-    * binary double — as an unscaled long. This is bit-for-bit the final
-    * window's ordering key, so partition-local pruning can never evict a
-    * candidate the final ranking would keep (a `floor(d*1e6+0.5)` key can
-    * disagree with BigDecimal rounding near .5·1e-6 boundaries). */
+  /** Heap key = Spark's `round(dist, 6)` as an unscaled long. Spark's round
+    * — interpreted (`scala.BigDecimal(d)`) and codegen
+    * (`java.math.BigDecimal.valueOf`) alike — rounds the SHORTEST-DECIMAL
+    * `Double.toString` value, not the exact binary expansion: for doubles
+    * whose shortest repr ends in `…5` at the 7th decimal but whose binary
+    * value sits just below the decimal half, the two differ by 1 ulp of the
+    * key. `valueOf` here keeps this bit-for-bit the final window's ordering
+    * key, so partition-local pruning can never evict a candidate the final
+    * ranking would keep (a `floor(d*1e6+0.5)` key can likewise disagree
+    * near .5·1e-6 boundaries). */
   private def exactKey(d: Double): Long =
-    new java.math.BigDecimal(d).setScale(6, java.math.RoundingMode.HALF_UP)
+    java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
       .unscaledValue().longValue()
 
   /** Cheap screen within ±1 of [[exactKey]] (|fl(d·1e6) − d·1e6| < 1e-9 for

@@ -109,9 +109,9 @@ object PipelineQueries {
     // Dup-CLUSTER resolution: connected components over the verified LSH
     // pairs (jaccard ≥ 0.5 edges). Pairwise near-dup hits aren't a dedup
     // decision yet — if A≈B and B≈C all three are one cluster and exactly
-    // one canonical doc (min id) survives. Min-label propagation, one
-    // equi-join shuffle per round, rounds = cluster diameter (see
-    // graft.ops.Components for the 100 TB posture).
+    // one canonical doc (min id) survives. Alternating large-star/small-star
+    // (Kiveris et al.), ~log(component size) rounds of one groupBy(min) +
+    // one equi-join each (see graft.ops.Components for the 100 TB posture).
     Q("q_dedup_components",
       (s, d) => {
         val edges = minhashVerifiedPairs(s, d).filter(col("jaccard") >= 0.5)

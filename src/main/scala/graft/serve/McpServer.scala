@@ -17,6 +17,14 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * Transport-agnostic core: [[handle]] maps a request line to an optional
   * response line, so stdio, HTTP, and tests share the same logic.
   */
+object McpServer {
+  /** The server's own (latest supported) MCP protocol revision. */
+  val ProtocolVersion = "2025-03-26"
+  /** Versions this server implements (same wire shape); anything else gets
+    * [[ProtocolVersion]] back per the MCP version-negotiation rules. */
+  val SupportedProtocolVersions: Set[String] = Set("2024-11-05", "2025-03-26")
+}
+
 final class McpServer(
     toolName: String,
     toolDescription: String,
@@ -28,7 +36,7 @@ final class McpServer(
   private val mapper = new ObjectMapper()
   private val f = JsonNodeFactory.instance
 
-  val ProtocolVersion = "2025-03-26"
+  import McpServer.{ProtocolVersion, SupportedProtocolVersions}
 
   private def resp(id: JsonNode): ObjectNode = {
     val o = f.objectNode()
@@ -83,10 +91,12 @@ final class McpServer(
       case "initialize" =>
         val o = resp(id)
         val r = o.putObject("result")
-        // echo the client's requested version when present (MCP handshake
-        // lets the server pick a mutually-supported version)
+        // MCP handshake: accept the client's requested version only when the
+        // server actually supports it; for an unknown/absent version the
+        // server answers with its own latest and the client decides
         val pv = Option(msg.get("params")).flatMap(p => Option(p.get("protocolVersion")))
-          .map(_.asText()).getOrElse(ProtocolVersion)
+          .map(_.asText()).filter(SupportedProtocolVersions.contains)
+          .getOrElse(ProtocolVersion)
         r.put("protocolVersion", pv)
         r.putObject("capabilities").putObject("tools")
         val si = r.putObject("serverInfo")

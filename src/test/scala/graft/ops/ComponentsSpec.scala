@@ -31,6 +31,24 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(0L))
   }
 
+  test("random graphs match a driver-side union-find oracle") {
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // union-find where union parents the larger root under the smaller —
+      // every root is its component's minimum id, same contract as the op
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      assert(run((0L until n.toLong), edges) == expected)
+    }
+  }
+
   test("edge direction is irrelevant") {
     assert(run(Seq(1L, 2L, 3L), Seq((3L, 2L), (2L, 1L))) ==
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L))

@@ -127,6 +127,21 @@ class AnnRewriteSpec extends AnyFunSuite {
     assert(df.collect().length == 5)
   }
 
+  test("declines: unhinted unbounded query side (exec would collect it to the driver)") {
+    val c = corpus(60)
+    val qv = c.filter($"vec_id" === 3).select($"embedding".as("qv"))
+    def shape(q: DataFrame) = c.crossJoin(q)
+      .select($"vec_id", VectorOps.cosineDist($"embedding", $"qv").as("dist"))
+      .orderBy(round($"dist", 6).asc, $"vec_id".asc)
+      .limit(5)
+    // no broadcast hint and no row-count bound: a large-large cartesian
+    // cosine top-k must stay on the CartesianProduct path, not become a
+    // driver-side collect
+    assert(!physical(shape(qv)).contains("CosineKnnJoin"))
+    // a LIMIT on the query side is a maxRows proof — fires without a hint
+    assert(physical(shape(qv.limit(1))).contains("CosineKnnJoin"))
+  }
+
   test("declines: nullable id without an IsNotNull proof (tiebreak can't compare nulls)") {
     val rnd = new scala.util.Random(9)
     val rows = (0 until 40).map(i => Row(i.toLong, Array.fill(16)(rnd.nextFloat()).toSeq))

@@ -27,6 +27,20 @@ class McpServerSpec extends AnyFunSuite {
     assert(stub.handle("""{"jsonrpc":"2.0","method":"notifications/initialized"}""").isEmpty)
   }
 
+  test("initialize negotiates the protocol version instead of echoing blindly") {
+    // a supported older version is accepted as-is
+    val old = stub.handle(
+      """{"jsonrpc":"2.0","id":1,"method":"initialize","params":{"protocolVersion":"2024-11-05"}}""").get
+    assert(old.contains(""""protocolVersion":"2024-11-05""""), old)
+    // an unknown version gets the server's own latest, not an echo
+    val future = stub.handle(
+      """{"jsonrpc":"2.0","id":2,"method":"initialize","params":{"protocolVersion":"2099-01-01"}}""").get
+    assert(future.contains(s""""protocolVersion":"${McpServer.ProtocolVersion}""""), future)
+    // absent version: same fallback
+    val none = stub.handle("""{"jsonrpc":"2.0","id":3,"method":"initialize","params":{}}""").get
+    assert(none.contains(s""""protocolVersion":"${McpServer.ProtocolVersion}""""), none)
+  }
+
   test("tools/list exposes the configured tool with its input schema") {
     val named = new McpServer("grep_docs", "Find things", (_, _) => "{}")
     val r = named.handle("""{"jsonrpc":"2.0","id":2,"method":"tools/list"}""").get
