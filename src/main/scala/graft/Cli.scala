@@ -65,10 +65,17 @@ object Cli {
       sys.exit(2)
   }
 
+  private val KnownEmbedders = Set("hashing", "tfidf")
+
   private def indexCmd(a: Array[String]): Unit = {
     val db = arg(a, "--db").getOrElse(sys.error("--db required"))
     val docs = multiArg(a, "--docs")
     require(docs.nonEmpty, "--docs requires at least one directory")
+    // validate up front so a typo ("tf-idf") errors instead of silently
+    // falling through to the hashing default in either path
+    val embedder = arg(a, "--embedder").getOrElse("hashing")
+    require(KnownEmbedders(embedder),
+      s"unknown --embedder '$embedder' (expected one of: ${KnownEmbedders.toSeq.sorted.mkString(", ")})")
     val spark = session()
     val opts = IndexJob.Options(
       chunkSize = arg(a, "--chunk-size").map(_.toInt).getOrElse(512),
@@ -89,7 +96,7 @@ object Cli {
       require(docs.size == 1, "--watch takes exactly one docs directory")
       // tfidf needs a global fit over a static corpus — incompatible with an
       // unbounded stream; erroring beats silently indexing with hashing
-      require(arg(a, "--embedder").forall(_ != "tfidf"),
+      require(embedder != "tfidf",
         "--watch supports only the hashing embedder (tfidf needs a global corpus fit); " +
           "drop --embedder tfidf or run a batch `index` instead")
       val q = graft.streaming.IndexStream.start(
@@ -97,7 +104,7 @@ object Cli {
       System.err.println(s"[graft] watching ${docs.head} -> $db (ctrl-c to stop)")
       q.awaitTermination()
     } else {
-      val index = arg(a, "--embedder").getOrElse("hashing") match {
+      val index = embedder match {
         case "tfidf" => IndexJob.runTfIdf(spark, docs, db, dim, DefaultAnalyzer, opts)
         case _       => IndexJob.run(spark, docs, db, new HashingEmbedder(dim), DefaultAnalyzer, opts)
       }

@@ -6,7 +6,7 @@ import graft.analyze.WhitespaceAnalyzer
 import graft.core.Schemas.Setting
 import graft.embed.FixedVectorEmbedder
 import graft.index.IndexData
-import graft.queries.{CoreQueries, ExtraQueries, PipelineQueries, Q, SearchQueries}
+import graft.queries.{CoreQueries, CurationQueries, ExtraQueries, PipelineQueries, Q, SearchQueries}
 import graft.rerank.TokenOverlapReranker
 import graft.search.HybridSearch
 
@@ -14,7 +14,8 @@ import graft.search.HybridSearch
 object SparkEntry {
 
   private lazy val allQs: Seq[Q] =
-    CoreQueries.all ++ SearchQueries.all ++ PipelineQueries.all ++ ExtraQueries.all
+    CoreQueries.all ++ SearchQueries.all ++ PipelineQueries.all ++
+      ExtraQueries.all ++ CurationQueries.all
 
   /** Flagship query: full hybrid search (BM25 + cosine fusion + deterministic
     * rerank) over the sf0.001 corpus via the real library path

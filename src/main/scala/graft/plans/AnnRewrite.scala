@@ -187,7 +187,13 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
     * would turn a slow-but-correct plan into a driver OOM, so decline. */
   private def boundedQuerySide(query: LogicalPlan, jl: LogicalPlan, jr: LogicalPlan,
       hint: JoinHint): Boolean = {
-    val cap = conf.getConfString("spark.graft.ann.maxQueryRows", "10000").toLong
+    // a malformed config value must not abort planning with a bare
+    // NumberFormatException — fall back to the default, naming the key
+    val capRaw = conf.getConfString("spark.graft.ann.maxQueryRows", "10000")
+    val cap = capRaw.toLongOption.getOrElse {
+      logWarning(s"invalid spark.graft.ann.maxQueryRows='$capRaw'; using 10000")
+      10000L
+    }
     val hinted =
       (query.eq(jl) && hint.leftHint.exists(_.strategy.contains(BROADCAST))) ||
         (query.eq(jr) && hint.rightHint.exists(_.strategy.contains(BROADCAST)))

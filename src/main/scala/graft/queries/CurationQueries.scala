@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.Q.t
+
+/** Output-side curation operators a pretraining pipeline needs between
+  * "corpus is filtered/deduped" and "tokens hit the trainer": deterministic
+  * shard layout, embedding quantization, vocabulary/BPE statistics, and
+  * PII redaction. All map-only or single partial-agg shapes — each scales
+  * linearly and none ever needs a global sort or a driver-side collect.
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"), col("text"),
+      split(col("text"), " ").as("tokens"))
+
+  /** Portable 0..255 hash from the first two hex chars of md5 — both engines
+    * evaluate the identical `instr`-based expression, unlike Spark's
+    * `hash()`/DuckDB's `hash()` which are engine-specific. */
+  private val byteHashSql: String =
+    "(instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16 + " +
+      "(instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1)"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Training-output shard layout ----
+
+    // Deterministic shard assignment: content-hash modulo shard count, with
+    // the per-shard balance histogram a writer would use to validate layout.
+    // The assignment is a map-only expression (no RNG, no row ordering), so
+    // resharding 100 TB is reproducible and restartable; the histogram is one
+    // partial-agg'd groupBy on a 16-value key. The real write is then
+    // `df.repartition(col("shard_id")).write.partitionBy("shard_id")` —
+    // benchmarked through the same noop sink as every other query.
+    Q("q_shard_assign",
+      (s, d) => docs(s, d)
+        .withColumn("shard_id", expr(byteHashSql) % 16)
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("tokens")).cast("long")).as("n_tokens"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("shard_id"),
+      Some(s"WITH ${Q.toksCte}, " +
+        s"sh AS (SELECT doc_id, len(toks) AS nt, ($byteHashSql) % 16 AS shard_id " +
+        "FROM toks JOIN documents USING (doc_id)) " +
+        "SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(nt) AS BIGINT) AS n_tokens, " +
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
+        "FROM sh GROUP BY shard_id ORDER BY shard_id")),
+
+    // ---- Embedding quantization ----
+
+    // Per-vector int8 quantization (symmetric, scale = max|v|): the standard
+    // compression step before ANN serving / shipping embeddings to a trainer.
+    // Map-only HOFs over the array column — `floor(x + 0.5)` instead of
+    // `round` so both engines share one tie-break rule, quantized values
+    // summed as exact longs, reconstruction MSE summed in element order
+    // (same left-fold both engines, like the dot-product kernels).
+    Q("q_embed_quantize",
+      (s, d) => {
+        val vd = transform(col("embedding"), x => x.cast("double"))
+        val scale = array_max(transform(vd, x => abs(x)))
+        val qv = transform(vd, x =>
+          floor(x / col("scale") * 127.0 + 0.5).cast("long"))
+        val deq = (q: org.apache.spark.sql.Column) =>
+          q.cast("double") / 127.0 * col("scale")
+        t(s, d, "embeddings")
+          .withColumn("scale", scale)
+          .filter(col("scale") > 0.0) // all-zero vectors are unquantizable
+          .withColumn("qv", qv)
+          .select(col("vec_id"), Q.r6(col("scale")).as("scale"),
+            aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("qsum"),
+            Q.r6(
+              aggregate(
+                zip_with(col("qv"), transform(col("embedding"), x => x.cast("double")),
+                  (q, v) => (deq(q) - v) * (deq(q) - v)),
+                lit(0.0), (acc, x) => acc + x) / size(col("qv")).cast("double"))
+              .as("mse"))
+          .orderBy("vec_id")
+      },
+      Some("WITH sc AS (SELECT vec_id, embedding, " +
+        "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale " +
+        "FROM embeddings), " +
+        "qz AS (SELECT vec_id, embedding, scale, " +
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS BIGINT)) AS qv " +
+        "FROM sc WHERE scale > 0.0) " +
+        s"SELECT vec_id, ${Q.r6Sql("scale")} AS scale, " +
+        "CAST(list_sum(qv) AS BIGINT) AS qsum, " +
+        s"${Q.r6Sql("list_sum(list_transform(generate_series(1, len(qv)), " +
+          "i -> (CAST(qv[i] AS DOUBLE) / 127.0 * scale - CAST(embedding[i] AS DOUBLE)) " +
+          "* (CAST(qv[i] AS DOUBLE) / 127.0 * scale - CAST(embedding[i] AS DOUBLE)))) " +
+          "/ CAST(len(qv) AS DOUBLE)")} AS mse " +
+        "FROM qz ORDER BY vec_id")),
+
+    // ---- Vocabulary / BPE statistics ----
+
+    // Global top-50 vocabulary: one explode + one partial-agg'd count + a
+    // TakeOrderedAndProject top-k (never a global sort). The first step of
+    // building a tokenizer vocab over a corpus.
+    Q("q_vocab_top",
+      (s, d) => docs(s, d)
+        .select(explode(col("tokens")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(50),
+      Some(s"WITH ${Q.toksCte}, " +
+        "tok AS (SELECT unnest(toks) AS token FROM toks) " +
+        "SELECT token, CAST(count(*) AS BIGINT) AS n " +
+        "FROM tok GROUP BY token ORDER BY n DESC, token LIMIT 50")),
+
+    // BPE-style adjacent-pair counts: the inner statistic of byte-pair-
+    // encoding training (which pair to merge next). Pairs are generated
+    // per-document with an index-range transform (map-only, no self-join),
+    // then counted with map-side partial aggregation; top-k cuts on
+    // (count, pair) so the merge choice is deterministic.
+    Q("q_bpe_pairs",
+      (s, d) => docs(s, d)
+        .filter(size(col("tokens")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("tokens")) - 1),
+          i => concat_ws(" ", element_at(col("tokens"), i), element_at(col("tokens"), i + 1))))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(50),
+      Some(s"WITH ${Q.toksCte}, " +
+        "pr AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1])) AS pair FROM toks WHERE len(toks) >= 2) " +
+        "SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pr " +
+        "GROUP BY pair ORDER BY n DESC, pair LIMIT 50")),
+
+    // ---- PII redaction / URL handling ----
+
+    // Regex PII redaction + URL/domain extraction. The corpus is synthetic
+    // words only, so each doc gets a deterministic contact tail appended
+    // (same synthesize-then-verify pattern as the chunker queries) — the
+    // redaction genuinely fires on every row and the md5 of the redacted
+    // text proves byte-identical rewrites in both engines. Map-only; at
+    // 100 TB this is the cheap pass that MUST NOT shuffle, and doesn't.
+    Q("q_pii_redact",
+      (s, d) => {
+        val synth = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call 555-"), (col("doc_id") % 1000).cast("string"),
+          lit(" see https://docs"), (col("doc_id") % 7).cast("string"),
+          lit(".example.org/page"))
+        t(s, d, "documents")
+          .withColumn("synth", synth)
+          .withColumn("red",
+            regexp_replace(
+              regexp_replace(col("synth"), lit("user[0-9]+@[a-z.]+"), lit("<EMAIL>")),
+              lit("555-[0-9]+"), lit("<PHONE>")))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("synth"), lit("(user[0-9]+@[a-z.]+)"), lit(1)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all(col("synth"), lit("(555-[0-9]+)"), lit(1)))
+              .cast("long").as("n_phones"),
+            regexp_extract(col("synth"), "https://([a-z0-9.]+)/", 1).as("domain"),
+            md5(col("red")).as("red_md5"))
+          .orderBy("doc_id")
+      },
+      Some("WITH sy AS (SELECT doc_id, text || ' contact user' || doc_id || " +
+        "'@example.com or call 555-' || (doc_id % 1000) || " +
+        "' see https://docs' || (doc_id % 7) || '.example.org/page' AS synth " +
+        "FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(synth, '(user[0-9]+@[a-z.]+)', 1)) AS BIGINT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(synth, '(555-[0-9]+)', 1)) AS BIGINT) AS n_phones, " +
+        "regexp_extract(synth, 'https://([a-z0-9.]+)/', 1) AS domain, " +
+        "md5(regexp_replace(regexp_replace(synth, 'user[0-9]+@[a-z.]+', '<EMAIL>', 'g'), " +
+        "'555-[0-9]+', '<PHONE>', 'g')) AS red_md5 " +
+        "FROM sy ORDER BY doc_id"))
+  )
+}

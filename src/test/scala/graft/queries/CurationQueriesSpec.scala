@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class CurationQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+
+  test("shard assignment covers every doc exactly once and is balanced-ish") {
+    val rows = q("q_shard_assign").collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(total == nDocs)
+    assert(rows.map(_.getAs[Int]("shard_id")).toSet.subsetOf((0 until 16).toSet))
+    // content-hash sharding: no shard should hold more than ~4x the mean
+    val mean = nDocs.toDouble / rows.length
+    assert(rows.forall(_.getAs[Long]("n_docs") <= mean * 4),
+      rows.map(r => s"${r.getAs[Int]("shard_id")}:${r.getAs[Long]("n_docs")}").mkString(","))
+  }
+
+  test("int8 quantization reconstructs within the quantization step") {
+    val rows = q("q_embed_quantize").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val mse = r.getAs[Double]("mse")
+      assert(scale > 0.0)
+      // worst-case per-element error is half a quantization step (scale/127/2);
+      // MSE must sit below that bound squared
+      val step = scale / 127.0
+      assert(mse <= step * step / 4.0 + 1e-12, s"vec ${r.get(0)}: mse=$mse step=$step")
+    }
+  }
+
+  test("quantized values round-trip the sign and magnitude ordering") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet").limit(5)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    e.foreach { case (_, v) =>
+      val scale = v.map(x => math.abs(x.toDouble)).max
+      val qv = v.map(x => math.floor(x / scale * 127.0 + 0.5).toLong)
+      assert(qv.forall(x => x >= -127 && x <= 128))
+      // strictly largest-magnitude element maps to ±127
+      assert(qv.map(math.abs).max >= 126)
+    }
+  }
+
+  test("bpe pair counts: every counted pair is adjacent somewhere") {
+    val pairs = q("q_bpe_pairs").collect()
+    assert(pairs.length == 50)
+    assert(pairs.forall(_.getAs[Long]("n") >= 1))
+    // counts are non-increasing in the returned order
+    val ns = pairs.map(_.getAs[Long]("n")).toSeq
+    assert(ns == ns.sorted(Ordering[Long].reverse))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val top = pairs.head.getAs[String]("pair").split(" ")
+    assert(docs.exists { t =>
+      val ts = t.split(" ")
+      ts.indices.dropRight(1).exists(i => ts(i) == top(0) && ts(i + 1) == top(1))
+    })
+  }
+
+  test("vocab top-50 matches a direct computation") {
+    val vocab = q("q_vocab_top").collect().map(r => (r.getString(0), r.getLong(1)))
+    val direct = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").count()
+      .orderBy(col("count").desc, col("token").asc).limit(50)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(vocab.toSeq == direct.toSeq)
+  }
+
+  test("pii redaction leaves no live email/phone and extracts the domain") {
+    val rows = q("q_pii_redact").collect()
+    assert(rows.forall(_.getAs[Long]("n_emails") == 1L))
+    assert(rows.forall(_.getAs[Long]("n_phones") == 1L))
+    assert(rows.forall(r => r.getAs[String]("domain").matches("docs[0-6]\\.example\\.org")))
+    // recompute one redaction in plain Scala and compare the md5
+    val d0 = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") === 0).select("text").head().getString(0)
+    val synth = d0 + " contact user0@example.com or call 555-0 see https://docs0.example.org/page"
+    val red = synth.replaceAll("user[0-9]+@[a-z.]+", "<EMAIL>")
+      .replaceAll("555-[0-9]+", "<PHONE>")
+    val md = java.security.MessageDigest.getInstance("MD5").digest(red.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val got = rows.find(_.getAs[Long]("doc_id") == 0L).get.getAs[String]("red_md5")
+    assert(got == md)
+  }
+}

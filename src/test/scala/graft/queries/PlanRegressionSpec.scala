@@ -93,4 +93,27 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(generates == 1, s"expected 1 explode, got $generates")
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("vocab/BPE top-k cut with TakeOrderedAndProject, never a global sort") {
+    Seq("q_vocab_top", "q_bpe_pairs").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("TakeOrderedAndProject"), s"$n:\n${p.take(900)}")
+      assert(p.contains("partial_count"), s"$n:\n${p.take(900)}") // map-side combine
+      assert(!p.contains("Exchange rangepartitioning"), s"$n global-sorts:\n${p.take(900)}")
+    }
+  }
+
+  test("shard assignment is one partial-agg'd groupBy, no window, no join") {
+    val p = plan("q_shard_assign")
+    assert(p.contains("partial_count"), p.take(900))
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(900))
+  }
+
+  test("pii redaction is map-only: no exchange before the presentation sort") {
+    val p = plan("q_pii_redact")
+    // the only exchange allowed is the final ORDER BY's range partitioning —
+    // a hash exchange would mean the redaction itself shuffles
+    assert(!p.contains("Exchange hashpartitioning"), p.take(900))
+    assert(!p.contains("Join"), p.take(900))
+  }
 }

@@ -13,7 +13,7 @@ class QueriesSpec extends AnyFunSuite {
     assert(oracles.keySet.subsetOf(qs.keySet))
     // duplicate names would silently shadow each other in the map
     val names = Seq(CoreQueries.all, SearchQueries.all, PipelineQueries.all,
-      ExtraQueries.all).flatten.map(_.name)
+      ExtraQueries.all, CurationQueries.all).flatten.map(_.name)
     assert(names.distinct.size == names.size,
       names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }.mkString(","))
     // names are unique by construction of the map; spot-run a few cheap ones
