@@ -86,6 +86,47 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Full IVF query path: probe each query's `nprobe` nearest centroids,
+    * then search ONLY vectors assigned to a probed cluster — the standard
+    * inverted-file ANN layout. At 100 TB the assignment is precomputed and
+    * the corpus is partitioned/bucketed BY `cluster`, so the probe join is
+    * a partition-pruned equi-join touching `nprobe/K` of the data; nothing
+    * here is ever all-pairs. Recall < 1.0 by design (a neighbor can live in
+    * an unprobed cluster) — that's the IVF trade, not a bug; exactness is
+    * [[knnJoin]]'s job.
+    *
+    * `queries`: (qid, qvec); `corpus`: (id, vec); `centroids`: (cid, cvec).
+    * Output: (qid, id, rank, dist) — deterministic (rounded-dist, id) order.
+    */
+  def ivfSearch(
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      nprobe: Int, k: Int, excludeSelf: Boolean = true): DataFrame = {
+    // corpus side: nearest-centroid assignment (precomputed at scale)
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroids, cidCol, cvecCol)
+      .select(col(idCol), col(vecCol), col(cidCol).as("_cluster"))
+    // query side: top-nprobe centroids per query — queries × centroids is
+    // tiny (both broadcast-sized), never the corpus
+    val wProbe = Window.partitionBy(col(qidCol))
+      .orderBy(round(col("_qcdist"), 6).asc, col(cidCol).asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("_qcdist", VectorOps.cosineDist(col(qvecCol), col(cvecCol)))
+      .withColumn("_pr", row_number().over(wProbe))
+      .filter(col("_pr") <= nprobe)
+      .select(col(qidCol), col(qvecCol), col(cidCol).as("_cluster"))
+    // equi-join on cluster id: each query sees only its probed clusters
+    val cand = assigned.join(broadcast(probes), Seq("_cluster"))
+      .withColumn("dist", VectorOps.cosineDist(col(vecCol), col(qvecCol)))
+    val filtered = if (excludeSelf) cand.filter(col(qidCol) =!= col(idCol)) else cand
+    val wRank = Window.partitionBy(col(qidCol))
+      .orderBy(round(col("dist"), 6).asc, col(idCol).asc)
+    filtered
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("rank"), col("dist"))
+  }
+
   /** Sign-LSH bucket id: bit b set iff dot(vec, plane_b) > 0.
     * `planes`: broadcast-sized (bit, pvec) rows pivoted into columns first —
     * here expressed directly over a Seq of plane vector columns. */

@@ -131,6 +131,37 @@ object CurationQueries {
         "SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pr " +
         "GROUP BY pair ORDER BY n DESC, pair LIMIT 50")),
 
+    // Per-doc out-of-vocabulary rate against the top-10 vocab — the
+    // coverage statistic that decides whether a tokenizer vocab is big
+    // enough for a corpus. The vocab is an aggregate-then-broadcast: tiny
+    // by construction (top-k), so the membership join never shuffles the
+    // exploded token stream; the only shuffle is the per-doc count.
+    Q("q_vocab_oov",
+      (s, d) => {
+        val tok = docs(s, d).select(col("doc_id"), explode(col("tokens")).as("token"))
+        val vocab = tok.groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token").asc).limit(10)
+          .select(col("token"), lit(1L).as("in_vocab"))
+        tok.join(broadcast(vocab), Seq("token"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            Q.r6(col("n_oov").cast("double") / col("n_tokens").cast("double"))
+              .as("oov_rate"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH ${Q.toksCte}, " +
+        "tok AS (SELECT doc_id, unnest(toks) AS token FROM toks), " +
+        "vocab AS (SELECT token FROM (SELECT token, count(*) AS n FROM tok " +
+        "GROUP BY token ORDER BY n DESC, token LIMIT 10)), " +
+        "ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov " +
+        "FROM tok t LEFT JOIN vocab v ON t.token = v.token GROUP BY doc_id) " +
+        s"SELECT doc_id, n_tokens, n_oov, " +
+        s"${Q.r6Sql("CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)")} AS oov_rate " +
+        "FROM ag ORDER BY doc_id")),
+
     // ---- PII redaction / URL handling ----
 
     // Regex PII redaction + URL/domain extraction. The corpus is synthetic

@@ -294,6 +294,42 @@ object PipelineQueries {
         "(PARTITION BY vec_id ORDER BY round(cdist, 6), cid) AS rn FROM dd) " +
         "SELECT cid, CAST(count(*) AS BIGINT) AS n FROM asg WHERE rn = 1 GROUP BY cid ORDER BY cid")),
 
+    // Full IVF query path: probe each query's 2 nearest centroids, search
+    // only vectors assigned to a probed cluster — the partition-pruned ANN
+    // layout (at scale the assignment is precomputed and the corpus is
+    // bucketed BY cluster, so this equi-join reads nprobe/K of the data).
+    // Recall < 1 by design; the oracle replays the same probe rule, so the
+    // approximate result is still deterministic and hash-checked.
+    Q("q_sim_ivf_search",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cent = e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val qs = e.filter(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.ivfSearch(qs, "qid", "qvec", e, "vec_id", "embedding",
+            cent, "cid", "cvec", nprobe = 2, k = 5)
+          .select(col("qid"), col("vec_id"), col("rank"), Q.r6(col("dist")).as("dist"))
+          .orderBy("qid", "rank")
+      },
+      Some("WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 4), " +
+        "qs AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id IN (0, 1, 2)), " +
+        s"ad AS (SELECT e.vec_id, e.embedding, c.cid, ${Q.cosineDistSql("e.embedding", "c.cvec")} AS cdist " +
+        "FROM embeddings e CROSS JOIN cent c), " +
+        "adr AS (SELECT vec_id, embedding, cid, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY round(cdist, 6), cid) AS rn FROM ad), " +
+        "asg AS (SELECT vec_id, embedding, cid FROM adr WHERE rn = 1), " +
+        s"pd AS (SELECT qid, qvec, cid, ${Q.cosineDistSql("qvec", "cvec")} AS qcdist " +
+        "FROM qs CROSS JOIN cent), " +
+        "pdr AS (SELECT qid, qvec, cid, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY round(qcdist, 6), cid) AS pr FROM pd), " +
+        "probes AS (SELECT qid, qvec, cid FROM pdr WHERE pr <= 2), " +
+        s"dd AS (SELECT p.qid, a.vec_id, ${Q.cosineDistSql("a.embedding", "p.qvec")} AS dist " +
+        "FROM asg a JOIN probes p ON a.cid = p.cid WHERE a.vec_id != p.qid), " +
+        "rr AS (SELECT qid, vec_id, dist, CAST(row_number() OVER " +
+        "(PARTITION BY qid ORDER BY round(dist, 6), vec_id) AS BIGINT) AS rank FROM dd) " +
+        s"SELECT qid, vec_id, rank, ${Q.r6Sql("dist")} AS dist FROM rr WHERE rank <= 5 ORDER BY qid, rank")),
+
     // Sign-LSH bucketing: 4 hyperplanes → 16 buckets → histogram
     Q("q_sim_lsh_buckets",
       (s, d) => {

@@ -75,6 +75,30 @@ class OpsSpec extends AnyFunSuite {
     assert(asg(0L) == 0L && asg(1L) == 1L)
   }
 
+  test("ivf search finds in-probe neighbors and equals brute force at full probe") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (10L, Array(0.95f, 0.05f)), (11L, Array(0.1f, 0.9f)),
+      (12L, Array(0.9f, 0.1f)), (13L, Array(0.05f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    val cent = vecs.filter($"vec_id" < 2)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val qs = vecs.filter($"vec_id" === 10L)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    // nprobe=1: only cluster 0's members are candidates
+    val near = Similarity.ivfSearch(qs, "qid", "qvec", vecs, "vec_id", "embedding",
+        cent, "cid", "cvec", nprobe = 1, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(near == Set(0L, 12L), near.toString)
+    // nprobe=K: identical to brute force over the whole corpus
+    val full = Similarity.ivfSearch(qs, "qid", "qvec", vecs, "vec_id", "embedding",
+        cent, "cid", "cvec", nprobe = 2, k = 3)
+      .orderBy("rank").collect().map(_.getAs[Long]("vec_id")).toSeq
+    val brute = Similarity.bruteForceTopK(qs, "qid", "qvec", vecs, "vec_id", "embedding", 3)
+      .orderBy("rank").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(full == brute, s"ivf=$full brute=$brute")
+  }
+
   test("stub media decoder is deterministic and batch-shaped") {
     val df = Seq((1L, "abc"), (2L, "defghij")).toDF("doc_id", "text")
       .select($"doc_id", encode($"text", "UTF-8").as("payload"))

@@ -74,6 +74,24 @@ class CurationQueriesSpec extends AnyFunSuite {
     assert(vocab.toSeq == direct.toSeq)
   }
 
+  test("oov rate matches a direct recompute") {
+    val rows = q("q_vocab_oov").collect()
+    val vocab = q("q_vocab_top").collect().take(10).map(_.getString(0)).toSet
+    val direct = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect().map { r =>
+        val toks = r.getString(1).split(" ")
+        r.getLong(0) -> (toks.length.toLong, toks.count(t => !vocab(t)).toLong)
+      }.toMap
+    assert(rows.length == direct.size)
+    rows.foreach { r =>
+      val (nt, noov) = direct(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_tokens") == nt && r.getAs[Long]("n_oov") == noov,
+        s"doc ${r.get(0)}")
+      val expected = math.round(noov.toDouble / nt * 1e6) / 1e6
+      assert(math.abs(r.getAs[Double]("oov_rate") - expected) < 1e-9)
+    }
+  }
+
   test("pii redaction leaves no live email/phone and extracts the domain") {
     val rows = q("q_pii_redact").collect()
     assert(rows.forall(_.getAs[Long]("n_emails") == 1L))

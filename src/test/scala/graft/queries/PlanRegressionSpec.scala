@@ -109,6 +109,23 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("Join"), p.take(900))
   }
 
+  test("ivf search probes via broadcast equi-join, never a sort-merge or corpus cartesian") {
+    val p = plan("q_sim_ivf_search")
+    // probe list joins the assigned corpus on cluster id as a broadcast
+    // hash join; the only nested-loop joins are the broadcast centroid
+    // cross-products (4 rows). A SortMergeJoin would mean the corpus
+    // shuffles on cluster id just for 3 queries.
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("oov join broadcasts the vocab, never shuffles the token stream for membership") {
+    val p = plan("q_vocab_oov")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
   test("pii redaction is map-only: no exchange before the presentation sort") {
     val p = plan("q_pii_redact")
     // the only exchange allowed is the final ORDER BY's range partitioning —
