@@ -94,6 +94,67 @@ object CurationQueries {
           "/ CAST(len(qv) AS DOUBLE)")} AS mse " +
         "FROM qz ORDER BY vec_id")),
 
+    // Product quantization (PQ): split each 64-dim vector into 8 subvectors
+    // of 8 dims; assign every subvector to its nearest codebook entry
+    // (codebook = the matching subvectors of vecs 0..15, trained k-means at
+    // scale — the assignment machinery is identical). 64 dims compress to
+    // 8 codes; the per-vector output is the code checksum + reconstruction
+    // MSE. Shape: one explode (×8) + a broadcast equi-join on the subspace
+    // id + struct-min argmin with map-side partials + one rollup — at
+    // 100 TB the codebook stays a broadcast (K×8 rows) and the shuffles
+    // carry ≤ 8 skinny rows per vector, never the N×8×K candidate set.
+    Q("q_embed_pq",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        def subspaces(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+          df.select(col("vec_id").as(idAs),
+              explode(transform(sequence(lit(0), lit(7)),
+                j => struct(j.as("j"),
+                  slice(transform(col("embedding"), x => x.cast("double")),
+                    j * 8 + 1, lit(8)).as("sv")))).as("sub"))
+            .select(col(idAs), col("sub.j").as("j"), col("sub.sv").as(vecAs))
+        val sub = subspaces(e, "vec_id", "sv")
+        val code = subspaces(e.filter(col("vec_id") < 16), "cid", "cv")
+        val l2 = aggregate(
+          zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)
+        // argmin as min(struct(rounded_d, cid, d)) rather than a window:
+        // lexicographic struct-min has a map-side partial, so the shuffle
+        // carries ≤ one row per (vec, subspace) per partition instead of
+        // all N×8×K candidate rows. (d6, cid) is unique per (vec, j) —
+        // cid is the codebook key — so the min is well-defined.
+        sub.join(broadcast(code), Seq("j"))
+          .withColumn("_d", l2)
+          .groupBy("vec_id", "j")
+          .agg(min(struct(round(col("_d"), 6).as("d6"), col("cid").as("cid"),
+            col("_d").as("d"))).as("best"))
+          .groupBy("vec_id")
+          // distances quantized to 1e-6 longs BEFORE the cross-row sum
+          // (q_embed_centroids rule: double sums across rows are order-
+          // dependent; exact integer sums are not)
+          .agg(sum(col("best.cid") * (col("j") + 1)).as("code_sum"),
+            Q.r6(sum(floor(col("best.d") * 1e6 + 0.5).cast("long")).cast("double")
+              / lit(64e6)).as("mse"))
+          .orderBy("vec_id")
+      },
+      Some {
+        def l2Sql(a: String, b: String) =
+          s"list_sum(list_transform(generate_series(1, 8), " +
+            s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) " +
+            s"* (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+        "WITH js AS (SELECT unnest(generate_series(0, 7)) AS j), " +
+          "sub AS (SELECT vec_id, j, embedding[j * 8 + 1 : j * 8 + 8] AS sv " +
+          "FROM embeddings CROSS JOIN js), " +
+          "code AS (SELECT vec_id AS cid, j, sv AS cv FROM sub WHERE vec_id < 16), " +
+          s"dd AS (SELECT s.vec_id, s.j, c.cid, ${l2Sql("s.sv", "c.cv")} AS d " +
+          "FROM sub s JOIN code c ON s.j = c.j), " +
+          "rr AS (SELECT vec_id, j, cid, d, row_number() OVER " +
+          "(PARTITION BY vec_id, j ORDER BY round(d, 6), cid) AS rn FROM dd) " +
+          "SELECT vec_id, CAST(sum(cid * (j + 1)) AS BIGINT) AS code_sum, " +
+          s"${Q.r6Sql("CAST(sum(CAST(floor(d * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 64e6")} AS mse " +
+          "FROM rr WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"
+      }),
+
     // ---- Vocabulary / BPE statistics ----
 
     // Global top-50 vocabulary: one explode + one partial-agg'd count + a

@@ -48,6 +48,25 @@ class CurationQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("pq: codebook members reconstruct exactly; codes stay in range") {
+    val rows = q("q_embed_pq").collect()
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val mse = r.getAs[Double]("mse")
+      val cs = r.getAs[Long]("code_sum")
+      assert(mse >= 0.0)
+      // vecs 0..15 ARE the codebook: every subvector matches itself at d=0
+      if (id < 16) assert(mse == 0.0, s"vec $id mse=$mse")
+      // code_sum = Σ_j cid_j·(j+1), cid ≤ 15, Σ(j+1) = 36
+      assert(cs >= 0 && cs <= 15L * 36, s"vec $id code_sum=$cs")
+    }
+    // PQ is lossy but must beat the trivial all-zeros reconstruction
+    val meanMse = rows.map(_.getAs[Double]("mse")).sum / rows.length
+    assert(meanMse > 0.0 && meanMse < 1.0, s"meanMse=$meanMse")
+  }
+
   test("bpe pair counts: every counted pair is adjacent somewhere") {
     val pairs = q("q_bpe_pairs").collect()
     assert(pairs.length == 50)

@@ -120,6 +120,16 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("pq argmin is a partial-agg'd struct-min, not a window over candidates") {
+    val p = plan("q_embed_pq")
+    // min(struct) has a map-side partial, so the shuffle carries ≤ one row
+    // per (vec, subspace) per partition — a Window would shuffle all
+    // N×8×K candidate rows
+    assert(p.contains("partial_min"), p.take(1200))
+    assert(!p.contains("Window"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p.take(1200))
+  }
+
   test("oov join broadcasts the vocab, never shuffles the token stream for membership") {
     val p = plan("q_vocab_oov")
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
