@@ -12,16 +12,16 @@ import graft.queries.Q.t
   */
 object CurationQueries {
 
-  private def docs(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents").select(col("doc_id"), col("text"),
-      split(col("text"), " ").as("tokens"))
+  private def docs(s: SparkSession, d: String): DataFrame = Q.docsTokens(s, d)
 
-  /** Portable 0..255 hash from the first two hex chars of md5 — both engines
-    * evaluate the identical `instr`-based expression, unlike Spark's
-    * `hash()`/DuckDB's `hash()` which are engine-specific. */
-  private val byteHashSql: String =
-    "(instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16 + " +
-      "(instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1)"
+  /** Portable 0..15 hash: one hex nibble of md5, decoded with `instr` so
+    * both engines evaluate the identical expression (Spark's `hash()` and
+    * DuckDB's `hash()` are engine-specific). One nibble IS the full hash
+    * for 16 shards — any wider hex prefix mod 16 reduces to its last
+    * digit. A different shard count wants ceil(log16(count)) nibbles and
+    * a count that isn't a power of 16, or every high nibble is dead. */
+  private val nibbleHashSql: String =
+    "instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1"
 
   val all: Seq[Q] = Seq(
 
@@ -36,14 +36,14 @@ object CurationQueries {
     // benchmarked through the same noop sink as every other query.
     Q("q_shard_assign",
       (s, d) => docs(s, d)
-        .withColumn("shard_id", expr(byteHashSql) % 16)
+        .withColumn("shard_id", expr(nibbleHashSql))
         .groupBy("shard_id")
         .agg(count(lit(1)).as("n_docs"),
           sum(size(col("tokens")).cast("long")).as("n_tokens"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy("shard_id"),
       Some(s"WITH ${Q.toksCte}, " +
-        s"sh AS (SELECT doc_id, len(toks) AS nt, ($byteHashSql) % 16 AS shard_id " +
+        s"sh AS (SELECT doc_id, len(toks) AS nt, $nibbleHashSql AS shard_id " +
         "FROM toks JOIN documents USING (doc_id)) " +
         "SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(nt) AS BIGINT) AS n_tokens, " +
@@ -106,15 +106,23 @@ object CurationQueries {
     Q("q_embed_pq",
       (s, d) => {
         val e = t(s, d, "embeddings")
+        // subspace count and MSE divisor derive from the data (size of the
+        // embedding column), not a hardcoded 64 — a regenerated table with
+        // another dimension keeps the math right instead of silently
+        // slicing short
         def subspaces(df: DataFrame, idAs: String, vecAs: String): DataFrame =
           df.select(col("vec_id").as(idAs),
-              explode(transform(sequence(lit(0), lit(7)),
+              size(col("embedding")).cast("long").as("nd"),
+              explode(transform(
+                // Column `/` is double division; dims are exact multiples
+                // of 8 so the cast back to int is lossless
+                sequence(lit(0), (size(col("embedding")) / 8).cast("int") - 1),
                 j => struct(j.as("j"),
                   slice(transform(col("embedding"), x => x.cast("double")),
                     j * 8 + 1, lit(8)).as("sv")))).as("sub"))
-            .select(col(idAs), col("sub.j").as("j"), col("sub.sv").as(vecAs))
+            .select(col(idAs), col("nd"), col("sub.j").as("j"), col("sub.sv").as(vecAs))
         val sub = subspaces(e, "vec_id", "sv")
-        val code = subspaces(e.filter(col("vec_id") < 16), "cid", "cv")
+        val code = subspaces(e.filter(col("vec_id") < 16), "cid", "cv").drop("nd")
         val l2 = aggregate(
           zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, x) => acc + x)
@@ -127,14 +135,15 @@ object CurationQueries {
           .withColumn("_d", l2)
           .groupBy("vec_id", "j")
           .agg(min(struct(round(col("_d"), 6).as("d6"), col("cid").as("cid"),
-            col("_d").as("d"))).as("best"))
+            col("_d").as("d"))).as("best"),
+            max(col("nd")).as("nd"))
           .groupBy("vec_id")
           // distances quantized to 1e-6 longs BEFORE the cross-row sum
           // (q_embed_centroids rule: double sums across rows are order-
           // dependent; exact integer sums are not)
           .agg(sum(col("best.cid") * (col("j") + 1)).as("code_sum"),
             Q.r6(sum(floor(col("best.d") * 1e6 + 0.5).cast("long")).cast("double")
-              / lit(64e6)).as("mse"))
+              / (max(col("nd")).cast("double") * lit(1e6))).as("mse"))
           .orderBy("vec_id")
       },
       Some {
@@ -142,16 +151,16 @@ object CurationQueries {
           s"list_sum(list_transform(generate_series(1, 8), " +
             s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) " +
             s"* (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
-        "WITH js AS (SELECT unnest(generate_series(0, 7)) AS j), " +
-          "sub AS (SELECT vec_id, j, embedding[j * 8 + 1 : j * 8 + 8] AS sv " +
-          "FROM embeddings CROSS JOIN js), " +
+        "WITH sj AS (SELECT vec_id, CAST(len(embedding) AS BIGINT) AS nd, " +
+          "unnest(generate_series(0, len(embedding) // 8 - 1)) AS j, embedding FROM embeddings), " +
+          "sub AS (SELECT vec_id, nd, j, embedding[j * 8 + 1 : j * 8 + 8] AS sv FROM sj), " +
           "code AS (SELECT vec_id AS cid, j, sv AS cv FROM sub WHERE vec_id < 16), " +
-          s"dd AS (SELECT s.vec_id, s.j, c.cid, ${l2Sql("s.sv", "c.cv")} AS d " +
+          s"dd AS (SELECT s.vec_id, s.nd, s.j, c.cid, ${l2Sql("s.sv", "c.cv")} AS d " +
           "FROM sub s JOIN code c ON s.j = c.j), " +
-          "rr AS (SELECT vec_id, j, cid, d, row_number() OVER " +
+          "rr AS (SELECT vec_id, nd, j, cid, d, row_number() OVER " +
           "(PARTITION BY vec_id, j ORDER BY round(d, 6), cid) AS rn FROM dd) " +
           "SELECT vec_id, CAST(sum(cid * (j + 1)) AS BIGINT) AS code_sum, " +
-          s"${Q.r6Sql("CAST(sum(CAST(floor(d * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 64e6")} AS mse " +
+          s"${Q.r6Sql("CAST(sum(CAST(floor(d * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / (CAST(max(nd) AS DOUBLE) * 1e6)")} AS mse " +
           "FROM rr WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"
       }),
 

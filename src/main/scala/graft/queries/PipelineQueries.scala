@@ -13,9 +13,7 @@ import graft.queries.Q.t
   */
 object PipelineQueries {
 
-  private def docs(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents").select(col("doc_id"), col("text"),
-      split(col("text"), " ").as("tokens"))
+  private def docs(s: SparkSession, d: String): DataFrame = Q.docsTokens(s, d)
 
   /** events with ts as epoch-nanos long (Spark has no nanosecond timestamp;
     * the oracle mirrors with `epoch_ns(ts)`). */

@@ -27,6 +27,16 @@ object Q {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The documents corpus with its tokenization — the ONE Spark-side
+    * counterpart of [[toksCte]] (`split(text, ' ')` ≡ `string_split`).
+    * Every query module must tokenize through this helper so the
+    * tokens-are-data contract can never drift per module. */
+  def docsTokens(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, split}
+    t(spark, dir, "documents").select(col("doc_id"), col("text"),
+      split(col("text"), " ").as("tokens"))
+  }
+
   /** Shared DuckDB CTE fragments for the documents corpus. Tokenization is
     * `string_split(text, ' ')` — identical to Spark's `split(text, ' ')` on
     * this single-space-joined corpus (SURVEY.md §7.4: tokens are data; both

@@ -177,12 +177,14 @@ object SearchQueries {
           .withColumn("k1", when(col("fts_score").isNotNull, 0).otherwise(1))
           .withColumn("k2", when(col("fts_score").isNotNull, -round(col("fts_score"), 6))
             .otherwise(round(col("vss_score"), 6)))
-        // the fused candidate set is bounded (≤ ftsK + vssK rows), so a
-        // single-partition rank is fine; the constant partition key keeps
-        // semantics identical while avoiding Spark's unpartitioned-Window
-        // warn path (same plan, declared intent)
+        // unpartitioned window, on purpose: the fused candidate set is
+        // bounded (≤ ftsK + vssK rows) by construction, so the single-
+        // partition rank is over ~2k rows, never the corpus. Spark logs its
+        // "No Partition Defined" warning here — accepted and documented in
+        // PLANS.md (a constant partition key doesn't silence it either:
+        // EliminateWindowPartitions strips foldable keys).
         f.withColumn("rank", row_number().over(
-            Window.partitionBy(lit(0)).orderBy(col("k1").asc, col("k2").asc, col("doc_id").asc)).cast("long"))
+            Window.orderBy(col("k1").asc, col("k2").asc, col("doc_id").asc)).cast("long"))
           .select("doc_id", "rank").orderBy("rank")
       },
       Some(s"WITH $fusedCtes " +
