@@ -232,6 +232,51 @@ object CurationQueries {
         s"${Q.r6Sql("CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)")} AS oov_rate " +
         "FROM ag ORDER BY doc_id")),
 
+    // Per-doc average bigram log-probability under the corpus's own
+    // add-one-smoothed bigram model — the perplexity-proxy quality signal
+    // (a doc whose transitions are corpus-typical scores high; word salad
+    // scores low). Counts tables are partial-agg'd before the join; the
+    // vocab-size scalar rides a broadcast; per-term log-probs quantize to
+    // 1e-6 longs before the cross-row sum (order-independence rule). ln
+    // parity between engines is established practice (the BM25 idf).
+    Q("q_text_bigram_logprob",
+      (s, d) => {
+        val tok = Q.docsTokens(s, d)
+        val uni = tok.select(explode(col("tokens")).as("w1"))
+          .groupBy("w1").agg(count(lit(1)).as("c1"))
+        val vocabSize = tok.select(explode(col("tokens")).as("t"))
+          .agg(countDistinct(col("t")).as("v"))
+        val bi = tok.filter(size(col("tokens")) >= 2)
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(1), size(col("tokens")) - 1),
+            i => struct(element_at(col("tokens"), i).as("w1"),
+              element_at(col("tokens"), i + 1).as("w2")))).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        bi.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+          .crossJoin(broadcast(vocabSize))
+          .withColumn("lp",
+            log((col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            Q.r6(sum(floor(col("lp") * 1e6 + 0.5).cast("long")).cast("double")
+              / (count(lit(1)).cast("double") * lit(1e6))).as("avg_logprob"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH ${Q.toksCte}, " +
+        "tok AS (SELECT doc_id, unnest(toks) AS w FROM toks), " +
+        "uni AS (SELECT w AS w1, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY w), " +
+        "vs AS (SELECT count(DISTINCT w) AS v FROM tok), " +
+        "bj AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS j " +
+        "FROM toks WHERE len(toks) >= 2), " +
+        "bi AS (SELECT doc_id, toks[j] AS w1, toks[j + 1] AS w2 FROM bj), " +
+        "big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY w1, w2), " +
+        "sc AS (SELECT doc_id, ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)) AS lp " +
+        "FROM bi JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vs) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        s"${Q.r6Sql("CAST(sum(CAST(floor(lp * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e6)")} AS avg_logprob " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id")),
+
     // ---- PII redaction / URL handling ----
 
     // Regex PII redaction + URL/domain extraction. The corpus is synthetic

@@ -111,6 +111,31 @@ class CurationQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram logprob: negative scores, bigram counts match, one doc recomputed") {
+    val rows = q("q_text_bigram_logprob").collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    assert(rows.length == docs.count(_._2.length >= 2))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_logprob") < 0.0) // probabilities < 1
+      assert(r.getAs[Long]("n_bigrams") == docs(r.getAs[Long]("doc_id")).length - 1)
+    }
+    // brute-force recompute for one doc
+    val uni = docs.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val big = docs.values.flatMap(ts => ts.zip(ts.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val v = uni.size.toLong
+    val toks0 = docs(0L)
+    val lps = toks0.zip(toks0.tail).map { p =>
+      math.log((big(p) + 1).toDouble / (uni(p._1) + v).toDouble)
+    }
+    val expected = math.floor(lps.map(x => math.floor(x * 1e6 + 0.5)).sum) /
+      (lps.length.toDouble * 1e6)
+    val got = rows.find(_.getAs[Long]("doc_id") == 0L).get.getAs[Double]("avg_logprob")
+    assert(math.abs(got - (math.round(expected * 1e6) / 1e6)) < 2e-6, s"got=$got expected=$expected")
+  }
+
   test("pii redaction leaves no live email/phone and extracts the domain") {
     val rows = q("q_pii_redact").collect()
     assert(rows.forall(_.getAs[Long]("n_emails") == 1L))
