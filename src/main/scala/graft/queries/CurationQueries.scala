@@ -20,7 +20,7 @@ object CurationQueries {
     * for 16 shards — any wider hex prefix mod 16 reduces to its last
     * digit. A different shard count wants ceil(log16(count)) nibbles and
     * a count that isn't a power of 16, or every high nibble is dead. */
-  private val nibbleHashSql: String =
+  private[queries] val nibbleHashSql: String =
     "instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1"
 
   val all: Seq[Q] = Seq(

@@ -48,9 +48,9 @@ object PipelineQueries {
         round(Dedup.jaccard(col("dsa"), col("dsb")), 6).as("jaccard"))
   }
 
-  /** Oracle mirror of [[minhashVerifiedPairs]]: CTE chain ending in
-    * `verified(doc_a, doc_b, jaccard)`. */
-  private val minhashPairsCtes: String = {
+  /** Oracle CTE prefix shared by every MinHash-LSH query: tokenize →
+    * shingle sets → signatures → exploded `bands(doc_id, band, bucket)`. */
+  private[queries] val minhashBandsCtes: String = {
     val sh = Dedup.shinglesSql("toks")
     val hs = s"list_transform($sh, s -> ${Dedup.tokHashSql("s")})"
     val mhs = (0 until Dedup.NumHashes).map(j => s"${Dedup.minhashSql("hs", j)} AS mh$j")
@@ -58,13 +58,18 @@ object PipelineQueries {
       s"shc AS (SELECT doc_id, list_distinct($sh) AS ds, $hs AS hs FROM toks WHERE len(toks) >= 3), " +
       s"mh AS (SELECT doc_id, ${mhs.mkString(", ")} FROM shc), " +
       s"bands AS (SELECT doc_id, 0 AS band, ${Dedup.bandBucketSql((0 until 8).map(j => s"mh$j"), 0)} AS bucket FROM mh " +
-      s"UNION ALL SELECT doc_id, 1, ${Dedup.bandBucketSql((0 until 8).map(j => s"mh$j"), 1)} FROM mh), " +
+      s"UNION ALL SELECT doc_id, 1, ${Dedup.bandBucketSql((0 until 8).map(j => s"mh$j"), 1)} FROM mh)"
+  }
+
+  /** Oracle mirror of [[minhashVerifiedPairs]]: CTE chain ending in
+    * `verified(doc_a, doc_b, jaccard)`. */
+  private val minhashPairsCtes: String =
+    s"$minhashBandsCtes, " +
       "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b " +
       "ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
       "verified AS (SELECT doc_a, doc_b, " +
       s"round(${Dedup.jaccardSql("sa.ds", "sb.ds")}, 6) AS jaccard " +
       "FROM pairs JOIN shc sa ON pairs.doc_a = sa.doc_id JOIN shc sb ON pairs.doc_b = sb.doc_id)"
-  }
 
   val all: Seq[Q] = Seq(
 
@@ -237,6 +242,64 @@ object PipelineQueries {
           s"SELECT vec_id, bucket, nn_id, ${Q.r6Sql("dist")} AS nn_dist, " +
           "round(dist, 6) < 0.45 AS near_dup FROM rr WHERE rn = 1 ORDER BY vec_id"
       }),
+
+    // Incremental dedup: screen a NEW batch (doc_id ≥ 400) against the
+    // EXISTING corpus (doc_id < 400) — the shape a daily ingest actually
+    // runs, where re-deduping 100 TB from scratch per batch is a non-
+    // starter. Candidates only form where a new doc shares an LSH band
+    // bucket with an existing doc (equi-join, never new×existing), exact
+    // Jaccard verifies, and the per-new-doc best match is a partial-agg'd
+    // struct-min. At scale the existing side's signatures/buckets are a
+    // precomputed table partitioned by (band, bucket).
+    Q("q_dedup_incremental",
+      (s, d) => {
+        val base = docs(s, d).filter(size(col("tokens")) >= 3)
+        val sig = Dedup.withMinhashSignature(base, "tokens")
+        val bands = sig.select(col("doc_id"), explode(array(
+          struct(lit(0).as("band"), col("band0").as("bucket")),
+          struct(lit(1).as("band"), col("band1").as("bucket")))).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        val pairs = bands.filter(col("doc_id") >= 400).withColumnRenamed("doc_id", "new_id")
+          .join(bands.filter(col("doc_id") < 400).withColumnRenamed("doc_id", "old_id"),
+            Seq("band", "bucket"))
+          .select(col("new_id"), col("old_id")).distinct()
+        val shingleSets = base
+          .select(col("doc_id"), array_distinct(Dedup.shingles(col("tokens"))).as("ds"))
+        val verified = pairs
+          .join(shingleSets.select(col("doc_id").as("new_id"), col("ds").as("dsn")), Seq("new_id"))
+          .join(shingleSets.select(col("doc_id").as("old_id"), col("ds").as("dso")), Seq("old_id"))
+          .select(col("new_id"), col("old_id"),
+            round(Dedup.jaccard(col("dsn"), col("dso")), 6).as("j"))
+          .filter(col("j") >= 0.3)
+        val best = verified.groupBy("new_id")
+          .agg(count(lit(1)).as("nm"),
+            min(struct((-col("j")).as("nj"), col("old_id").as("a"))).as("best"))
+        base.filter(col("doc_id") >= 400).select(col("doc_id").as("new_id"))
+          .join(best, Seq("new_id"), "left")
+          .select(col("new_id").as("doc_id"),
+            coalesce(col("nm"), lit(0L)).as("n_matches"),
+            col("best.a").as("best_match"),
+            Q.r6(-col("best.nj")).as("best_jaccard"),
+            col("nm").isNotNull.as("is_dup"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH $minhashBandsCtes, " +
+        "pairs AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id " +
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket " +
+        "AND a.doc_id >= 400 AND b.doc_id < 400), " +
+        s"ver AS (SELECT new_id, old_id, round(${Dedup.jaccardSql("sn.ds", "so.ds")}, 6) AS j " +
+        "FROM pairs JOIN shc sn ON pairs.new_id = sn.doc_id " +
+        "JOIN shc so ON pairs.old_id = so.doc_id), " +
+        "vf AS (SELECT * FROM ver WHERE j >= 0.3), " +
+        "best AS (SELECT new_id, old_id, j, " +
+        "CAST(count(*) OVER (PARTITION BY new_id) AS BIGINT) AS nm, " +
+        "row_number() OVER (PARTITION BY new_id ORDER BY j DESC, old_id) AS rn FROM vf) " +
+        "SELECT n.doc_id, coalesce(b.nm, CAST(0 AS BIGINT)) AS n_matches, " +
+        "b.old_id AS best_match, " +
+        s"${Q.r6Sql("b.j")} AS best_jaccard, b.nm IS NOT NULL AS is_dup " +
+        "FROM (SELECT doc_id FROM toks WHERE len(toks) >= 3 AND doc_id >= 400) n " +
+        "LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.doc_id = b.new_id " +
+        "ORDER BY doc_id")),
 
     // ---- Similarity search ----
 

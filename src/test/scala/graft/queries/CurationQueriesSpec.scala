@@ -21,6 +21,21 @@ class CurationQueriesSpec extends AnyFunSuite {
       rows.map(r => s"${r.getAs[Int]("shard_id")}:${r.getAs[Long]("n_docs")}").mkString(","))
   }
 
+  test("shard assignment drives a real partitioned write layout") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val df = Q.docsTokens(spark, dir)
+      .withColumn("shard_id", org.apache.spark.sql.functions.expr(CurationQueries.nibbleHashSql))
+    df.repartition(col("shard_id"))
+      .write.partitionBy("shard_id").mode("overwrite").parquet(out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard_id=")).sorted
+    assert(dirs.nonEmpty && dirs.forall(_.matches("shard_id=\\d+")))
+    // the written layout round-trips: partition column recovered, all rows
+    val back = spark.read.parquet(out)
+    assert(back.count() == df.count())
+    assert(back.select("shard_id").distinct().count() == dirs.length)
+  }
+
   test("int8 quantization reconstructs within the quantization step") {
     val rows = q("q_embed_quantize").collect()
     assert(rows.nonEmpty)
@@ -108,6 +123,29 @@ class CurationQueriesSpec extends AnyFunSuite {
         s"doc ${r.get(0)}")
       val expected = math.round(noov.toDouble / nt * 1e6) / 1e6
       assert(math.abs(r.getAs[Double]("oov_rate") - expected) < 1e-9)
+    }
+  }
+
+  test("incremental dedup: flagged new docs really match, one pair recomputed") {
+    val rows = q("q_dedup_incremental").collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    assert(rows.length == docs.count { case (id, ts) => id >= 400 && ts.length >= 3 })
+    val dups = rows.filter(_.getAs[Boolean]("is_dup"))
+    assert(dups.nonEmpty, "fixture should contain cross-split near-dups")
+    def shingles(ts: Seq[String]) = ts.sliding(3).map(_.mkString(" ")).toSet
+    dups.foreach { r =>
+      val a = shingles(docs(r.getAs[Long]("doc_id")))
+      val b = shingles(docs(r.getAs[Long]("best_match")))
+      val j = a.intersect(b).size.toDouble / a.union(b).size
+      assert(r.getAs[Long]("best_match") < 400)
+      assert(math.abs(r.getAs[Double]("best_jaccard") - math.round(j * 1e6) / 1e6) < 1e-9,
+        s"doc ${r.get(0)}")
+      assert(j >= 0.3)
+    }
+    rows.filter(!_.getAs[Boolean]("is_dup")).foreach { r =>
+      assert(r.getAs[Long]("n_matches") == 0L && r.isNullAt(r.fieldIndex("best_match")))
     }
   }
 
