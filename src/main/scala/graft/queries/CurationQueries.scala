@@ -50,6 +50,38 @@ object CurationQueries {
         "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
         "FROM sh GROUP BY shard_id ORDER BY shard_id")),
 
+    // Corpus snapshot diff: classify every doc across two corpus versions
+    // as added / removed / changed / same by content hash — the ingest
+    // bookkeeping pass that decides what an incremental pipeline actually
+    // reprocesses. Versions are derived deterministically from the corpus
+    // (v1 = ids < 450; v2 = ids ≥ 50 with every 10th doc edited). One
+    // full-outer equi-join on the id, comparing 32-byte hashes, never
+    // content; at 100 TB both sides shuffle once on doc_id and the texts
+    // themselves stay in their scans.
+    Q("q_corpus_diff",
+      (s, d) => {
+        val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val v1 = base.filter(col("doc_id") < 450)
+          .select(col("doc_id"), md5(col("text")).as("h1"))
+        val v2 = base.filter(col("doc_id") >= 50)
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))).as("h2"))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("h2").isNull, "removed")
+              .when(col("h1").isNull, "added")
+              .when(col("h1") =!= col("h2"), "changed")
+              .otherwise("same").as("status"))
+          .orderBy("doc_id")
+      },
+      Some("WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id < 450), " +
+        "v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END) AS h2 " +
+        "FROM documents WHERE doc_id >= 50) " +
+        "SELECT doc_id, CASE WHEN h2 IS NULL THEN 'removed' WHEN h1 IS NULL THEN 'added' " +
+        "WHEN h1 != h2 THEN 'changed' ELSE 'same' END AS status " +
+        "FROM v1 FULL OUTER JOIN v2 USING (doc_id) ORDER BY doc_id")),
+
     // ---- Embedding quantization ----
 
     // Per-vector int8 quantization (symmetric, scale = max|v|): the standard

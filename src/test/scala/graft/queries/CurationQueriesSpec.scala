@@ -126,6 +126,20 @@ class CurationQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus diff statuses follow the version rule exactly") {
+    val m = q("q_corpus_diff").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(m.size == n)
+    m.foreach { case (id, st) =>
+      val expected =
+        if (id < 50) "removed"
+        else if (id >= 450) "added"
+        else if (id % 10 == 0) "changed"
+        else "same"
+      assert(st == expected, s"doc $id: $st != $expected")
+    }
+  }
+
   test("incremental dedup: flagged new docs really match, one pair recomputed") {
     val rows = q("q_dedup_incremental").collect()
     val docs = spark.read.parquet(s"$dir/documents.parquet")
