@@ -116,4 +116,46 @@ object EngineProperties extends Properties("graft") {
         c.headerPath.isEmpty || c.headerPath.split("/").forall(_.nonEmpty)
       }
     }
+
+  // ---- curation kernel invariants (pure mirrors of the SQL/Column math) ----
+
+  /** Scala mirror of q_embed_quantize's per-element rule. */
+  private def quantize(x: Double, scale: Double): Long =
+    math.floor(x / scale * 127.0 + 0.5).toLong
+
+  private val vecGen: Gen[List[Double]] =
+    Gen.nonEmptyListOf(Gen.choose(-1.0, 1.0)).suchThat(_.exists(_ != 0.0))
+
+  property("int8 quantize: codes bounded, monotone, reconstruct within half a step") =
+    forAll(vecGen) { v =>
+      val scale = v.map(math.abs).max
+      val qs = v.map(quantize(_, scale))
+      val bounded = qs.forall(q => q >= -127L && q <= 127L)
+      val sorted = v.sorted.map(quantize(_, scale))
+      val monotone = sorted.zip(sorted.drop(1)).forall { case (a, b) => a <= b }
+      val step = scale / 127.0
+      val close = v.zip(qs).forall { case (x, q) =>
+        math.abs(q.toDouble / 127.0 * scale - x) <= step / 2.0 + 1e-12
+      }
+      bounded && monotone && close
+    }
+
+  property("shard nibble: md5 hex prefix decodes into [0, 16)") =
+    forAll(Gen.asciiStr) { s =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val shard = "0123456789abcdef".indexOf(hex.head)
+      shard >= 0 && shard < 16
+    }
+
+  property("bigram model: add-one-smoothed probabilities lie in (0, 1]") =
+    forAll(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d"))) { toks =>
+      val uni = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val big = toks.zip(toks.tail).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val v = uni.size.toLong
+      toks.zip(toks.tail).forall { p =>
+        val prob = (big(p) + 1).toDouble / (uni(p._1) + v).toDouble
+        prob > 0.0 && prob <= 1.0 && math.log(prob) <= 0.0
+      }
+    }
 }
