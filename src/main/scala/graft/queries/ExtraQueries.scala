@@ -118,6 +118,40 @@ object ExtraQueries {
         "min(event_id) AS first_event, CAST((max(tsn) - min(tsn)) // 1000000000 AS BIGINT) AS duration_s " +
         "FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq")),
 
+    // Conversion funnel: first signup → first subsequent purchase per user,
+    // with time-to-convert. The standard product-analytics shape: two
+    // filtered scans partial-agg'd per user, one equi-join on user_id, one
+    // conditional-min rollup — no window, no per-event state. At 100 TB
+    // both sides shrink to per-user rows BEFORE the join.
+    Q("q_events_funnel",
+      (s, d) => {
+        // µs granularity on BOTH engines: DuckDB's TIMESTAMP is µs, so the
+        // parquet's nanos truncate there; `div 1000` floors identically here
+        val e = events(s, d).withColumn("tus", expr("ts div 1000"))
+        val su = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("tus")).as("signup_us"))
+        val pu = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("tus").as("pus"))
+        su.join(pu, Seq("user_id"), "left")
+          .groupBy("user_id")
+          .agg(min(col("signup_us")).as("signup_us"),
+            min(when(col("pus") >= col("signup_us"), col("pus"))).as("first_purchase"))
+          .select(col("user_id"), col("signup_us"),
+            col("first_purchase").isNotNull.as("converted"),
+            expr("(first_purchase - signup_us) div 1000000").as("secs_to_convert"))
+          .orderBy("user_id")
+      },
+      Some("WITH su AS (SELECT user_id, min(epoch_us(ts)) AS signup_us FROM events " +
+        "WHERE event_type = 'signup' GROUP BY user_id), " +
+        "pu AS (SELECT user_id, epoch_us(ts) AS pus FROM events WHERE event_type = 'purchase'), " +
+        "j AS (SELECT su.user_id, signup_us, CASE WHEN pus >= signup_us THEN pus END AS cp " +
+        "FROM su LEFT JOIN pu USING (user_id)), " +
+        "a AS (SELECT user_id, min(signup_us) AS signup_us, min(cp) AS first_purchase " +
+        "FROM j GROUP BY user_id) " +
+        "SELECT user_id, signup_us, first_purchase IS NOT NULL AS converted, " +
+        "(first_purchase - signup_us) // 1000000 AS secs_to_convert " +
+        "FROM a ORDER BY user_id")),
+
     // Exact median per group (interpolating percentile)
     Q("q_percentile_median",
       (s, d) => t(s, d, "lineitem")
