@@ -196,6 +196,41 @@ object CurationQueries {
           "FROM rr WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"
       }),
 
+    // Z-order layout key: interleave the bits of two scan predicates'
+    // columns so range-partitioning on the derived key co-locates rows
+    // that 2-D predicates co-access — the Delta/Iceberg Z-ORDER technique,
+    // expressed as plain arithmetic (div/mod, portable to the oracle; no
+    // engine bit intrinsics). Map-only key computation + one partial-agg'd
+    // histogram over the key ranges; the production write is
+    // `repartitionByRange(col("z"))` so each output file covers one
+    // compact Z-curve segment.
+    Q("q_zorder_layout",
+      (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val e = Q.t(s, d, "events")
+          .select(col("event_id"), (col("user_id") % 256).as("x"),
+            (col("event_id") % 256).as("y"))
+        val z = (0 until 8).map { b =>
+          expr(s"(x div ${1 << b}) % 2") * lit(1L << (2 * b + 1)) +
+            expr(s"(y div ${1 << b}) % 2") * lit(1L << (2 * b))
+        }.reduce(_ + _)
+        e.withColumn("z", z)
+          .groupBy(expr("z div 4096").as("z_range"))
+          .agg(count(lit(1)).as("n"), min(col("z")).as("z_min"),
+            max(col("z")).as("z_max"))
+          .orderBy("z_range")
+      },
+      Some {
+        val terms = (0 until 8).map { b =>
+          s"((x // ${1 << b}) % 2) * ${1L << (2 * b + 1)} + " +
+            s"((y // ${1 << b}) % 2) * ${1L << (2 * b)}"
+        }.mkString(" + ")
+        "WITH xy AS (SELECT event_id, user_id % 256 AS x, event_id % 256 AS y FROM events), " +
+          s"zz AS (SELECT event_id, $terms AS z FROM xy) " +
+          "SELECT z // 4096 AS z_range, CAST(count(*) AS BIGINT) AS n, " +
+          "min(z) AS z_min, max(z) AS z_max FROM zz GROUP BY 1 ORDER BY z_range"
+      }),
+
     // ---- Vocabulary / BPE statistics ----
 
     // Global top-50 vocabulary: one explode + one partial-agg'd count + a

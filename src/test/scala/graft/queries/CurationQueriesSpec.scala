@@ -126,6 +126,28 @@ class CurationQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order key interleaves losslessly and ranges partition the curve") {
+    // pure mirror: interleave then de-interleave recovers (x, y)
+    def zOf(x: Long, y: Long): Long =
+      (0 until 8).map(b => (((x >> b) & 1L) << (2 * b + 1)) | (((y >> b) & 1L) << (2 * b))).sum
+    def unz(z: Long): (Long, Long) = {
+      val pairs = (0 until 8).map(b => (((z >> (2 * b + 1)) & 1L) << b, ((z >> (2 * b)) & 1L) << b))
+      (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    }
+    (0 until 200).foreach { i =>
+      val (x, y) = ((i * 37) % 256L, (i * 91) % 256L)
+      assert(unz(zOf(x, y)) == (x, y))
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rows = q("q_zorder_layout").collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == spark.read.parquet(s"$dir/events.parquet").count())
+    rows.foreach { r =>
+      val zr = r.getAs[Long]("z_range")
+      assert(r.getAs[Long]("z_min") >= zr * 4096 && r.getAs[Long]("z_max") < (zr + 1) * 4096)
+    }
+  }
+
   test("corpus diff statuses follow the version rule exactly") {
     val m = q("q_corpus_diff").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
