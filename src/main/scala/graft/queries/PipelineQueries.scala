@@ -71,6 +71,29 @@ object PipelineQueries {
       s"round(${Dedup.jaccardSql("sa.ds", "sb.ds")}, 6) AS jaccard " +
       "FROM pairs JOIN shc sa ON pairs.doc_a = sa.doc_id JOIN shc sb ON pairs.doc_b = sb.doc_id)"
 
+  /** The quality-gate verdict as a pure projection over (doc_id, tokens) —
+    * no window, no sort, no aggregate, which makes it streaming-safe
+    * unchanged: the SAME function serves the batch query and `readStream`
+    * inputs (asserted batch-equal in CurationStreamSpec). */
+  private[graft] def qualityGate(tokenized: DataFrame): DataFrame = {
+    val base = tokenized.filter(size(col("tokens")) >= 3)
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+      .withColumn("stop_ratio",
+        TextAnalysis.stopwordCount(col("tokens")).cast("double") /
+          col("n_tokens").cast("double"))
+      .withColumn("quality",
+        Q.r6(TextAnalysis.qualityScore(col("n_tokens"), col("stop_ratio"))))
+      .withColumn("sh", Dedup.shingles(col("tokens")))
+      .withColumn("rep_ratio", Q.r6(lit(1.0) -
+        size(array_distinct(col("sh"))).cast("double") /
+          size(col("sh")).cast("double")))
+    base.select(col("doc_id"), col("n_tokens"), col("quality"), col("rep_ratio"),
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("quality") < 0.5, "low_quality")
+          .when(col("rep_ratio") > 0.2, "repetitive").as("drop_reason"))
+      .withColumn("keep", col("drop_reason").isNull)
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- Deduplication ----
@@ -480,25 +503,7 @@ object PipelineQueries {
     // (dedup, embedding) runs. Thresholds compare ROUNDED signals so both
     // engines agree at rule boundaries.
     Q("q_quality_gate",
-      (s, d) => {
-        val base = docs(s, d).filter(size(col("tokens")) >= 3)
-          .withColumn("n_tokens", size(col("tokens")).cast("long"))
-          .withColumn("stop_ratio",
-            TextAnalysis.stopwordCount(col("tokens")).cast("double") /
-              col("n_tokens").cast("double"))
-          .withColumn("quality",
-            Q.r6(TextAnalysis.qualityScore(col("n_tokens"), col("stop_ratio"))))
-          .withColumn("sh", Dedup.shingles(col("tokens")))
-          .withColumn("rep_ratio", Q.r6(lit(1.0) -
-            size(array_distinct(col("sh"))).cast("double") /
-              size(col("sh")).cast("double")))
-        base.select(col("doc_id"), col("n_tokens"), col("quality"), col("rep_ratio"),
-            when(col("n_tokens") < 20, "too_short")
-              .when(col("quality") < 0.5, "low_quality")
-              .when(col("rep_ratio") > 0.2, "repetitive").as("drop_reason"))
-          .withColumn("keep", col("drop_reason").isNull)
-          .orderBy("doc_id")
-      },
+      (s, d) => qualityGate(docs(s, d)).orderBy("doc_id"),
       Some(s"WITH ${Q.toksCte}, " +
         "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
         s"${TextAnalysis.stopwordCountSql("toks")} AS n_stop, " +

@@ -11,6 +11,15 @@ import graft.index.IndexData
 class CliInteractiveSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("index rejects an unknown --embedder before any Spark work") {
+    val e = intercept[IllegalArgumentException] {
+      Cli.main(Array("index", "--db", "/tmp/never_created_idx",
+        "--docs", "/tmp/nowhere", "--embedder", "tf-idf"))
+    }
+    assert(e.getMessage.contains("tf-idf") && e.getMessage.contains("hashing"))
+    assert(!new java.io.File("/tmp/never_created_idx").exists())
+  }
+
   test("interactive search loop answers each line and skips blanks") {
     import spark.implicits._
     val corpus = Seq(
