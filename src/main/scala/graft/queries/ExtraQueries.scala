@@ -152,6 +152,34 @@ object ExtraQueries {
         "(first_purchase - signup_us) // 1000000 AS secs_to_convert " +
         "FROM a ORDER BY user_id")),
 
+    // Single-pass table profile — the ANALYZE-style stats a cost-based
+    // optimizer or data-quality monitor collects: row count, distinct keys,
+    // null counts, min/max per column, all in ONE aggregation over one scan
+    // (partial aggs everywhere; the two exact count-distincts expand the
+    // plan, which is the accepted cost of exactness — the approximate
+    // 100 TB path is q_approx_distinct's HLL sketch).
+    Q("q_profile_lineitem",
+      (s, d) => t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("d_orderkey"),
+        countDistinct(col("l_partkey")).as("d_partkey"),
+        sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("null_returnflag"),
+        Q.r4(min(col("l_quantity"))).as("min_qty"),
+        Q.r4(max(col("l_quantity"))).as("max_qty"),
+        Q.r4(min(col("l_extendedprice"))).as("min_price"),
+        Q.r4(max(col("l_extendedprice"))).as("max_price"),
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("min_shipdate"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_shipdate")),
+      Some("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS d_orderkey, " +
+        "CAST(count(DISTINCT l_partkey) AS BIGINT) AS d_partkey, " +
+        "CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_returnflag, " +
+        s"${Q.r4Sql("min(l_quantity)")} AS min_qty, ${Q.r4Sql("max(l_quantity)")} AS max_qty, " +
+        s"${Q.r4Sql("min(l_extendedprice)")} AS min_price, ${Q.r4Sql("max(l_extendedprice)")} AS max_price, " +
+        "strftime(min(l_shipdate), '%Y-%m-%d') AS min_shipdate, " +
+        "strftime(max(l_shipdate), '%Y-%m-%d') AS max_shipdate " +
+        "FROM lineitem")),
+
     // Exact median per group (interpolating percentile)
     Q("q_percentile_median",
       (s, d) => t(s, d, "lineitem")
