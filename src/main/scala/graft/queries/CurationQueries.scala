@@ -311,8 +311,9 @@ object CurationQueries {
         val tok = Q.docsTokens(s, d)
         val uni = tok.select(explode(col("tokens")).as("w1"))
           .groupBy("w1").agg(count(lit(1)).as("c1"))
-        val vocabSize = tok.select(explode(col("tokens")).as("t"))
-          .agg(countDistinct(col("t")).as("v"))
+        // vocab size IS uni's row count — deriving it there avoids a third
+        // full corpus scan + exact-distinct shuffle for one scalar
+        val vocabSize = uni.agg(count(lit(1)).as("v"))
         val bi = tok.filter(size(col("tokens")) >= 2)
           .select(col("doc_id"), explode(transform(
             sequence(lit(1), size(col("tokens")) - 1),
@@ -333,7 +334,7 @@ object CurationQueries {
       Some(s"WITH ${Q.toksCte}, " +
         "tok AS (SELECT doc_id, unnest(toks) AS w FROM toks), " +
         "uni AS (SELECT w AS w1, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY w), " +
-        "vs AS (SELECT count(DISTINCT w) AS v FROM tok), " +
+        "vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni), " +
         "bj AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS j " +
         "FROM toks WHERE len(toks) >= 2), " +
         "bi AS (SELECT doc_id, toks[j] AS w1, toks[j + 1] AS w2 FROM bj), " +
