@@ -136,6 +136,18 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(1200))
   }
 
+  test("funnel pre-aggregates both sides; no window, no cartesian") {
+    val p = plan("q_events_funnel")
+    assert(p.contains("partial_min"), p.take(1200)) // per-user min before the join
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("incremental dedup joins only on band buckets, never new×existing") {
+    val p = plan("q_dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
+
   test("pii redaction is map-only: no exchange before the presentation sort") {
     val p = plan("q_pii_redact")
     // the only exchange allowed is the final ORDER BY's range partitioning —
