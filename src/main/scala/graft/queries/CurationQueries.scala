@@ -82,6 +82,36 @@ object CurationQueries {
         "WHEN h1 != h2 THEN 'changed' ELSE 'same' END AS status " +
         "FROM v1 FULL OUTER JOIN v2 USING (doc_id) ORDER BY doc_id")),
 
+    // Corpus health report in ONE pass: per-language totals, per-
+    // (language, length-decile) breakdown, and the grand total via
+    // GROUPING SETS — Spark expands the sets before a single shuffle, so
+    // the 100 TB corpus is scanned once for every rollup level instead of
+    // once per report row. Group keys are coalesced to sentinels ('<all>',
+    // -1) because the engines disagree on NULL sort order and the corpus
+    // can't contain the sentinels.
+    Q("q_corpus_report",
+      (s, d) => {
+        val base = t(s, d, "documents").select(col("lang"),
+          expr("n_chars div 100").as("len_bucket"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        base.groupingSets(
+            Seq(Seq(col("lang")), Seq(col("lang"), col("len_bucket")), Seq()),
+            col("lang"), col("len_bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+          .select(coalesce(col("lang"), lit("<all>")).as("lang"),
+            coalesce(col("len_bucket"), lit(-1L)).as("len_bucket"),
+            col("n_docs"), col("n_tokens"))
+          .orderBy("lang", "len_bucket")
+      },
+      Some(s"WITH ${Q.toksCte}, " +
+        "base AS (SELECT lang, n_chars // 100 AS len_bucket, " +
+        "CAST(len(toks) AS BIGINT) AS nt FROM toks JOIN documents USING (doc_id)) " +
+        "SELECT coalesce(lang, '<all>') AS lang, " +
+        "coalesce(len_bucket, CAST(-1 AS BIGINT)) AS len_bucket, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens " +
+        "FROM base GROUP BY GROUPING SETS ((lang), (lang, len_bucket), ()) " +
+        "ORDER BY lang, len_bucket")),
+
     // ---- Embedding quantization ----
 
     // Per-vector int8 quantization (symmetric, scale = max|v|): the standard
