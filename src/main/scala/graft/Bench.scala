@@ -9,15 +9,7 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune the computed columns and benchmark only the scan.
   */
 object Bench {
-  /** Minimal JSON string escape — paths with quotes/backslashes must not
-    * produce an unparseable stdout line. */
-  private def jsonStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case '\r' => "\\r"; case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def jsonStr(s: String): String = graft.util.Json.str(s)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

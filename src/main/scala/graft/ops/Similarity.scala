@@ -97,34 +97,46 @@ object Similarity {
     *
     * `queries`: (qid, qvec); `corpus`: (id, vec); `centroids`: (cid, cvec).
     * Output: (qid, id, rank, dist) — deterministic (rounded-dist, id) order.
+    * Inputs are re-aliased to internal names up front (the knnJoin pattern),
+    * so callers may pass frames sharing column names (all three sides often
+    * come from one embeddings table) without ambiguous-reference failures.
+    * `excludeSelf` compares query ids against corpus ids — it only means
+    * "drop the vector itself" when both sides draw ids from one id space;
+    * pass `excludeSelf = false` when they don't.
     */
   def ivfSearch(
       queries: DataFrame, qidCol: String, qvecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String,
       nprobe: Int, k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(qidCol).as("_qid"), col(qvecCol).as("_qvec"))
+    val c = corpus.select(col(idCol).as("_cdid"), col(vecCol).as("_cdvec"))
+    val cents =
+      centroids.select(col(cidCol).as("_cid"), col(cvecCol).as("_cvec"))
     // corpus side: nearest-centroid assignment (precomputed at scale)
-    val assigned = ivfAssign(corpus, idCol, vecCol, centroids, cidCol, cvecCol)
-      .select(col(idCol), col(vecCol), col(cidCol).as("_cluster"))
+    val assigned = ivfAssign(c, "_cdid", "_cdvec", cents, "_cid", "_cvec")
+      .select(col("_cdid"), col("_cdvec"), col("_cid").as("_cluster"))
     // query side: top-nprobe centroids per query — queries × centroids is
     // tiny (both broadcast-sized), never the corpus
-    val wProbe = Window.partitionBy(col(qidCol))
-      .orderBy(round(col("_qcdist"), 6).asc, col(cidCol).asc)
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("_qcdist", VectorOps.cosineDist(col(qvecCol), col(cvecCol)))
+    val wProbe = Window.partitionBy(col("_qid"))
+      .orderBy(round(col("_qcdist"), 6).asc, col("_cid").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("_qcdist", VectorOps.cosineDist(col("_qvec"), col("_cvec")))
       .withColumn("_pr", row_number().over(wProbe))
       .filter(col("_pr") <= nprobe)
-      .select(col(qidCol), col(qvecCol), col(cidCol).as("_cluster"))
+      .select(col("_qid"), col("_qvec"), col("_cid").as("_cluster"))
     // equi-join on cluster id: each query sees only its probed clusters
     val cand = assigned.join(broadcast(probes), Seq("_cluster"))
-      .withColumn("dist", VectorOps.cosineDist(col(vecCol), col(qvecCol)))
-    val filtered = if (excludeSelf) cand.filter(col(qidCol) =!= col(idCol)) else cand
-    val wRank = Window.partitionBy(col(qidCol))
-      .orderBy(round(col("dist"), 6).asc, col(idCol).asc)
+      .withColumn("dist", VectorOps.cosineDist(col("_cdvec"), col("_qvec")))
+    val filtered =
+      if (excludeSelf) cand.filter(col("_qid") =!= col("_cdid")) else cand
+    val wRank = Window.partitionBy(col("_qid"))
+      .orderBy(round(col("dist"), 6).asc, col("_cdid").asc)
     filtered
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
-      .select(col(qidCol), col(idCol), col("rank"), col("dist"))
+      .select(col("_qid").as(qidCol), col("_cdid").as(idCol),
+        col("rank"), col("dist"))
   }
 
   /** Sign-LSH bucket id: bit b set iff dot(vec, plane_b) > 0.

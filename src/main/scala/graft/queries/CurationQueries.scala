@@ -53,17 +53,24 @@ object CurationQueries {
     // Corpus snapshot diff: classify every doc across two corpus versions
     // as added / removed / changed / same by content hash — the ingest
     // bookkeeping pass that decides what an incremental pipeline actually
-    // reprocesses. Versions are derived deterministically from the corpus
-    // (v1 = ids < 450; v2 = ids ≥ 50 with every 10th doc edited). One
+    // reprocesses. Versions derive deterministically from the corpus, with
+    // split points as FRACTIONS of max(doc_id) (v1 = lowest 90% of the id
+    // range, v2 = ids above the 10% mark, every 10th doc edited) so the
+    // diff keeps its added/removed/changed/same mix at every scale factor
+    // instead of degenerating to all-'added' beyond the fixture size. One
     // full-outer equi-join on the id, comparing 32-byte hashes, never
     // content; at 100 TB both sides shuffle once on doc_id and the texts
-    // themselves stay in their scans.
+    // themselves stay in their scans (the max(doc_id) scalar rides a
+    // broadcast).
     Q("q_corpus_diff",
       (s, d) => {
         val base = t(s, d, "documents").select(col("doc_id"), col("text"))
-        val v1 = base.filter(col("doc_id") < 450)
+        val cuts = base.agg(expr("max(doc_id) * 9 div 10").as("c1"),
+          expr("max(doc_id) div 10").as("c2"))
+        val b = base.crossJoin(broadcast(cuts))
+        val v1 = b.filter(col("doc_id") < col("c1"))
           .select(col("doc_id"), md5(col("text")).as("h1"))
-        val v2 = base.filter(col("doc_id") >= 50)
+        val v2 = b.filter(col("doc_id") >= col("c2"))
           .select(col("doc_id"),
             md5(when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
               .otherwise(col("text"))).as("h2"))
@@ -75,9 +82,10 @@ object CurationQueries {
               .otherwise("same").as("status"))
           .orderBy("doc_id")
       },
-      Some("WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id < 450), " +
+      Some("WITH c AS (SELECT max(doc_id) * 9 // 10 AS c1, max(doc_id) // 10 AS c2 FROM documents), " +
+        "v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents, c WHERE doc_id < c1), " +
         "v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END) AS h2 " +
-        "FROM documents WHERE doc_id >= 50) " +
+        "FROM documents, c WHERE doc_id >= c2) " +
         "SELECT doc_id, CASE WHEN h2 IS NULL THEN 'removed' WHEN h1 IS NULL THEN 'added' " +
         "WHEN h1 != h2 THEN 'changed' ELSE 'same' END AS status " +
         "FROM v1 FULL OUTER JOIN v2 USING (doc_id) ORDER BY doc_id")),

@@ -150,12 +150,16 @@ class CurationQueriesSpec extends AnyFunSuite {
 
   test("corpus diff statuses follow the version rule exactly") {
     val m = q("q_corpus_diff").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val n = docs.count()
+    // split points are fractions of max(doc_id), mirroring the query
+    val mx = docs.agg(max("doc_id")).head.getLong(0)
+    val (c1, c2) = (mx * 9 / 10, mx / 10)
     assert(m.size == n)
     m.foreach { case (id, st) =>
       val expected =
-        if (id < 50) "removed"
-        else if (id >= 450) "added"
+        if (id < c2) "removed"
+        else if (id >= c1) "added"
         else if (id % 10 == 0) "changed"
         else "same"
       assert(st == expected, s"doc $id: $st != $expected")
