@@ -6,7 +6,7 @@ import graft.analyze.WhitespaceAnalyzer
 import graft.core.Schemas.Setting
 import graft.embed.FixedVectorEmbedder
 import graft.index.IndexData
-import graft.queries.{CoreQueries, CurationQueries, ExtraQueries, PipelineQueries, Q, SearchQueries}
+import graft.queries.{CoreQueries, CurationQueries, ExtraQueries, MiningQueries, PipelineQueries, Q, SearchQueries}
 import graft.rerank.TokenOverlapReranker
 import graft.search.HybridSearch
 
@@ -15,7 +15,7 @@ object SparkEntry {
 
   private lazy val allQs: Seq[Q] =
     CoreQueries.all ++ SearchQueries.all ++ PipelineQueries.all ++
-      ExtraQueries.all ++ CurationQueries.all
+      ExtraQueries.all ++ CurationQueries.all ++ MiningQueries.all
 
   /** Flagship query: full hybrid search (BM25 + cosine fusion + deterministic
     * rerank) over the sf0.001 corpus via the real library path

@@ -1,0 +1,377 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.TextAnalysis
+import graft.queries.Q.t
+
+/** Round-5 pipeline extensions: PQ asymmetric-distance ANN search, a k-means
+  * Lloyd refinement step, tf-idf keyword extraction, edit-distance dedup
+  * verification, Gopher-style quality rules, statistical anomaly flags, and
+  * two training-example constructors (strided token windows, span
+  * corruption). Same contract as every other query module: deterministic
+  * Spark plan + DuckDB oracle mirror, scale posture documented per query.
+  */
+object MiningQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Q.docsTokens(s, d)
+
+  private def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+  }
+
+  /** Explode an embeddings frame into 8-dim subvectors: (id, j, sub).
+    * Subspace count derives from the embedding size (q_embed_pq rule). */
+  private def subspaces(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+    df.select(col("vec_id").as(idAs),
+        explode(transform(
+          sequence(lit(0), (size(col("embedding")) / 8).cast("int") - 1),
+          j => struct(j.cast("long").as("j"),
+            slice(transform(col("embedding"), x => x.cast("double")),
+              j * 8 + 1, lit(8)).as("sv")))).as("sub"))
+      .select(col(idAs), col("sub.j").as("j"), col("sub.sv").as(vecAs))
+
+  /** Element-order L2 between two 8-dim double arrays (left fold — the
+    * dot-product determinism rule). */
+  private def l2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def l2Sql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, 8), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) " +
+      s"* (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+
+  /** Shared oracle CTE chain for the PQ layout: subvectors + codebook
+    * (the q_embed_pq structure). */
+  private val pqCtes: String =
+    "sj AS (SELECT vec_id, unnest(generate_series(0, len(embedding) // 8 - 1)) AS j, " +
+      "embedding FROM embeddings), " +
+      "sub AS (SELECT vec_id, j, embedding[j * 8 + 1 : j * 8 + 8] AS sv FROM sj), " +
+      "code AS (SELECT vec_id AS cid, j, sv AS cv FROM sub WHERE vec_id < 16)"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Similarity: the PQ serving path ----
+
+    // PQ asymmetric-distance (ADC) top-k search: corpus vectors live only as
+    // 8 codebook codes (the q_embed_pq encoding); each query builds a
+    // 8×16-entry lookup table of exact query-subvector→centroid distances,
+    // and the approximate distance is the SUM OF 8 TABLE LOOKUPS — no
+    // per-vector float math at all. This is how a 100 TB corpus is actually
+    // served: codes are 8 small ints per vector (64 floats → ~8 bytes), the
+    // LUT is queries×128 rows riding a broadcast, and the only shuffle is
+    // the per-(query, vector) partial-agg'd sum of skinny longs. LUT entries
+    // quantize to 1e-6 longs before the cross-row sum (order-independence
+    // rule), so the approximate distances are bit-identical cross-engine.
+    // At scale this composes with IVF probing (q_sim_ivf_search) so the
+    // encoded scan side is the probed subset, not the full corpus.
+    Q("q_sim_pq_adc",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val sub = subspaces(e, "vec_id", "sv")
+        val code = subspaces(e.filter(col("vec_id") < 16), "cid", "cv")
+        // corpus encoding: nearest codebook entry per (vector, subspace) —
+        // struct-min argmin (map-side partials; no window over N×8×K rows)
+        val enc = sub.join(broadcast(code), Seq("j"))
+          .withColumn("_d", l2(col("sv"), col("cv")))
+          .groupBy("vec_id", "j")
+          .agg(min(struct(round(col("_d"), 6).as("d6"), col("cid").as("cid"))).as("best"))
+          .select(col("vec_id"), col("j"), col("best.cid").as("cid"))
+        // per-query lookup table: exact distance from the query's j-th
+        // subvector to every codebook entry of subspace j (3×8×16 rows)
+        val lut = subspaces(e.filter(col("vec_id").isin(0, 1, 2)), "qid", "qv")
+          .join(broadcast(code), Seq("j"))
+          .select(col("qid"), col("j"), col("cid"),
+            floor(l2(col("qv"), col("cv")) * 1e6 + 0.5).cast("long").as("lq"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(round(col("adist"), 6).asc, col("vec_id").asc)
+        enc.join(broadcast(lut), Seq("j", "cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .groupBy("qid", "vec_id")
+          .agg((sum(col("lq")).cast("double") / 1e6).as("adist"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("vec_id"), col("rank"), Q.r6(col("adist")).as("adist"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"WITH $pqCtes, " +
+        s"dd AS (SELECT s.vec_id, s.j, c.cid, ${l2Sql("s.sv", "c.cv")} AS d " +
+        "FROM sub s JOIN code c ON s.j = c.j), " +
+        "er AS (SELECT vec_id, j, cid, row_number() OVER " +
+        "(PARTITION BY vec_id, j ORDER BY round(d, 6), cid) AS rn FROM dd), " +
+        "enc AS (SELECT vec_id, j, cid FROM er WHERE rn = 1), " +
+        "lut AS (SELECT s.vec_id AS qid, c.j, c.cid, " +
+        s"CAST(floor(${l2Sql("s.sv", "c.cv")} * 1e6 + 0.5) AS BIGINT) AS lq " +
+        "FROM sub s JOIN code c ON s.j = c.j WHERE s.vec_id IN (0, 1, 2)), " +
+        "ad AS (SELECT l.qid, e.vec_id, CAST(sum(l.lq) AS DOUBLE) / 1e6 AS adist " +
+        "FROM enc e JOIN lut l ON e.j = l.j AND e.cid = l.cid " +
+        "WHERE e.vec_id != l.qid GROUP BY l.qid, e.vec_id), " +
+        "rr AS (SELECT qid, vec_id, adist, CAST(row_number() OVER " +
+        "(PARTITION BY qid ORDER BY round(adist, 6), vec_id) AS BIGINT) AS rank FROM ad) " +
+        s"SELECT qid, vec_id, rank, ${Q.r6Sql("adist")} AS adist " +
+        "FROM rr WHERE rank <= 5 ORDER BY qid, rank")),
+
+    // One k-means (Lloyd) refinement step over the embedding corpus: assign
+    // every vector to its nearest centroid (the IVF assignment), then
+    // recompute each centroid as the element-wise member mean and report how
+    // far it moved — the inner loop of training the coarse quantizer that
+    // q_sim_ivf_search probes. Shapes: broadcast centroids + windowed argmin
+    // (per-vector partition), then posexplode to (cluster, dim) rows whose
+    // partial-agg'd integer sums (floor(v·1e6+0.5) longs, the
+    // q_embed_centroids rule) make the means order-independent; the k×d
+    // mean/shift table is tiny. Nothing shuffles more than once and no
+    // driver-side iteration state exists beyond the centroid frame itself —
+    // at 100 TB each Lloyd round is exactly this job.
+    Q("q_kmeans_step",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cent = e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val asg = graft.ops.Similarity
+          .ivfAssign(e, "vec_id", "embedding", cent, "cid", "cvec")
+          .select(col("cid"), col("embedding"))
+        val dims = asg
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(col("cid"), col("pos").cast("long").as("pos"),
+            floor(col("v").cast("double") * 1e6 + 0.5).cast("long").as("sv"))
+          .groupBy("cid", "pos")
+          .agg(count(lit(1)).as("n"), sum(col("sv")).as("ssum"))
+          .withColumn("mean", col("ssum").cast("double") / (col("n").cast("double") * 1e6))
+        val centEx = cent
+          .select(col("cid"), posexplode(col("cvec")).as(Seq("pos", "cv")))
+          .select(col("cid"), col("pos").cast("long").as("pos"),
+            col("cv").cast("double").as("cv"))
+        dims.join(broadcast(centEx), Seq("cid", "pos"))
+          .withColumn("sqd", (col("mean") - col("cv")) * (col("mean") - col("cv")))
+          .withColumn("sqm", col("mean") * col("mean"))
+          .groupBy("cid")
+          .agg(max(col("n")).as("n_members"),
+            Q.r6(sqrt(sum(floor(col("sqd") * 1e12 + 0.5).cast("long")).cast("double") / 1e12))
+              .as("shift"),
+            Q.r6(sqrt(sum(floor(col("sqm") * 1e12 + 0.5).cast("long")).cast("double") / 1e12))
+              .as("new_norm"))
+          .orderBy("cid")
+      },
+      Some("WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 4), " +
+        s"ad AS (SELECT e.vec_id, e.embedding, c.cid, ${Q.cosineDistSql("e.embedding", "c.cvec")} AS cdist " +
+        "FROM embeddings e CROSS JOIN cent c), " +
+        "adr AS (SELECT vec_id, embedding, cid, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY round(cdist, 6), cid) AS rn FROM ad), " +
+        "asg AS (SELECT embedding, cid FROM adr WHERE rn = 1), " +
+        "ex AS (SELECT cid, CAST(i - 1 AS BIGINT) AS pos, " +
+        "CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS sv " +
+        "FROM asg CROSS JOIN generate_series(1, 64) AS g(i) WHERE i <= len(embedding)), " +
+        "dims AS (SELECT cid, pos, CAST(count(*) AS BIGINT) AS n, sum(sv) AS ssum FROM ex GROUP BY cid, pos), " +
+        "dm AS (SELECT cid, pos, n, CAST(ssum AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS mean FROM dims), " +
+        "cx AS (SELECT cid, CAST(i - 1 AS BIGINT) AS pos, CAST(cvec[i] AS DOUBLE) AS cv " +
+        "FROM cent CROSS JOIN generate_series(1, 64) AS g(i) WHERE i <= len(cvec)), " +
+        "jj AS (SELECT dm.cid, dm.n, (mean - cv) * (mean - cv) AS sqd, mean * mean AS sqm " +
+        "FROM dm JOIN cx ON dm.cid = cx.cid AND dm.pos = cx.pos) " +
+        "SELECT cid, max(n) AS n_members, " +
+        s"${Q.r6Sql("sqrt(CAST(sum(CAST(floor(sqd * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12)")} AS shift, " +
+        s"${Q.r6Sql("sqrt(CAST(sum(CAST(floor(sqm * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12)")} AS new_norm " +
+        "FROM jj GROUP BY cid ORDER BY cid")),
+
+    // ---- Text: keyword extraction + quality rules ----
+
+    // Per-document top-3 keywords by tf-idf (smoothed idf) — the classic
+    // document-summary signal a curation pipeline attaches before topic
+    // bucketing. tf and df are both partial-agg'd; the corpus-size scalar
+    // rides a broadcast; the doc-frequency join is an equi-join on the term
+    // (vocab-sized, NOT broadcast — a real vocab is millions of terms); the
+    // final top-3 is a window partitioned BY DOC (no global sort, perfectly
+    // parallel). Ranking compares the ROUNDED score with a term tiebreak so
+    // the cut is cross-engine deterministic.
+    Q("q_tfidf_keywords",
+      (s, d) => {
+        val tok = docs(s, d).select(col("doc_id"), explode(col("tokens")).as("term"))
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val nd = t(s, d, "documents").agg(count(lit(1)).as("nd"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(round(col("score"), 6).desc, col("term").asc)
+        tf.join(dfT, Seq("term")).crossJoin(broadcast(nd))
+          .withColumn("score", col("tf").cast("double") *
+            log((col("nd").cast("double") + 1.0) / (col("df").cast("double") + 1.0)))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("term"), col("rank"), Q.r6(col("score")).as("score"))
+          .orderBy("doc_id", "rank")
+      },
+      Some(s"WITH ${Q.toksCte}, ${Q.postingCte}, ${Q.tfCte}, ${Q.dfCte}, " +
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents), " +
+        "sc AS (SELECT tf.doc_id, tf.term, CAST(tf.tf AS DOUBLE) * " +
+        "ln((CAST(nd.nd AS DOUBLE) + 1.0) / (CAST(tdf.df AS DOUBLE) + 1.0)) AS score " +
+        "FROM tf JOIN tdf USING (term) CROSS JOIN nd), " +
+        "rr AS (SELECT doc_id, term, score, CAST(row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY round(score, 6) DESC, term) AS BIGINT) AS rank FROM sc) " +
+        s"SELECT doc_id, term, rank, ${Q.r6Sql("score")} AS score " +
+        "FROM rr WHERE rank <= 3 ORDER BY doc_id, rank")),
+
+    // Gopher-style quality rule bundle (Rae et al. 2021 §A1.1, re-expressed
+    // over this corpus's signals): token count bounds, mean-word-length
+    // window, minimum stopword evidence, minimum alphabetic-word fraction —
+    // each rule reported separately plus the composite verdict, because a
+    // real pipeline tunes and ablates rules individually. Pure map-only
+    // projection (no shuffle at any scale); rules compare ROUNDED signals so
+    // both engines agree at rule boundaries.
+    Q("q_text_gopher_rules",
+      (s, d) => docs(s, d)
+        .withColumn("n_tok", size(col("tokens")).cast("long"))
+        .withColumn("mean_len", Q.r6(TextAnalysis.avgTokenLen(col("text"), col("n_tok"))))
+        .withColumn("n_stop", TextAnalysis.stopwordCount(col("tokens")))
+        .withColumn("frac_alpha", Q.r6(
+          size(filter(col("tokens"), t => t.rlike("[a-z]"))).cast("double") /
+            col("n_tok").cast("double")))
+        .select(col("doc_id"), col("n_tok"), col("mean_len"), col("n_stop"), col("frac_alpha"),
+          (col("n_tok") >= 20 && col("n_tok") <= 100000).as("rule_len"),
+          (col("mean_len") >= 3.0 && col("mean_len") <= 10.0).as("rule_word_len"),
+          (col("n_stop") >= 2).as("rule_stop"),
+          (col("frac_alpha") >= 0.8).as("rule_alpha"))
+        .withColumn("pass",
+          col("rule_len") && col("rule_word_len") && col("rule_stop") && col("rule_alpha"))
+        .orderBy("doc_id"),
+      Some(s"WITH ${Q.toksCte}, m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok, " +
+        s"${Q.r6Sql(TextAnalysis.avgTokenLenSql("d.text", "len(toks)"))} AS mean_len, " +
+        s"${TextAnalysis.stopwordCountSql("toks")} AS n_stop, " +
+        s"${Q.r6Sql("CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)")} AS frac_alpha " +
+        "FROM toks JOIN documents d USING (doc_id)), " +
+        "r AS (SELECT doc_id, n_tok, mean_len, n_stop, frac_alpha, " +
+        "n_tok >= 20 AND n_tok <= 100000 AS rule_len, " +
+        "mean_len >= 3.0 AND mean_len <= 10.0 AS rule_word_len, " +
+        "n_stop >= 2 AS rule_stop, frac_alpha >= 0.8 AS rule_alpha FROM m) " +
+        "SELECT doc_id, n_tok, mean_len, n_stop, frac_alpha, rule_len, rule_word_len, " +
+        "rule_stop, rule_alpha, rule_len AND rule_word_len AND rule_stop AND rule_alpha AS pass " +
+        "FROM r ORDER BY doc_id")),
+
+    // ---- Dedup: edit-distance verification ----
+
+    // Edit-distance verify over the MinHash-LSH candidate pairs: Levenshtein
+    // similarity (1 − lev/maxlen) on length-capped prefixes. The candidate
+    // set is the band-bucketed LSH output (never all-pairs); the texts
+    // attach by two equi-joins on the doc id; the O(L²) edit-distance
+    // kernel runs per-pair, map-only, with L capped at 200 chars so the
+    // worst-case cell count is bounded no matter how long documents get at
+    // 100 TB (the cap is the standard trick — near-dups disagree early).
+    Q("q_dedup_lev_pairs",
+      (s, d) => {
+        val txt = t(s, d, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 200).as("t200"))
+        PipelineQueries.minhashCandidatePairs(s, d)
+          .join(txt.select(col("doc_id").as("doc_a"), col("t200").as("ta")), Seq("doc_a"))
+          .join(txt.select(col("doc_id").as("doc_b"), col("t200").as("tb")), Seq("doc_b"))
+          .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+          .select(col("doc_a"), col("doc_b"), col("lev"),
+            Q.r6(lit(1.0) - col("lev").cast("double") /
+              greatest(length(col("ta")), length(col("tb"))).cast("double")).as("lev_sim"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"WITH ${PipelineQueries.minhashCandCtes}, " +
+        "tx AS (SELECT doc_id, substr(text, 1, 200) AS t200 FROM documents), " +
+        "lv AS (SELECT doc_a, doc_b, CAST(levenshtein(a.t200, b.t200) AS BIGINT) AS lev, " +
+        "greatest(length(a.t200), length(b.t200)) AS ml " +
+        "FROM pairs JOIN tx a ON pairs.doc_a = a.doc_id JOIN tx b ON pairs.doc_b = b.doc_id) " +
+        s"SELECT doc_a, doc_b, lev, ${Q.r6Sql("1.0 - CAST(lev AS DOUBLE) / CAST(ml AS DOUBLE)")} AS lev_sim " +
+        "FROM lv ORDER BY doc_a, doc_b")),
+
+    // ---- Analytics: statistical anomaly detection ----
+
+    // Per-event-type 3σ anomaly counts: exact-decimal moments per type
+    // (q_stat_moments rule: Σx/Σx² in DECIMAL so the stats are
+    // order-independent), broadcast back onto the stream, flag
+    // |z| > 3 on the ROUNDED z-score. Two passes over events, both
+    // partial-agg'd; the stats table is |event_type| rows — at 100 TB the
+    // flagging pass is map-only against a broadcast.
+    Q("q_anomaly_zscore",
+      (s, d) => {
+        val ev = events(s, d)
+        val x = col("value").cast("decimal(18,4)")
+        val st = ev.groupBy("event_type")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(x).cast("double").as("sx"),
+            sum((x * x).cast("decimal(38,8)")).cast("double").as("sxx"))
+          .select(col("event_type"), col("sx") / col("n") as "mu",
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1.0)).as("sigma"))
+        ev.join(broadcast(st), Seq("event_type"))
+          .withColumn("az", round(abs((col("value") - col("mu")) / col("sigma")), 6))
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            sum(when(col("az") > 3.0, 1L).otherwise(0L)).as("n_anomalies"),
+            Q.r6(max(col("az"))).as("max_absz"))
+          .orderBy("event_type")
+      },
+      Some("WITH st AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxx " +
+        "FROM events GROUP BY event_type), " +
+        "ms AS (SELECT event_type, sx / n AS mu, " +
+        "sqrt((sxx - sx * sx / n) / (n - 1.0)) AS sigma FROM st), " +
+        "fl AS (SELECT e.event_type, round(abs((e.value - mu) / sigma), 6) AS az " +
+        "FROM events e JOIN ms ON e.event_type = ms.event_type) " +
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, " +
+        "CAST(sum(CASE WHEN az > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies, " +
+        s"${Q.r6Sql("max(az)")} AS max_absz " +
+        "FROM fl GROUP BY event_type ORDER BY event_type")),
+
+    // ---- Training-example construction ----
+
+    // Fixed-size token windows with stride (context-window chunking for LLM
+    // training): size 8, stride 4, full windows only. One map-only
+    // transform+explode per document — no shuffle, no state; the window
+    // content is carried as an md5 so the output stays skinny while still
+    // hash-proving byte-identical window extraction cross-engine.
+    Q("q_token_windows",
+      (s, d) => docs(s, d)
+        .filter(size(col("tokens")) >= 8)
+        .withColumn("nwin", expr("(size(tokens) - 8) div 4 + 1"))
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), col("nwin") - 1),
+          w => struct(w.cast("long").as("win_id"),
+            (w * 4 + 1).cast("long").as("start_pos"),
+            md5(concat_ws(" ", slice(col("tokens"), w * 4 + 1, lit(8)))).as("win_md5")))).as("w"))
+        .select(col("doc_id"), col("w.win_id").as("win_id"),
+          col("w.start_pos").as("start_pos"), col("w.win_md5").as("win_md5"))
+        .orderBy("doc_id", "win_id"),
+      Some(s"WITH ${Q.toksCte}, " +
+        "wn AS (SELECT doc_id, toks, (len(toks) - 8) // 4 + 1 AS nwin " +
+        "FROM toks WHERE len(toks) >= 8), " +
+        "wx AS (SELECT doc_id, toks, unnest(generate_series(0, nwin - 1)) AS w FROM wn) " +
+        "SELECT doc_id, CAST(w AS BIGINT) AS win_id, CAST(w * 4 + 1 AS BIGINT) AS start_pos, " +
+        "md5(array_to_string(toks[w * 4 + 1 : w * 4 + 8], ' ')) AS win_md5 " +
+        "FROM wx ORDER BY doc_id, win_id")),
+
+    // Span corruption (T5-style denoising prep): deterministically mask
+    // ~20% of positions ((doc_id·31 + pos) mod 5 — no RNG state, so a
+    // 100 TB rerun reproduces the same examples), emit the masked input and
+    // the extraction target as md5s plus the mask count. Pure map-only
+    // array transforms; nothing shuffles.
+    Q("q_span_corruption",
+      (s, d) => {
+        def masked(i: Column) = (col("doc_id") * 31 + i) % 5 === 0
+        docs(s, d)
+          .withColumn("n_tokens", size(col("tokens")).cast("long"))
+          .withColumn("idx", sequence(lit(1L), col("n_tokens")))
+          .withColumn("mi", filter(col("idx"), i => masked(i)))
+          .select(col("doc_id"), col("n_tokens"),
+            size(col("mi")).cast("long").as("n_masked"),
+            md5(concat_ws(" ", transform(col("idx"),
+              i => when(masked(i), lit("<M>"))
+                .otherwise(element_at(col("tokens"), i.cast("int")))))).as("input_md5"),
+            md5(concat_ws(" ", transform(col("mi"),
+              i => element_at(col("tokens"), i.cast("int"))))).as("target_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH ${Q.toksCte}, " +
+        "m AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "list_filter(generate_series(1, len(toks)), i -> (doc_id * 31 + i) % 5 = 0) AS mi " +
+        "FROM toks) " +
+        "SELECT doc_id, n_tokens, CAST(len(mi) AS BIGINT) AS n_masked, " +
+        "md5(array_to_string(list_transform(generate_series(1, len(toks)), " +
+        "i -> CASE WHEN (doc_id * 31 + i) % 5 = 0 THEN '<M>' ELSE toks[i] END), ' ')) AS input_md5, " +
+        "md5(array_to_string(list_transform(mi, i -> toks[i]), ' ')) AS target_md5 " +
+        "FROM m ORDER BY doc_id"))
+  )
+}

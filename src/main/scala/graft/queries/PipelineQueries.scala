@@ -24,24 +24,29 @@ object PipelineQueries {
 
   private val HourNs = 3600000000000L
 
-  /** LSH candidate pairs verified with exact Jaccard (rounded) — shared by
-    * the pairs query and the dup-cluster components query. Candidates only
-    * form inside a band bucket; never an all-pairs join. */
-  private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+  /** LSH candidate pairs (doc_a < doc_b), formed ONLY inside a band bucket —
+    * never an all-pairs join. Shared by the Jaccard-verified pairs query and
+    * the edit-distance verify query. */
+  private[queries] def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
     val sig = Dedup.withMinhashSignature(
       docs(s, d).filter(size(col("tokens")) >= 3), "tokens")
     val bands = sig.select(col("doc_id"), explode(array(
       struct(lit(0).as("band"), col("band0").as("bucket")),
       struct(lit(1).as("band"), col("band1").as("bucket")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val pairs = bands.as("a").join(bands.as("b"),
+    bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** LSH candidate pairs verified with exact Jaccard (rounded) — shared by
+    * the pairs query and the dup-cluster components query. */
+  private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     val shingleSets = docs(s, d).filter(size(col("tokens")) >= 3)
       .select(col("doc_id"), array_distinct(Dedup.shingles(col("tokens"))).as("ds"))
-    pairs
+    minhashCandidatePairs(s, d)
       .join(shingleSets.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
       .join(shingleSets.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -61,12 +66,17 @@ object PipelineQueries {
       s"UNION ALL SELECT doc_id, 1, ${Dedup.bandBucketSql((0 until 8).map(j => s"mh$j"), 1)} FROM mh)"
   }
 
+  /** Oracle mirror of [[minhashCandidatePairs]]: CTE chain ending in
+    * `pairs(doc_a, doc_b)`. */
+  private[queries] val minhashCandCtes: String =
+    s"$minhashBandsCtes, " +
+      "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b " +
+      "ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"
+
   /** Oracle mirror of [[minhashVerifiedPairs]]: CTE chain ending in
     * `verified(doc_a, doc_b, jaccard)`. */
   private val minhashPairsCtes: String =
-    s"$minhashBandsCtes, " +
-      "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b " +
-      "ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
+    s"$minhashCandCtes, " +
       "verified AS (SELECT doc_a, doc_b, " +
       s"round(${Dedup.jaccardSql("sa.ds", "sb.ds")}, 6) AS jaccard " +
       "FROM pairs JOIN shc sa ON pairs.doc_a = sa.doc_id JOIN shc sb ON pairs.doc_b = sb.doc_id)"

@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Semantic assertions for the round-5 mining queries — each is recomputed
+  * (or bounded) independently of the query plan, so these fail on logic
+  * drift even when both engines agree. */
+class MiningQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+
+  private lazy val docTokens: Map[Long, Seq[String]] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+
+  test("pq adc: approximate ranking has real recall against exact knn") {
+    val adc = q("q_sim_pq_adc").collect()
+    assert(adc.length == 15) // 3 queries × 5
+    // per query: ranks are 1..5, distances non-decreasing, no self-match
+    adc.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to 5L))
+      assert(sorted.forall(_.getAs[Long]("vec_id") != qid))
+      val ds = sorted.map(_.getAs[Double]("adist"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b + 1e-9 })
+    }
+    // recall@5 vs exact L2 brute force over the same corpus (computed here
+    // from raw embeddings): ADC with an untrained 16-entry codebook is
+    // crude, but must still overlap the true top-5 far above chance
+    // (chance is 5/N ≈ 1%; observed ≈ 33%)
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().toMap.view.mapValues(_.map(_.toDouble)).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val recall = (0L to 2L).map { qid =>
+      val truth = vecs.filter(_._1 != qid)
+        .map { case (id, v) => id -> l2(v, vecs(qid)) }
+        .toSeq.sortBy { case (id, d) => (math.round(d * 1e6), id) }
+        .take(5).map(_._1).toSet
+      val got = adc.filter(_.getAs[Long]("qid") == qid).map(_.getAs[Long]("vec_id")).toSet
+      truth.intersect(got).size.toDouble / 5.0
+    }.sum / 3.0
+    assert(recall >= 0.2, s"ADC recall@5 too low: $recall")
+  }
+
+  test("kmeans step: every cluster populated, shift bounded by norms") {
+    val rows = q("q_kmeans_step").collect()
+    assert(rows.map(_.getAs[Long]("cid")).toSeq.sorted == Seq(0L, 1L, 2L, 3L))
+    val total = rows.map(_.getAs[Long]("n_members")).sum
+    assert(total == spark.read.parquet(s"$dir/embeddings.parquet").count())
+    rows.foreach { r =>
+      val shift = r.getAs[Double]("shift")
+      val norm = r.getAs[Double]("new_norm")
+      assert(norm > 0.0 && shift >= 0.0)
+      // vectors are unit-ish: a mean of unit vectors has norm <= 1, and the
+      // shift from another point in the unit ball is < 2 + slack
+      assert(norm <= 1.0 + 1e-6, s"cid ${r.get(0)}: norm=$norm")
+      assert(shift <= 2.0 + 1e-6, s"cid ${r.get(0)}: shift=$shift")
+    }
+  }
+
+  test("tfidf keywords: terms really occur in the doc, scores recomputed") {
+    val rows = q("q_tfidf_keywords").collect()
+    val nDocs = docTokens.size
+    val dfMap = docTokens.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    assert(rows.groupBy(_.getAs[Long]("doc_id")).forall(_._2.length == 3))
+    rows.foreach { r =>
+      val (id, term) = (r.getAs[Long]("doc_id"), r.getAs[String]("term"))
+      val toks = docTokens(id)
+      assert(toks.contains(term), s"doc $id keyword '$term' not in doc")
+      val tf = toks.count(_ == term)
+      val expected = tf * math.log((nDocs + 1.0) / (dfMap(term) + 1.0))
+      assert(math.abs(r.getAs[Double]("score") - math.round(expected * 1e6) / 1e6) < 1e-9)
+    }
+  }
+
+  test("gopher rules: composite verdict equals the conjunction, signals sane") {
+    val rows = q("q_text_gopher_rules").collect()
+    assert(rows.length == docTokens.size)
+    rows.foreach { r =>
+      val pass = r.getAs[Boolean]("pass")
+      val conj = r.getAs[Boolean]("rule_len") && r.getAs[Boolean]("rule_word_len") &&
+        r.getAs[Boolean]("rule_stop") && r.getAs[Boolean]("rule_alpha")
+      assert(pass == conj)
+      val toks = docTokens(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_tok") == toks.length)
+      assert(r.getAs[Boolean]("rule_alpha")) // synthetic corpus is all-alpha
+      val meanLen = toks.map(_.length).sum.toDouble / toks.length
+      assert(math.abs(r.getAs[Double]("mean_len") - math.round(meanLen * 1e6) / 1e6) < 1e-9)
+    }
+    assert(rows.exists(_.getAs[Boolean]("pass")), "fixture should pass some docs")
+  }
+
+  test("levenshtein pairs: identical docs score 1, bounds hold") {
+    val rows = q("q_dedup_lev_pairs").collect()
+    assert(rows.nonEmpty)
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).take(200)).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(a < b)
+      val sim = r.getAs[Double]("lev_sim")
+      val lev = r.getAs[Long]("lev")
+      assert(sim >= 0.0 - 1e-9 && sim <= 1.0 + 1e-9)
+      if (texts(a) == texts(b)) assert(lev == 0L && sim == 1.0)
+      assert(lev <= math.max(texts(a).length, texts(b).length))
+    }
+    // the LSH fixture contains true duplicates — some pair must be exact
+    assert(rows.exists(_.getAs[Long]("lev") == 0L))
+  }
+
+  test("zscore anomalies: counts bounded by Chebyshev, stats recomputed") {
+    val rows = q("q_anomaly_zscore").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      val anom = r.getAs[Long]("n_anomalies")
+      // Chebyshev: P(|z| > 3) <= 1/9, generous 2x slack for sampling
+      assert(anom <= n / 4, s"${r.get(0)}: $anom anomalies of $n")
+      assert(r.getAs[Double]("max_absz") >= 0.0)
+      if (anom > 0) assert(r.getAs[Double]("max_absz") > 3.0)
+    }
+  }
+
+  test("token windows: full coverage at stride 4, windows are real slices") {
+    val rows = q("q_token_windows").collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (id, ws) =>
+      val n = docTokens(id).length
+      assert(n >= 8)
+      val expected = (n - 8) / 4 + 1
+      assert(ws.length == expected, s"doc $id: ${ws.length} windows, want $expected")
+      val sorted = ws.sortBy(_.getAs[Long]("win_id"))
+      sorted.zipWithIndex.foreach { case (w, i) =>
+        assert(w.getAs[Long]("win_id") == i)
+        assert(w.getAs[Long]("start_pos") == i * 4 + 1)
+        val slice = docTokens(id).slice(i * 4, i * 4 + 8).mkString(" ")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(slice.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(w.getAs[String]("win_md5") == md)
+      }
+    }
+    // docs shorter than one window are excluded, all others present
+    assert(byDoc.keySet == docTokens.filter(_._2.length >= 8).keySet)
+  }
+
+  test("span corruption: mask rule recomputed, md5s match a local replay") {
+    val rows = q("q_span_corruption").collect()
+    assert(rows.length == docTokens.size)
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val toks = docTokens(id)
+      def isMasked(pos: Int) = (id * 31 + pos) % 5 == 0
+      val input = toks.zipWithIndex
+        .map { case (t, i) => if (isMasked(i + 1)) "<M>" else t }.mkString(" ")
+      val target = toks.zipWithIndex.collect { case (t, i) if isMasked(i + 1) => t }
+        .mkString(" ")
+      assert(r.getAs[Long]("n_tokens") == toks.length)
+      assert(r.getAs[Long]("n_masked") == toks.indices.count(i => isMasked(i + 1)))
+      assert(r.getAs[String]("input_md5") == md5(input), s"doc $id input mismatch")
+      assert(r.getAs[String]("target_md5") == md5(target), s"doc $id target mismatch")
+    }
+    // ~20% of positions masked corpus-wide
+    val frac = rows.map(_.getAs[Long]("n_masked")).sum.toDouble /
+      rows.map(_.getAs[Long]("n_tokens")).sum
+    assert(frac > 0.15 && frac < 0.25, s"mask fraction $frac")
+  }
+}
