@@ -155,4 +155,49 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p.take(900))
     assert(!p.contains("Join"), p.take(900))
   }
+
+  test("pq adc search: broadcast LUT, partial-agg'd lookup sums, pruned top-k window") {
+    val p = plan("q_sim_pq_adc")
+    // the LUT and codebook ride broadcasts; the per-(query, vector) sum of
+    // lookups partial-aggregates before its exchange; the rank window prunes
+    // with WindowGroupLimit so no full candidate sort materializes
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("partial_sum"), p.take(1200))
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("tfidf keywords: partial-agg'd tf, per-doc window pruned with group limit") {
+    val p = plan("q_tfidf_keywords")
+    assert(p.contains("partial_count"), p.take(1200))
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("kmeans step: broadcast centroids, partial-agg'd dimension sums") {
+    val p = plan("q_kmeans_step")
+    assert(p.contains("partial_sum"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
+  test("zscore anomalies: per-type stats broadcast back, no sort-merge join") {
+    val p = plan("q_anomaly_zscore")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    assert(p.contains("partial_"), p.take(1200))
+  }
+
+  test("token windows and span corruption are map-only") {
+    Seq("q_token_windows", "q_span_corruption").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("Exchange hashpartitioning"), s"$n shuffles:\n${p.take(900)}")
+      assert(!p.contains("Join"), s"$n joins:\n${p.take(900)}")
+    }
+  }
+
+  test("levenshtein pairs never form a cross product") {
+    val p = plan("q_dedup_lev_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
 }
