@@ -23,6 +23,18 @@ object CurationQueries {
   private[queries] val nibbleHashSql: String =
     "instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1"
 
+  /** Portable uniform-[0,1) draw from the first 8 md5 nibbles of `text`,
+    * decoded with `instr` (the [[nibbleHashSql]] trick, widened to 32 bits:
+    * Σ nibble_i · 16^(7−i) / 2^32). Both engines evaluate the IDENTICAL
+    * expression string, so per-row draws agree bit-for-bit — the foundation
+    * of every deterministic sampling operator here (no RNG state, so a
+    * 100 TB sample is reproducible and resumable shard by shard). */
+  private[queries] val unitHashSql: String =
+    (0 until 8).map { i =>
+      s"CAST(instr('0123456789abcdef', substr(md5(text), ${i + 1}, 1)) - 1 AS BIGINT) " +
+        s"* ${1L << (4 * (7 - i))}"
+    }.mkString("(", " + ", ") / 4294967296.0")
+
   val all: Seq[Q] = Seq(
 
     // ---- Training-output shard layout ----
@@ -119,6 +131,112 @@ object CurationQueries {
         "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens " +
         "FROM base GROUP BY GROUPING SETS ((lang), (lang, len_bucket), ()) " +
         "ORDER BY lang, len_bucket")),
+
+    // Quality-weighted deterministic sampling: each doc's keep probability
+    // is its (rounded) quality score clamped to [0.1, 1], and the keep
+    // decision compares that against the doc's own md5-derived uniform draw
+    // — importance sampling that upweights clean text without any RNG
+    // state. Map-only except the tokenize; the same doc survives every
+    // rerun on any cluster. Thresholds compare the ROUNDED quality (rule
+    // boundaries) and the exact rational hash draw (k/2^32), so both
+    // engines make identical keep decisions.
+    Q("q_sample_weighted",
+      (s, d) => {
+        val base = docs(s, d)
+          .withColumn("n_tok", size(col("tokens")).cast("long"))
+          .withColumn("stop_ratio",
+            graft.ops.TextAnalysis.stopwordCount(col("tokens")).cast("double") /
+              col("n_tok").cast("double"))
+          .withColumn("quality", round(
+            graft.ops.TextAnalysis.qualityScore(col("n_tok"), col("stop_ratio")), 6))
+          .withColumn("keep_p", greatest(lit(0.1), least(lit(1.0), col("quality"))))
+          .withColumn("u", expr(unitHashSql))
+        base.filter(col("u") < col("keep_p"))
+          .select(col("doc_id"), Q.r6(col("keep_p")).as("keep_p"), Q.r6(col("u")).as("u"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH ${Q.toksCte}, m AS (SELECT doc_id, text, " +
+        "CAST(len(toks) AS BIGINT) AS n_tok, " +
+        s"${graft.ops.TextAnalysis.stopwordCountSql("toks")} AS n_stop " +
+        "FROM toks JOIN documents USING (doc_id)), " +
+        "r AS (SELECT doc_id, text, " +
+        s"round(${graft.ops.TextAnalysis.qualityScoreSql("n_tok", "CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE)")}, 6) AS quality " +
+        "FROM m), " +
+        "k AS (SELECT doc_id, greatest(0.1, least(1.0, quality)) AS keep_p, " +
+        s"$unitHashSql AS u FROM r) " +
+        s"SELECT doc_id, ${Q.r6Sql("keep_p")} AS keep_p, ${Q.r6Sql("u")} AS u " +
+        "FROM k WHERE u < keep_p ORDER BY doc_id")),
+
+    // Source-mix rebalancing: resample every source toward a UNIFORM target
+    // mix (rate_s = min(1, fair-share / count_s)) with the same
+    // deterministic per-doc draw — the "mixture weights" pass a pretraining
+    // pipeline runs before writing shards (upsample rare sources is a
+    // rate > 1 in real life; here rates cap at 1 so the op stays a filter).
+    // Shape: one tiny per-source count (partial-agg'd), rates broadcast
+    // back, map-only keep decision, one final count — the corpus itself
+    // shuffles zero times.
+    Q("q_mix_rebalance",
+      (s, d) => {
+        val dd = t(s, d, "documents")
+        val counts = dd.groupBy("source").agg(count(lit(1)).as("n_before"))
+        val tot = counts.agg(sum(col("n_before")).as("total"),
+          count(lit(1)).as("n_src"))
+        val rates = counts.crossJoin(broadcast(tot))
+          .withColumn("rate", least(lit(1.0),
+            (col("total").cast("double") / col("n_src").cast("double")) /
+              col("n_before").cast("double")))
+          .select(col("source"), col("n_before"), col("rate"))
+        dd.join(broadcast(rates), Seq("source"))
+          .withColumn("u", expr(unitHashSql))
+          .filter(col("u") < col("rate"))
+          .groupBy("source")
+          .agg(max(col("n_before")).as("n_before"),
+            Q.r6(max(col("rate"))).as("rate"),
+            count(lit(1)).as("n_after"))
+          .orderBy("source")
+      },
+      Some("WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_before FROM documents GROUP BY source), " +
+        "t AS (SELECT CAST(sum(n_before) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_src FROM c), " +
+        "r AS (SELECT source, n_before, least(1.0, (CAST(total AS DOUBLE) / CAST(n_src AS DOUBLE)) / CAST(n_before AS DOUBLE)) AS rate FROM c, t), " +
+        s"k AS (SELECT d.source, r.n_before, r.rate, $unitHashSql AS u " +
+        "FROM documents d JOIN r ON d.source = r.source) " +
+        "SELECT source, max(n_before) AS n_before, " +
+        s"${Q.r6Sql("max(rate)")} AS rate, CAST(count(*) AS BIGINT) AS n_after " +
+        "FROM k WHERE u < rate GROUP BY source ORDER BY source")),
+
+    // URL canonicalization + dedup — the CommonCrawl-style ingest step that
+    // collapses scheme/case/www/query-string/trailing-slash variants of one
+    // resource before any content processing runs. URLs are synthesized
+    // deterministically (4 messy variants per canonical target, the
+    // q_pii_redact synthesize-then-verify pattern), normalized by a regex
+    // chain that is byte-identical in both engines, then grouped — one
+    // 32-byte-keyed shuffle, texts never move.
+    Q("q_url_canonical_dedup",
+      (s, d) => {
+        val variant = col("doc_id") % 4
+        val k = (col("doc_id") / 4).cast("long")
+        val url = when(variant === 0, concat(lit("https://www.example.com/path"), k, lit("/")))
+          .when(variant === 1, concat(lit("http://example.com/path"), k))
+          .when(variant === 2, concat(lit("https://example.com/path"), k, lit("?utm_source=x")))
+          .otherwise(concat(lit("HTTPS://EXAMPLE.COM/PATH"), k))
+        t(s, d, "documents")
+          .withColumn("url", url)
+          .withColumn("canonical",
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              lower(col("url")), "^https?://", ""), "^www\\.", ""), "\\?.*$", ""), "/$", ""))
+          .groupBy("canonical")
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+          .orderBy("keep_id")
+      },
+      Some("WITH u AS (SELECT doc_id, CASE doc_id % 4 " +
+        "WHEN 0 THEN 'https://www.example.com/path' || (doc_id // 4) || '/' " +
+        "WHEN 1 THEN 'http://example.com/path' || (doc_id // 4) " +
+        "WHEN 2 THEN 'https://example.com/path' || (doc_id // 4) || '?utm_source=x' " +
+        "ELSE 'HTTPS://EXAMPLE.COM/PATH' || (doc_id // 4) END AS url FROM documents), " +
+        "n AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        "lower(url), '^https?://', ''), '^www\\.', ''), '\\?.*$', ''), '/$', '') AS canonical FROM u) " +
+        "SELECT canonical, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups " +
+        "FROM n GROUP BY canonical ORDER BY keep_id")),
 
     // ---- Embedding quantization ----
 

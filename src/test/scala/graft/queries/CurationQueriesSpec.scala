@@ -166,6 +166,47 @@ class CurationQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted sampling keeps more high-quality docs and is deterministic") {
+    val rows = q("q_sample_weighted").collect()
+    assert(rows.nonEmpty && rows.length < spark.read.parquet(s"$dir/documents.parquet").count())
+    rows.foreach { r =>
+      val (p, u) = (r.getAs[Double]("keep_p"), r.getAs[Double]("u"))
+      assert(p >= 0.1 - 1e-9 && p <= 1.0 + 1e-9)
+      assert(u < p + 1e-9, s"doc ${r.get(0)} kept with u=$u >= p=$p")
+    }
+    // deterministic: a second run returns the identical keep set
+    val again = q("q_sample_weighted").collect().map(_.getLong(0)).toSeq
+    assert(again == rows.map(_.getLong(0)).toSeq)
+  }
+
+  test("mix rebalance never exceeds source counts and caps rates at 1") {
+    val rows = q("q_mix_rebalance").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (before, after) = (r.getAs[Long]("n_before"), r.getAs[Long]("n_after"))
+      val rate = r.getAs[Double]("rate")
+      assert(rate > 0.0 && rate <= 1.0 + 1e-9)
+      assert(after <= before)
+      // kept fraction tracks the rate (hash-uniform draw, generous slack)
+      assert(math.abs(after.toDouble / before - rate) < 0.35,
+        s"${r.get(0)}: after/before=${after.toDouble / before} rate=$rate")
+    }
+  }
+
+  test("url canonicalization collapses all four variants of a resource") {
+    val rows = q("q_url_canonical_dedup").collect()
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_dups")).sum == n)
+    rows.foreach { r =>
+      val canonical = r.getAs[String]("canonical")
+      assert(canonical.matches("example\\.com/path\\d+"), canonical)
+      // doc_ids 4k..4k+3 share canonical path k; full groups have 4 members
+      val keep = r.getAs[Long]("keep_id")
+      assert(keep % 4 == 0 || keep >= n - 4, s"keep_id $keep is not a group min")
+    }
+    assert(rows.exists(_.getAs[Long]("n_dups") == 4L))
+  }
+
   test("incremental dedup: flagged new docs really match, one pair recomputed") {
     val rows = q("q_dedup_incremental").collect()
     val docs = spark.read.parquet(s"$dir/documents.parquet")
