@@ -343,6 +343,25 @@ object MiningQueries {
         "md5(array_to_string(toks[w * 4 + 1 : w * 4 + 8], ' ')) AS win_md5 " +
         "FROM wx ORDER BY doc_id, win_id")),
 
+    // BPE merge TRAINING (the actual loop, not just one round's statistic):
+    // 4 rounds of count-pairs → argmax → corpus-wide greedy merge, via
+    // graft.ops.BpeTrainer (4 keeps the benchmarked loop short; the spec
+    // also drives longer chained runs). Inherently iterative (merge k+1's
+    // statistics depend on merge k) and engine-specific in its loop, so the
+    // gate is rows-only; BpeTrainerSpec replays the algorithm locally in
+    // plain Scala and asserts the IDENTICAL merge sequence and counts.
+    Q("q_bpe_train",
+      (s, d) => {
+        import s.implicits._
+        val (merges, _) = graft.ops.BpeTrainer.train(
+          docs(s, d).select(col("doc_id"), col("tokens")), "tokens", nMerges = 4)
+        merges.toDF()
+          .select(col("rank").cast("long").as("merge_rank"),
+            col("left"), col("right"), col("n"))
+          .orderBy("merge_rank")
+      },
+      None),
+
     // Span corruption (T5-style denoising prep): deterministically mask
     // ~20% of positions ((doc_id·31 + pos) mod 5 — no RNG state, so a
     // 100 TB rerun reproduces the same examples), emit the masked input and

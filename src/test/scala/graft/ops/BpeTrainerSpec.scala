@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The distributed BPE trainer must produce the IDENTICAL merge sequence as
+  * a plain-Scala reference implementation run on the collected corpus —
+  * byte-for-byte, counts included. */
+class BpeTrainerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def localApply(ts: Seq[String], a: String, b: String): Seq[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    for (x <- ts) {
+      if (buf.nonEmpty && buf.last == a && x == b) {
+        buf.remove(buf.size - 1); buf += (a + "+" + b)
+      } else buf += x
+    }
+    buf.toSeq
+  }
+
+  private def localTrain(docs0: Seq[Seq[String]], nMerges: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var cur = docs0
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      cur.foreach(_.sliding(2).foreach {
+        case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + 1
+        case _ =>
+      })
+      val best = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.headOption
+      best.filter(_._2 >= 2) match {
+        case Some(((a, b), n)) =>
+          out += ((rank, a, b, n))
+          cur = cur.map(localApply(_, a, b))
+          rank += 1
+        case None => done = true
+      }
+    }
+    out.result()
+  }
+
+  test("distributed merges equal the local reference replay, counts included") {
+    val rows = graft.SparkEntry.queries("q_bpe_train")(spark, dir).collect()
+    val got = rows.map(r => (r.getAs[Long]("merge_rank").toInt,
+      r.getAs[String]("left"), r.getAs[String]("right"), r.getAs[Long]("n"))).toSeq
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0).split(" ").toSeq).toSeq
+    val want = localTrain(docs, 4)
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    assert(got.length == 4)
+  }
+
+  test("later rounds chain onto earlier merged symbols") {
+    import spark.implicits._
+    // 10 copies of "x y z w": round 1 merges (x,y); round 2 must see the
+    // REWRITTEN corpus and merge (x+y, z), proving the loop feeds each
+    // round the previous round's output
+    val df = (0 until 10).map(i => (i, Seq("x", "y", "z", "w"))).toDF("id", "sym")
+    val (merges, out) = BpeTrainer.train(df, "sym", nMerges = 3)
+    assert(merges.map(m => (m.left, m.right)) ==
+      Seq(("x", "y"), ("x+y", "z"), ("x+y+z", "w")))
+    assert(merges.forall(_.n == 10L))
+    val fin = out.select("sym").collect().map(_.getSeq[String](0).toList).toSeq
+    assert(fin.forall(_ == List("x+y+z+w")))
+  }
+
+  test("greedy fold apply matches the local apply on adversarial runs") {
+    import spark.implicits._
+    val cases = Seq(
+      Seq("a", "a", "a"), Seq("a", "a", "a", "a"), Seq("a", "b", "a", "b"),
+      Seq("b", "a", "b", "a", "b"), Seq("a"), Seq.empty[String])
+    val df = cases.zipWithIndex.map { case (ts, i) => (i, ts) }.toDF("id", "sym")
+      .withColumn("sym", BpeTrainer.applyMerge(col("sym"), "a", "b"))
+    val got = df.orderBy("id").collect().map(_.getSeq[String](1).toList).toSeq
+    assert(got == cases.map(localApply(_, "a", "b").toList))
+    val df2 = cases.zipWithIndex.map { case (ts, i) => (i, ts) }.toDF("id", "sym")
+      .withColumn("sym", BpeTrainer.applyMerge(col("sym"), "a", "a"))
+    val got2 = df2.orderBy("id").collect().map(_.getSeq[String](1).toList).toSeq
+    assert(got2 == cases.map(localApply(_, "a", "a").toList))
+  }
+}
