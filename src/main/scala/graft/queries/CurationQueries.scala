@@ -35,6 +35,23 @@ object CurationQueries {
         s"* ${1L << (4 * (7 - i))}"
     }.mkString("(", " + ", ") / 4294967296.0")
 
+  /** Quality-weighted keep decision as a pure projection+filter over
+    * (doc_id, text, tokens) — stateless, so the SAME function runs under
+    * `readStream` unchanged (CurationStreamSpec pins batch-equality). */
+  private[graft] def weightedSample(tokenized: DataFrame): DataFrame = {
+    val base = tokenized
+      .withColumn("n_tok", size(col("tokens")).cast("long"))
+      .withColumn("stop_ratio",
+        graft.ops.TextAnalysis.stopwordCount(col("tokens")).cast("double") /
+          col("n_tok").cast("double"))
+      .withColumn("quality", round(
+        graft.ops.TextAnalysis.qualityScore(col("n_tok"), col("stop_ratio")), 6))
+      .withColumn("keep_p", greatest(lit(0.1), least(lit(1.0), col("quality"))))
+      .withColumn("u", expr(unitHashSql))
+    base.filter(col("u") < col("keep_p"))
+      .select(col("doc_id"), Q.r6(col("keep_p")).as("keep_p"), Q.r6(col("u")).as("u"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- Training-output shard layout ----
@@ -141,20 +158,7 @@ object CurationQueries {
     // boundaries) and the exact rational hash draw (k/2^32), so both
     // engines make identical keep decisions.
     Q("q_sample_weighted",
-      (s, d) => {
-        val base = docs(s, d)
-          .withColumn("n_tok", size(col("tokens")).cast("long"))
-          .withColumn("stop_ratio",
-            graft.ops.TextAnalysis.stopwordCount(col("tokens")).cast("double") /
-              col("n_tok").cast("double"))
-          .withColumn("quality", round(
-            graft.ops.TextAnalysis.qualityScore(col("n_tok"), col("stop_ratio")), 6))
-          .withColumn("keep_p", greatest(lit(0.1), least(lit(1.0), col("quality"))))
-          .withColumn("u", expr(unitHashSql))
-        base.filter(col("u") < col("keep_p"))
-          .select(col("doc_id"), Q.r6(col("keep_p")).as("keep_p"), Q.r6(col("u")).as("u"))
-          .orderBy("doc_id")
-      },
+      (s, d) => weightedSample(docs(s, d)).orderBy("doc_id"),
       Some(s"WITH ${Q.toksCte}, m AS (SELECT doc_id, text, " +
         "CAST(len(toks) AS BIGINT) AS n_tok, " +
         s"${graft.ops.TextAnalysis.stopwordCountSql("toks")} AS n_stop " +

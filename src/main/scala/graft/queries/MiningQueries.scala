@@ -44,6 +44,26 @@ object MiningQueries {
       s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) " +
       s"* (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
 
+  /** Gopher rule bundle as a pure projection over (doc_id, text, tokens) —
+    * no window/sort/aggregate, so the SAME function serves the batch query
+    * and `readStream` inputs unchanged (CurationStreamSpec pins the
+    * batch-equal contract, like the quality gate). */
+  private[graft] def gopherRules(tokenized: DataFrame): DataFrame =
+    tokenized
+      .withColumn("n_tok", size(col("tokens")).cast("long"))
+      .withColumn("mean_len", Q.r6(TextAnalysis.avgTokenLen(col("text"), col("n_tok"))))
+      .withColumn("n_stop", TextAnalysis.stopwordCount(col("tokens")))
+      .withColumn("frac_alpha", Q.r6(
+        size(filter(col("tokens"), t => t.rlike("[a-z]"))).cast("double") /
+          col("n_tok").cast("double")))
+      .select(col("doc_id"), col("n_tok"), col("mean_len"), col("n_stop"), col("frac_alpha"),
+        (col("n_tok") >= 20 && col("n_tok") <= 100000).as("rule_len"),
+        (col("mean_len") >= 3.0 && col("mean_len") <= 10.0).as("rule_word_len"),
+        (col("n_stop") >= 2).as("rule_stop"),
+        (col("frac_alpha") >= 0.8).as("rule_alpha"))
+      .withColumn("pass",
+        col("rule_len") && col("rule_word_len") && col("rule_stop") && col("rule_alpha"))
+
   /** Shared oracle CTE chain for the PQ layout: subvectors + codebook
     * (the q_embed_pq structure). */
   private val pqCtes: String =
@@ -219,21 +239,7 @@ object MiningQueries {
     // projection (no shuffle at any scale); rules compare ROUNDED signals so
     // both engines agree at rule boundaries.
     Q("q_text_gopher_rules",
-      (s, d) => docs(s, d)
-        .withColumn("n_tok", size(col("tokens")).cast("long"))
-        .withColumn("mean_len", Q.r6(TextAnalysis.avgTokenLen(col("text"), col("n_tok"))))
-        .withColumn("n_stop", TextAnalysis.stopwordCount(col("tokens")))
-        .withColumn("frac_alpha", Q.r6(
-          size(filter(col("tokens"), t => t.rlike("[a-z]"))).cast("double") /
-            col("n_tok").cast("double")))
-        .select(col("doc_id"), col("n_tok"), col("mean_len"), col("n_stop"), col("frac_alpha"),
-          (col("n_tok") >= 20 && col("n_tok") <= 100000).as("rule_len"),
-          (col("mean_len") >= 3.0 && col("mean_len") <= 10.0).as("rule_word_len"),
-          (col("n_stop") >= 2).as("rule_stop"),
-          (col("frac_alpha") >= 0.8).as("rule_alpha"))
-        .withColumn("pass",
-          col("rule_len") && col("rule_word_len") && col("rule_stop") && col("rule_alpha"))
-        .orderBy("doc_id"),
+      (s, d) => gopherRules(docs(s, d)).orderBy("doc_id"),
       Some(s"WITH ${Q.toksCte}, m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok, " +
         s"${Q.r6Sql(TextAnalysis.avgTokenLenSql("d.text", "len(toks)"))} AS mean_len, " +
         s"${TextAnalysis.stopwordCountSql("toks")} AS n_stop, " +

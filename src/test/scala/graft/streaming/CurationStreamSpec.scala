@@ -23,6 +23,13 @@ class CurationStreamSpec extends AnyFunSuite {
   private def tokenized(df: org.apache.spark.sql.DataFrame) =
     df.select(col("doc_id"), split(col("text"), " ").as("tokens"))
 
+  private def tokenizedWithText(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("doc_id"), col("text"), split(col("text"), " ").as("tokens"))
+
+  private def docsStream(dir: String) =
+    spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+
   test("streaming quality gate verdicts equal the batch query") {
     val dir = "/root/testdata/sf0.001"
     val stream = spark.readStream.schema(docsSchema)
@@ -44,5 +51,36 @@ class CurationStreamSpec extends AnyFunSuite {
 
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+  }
+
+  test("streaming gopher rules verdicts equal the batch query") {
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.queries.MiningQueries.gopherRules(tokenizedWithText(docsStream(dir)))
+      .writeStream.outputMode("append").format("memory").queryName("gopher")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"), r.getAs[Double]("mean_len"),
+        r.getAs[Long]("n_stop"), r.getAs[Double]("frac_alpha"), r.getAs[Boolean]("pass"))
+    val streamed = spark.table("gopher").collect().map(key).toSet
+    val batch = graft.SparkEntry.queries("q_text_gopher_rules")(spark, dir)
+      .collect().map(key).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("streaming weighted sampling keeps exactly the batch keep set") {
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.queries.CurationQueries.weightedSample(tokenizedWithText(docsStream(dir)))
+      .writeStream.outputMode("append").format("memory").queryName("wsample")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Double]("keep_p"), r.getAs[Double]("u"))
+    val streamed = spark.table("wsample").collect().map(key).toSet
+    val batch = graft.SparkEntry.queries("q_sample_weighted")(spark, dir)
+      .collect().map(key).toSet
+    assert(streamed == batch && streamed.nonEmpty)
   }
 }
