@@ -349,6 +349,32 @@ object MiningQueries {
         "md5(array_to_string(toks[w * 4 + 1 : w * 4 + 8], ' ')) AS win_md5 " +
         "FROM wx ORDER BY doc_id, win_id")),
 
+    // Exact shared-span detection (memorization / contamination spans): md5
+    // every 8-token window at stride 1 and group across documents — any
+    // hash held by ≥2 docs is a verbatim 8-gram shared between them, the
+    // signal behind exact-substring dedup of memorized boilerplate. One
+    // map-only explode (×L per doc) + one partial-agg'd groupBy on a
+    // 32-byte hash; skew-safe at 100 TB because a viral span still groups
+    // to ONE skinny count row (the texts never ride the shuffle).
+    Q("q_shared_spans",
+      (s, d) => docs(s, d)
+        .filter(size(col("tokens")) >= 8)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("tokens")) - 7),
+          p => md5(concat_ws(" ", slice(col("tokens"), p, lit(8)))))).as("h"))
+        .groupBy("h")
+        .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
+          count(lit(1)).as("n_occ"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("h"),
+      Some(s"WITH ${Q.toksCte}, " +
+        "wx AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS p, toks " +
+        "FROM toks WHERE len(toks) >= 8), " +
+        "hh AS (SELECT doc_id, md5(array_to_string(toks[p : p + 7], ' ')) AS h FROM wx) " +
+        "SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+        "CAST(count(*) AS BIGINT) AS n_occ, min(doc_id) AS first_doc " +
+        "FROM hh GROUP BY h HAVING count(DISTINCT doc_id) >= 2 ORDER BY h")),
+
     // BPE merge TRAINING (the actual loop, not just one round's statistic):
     // 4 rounds of count-pairs → argmax → corpus-wide greedy merge, via
     // graft.ops.BpeTrainer (4 keeps the benchmarked loop short; the spec

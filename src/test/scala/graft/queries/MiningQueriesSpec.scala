@@ -152,6 +152,30 @@ class MiningQueriesSpec extends AnyFunSuite {
     assert(byDoc.keySet == docTokens.filter(_._2.length >= 8).keySet)
   }
 
+  test("shared spans: every flagged hash is a real cross-doc verbatim 8-gram") {
+    val rows = q("q_shared_spans").collect()
+    assert(rows.nonEmpty, "near-dup fixture must share verbatim 8-grams")
+    // recompute every doc's window hashes locally and check each flagged
+    // hash really occurs in >= 2 distinct docs with the reported counts
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val local = docTokens.toSeq.flatMap { case (id, ts) =>
+      if (ts.length >= 8) ts.sliding(8).map(w => (md5(w.mkString(" ")), id)).toSeq
+      else Seq.empty
+    }
+    val byHash = local.groupBy(_._1)
+    rows.foreach { r =>
+      val h = r.getAs[String]("h")
+      val occ = byHash.getOrElse(h, Seq.empty)
+      assert(occ.map(_._2).distinct.size == r.getAs[Long]("n_docs"), s"hash $h")
+      assert(occ.size == r.getAs[Long]("n_occ"), s"hash $h occurrences")
+      assert(occ.map(_._2).min == r.getAs[Long]("first_doc"), s"hash $h first_doc")
+    }
+    // completeness: every locally-found cross-doc hash is reported
+    val wantFlagged = byHash.filter(_._2.map(_._2).distinct.size >= 2).keySet
+    assert(rows.map(_.getAs[String]("h")).toSet == wantFlagged)
+  }
+
   test("span corruption: mask rule recomputed, md5s match a local replay") {
     val rows = q("q_span_corruption").collect()
     assert(rows.length == docTokens.size)
