@@ -60,9 +60,31 @@ object Cli {
     case Some("index")  => indexCmd(args.tail)
     case Some("search") => searchCmd(args.tail)
     case Some("serve")  => serveCmd(args.tail)
+    case Some("curate") => curateCmd(args.tail)
     case _ =>
-      System.err.println("usage: graft.Cli index|search|serve [options]")
+      System.err.println("usage: graft.Cli index|search|serve|curate [options]")
       sys.exit(2)
+  }
+
+  /** Run the end-to-end curation chain (quality gate → exact dedup →
+    * near-dup clustering → optional weighted sampling) over a documents
+    * parquet, writing `OUT/kept` + `OUT/report` — the pipeline-extension
+    * surface as a usable tool (SURVEY.md §2.13). */
+  private def curateCmd(a: Array[String]): Unit = {
+    val in = arg(a, "--in").getOrElse(sys.error("--in <documents.parquet> required"))
+    val out = arg(a, "--out").getOrElse(sys.error("--out <dir> required"))
+    val opts = graft.ops.CuratePipeline.Opts(
+      jaccardThreshold = arg(a, "--jaccard").map(_.toDouble).getOrElse(0.5),
+      sample = flag(a, "--sample"))
+    val spark = session()
+    val docs = spark.read.parquet(in)
+    val (kept, report) = graft.ops.CuratePipeline.run(docs, opts)
+    kept.write.mode("overwrite").parquet(s"$out/kept")
+    report.write.mode("overwrite").parquet(s"$out/report")
+    val nIn = docs.count()
+    val nKept = spark.read.parquet(s"$out/kept").count()
+    println(s"curate: $nIn in, $nKept kept, ${nIn - nKept} dropped -> $out")
+    spark.stop()
   }
 
   private val KnownEmbedders = Set("hashing", "tfidf")

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus curation chain — the composition a pretraining
+  * pipeline actually runs, wired from the individually-oracle-checked
+  * stages: quality gate → exact dedup → MinHash-LSH near-dup clustering →
+  * optional quality-weighted sampling. Returns (kept corpus, drop report);
+  * every input doc lands in exactly one of the two, and the whole chain is
+  * deterministic (content hashes everywhere, no RNG), so a 100 TB curate
+  * is reproducible and each stage's shuffle discipline is the one its
+  * standalone query documents (PLANS.md).
+  *
+  * Stage order matters and mirrors production practice: the cheap map-only
+  * gate runs first so dedup never hashes junk; exact dedup (32-byte keys)
+  * runs before the shingle pipeline so near-dup only sees distinct texts;
+  * sampling runs last so rates apply to the clean corpus.
+  */
+object CuratePipeline {
+
+  final case class Opts(
+      jaccardThreshold: Double = 0.5,
+      sample: Boolean = false)
+
+  /** Run the chain over (doc_id, text) rows. Returns (kept, report) where
+    * `kept` is the surviving (doc_id, text) corpus and `report` is
+    * (doc_id, stage, detail) for every dropped doc. */
+  def run(docsDf: DataFrame, opts: Opts = Opts()): (DataFrame, DataFrame) = {
+    val tok = docsDf.select(col("doc_id"), col("text"),
+      split(col("text"), " ").as("tokens"))
+
+    // 1. quality gate (map-only; graft.queries.PipelineQueries.qualityGate
+    //    is the oracle-checked batch/streaming projection)
+    val gate = graft.queries.PipelineQueries.qualityGate(tok)
+      .select(col("doc_id"), col("keep"), col("drop_reason"))
+    // docs too short to shingle (< 3 tokens) never enter the gate frame;
+    // treat them as gated out with their own reason
+    val gated = tok.join(gate, Seq("doc_id"), "left")
+      .withColumn("keep", coalesce(col("keep"), lit(false)))
+      .withColumn("drop_reason", coalesce(col("drop_reason"), lit("too_short")))
+    val dropQuality = gated.filter(!col("keep"))
+      .select(col("doc_id"), lit("quality").as("stage"), col("drop_reason").as("detail"))
+    val kept1 = gated.filter(col("keep")).select("doc_id", "text", "tokens")
+
+    // 2. exact dedup: min doc_id per content hash survives (one 32-byte
+    //    keyed shuffle; texts stay in place)
+    val withH = kept1.withColumn("_h", md5(col("text")))
+    val keepExact = withH.groupBy("_h").agg(min(col("doc_id")).as("_keep_id"))
+    val kept2 = withH.join(keepExact, Seq("_h"))
+    val dropExact = kept2.filter(col("doc_id") =!= col("_keep_id"))
+      .select(col("doc_id"), lit("exact_dup").as("stage"),
+        concat(lit("dup_of="), col("_keep_id")).as("detail"))
+    val kept2d = kept2.filter(col("doc_id") === col("_keep_id"))
+      .select("doc_id", "text", "tokens")
+
+    // 3. near-dup clustering: LSH candidate pairs → Jaccard ≥ threshold
+    //    edges → connected components → component min survives
+    val sig = Dedup.withMinhashSignature(
+      kept2d.filter(size(col("tokens")) >= 3), "tokens")
+    val bands = sig.select(col("doc_id"), explode(array(
+      struct(lit(0).as("band"), col("band0").as("bucket")),
+      struct(lit(1).as("band"), col("band1").as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = kept2d.filter(size(col("tokens")) >= 3)
+      .select(col("doc_id"), array_distinct(Dedup.shingles(col("tokens"))).as("ds"))
+    val edges = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b"))
+      .filter(round(Dedup.jaccard(col("dsa"), col("dsb")), 6) >= opts.jaccardThreshold)
+      .select("doc_a", "doc_b")
+    val comps = Components.connectedComponents(
+      kept2d.select("doc_id"), "doc_id", edges, "doc_a", "doc_b")
+    val kept3 = kept2d.join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+    val dropNear = kept3.filter(col("doc_id") =!= col("comp"))
+      .select(col("doc_id"), lit("near_dup").as("stage"),
+        concat(lit("cluster_of="), col("comp")).as("detail"))
+    val kept3d = kept3.filter(col("doc_id") === col("comp"))
+      .select("doc_id", "text", "tokens")
+
+    // 4. optional quality-weighted sampling (deterministic md5 draw)
+    val (keptFinal, dropSample) =
+      if (!opts.sample) (kept3d, kept3d.limit(0)
+        .select(col("doc_id"), lit("").as("stage"), lit("").as("detail")))
+      else {
+        val sampled = graft.queries.CurationQueries.weightedSample(kept3d)
+          .select(col("doc_id"), lit(true).as("_sampled"))
+        val joined = kept3d.join(sampled, Seq("doc_id"), "left")
+        (joined.filter(col("_sampled").isNotNull).select("doc_id", "text", "tokens"),
+          joined.filter(col("_sampled").isNull)
+            .select(col("doc_id"), lit("sampled_out").as("stage"), lit("").as("detail")))
+      }
+
+    (keptFinal.select("doc_id", "text"),
+      dropQuality.union(dropExact).union(dropNear).union(dropSample))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class CuratePipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  test("every doc lands in exactly one of kept/report; stages are coherent") {
+    val (kept, report) = CuratePipeline.run(docs)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val repRows = report.collect()
+    val repIds = repRows.map(_.getLong(0)).toSet
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.intersect(repIds).isEmpty)
+    assert(keptIds.union(repIds) == allIds)
+    assert(keptIds.nonEmpty && repIds.nonEmpty)
+    val stages = repRows.map(_.getString(1)).toSet
+    assert(stages.subsetOf(Set("quality", "exact_dup", "near_dup")))
+    // exact-dup and near-dup drops name a surviving representative
+    repRows.filter(r => r.getString(1) != "quality").foreach { r =>
+      val target = r.getString(2).split("=")(1).toLong
+      assert(keptIds.contains(target) || repIds.contains(target))
+      assert(target < r.getLong(0), s"representative must be the cluster min: $r")
+    }
+  }
+
+  test("kept corpus has no exact duplicates and survives re-curation intact") {
+    val (kept, _) = CuratePipeline.run(docs)
+    val texts = kept.select("text").collect().map(_.getString(0))
+    assert(texts.distinct.length == texts.length, "exact dups survived")
+    // idempotence: curating the curated corpus drops nothing further
+    val (kept2, report2) = CuratePipeline.run(kept)
+    assert(kept2.count() == kept.count())
+    assert(report2.count() == 0, report2.collect().mkString("\n"))
+  }
+
+  test("near-dup drops really are near-dups of their representative") {
+    val (_, report) = CuratePipeline.run(docs)
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(s: String) = s.split(" ").toSeq.sliding(3).map(_.mkString(" ")).toSet
+    val nearDrops = report.filter(col("stage") === "near_dup").collect()
+    assert(nearDrops.nonEmpty, "fixture contains near-dup clusters")
+    nearDrops.foreach { r =>
+      val id = r.getLong(0)
+      val rep = r.getString(2).split("=")(1).toLong
+      // connected through the cluster: the dropped doc must share ≥ 0.5
+      // Jaccard with SOME doc of its component — check directly against the
+      // representative OR any other member reporting the same cluster
+      val members = nearDrops.filter(_.getString(2) == r.getString(2))
+        .map(_.getLong(0)).toSet + rep
+      val ok = (members - id).exists { other =>
+        val (a, b) = (shingles(texts(id)), shingles(texts(other)))
+        val inter = a.intersect(b).size.toDouble
+        inter / (a.size + b.size - inter) >= 0.5 - 1e-9
+      }
+      assert(ok, s"doc $id not near any member of its cluster $members")
+    }
+  }
+
+  test("sampling stage drops only sampled_out rows and stays deterministic") {
+    val (kept, report) = CuratePipeline.run(docs, CuratePipeline.Opts(sample = true))
+    val (kept2, _) = CuratePipeline.run(docs, CuratePipeline.Opts(sample = true))
+    assert(kept.collect().map(_.getLong(0)).toSeq.sorted ==
+      kept2.collect().map(_.getLong(0)).toSeq.sorted)
+    assert(report.filter(col("stage") === "sampled_out").count() > 0)
+    val (keptNoSample, _) = CuratePipeline.run(docs)
+    assert(kept.count() < keptNoSample.count())
+  }
+}
