@@ -72,6 +72,56 @@ object MiningQueries {
       "sub AS (SELECT vec_id, j, embedding[j * 8 + 1 : j * 8 + 8] AS sv FROM sj), " +
       "code AS (SELECT vec_id AS cid, j, sv AS cv FROM sub WHERE vec_id < 16)"
 
+  /** ADC ranking shared by the PQ search queries: corpus codes join the
+    * broadcast per-query LUT on (subspace, code); approximate distance is
+    * the partial-agg'd sum of 1e-6-quantized LUT longs; ranks are
+    * (rounded-adist, id)-deterministic. Returns (qid, vec_id, adist, rank)
+    * with rank ≤ k. */
+  private def adcShortlist(s: SparkSession, d: String, k: Int): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val sub = subspaces(e, "vec_id", "sv")
+    val code = subspaces(e.filter(col("vec_id") < 16), "cid", "cv")
+    // corpus encoding: nearest codebook entry per (vector, subspace) —
+    // struct-min argmin (map-side partials; no window over N×8×K rows)
+    val enc = sub.join(broadcast(code), Seq("j"))
+      .withColumn("_d", l2(col("sv"), col("cv")))
+      .groupBy("vec_id", "j")
+      .agg(min(struct(round(col("_d"), 6).as("d6"), col("cid").as("cid"))).as("best"))
+      .select(col("vec_id"), col("j"), col("best.cid").as("cid"))
+    // per-query lookup table: exact distance from the query's j-th
+    // subvector to every codebook entry of subspace j (3×8×16 rows)
+    val lut = subspaces(e.filter(col("vec_id").isin(0, 1, 2)), "qid", "qv")
+      .join(broadcast(code), Seq("j"))
+      .select(col("qid"), col("j"), col("cid"),
+        floor(l2(col("qv"), col("cv")) * 1e6 + 0.5).cast("long").as("lq"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("adist"), 6).asc, col("vec_id").asc)
+    enc.join(broadcast(lut), Seq("j", "cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg((sum(col("lq")).cast("double") / 1e6).as("adist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Oracle mirror of [[adcShortlist]]: CTE chain ending in
+    * `rr(qid, vec_id, adist, rank)` (consumers filter the rank). */
+  private val adcCtes: String =
+    s"$pqCtes, " +
+      s"dd AS (SELECT s.vec_id, s.j, c.cid, ${l2Sql("s.sv", "c.cv")} AS d " +
+      "FROM sub s JOIN code c ON s.j = c.j), " +
+      "er AS (SELECT vec_id, j, cid, row_number() OVER " +
+      "(PARTITION BY vec_id, j ORDER BY round(d, 6), cid) AS rn FROM dd), " +
+      "enc AS (SELECT vec_id, j, cid FROM er WHERE rn = 1), " +
+      "lut AS (SELECT s.vec_id AS qid, c.j, c.cid, " +
+      s"CAST(floor(${l2Sql("s.sv", "c.cv")} * 1e6 + 0.5) AS BIGINT) AS lq " +
+      "FROM sub s JOIN code c ON s.j = c.j WHERE s.vec_id IN (0, 1, 2)), " +
+      "ad AS (SELECT l.qid, e.vec_id, CAST(sum(l.lq) AS DOUBLE) / 1e6 AS adist " +
+      "FROM enc e JOIN lut l ON e.j = l.j AND e.cid = l.cid " +
+      "WHERE e.vec_id != l.qid GROUP BY l.qid, e.vec_id), " +
+      "rr AS (SELECT qid, vec_id, adist, CAST(row_number() OVER " +
+      s"(PARTITION BY qid ORDER BY round(adist, 6), vec_id) AS BIGINT) AS rank FROM ad)"
+
   val all: Seq[Q] = Seq(
 
     // ---- Similarity: the PQ serving path ----
@@ -89,50 +139,46 @@ object MiningQueries {
     // At scale this composes with IVF probing (q_sim_ivf_search) so the
     // encoded scan side is the probed subset, not the full corpus.
     Q("q_sim_pq_adc",
-      (s, d) => {
-        val e = t(s, d, "embeddings")
-        val sub = subspaces(e, "vec_id", "sv")
-        val code = subspaces(e.filter(col("vec_id") < 16), "cid", "cv")
-        // corpus encoding: nearest codebook entry per (vector, subspace) —
-        // struct-min argmin (map-side partials; no window over N×8×K rows)
-        val enc = sub.join(broadcast(code), Seq("j"))
-          .withColumn("_d", l2(col("sv"), col("cv")))
-          .groupBy("vec_id", "j")
-          .agg(min(struct(round(col("_d"), 6).as("d6"), col("cid").as("cid"))).as("best"))
-          .select(col("vec_id"), col("j"), col("best.cid").as("cid"))
-        // per-query lookup table: exact distance from the query's j-th
-        // subvector to every codebook entry of subspace j (3×8×16 rows)
-        val lut = subspaces(e.filter(col("vec_id").isin(0, 1, 2)), "qid", "qv")
-          .join(broadcast(code), Seq("j"))
-          .select(col("qid"), col("j"), col("cid"),
-            floor(l2(col("qv"), col("cv")) * 1e6 + 0.5).cast("long").as("lq"))
-        val w = Window.partitionBy(col("qid"))
-          .orderBy(round(col("adist"), 6).asc, col("vec_id").asc)
-        enc.join(broadcast(lut), Seq("j", "cid"))
-          .filter(col("vec_id") =!= col("qid"))
-          .groupBy("qid", "vec_id")
-          .agg((sum(col("lq")).cast("double") / 1e6).as("adist"))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 5)
-          .select(col("qid"), col("vec_id"), col("rank"), Q.r6(col("adist")).as("adist"))
-          .orderBy("qid", "rank")
-      },
-      Some(s"WITH $pqCtes, " +
-        s"dd AS (SELECT s.vec_id, s.j, c.cid, ${l2Sql("s.sv", "c.cv")} AS d " +
-        "FROM sub s JOIN code c ON s.j = c.j), " +
-        "er AS (SELECT vec_id, j, cid, row_number() OVER " +
-        "(PARTITION BY vec_id, j ORDER BY round(d, 6), cid) AS rn FROM dd), " +
-        "enc AS (SELECT vec_id, j, cid FROM er WHERE rn = 1), " +
-        "lut AS (SELECT s.vec_id AS qid, c.j, c.cid, " +
-        s"CAST(floor(${l2Sql("s.sv", "c.cv")} * 1e6 + 0.5) AS BIGINT) AS lq " +
-        "FROM sub s JOIN code c ON s.j = c.j WHERE s.vec_id IN (0, 1, 2)), " +
-        "ad AS (SELECT l.qid, e.vec_id, CAST(sum(l.lq) AS DOUBLE) / 1e6 AS adist " +
-        "FROM enc e JOIN lut l ON e.j = l.j AND e.cid = l.cid " +
-        "WHERE e.vec_id != l.qid GROUP BY l.qid, e.vec_id), " +
-        "rr AS (SELECT qid, vec_id, adist, CAST(row_number() OVER " +
-        "(PARTITION BY qid ORDER BY round(adist, 6), vec_id) AS BIGINT) AS rank FROM ad) " +
+      (s, d) => adcShortlist(s, d, 5)
+        .select(col("qid"), col("vec_id"), col("rank"), Q.r6(col("adist")).as("adist"))
+        .orderBy("qid", "rank"),
+      Some(s"WITH $adcCtes " +
         s"SELECT qid, vec_id, rank, ${Q.r6Sql("adist")} AS adist " +
         "FROM rr WHERE rank <= 5 ORDER BY qid, rank")),
+
+    // Two-stage PQ retrieval — the production ANN serving pattern: the ADC
+    // stage shortlists 20 candidates per query from codes alone (cheap,
+    // approximate), then ONLY the shortlist's raw vectors are fetched and
+    // re-ranked by exact cosine distance. At 100 TB the expensive exact
+    // kernel touches Q×20 vectors instead of the corpus; the shortlist
+    // rides a broadcast into an equi-join on the vector id, so the
+    // raw-vector fetch is also the only corpus-side probe.
+    Q("q_sim_pq_rerank",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val short = adcShortlist(s, d, 20).select(col("qid"), col("vec_id"))
+        val qs = e.filter(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(round(col("dist"), 6).asc, col("vec_id").asc)
+        e.join(broadcast(short), Seq("vec_id"))
+          .join(broadcast(qs), Seq("qid"))
+          .withColumn("dist",
+            graft.functions.VectorOps.cosineDist(col("embedding"), col("qvec")))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("vec_id"), col("rank"), Q.r6(col("dist")).as("dist"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"WITH $adcCtes, " +
+        "short AS (SELECT qid, vec_id FROM rr WHERE rank <= 20), " +
+        "qs AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id IN (0, 1, 2)), " +
+        s"ex AS (SELECT s.qid, s.vec_id, ${Q.cosineDistSql("e.embedding", "q.qvec")} AS dist " +
+        "FROM short s JOIN embeddings e ON s.vec_id = e.vec_id JOIN qs q ON s.qid = q.qid), " +
+        "rr2 AS (SELECT qid, vec_id, dist, CAST(row_number() OVER " +
+        "(PARTITION BY qid ORDER BY round(dist, 6), vec_id) AS BIGINT) AS rank FROM ex) " +
+        s"SELECT qid, vec_id, rank, ${Q.r6Sql("dist")} AS dist " +
+        "FROM rr2 WHERE rank <= 5 ORDER BY qid, rank")),
 
     // One k-means (Lloyd) refinement step over the embedding corpus: assign
     // every vector to its nearest centroid (the IVF assignment), then
@@ -348,6 +394,33 @@ object MiningQueries {
         "SELECT doc_id, CAST(w AS BIGINT) AS win_id, CAST(w * 4 + 1 AS BIGINT) AS start_pos, " +
         "md5(array_to_string(toks[w * 4 + 1 : w * 4 + 8], ' ')) AS win_md5 " +
         "FROM wx ORDER BY doc_id, win_id")),
+
+    // Retention cohort analysis over the event stream: cohort = each
+    // user's first active day; report distinct active users per
+    // (cohort_day, day_offset ≤ 7) — the D1/D7 retention table. Shapes:
+    // one distinct on (user, day) (partial-agg'd), ONE shuffle on user_id
+    // for the per-user min window, then a grouped count over rows that are
+    // already (user, day)-unique — no second distinct, no join. Day
+    // arithmetic is integer ns division, identical in both engines.
+    Q("q_retention_cohorts",
+      (s, d) => {
+        val act = events(s, d)
+          .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id"))
+        act.withColumn("cohort_day", min(col("day")).over(w))
+          .withColumn("day_offset", col("day") - col("cohort_day"))
+          .filter(col("day_offset") <= 7)
+          .groupBy("cohort_day", "day_offset")
+          .agg(count(lit(1)).as("n_users")) // rows are (user, day)-unique
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("WITH act AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events), " +
+        "c AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM act) " +
+        "SELECT cohort_day, day - cohort_day AS day_offset, " +
+        "CAST(count(*) AS BIGINT) AS n_users " +
+        "FROM c WHERE day - cohort_day <= 7 " +
+        "GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset")),
 
     // Exact shared-span detection (memorization / contamination spans): md5
     // every 8-token window at stride 1 and group across documents — any

@@ -49,6 +49,49 @@ class MiningQueriesSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"ADC recall@5 too low: $recall")
   }
 
+  test("pq rerank: top-5 equals the exact-cosine best of the ADC-20 shortlist") {
+    import spark.implicits._
+    val rerank = q("q_sim_pq_rerank").collect()
+    assert(rerank.length == 15)
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().toMap.view.mapValues(_.map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // replay stage 2 locally: exact cosine over the stage-1 shortlist
+    rerank.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rows) =>
+      val got = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("vec_id")).toSeq
+      // the reported exact distances must be the true cosine distances
+      rows.foreach { r =>
+        val d = cos(vecs(r.getAs[Long]("vec_id")), vecs(qid))
+        assert(math.abs(r.getAs[Double]("dist") - math.round(d * 1e6) / 1e6) < 1e-9)
+      }
+      // and ordered ascending
+      val ds = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("dist"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b + 1e-9 })
+      assert(got.distinct.length == 5 && !got.contains(qid))
+    }
+  }
+
+  test("retention cohorts: offset-0 row is each cohort's maximum") {
+    val rows = q("q_retention_cohorts").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("day_offset") >= 0 && r.getAs[Long]("day_offset") <= 7)
+      assert(r.getAs[Long]("n_users") > 0)
+    }
+    rows.groupBy(_.getAs[Long]("cohort_day")).foreach { case (cd, rs) =>
+      val d0 = rs.find(_.getAs[Long]("day_offset") == 0L)
+      assert(d0.isDefined, s"cohort $cd missing day-0 row")
+      val max = rs.map(_.getAs[Long]("n_users")).max
+      assert(d0.get.getAs[Long]("n_users") == max,
+        s"cohort $cd day-0 not the max: ${rs.mkString(",")}")
+    }
+  }
+
   test("kmeans step: every cluster populated, shift bounded by norms") {
     val rows = q("q_kmeans_step").collect()
     assert(rows.map(_.getAs[Long]("cid")).toSeq.sorted == Seq(0L, 1L, 2L, 3L))
