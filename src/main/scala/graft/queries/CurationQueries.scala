@@ -286,6 +286,53 @@ object CurationQueries {
           "/ CAST(len(qv) AS DOUBLE)")} AS mse " +
         "FROM qz ORDER BY vec_id")),
 
+    // Per-dimension embedding whitening (standardization): subtract the
+    // corpus mean and divide by the corpus std per dimension — the
+    // retrieval-quality post-processing step that stops dominant dimensions
+    // from drowning the cosine. Two-phase: per-dim stats from exact
+    // 1e-6-quantized integer sums (the q_embed_centroids rule — order-
+    // independent), broadcast back onto the posexploded corpus, and
+    // per-vector results re-aggregate with per-element quantization before
+    // the cross-row sum. At 100 TB the stats table is d rows and the
+    // whitening pass is map-only against a broadcast.
+    Q("q_embed_whiten",
+      (s, d) => {
+        val ex = t(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(col("vec_id"), col("pos").cast("long").as("pos"),
+            col("v").cast("double").as("v"),
+            floor(col("v").cast("double") * 1e6 + 0.5).cast("long").as("sv"))
+        val stats = ex.groupBy("pos")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(col("sv")).cast("double").as("s"),
+            sum(col("sv") * col("sv")).cast("double").as("ss"))
+          .select(col("pos"), (col("s") / (col("n") * 1e6)).as("mu"),
+            sqrt((col("ss") - col("s") * col("s") / col("n")) /
+              ((col("n") - 1.0) * 1e12)).as("sd"))
+        ex.join(broadcast(stats), Seq("pos"))
+          .withColumn("w", (col("v") - col("mu")) / col("sd"))
+          .groupBy("vec_id")
+          .agg(
+            Q.r6(sum(floor(col("w") * 1e6 + 0.5).cast("long")).cast("double") / 1e6)
+              .as("w_sum"),
+            Q.r6(sqrt(sum(floor(col("w") * col("w") * 1e6 + 0.5).cast("long"))
+              .cast("double") / 1e6)).as("w_norm"))
+          .orderBy("vec_id")
+      },
+      Some("WITH ex AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, " +
+        "CAST(embedding[i] AS DOUBLE) AS v, " +
+        "CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS sv " +
+        "FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i) WHERE i <= len(embedding)), " +
+        "st AS (SELECT pos, CAST(count(*) AS DOUBLE) AS n, " +
+        "CAST(sum(sv) AS DOUBLE) AS s, CAST(sum(sv * sv) AS DOUBLE) AS ss FROM ex GROUP BY pos), " +
+        "ms AS (SELECT pos, s / (n * 1e6) AS mu, " +
+        "sqrt((ss - s * s / n) / ((n - 1.0) * 1e12)) AS sd FROM st), " +
+        "wh AS (SELECT vec_id, (v - mu) / sd AS w FROM ex JOIN ms ON ex.pos = ms.pos) " +
+        "SELECT vec_id, " +
+        s"${Q.r6Sql("CAST(sum(CAST(floor(w * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6")} AS w_sum, " +
+        s"${Q.r6Sql("sqrt(CAST(sum(CAST(floor(w * w * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)")} AS w_norm " +
+        "FROM wh GROUP BY vec_id ORDER BY vec_id")),
+
     // Product quantization (PQ): split each 64-dim vector into 8 subvectors
     // of 8 dims; assign every subvector to its nearest codebook entry
     // (codebook = the matching subvectors of vecs 0..15, trained k-means at

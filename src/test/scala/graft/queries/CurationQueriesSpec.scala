@@ -166,6 +166,19 @@ class CurationQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("whitening centers and unit-scales: sums cancel, norms near sqrt(d)") {
+    val rows = q("q_embed_whiten").collect()
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.length == n)
+    // per-dim whitened values sum to ~0 across the corpus, so the total of
+    // per-vector sums cancels (up to n*d*0.5e-6 quantization slack)
+    val total = rows.map(_.getAs[Double]("w_sum")).sum
+    assert(math.abs(total) < n * 64 * 0.5e-6 + 1e-3, s"total=$total")
+    // standardized 64-dim rows have norm ~sqrt(64)=8 on average
+    val meanNorm = rows.map(_.getAs[Double]("w_norm")).sum / rows.length
+    assert(meanNorm > 6.0 && meanNorm < 10.0, s"meanNorm=$meanNorm")
+  }
+
   test("weighted sampling keeps more high-quality docs and is deterministic") {
     val rows = q("q_sample_weighted").collect()
     assert(rows.nonEmpty && rows.length < spark.read.parquet(s"$dir/documents.parquet").count())
