@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   *  2. pick the argmax pair by (count desc, pair asc) — a ONE-ROW
   *     TakeOrdered to the driver. Vocabulary decisions are scalars; this is
   *     the legitimate driver-side step of every distributed tokenizer
-  *     trainer (the corpus itself never moves);
+  *     trainer (the corpus itself never moves). The pair tiebreak is
+  *     Spark's string order — BINARY UTF-8 BYTE order, which differs from
+  *     Java's UTF-16 code-unit order for supplementary-plane characters;
+  *     any external replay must compare UTF-8 bytes (BpeTrainerSpec does);
   *  3. apply the merge corpus-wide as a map-only left fold (greedy,
   *     non-overlapping, left-to-right — standard BPE apply semantics),
   *     expressed with the `aggregate` HOF so it stays inside codegen.

@@ -31,7 +31,10 @@ object CuratePipeline {
       split(col("text"), " ").as("tokens"))
 
     // 1. quality gate (map-only; graft.queries.PipelineQueries.qualityGate
-    //    is the oracle-checked batch/streaming projection)
+    //    is the oracle-checked batch/streaming projection). Lineage is cut
+    //    after the gate: `gated` feeds both the report branch and every
+    //    later stage, and without the checkpoint the tokenize+gate subtree
+    //    re-executes once per report-union branch plus once per write.
     val gate = graft.queries.PipelineQueries.qualityGate(tok)
       .select(col("doc_id"), col("keep"), col("drop_reason"))
     // docs too short to shingle (< 3 tokens) never enter the gate frame;
@@ -39,6 +42,7 @@ object CuratePipeline {
     val gated = tok.join(gate, Seq("doc_id"), "left")
       .withColumn("keep", coalesce(col("keep"), lit(false)))
       .withColumn("drop_reason", coalesce(col("drop_reason"), lit("too_short")))
+      .localCheckpoint()
     val dropQuality = gated.filter(!col("keep"))
       .select(col("doc_id"), lit("quality").as("stage"), col("drop_reason").as("detail"))
     val kept1 = gated.filter(col("keep")).select("doc_id", "text", "tokens")
@@ -47,7 +51,7 @@ object CuratePipeline {
     //    keyed shuffle; texts stay in place)
     val withH = kept1.withColumn("_h", md5(col("text")))
     val keepExact = withH.groupBy("_h").agg(min(col("doc_id")).as("_keep_id"))
-    val kept2 = withH.join(keepExact, Seq("_h"))
+    val kept2 = withH.join(keepExact, Seq("_h")).localCheckpoint()
     val dropExact = kept2.filter(col("doc_id") =!= col("_keep_id"))
       .select(col("doc_id"), lit("exact_dup").as("stage"),
         concat(lit("dup_of="), col("_keep_id")).as("detail"))
@@ -55,28 +59,17 @@ object CuratePipeline {
       .select("doc_id", "text", "tokens")
 
     // 3. near-dup clustering: LSH candidate pairs → Jaccard ≥ threshold
-    //    edges → connected components → component min survives
-    val sig = Dedup.withMinhashSignature(
-      kept2d.filter(size(col("tokens")) >= 3), "tokens")
-    val bands = sig.select(col("doc_id"), explode(array(
-      struct(lit(0).as("band"), col("band0").as("bucket")),
-      struct(lit(1).as("band"), col("band1").as("bucket")))).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val pairs = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sh = kept2d.filter(size(col("tokens")) >= 3)
-      .select(col("doc_id"), array_distinct(Dedup.shingles(col("tokens"))).as("ds"))
-    val edges = pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b"))
-      .filter(round(Dedup.jaccard(col("dsa"), col("dsb")), 6) >= opts.jaccardThreshold)
+    //    edges → connected components → component min survives. The pair
+    //    machinery is the SAME implementation the oracle-checked queries
+    //    run (PipelineQueries.minhashVerifiedPairsOf) — one definition, no
+    //    drift between the CLI tool and the gated surface.
+    val edges = graft.queries.PipelineQueries.minhashVerifiedPairsOf(kept2d)
+      .filter(col("jaccard") >= opts.jaccardThreshold)
       .select("doc_a", "doc_b")
     val comps = Components.connectedComponents(
       kept2d.select("doc_id"), "doc_id", edges, "doc_a", "doc_b")
     val kept3 = kept2d.join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .localCheckpoint()
     val dropNear = kept3.filter(col("doc_id") =!= col("comp"))
       .select(col("doc_id"), lit("near_dup").as("stage"),
         concat(lit("cluster_of="), col("comp")).as("detail"))

@@ -302,10 +302,13 @@ object CurationQueries {
           .select(col("vec_id"), col("pos").cast("long").as("pos"),
             col("v").cast("double").as("v"),
             floor(col("v").cast("double") * 1e6 + 0.5).cast("long").as("sv"))
+        // sv ~ ±1e6 so sv² ~ 1e12: the squared sum MUST widen beyond BIGINT
+        // (overflows at ~9.2M vectors/dim); DECIMAL(38,0) matches DuckDB's
+        // HUGEINT-widened sum exactly
         val stats = ex.groupBy("pos")
           .agg(count(lit(1)).cast("double").as("n"),
             sum(col("sv")).cast("double").as("s"),
-            sum(col("sv") * col("sv")).cast("double").as("ss"))
+            sum((col("sv") * col("sv")).cast("decimal(38,0)")).cast("double").as("ss"))
           .select(col("pos"), (col("s") / (col("n") * 1e6)).as("mu"),
             sqrt((col("ss") - col("s") * col("s") / col("n")) /
               ((col("n") - 1.0) * 1e12)).as("sd"))
@@ -386,10 +389,7 @@ object CurationQueries {
           .orderBy("vec_id")
       },
       Some {
-        def l2Sql(a: String, b: String) =
-          s"list_sum(list_transform(generate_series(1, 8), " +
-            s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) " +
-            s"* (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+        def l2Sql(a: String, b: String) = Q.l2Sql8(a, b)
         "WITH sj AS (SELECT vec_id, CAST(len(embedding) AS BIGINT) AS nd, " +
           "unnest(generate_series(0, len(embedding) // 8 - 1)) AS j, embedding FROM embeddings), " +
           "sub AS (SELECT vec_id, nd, j, embedding[j * 8 + 1 : j * 8 + 8] AS sv FROM sj), " +

@@ -39,10 +39,7 @@ object MiningQueries {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
-  private def l2Sql(a: String, b: String): String =
-    s"list_sum(list_transform(generate_series(1, 8), " +
-      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) " +
-      s"* (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+  private def l2Sql(a: String, b: String): String = Q.l2Sql8(a, b)
 
   /** Gopher rule bundle as a pure projection over (doc_id, text, tokens) —
     * no window/sort/aggregate, so the SAME function serves the batch query
@@ -347,6 +344,11 @@ object MiningQueries {
             sum((x * x).cast("decimal(38,8)")).cast("double").as("sxx"))
           .select(col("event_type"), col("sx") / col("n") as "mu",
             sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1.0)).as("sigma"))
+          // degenerate types (n=1 or constant values ⇒ sigma = 0) must be
+          // excluded BEFORE the division: Spark yields NULL for x/0 while
+          // DuckDB yields inf/nan (and nan > 3.0 is TRUE there), so an
+          // unguarded divide diverges cross-engine on such types
+          .filter(col("sigma") > 0.0)
         ev.join(broadcast(st), Seq("event_type"))
           .withColumn("az", round(abs((col("value") - col("mu")) / col("sigma")), 6))
           .groupBy("event_type")
@@ -359,8 +361,9 @@ object MiningQueries {
         "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx, " +
         "CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxx " +
         "FROM events GROUP BY event_type), " +
-        "ms AS (SELECT event_type, sx / n AS mu, " +
-        "sqrt((sxx - sx * sx / n) / (n - 1.0)) AS sigma FROM st), " +
+        "ms AS (SELECT event_type, sx / n AS mu, sigma FROM (" +
+        "SELECT event_type, sx, n, sqrt((sxx - sx * sx / n) / (n - 1.0)) AS sigma FROM st) " +
+        "WHERE sigma > 0.0), " +
         "fl AS (SELECT e.event_type, round(abs((e.value - mu) / sigma), 6) AS az " +
         "FROM events e JOIN ms ON e.event_type = ms.event_type) " +
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, " +

@@ -24,12 +24,13 @@ object PipelineQueries {
 
   private val HourNs = 3600000000000L
 
-  /** LSH candidate pairs (doc_a < doc_b), formed ONLY inside a band bucket —
-    * never an all-pairs join. Shared by the Jaccard-verified pairs query and
-    * the edit-distance verify query. */
-  private[queries] def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
+  /** LSH candidate pairs (doc_a < doc_b) of an already-tokenized
+    * (doc_id, tokens) frame, formed ONLY inside a band bucket — never an
+    * all-pairs join. DataFrame-parameterized so the oracle-checked queries
+    * and the curate CLI chain run the ONE implementation. */
+  private[graft] def minhashPairsOf(tokenized: DataFrame): DataFrame = {
     val sig = Dedup.withMinhashSignature(
-      docs(s, d).filter(size(col("tokens")) >= 3), "tokens")
+      tokenized.filter(size(col("tokens")) >= 3), "tokens")
     val bands = sig.select(col("doc_id"), explode(array(
       struct(lit(0).as("band"), col("band0").as("bucket")),
       struct(lit(1).as("band"), col("band1").as("bucket")))).as("bb"))
@@ -41,17 +42,24 @@ object PipelineQueries {
       .distinct()
   }
 
-  /** LSH candidate pairs verified with exact Jaccard (rounded) — shared by
-    * the pairs query and the dup-cluster components query. */
-  private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
-    val shingleSets = docs(s, d).filter(size(col("tokens")) >= 3)
+  /** [[minhashPairsOf]] verified with exact Jaccard (rounded) over distinct
+    * shingle sets. */
+  private[graft] def minhashVerifiedPairsOf(tokenized: DataFrame): DataFrame = {
+    val shingleSets = tokenized.filter(size(col("tokens")) >= 3)
       .select(col("doc_id"), array_distinct(Dedup.shingles(col("tokens"))).as("ds"))
-    minhashCandidatePairs(s, d)
+    minhashPairsOf(tokenized)
       .join(shingleSets.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
       .join(shingleSets.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(Dedup.jaccard(col("dsa"), col("dsb")), 6).as("jaccard"))
   }
+
+  /** LSH candidate pairs over the documents corpus (query-surface shape). */
+  private[queries] def minhashCandidatePairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsOf(docs(s, d))
+
+  private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame =
+    minhashVerifiedPairsOf(docs(s, d))
 
   /** Oracle CTE prefix shared by every MinHash-LSH query: tokenize →
     * shingle sets → signatures → exploded `bands(doc_id, band, bucket)`. */
@@ -645,7 +653,9 @@ object PipelineQueries {
           .groupBy("label", "pos")
           .agg(count(lit(1)).cast("double").as("n"),
             sum(col("sv")).cast("double").as("s"),
-            sum(col("sv") * col("sv")).cast("double").as("ss"))
+            // sv² ~ 1e12: widen to DECIMAL(38,0) (BIGINT sum overflows at
+            // ~9.2M vectors per group; DuckDB widens to HUGEINT)
+            sum((col("sv") * col("sv")).cast("decimal(38,0)")).cast("double").as("ss"))
           .select(col("label"), col("pos"),
             Q.r6(col("s") / (nD * 1e6)).as("centroid"),
             Q.r6((col("ss") - col("s") * col("s") / nD) / ((nD - 1.0) * 1e12)).as("dim_var"))

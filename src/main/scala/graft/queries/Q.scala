@@ -89,6 +89,14 @@ object Q {
   def cosineDistSql(a: String, b: String): String =
     s"1.0 - ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
+  /** DuckDB element-order L2 of two 8-dim subvector lists — the PQ subspace
+    * kernel (shared by the q_embed_pq and q_sim_pq_* oracles; one
+    * definition so the quantization layout can never drift per module). */
+  def l2Sql8(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, 8), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) " +
+      s"* (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+
   /** Projection-safe rounding: `round(x, p) + 0.0` canonicalizes IEEE `-0.0`
     * to `+0.0` (`-0.0 + 0.0 == +0.0`). Needed because DuckDB's `round`
     * preserves the sign of a tiny negative (`round(-1e-16, 6) = -0.0`) while

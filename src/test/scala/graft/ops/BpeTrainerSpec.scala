@@ -21,6 +21,17 @@ class BpeTrainerSpec extends AnyFunSuite {
     buf.toSeq
   }
 
+  /** Spark's string order is binary UTF-8 byte order (differs from Java's
+    * UTF-16 order for supplementary-plane chars) — the replay must match. */
+  private val utf8Order: Ordering[String] = (x: String, y: String) => {
+    val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+    val n = math.min(a.length, b.length)
+    var i = 0
+    var c = 0
+    while (i < n && c == 0) { c = (a(i) & 0xff) - (b(i) & 0xff); i += 1 }
+    if (c != 0) c else a.length - b.length
+  }
+
   private def localTrain(docs0: Seq[Seq[String]], nMerges: Int)
       : Seq[(Int, String, String, Long)] = {
     var cur = docs0
@@ -33,7 +44,10 @@ class BpeTrainerSpec extends AnyFunSuite {
         case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + 1
         case _ =>
       })
-      val best = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.headOption
+      val best = counts.toSeq
+        .sortBy { case ((a, b), n) => (-n, a, b) }(
+          Ordering.Tuple3(Ordering.Long, utf8Order, utf8Order))
+        .headOption
       best.filter(_._2 >= 2) match {
         case Some(((a, b), n)) =>
           out += ((rank, a, b, n))
