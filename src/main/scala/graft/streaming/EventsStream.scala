@@ -53,6 +53,36 @@ object EventsStream {
       .dropDuplicatesWithinWatermark("event_id")
       .drop("ets")
 
+  /** Stream-stream interval join: each purchase matched to every signup by
+    * the SAME user within the preceding hour — the attribution-window join.
+    * Defined once for batch and streaming: `withWatermark` is a no-op under
+    * `spark.read`, so the identical function backfills in batch and runs
+    * incrementally under `readStream` (StreamJoinSpec pins batch-equality).
+    *
+    * Scale posture: a stream-stream inner join keys state by `user_id` and
+    * the watermarks + the time-range predicate BOUND both state stores —
+    * signups age out one hour past the watermark, purchases immediately at
+    * it (the interval condition tells Spark exactly how long each side can
+    * still match). Without the time bound the join would buffer both
+    * streams forever. Batch shape: one hash shuffle per side on user_id.
+    */
+  def signupPurchaseJoin(signups: DataFrame, purchases: DataFrame): DataFrame = {
+    val s = signups
+      .withColumn("s_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("s_ts", "2 hours")
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"), col("s_ts"))
+    val p = purchases
+      .withColumn("p_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("p_ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("value").as("amount"), col("p_ts"))
+    s.join(p, col("s_user") === col("p_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("s_user").as("user_id"), col("signup_id"), col("purchase_id"),
+        col("amount"), col("s_ts"), col("p_ts"))
+  }
+
   /** Open a streaming source over a directory of event parquet files. */
   def readEventsStream(spark: SparkSession, dir: String, glob: String = "events.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

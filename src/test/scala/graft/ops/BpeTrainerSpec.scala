@@ -84,6 +84,22 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(fin.forall(_ == List("x+y+z+w")))
   }
 
+  test("greedy fold equals the local apply on 200 random symbol runs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val syms = Seq("a", "b", "c", "a+b")
+    val cases = (0 until 200).map { i =>
+      (i, Seq.fill(rnd.nextInt(12))(syms(rnd.nextInt(syms.length))))
+    }
+    for ((l, r) <- Seq(("a", "b"), ("b", "a"), ("a", "a"), ("a+b", "c"))) {
+      val got = cases.toDF("id", "sym")
+        .withColumn("sym", BpeTrainer.applyMerge(col("sym"), l, r))
+        .orderBy("id").collect().map(_.getSeq[String](1).toList).toSeq
+      val want = cases.map { case (_, ts) => localApply(ts, l, r).toList }
+      assert(got == want, s"merge ($l,$r) diverged")
+    }
+  }
+
   test("greedy fold apply matches the local apply on adversarial runs") {
     import spark.implicits._
     val cases = Seq(
