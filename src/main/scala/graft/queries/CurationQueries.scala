@@ -438,6 +438,61 @@ object CurationQueries {
           "min(z) AS z_min, max(z) AS z_max FROM zz GROUP BY 1 ORDER BY z_range"
       }),
 
+    // Hilbert-curve layout key — the stronger-locality sibling of
+    // q_zorder_layout (a Hilbert walk never teleports across the plane the
+    // way Z-order's seams do, so range-partitioned files cover tighter 2-D
+    // rectangles). The classic xy→d loop has loop-carried state (the
+    // quadrant rotation rewrites x/y each level); both engines run it
+    // UNROLLED — 8 chained projections in Spark, 8 chained CTEs in the
+    // oracle — all integer CASE/bit arithmetic, so the key is hash-exact
+    // cross-engine. Map-only + one partial-agg'd histogram, like Z-order;
+    // the production write is `repartitionByRange(col("h"))`.
+    Q("q_hilbert_layout",
+      (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        var df = t(s, d, "events")
+          .select(col("event_id"),
+            (col("user_id") % 256).cast("long").as("x"),
+            (col("event_id") % 256).cast("long").as("y"))
+          .withColumn("h", lit(0L))
+        for (k <- 7 to 0 by -1) {
+          val sv = 1L << k
+          // rx/ry/d and the rotated x/y all read the PREVIOUS level's x/y:
+          // compute them in one projection before overwriting
+          val rx = when(col("x").bitwiseAND(lit(sv)) > 0, 1L).otherwise(0L)
+          val ry = when(col("y").bitwiseAND(lit(sv)) > 0, 1L).otherwise(0L)
+          df = df.select(col("event_id"),
+            when(ry === 0, when(rx === 1, lit(sv - 1) - col("y")).otherwise(col("y")))
+              .otherwise(col("x")).as("x"),
+            when(ry === 0, when(rx === 1, lit(sv - 1) - col("x")).otherwise(col("x")))
+              .otherwise(col("y")).as("y"),
+            (col("h") + lit(sv * sv) * (rx * 3L).bitwiseXOR(ry)).as("h"))
+        }
+        df.groupBy(expr("h div 4096").as("h_range"))
+          .agg(count(lit(1)).as("n"), min(col("h")).as("h_min"),
+            max(col("h")).as("h_max"))
+          .orderBy("h_range")
+      },
+      Some {
+        def step(k: Int, prev: String, cur: String): String = {
+          val sv = 1L << k
+          s"$cur AS (SELECT event_id, " +
+            s"CASE WHEN (y & $sv) = 0 THEN CASE WHEN (x & $sv) > 0 THEN ${sv - 1} - y ELSE y END ELSE x END AS x, " +
+            s"CASE WHEN (y & $sv) = 0 THEN CASE WHEN (x & $sv) > 0 THEN ${sv - 1} - x ELSE x END ELSE y END AS y, " +
+            s"h + ${sv * sv} * xor((CASE WHEN (x & $sv) > 0 THEN 1 ELSE 0 END) * 3, " +
+            s"CASE WHEN (y & $sv) > 0 THEN 1 ELSE 0 END) AS h FROM $prev)"
+        }
+        // name chain: h8 -> s7 -> s6 -> ... -> s0
+        "WITH h8 AS (SELECT event_id, user_id % 256 AS x, event_id % 256 AS y, " +
+          "CAST(0 AS BIGINT) AS h FROM events), " +
+          (7 to 0 by -1).map { k =>
+            val prev = if (k == 7) "h8" else s"s${k + 1}"
+            step(k, prev, s"s$k")
+          }.mkString(", ") +
+          " SELECT h // 4096 AS h_range, CAST(count(*) AS BIGINT) AS n, " +
+          "min(h) AS h_min, max(h) AS h_max FROM s0 GROUP BY 1 ORDER BY h_range"
+      }),
+
     // ---- Vocabulary / BPE statistics ----
 
     // Global top-50 vocabulary: one explode + one partial-agg'd count + a

@@ -148,6 +148,53 @@ class CurationQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("hilbert key: bijection, unit-step locality, and the query's histogram") {
+    // local mirror of the unrolled xy→d walk
+    def xy2d(x0: Long, y0: Long): Long = {
+      var x = x0; var y = y0; var dd = 0L
+      var k = 7
+      while (k >= 0) {
+        val s = 1L << k
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        dd += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        k -= 1
+      }
+      dd
+    }
+    // bijection over the full 256×256 grid, and TRUE Hilbert locality:
+    // consecutive d are Manhattan-adjacent cells (Z-order fails this —
+    // that's exactly the property this layout buys)
+    val inv = new Array[(Int, Int)](65536)
+    for (x <- 0 until 256; y <- 0 until 256) {
+      val dd = xy2d(x, y)
+      assert(inv(dd.toInt) == null, s"collision at d=$dd")
+      inv(dd.toInt) = (x, y)
+    }
+    (1 until 65536).foreach { dd =>
+      val ((ax, ay), (bx, by)) = (inv(dd - 1), inv(dd))
+      assert(math.abs(ax - bx) + math.abs(ay - by) == 1,
+        s"non-adjacent step at d=$dd: ($ax,$ay)->($bx,$by)")
+    }
+    // the query's histogram equals the local replay over the events table
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rows = q("q_hilbert_layout").collect()
+    val local = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "user_id").collect()
+      .map(r => xy2d(r.getLong(1) % 256, r.getLong(0) % 256))
+      .groupBy(_ / 4096)
+    rows.foreach { r =>
+      val ds = local(r.getAs[Long]("h_range"))
+      assert(r.getAs[Long]("n") == ds.length)
+      assert(r.getAs[Long]("h_min") == ds.min && r.getAs[Long]("h_max") == ds.max)
+    }
+    assert(rows.map(_.getAs[Long]("n")).sum == local.values.map(_.length).sum)
+  }
+
   test("corpus diff statuses follow the version rule exactly") {
     val m = q("q_corpus_diff").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val docs = spark.read.parquet(s"$dir/documents.parquet")
