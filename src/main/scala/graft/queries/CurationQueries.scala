@@ -309,9 +309,14 @@ object CurationQueries {
           .agg(count(lit(1)).cast("double").as("n"),
             sum(col("sv")).cast("double").as("s"),
             sum((col("sv") * col("sv")).cast("decimal(38,0)")).cast("double").as("ss"))
+          // a constant dimension has no standardization: its variance
+          // numerator rounds to a tiny NEGATIVE double, where DuckDB's
+          // sqrt hard-errors and Spark NaN-poisons every w — guard the
+          // numerator and drop such dimensions in BOTH engines
+          .withColumn("_vn", col("ss") - col("s") * col("s") / col("n"))
+          .filter(col("_vn") > 0.0 && col("n") > 1.0)
           .select(col("pos"), (col("s") / (col("n") * 1e6)).as("mu"),
-            sqrt((col("ss") - col("s") * col("s") / col("n")) /
-              ((col("n") - 1.0) * 1e12)).as("sd"))
+            sqrt(col("_vn") / ((col("n") - 1.0) * 1e12)).as("sd"))
         ex.join(broadcast(stats), Seq("pos"))
           .withColumn("w", (col("v") - col("mu")) / col("sd"))
           .groupBy("vec_id")
@@ -328,8 +333,9 @@ object CurationQueries {
         "FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i) WHERE i <= len(embedding)), " +
         "st AS (SELECT pos, CAST(count(*) AS DOUBLE) AS n, " +
         "CAST(sum(sv) AS DOUBLE) AS s, CAST(sum(sv * sv) AS DOUBLE) AS ss FROM ex GROUP BY pos), " +
+        "vn AS (SELECT pos, n, s, ss - s * s / n AS vnum FROM st), " +
         "ms AS (SELECT pos, s / (n * 1e6) AS mu, " +
-        "sqrt((ss - s * s / n) / ((n - 1.0) * 1e12)) AS sd FROM st), " +
+        "sqrt(vnum / ((n - 1.0) * 1e12)) AS sd FROM vn WHERE vnum > 0.0 AND n > 1.0), " +
         "wh AS (SELECT vec_id, (v - mu) / sd AS w FROM ex JOIN ms ON ex.pos = ms.pos) " +
         "SELECT vec_id, " +
         s"${Q.r6Sql("CAST(sum(CAST(floor(w * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6")} AS w_sum, " +

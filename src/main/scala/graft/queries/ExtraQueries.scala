@@ -284,9 +284,14 @@ object ExtraQueries {
             sum((x * y).cast("decimal(38,4)")).cast("double").as("sxy"))
           .select(col("l_returnflag"),
             Q.r6((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1.0)).as("var_qty"),
+            // greatest(·, 0) clamps the variance product against the
+            // tiny-negative-rounding degenerate (DuckDB's sqrt hard-errors
+            // on negatives); a truly constant group then divides by zero,
+            // which both engines resolve to NULL — parity preserved
             Q.r6((col("sxy") - col("sx") * col("sy") / col("n")) /
-              sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
-                (col("syy") - col("sy") * col("sy") / col("n")))).as("corr_qty_price"))
+              sqrt(greatest((col("sxx") - col("sx") * col("sx") / col("n")) *
+                (col("syy") - col("sy") * col("sy") / col("n")), lit(0.0))))
+              .as("corr_qty_price"))
           .orderBy("l_returnflag")
       },
       Some("WITH m AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n, " +
@@ -297,7 +302,7 @@ object ExtraQueries {
         "CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy " +
         "FROM lineitem GROUP BY l_returnflag) " +
         s"SELECT l_returnflag, ${Q.r6Sql("(sxx - sx * sx / n) / (n - 1.0)")} AS var_qty, " +
-        s"${Q.r6Sql("(sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))")} AS corr_qty_price " +
+        s"${Q.r6Sql("(sxy - sx * sy / n) / sqrt(greatest((sxx - sx * sx / n) * (syy - sy * sy / n), 0.0))")} AS corr_qty_price " +
         "FROM m ORDER BY l_returnflag")),
 
     // Histogram by explicit integer bucketing (portable width_bucket)

@@ -342,13 +342,17 @@ object MiningQueries {
           .agg(count(lit(1)).cast("double").as("n"),
             sum(x).cast("double").as("sx"),
             sum((x * x).cast("decimal(38,8)")).cast("double").as("sxx"))
+          // degenerate types must be excluded BEFORE the sqrt, on the
+          // VARIANCE NUMERATOR: a constant-valued group's numerator rounds
+          // to a tiny NEGATIVE double (≈ -1e-22), where DuckDB's sqrt
+          // hard-errors while Spark yields NaN — and Spark's nan-safe
+          // comparisons would then let NaN z-scores count as anomalies.
+          // Guarding the numerator (not sigma) keeps both engines on the
+          // same row set without ever evaluating sqrt(negative).
+          .withColumn("_vn", col("sxx") - col("sx") * col("sx") / col("n"))
+          .filter(col("_vn") > 0.0 && col("n") > 1.0)
           .select(col("event_type"), col("sx") / col("n") as "mu",
-            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1.0)).as("sigma"))
-          // degenerate types (n=1 or constant values ⇒ sigma = 0) must be
-          // excluded BEFORE the division: Spark yields NULL for x/0 while
-          // DuckDB yields inf/nan (and nan > 3.0 is TRUE there), so an
-          // unguarded divide diverges cross-engine on such types
-          .filter(col("sigma") > 0.0)
+            sqrt(col("_vn") / (col("n") - 1.0)).as("sigma"))
         ev.join(broadcast(st), Seq("event_type"))
           .withColumn("az", round(abs((col("value") - col("mu")) / col("sigma")), 6))
           .groupBy("event_type")
@@ -361,9 +365,9 @@ object MiningQueries {
         "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx, " +
         "CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxx " +
         "FROM events GROUP BY event_type), " +
-        "ms AS (SELECT event_type, sx / n AS mu, sigma FROM (" +
-        "SELECT event_type, sx, n, sqrt((sxx - sx * sx / n) / (n - 1.0)) AS sigma FROM st) " +
-        "WHERE sigma > 0.0), " +
+        "vn AS (SELECT event_type, sx, n, sxx - sx * sx / n AS vnum FROM st), " +
+        "ms AS (SELECT event_type, sx / n AS mu, sqrt(vnum / (n - 1.0)) AS sigma " +
+        "FROM vn WHERE vnum > 0.0 AND n > 1.0), " +
         "fl AS (SELECT e.event_type, round(abs((e.value - mu) / sigma), 6) AS az " +
         "FROM events e JOIN ms ON e.event_type = ms.event_type) " +
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, " +
