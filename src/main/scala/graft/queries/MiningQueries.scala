@@ -402,6 +402,82 @@ object MiningQueries {
         "md5(array_to_string(toks[w * 4 + 1 : w * 4 + 8], ' ')) AS win_md5 " +
         "FROM wx ORDER BY doc_id, win_id")),
 
+    // Learning-to-rank feature extraction — the training-data product of
+    // the search engine itself: for each query, take the BM25 top-10
+    // candidates and emit the per-(query, doc) feature vector an LTR
+    // reranker trains on (BM25 score, exact cosine distance, matched-term
+    // count, document length, weak-supervision rank label). Shapes are the
+    // engine's own: postings partial-agg'd once, the 9-row query set and
+    // the corpus stats ride broadcasts, candidates prune per query with
+    // WindowGroupLimit, and the embedding attach joins ONLY the ≤ 30
+    // shortlisted (query, doc) rows. The BM25 arithmetic and the Okapi
+    // constants are the oracle-checked F4 ones.
+    Q("q_ltr_features",
+      (s, d) => {
+        val tok = docs(s, d)
+        val dl = tok.select(col("doc_id"), size(col("tokens")).cast("long").as("dl"))
+        val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+          (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+        val posting = tok.select(col("doc_id"), explode(col("tokens")).as("term"))
+        val tf = posting.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val qdf = Seq((0L, "spark"), (0L, "join"), (0L, "merge"),
+          (1L, "window"), (1L, "batch"), (1L, "stream"),
+          (2L, "customer"), (2L, "order"), (2L, "value"))
+        import s.implicits._
+        val qterms = qdf.toDF("qid", "term")
+        // per-(term, doc) Okapi BM25 contribution — the F4 kernel itself,
+        // so the arithmetic structure (and double bits) match the oracle
+        val contrib = graft.search.Bm25.termScore(
+          col("tf"), col("df"), col("dl"), col("n_docs"), col("avgdl"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(round(col("fts_score"), 6).desc, col("doc_id").asc)
+        val cand = tf.join(broadcast(qterms), Seq("term"))
+          .join(dfT, Seq("term"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .withColumn("_c", contrib)
+          .groupBy("qid", "doc_id")
+          // tf rows are (doc, term)-unique, so the row count IS the number
+          // of distinct matched query terms
+          .agg(sum(col("_c")).as("fts_score"), count(lit(1)).as("overlap"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 10)
+        val emb = t(s, d, "embeddings")
+        val qv = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        cand.join(emb.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+          .join(broadcast(qv), Seq("qid"))
+          .join(dl, Seq("doc_id"))
+          .select(col("qid"), col("doc_id"), col("rank"),
+            Q.r6(col("fts_score")).as("fts_score"),
+            Q.r6(graft.functions.VectorOps.cosineDist(col("embedding"), col("qvec")))
+              .as("cos_dist"),
+            col("overlap"), col("dl").as("doc_len"))
+          .orderBy("qid", "rank")
+      },
+      Some {
+        val qt = "(VALUES (0,'spark'),(0,'join'),(0,'merge')," +
+          "(1,'window'),(1,'batch'),(1,'stream')," +
+          "(2,'customer'),(2,'order'),(2,'value')) AS qt(qid, term)"
+        s"WITH ${Q.bm25Ctes}, " +
+          s"qscores AS (SELECT qid, tf.doc_id, sum(${Q.bm25TermSql}) AS fts_score, " +
+          "CAST(count(*) AS BIGINT) AS overlap " +
+          s"FROM tf JOIN $qt USING (term) JOIN tdf USING (term) " +
+          "JOIN doclen ON tf.doc_id = doclen.doc_id CROSS JOIN stats GROUP BY qid, tf.doc_id), " +
+          "cand AS (SELECT qid, doc_id, fts_score, overlap, CAST(row_number() OVER " +
+          "(PARTITION BY qid ORDER BY round(fts_score, 6) DESC, doc_id) AS BIGINT) AS rank " +
+          "FROM qscores), " +
+          "qv AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3) " +
+          "SELECT c.qid, c.doc_id, c.rank, " +
+          s"${Q.r6Sql("c.fts_score")} AS fts_score, " +
+          s"${Q.r6Sql(Q.cosineDistSql("e.embedding", "qv.qvec"))} AS cos_dist, " +
+          "c.overlap, dl.dl AS doc_len " +
+          "FROM cand c JOIN embeddings e ON c.doc_id = e.vec_id " +
+          "JOIN qv ON c.qid = qv.qid JOIN doclen dl ON c.doc_id = dl.doc_id " +
+          "WHERE c.rank <= 10 ORDER BY c.qid, c.rank"
+      }),
+
     // Retention cohort analysis over the event stream: cohort = each
     // user's first active day; report distinct active users per
     // (cohort_day, day_offset ≤ 7) — the D1/D7 retention table. Shapes:

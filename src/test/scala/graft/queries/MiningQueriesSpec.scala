@@ -76,6 +76,28 @@ class MiningQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("ltr features: overlap/doc_len recomputed, ranks dense per query") {
+    val rows = q("q_ltr_features").collect()
+    val qsets = Map(0L -> Set("spark", "join", "merge"),
+      1L -> Set("window", "batch", "stream"),
+      2L -> Set("customer", "order", "value"))
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 10L))
+      rs.foreach { r =>
+        val toks = docTokens(r.getAs[Long]("doc_id"))
+        assert(r.getAs[Long]("doc_len") == toks.length)
+        assert(r.getAs[Long]("overlap") == toks.toSet.intersect(qsets(qid)).size)
+        assert(r.getAs[Long]("overlap") >= 1) // candidates matched >= 1 term
+        assert(r.getAs[Double]("fts_score") > 0.0)
+        assert(r.getAs[Double]("cos_dist") >= 0.0 && r.getAs[Double]("cos_dist") <= 2.0)
+      }
+      // the rank label follows the BM25 feature it was derived from
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      val fs = sorted.map(_.getAs[Double]("fts_score"))
+      assert(fs.zip(fs.tail).forall { case (a, b) => a >= b - 1e-9 })
+    }
+  }
+
   test("retention cohorts: offset-0 row is each cohort's maximum") {
     val rows = q("q_retention_cohorts").collect()
     assert(rows.nonEmpty)
