@@ -505,6 +505,69 @@ object MiningQueries {
         "FROM c WHERE day - cohort_day <= 7 " +
         "GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset")),
 
+    // Token-distribution drift (PSI) between two corpus halves — the
+    // distribution-shift monitor a pipeline runs between ingest batches
+    // (here: even vs odd doc ids as the deterministic "before/after").
+    // Per-token population stability index with add-one smoothing; the
+    // top-20 drifting tokens cut by TakeOrderedAndProject. Two partial-
+    // agg'd counts + broadcast totals + map arithmetic — one shuffle on
+    // the term, nothing corpus-sized moves.
+    Q("q_token_psi",
+      (s, d) => {
+        val tok = docs(s, d)
+          .select(explode(col("tokens")).as("term"), (col("doc_id") % 2).as("half"))
+        val cnt = tok.groupBy("term").agg(
+          sum(when(col("half") === 0, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("c2"))
+        val tot = cnt.agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"),
+          count(lit(1)).as("v"))
+        val p1 = (col("c1") + 1).cast("double") / (col("t1") + col("v")).cast("double")
+        val p2 = (col("c2") + 1).cast("double") / (col("t2") + col("v")).cast("double")
+        cnt.crossJoin(broadcast(tot))
+          .withColumn("psi", Q.r6((p1 - p2) * log(p1 / p2)))
+          .select(col("term"), col("c1"), col("c2"), col("psi"))
+          .orderBy(col("psi").desc, col("term").asc)
+          .limit(20)
+      },
+      Some(s"WITH ${Q.toksCte}, " +
+        "tk AS (SELECT unnest(toks) AS term, doc_id % 2 AS half FROM toks), " +
+        "cnt AS (SELECT term, CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1, " +
+        "CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2 FROM tk GROUP BY term), " +
+        "tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t1, CAST(sum(c2) AS BIGINT) AS t2, " +
+        "CAST(count(*) AS BIGINT) AS v FROM cnt), " +
+        "ps AS (SELECT term, c1, c2, " +
+        s"${Q.r6Sql("(CAST(c1 + 1 AS DOUBLE) / CAST(t1 + v AS DOUBLE) - CAST(c2 + 1 AS DOUBLE) / CAST(t2 + v AS DOUBLE)) " +
+          "* ln((CAST(c1 + 1 AS DOUBLE) / CAST(t1 + v AS DOUBLE)) / (CAST(c2 + 1 AS DOUBLE) / CAST(t2 + v AS DOUBLE)))")} AS psi " +
+        "FROM cnt, tot) " +
+        "SELECT term, c1, c2, psi FROM ps ORDER BY psi DESC, term LIMIT 20")),
+
+    // Near-dup train/test split leakage audit: assign every doc to a
+    // deterministic hash split (the q_shard_assign nibble, mod 2) and
+    // report every VERIFIED near-dup pair (Jaccard ≥ 0.5, the dedup
+    // clustering edges) that crosses the split boundary — each one is a
+    // train→test leak that inflates eval scores. Pairs come from the
+    // band-bucketed LSH machinery (never all-pairs); the split attach is
+    // two id-keyed joins of the bounded pair set.
+    Q("q_split_leakage",
+      (s, d) => {
+        val splits = t(s, d, "documents")
+          .select(col("doc_id"), (expr(CurationQueries.nibbleHashSql) % 2).as("sp"))
+        PipelineQueries.minhashVerifiedPairsOf(docs(s, d))
+          .filter(col("jaccard") >= 0.5)
+          .join(splits.select(col("doc_id").as("doc_a"), col("sp").as("split_a")), Seq("doc_a"))
+          .join(splits.select(col("doc_id").as("doc_b"), col("sp").as("split_b")), Seq("doc_b"))
+          .filter(col("split_a") =!= col("split_b"))
+          .select(col("doc_a"), col("doc_b"), Q.r6(col("jaccard")).as("jaccard"),
+            col("split_a"), col("split_b"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"WITH ${PipelineQueries.minhashPairsCtes}, " +
+        s"sp AS (SELECT doc_id, (${CurationQueries.nibbleHashSql}) % 2 AS sp FROM documents) " +
+        s"SELECT doc_a, doc_b, ${Q.r6Sql("jaccard")} AS jaccard, " +
+        "sa.sp AS split_a, sb.sp AS split_b " +
+        "FROM verified JOIN sp sa ON doc_a = sa.doc_id JOIN sp sb ON doc_b = sb.doc_id " +
+        "WHERE jaccard >= 0.5 AND sa.sp != sb.sp ORDER BY doc_a, doc_b")),
+
     // Exact shared-span detection (memorization / contamination spans): md5
     // every 8-token window at stride 1 and group across documents — any
     // hash held by ≥2 docs is a verbatim 8-gram shared between them, the

@@ -83,7 +83,7 @@ object PipelineQueries {
 
   /** Oracle mirror of [[minhashVerifiedPairs]]: CTE chain ending in
     * `verified(doc_a, doc_b, jaccard)`. */
-  private val minhashPairsCtes: String =
+  private[queries] val minhashPairsCtes: String =
     s"$minhashCandCtes, " +
       "verified AS (SELECT doc_a, doc_b, " +
       s"round(${Dedup.jaccardSql("sa.ds", "sb.ds")}, 6) AS jaccard " +

@@ -217,6 +217,48 @@ class MiningQueriesSpec extends AnyFunSuite {
     assert(byDoc.keySet == docTokens.filter(_._2.length >= 8).keySet)
   }
 
+  test("token psi: contributions recomputed and non-negative by construction") {
+    val rows = q("q_token_psi").collect()
+    assert(rows.length == 20)
+    val counts = docTokens.toSeq.flatMap { case (id, ts) => ts.map(t => (t, id % 2)) }
+      .groupBy(_._1).view.mapValues { occ =>
+        (occ.count(_._2 == 0L).toLong, occ.count(_._2 == 1L).toLong)
+      }.toMap
+    val t1 = counts.values.map(_._1).sum.toDouble
+    val t2 = counts.values.map(_._2).sum.toDouble
+    val v = counts.size.toDouble
+    rows.foreach { r =>
+      val (c1, c2) = counts(r.getAs[String]("term"))
+      assert(r.getAs[Long]("c1") == c1 && r.getAs[Long]("c2") == c2)
+      val p1 = (c1 + 1) / (t1 + v); val p2 = (c2 + 1) / (t2 + v)
+      val psi = (p1 - p2) * math.log(p1 / p2)
+      assert(math.abs(r.getAs[Double]("psi") - math.round(psi * 1e6) / 1e6) < 1e-9)
+      // (p1-p2) and ln(p1/p2) always share a sign, so PSI >= 0
+      assert(r.getAs[Double]("psi") >= 0.0)
+    }
+  }
+
+  test("split leakage: reported pairs are real cross-split near-dups") {
+    val rows = q("q_split_leakage").collect()
+    assert(rows.nonEmpty, "near-dup fixture must leak across a hash split")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def split(id: Long) = ("0123456789abcdef".indexOf(md5hex(texts(id)).head)) % 2
+    def shingleSet(id: Long) =
+      texts(id).split(" ").toSeq.sliding(3).map(_.mkString(" ")).toSet
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(split(a) != split(b))
+      assert(r.getAs[Int]("split_a") == split(a) && r.getAs[Int]("split_b") == split(b))
+      val (sa, sb) = (shingleSet(a), shingleSet(b))
+      val j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(j >= 0.5 - 1e-9, s"pair ($a,$b) jaccard $j below threshold")
+    }
+  }
+
   test("shared spans: every flagged hash is a real cross-doc verbatim 8-gram") {
     val rows = q("q_shared_spans").collect()
     assert(rows.nonEmpty, "near-dup fixture must share verbatim 8-grams")
