@@ -414,33 +414,38 @@ object MiningQueries {
     // constants are the oracle-checked F4 ones.
     Q("q_ltr_features",
       (s, d) => {
+        // BM25 statistics come from the F1-F3 helpers themselves (one
+        // kernel definition repo-wide), with the scoresSelfContained
+        // shape: postings are filtered to the query vocabulary FIRST
+        // (broadcast), df comes from a window count over those matching
+        // postings (same value as the corpus tdf for matched terms), so
+        // the explode+aggregate subtree runs ONCE and no vocab-sized df
+        // table ever shuffles for a 9-term query set.
+        import graft.search.Bm25
         val tok = docs(s, d)
-        val dl = tok.select(col("doc_id"), size(col("tokens")).cast("long").as("dl"))
-        val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
-          (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
-        val posting = tok.select(col("doc_id"), explode(col("tokens")).as("term"))
-        val tf = posting.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val dl = Bm25.docLengths(tok)
+        val stats = Bm25.corpusStats(dl)
+        val tf = Bm25.postings(tok)
         val qdf = Seq((0L, "spark"), (0L, "join"), (0L, "merge"),
           (1L, "window"), (1L, "batch"), (1L, "stream"),
           (2L, "customer"), (2L, "order"), (2L, "value"))
         import s.implicits._
         val qterms = qdf.toDF("qid", "term")
-        // per-(term, doc) Okapi BM25 contribution — the F4 kernel itself,
-        // so the arithmetic structure (and double bits) match the oracle
-        val contrib = graft.search.Bm25.termScore(
-          col("tf"), col("df"), col("dl"), col("n_docs"), col("avgdl"))
+        val withDf = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("term")).cast("long"))
         val w = Window.partitionBy(col("qid"))
           .orderBy(round(col("fts_score"), 6).desc, col("doc_id").asc)
-        val cand = tf.join(broadcast(qterms), Seq("term"))
-          .join(dfT, Seq("term"))
+        val cand = withDf.join(broadcast(qterms), Seq("term"))
           .join(dl, Seq("doc_id"))
           .crossJoin(broadcast(stats))
-          .withColumn("_c", contrib)
+          .withColumn("_c", Bm25.termScore(
+            col("tf"), col("df"), col("dl"), col("n_docs"), col("avgdl")))
           .groupBy("qid", "doc_id")
           // tf rows are (doc, term)-unique, so the row count IS the number
-          // of distinct matched query terms
-          .agg(sum(col("_c")).as("fts_score"), count(lit(1)).as("overlap"))
+          // of distinct matched query terms; dl is functionally dependent
+          // on doc_id, so max() carries it through without a later re-join
+          .agg(sum(col("_c")).as("fts_score"), count(lit(1)).as("overlap"),
+            max(col("dl")).as("doc_len"))
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 10)
         val emb = t(s, d, "embeddings")
@@ -448,12 +453,11 @@ object MiningQueries {
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         cand.join(emb.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
           .join(broadcast(qv), Seq("qid"))
-          .join(dl, Seq("doc_id"))
           .select(col("qid"), col("doc_id"), col("rank"),
             Q.r6(col("fts_score")).as("fts_score"),
             Q.r6(graft.functions.VectorOps.cosineDist(col("embedding"), col("qvec")))
               .as("cos_dist"),
-            col("overlap"), col("dl").as("doc_len"))
+            col("overlap"), col("doc_len"))
           .orderBy("qid", "rank")
       },
       Some {
@@ -462,19 +466,19 @@ object MiningQueries {
           "(2,'customer'),(2,'order'),(2,'value')) AS qt(qid, term)"
         s"WITH ${Q.bm25Ctes}, " +
           s"qscores AS (SELECT qid, tf.doc_id, sum(${Q.bm25TermSql}) AS fts_score, " +
-          "CAST(count(*) AS BIGINT) AS overlap " +
+          "CAST(count(*) AS BIGINT) AS overlap, CAST(max(doclen.dl) AS BIGINT) AS doc_len " +
           s"FROM tf JOIN $qt USING (term) JOIN tdf USING (term) " +
           "JOIN doclen ON tf.doc_id = doclen.doc_id CROSS JOIN stats GROUP BY qid, tf.doc_id), " +
-          "cand AS (SELECT qid, doc_id, fts_score, overlap, CAST(row_number() OVER " +
+          "cand AS (SELECT qid, doc_id, fts_score, overlap, doc_len, CAST(row_number() OVER " +
           "(PARTITION BY qid ORDER BY round(fts_score, 6) DESC, doc_id) AS BIGINT) AS rank " +
           "FROM qscores), " +
           "qv AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3) " +
           "SELECT c.qid, c.doc_id, c.rank, " +
           s"${Q.r6Sql("c.fts_score")} AS fts_score, " +
           s"${Q.r6Sql(Q.cosineDistSql("e.embedding", "qv.qvec"))} AS cos_dist, " +
-          "c.overlap, dl.dl AS doc_len " +
+          "c.overlap, c.doc_len " +
           "FROM cand c JOIN embeddings e ON c.doc_id = e.vec_id " +
-          "JOIN qv ON c.qid = qv.qid JOIN doclen dl ON c.doc_id = dl.doc_id " +
+          "JOIN qv ON c.qid = qv.qid " +
           "WHERE c.rank <= 10 ORDER BY c.qid, c.rank"
       }),
 

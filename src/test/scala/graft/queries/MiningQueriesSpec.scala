@@ -81,6 +81,10 @@ class MiningQueriesSpec extends AnyFunSuite {
     val qsets = Map(0L -> Set("spark", "join", "merge"),
       1L -> Set("window", "batch", "stream"),
       2L -> Set("customer", "order", "value"))
+    // all three queries present with full shortlists — guards against a
+    // vacuous pass if a join regression empties the candidate set
+    assert(rows.length == 30)
+    assert(rows.map(_.getAs[Long]("qid")).toSet == qsets.keySet)
     rows.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
       assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 10L))
       rs.foreach { r =>

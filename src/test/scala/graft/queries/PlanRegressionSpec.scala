@@ -195,6 +195,16 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("ltr features: one postings explode, pruned top-k window, no vocab shuffle join") {
+    val p = plan("q_ltr_features")
+    // the scoresSelfContained shape: df via window over query-filtered
+    // postings, so the explode+aggregate subtree runs exactly once
+    val generates = "\\bGenerate explode".r.findAllIn(p).length
+    assert(generates == 1, s"expected 1 explode, got $generates\n${p.take(1200)}")
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p.take(1200))
+  }
+
   test("levenshtein pairs never form a cross product") {
     val p = plan("q_dedup_lev_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

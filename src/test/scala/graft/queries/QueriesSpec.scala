@@ -13,7 +13,10 @@ class QueriesSpec extends AnyFunSuite {
     assert(oracles.keySet.subsetOf(qs.keySet))
     // duplicate names would silently shadow each other in the map
     val names = Seq(CoreQueries.all, SearchQueries.all, PipelineQueries.all,
-      ExtraQueries.all, CurationQueries.all).flatten.map(_.name)
+      ExtraQueries.all, CurationQueries.all, MiningQueries.all).flatten.map(_.name)
+    // the shadow guard must see every module SparkEntry registers
+    assert(names.size == qs.size,
+      s"module list out of sync with SparkEntry: ${names.size} != ${qs.size}")
     assert(names.distinct.size == names.size,
       names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }.mkString(","))
     // names are unique by construction of the map; spot-run a few cheap ones
