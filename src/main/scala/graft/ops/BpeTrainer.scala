@@ -80,8 +80,13 @@ object BpeTrainer {
           val (a, b, n) = (r.getAs[String]("left"), r.getAs[String]("right"),
             r.getAs[Long]("n"))
           merges += Merge(rank, a, b, n)
+          val prev = cur
           cur = cur.withColumn(symCol, applyMerge(col(symCol), a, b))
             .localCheckpoint()
+          // free the previous round's checkpoint blocks once the new one is
+          // materialized — otherwise cached blocks accumulate linearly in
+          // nMerges (thousands of rounds for a real tokenizer)
+          prev.unpersist(blocking = false)
           rank += 1
         case None => exhausted = true
       }

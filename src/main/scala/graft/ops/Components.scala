@@ -58,6 +58,9 @@ object Components {
       // both sides are distinct sets: equal size + empty one-way difference
       // ⇒ set equality (the fixpoint test from the paper)
       converged = next.count() == cur.count() && next.except(cur).isEmpty
+      // the fixpoint test above is the last read of `cur` — drop its
+      // checkpoint blocks so memory stays O(1) in rounds, not O(log n)
+      cur.unpersist(blocking = false)
       cur = next
       i += 1
     }

@@ -218,7 +218,9 @@ object CurationQueries {
     Q("q_url_canonical_dedup",
       (s, d) => {
         val variant = col("doc_id") % 4
-        val k = (col("doc_id") / 4).cast("long")
+        // integer division (`div`), matching the oracle's `//` — a double
+        // divide-then-truncate would diverge past 2^53
+        val k = expr("doc_id div 4")
         val url = when(variant === 0, concat(lit("https://www.example.com/path"), k, lit("/")))
           .when(variant === 1, concat(lit("http://example.com/path"), k))
           .when(variant === 2, concat(lit("https://example.com/path"), k, lit("?utm_source=x")))
@@ -330,7 +332,7 @@ object CurationQueries {
       Some("WITH ex AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, " +
         "CAST(embedding[i] AS DOUBLE) AS v, " +
         "CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS sv " +
-        "FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i) WHERE i <= len(embedding)), " +
+        s"FROM embeddings CROSS JOIN ${Q.dimSeriesSql} AS g(i) WHERE i <= len(embedding)), " +
         "st AS (SELECT pos, CAST(count(*) AS DOUBLE) AS n, " +
         "CAST(sum(sv) AS DOUBLE) AS s, CAST(sum(sv * sv) AS DOUBLE) AS ss FROM ex GROUP BY pos), " +
         "vn AS (SELECT pos, n, s, ss - s * s / n AS vnum FROM st), " +

@@ -286,11 +286,13 @@ object ExtraQueries {
             Q.r6((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1.0)).as("var_qty"),
             // greatest(·, 0) clamps the variance product against the
             // tiny-negative-rounding degenerate (DuckDB's sqrt hard-errors
-            // on negatives); a truly constant group then divides by zero,
-            // which both engines resolve to NULL — parity preserved
+            // on negatives); nullif(·, 0) makes the constant-group case an
+            // explicit NULL on BOTH engines — DuckDB's default
+            // ieee_floating_point_ops would otherwise yield inf/NaN on 0/0
+            // while Spark's Divide returns NULL
             Q.r6((col("sxy") - col("sx") * col("sy") / col("n")) /
-              sqrt(greatest((col("sxx") - col("sx") * col("sx") / col("n")) *
-                (col("syy") - col("sy") * col("sy") / col("n")), lit(0.0))))
+              nullif(sqrt(greatest((col("sxx") - col("sx") * col("sx") / col("n")) *
+                (col("syy") - col("sy") * col("sy") / col("n")), lit(0.0))), lit(0.0)))
               .as("corr_qty_price"))
           .orderBy("l_returnflag")
       },
@@ -302,7 +304,7 @@ object ExtraQueries {
         "CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy " +
         "FROM lineitem GROUP BY l_returnflag) " +
         s"SELECT l_returnflag, ${Q.r6Sql("(sxx - sx * sx / n) / (n - 1.0)")} AS var_qty, " +
-        s"${Q.r6Sql("(sxy - sx * sy / n) / sqrt(greatest((sxx - sx * sx / n) * (syy - sy * sy / n), 0.0))")} AS corr_qty_price " +
+        s"${Q.r6Sql("(sxy - sx * sy / n) / nullif(sqrt(greatest((sxx - sx * sx / n) * (syy - sy * sy / n), 0.0)), 0.0)")} AS corr_qty_price " +
         "FROM m ORDER BY l_returnflag")),
 
     // Histogram by explicit integer bucketing (portable width_bucket)

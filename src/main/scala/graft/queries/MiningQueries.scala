@@ -226,11 +226,11 @@ object MiningQueries {
         "asg AS (SELECT embedding, cid FROM adr WHERE rn = 1), " +
         "ex AS (SELECT cid, CAST(i - 1 AS BIGINT) AS pos, " +
         "CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS sv " +
-        "FROM asg CROSS JOIN generate_series(1, 64) AS g(i) WHERE i <= len(embedding)), " +
+        s"FROM asg CROSS JOIN ${Q.dimSeriesSql} AS g(i) WHERE i <= len(embedding)), " +
         "dims AS (SELECT cid, pos, CAST(count(*) AS BIGINT) AS n, sum(sv) AS ssum FROM ex GROUP BY cid, pos), " +
         "dm AS (SELECT cid, pos, n, CAST(ssum AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS mean FROM dims), " +
         "cx AS (SELECT cid, CAST(i - 1 AS BIGINT) AS pos, CAST(cvec[i] AS DOUBLE) AS cv " +
-        "FROM cent CROSS JOIN generate_series(1, 64) AS g(i) WHERE i <= len(cvec)), " +
+        s"FROM cent CROSS JOIN ${Q.dimSeriesSql} AS g(i) WHERE i <= len(cvec)), " +
         "jj AS (SELECT dm.cid, dm.n, (mean - cv) * (mean - cv) AS sqd, mean * mean AS sqm " +
         "FROM dm JOIN cx ON dm.cid = cx.cid AND dm.pos = cx.pos) " +
         "SELECT cid, max(n) AS n_members, " +

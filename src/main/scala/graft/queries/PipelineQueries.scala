@@ -663,7 +663,7 @@ object PipelineQueries {
       },
       Some("WITH ex AS (SELECT label, CAST(i - 1 AS BIGINT) AS pos, " +
         "CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS sv " +
-        "FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i) WHERE i <= len(embedding)), " +
+        s"FROM embeddings CROSS JOIN ${Q.dimSeriesSql} AS g(i) WHERE i <= len(embedding)), " +
         "ag AS (SELECT label, pos, CAST(count(*) AS DOUBLE) AS n, " +
         "CAST(sum(sv) AS DOUBLE) AS s, CAST(sum(sv * sv) AS DOUBLE) AS ss " +
         "FROM ex GROUP BY label, pos) " +

@@ -82,6 +82,17 @@ object Q {
 
   /** DuckDB double-precision dot product of two FLOAT[] lists, summed in
     * element order — bit-compatible with [[graft.functions.VectorOps.dot]]. */
+  /** Upper bound for oracle-side dimension unrolling
+    * (`generate_series(1, dimBound)` + `WHERE i <= len(col)`): must be ≥ the
+    * fixture's embedding_dim (64, TESTDATA.md) or the oracle would silently
+    * truncate dimensions the Spark posexplode side scores. ONE constant so a
+    * dim change can't desynchronize the two engines; the guarded WHERE makes
+    * an over-estimate harmless. */
+  val dimBound: Int = 64
+
+  /** The shared `generate_series` fragment for per-dimension oracle CTEs. */
+  def dimSeriesSql: String = s"generate_series(1, $dimBound)"
+
   def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, len($a)), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
