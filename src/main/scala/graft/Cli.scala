@@ -12,12 +12,15 @@ import graft.search.HybridSearch
   * {{{
   *   graft.Cli index  --db DIR --docs D1 [D2 ...] [--clear] [--trim-path-prefix P]
   *                    [--chunk-size N] [--overlap N] [--embedding-dim N]
+  *                    [--ann-clusters K [--ann-iters N]]   (persist the IVF sidecar)
   *                    [--watch]   (stream NEW files into the index until killed)
   *   graft.Cli search --db DIR --query Q [--top-k K] [--no-rerank]
   *                    [--remove-path-prefix P] [--add-path-prefix P]
+  *                    [--ann ivf[:nprobe]]   (probe the IVF index instead of scanning)
   *   graft.Cli serve  --db DIR [--top-k K] [--tool-name N] [--tool-description D]
   *                    [--transport stdio|http] [--host H] [--port P] [--path /mcp]
   *                    [--trim-prefix P] [--add-prefix P] [--protocol jsonl]
+  *                    [--ann ivf[:nprobe]]
   * }}}
   *
   * `--db` is the index *directory* (the artifact of SURVEY.md §1.3), not a
@@ -109,7 +112,11 @@ object Cli {
       splitter = arg(a, "--splitter").map(_.toLowerCase).getOrElse("header") match {
         case "chonkie" | "recursive" => "recursive"
         case _                       => "header"
-      })
+      },
+      // the reference's HNSW build (`src/db.py:152-165`): persist an IVF
+      // sidecar so `search --ann` can probe instead of scanning
+      annClusters = arg(a, "--ann-clusters").map(_.toInt).getOrElse(0),
+      annIters = arg(a, "--ann-iters").map(_.toInt).getOrElse(4))
     val dim = arg(a, "--embedding-dim").map(_.toInt).getOrElse(64)
     if (flag(a, "--watch")) {
       // incremental streaming mode: keep folding NEW files from the first
@@ -167,14 +174,26 @@ object Cli {
     }
   }
 
+  /** Parse `--ann ivf[:nprobe]` into the nprobe count (0 = exact). The
+    * one supported method is ivf; nprobe defaults to 2. */
+  private[graft] def parseAnn(v: Option[String]): Int = v match {
+    case None => 0
+    case Some(s) => s.split(":", 2) match {
+      case Array("ivf")     => 2
+      case Array("ivf", np) => np.toInt
+      case _ => sys.error(s"unknown --ann '$s' (expected ivf or ivf:<nprobe>)")
+    }
+  }
+
   private def runSearch(index: IndexData, db: String, query: String, k: Int, rerank: Boolean,
-      removeP: Option[String], addP: Option[String]) = {
+      removeP: Option[String], addP: Option[String], annNprobe: Int = 0) = {
     HybridSearch.search(index, query,
       analyzer = DefaultAnalyzer,
       embedder = Some(embedderFor(index, db)),
       reranker = if (rerank) Some(new TokenOverlapReranker()) else None,
       opts = HybridSearch.Options(k = k, rerank = rerank,
-        removePathPrefix = removeP, addPathPrefix = addP)).collect()
+        removePathPrefix = removeP, addPathPrefix = addP,
+        annNprobe = annNprobe)).collect()
   }
 
   private def searchCmd(a: Array[String]): Unit = {
@@ -183,11 +202,12 @@ object Cli {
     val rerank = !flag(a, "--no-rerank")
     val removeP = arg(a, "--remove-path-prefix")
     val addP = arg(a, "--add-path-prefix")
+    val annNprobe = parseAnn(arg(a, "--ann"))
     val spark = session()
     arg(a, "--query") match {
       case Some(query) =>
         val index = IndexData.load(spark, db)
-        val hits = runSearch(index, db, query, k, rerank, removeP, addP)
+        val hits = runSearch(index, db, query, k, rerank, removeP, addP, annNprobe)
         println(s"""{"results":${hitsJson(hits)}}""")
       case None =>
         // Interactive mode (reference `src/cli.py:345-379`: `search` without
@@ -197,7 +217,7 @@ object Cli {
         index.stats.count() // materialize caches before the first prompt
         System.err.println(s"[graft] interactive search on $db; one query per line, EOF exits")
         interactiveLoop(index, db, scala.io.Source.stdin.getLines(), System.out,
-          k, rerank, removeP, addP)
+          k, rerank, removeP, addP, annNprobe)
     }
     spark.stop()
   }
@@ -207,12 +227,12 @@ object Cli {
   private[graft] def interactiveLoop(
       index: IndexData, db: String, lines: Iterator[String],
       out: java.io.PrintStream, k: Int, rerank: Boolean,
-      removeP: Option[String], addP: Option[String]): Unit =
+      removeP: Option[String], addP: Option[String], annNprobe: Int = 0): Unit =
     lines.foreach { line =>
       val query = line.trim
       if (query.nonEmpty) {
         try {
-          val hits = runSearch(index, db, query, k, rerank, removeP, addP)
+          val hits = runSearch(index, db, query, k, rerank, removeP, addP, annNprobe)
           out.println(s"""{"results":${hitsJson(hits)}}""")
         } catch {
           case e: Throwable =>
@@ -237,12 +257,13 @@ object Cli {
     val defaultK = arg(a, "--top-k").map(_.toInt).getOrElse(5)
     val removeP = arg(a, "--trim-prefix")
     val addP = arg(a, "--add-prefix")
+    val annNprobe = parseAnn(arg(a, "--ann"))
     val spark = session()
     val index = IndexData.load(spark, db).cached()
     index.stats.count() // materialize caches before serving
 
     def answer(query: String, k: Int): String = {
-      val hits = runSearch(index, db, query, k, rerank = true, removeP, addP)
+      val hits = runSearch(index, db, query, k, rerank = true, removeP, addP, annNprobe)
       s"""{"results":${hitsJson(hits)}}"""
     }
 

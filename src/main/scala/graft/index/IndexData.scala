@@ -28,7 +28,11 @@ final case class IndexData(
     termdf: DataFrame,
     doclen: DataFrame,
     stats: DataFrame,
-    settings: DataFrame) {
+    settings: DataFrame,
+    // IVF sidecar (the HNSW role, reference `src/db.py:152-165`) — present
+    // when the index was built with ANN enabled; None degrades the VSS leg
+    // to the exact heap scan
+    ann: Option[AnnIndex] = None) {
 
   /** Cache the search-path datasets for a long-lived serving session
     * (SURVEY.md §3.3). */
@@ -38,7 +42,8 @@ final case class IndexData(
     termdf = termdf.cache(),
     doclen = doclen.cache(),
     stats = stats.cache(),
-    settings = settings.cache())
+    settings = settings.cache(),
+    ann = ann.map(_.cached()))
 
   /** S6-style point lookup (reference `src/db.py:181-196`). */
   def setting(key: String): Option[String] =
@@ -102,7 +107,8 @@ object IndexData {
     termdf = spark.read.parquet(s"$dir/termdf"),
     doclen = spark.read.parquet(s"$dir/doclen"),
     stats = spark.read.parquet(s"$dir/stats"),
-    settings = spark.read.parquet(s"$dir/settings"))
+    settings = spark.read.parquet(s"$dir/settings"),
+    ann = AnnIndex.load(spark, dir))
 
   /** Derive the full artifact from a `documents` DataFrame that already has
     * (doc_id, tokens[, embedding]) columns — the F1–F3 stats build

@@ -30,7 +30,13 @@ object IndexJob {
       // factory `src/splitter.py:621-651`): "header" = the llama-index
       // header strategy (MarkdownChunker), "recursive"/"chonkie" = the
       // chonkie recursive strategy (RecursiveChunker)
-      splitter: String = "header")
+      splitter: String = "header",
+      // IVF ANN sidecar (the reference's HNSW build, `src/db.py:152-165`):
+      // >0 fits that many k-means centroids over the indexed embeddings and
+      // persists cluster-partitioned inverted lists next to the documents
+      // (`--ann-clusters`); 0 = no ANN index (search stays exact)
+      annClusters: Int = 0,
+      annIters: Int = 4)
 
   /** The `--splitter` factory (reference `src/splitter.py:621-651`). */
   def chunkerFor(opts: Options, analyzer: Analyzer): Chunker = opts.splitter match {
@@ -119,7 +125,7 @@ object IndexJob {
     val files = scanMarkdown(spark, dirs)
     val fresh = embedChunks(chunkFiles(files, chunker), embedder, opts)
     mergeAndWrite(spark, fresh, settingsFor(spark, embedder), indexDir,
-      clear = opts.clear)
+      clear = opts.clear, annClusters = opts.annClusters, annIters = opts.annIters)
   }
 
   /** S4 semantics (reference `--clear`, `src/indexer.py:48-50`): with
@@ -133,7 +139,9 @@ object IndexJob {
       fresh: DataFrame,
       settings: DataFrame,
       indexDir: String,
-      clear: Boolean): IndexData = {
+      clear: Boolean,
+      annClusters: Int = 0,
+      annIters: Int = 4): IndexData = {
     // FileSystem API, not java.io.File: indexDir may be hdfs://, s3a://, …
     // — java.io.File.exists() is always false there, which would silently
     // turn a clear=false merge into a destructive full overwrite.
@@ -151,8 +159,20 @@ object IndexJob {
           .localCheckpoint(true)
       }
     // write-then-derive: the chunk+embed lineage executes exactly once
-    IndexData.write(docs, settings, indexDir)
+    val written = IndexData.write(docs, settings, indexDir)
+    withAnn(written, indexDir, annClusters, annIters)
   }
+
+  /** Fit + persist the IVF sidecar over an already-written artifact. The fit
+    * reads the written documents parquet (never the expensive chunk+embed
+    * lineage). On an incremental merge the whole sidecar is re-fit from the
+    * merged corpus — centroids are a global property, so there is no cheaper
+    * correct refresh (same contract as the tfidf model). */
+  def withAnn(written: IndexData, indexDir: String, annClusters: Int,
+      annIters: Int = 4): IndexData =
+    if (annClusters <= 0) written
+    else written.copy(ann = Some(AnnIndex.buildAndWrite(
+      written.documents, "doc_id", "embedding", indexDir, annClusters, annIters)))
 
   /** Full INDEX job with DataFrame-native TF-IDF embeddings instead of a
     * per-row [[Embedder]]: the bulk path when embedding needs whole-corpus
@@ -188,7 +208,8 @@ object IndexJob {
     val settings = Seq(
       Setting("embedding_model", model.name),
       Setting("embedding_dim", dim.toString)).toDF()
-    IndexData.write(docs, settings, indexDir)
+    withAnn(IndexData.write(docs, settings, indexDir), indexDir,
+      opts.annClusters, opts.annIters)
   }
 
   /** Build an in-memory index straight from an existing table of documents

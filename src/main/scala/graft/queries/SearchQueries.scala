@@ -282,5 +282,57 @@ object SearchQueries {
       Some(s"WITH $fusedCtes " +
         "SELECT doc_id, 'corpus/' || regexp_replace(source, '^src', '') AS file_path, " +
         "round(score, 6) AS score FROM fused JOIN documents USING (doc_id) " +
+        "WHERE score > 0.01 ORDER BY round(score, 6) DESC, doc_id LIMIT 5")),
+
+    // End-to-end SEARCH with the IVF-accelerated VSS leg — the reference's
+    // HNSW-assisted query path (`src/db.py:152-165`) as the engine runs it:
+    // probe the query's 2 nearest centroids, score ONLY vectors assigned to
+    // a probed cluster, fuse with the untouched BM25 leg. Centroids are the
+    // first 4 embeddings (fixed, so the oracle sees identical inputs; the
+    // production fit is k-means — AnnIndexSpec pins the trained path,
+    // including nprobe=K ≡ exact). Everything else matches
+    // q_search_e2e_norerank — fusion semantics unchanged by design.
+    Q("q_search_e2e_ann",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cents = e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val ivf = graft.ops.Similarity.ivfSearch(
+          qv, "qid", "qvec", e, "vec_id", "embedding", cents, "cid", "cvec",
+          nprobe = 2, k = K, excludeSelf = false)
+          .select(col("vec_id").as("doc_id"), col("dist").as("vss_score"))
+        val f = ftsLeg(s, d).join(ivf, Seq("doc_id"), "full_outer")
+          .withColumn("score", HybridSearch.hybridScore(col("fts_score"), col("vss_score")))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            concat(lit("corpus/"), regexp_replace(col("source"), "^src", "")).as("file_path"))
+          .join(broadcast(f), Seq("doc_id"))
+          .filter(col("score") > 0.01)
+          .select(col("doc_id"), col("file_path"), round(col("score"), 6).as("score"))
+          .orderBy(round(col("score"), 6).desc, col("doc_id").asc)
+          .limit(5)
+      },
+      Some(s"WITH ${Q.bm25Ctes}, ${Q.bm25ScoresCte(queryTermsSql)}, " +
+        s"fts AS (SELECT doc_id, score AS fts_score FROM scores ORDER BY round(score, 6) DESC, doc_id LIMIT $K), " +
+        "cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 4), " +
+        "qvt AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+        "pr AS (SELECT cid FROM (SELECT cid, row_number() OVER " +
+        s"(ORDER BY round(${Q.cosineDistSql("cvec", "qv")}, 6), cid) AS rn FROM cents CROSS JOIN qvt) WHERE rn <= 2), " +
+        s"ad AS (SELECT e.vec_id, e.embedding, c.cid, ${Q.cosineDistSql("e.embedding", "c.cvec")} AS cd " +
+        "FROM embeddings e CROSS JOIN cents c), " +
+        "asg AS (SELECT vec_id, embedding, cid FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY round(cd, 6), cid) AS rn FROM ad) WHERE rn = 1), " +
+        s"vd AS (SELECT a.vec_id AS doc_id, ${Q.cosineDistSql("a.embedding", "qv")} AS vss_score " +
+        "FROM asg a JOIN pr USING (cid) CROSS JOIN qvt), " +
+        s"vss AS (SELECT doc_id, vss_score FROM vd ORDER BY round(vss_score, 6) ASC, doc_id LIMIT $K), " +
+        "fused AS (SELECT COALESCE(fts.doc_id, vss.doc_id) AS doc_id, fts_score, vss_score, " +
+        "CASE WHEN fts_score IS NOT NULL AND vss_score IS NOT NULL THEN (fts_score + vss_score) / 2.0 " +
+        "WHEN fts_score IS NOT NULL THEN fts_score * 0.8 " +
+        "WHEN vss_score IS NOT NULL THEN vss_score * 0.8 ELSE 0.0 END AS score " +
+        "FROM fts FULL OUTER JOIN vss ON fts.doc_id = vss.doc_id) " +
+        "SELECT doc_id, 'corpus/' || regexp_replace(source, '^src', '') AS file_path, " +
+        "round(score, 6) AS score FROM fused JOIN documents USING (doc_id) " +
         "WHERE score > 0.01 ORDER BY round(score, 6) DESC, doc_id LIMIT 5")))
 }

@@ -28,7 +28,12 @@ object HybridSearch {
       addPathPrefix: Option[String] = None,
       scoreThreshold: Double = 0.01, // reference `src/searcher.py:313`
       rerankTruncate: Int = 2048, // reference `src/models/reranker.py:86`
-      rerankBatchSize: Int = 8) // reference `src/models/reranker.py:60`
+      rerankBatchSize: Int = 8, // reference `src/models/reranker.py:60`
+      // >0 routes the VSS leg through the persisted IVF index, probing this
+      // many clusters (`--ann ivf[:nprobe]`); 0 = exact heap scan. The
+      // HNSW-vs-exact switch of the reference (`src/db.py:152-165`) —
+      // requires an index built with `--ann-clusters`.
+      annNprobe: Int = 0)
 
   /** A4 — the hybrid score fusion rule (reference `src/searcher.py:218-241`):
     * both present → mean; exactly one → 0.8·that; neither → 0.
@@ -92,6 +97,25 @@ object HybridSearch {
       .limit(k)
   }
 
+  /** VSS leg through the persisted IVF index: probe the query's `nprobe`
+    * nearest centroids (a K-row scalar decision), then run the SAME
+    * select/top-k shape as [[vssTopK]] over ONLY the probed inverted lists.
+    * `ann_postings` is cluster-partitioned parquet, so the `isin` lands as a
+    * partition filter — the scan reads ~nprobe/K of the corpus files
+    * (plan-guarded in AnnIndexSpec). Fusion semantics downstream are
+    * unchanged; `nprobe = numClusters` reproduces the exact leg. */
+  def vssTopKIvf(ann: graft.index.AnnIndex, queryVec: Array[Float], k: Int,
+      nprobe: Int): DataFrame = {
+    val probed = ann.probe(queryVec, nprobe)
+    val qv = typedlit(queryVec.toSeq)
+    ann.postings
+      .filter(col("cluster").isin(probed: _*))
+      .filter(col("embedding").isNotNull && col("doc_id").isNotNull)
+      .select(col("doc_id"), VectorOps.cosineDist(col("embedding"), qv).as("vss_score"))
+      .orderBy(round(col("vss_score"), 6).asc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Full hybrid search. `embedder=None` degrades to FTS-only, mirroring the
     * reference's VSS-failure fallback (reference `src/searcher.py:148-150`);
     * `reranker=None` ⇔ `--no-rerank` (reference `src/cli.py:305-309`). */
@@ -116,7 +140,13 @@ object HybridSearch {
     // SURVEY.md §4.3 candidate-set semantics).
     val fused = embedder match {
       case Some(e) =>
-        val vss = vssTopK(index.documents, e.embed(Seq(query)).head, opts.k)
+        val qvec = e.embed(Seq(query)).head
+        val vss =
+          if (opts.annNprobe > 0) {
+            val ann = index.ann.getOrElse(sys.error(
+              "--ann requires an index built with --ann-clusters (no ann_centroids in artifact)"))
+            vssTopKIvf(ann, qvec, opts.k, opts.annNprobe)
+          } else vssTopK(index.documents, qvec, opts.k)
         fts.join(vss, Seq("doc_id"), "full_outer")
       case None =>
         fts.withColumn("vss_score", lit(null).cast("double"))
