@@ -13,6 +13,7 @@ import graft.search.HybridSearch
   *   graft.Cli index  --db DIR --docs D1 [D2 ...] [--clear] [--trim-path-prefix P]
   *                    [--chunk-size N] [--overlap N] [--embedding-dim N]
   *                    [--ann-clusters K [--ann-iters N]]   (persist the IVF sidecar)
+  *                    [--layout zorder|hilbert [--layout-files N]]   (cluster files)
   *                    [--watch]   (stream NEW files into the index until killed)
   *   graft.Cli search --db DIR --query Q [--top-k K] [--no-rerank]
   *                    [--remove-path-prefix P] [--add-path-prefix P]
@@ -82,7 +83,17 @@ object Cli {
     val spark = session()
     val docs = spark.read.parquet(in)
     val (kept, report) = graft.ops.CuratePipeline.run(docs, opts)
-    kept.write.mode("overwrite").parquet(s"$out/kept")
+    // `--layout zorder|hilbert [--layout-cols x,y] [--layout-files N]`:
+    // range-cluster the kept corpus on the curve key before writing, so each
+    // output file covers a disjoint key range (pure layout — same rows)
+    val keptOut = arg(a, "--layout").map(_.toLowerCase) match {
+      case None | Some("none") => kept
+      case Some(m) =>
+        val cols = arg(a, "--layout-cols").getOrElse("doc_id,text").split(",", 2)
+        graft.ops.Layout.cluster(kept, m, cols(0).trim, cols(1).trim,
+          arg(a, "--layout-files").map(_.toInt).getOrElse(8))
+    }
+    keptOut.write.mode("overwrite").parquet(s"$out/kept")
     report.write.mode("overwrite").parquet(s"$out/report")
     val nIn = docs.count()
     val nKept = spark.read.parquet(s"$out/kept").count()
@@ -116,7 +127,9 @@ object Cli {
       // the reference's HNSW build (`src/db.py:152-165`): persist an IVF
       // sidecar so `search --ann` can probe instead of scanning
       annClusters = arg(a, "--ann-clusters").map(_.toInt).getOrElse(0),
-      annIters = arg(a, "--ann-iters").map(_.toInt).getOrElse(4))
+      annIters = arg(a, "--ann-iters").map(_.toInt).getOrElse(4),
+      layout = arg(a, "--layout").map(_.toLowerCase).getOrElse("none"),
+      layoutFiles = arg(a, "--layout-files").map(_.toInt).getOrElse(8))
     val dim = arg(a, "--embedding-dim").map(_.toInt).getOrElse(64)
     if (flag(a, "--watch")) {
       // incremental streaming mode: keep folding NEW files from the first

@@ -36,7 +36,14 @@ object IndexJob {
       // persists cluster-partitioned inverted lists next to the documents
       // (`--ann-clusters`); 0 = no ANN index (search stays exact)
       annClusters: Int = 0,
-      annIters: Int = 4)
+      annIters: Int = 4,
+      // space-filling-curve file clustering for the documents dataset
+      // (`--layout zorder|hilbert`): range-partitions the write on the
+      // Layout curve key over (file_path, line_start) so each parquet file
+      // covers a disjoint key range — path/line predicates prune files via
+      // row-group stats. "none" keeps the pipeline's natural partitioning.
+      layout: String = "none",
+      layoutFiles: Int = 8)
 
   /** The `--splitter` factory (reference `src/splitter.py:621-651`). */
   def chunkerFor(opts: Options, analyzer: Analyzer): Chunker = opts.splitter match {
@@ -125,7 +132,8 @@ object IndexJob {
     val files = scanMarkdown(spark, dirs)
     val fresh = embedChunks(chunkFiles(files, chunker), embedder, opts)
     mergeAndWrite(spark, fresh, settingsFor(spark, embedder), indexDir,
-      clear = opts.clear, annClusters = opts.annClusters, annIters = opts.annIters)
+      clear = opts.clear, annClusters = opts.annClusters, annIters = opts.annIters,
+      layout = opts.layout, layoutFiles = opts.layoutFiles)
   }
 
   /** S4 semantics (reference `--clear`, `src/indexer.py:48-50`): with
@@ -141,7 +149,9 @@ object IndexJob {
       indexDir: String,
       clear: Boolean,
       annClusters: Int = 0,
-      annIters: Int = 4): IndexData = {
+      annIters: Int = 4,
+      layout: String = "none",
+      layoutFiles: Int = 8): IndexData = {
     // FileSystem API, not java.io.File: indexDir may be hdfs://, s3a://, …
     // — java.io.File.exists() is always false there, which would silently
     // turn a clear=false merge into a destructive full overwrite.
@@ -158,8 +168,13 @@ object IndexJob {
           // materialize before overwriting the parquet dir being read
           .localCheckpoint(true)
       }
+    // space-filling-curve clustering of the documents files (pure layout:
+    // same rows, same schema — LayoutWriteSpec pins result-neutrality)
+    val laidOut =
+      if (layout == "none") docs
+      else graft.ops.Layout.cluster(docs, layout, "file_path", "line_start", layoutFiles)
     // write-then-derive: the chunk+embed lineage executes exactly once
-    val written = IndexData.write(docs, settings, indexDir)
+    val written = IndexData.write(laidOut, settings, indexDir)
     withAnn(written, indexDir, annClusters, annIters)
   }
 

@@ -421,15 +421,12 @@ object CurationQueries {
     // compact Z-curve segment.
     Q("q_zorder_layout",
       (s, d) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val e = Q.t(s, d, "events")
-          .select(col("event_id"), (col("user_id") % 256).as("x"),
-            (col("event_id") % 256).as("y"))
-        val z = (0 until 8).map { b =>
-          expr(s"(x div ${1 << b}) % 2") * lit(1L << (2 * b + 1)) +
-            expr(s"(y div ${1 << b}) % 2") * lit(1L << (2 * b))
-        }.reduce(_ + _)
-        e.withColumn("z", z)
+        // the graft.ops.Layout.zorderKey kernel — the SAME expression the
+        // production clustered write (`--layout zorder`) range-partitions on
+        Q.events(s, d)
+          .select(col("event_id"), (col("user_id") % 256).cast("long").as("x"),
+            (col("event_id") % 256).cast("long").as("y"))
+          .withColumn("z", graft.ops.Layout.zorderKey(col("x"), col("y")))
           .groupBy(expr("z div 4096").as("z_range"))
           .agg(count(lit(1)).as("n"), min(col("z")).as("z_min"),
             max(col("z")).as("z_max"))
@@ -457,26 +454,15 @@ object CurationQueries {
     // the production write is `repartitionByRange(col("h"))`.
     Q("q_hilbert_layout",
       (s, d) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        var df = t(s, d, "events")
+        // the graft.ops.Layout.withHilbertKey kernel (8 unrolled chained
+        // projections) — the SAME expression the production clustered write
+        // (`--layout hilbert`) range-partitions on
+        val e = Q.events(s, d)
           .select(col("event_id"),
             (col("user_id") % 256).cast("long").as("x"),
             (col("event_id") % 256).cast("long").as("y"))
-          .withColumn("h", lit(0L))
-        for (k <- 7 to 0 by -1) {
-          val sv = 1L << k
-          // rx/ry/d and the rotated x/y all read the PREVIOUS level's x/y:
-          // compute them in one projection before overwriting
-          val rx = when(col("x").bitwiseAND(lit(sv)) > 0, 1L).otherwise(0L)
-          val ry = when(col("y").bitwiseAND(lit(sv)) > 0, 1L).otherwise(0L)
-          df = df.select(col("event_id"),
-            when(ry === 0, when(rx === 1, lit(sv - 1) - col("y")).otherwise(col("y")))
-              .otherwise(col("x")).as("x"),
-            when(ry === 0, when(rx === 1, lit(sv - 1) - col("x")).otherwise(col("x")))
-              .otherwise(col("y")).as("y"),
-            (col("h") + lit(sv * sv) * (rx * 3L).bitwiseXOR(ry)).as("h"))
-        }
-        df.groupBy(expr("h div 4096").as("h_range"))
+        graft.ops.Layout.withHilbertKey(e, col("x"), col("y"), "h")
+          .groupBy(expr("h div 4096").as("h_range"))
           .agg(count(lit(1)).as("n"), min(col("h")).as("h_min"),
             max(col("h")).as("h_max"))
           .orderBy("h_range")

@@ -12,10 +12,7 @@ import graft.queries.Q.t
   */
 object ExtraQueries {
 
-  private def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-  }
+  private def events(s: SparkSession, d: String): DataFrame = Q.events(s, d)
 
   private val SessionGapNs = 1800000000000L // 30 min
 

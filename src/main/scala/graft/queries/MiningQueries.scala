@@ -17,10 +17,7 @@ object MiningQueries {
 
   private def docs(s: SparkSession, d: String): DataFrame = Q.docsTokens(s, d)
 
-  private def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-  }
+  private def events(s: SparkSession, d: String): DataFrame = Q.events(s, d)
 
   /** Explode an embeddings frame into 8-dim subvectors: (id, j, sub).
     * Subspace count derives from the embedding size (q_embed_pq rule). */

@@ -17,10 +17,7 @@ object PipelineQueries {
 
   /** events with ts as epoch-nanos long (Spark has no nanosecond timestamp;
     * the oracle mirrors with `epoch_ns(ts)`). */
-  private def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-  }
+  private def events(s: SparkSession, d: String): DataFrame = Q.events(s, d)
 
   private val HourNs = 3600000000000L
 

@@ -27,6 +27,16 @@ object Q {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table — the ONE place that arms the ns-timestamp read
+    * setting (`events.parquet` stores ns; without the flag the scan fails
+    * with PARQUET_TYPE_ILLEGAL). Every entry-point SparkSession builder sets
+    * it too; doing it here as well keeps ad-hoc sessions working while no
+    * query BODY ever mutates session state (order-independence rule). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+  }
+
   /** The documents corpus with its tokenization — the ONE Spark-side
     * counterpart of [[toksCte]] (`split(text, ' ')` ≡ `string_split`).
     * Every query module must tokenize through this helper so the
