@@ -38,4 +38,39 @@ object ApproxKnn {
       .withColumn("dist", col("_l2dist") * col("_l2dist") / 2.0) // = 1 − cos on unit vectors
       .select(col(idCol), col("dist"))
   }
+
+  /** Batch approximate top-k: ONE `approxSimilarityJoin` for the whole
+    * query set — candidate pairs only form inside colliding LSH buckets
+    * (recall governed by `numHashTables`), then a per-query window ranks
+    * them. This is the multi-query shape: [[approxTopK]]'s
+    * `approxNearestNeighbors` runs one full job per query vector from the
+    * driver, which cannot scale to a query SET; here queries hash once,
+    * the bucket join is a single distributed equi-join, and `maxL2 = 2.0`
+    * (the unit-sphere diameter) leaves the cut to the top-k rather than
+    * the radius. Output: (qidCol, idCol, dist, rank), cosine distance on
+    * unit vectors, deterministic (rounded-dist, id) per-query order. */
+  def approxTopKBatch(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, bucketLength: Double = 1.0, numHashTables: Int = 4,
+      maxL2: Double = 2.0): DataFrame = {
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val prepared = corpus
+      .select(col(idCol).as("_cid"), toVec(col(vecCol)).as("_mlvec"))
+    val qprep = queries
+      .select(col(qidCol).as("_qid"), toVec(col(qvecCol)).as("_mlvec"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("_mlvec").setOutputCol("_hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+      .setSeed(42L)
+    val model = lsh.fit(prepared)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(round(col("dist"), 6).asc, col(idCol).asc)
+    model.approxSimilarityJoin(qprep, prepared, maxL2, "_l2dist").toDF()
+      .select(col("datasetA._qid").as(qidCol), col("datasetB._cid").as(idCol),
+        (col("_l2dist") * col("_l2dist") / 2.0).as("dist")) // = 1 − cos on unit vectors
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

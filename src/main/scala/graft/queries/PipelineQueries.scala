@@ -824,16 +824,19 @@ object PipelineQueries {
         "FROM documents ORDER BY doc_id, line_start")),
 
     // MLlib BucketedRandomProjectionLSH approximate kNN — the library ANN
-    // scale path. Approximate results are engine-specific, so rows-only
-    // gate; accuracy vs brute force is asserted in EmbedSpec.
+    // scale path, in its BATCH shape: three query vectors resolved in ONE
+    // `approxSimilarityJoin` job (queries hash once, candidates only form
+    // in colliding buckets) instead of one driver-side
+    // `approxNearestNeighbors` job per query. Approximate results are
+    // engine-specific, so rows-only gate; per-query recall vs brute force
+    // is asserted in EmbedSpec.
     Q("q_sim_approx_lsh",
       (s, d) => {
-        import s.implicits._
         val e = t(s, d, "embeddings")
-        val qv = e.filter(col("vec_id") === 0)
-          .select("embedding").as[Array[Float]].head()
-        graft.ops.ApproxKnn.approxTopK(e, "vec_id", "embedding", qv, 10,
-          bucketLength = 2.0, numHashTables = 8)
+        val qs = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        graft.ops.ApproxKnn.approxTopKBatch(e, "vec_id", "embedding",
+          qs, "qid", "qvec", k = 10, bucketLength = 2.0, numHashTables = 8)
       },
       None),
 

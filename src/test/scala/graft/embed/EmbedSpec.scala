@@ -51,5 +51,24 @@ class EmbedSpec extends AnyFunSuite {
     // generous LSH settings on a small corpus: expect high recall incl. self
     assert(approx.contains(0L))
     assert((approx & exact).size >= 3, s"approx=$approx exact=$exact")
+
+    // the batch path: 3 queries in ONE approxSimilarityJoin job, per-query
+    // recall vs brute force for EACH query
+    val queries = corpus.filter($"id" < 3).select($"id".as("qid"), $"vec".as("qvec"))
+    val batch = ApproxKnn.approxTopKBatch(corpus, "id", "vec",
+        queries, "qid", "qvec", k = 5, bucketLength = 2.0, numHashTables = 8)
+      .collect().groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("id")).toSet).toMap
+    assert(batch.keySet == Set(0L, 1L, 2L))
+    (0L to 2L).foreach { qid =>
+      val qvec = corpus.filter($"id" === qid).select($"vec").as[Array[Float]].head()
+      val ex = corpus
+        .withColumn("d", VectorOps.cosineDist($"vec", typedlit(qvec.toSeq)))
+        .orderBy($"d".asc).limit(5)
+        .collect().map(_.getAs[Long]("id")).toSet
+      assert(batch(qid).contains(qid), s"q$qid missing self")
+      assert(batch(qid).size <= 5)
+      assert((batch(qid) & ex).size >= 3, s"q$qid: batch=${batch(qid)} exact=$ex")
+    }
   }
 }
