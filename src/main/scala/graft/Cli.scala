@@ -136,13 +136,18 @@ object Cli {
       // docs dir into the index until killed (append-only per path — see
       // graft.streaming.IndexStream's contract)
       require(docs.size == 1, "--watch takes exactly one docs directory")
-      // tfidf needs a global fit over a static corpus — incompatible with an
-      // unbounded stream; erroring beats silently indexing with hashing
-      require(embedder != "tfidf",
-        "--watch supports only the hashing embedder (tfidf needs a global corpus fit); " +
-          "drop --embedder tfidf or run a batch `index` instead")
-      val q = graft.streaming.IndexStream.start(
-        spark, docs.head, db, new HashingEmbedder(dim), DefaultAnalyzer, opts)
+      val q = embedder match {
+        case "tfidf" =>
+          // global-fit model, made incremental by the frozen-model +
+          // periodic-re-fit staleness contract (IndexStream.startTfIdf;
+          // `--refit-every N` micro-batches, 0 = barrier-only)
+          graft.streaming.IndexStream.startTfIdf(
+            spark, docs.head, db, dim, DefaultAnalyzer, opts,
+            refitEvery = arg(a, "--refit-every").map(_.toInt).getOrElse(4))
+        case _ =>
+          graft.streaming.IndexStream.start(
+            spark, docs.head, db, new HashingEmbedder(dim), DefaultAnalyzer, opts)
+      }
       System.err.println(s"[graft] watching ${docs.head} -> $db (ctrl-c to stop)")
       q.awaitTermination()
     } else {

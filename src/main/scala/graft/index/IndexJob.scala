@@ -59,11 +59,14 @@ object IndexJob {
   def decodeMarkdownFiles(files: DataFrame): DataFrame =
     files.select(col("path").as("file_path"), decode(col("content"), "UTF-8").as("text"))
 
-  def settingsFor(spark: SparkSession, embedder: Embedder): DataFrame = {
+  def settingsFor(spark: SparkSession, embedder: Embedder): DataFrame =
+    settingsOf(spark, embedder.name, embedder.dim)
+
+  def settingsOf(spark: SparkSession, modelName: String, dim: Int): DataFrame = {
     import spark.implicits._
     Seq(
-      Setting("embedding_model", embedder.name),
-      Setting("embedding_dim", embedder.dim.toString)).toDF()
+      Setting("embedding_model", modelName),
+      Setting("embedding_dim", dim.toString)).toDF()
   }
 
   /** Scan directories for markdown files (S1/S2). `binaryFile` pushes the
@@ -98,10 +101,17 @@ object IndexJob {
         g.lazyZip(vecs).map { (c, v) => (c, v) }
       }
     }
-    val df = rows.toDF("chunk", "embedding").select(col("chunk.*"), col("embedding"))
+    chunksToDocs(rows.toDF("chunk", "embedding").select(col("chunk.*"), col("embedding")), opts)
+  }
+
+  /** Chunk columns (+ `embedding`) → the documents schema: X5 path trim
+    * (reference `src/indexer.py:112-136`) + content-addressed ids. The ONE
+    * projection shared by the per-row embedder path, the bulk tf-idf path
+    * and the streaming indexer, so the artifact schema can never drift per
+    * entry point. */
+  private[graft] def chunksToDocs(df: DataFrame, opts: Options): DataFrame = {
     val trimmed = opts.trimPathPrefix match {
       case Some(p) =>
-        // X5: strip prefix then any leading '/' (reference `src/indexer.py:112-136`)
         df.withColumn("filePath",
           regexp_replace(
             regexp_replace(col("filePath"), lit("^" + java.util.regex.Pattern.quote(p)), lit("")),
@@ -205,26 +215,9 @@ object IndexJob {
     val chunks = chunkFiles(scanMarkdown(spark, dirs), chunker).toDF()
     val (embedded, model) = graft.embed.TfIdfEmbed.fitTransform(chunks, "tokens", dim)
     model.save(spark, s"$indexDir/tfidf_model")
-    val trimmed = opts.trimPathPrefix match {
-      case Some(p) =>
-        embedded.withColumn("filePath",
-          regexp_replace(
-            regexp_replace(col("filePath"), lit("^" + java.util.regex.Pattern.quote(p)), lit("")),
-            lit("^/+"), lit("")))
-      case None => embedded
-    }
-    val docs = trimmed.select(
-      sha1(concat_ws(":", col("filePath"), col("lineStart"), col("lineEnd"))).as("doc_id"),
-      col("filePath").as("file_path"),
-      col("headerPath").as("header_path"),
-      col("lineStart").as("line_start"),
-      col("lineEnd").as("line_end"),
-      col("content"), col("tokens"), col("embedding"))
-    val settings = Seq(
-      Setting("embedding_model", model.name),
-      Setting("embedding_dim", dim.toString)).toDF()
-    withAnn(IndexData.write(docs, settings, indexDir), indexDir,
-      opts.annClusters, opts.annIters)
+    val docs = chunksToDocs(embedded, opts)
+    withAnn(IndexData.write(docs, settingsOf(spark, model.name, dim), indexDir),
+      indexDir, opts.annClusters, opts.annIters)
   }
 
   /** Build an in-memory index straight from an existing table of documents

@@ -45,6 +45,22 @@ object IndexStream {
     StructField("length", LongType),
     StructField("content", BinaryType)))
 
+  private def markdownSource(spark: SparkSession, docsDir: String) =
+    IndexJob.decodeMarkdownFiles(
+      spark.readStream.format("binaryFile")
+        .option("pathGlobFilter", IndexJob.MarkdownGlob)
+        .option("recursiveFileLookup", "true")
+        // default is 7 days: files with mtimes older than (newest seen − 7d)
+        // would silently never index
+        .option("maxFileAge", "36500d")
+        .schema(binaryFileSchema)
+        .load(docsDir))
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Watch `docsDir` and fold every new markdown file into the index at
     * `indexDir`. Blockable via the returned query (`processAllAvailable`
     * to drain in tests/one-shot use). */
@@ -60,15 +76,7 @@ object IndexStream {
     // source config and settings shared with the batch job — one contract
     val settings = IndexJob.settingsFor(spark, embedder)
 
-    val files = IndexJob.decodeMarkdownFiles(
-      spark.readStream.format("binaryFile")
-        .option("pathGlobFilter", IndexJob.MarkdownGlob)
-        .option("recursiveFileLookup", "true")
-        // default is 7 days: files with mtimes older than (newest seen − 7d)
-        // would silently never index
-        .option("maxFileAge", "36500d")
-        .schema(binaryFileSchema)
-        .load(docsDir))
+    val files = markdownSource(spark, docsDir)
 
     files.writeStream
       .option("checkpointLocation",
@@ -84,5 +92,84 @@ object IndexStream {
         }
       }
       .start()
+  }
+
+  /** Watch with the TF-IDF embedder — the whole-corpus-fit model made
+    * incremental by an explicit STALENESS CONTRACT:
+    *
+    *  - between re-fits, NEW files are embedded by the FROZEN current model
+    *    (idf weights from the last fit) — geometry consistent with the
+    *    already-indexed corpus, slightly stale w.r.t. the true corpus idf;
+    *  - every `refitEvery` non-empty micro-batches (and on an explicit
+    *    [[tfidfRefit]] barrier) the model re-fits over the MERGED corpus and
+    *    EVERY document re-embeds under the new model — after a barrier the
+    *    artifact is exactly what a batch [[IndexJob.runTfIdf]] over the same
+    *    files produces (IndexStreamSpec pins the equality);
+    *  - bootstrap: with no persisted model, the first arrival set IS the
+    *    corpus, so the model fits on it (batch semantics at that point).
+    *
+    * This lifts the former CLI restriction (`--watch` refused `--embedder
+    * tfidf`) without pretending a global fit can be per-row incremental.
+    * `refitEvery <= 0` disables automatic re-fits (barrier-only). */
+  def startTfIdf(
+      spark: SparkSession,
+      docsDir: String,
+      indexDir: String,
+      dim: Int = 256,
+      analyzer: Analyzer = DefaultAnalyzer,
+      opts: IndexJob.Options = IndexJob.Options(),
+      refitEvery: Int = 4,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val chunker = IndexJob.chunkerFor(opts, analyzer)
+    val modelPath = s"$indexDir/tfidf_model"
+    val files = markdownSource(spark, docsDir)
+    // driver-side micro-batch counter: foreachBatch bodies run on the driver
+    var nonEmptyBatches = 0L
+
+    files.writeStream
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$indexDir/_index_checkpoint"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val sp = batch.sparkSession
+          val chunks = IndexJob.chunkFiles(batch.toDF(), chunker)
+          if (!pathExists(sp, modelPath)) {
+            // bootstrap fit on the first arrival set
+            val (embedded, model) =
+              graft.embed.TfIdfEmbed.fitTransform(chunks.toDF(), "tokens", dim)
+            model.save(sp, modelPath)
+            IndexJob.mergeAndWrite(sp, IndexJob.chunksToDocs(embedded, opts),
+              IndexJob.settingsOf(sp, model.name, dim), indexDir, clear = false)
+          } else {
+            // frozen-model embedding of the delta (per-row reproduction of
+            // the fitted pipeline — same hash buckets, idf, L2 norm)
+            val model = graft.embed.TfIdfEmbed.load(sp, modelPath)
+            val fresh = IndexJob.embedChunks(
+              chunks, model.embedder(analyzer.tokenize), opts)
+            IndexJob.mergeAndWrite(sp, fresh,
+              IndexJob.settingsOf(sp, model.name, dim), indexDir, clear = false)
+          }
+          nonEmptyBatches += 1
+          if (refitEvery > 0 && nonEmptyBatches % refitEvery == 0) {
+            tfidfRefit(sp, indexDir, dim)
+            ()
+          }
+        }
+      }
+      .start()
+  }
+
+  /** The re-fit barrier: fit idf over the merged corpus tokens, re-embed
+    * EVERY document under the new model, rewrite artifact + model. After
+    * this, the artifact equals a batch `runTfIdf` over the same files. */
+  def tfidfRefit(spark: SparkSession, indexDir: String, dim: Int): graft.embed.TfIdfEmbed.TfIdfModel = {
+    // materialize before overwriting the parquet dirs being read
+    val docs = spark.read.parquet(s"$indexDir/documents")
+      .drop("embedding").localCheckpoint(true)
+    val (embedded, model) = graft.embed.TfIdfEmbed.fitTransform(docs, "tokens", dim)
+    model.save(spark, s"$indexDir/tfidf_model")
+    graft.index.IndexData.write(embedded,
+      IndexJob.settingsOf(spark, model.name, dim), indexDir)
+    model
   }
 }

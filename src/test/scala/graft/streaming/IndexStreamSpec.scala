@@ -52,4 +52,44 @@ class IndexStreamSpec extends AnyFunSuite {
     val bStats = batch.stats.collect().map(_.toSeq).toSet
     assert(sStats == bStats)
   }
+
+  test("tfidf watch: frozen-model deltas, re-fit barrier restores batch equality") {
+    import org.apache.spark.sql.functions._
+    val docs = Files.createTempDirectory("idxstream-tf-docs").toString
+    val streamIdx = Files.createTempDirectory("idxstream-tf-s").toString + "/idx"
+    val batchIdx = Files.createTempDirectory("idxstream-tf-b").toString + "/idx"
+    val dim = 32
+
+    write(docs, "a.md", "# Alpha\n\nspark merges sorted runs fast\n")
+    // refitEvery = 0: no automatic re-fit, so the second batch demonstrably
+    // embeds under the FROZEN bootstrap model before the explicit barrier
+    val q = IndexStream.startTfIdf(spark, docs, streamIdx, dim, refitEvery = 0)
+    try {
+      q.processAllAvailable()
+      assert(IndexData.load(spark, streamIdx).documents.count() >= 1)
+      write(docs, "b.md", "# Beta\n\nvector cosine search embedding space\n")
+      write(docs, "c.md", "plain spark text body with cosine vector terms\n")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // before the barrier: b/c docs carry the bootstrap model's (stale) idf —
+    // the documented contract, not an accident. The barrier re-fits over the
+    // merged corpus and re-embeds everything.
+    IndexStream.tfidfRefit(spark, streamIdx, dim)
+
+    val streamed = IndexData.load(spark, streamIdx)
+    val batch = IndexJob.runTfIdf(spark, Seq(docs), batchIdx, dim)
+
+    assert(canonDocs(streamed.documents) == canonDocs(batch.documents))
+    // embeddings must be bit-identical after the barrier: both sides are
+    // one fitTransform over the same (content-addressed) corpus
+    def embs(df: DataFrame) = df
+      .select(col("doc_id"), col("embedding"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(embs(streamed.documents) == embs(batch.documents))
+    // and the persisted models agree
+    val sm = graft.embed.TfIdfEmbed.load(spark, s"$streamIdx/tfidf_model")
+    val bm = graft.embed.TfIdfEmbed.load(spark, s"$batchIdx/tfidf_model")
+    assert(sm.dim == bm.dim && sm.idf.toSeq == bm.idf.toSeq)
+  }
 }
