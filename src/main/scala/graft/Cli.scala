@@ -13,11 +13,12 @@ import graft.search.HybridSearch
   *   graft.Cli index  --db DIR --docs D1 [D2 ...] [--clear] [--trim-path-prefix P]
   *                    [--chunk-size N] [--overlap N] [--embedding-dim N]
   *                    [--ann-clusters K [--ann-iters N]]   (persist the IVF sidecar)
+  *                    [--pq-codes K [--pq-iters N]]         (persist the PQ sidecar)
   *                    [--layout zorder|hilbert [--layout-files N]]   (cluster files)
   *                    [--watch]   (stream NEW files into the index until killed)
   *   graft.Cli search --db DIR --query Q [--top-k K] [--no-rerank]
   *                    [--remove-path-prefix P] [--add-path-prefix P]
-  *                    [--ann ivf[:nprobe]]   (probe the IVF index instead of scanning)
+  *                    [--ann ivf[:nprobe] | pq[:shortlist]]   (probe/ADC, don't scan)
   *   graft.Cli serve  --db DIR [--top-k K] [--tool-name N] [--tool-description D]
   *                    [--transport stdio|http] [--host H] [--port P] [--path /mcp]
   *                    [--trim-prefix P] [--add-prefix P] [--protocol jsonl]
@@ -128,6 +129,8 @@ object Cli {
       // sidecar so `search --ann` can probe instead of scanning
       annClusters = arg(a, "--ann-clusters").map(_.toInt).getOrElse(0),
       annIters = arg(a, "--ann-iters").map(_.toInt).getOrElse(4),
+      pqCodes = arg(a, "--pq-codes").map(_.toInt).getOrElse(0),
+      pqIters = arg(a, "--pq-iters").map(_.toInt).getOrElse(3),
       layout = arg(a, "--layout").map(_.toLowerCase).getOrElse("none"),
       layoutFiles = arg(a, "--layout-files").map(_.toInt).getOrElse(8))
     val dim = arg(a, "--embedding-dim").map(_.toInt).getOrElse(64)
@@ -192,26 +195,29 @@ object Cli {
     }
   }
 
-  /** Parse `--ann ivf[:nprobe]` into the nprobe count (0 = exact). The
-    * one supported method is ivf; nprobe defaults to 2. */
-  private[graft] def parseAnn(v: Option[String]): Int = v match {
-    case None => 0
+  /** Parse `--ann ivf[:nprobe] | pq[:shortlist]` into
+    * (ivf nprobe, pq shortlist) — at most one is nonzero; (0,0) = exact. */
+  private[graft] def parseAnn(v: Option[String]): (Int, Int) = v match {
+    case None => (0, 0)
     case Some(s) => s.split(":", 2) match {
-      case Array("ivf")     => 2
-      case Array("ivf", np) => np.toInt
-      case _ => sys.error(s"unknown --ann '$s' (expected ivf or ivf:<nprobe>)")
+      case Array("ivf")     => (2, 0)
+      case Array("ivf", np) => (np.toInt, 0)
+      case Array("pq")      => (0, 50)
+      case Array("pq", sl)  => (0, sl.toInt)
+      case _ => sys.error(
+        s"unknown --ann '$s' (expected ivf[:<nprobe>] or pq[:<shortlist>])")
     }
   }
 
   private def runSearch(index: IndexData, db: String, query: String, k: Int, rerank: Boolean,
-      removeP: Option[String], addP: Option[String], annNprobe: Int = 0) = {
+      removeP: Option[String], addP: Option[String], ann: (Int, Int) = (0, 0)) = {
     HybridSearch.search(index, query,
       analyzer = DefaultAnalyzer,
       embedder = Some(embedderFor(index, db)),
       reranker = if (rerank) Some(new TokenOverlapReranker()) else None,
       opts = HybridSearch.Options(k = k, rerank = rerank,
         removePathPrefix = removeP, addPathPrefix = addP,
-        annNprobe = annNprobe)).collect()
+        annNprobe = ann._1, annPqShortlist = ann._2)).collect()
   }
 
   private def searchCmd(a: Array[String]): Unit = {
@@ -220,12 +226,12 @@ object Cli {
     val rerank = !flag(a, "--no-rerank")
     val removeP = arg(a, "--remove-path-prefix")
     val addP = arg(a, "--add-path-prefix")
-    val annNprobe = parseAnn(arg(a, "--ann"))
+    val ann = parseAnn(arg(a, "--ann"))
     val spark = session()
     arg(a, "--query") match {
       case Some(query) =>
         val index = IndexData.load(spark, db)
-        val hits = runSearch(index, db, query, k, rerank, removeP, addP, annNprobe)
+        val hits = runSearch(index, db, query, k, rerank, removeP, addP, ann)
         println(s"""{"results":${hitsJson(hits)}}""")
       case None =>
         // Interactive mode (reference `src/cli.py:345-379`: `search` without
@@ -235,7 +241,7 @@ object Cli {
         index.stats.count() // materialize caches before the first prompt
         System.err.println(s"[graft] interactive search on $db; one query per line, EOF exits")
         interactiveLoop(index, db, scala.io.Source.stdin.getLines(), System.out,
-          k, rerank, removeP, addP, annNprobe)
+          k, rerank, removeP, addP, ann)
     }
     spark.stop()
   }
@@ -245,12 +251,12 @@ object Cli {
   private[graft] def interactiveLoop(
       index: IndexData, db: String, lines: Iterator[String],
       out: java.io.PrintStream, k: Int, rerank: Boolean,
-      removeP: Option[String], addP: Option[String], annNprobe: Int = 0): Unit =
+      removeP: Option[String], addP: Option[String], ann: (Int, Int) = (0, 0)): Unit =
     lines.foreach { line =>
       val query = line.trim
       if (query.nonEmpty) {
         try {
-          val hits = runSearch(index, db, query, k, rerank, removeP, addP, annNprobe)
+          val hits = runSearch(index, db, query, k, rerank, removeP, addP, ann)
           out.println(s"""{"results":${hitsJson(hits)}}""")
         } catch {
           case e: Throwable =>
@@ -275,13 +281,13 @@ object Cli {
     val defaultK = arg(a, "--top-k").map(_.toInt).getOrElse(5)
     val removeP = arg(a, "--trim-prefix")
     val addP = arg(a, "--add-prefix")
-    val annNprobe = parseAnn(arg(a, "--ann"))
+    val ann = parseAnn(arg(a, "--ann"))
     val spark = session()
     val index = IndexData.load(spark, db).cached()
     index.stats.count() // materialize caches before serving
 
     def answer(query: String, k: Int): String = {
-      val hits = runSearch(index, db, query, k, rerank = true, removeP, addP, annNprobe)
+      val hits = runSearch(index, db, query, k, rerank = true, removeP, addP, ann)
       s"""{"results":${hitsJson(hits)}}"""
     }
 

@@ -32,7 +32,9 @@ final case class IndexData(
     // IVF sidecar (the HNSW role, reference `src/db.py:152-165`) — present
     // when the index was built with ANN enabled; None degrades the VSS leg
     // to the exact heap scan
-    ann: Option[AnnIndex] = None) {
+    ann: Option[AnnIndex] = None,
+    // PQ sidecar: codes-only ADC shortlist + exact rerank (`--ann pq`)
+    pq: Option[PqIndex] = None) {
 
   /** Cache the search-path datasets for a long-lived serving session
     * (SURVEY.md §3.3). */
@@ -43,7 +45,8 @@ final case class IndexData(
     doclen = doclen.cache(),
     stats = stats.cache(),
     settings = settings.cache(),
-    ann = ann.map(_.cached()))
+    ann = ann.map(_.cached()),
+    pq = pq.map(_.cached()))
 
   /** S6-style point lookup (reference `src/db.py:181-196`). */
   def setting(key: String): Option[String] =
@@ -108,7 +111,8 @@ object IndexData {
     doclen = spark.read.parquet(s"$dir/doclen"),
     stats = spark.read.parquet(s"$dir/stats"),
     settings = spark.read.parquet(s"$dir/settings"),
-    ann = AnnIndex.load(spark, dir))
+    ann = AnnIndex.load(spark, dir),
+    pq = PqIndex.load(spark, dir))
 
   /** Derive the full artifact from a `documents` DataFrame that already has
     * (doc_id, tokens[, embedding]) columns — the F1–F3 stats build

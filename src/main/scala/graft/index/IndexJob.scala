@@ -37,6 +37,10 @@ object IndexJob {
       // (`--ann-clusters`); 0 = no ANN index (search stays exact)
       annClusters: Int = 0,
       annIters: Int = 4,
+      // PQ sidecar (`--pq-codes K`): >0 trains K-entry per-subspace
+      // codebooks and persists codes so `search --ann pq` ranks from codes
+      pqCodes: Int = 0,
+      pqIters: Int = 3,
       // space-filling-curve file clustering for the documents dataset
       // (`--layout zorder|hilbert`): range-partitions the write on the
       // Layout curve key over (file_path, line_start) so each parquet file
@@ -143,6 +147,7 @@ object IndexJob {
     val fresh = embedChunks(chunkFiles(files, chunker), embedder, opts)
     mergeAndWrite(spark, fresh, settingsFor(spark, embedder), indexDir,
       clear = opts.clear, annClusters = opts.annClusters, annIters = opts.annIters,
+      pqCodes = opts.pqCodes, pqIters = opts.pqIters,
       layout = opts.layout, layoutFiles = opts.layoutFiles)
   }
 
@@ -160,6 +165,8 @@ object IndexJob {
       clear: Boolean,
       annClusters: Int = 0,
       annIters: Int = 4,
+      pqCodes: Int = 0,
+      pqIters: Int = 3,
       layout: String = "none",
       layoutFiles: Int = 8): IndexData = {
     // FileSystem API, not java.io.File: indexDir may be hdfs://, s3a://, …
@@ -185,8 +192,17 @@ object IndexJob {
       else graft.ops.Layout.cluster(docs, layout, "file_path", "line_start", layoutFiles)
     // write-then-derive: the chunk+embed lineage executes exactly once
     val written = IndexData.write(laidOut, settings, indexDir)
-    withAnn(written, indexDir, annClusters, annIters)
+    withPq(withAnn(written, indexDir, annClusters, annIters),
+      indexDir, pqCodes, pqIters)
   }
+
+  /** Fit + persist the PQ sidecar over an already-written artifact (the
+    * [[withAnn]] pattern; re-fit-on-merge contract identical). */
+  def withPq(written: IndexData, indexDir: String, pqCodes: Int,
+      pqIters: Int = 3): IndexData =
+    if (pqCodes <= 0) written
+    else written.copy(pq = Some(PqIndex.buildAndWrite(
+      written.documents, "doc_id", "embedding", indexDir, pqCodes, pqIters)))
 
   /** Fit + persist the IVF sidecar over an already-written artifact. The fit
     * reads the written documents parquet (never the expensive chunk+embed

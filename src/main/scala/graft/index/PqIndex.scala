@@ -1,0 +1,179 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The persisted product-quantization sidecar — the codes-only serving
+  * layout of the q_embed_pq / q_sim_pq_* surface, wired into the index
+  * artifact so `search --ann pq[:shortlist]` can rank from codes instead of
+  * raw vectors:
+  *
+  * {{{
+  *   <dir>/ann_pq_codebooks/  j: long, cid: int, cv: array<float>   (8×K, tiny)
+  *   <dir>/ann_pq_codes/      doc_id, codes: array<int>             (8 ints/doc)
+  * }}}
+  *
+  * A 64-float embedding compresses to 8 small ints; the query builds an
+  * 8×K lookup table of exact query-subvector→centroid distances, and the
+  * approximate distance is a sum of 8 table lookups — no per-vector float
+  * math. At 100 TB the codes dataset is ~1/32 the bytes of the raw vectors,
+  * and the exact cosine kernel touches only the shortlist (`shortlist`
+  * ids ride a broadcast back into the documents scan). `shortlist ≥ corpus`
+  * reproduces the exact result (PqIndexSpec pins it). Composable with the
+  * IVF sidecar in principle (probe first, ADC inside probed clusters); the
+  * flat ADC scan is already the bytes-bound win this sidecar exists for.
+  */
+final case class PqIndex(codebooks: DataFrame, codes: DataFrame) {
+
+  /** Collected codebooks: (j → cid → centroid), 8×K×8 floats — scalar-sized
+    * by construction, cached for the serving session. */
+  lazy val codebookArray: Map[(Long, Int), Array[Float]] =
+    codebooks.collect()
+      .map(r => (r.getAs[Long]("j"), r.getAs[Int]("cid")) -> r.getSeq[Float](2).toArray)
+      .toMap
+
+  /** Per-query ADC lookup table as (j, cid, lq) rows: exact L2 from the
+    * query's j-th subvector to each centroid, 1e-6-quantized to longs (the
+    * order-independent-sum rule of the oracle-checked q_sim_pq_adc). */
+  def lut(spark: SparkSession, queryVec: Array[Float]): DataFrame = {
+    import spark.implicits._
+    val rows = codebookArray.toSeq.map { case ((j, cid), cv) =>
+      var acc = 0.0
+      var i = 0
+      while (i < cv.length) {
+        val q = queryVec((j * 8 + i).toInt).toDouble
+        val d = q - cv(i).toDouble
+        acc += d * d
+        i += 1
+      }
+      (j, cid, math.floor(acc * 1e6 + 0.5).toLong)
+    }
+    rows.toDF("j", "cid", "lq")
+  }
+
+  def cached(): PqIndex =
+    copy(codebooks = codebooks.cache(), codes = codes.cache())
+}
+
+object PqIndex {
+
+  val CodebooksDir = "ann_pq_codebooks"
+  val CodesDir = "ann_pq_codes"
+  val SubDim = 8 // subspace width — the q_embed_pq layout
+
+  /** Slice an embedding column into 8-dim double subvectors:
+    * (idCol, j, sv). Subspace count derives from the vector length. */
+  private def subspaces(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("_id"),
+        explode(transform(
+          sequence(lit(0), (size(col(vecCol)) / SubDim).cast("int") - 1),
+          j => struct(j.cast("long").as("j"),
+            slice(transform(col(vecCol), x => x.cast("double")),
+              j * SubDim + 1, lit(SubDim)).as("sv")))).as("sub"))
+      .select(col("_id"), col("sub.j").as("j"), col("sub.sv").as("sv"))
+
+  private def l2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Deterministic per-subspace k-means codebooks (all 8 subspaces train in
+    * ONE DataFrame job per iteration). Seeds are the k sub-vectors with the
+    * smallest ids per subspace; argmin ties break on (rounded d, cid);
+    * means sum 1e-6-quantized longs — the same reproducible-artifact rules
+    * as [[AnnIndex.fit]]. Returns (j, cid, cv: array<float>). */
+  def fit(docs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sub = docs
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("_did"), col(vecCol).as("_v"))
+      .transform(d => subspaces(d, "_did", "_v"))
+    // seed: k smallest-id subvectors per subspace
+    val wSeed = Window.partitionBy(col("j")).orderBy(col("_id").asc)
+    var books: Array[((Long, Int), Seq[Float])] = sub
+      .withColumn("_rn", row_number().over(wSeed))
+      .filter(col("_rn") <= k)
+      .select(col("j"), (col("_rn") - 1).cast("int").as("cid"), col("sv"))
+      .collect()
+      .map(r => (r.getAs[Long]("j"), r.getAs[Int]("cid")) ->
+        r.getSeq[Double](2).map(_.toFloat))
+    var round = 0
+    while (round < iters) {
+      val cb = booksDf(spark, books)
+      val sums = assign(sub, cb)
+        .select(col("j"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("j", "cid", "pos")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("v") * 1e6 + 0.5).cast("long")).as("sv"))
+        .collect() // 8×K×8 aggregated rows — scalar-sized
+      val byKey = sums.groupBy(r => (r.getAs[Long]("j"), r.getAs[Int]("cid")))
+      books = books.map { case (key, old) =>
+        byKey.get(key) match {
+          case Some(rows) =>
+            val arr = old.toArray
+            rows.foreach { r =>
+              arr(r.getAs[Int]("pos")) =
+                (r.getAs[Long]("sv").toDouble / (r.getAs[Long]("n").toDouble * 1e6)).toFloat
+            }
+            key -> arr.toSeq
+          case None => key -> old // empty cell keeps its centroid
+        }
+      }
+      round += 1
+    }
+    booksDf(spark, books)
+  }
+
+  private def booksDf(spark: SparkSession,
+      books: Array[((Long, Int), Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    books.toSeq.map { case ((j, cid), cv) => (j, cid, cv) }.toDF("j", "cid", "cv")
+  }
+
+  /** Nearest codebook entry per (vector, subspace): struct-min argmin —
+    * map-side partials, never a window over N×8×K candidates (the
+    * q_embed_pq shape). Input `sub`: (_id, j, sv). Output: (_id, j, cid, sv). */
+  private def assign(sub: DataFrame, codebooks: DataFrame): DataFrame =
+    sub.join(broadcast(codebooks.withColumn("cvd",
+        transform(col("cv"), x => x.cast("double")))), Seq("j"))
+      .withColumn("_d", l2(col("sv"), col("cvd")))
+      .groupBy("_id", "j")
+      .agg(min(struct(round(col("_d"), 6).as("d6"), col("cid").as("cid"))).as("best"),
+        first(col("sv")).as("sv"))
+      .select(col("_id"), col("j"), col("best.cid").as("cid"), col("sv"))
+
+  /** Encode every embedded document as its 8 codebook codes, packed in
+    * subspace order: (doc_id, codes: array<int>). */
+  def encode(docs: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame): DataFrame = {
+    val sub = docs
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("_did"), col(vecCol).as("_v"))
+      .transform(d => subspaces(d, "_did", "_v"))
+    assign(sub, codebooks)
+      .groupBy(col("_id").as("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("cid")))),
+        x => x.getField("cid")).as("codes"))
+  }
+
+  def buildAndWrite(docs: DataFrame, idCol: String, vecCol: String,
+      dir: String, k: Int = 16, iters: Int = 3): PqIndex = {
+    val spark = docs.sparkSession
+    val books = fit(docs, idCol, vecCol, k, iters).coalesce(1).localCheckpoint(true)
+    books.write.mode("overwrite").parquet(s"$dir/$CodebooksDir")
+    encode(docs, idCol, vecCol, books)
+      .write.mode("overwrite").parquet(s"$dir/$CodesDir")
+    load(spark, dir).getOrElse(sys.error(s"PqIndex write to $dir not readable back"))
+  }
+
+  def load(spark: SparkSession, dir: String): Option[PqIndex] = {
+    val p = new org.apache.hadoop.fs.Path(dir, CodebooksDir)
+    val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    if (!exists) None
+    else Some(PqIndex(
+      codebooks = spark.read.parquet(s"$dir/$CodebooksDir"),
+      codes = spark.read.parquet(s"$dir/$CodesDir")))
+  }
+}

@@ -33,7 +33,12 @@ object HybridSearch {
       // many clusters (`--ann ivf[:nprobe]`); 0 = exact heap scan. The
       // HNSW-vs-exact switch of the reference (`src/db.py:152-165`) —
       // requires an index built with `--ann-clusters`.
-      annNprobe: Int = 0)
+      annNprobe: Int = 0,
+      // >0 routes the VSS leg through the persisted PQ codes (`--ann
+      // pq[:shortlist]`): ADC shortlist of this many candidates from codes
+      // alone, then exact cosine rerank of only the shortlist. Requires an
+      // index built with `--pq-codes`. Takes precedence over annNprobe.
+      annPqShortlist: Int = 0)
 
   /** A4 — the hybrid score fusion rule (reference `src/searcher.py:218-241`):
     * both present → mean; exactly one → 0.8·that; neither → 0.
@@ -116,6 +121,36 @@ object HybridSearch {
       .limit(k)
   }
 
+  /** VSS leg through the persisted PQ codes — the two-stage production ANN
+    * serving pattern (q_sim_pq_rerank, oracle-checked over the testdata
+    * corpus): stage 1 ranks EVERY embedded doc by the sum of 8 LUT lookups
+    * over its codes (no per-vector float math; the LUT is 8×K rows riding a
+    * broadcast), stage 2 fetches ONLY the `shortlist` raw vectors and
+    * reranks by exact cosine. `shortlist ≥ corpus` reproduces the exact
+    * result (PqIndexSpec). At 100 TB the codes scan reads ~1/32 the bytes
+    * of the raw-vector scan and the exact kernel touches `shortlist` rows
+    * per query instead of the corpus. */
+  def vssTopKPq(pq: graft.index.PqIndex, documents: DataFrame,
+      queryVec: Array[Float], k: Int, shortlist: Int): DataFrame = {
+    val spark = documents.sparkSession
+    val lut = pq.lut(spark, queryVec)
+    val short = pq.codes
+      .select(col("doc_id"), posexplode(col("codes")).as(Seq("j", "cid")))
+      .join(broadcast(lut), Seq("j", "cid"))
+      .groupBy("doc_id")
+      .agg((sum(col("lq")).cast("double") / 1e6).as("adist"))
+      .orderBy(round(col("adist"), 6).asc, col("doc_id").asc)
+      .limit(shortlist)
+      .select("doc_id")
+    val qv = typedlit(queryVec.toSeq)
+    documents
+      .filter(col("embedding").isNotNull && col("doc_id").isNotNull)
+      .join(broadcast(short), Seq("doc_id"))
+      .select(col("doc_id"), VectorOps.cosineDist(col("embedding"), qv).as("vss_score"))
+      .orderBy(round(col("vss_score"), 6).asc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Full hybrid search. `embedder=None` degrades to FTS-only, mirroring the
     * reference's VSS-failure fallback (reference `src/searcher.py:148-150`);
     * `reranker=None` ⇔ `--no-rerank` (reference `src/cli.py:305-309`). */
@@ -142,7 +177,11 @@ object HybridSearch {
       case Some(e) =>
         val qvec = e.embed(Seq(query)).head
         val vss =
-          if (opts.annNprobe > 0) {
+          if (opts.annPqShortlist > 0) {
+            val pq = index.pq.getOrElse(sys.error(
+              "--ann pq requires an index built with --pq-codes (no ann_pq_codebooks in artifact)"))
+            vssTopKPq(pq, index.documents, qvec, opts.k, opts.annPqShortlist)
+          } else if (opts.annNprobe > 0) {
             val ann = index.ann.getOrElse(sys.error(
               "--ann requires an index built with --ann-clusters (no ann_centroids in artifact)"))
             vssTopKIvf(ann, qvec, opts.k, opts.annNprobe)

@@ -1,0 +1,90 @@
+package graft.index
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.embed.LookupEmbedder
+import graft.search.HybridSearch
+
+/** The persisted PQ sidecar and the `--ann pq` two-stage search path:
+  * deterministic codebook fit, artifact roundtrip, shortlist ≥ corpus ≡
+  * exact, and the byte story (codes ≪ vectors). */
+class PqIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val artifactDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("string").as("doc_id"), col("embedding"))
+    val idx = IndexJob.fromTable(docs, "doc_id", "text",
+      df => split(df("text"), " "), embeddings = Some(emb))
+    IndexData.write(idx.documents, idx.settings, dir)
+    IndexJob.withPq(IndexData.load(spark, dir), dir, pqCodes = 8, pqIters = 2)
+    dir
+  }
+
+  private lazy val index: IndexData = IndexData.load(spark, artifactDir)
+
+  private def queryVec: Array[Float] =
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") === 5).select("embedding")
+      .as[Array[Float]].head()
+
+  test("codebook fit is deterministic across runs") {
+    def books() = PqIndex.fit(index.documents, "doc_id", "embedding", k = 8, iters = 2)
+      .orderBy("j", "cid").collect()
+      .map(r => (r.getAs[Long]("j"), r.getAs[Int]("cid"), r.getSeq[Float](2)))
+    assert(books().toSeq == books().toSeq)
+  }
+
+  test("artifact roundtrip: sidecar loads; every embedded doc has 8 in-range codes") {
+    val pq = index.pq.getOrElse(fail("pq sidecar missing after withPq"))
+    val nEmb = index.documents.filter(col("embedding").isNotNull).count()
+    assert(pq.codes.count() == nEmb)
+    val bad = pq.codes.filter(size(col("codes")) =!= 8 ||
+      exists(col("codes"), c => c < 0 || c >= 8)).count()
+    assert(bad == 0)
+    assert(pq.codebooks.count() == 8 * 8) // 8 subspaces × 8 codes
+  }
+
+  test("shortlist >= corpus reproduces the exact VSS top-k (two-stage exactness)") {
+    val n = index.documents.count().toInt
+    val exact = HybridSearch.vssTopK(index.documents, queryVec, 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val viaPq = HybridSearch.vssTopKPq(index.pq.get, index.documents, queryVec, 10, n)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(viaPq == exact)
+  }
+
+  test("ADC shortlist at 50 keeps high recall vs exact and e2e search returns hits") {
+    val exact = HybridSearch.vssTopK(index.documents, queryVec, 10)
+      .select("doc_id").as[String].collect().toSet
+    val approx = HybridSearch.vssTopKPq(index.pq.get, index.documents, queryVec, 10, 50)
+      .select("doc_id").as[String].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall exact=$exact approx=$approx")
+
+    val hits = HybridSearch.search(index, "spark join merge",
+      analyzer = graft.analyze.WhitespaceAnalyzer,
+      embedder = Some(new LookupEmbedder(Map("spark join merge" -> queryVec))),
+      opts = HybridSearch.Options(k = 5, rerank = false, annPqShortlist = 50))
+      .collect()
+    assert(hits.nonEmpty && hits.length <= 5)
+  }
+
+  test("codes dataset is an order of magnitude smaller than the raw vectors") {
+    def dirBytes(p: String): Long = {
+      val d = new java.io.File(p)
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    }
+    val docsBytes = dirBytes(s"$artifactDir/documents")
+    val codeBytes = dirBytes(s"$artifactDir/${PqIndex.CodesDir}")
+    // documents carry text too, so compare against a loose bound: the codes
+    // sidecar must be a small fraction of the artifact it accelerates
+    assert(codeBytes * 5 < docsBytes, s"codes=$codeBytes docs=$docsBytes")
+  }
+}
