@@ -174,6 +174,61 @@ object MiningQueries {
         s"SELECT qid, vec_id, rank, ${Q.r6Sql("dist")} AS dist " +
         "FROM rr2 WHERE rank <= 5 ORDER BY qid, rank")),
 
+    // End-to-end SEARCH with the PQ-accelerated VSS leg — the `--ann pq`
+    // product path as an oracle-checked query: ADC shortlists 20 candidates
+    // from codes alone, the exact cosine kernel reranks ONLY the shortlist,
+    // and the result fuses with the untouched BM25 leg exactly like
+    // q_search_e2e_norerank / q_search_e2e_ann (fusion semantics unchanged
+    // across all three VSS strategies — that's the point). The persisted-
+    // sidecar path is pinned by PqIndexSpec; this query oracle-checks the
+    // identical dataflow over the testdata corpus.
+    Q("q_search_e2e_pq",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val short = adcShortlist(s, d, 20).filter(col("qid") === 0).select("vec_id")
+        val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+        val vss = e.join(broadcast(short), Seq("vec_id"))
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id").as("doc_id"),
+            graft.functions.VectorOps.cosineDist(col("embedding"), col("qvec")).as("vss_score"))
+          .orderBy(round(col("vss_score"), 6).asc, col("doc_id").asc)
+          .limit(10)
+        val dd = docs(s, d).select(col("doc_id"), col("tokens"))
+        val doclen = graft.search.Bm25.docLengths(dd)
+        val fts = graft.search.Bm25.scoresSelfContained(
+            Seq("spark", "join", "merge"),
+            graft.search.Bm25.postings(dd), doclen, graft.search.Bm25.corpusStats(doclen))
+          .orderBy(round(col("score"), 6).desc, col("doc_id").asc)
+          .limit(10)
+          .withColumnRenamed("score", "fts_score")
+        val fused = fts.join(vss, Seq("doc_id"), "full_outer")
+          .withColumn("score",
+            graft.search.HybridSearch.hybridScore(col("fts_score"), col("vss_score")))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            concat(lit("corpus/"), regexp_replace(col("source"), "^src", "")).as("file_path"))
+          .join(broadcast(fused), Seq("doc_id"))
+          .filter(col("score") > 0.01)
+          .select(col("doc_id"), col("file_path"), round(col("score"), 6).as("score"))
+          .orderBy(round(col("score"), 6).desc, col("doc_id").asc)
+          .limit(5)
+      },
+      Some(s"WITH ${Q.bm25Ctes}, ${Q.bm25ScoresCte("['spark', 'join', 'merge']")}, $adcCtes, " +
+        "fts AS (SELECT doc_id, score AS fts_score FROM scores ORDER BY round(score, 6) DESC, doc_id LIMIT 10), " +
+        "short AS (SELECT vec_id FROM rr WHERE qid = 0 AND rank <= 20), " +
+        "qvt AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+        s"vd AS (SELECT e.vec_id AS doc_id, ${Q.cosineDistSql("e.embedding", "qv")} AS vss_score " +
+        "FROM short s JOIN embeddings e ON s.vec_id = e.vec_id CROSS JOIN qvt), " +
+        "vss AS (SELECT doc_id, vss_score FROM vd ORDER BY round(vss_score, 6) ASC, doc_id LIMIT 10), " +
+        "fused AS (SELECT COALESCE(fts.doc_id, vss.doc_id) AS doc_id, fts_score, vss_score, " +
+        "CASE WHEN fts_score IS NOT NULL AND vss_score IS NOT NULL THEN (fts_score + vss_score) / 2.0 " +
+        "WHEN fts_score IS NOT NULL THEN fts_score * 0.8 " +
+        "WHEN vss_score IS NOT NULL THEN vss_score * 0.8 ELSE 0.0 END AS score " +
+        "FROM fts FULL OUTER JOIN vss ON fts.doc_id = vss.doc_id) " +
+        "SELECT doc_id, 'corpus/' || regexp_replace(source, '^src', '') AS file_path, " +
+        "round(score, 6) AS score FROM fused JOIN documents USING (doc_id) " +
+        "WHERE score > 0.01 ORDER BY round(score, 6) DESC, doc_id LIMIT 5")),
+
     // One k-means (Lloyd) refinement step over the embedding corpus: assign
     // every vector to its nearest centroid (the IVF assignment), then
     // recompute each centroid as the element-wise member mean and report how

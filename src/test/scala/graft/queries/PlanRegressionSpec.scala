@@ -210,4 +210,29 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(1200))
   }
+
+  /** SortMergeJoins allowed only for the top-k leg FUSION (FullOuter over
+    * two ≤k-row candidate lists — bounded by construction; full-outer can't
+    * build a broadcast hash side). Any other SMJ means a corpus-sized
+    * shuffle crept in. */
+  private def onlyFusionSortMerge(p: String): Boolean =
+    "SortMergeJoin [^\n]*".r.findAllIn(p).forall(_.contains("FullOuter"))
+
+  test("ann e2e search: probe equi-joins broadcast; only the fusion join sort-merges") {
+    val p = plan("q_search_e2e_ann")
+    // probes ride broadcasts into the assigned-corpus equi-join; the fused
+    // candidate attach is a broadcast too — at 100 TB nothing here shuffles
+    // the corpus on anything but its scan
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(onlyFusionSortMerge(p) && !p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("pq e2e search: ADC sum partial-aggregates; shortlist rides broadcasts") {
+    val p = plan("q_search_e2e_pq")
+    // the per-doc ADC sum must partial-aggregate before its exchange, and
+    // the 20-row shortlist must broadcast into the raw-vector fetch
+    assert(p.contains("partial_sum"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(onlyFusionSortMerge(p) && !p.contains("CartesianProduct"), p.take(1500))
+  }
 }
