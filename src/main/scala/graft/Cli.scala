@@ -18,7 +18,7 @@ import graft.search.HybridSearch
   *                    [--watch]   (stream NEW files into the index until killed)
   *   graft.Cli search --db DIR --query Q [--top-k K] [--no-rerank]
   *                    [--remove-path-prefix P] [--add-path-prefix P]
-  *                    [--ann ivf[:nprobe] | pq[:shortlist]]   (probe/ADC, don't scan)
+  *                    [--ann ivf[:nprobe] | pq[:shortlist] | ivf[:np]+pq[:sl]]
   *   graft.Cli serve  --db DIR [--top-k K] [--tool-name N] [--tool-description D]
   *                    [--transport stdio|http] [--host H] [--port P] [--path /mcp]
   *                    [--trim-prefix P] [--add-prefix P] [--protocol jsonl]
@@ -195,18 +195,20 @@ object Cli {
     }
   }
 
-  /** Parse `--ann ivf[:nprobe] | pq[:shortlist]` into
-    * (ivf nprobe, pq shortlist) — at most one is nonzero; (0,0) = exact. */
+  /** Parse `--ann ivf[:nprobe] | pq[:shortlist] | ivf[:np]+pq[:sl]` into
+    * (ivf nprobe, pq shortlist); (0,0) = exact. Both nonzero = the
+    * composed path (partition-prune code files by probe, then ADC). */
   private[graft] def parseAnn(v: Option[String]): (Int, Int) = v match {
     case None => (0, 0)
-    case Some(s) => s.split(":", 2) match {
-      case Array("ivf")     => (2, 0)
-      case Array("ivf", np) => (np.toInt, 0)
-      case Array("pq")      => (0, 50)
-      case Array("pq", sl)  => (0, sl.toInt)
-      case _ => sys.error(
-        s"unknown --ann '$s' (expected ivf[:<nprobe>] or pq[:<shortlist>])")
-    }
+    case Some(s) =>
+      s.split("\\+").map(_.split(":", 2) match {
+        case Array("ivf")     => (2, 0)
+        case Array("ivf", np) => (np.toInt, 0)
+        case Array("pq")      => (0, 50)
+        case Array("pq", sl)  => (0, sl.toInt)
+        case _ => sys.error(s"unknown --ann '$s' " +
+          "(expected ivf[:<nprobe>], pq[:<shortlist>], or ivf[:np]+pq[:sl])")
+      }).reduce((a, b) => (math.max(a._1, b._1), math.max(a._2, b._2)))
   }
 
   private def runSearch(index: IndexData, db: String, query: String, k: Int, rerank: Boolean,

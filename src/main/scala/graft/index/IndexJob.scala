@@ -197,12 +197,15 @@ object IndexJob {
   }
 
   /** Fit + persist the PQ sidecar over an already-written artifact (the
-    * [[withAnn]] pattern; re-fit-on-merge contract identical). */
+    * [[withAnn]] pattern; re-fit-on-merge contract identical). With an IVF
+    * sidecar present, codes write cluster-partitioned so the composed
+    * `--ann ivf+pq` path partition-prunes the code files by probe. */
   def withPq(written: IndexData, indexDir: String, pqCodes: Int,
       pqIters: Int = 3): IndexData =
     if (pqCodes <= 0) written
     else written.copy(pq = Some(PqIndex.buildAndWrite(
-      written.documents, "doc_id", "embedding", indexDir, pqCodes, pqIters)))
+      written.documents, "doc_id", "embedding", indexDir, pqCodes, pqIters,
+      clusterOf = written.ann.map(_.postings))))
 
   /** Fit + persist the IVF sidecar over an already-written artifact. The fit
     * reads the written documents parquet (never the expensive chunk+embed

@@ -158,13 +158,26 @@ object PqIndex {
         x => x.getField("cid")).as("codes"))
   }
 
+  /** Fit + encode + persist. When the artifact also has an IVF sidecar
+    * (`clusterOf` = its (cluster, doc_id) assignment), the codes dataset is
+    * written PARTITIONED BY the IVF cluster — the composed `--ann
+    * ivf:np+pq:sl` path then partition-prunes the code files by probe
+    * before a single lookup happens: the full 100 TB serving shape (prune
+    * by IVF → rank by codes → exact-verify the shortlist). */
   def buildAndWrite(docs: DataFrame, idCol: String, vecCol: String,
-      dir: String, k: Int = 16, iters: Int = 3): PqIndex = {
+      dir: String, k: Int = 16, iters: Int = 3,
+      clusterOf: Option[DataFrame] = None): PqIndex = {
     val spark = docs.sparkSession
     val books = fit(docs, idCol, vecCol, k, iters).coalesce(1).localCheckpoint(true)
     books.write.mode("overwrite").parquet(s"$dir/$CodebooksDir")
-    encode(docs, idCol, vecCol, books)
-      .write.mode("overwrite").parquet(s"$dir/$CodesDir")
+    val codes = encode(docs, idCol, vecCol, books)
+    clusterOf match {
+      case Some(assign) =>
+        codes.join(assign.select(col("cluster"), col("doc_id")), Seq("doc_id"))
+          .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/$CodesDir")
+      case None =>
+        codes.write.mode("overwrite").parquet(s"$dir/$CodesDir")
+    }
     load(spark, dir).getOrElse(sys.error(s"PqIndex write to $dir not readable back"))
   }
 

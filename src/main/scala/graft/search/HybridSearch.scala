@@ -131,10 +131,37 @@ object HybridSearch {
     * of the raw-vector scan and the exact kernel touches `shortlist` rows
     * per query instead of the corpus. */
   def vssTopKPq(pq: graft.index.PqIndex, documents: DataFrame,
-      queryVec: Array[Float], k: Int, shortlist: Int): DataFrame = {
+      queryVec: Array[Float], k: Int, shortlist: Int): DataFrame =
+    adcRerank(pq.codes, pq, documents, queryVec, k, shortlist)
+
+  /** Composed IVF×PQ VSS leg — the full 100 TB serving shape: partition-
+    * prune the CODE files down to the probed clusters (possible because
+    * `--pq-codes` on an IVF-enabled index writes `ann_pq_codes`
+    * partitioned by cluster), rank the survivors by ADC lookups, exact-
+    * verify only the shortlist. Per query: a pruned scan of
+    * ~nprobe/K × (1/32 bytes) of the corpus plus `shortlist` exact
+    * kernels. `nprobe = K` and `shortlist ≥ corpus` reproduces the exact
+    * result (PqIndexSpec). */
+  def vssTopKIvfPq(ann: graft.index.AnnIndex, pq: graft.index.PqIndex,
+      documents: DataFrame, queryVec: Array[Float], k: Int,
+      nprobe: Int, shortlist: Int): DataFrame = {
+    require(pq.codes.columns.contains("cluster"),
+      "--ann ivf+pq needs an artifact whose PQ codes were built alongside the " +
+        "IVF sidecar (cluster-partitioned ann_pq_codes); re-run index with " +
+        "both --ann-clusters and --pq-codes")
+    val probed = ann.probe(queryVec, nprobe)
+    adcRerank(pq.codes.filter(col("cluster").isin(probed: _*)),
+      pq, documents, queryVec, k, shortlist)
+  }
+
+  /** Shared PQ tail: ADC shortlist over the given codes scan, exact cosine
+    * rerank of only the shortlist. */
+  private def adcRerank(codes: DataFrame, pq: graft.index.PqIndex,
+      documents: DataFrame, queryVec: Array[Float], k: Int,
+      shortlist: Int): DataFrame = {
     val spark = documents.sparkSession
     val lut = pq.lut(spark, queryVec)
-    val short = pq.codes
+    val short = codes
       .select(col("doc_id"), posexplode(col("codes")).as(Seq("j", "cid")))
       .join(broadcast(lut), Seq("j", "cid"))
       .groupBy("doc_id")
@@ -177,7 +204,14 @@ object HybridSearch {
       case Some(e) =>
         val qvec = e.embed(Seq(query)).head
         val vss =
-          if (opts.annPqShortlist > 0) {
+          if (opts.annPqShortlist > 0 && opts.annNprobe > 0) {
+            val ann = index.ann.getOrElse(sys.error(
+              "--ann ivf+pq requires an index built with --ann-clusters"))
+            val pq = index.pq.getOrElse(sys.error(
+              "--ann ivf+pq requires an index built with --pq-codes"))
+            vssTopKIvfPq(ann, pq, index.documents, qvec, opts.k,
+              opts.annNprobe, opts.annPqShortlist)
+          } else if (opts.annPqShortlist > 0) {
             val pq = index.pq.getOrElse(sys.error(
               "--ann pq requires an index built with --pq-codes (no ann_pq_codebooks in artifact)"))
             vssTopKPq(pq, index.documents, qvec, opts.k, opts.annPqShortlist)

@@ -76,6 +76,42 @@ class PqIndexSpec extends AnyFunSuite {
     assert(hits.nonEmpty && hits.length <= 5)
   }
 
+  test("composed ivf+pq: cluster-partitioned codes, pruned scan, full-params ≡ exact") {
+    // artifact with BOTH sidecars: codes must come out cluster-partitioned
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("string").as("doc_id"), col("embedding"))
+    val idx = IndexJob.fromTable(docs, "doc_id", "text",
+      df => split(df("text"), " "), embeddings = Some(emb))
+    IndexData.write(idx.documents, idx.settings, dir)
+    IndexJob.withPq(
+      IndexJob.withAnn(IndexData.load(spark, dir), dir, annClusters = 4, annIters = 2),
+      dir, pqCodes = 8, pqIters = 2)
+    val both = IndexData.load(spark, dir)
+    assert(both.ann.isDefined && both.pq.isDefined)
+    val sub = new java.io.File(s"$dir/${PqIndex.CodesDir}")
+      .listFiles().map(_.getName).filter(_.startsWith("cluster="))
+    assert(sub.nonEmpty, "codes not cluster-partitioned")
+
+    // pruned scan: the composed leg's code read carries a partition filter
+    val leg = HybridSearch.vssTopKIvfPq(both.ann.get, both.pq.get,
+      both.documents, queryVec, 10, nprobe = 2, shortlist = 50)
+    val p = leg.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(p).isDefined, p.take(1500))
+    assert(leg.count() <= 10)
+
+    // full params reproduce the exact result — the composed approximation
+    // is the probe ∘ shortlist cut, nothing else
+    val n = both.documents.count().toInt
+    val exact = HybridSearch.vssTopK(both.documents, queryVec, 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val full = HybridSearch.vssTopKIvfPq(both.ann.get, both.pq.get,
+      both.documents, queryVec, 10, nprobe = 4, shortlist = n)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(full == exact)
+  }
+
   test("codes dataset is an order of magnitude smaller than the raw vectors") {
     def dirBytes(p: String): Long = {
       val d = new java.io.File(p)
