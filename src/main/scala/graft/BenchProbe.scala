@@ -57,14 +57,17 @@ object BenchProbe {
     val built = graft.index.IndexJob.fromTable(docs, "doc_id", "text",
       df => split(df("text"), " "), embeddings = Some(emb))
     graft.index.IndexData.write(built.documents, built.settings, dir)
-    graft.index.IndexJob.withAnn(graft.index.IndexData.load(spark, dir), dir,
-      annClusters = 16, annIters = 3)
+    graft.index.IndexJob.withPq(
+      graft.index.IndexJob.withAnn(graft.index.IndexData.load(spark, dir), dir,
+        annClusters = 16, annIters = 3),
+      dir, pqCodes = 16, pqIters = 3)
 
     // cache exactly the way `graft serve` does
     val index = graft.index.IndexData.load(spark, dir).cached()
     index.stats.count(); index.documents.count(); index.postings.count()
     index.termdf.count(); index.doclen.count()
     index.ann.foreach { a => a.centroids.count(); a.postings.count() }
+    index.pq.foreach { p => p.codebookArray; p.codes.count() }
 
     // 10 query texts with real embedding-table vectors attached
     val qvecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -78,20 +81,22 @@ object BenchProbe {
     val lookup = new graft.embed.LookupEmbedder(
       texts.zipWithIndex.map { case (t, i) => t -> qvecs(i.toString) }.toMap)
 
-    def runOnce(q: String, nprobe: Int): Double = {
+    def runOnce(q: String, nprobe: Int, shortlist: Int): Double = {
       val t0 = System.nanoTime()
       graft.search.HybridSearch.search(index, q,
         analyzer = graft.analyze.WhitespaceAnalyzer,
         embedder = Some(lookup),
         reranker = Some(new graft.rerank.TokenOverlapReranker()),
-        opts = graft.search.HybridSearch.Options(k = 5, annNprobe = nprobe)).collect()
+        opts = graft.search.HybridSearch.Options(k = 5,
+          annNprobe = nprobe, annPqShortlist = shortlist)).collect()
       (System.nanoTime() - t0) / 1e6 // ms
     }
 
-    for (nprobe <- Seq(0, 2)) {
-      texts.take(3).foreach(runOnce(_, nprobe)) // codegen/JIT warmup
-      val lats = (1 to 2).flatMap(_ => texts.map(runOnce(_, nprobe))).sorted
-      val mode = if (nprobe == 0) "exact" else s"ivf:$nprobe"
+    for (((nprobe, shortlist), mode) <- Seq(
+        (0, 0) -> "exact", (2, 0) -> "ivf:2",
+        (0, 50) -> "pq:50", (2, 50) -> "ivf:2+pq:50")) {
+      texts.take(3).foreach(runOnce(_, nprobe, shortlist)) // codegen/JIT warmup
+      val lats = (1 to 2).flatMap(_ => texts.map(runOnce(_, nprobe, shortlist))).sorted
       println(f"[serve-probe] sf=$sfDir mode=$mode n=${lats.length} " +
         f"p50=${pct(lats, 0.50)}%.0fms p95=${pct(lats, 0.95)}%.0fms " +
         f"min=${lats.head}%.0fms max=${lats.last}%.0fms")

@@ -20,6 +20,17 @@ class CliInteractiveSpec extends AnyFunSuite {
     assert(!new java.io.File("/tmp/never_created_idx").exists())
   }
 
+  test("parseAnn covers every documented --ann form") {
+    assert(Cli.parseAnn(None) == (0, 0))
+    assert(Cli.parseAnn(Some("ivf")) == (2, 0))
+    assert(Cli.parseAnn(Some("ivf:4")) == (4, 0))
+    assert(Cli.parseAnn(Some("pq")) == (0, 50))
+    assert(Cli.parseAnn(Some("pq:100")) == (0, 100))
+    assert(Cli.parseAnn(Some("ivf+pq")) == (2, 50))
+    assert(Cli.parseAnn(Some("ivf:3+pq:80")) == (3, 80))
+    intercept[RuntimeException](Cli.parseAnn(Some("hnsw")))
+  }
+
   test("interactive search loop answers each line and skips blanks") {
     import spark.implicits._
     val corpus = Seq(
