@@ -173,8 +173,17 @@ object IndexJob {
     // — java.io.File.exists() is always false there, which would silently
     // turn a clear=false merge into a destructive full overwrite.
     val docsPath = new org.apache.hadoop.fs.Path(indexDir, "documents")
-    val incremental = !clear &&
-      docsPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(docsPath)
+    val fs = docsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val incremental = !clear && fs.exists(docsPath)
+    if (!incremental) {
+      // a full (re)build must not inherit a previous build's sidecars: the
+      // frozen-model incremental contract below would otherwise re-assign
+      // the new corpus under OLD centroids/codebooks
+      Seq(AnnIndex.CentroidsDir, AnnIndex.PostingsDir,
+        PqIndex.CodebooksDir, PqIndex.CodesDir).foreach { d =>
+        fs.delete(new org.apache.hadoop.fs.Path(indexDir, d), true)
+      }
+    }
     val docs =
       if (!incremental) fresh
       else {
@@ -197,26 +206,59 @@ object IndexJob {
   }
 
   /** Fit + persist the PQ sidecar over an already-written artifact (the
-    * [[withAnn]] pattern; re-fit-on-merge contract identical). With an IVF
+    * [[withAnn]] incremental contract: frozen codebooks re-ENCODE the merged
+    * corpus on every merge; fit-from-scratch only when absent). With an IVF
     * sidecar present, codes write cluster-partitioned so the composed
     * `--ann ivf+pq` path partition-prunes the code files by probe. */
   def withPq(written: IndexData, indexDir: String, pqCodes: Int,
-      pqIters: Int = 3): IndexData =
-    if (pqCodes <= 0) written
-    else written.copy(pq = Some(PqIndex.buildAndWrite(
-      written.documents, "doc_id", "embedding", indexDir, pqCodes, pqIters,
-      clusterOf = written.ann.map(_.postings))))
+      pqIters: Int = 3): IndexData = written.pq match {
+    case Some(existing) =>
+      val spark = written.documents.sparkSession
+      val books = existing.codebooks.localCheckpoint(true)
+      val codes = PqIndex.encode(written.documents, "doc_id", "embedding", books)
+      written.ann.map(_.postings) match {
+        case Some(assign) =>
+          codes.join(assign.select(col("cluster"), col("doc_id")), Seq("doc_id"))
+            .write.mode("overwrite").partitionBy("cluster")
+            .parquet(s"$indexDir/${PqIndex.CodesDir}")
+        case None =>
+          codes.write.mode("overwrite").parquet(s"$indexDir/${PqIndex.CodesDir}")
+      }
+      written.copy(pq = PqIndex.load(spark, indexDir))
+    case None if pqCodes > 0 =>
+      written.copy(pq = Some(PqIndex.buildAndWrite(
+        written.documents, "doc_id", "embedding", indexDir, pqCodes, pqIters,
+        clusterOf = written.ann.map(_.postings))))
+    case None => written
+  }
 
   /** Fit + persist the IVF sidecar over an already-written artifact. The fit
     * reads the written documents parquet (never the expensive chunk+embed
-    * lineage). On an incremental merge the whole sidecar is re-fit from the
-    * merged corpus — centroids are a global property, so there is no cheaper
-    * correct refresh (same contract as the tfidf model). */
+    * lineage).
+    *
+    * Incremental contract (the tfidf staleness model): when the artifact
+    * ALREADY has a sidecar, the centroids stay FROZEN and only the
+    * inverted lists re-derive from the merged corpus — a broadcast-argmin
+    * assignment pass, no re-fit — so every merged document (including
+    * replaced paths) is in exactly one list and `--ann` search never
+    * silently misses new docs. Centroid drift is the documented staleness;
+    * re-fit by rebuilding with `clear = true` or calling this with a fresh
+    * artifact. Fit-from-scratch happens only when no sidecar exists and
+    * `annClusters > 0`. */
   def withAnn(written: IndexData, indexDir: String, annClusters: Int,
-      annIters: Int = 4): IndexData =
-    if (annClusters <= 0) written
-    else written.copy(ann = Some(AnnIndex.buildAndWrite(
-      written.documents, "doc_id", "embedding", indexDir, annClusters, annIters)))
+      annIters: Int = 4): IndexData = written.ann match {
+    case Some(existing) =>
+      // frozen centroids: re-assign the merged corpus into the lists
+      val centroids = existing.centroids.localCheckpoint(true)
+      AnnIndex.buildPostings(written.documents, "doc_id", "embedding", centroids)
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$indexDir/${AnnIndex.PostingsDir}")
+      written.copy(ann = AnnIndex.load(written.documents.sparkSession, indexDir))
+    case None if annClusters > 0 =>
+      written.copy(ann = Some(AnnIndex.buildAndWrite(
+        written.documents, "doc_id", "embedding", indexDir, annClusters, annIters)))
+    case None => written
+  }
 
   /** Full INDEX job with DataFrame-native TF-IDF embeddings instead of a
     * per-row [[Embedder]]: the bulk path when embedding needs whole-corpus

@@ -85,9 +85,16 @@ object IndexStream {
         if (!batch.isEmpty) {
           val fresh = IndexJob.embedChunks(
             IndexJob.chunkFiles(batch.toDF(), chunker), embedder, opts)
-          // clear=false always: each micro-batch merges into what exists
+          // clear=false always: each micro-batch merges into what exists.
+          // Sidecar/layout options forward so the FIRST batch builds the
+          // ANN/PQ sidecars and every later batch re-derives them from the
+          // merged corpus under frozen centroids/codebooks (the
+          // IndexJob.withAnn/withPq incremental contract — `--ann` search
+          // over a watched index never misses newly streamed docs).
           IndexJob.mergeAndWrite(batch.sparkSession, fresh, settings, indexDir,
-            clear = false)
+            clear = false, annClusters = opts.annClusters, annIters = opts.annIters,
+            pqCodes = opts.pqCodes, pqIters = opts.pqIters,
+            layout = opts.layout, layoutFiles = opts.layoutFiles)
           ()
         }
       }
@@ -139,7 +146,10 @@ object IndexStream {
               graft.embed.TfIdfEmbed.fitTransform(chunks.toDF(), "tokens", dim)
             model.save(sp, modelPath)
             IndexJob.mergeAndWrite(sp, IndexJob.chunksToDocs(embedded, opts),
-              IndexJob.settingsOf(sp, model.name, dim), indexDir, clear = false)
+              IndexJob.settingsOf(sp, model.name, dim), indexDir, clear = false,
+              annClusters = opts.annClusters, annIters = opts.annIters,
+              pqCodes = opts.pqCodes, pqIters = opts.pqIters,
+              layout = opts.layout, layoutFiles = opts.layoutFiles)
           } else {
             // frozen-model embedding of the delta (per-row reproduction of
             // the fitted pipeline — same hash buckets, idf, L2 norm)
@@ -147,7 +157,10 @@ object IndexStream {
             val fresh = IndexJob.embedChunks(
               chunks, model.embedder(analyzer.tokenize), opts)
             IndexJob.mergeAndWrite(sp, fresh,
-              IndexJob.settingsOf(sp, model.name, dim), indexDir, clear = false)
+              IndexJob.settingsOf(sp, model.name, dim), indexDir, clear = false,
+              annClusters = opts.annClusters, annIters = opts.annIters,
+              pqCodes = opts.pqCodes, pqIters = opts.pqIters,
+              layout = opts.layout, layoutFiles = opts.layoutFiles)
           }
           nonEmptyBatches += 1
           if (refitEvery > 0 && nonEmptyBatches % refitEvery == 0) {

@@ -53,6 +53,36 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(sStats == bStats)
   }
 
+  test("watched index with ANN sidecar: lists re-derive each batch, --ann finds new docs") {
+    import org.apache.spark.sql.functions._
+    val docs = Files.createTempDirectory("idxstream-ann-docs").toString
+    val idxDir = Files.createTempDirectory("idxstream-ann-s").toString + "/idx"
+    val embedder = new HashingEmbedder(dim = 16)
+
+    write(docs, "a.md", "# Alpha\n\nspark merges sorted runs fast\n")
+    val q = IndexStream.start(spark, docs, idxDir, embedder,
+      opts = IndexJob.Options(annClusters = 2, annIters = 2))
+    try {
+      q.processAllAvailable()
+      assert(IndexData.load(spark, idxDir).ann.isDefined) // built on batch 1
+      write(docs, "b.md", "# Beta\n\nvector cosine search embedding space\n")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val idx = IndexData.load(spark, idxDir)
+    val ann = idx.ann.getOrElse(fail("ann sidecar missing"))
+    // frozen-centroid re-assignment covered the batch-2 doc: every merged
+    // document is in exactly one inverted list
+    assert(ann.postings.count() == idx.documents.count())
+    // and --ann search (probing ALL clusters) can reach the new doc
+    val hits = graft.search.HybridSearch.search(idx, "vector cosine",
+      embedder = Some(embedder),
+      opts = graft.search.HybridSearch.Options(k = 3, rerank = false,
+        annNprobe = ann.numClusters))
+      .select("file_path").collect().map(_.getString(0))
+    assert(hits.exists(_.endsWith("b.md")), hits.mkString(","))
+  }
+
   test("tfidf watch: frozen-model deltas, re-fit barrier restores batch equality") {
     import org.apache.spark.sql.functions._
     val docs = Files.createTempDirectory("idxstream-tf-docs").toString
