@@ -71,9 +71,17 @@ object MiningQueries {
     * the partial-agg'd sum of 1e-6-quantized LUT longs; ranks are
     * (rounded-adist, id)-deterministic. Returns (qid, vec_id, adist, rank)
     * with rank ≤ k. */
-  private def adcShortlist(s: SparkSession, d: String, k: Int): DataFrame = {
+  private def adcShortlist(s: SparkSession, d: String, k: Int): DataFrame =
+    adcShortlistOver(s, d, t(s, d, "embeddings"), k)
+
+  /** [[adcShortlist]] over a RESTRICTED corpus frame (vec_id, embedding) —
+    * the codebook, queries and LUT still derive from the full embeddings
+    * table so the quantization geometry is identical; only the CANDIDATE
+    * set shrinks (the IVF∘PQ composition point). */
+  private def adcShortlistOver(s: SparkSession, d: String, corpus: DataFrame,
+      k: Int): DataFrame = {
     val e = t(s, d, "embeddings")
-    val sub = subspaces(e, "vec_id", "sv")
+    val sub = subspaces(corpus, "vec_id", "sv")
     val code = subspaces(e.filter(col("vec_id") < 16), "cid", "cv")
     // corpus encoding: nearest codebook entry per (vector, subspace) —
     // struct-min argmin (map-side partials; no window over N×8×K rows)
@@ -217,6 +225,98 @@ object MiningQueries {
         "fts AS (SELECT doc_id, score AS fts_score FROM scores ORDER BY round(score, 6) DESC, doc_id LIMIT 10), " +
         "short AS (SELECT vec_id FROM rr WHERE qid = 0 AND rank <= 20), " +
         "qvt AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+        s"vd AS (SELECT e.vec_id AS doc_id, ${Q.cosineDistSql("e.embedding", "qv")} AS vss_score " +
+        "FROM short s JOIN embeddings e ON s.vec_id = e.vec_id CROSS JOIN qvt), " +
+        "vss AS (SELECT doc_id, vss_score FROM vd ORDER BY round(vss_score, 6) ASC, doc_id LIMIT 10), " +
+        "fused AS (SELECT COALESCE(fts.doc_id, vss.doc_id) AS doc_id, fts_score, vss_score, " +
+        "CASE WHEN fts_score IS NOT NULL AND vss_score IS NOT NULL THEN (fts_score + vss_score) / 2.0 " +
+        "WHEN fts_score IS NOT NULL THEN fts_score * 0.8 " +
+        "WHEN vss_score IS NOT NULL THEN vss_score * 0.8 ELSE 0.0 END AS score " +
+        "FROM fts FULL OUTER JOIN vss ON fts.doc_id = vss.doc_id) " +
+        "SELECT doc_id, 'corpus/' || regexp_replace(source, '^src', '') AS file_path, " +
+        "round(score, 6) AS score FROM fused JOIN documents USING (doc_id) " +
+        "WHERE score > 0.01 ORDER BY round(score, 6) DESC, doc_id LIMIT 5")),
+
+    // End-to-end SEARCH with the COMPOSED IVF×PQ VSS leg — `--ann
+    // ivf:2+pq:20` as an oracle-checked query, completing the set: all four
+    // VSS strategies (exact / ivf / pq / ivf+pq) now hash-match DuckDB
+    // through the identical fusion tail. The composition point: the ADC
+    // candidate set is RESTRICTED to vectors assigned to a probed cluster
+    // (at scale, a partition-pruned scan of the cluster-partitioned codes),
+    // the codebook/LUT geometry is unchanged, and the exact kernel touches
+    // only the 20-row shortlist.
+    Q("q_search_e2e_ivfpq",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cents = e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("ccid"), col("embedding").as("ccvec"))
+        val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+        val cosd = graft.functions.VectorOps.cosineDist _
+        // probe: top-2 centroids for query 0 (4-row window — bounded)
+        val pr = cents.crossJoin(broadcast(qv))
+          .withColumn("qcd", cosd(col("ccvec"), col("qvec")))
+          .withColumn("_rn", row_number().over(
+            Window.orderBy(round(col("qcd"), 6).asc, col("ccid").asc)))
+          .filter(col("_rn") <= 2).select("ccid")
+        // corpus assignment → probed-cluster restriction
+        val wA = Window.partitionBy(col("vec_id"))
+          .orderBy(round(col("cd"), 6).asc, col("ccid").asc)
+        val restricted = e.crossJoin(broadcast(cents))
+          .withColumn("cd", cosd(col("embedding"), col("ccvec")))
+          .withColumn("_rn", row_number().over(wA)).filter(col("_rn") === 1)
+          .join(broadcast(pr), Seq("ccid"))
+          .select(col("vec_id"), col("embedding"))
+        val short = adcShortlistOver(s, d, restricted, 20)
+          .filter(col("qid") === 0).select("vec_id")
+        val vss = e.join(broadcast(short), Seq("vec_id"))
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id").as("doc_id"),
+            cosd(col("embedding"), col("qvec")).as("vss_score"))
+          .orderBy(round(col("vss_score"), 6).asc, col("doc_id").asc)
+          .limit(10)
+        val dd = docs(s, d).select(col("doc_id"), col("tokens"))
+        val doclen = graft.search.Bm25.docLengths(dd)
+        val fts = graft.search.Bm25.scoresSelfContained(
+            Seq("spark", "join", "merge"),
+            graft.search.Bm25.postings(dd), doclen, graft.search.Bm25.corpusStats(doclen))
+          .orderBy(round(col("score"), 6).desc, col("doc_id").asc)
+          .limit(10)
+          .withColumnRenamed("score", "fts_score")
+        val fused = fts.join(vss, Seq("doc_id"), "full_outer")
+          .withColumn("score",
+            graft.search.HybridSearch.hybridScore(col("fts_score"), col("vss_score")))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            concat(lit("corpus/"), regexp_replace(col("source"), "^src", "")).as("file_path"))
+          .join(broadcast(fused), Seq("doc_id"))
+          .filter(col("score") > 0.01)
+          .select(col("doc_id"), col("file_path"), round(col("score"), 6).as("score"))
+          .orderBy(round(col("score"), 6).desc, col("doc_id").asc)
+          .limit(5)
+      },
+      Some(s"WITH ${Q.bm25Ctes}, ${Q.bm25ScoresCte("['spark', 'join', 'merge']")}, $pqCtes, " +
+        "fts AS (SELECT doc_id, score AS fts_score FROM scores ORDER BY round(score, 6) DESC, doc_id LIMIT 10), " +
+        "cents AS (SELECT vec_id AS ccid, embedding AS ccvec FROM embeddings WHERE vec_id < 4), " +
+        "qvt AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+        "pr AS (SELECT ccid FROM (SELECT ccid, row_number() OVER " +
+        s"(ORDER BY round(${Q.cosineDistSql("ccvec", "qv")}, 6), ccid) AS rn FROM cents CROSS JOIN qvt) WHERE rn <= 2), " +
+        s"ca AS (SELECT vec_id, ccid FROM (SELECT e.vec_id, c.ccid, row_number() OVER " +
+        s"(PARTITION BY e.vec_id ORDER BY round(${Q.cosineDistSql("e.embedding", "c.ccvec")}, 6), c.ccid) AS rn " +
+        "FROM embeddings e CROSS JOIN cents c) WHERE rn = 1), " +
+        "probed AS (SELECT vec_id FROM ca JOIN pr USING (ccid)), " +
+        s"dd AS (SELECT s.vec_id, s.j, c.cid, ${l2Sql("s.sv", "c.cv")} AS d " +
+        "FROM sub s JOIN probed USING (vec_id) JOIN code c ON s.j = c.j), " +
+        "er AS (SELECT vec_id, j, cid, row_number() OVER " +
+        "(PARTITION BY vec_id, j ORDER BY round(d, 6), cid) AS rn FROM dd), " +
+        "enc AS (SELECT vec_id, j, cid FROM er WHERE rn = 1), " +
+        "lut AS (SELECT c.j, c.cid, " +
+        s"CAST(floor(${l2Sql("s.sv", "c.cv")} * 1e6 + 0.5) AS BIGINT) AS lq " +
+        "FROM sub s JOIN code c ON s.j = c.j WHERE s.vec_id = 0), " +
+        "ad AS (SELECT e.vec_id, CAST(sum(l.lq) AS DOUBLE) / 1e6 AS adist " +
+        "FROM enc e JOIN lut l ON e.j = l.j AND e.cid = l.cid " +
+        "WHERE e.vec_id != 0 GROUP BY e.vec_id), " +
+        "short AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER " +
+        "(ORDER BY round(adist, 6), vec_id) AS rn FROM ad) WHERE rn <= 20), " +
         s"vd AS (SELECT e.vec_id AS doc_id, ${Q.cosineDistSql("e.embedding", "qv")} AS vss_score " +
         "FROM short s JOIN embeddings e ON s.vec_id = e.vec_id CROSS JOIN qvt), " +
         "vss AS (SELECT doc_id, vss_score FROM vd ORDER BY round(vss_score, 6) ASC, doc_id LIMIT 10), " +

@@ -227,12 +227,15 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(onlyFusionSortMerge(p) && !p.contains("CartesianProduct"), p.take(1500))
   }
 
-  test("pq e2e search: ADC sum partial-aggregates; shortlist rides broadcasts") {
-    val p = plan("q_search_e2e_pq")
-    // the per-doc ADC sum must partial-aggregate before its exchange, and
-    // the 20-row shortlist must broadcast into the raw-vector fetch
-    assert(p.contains("partial_sum"), p.take(1200))
-    assert(p.contains("BroadcastHashJoin"), p.take(1200))
-    assert(onlyFusionSortMerge(p) && !p.contains("CartesianProduct"), p.take(1500))
+  test("pq and composed ivf+pq e2e search: ADC sum partial-aggregates; shortlist rides broadcasts") {
+    Seq("q_search_e2e_pq", "q_search_e2e_ivfpq").foreach { n =>
+      val p = plan(n)
+      // the per-doc ADC sum must partial-aggregate before its exchange, and
+      // the ≤20-row shortlist/probe frames must broadcast into their joins
+      assert(p.contains("partial_sum"), s"$n:\n${p.take(1200)}")
+      assert(p.contains("BroadcastHashJoin"), s"$n:\n${p.take(1200)}")
+      assert(onlyFusionSortMerge(p) && !p.contains("CartesianProduct"),
+        s"$n:\n${p.take(1500)}")
+    }
   }
 }
