@@ -52,6 +52,34 @@ final case class AnnIndex(centroids: DataFrame, postings: DataFrame) {
   /** Cache both datasets for a long-lived serving session. */
   def cached(): AnnIndex =
     copy(centroids = centroids.cache(), postings = postings.cache())
+
+  /** BATCH probe search over the persisted lists: every query probes its
+    * `nprobe` nearest centroids (queries × centroids is broadcast-sized),
+    * then ONE equi-join on the cluster id scans the union of all probed
+    * lists for the whole query set — the multi-query sibling of
+    * [[graft.search.HybridSearch.vssTopKIvf]] (which driver-probes and
+    * partition-prunes for a single query). Output:
+    * (qidCol, doc_id, dist, rank), rank ≤ k per query, deterministic
+    * (rounded-dist, doc_id) order. */
+  def probeSearchBatch(queries: DataFrame, qidCol: String, qvecCol: String,
+      nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(qidCol).as("_qid"), col(qvecCol).as("_qvec"))
+    val wProbe = Window.partitionBy(col("_qid"))
+      .orderBy(round(col("_qcd"), 6).asc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("_qcd", VectorOps.cosineDist(col("_qvec"), col("cvec")))
+      .withColumn("_pr", row_number().over(wProbe))
+      .filter(col("_pr") <= nprobe)
+      .select(col("_qid"), col("_qvec"), col("cid").as("cluster"))
+    val wRank = Window.partitionBy(col("_qid"))
+      .orderBy(round(col("dist"), 6).asc, col("doc_id").asc)
+    postings.join(broadcast(probes), Seq("cluster"))
+      .withColumn("dist", VectorOps.cosineDist(col("embedding"), col("_qvec")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as(qidCol), col("doc_id"), col("dist"), col("rank"))
+  }
 }
 
 object AnnIndex {

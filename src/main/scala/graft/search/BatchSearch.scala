@@ -30,7 +30,11 @@ object BatchSearch {
     * 6-decimal-rounded distance (the kNN operator's deterministic key), so
     * per-query parity with [[HybridSearch]] holds up to distance ties inside
     * 1e-6 at the k boundary. */
-  final case class Options(k: Int = 5, scoreThreshold: Double = 0.01, rankRounding: Int = -1)
+  /** `annNprobe` > 0 routes the VSS leg through the index's IVF sidecar
+    * ([[graft.index.AnnIndex.probeSearchBatch]] — one probed-lists join for
+    * the whole query set) instead of the exact kNN join; 0 = exact. */
+  final case class Options(k: Int = 5, scoreThreshold: Double = 0.01,
+      rankRounding: Int = -1, annNprobe: Int = 0)
 
   private def rankKey(opts: Options)(c: org.apache.spark.sql.Column) =
     if (opts.rankRounding >= 0) round(c, opts.rankRounding) else c
@@ -78,7 +82,12 @@ object BatchSearch {
         val vecs = queries.zip(embedded)
           .map { case ((qid, _), v) => (qid, v.toSeq) }
           .toDF("qid", "qvec")
-        Similarity.knnJoin(
+        if (opts.annNprobe > 0) {
+          val ann = index.ann.getOrElse(sys.error(
+            "annNprobe requires an index built with --ann-clusters"))
+          ann.probeSearchBatch(vecs, "qid", "qvec", opts.annNprobe, opts.k)
+            .select($"qid", $"doc_id", col("dist").as("vss_score"))
+        } else Similarity.knnJoin(
           index.documents.filter($"embedding".isNotNull)
             .select($"doc_id", $"embedding"),
           "doc_id", "embedding", vecs, "qid", "qvec", opts.k, excludeSelf = false)

@@ -44,6 +44,25 @@ class BatchSearchSpec extends AnyFunSuite {
       assert(batch(qid) == single, s"mismatch for $qid")
     }
 
+    // ANN batch leg: probing ALL clusters must reproduce the exact batch
+    // result (the probeSearchBatch composition changes the scan, never the
+    // candidate semantics at full probe)
+    val ann = graft.index.AnnIndex(
+      graft.index.AnnIndex.fit(index.documents, "doc_id", "embedding", k = 3, iters = 2),
+      graft.index.AnnIndex.buildPostings(index.documents, "doc_id", "embedding",
+        graft.index.AnnIndex.fit(index.documents, "doc_id", "embedding", k = 3, iters = 2)))
+    val annIndex = index.copy(ann = Some(ann))
+    val annBatch = BatchSearch.searchBatch(annIndex, queries,
+      analyzer = graft.analyze.WhitespaceAnalyzer,
+      embedder = Some(embedder),
+      opts = BatchSearch.Options(k = 5, annNprobe = 3))
+      .collect()
+      .groupBy(_.getAs[String]("qid"))
+      .view.mapValues(_.map(r =>
+        (r.getAs[String]("doc_id"), math.rint(r.getAs[Double]("score") * 1e9))).toSet)
+      .toMap
+    assert(annBatch == batch, "full-probe ANN batch diverged from exact batch")
+
     // reranked batch parity: the batch rerank surface must return the SAME
     // documents+scores as per-query HybridSearch.search with the same
     // reranker — full fused candidate set reranked, threshold applied to
