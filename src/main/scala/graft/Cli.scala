@@ -19,6 +19,7 @@ import graft.search.HybridSearch
   *   graft.Cli search --db DIR --query Q [--top-k K] [--no-rerank]
   *                    [--remove-path-prefix P] [--add-path-prefix P]
   *                    [--ann ivf[:nprobe] | pq[:shortlist] | ivf[:np]+pq[:sl]]
+  *                    [--fusion mean|rrf]   (score-average A4 or reciprocal-rank)
   *   graft.Cli serve  --db DIR [--top-k K] [--tool-name N] [--tool-description D]
   *                    [--transport stdio|http] [--host H] [--port P] [--path /mcp]
   *                    [--trim-prefix P] [--add-prefix P] [--protocol jsonl]
@@ -212,14 +213,18 @@ object Cli {
   }
 
   private def runSearch(index: IndexData, db: String, query: String, k: Int, rerank: Boolean,
-      removeP: Option[String], addP: Option[String], ann: (Int, Int) = (0, 0)) = {
+      removeP: Option[String], addP: Option[String], ann: (Int, Int) = (0, 0),
+      fusion: String = "mean") = {
     HybridSearch.search(index, query,
       analyzer = DefaultAnalyzer,
       embedder = Some(embedderFor(index, db)),
       reranker = if (rerank) Some(new TokenOverlapReranker()) else None,
       opts = HybridSearch.Options(k = k, rerank = rerank,
         removePathPrefix = removeP, addPathPrefix = addP,
-        annNprobe = ann._1, annPqShortlist = ann._2)).collect()
+        annNprobe = ann._1, annPqShortlist = ann._2, fusion = fusion,
+        // RRF scores live in (0, 2/61]; the reference's 0.01 threshold would
+        // cut real hits once k > 40 — scale it to the rank domain
+        scoreThreshold = if (fusion == "rrf") 0.001 else 0.01)).collect()
   }
 
   private def searchCmd(a: Array[String]): Unit = {
@@ -229,11 +234,12 @@ object Cli {
     val removeP = arg(a, "--remove-path-prefix")
     val addP = arg(a, "--add-path-prefix")
     val ann = parseAnn(arg(a, "--ann"))
+    val fusion = arg(a, "--fusion").getOrElse("mean")
     val spark = session()
     arg(a, "--query") match {
       case Some(query) =>
         val index = IndexData.load(spark, db)
-        val hits = runSearch(index, db, query, k, rerank, removeP, addP, ann)
+        val hits = runSearch(index, db, query, k, rerank, removeP, addP, ann, fusion)
         println(s"""{"results":${hitsJson(hits)}}""")
       case None =>
         // Interactive mode (reference `src/cli.py:345-379`: `search` without
@@ -243,7 +249,7 @@ object Cli {
         index.stats.count() // materialize caches before the first prompt
         System.err.println(s"[graft] interactive search on $db; one query per line, EOF exits")
         interactiveLoop(index, db, scala.io.Source.stdin.getLines(), System.out,
-          k, rerank, removeP, addP, ann)
+          k, rerank, removeP, addP, ann, fusion)
     }
     spark.stop()
   }
@@ -253,12 +259,13 @@ object Cli {
   private[graft] def interactiveLoop(
       index: IndexData, db: String, lines: Iterator[String],
       out: java.io.PrintStream, k: Int, rerank: Boolean,
-      removeP: Option[String], addP: Option[String], ann: (Int, Int) = (0, 0)): Unit =
+      removeP: Option[String], addP: Option[String], ann: (Int, Int) = (0, 0),
+      fusion: String = "mean"): Unit =
     lines.foreach { line =>
       val query = line.trim
       if (query.nonEmpty) {
         try {
-          val hits = runSearch(index, db, query, k, rerank, removeP, addP, ann)
+          val hits = runSearch(index, db, query, k, rerank, removeP, addP, ann, fusion)
           out.println(s"""{"results":${hitsJson(hits)}}""")
         } catch {
           case e: Throwable =>
@@ -284,12 +291,13 @@ object Cli {
     val removeP = arg(a, "--trim-prefix")
     val addP = arg(a, "--add-prefix")
     val ann = parseAnn(arg(a, "--ann"))
+    val fusion = arg(a, "--fusion").getOrElse("mean")
     val spark = session()
     val index = IndexData.load(spark, db).cached()
     index.stats.count() // materialize caches before serving
 
     def answer(query: String, k: Int): String = {
-      val hits = runSearch(index, db, query, k, rerank = true, removeP, addP, ann)
+      val hits = runSearch(index, db, query, k, rerank = true, removeP, addP, ann, fusion)
       s"""{"results":${hitsJson(hits)}}"""
     }
 

@@ -169,6 +169,37 @@ object SearchQueries {
         s"SELECT doc_id, ${Q.r6Sql("fts_score")} AS fts_score, ${Q.r6Sql("vss_score")} AS vss_score, " +
         s"${Q.r6Sql("score")} AS score FROM fused ORDER BY round(score, 6) DESC, doc_id")),
 
+    // Reciprocal-rank fusion (`--fusion rrf`): the rank-based alternative
+    // to A4's score averaging — Σ 1/(60 + leg rank), so BM25 magnitudes
+    // and cosine distances never meet on one axis. Ranks cut on ROUNDED
+    // leg scores with id tiebreaks (the Q convention), making the fused
+    // score bit-deterministic cross-engine; a missing leg contributes 0.
+    Q("q_fusion_rrf",
+      (s, d) => {
+        val wF = Window.orderBy(round(col("fts_score"), 6).desc, col("doc_id").asc)
+        val wV = Window.orderBy(round(col("vss_score"), 6).asc, col("doc_id").asc)
+        val fr = ftsLeg(s, d)
+          .withColumn("fts_rank", row_number().over(wF).cast("long"))
+          .select("doc_id", "fts_rank")
+        val vr = vssLeg(s, d)
+          .withColumn("vss_rank", row_number().over(wV).cast("long"))
+          .select("doc_id", "vss_rank")
+        fr.join(vr, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("fts_rank"), col("vss_rank"),
+            Q.r6(HybridSearch.rrfScore(col("fts_rank"), col("vss_rank"))).as("score"))
+          .orderBy(round(col("score"), 6).desc, col("doc_id").asc)
+      },
+      Some(s"WITH $fusedCtes, " +
+        "fr AS (SELECT doc_id, CAST(row_number() OVER " +
+        "(ORDER BY round(fts_score, 6) DESC, doc_id) AS BIGINT) AS fts_rank FROM fts), " +
+        "vr AS (SELECT doc_id, CAST(row_number() OVER " +
+        "(ORDER BY round(vss_score, 6) ASC, doc_id) AS BIGINT) AS vss_rank FROM vss), " +
+        "j AS (SELECT COALESCE(fr.doc_id, vr.doc_id) AS doc_id, fts_rank, vss_rank " +
+        "FROM fr FULL OUTER JOIN vr ON fr.doc_id = vr.doc_id) " +
+        "SELECT doc_id, fts_rank, vss_rank, " +
+        s"${Q.r6Sql("COALESCE(1.0 / (60 + fts_rank), 0.0) + COALESCE(1.0 / (60 + vss_rank), 0.0)")} AS score " +
+        "FROM j ORDER BY round(score, 6) DESC, doc_id")),
+
     // O6: stable merge order — FTS hits (by BM25 rank) before VSS-only hits
     // (reference `src/searcher.py:152-166`)
     Q("q_o6_merge_order",

@@ -38,7 +38,14 @@ object HybridSearch {
       // pq[:shortlist]`): ADC shortlist of this many candidates from codes
       // alone, then exact cosine rerank of only the shortlist. Requires an
       // index built with `--pq-codes`. Takes precedence over annNprobe.
-      annPqShortlist: Int = 0)
+      annPqShortlist: Int = 0,
+      // candidate fusion rule: "mean" = the reference's score-averaging A4
+      // (default); "rrf" = reciprocal-rank fusion Σ 1/(60 + leg rank) —
+      // rank-based, so BM25 and cosine scales never meet (the
+      // dimensional-oddity fix the reference's rule carries; see
+      // [[rrfScore]]). NOTE with rrf, per-doc scores are ≤ 2/61 ≈ 0.033 —
+      // keep scoreThreshold below 1/(60+k) or hits get filtered.
+      fusion: String = "mean")
 
   /** A4 — the hybrid score fusion rule (reference `src/searcher.py:218-241`):
     * both present → mean; exactly one → 0.8·that; neither → 0.
@@ -49,6 +56,18 @@ object HybridSearch {
       .when(fts.isNotNull, fts * 0.8)
       .when(vss.isNotNull, vss * 0.8)
       .otherwise(0.0)
+
+  /** Reciprocal-rank fusion over the two legs' RANKS (1-based, null when
+    * the doc missed that leg): Σ 1/(K + rank), K = 60 (the constant from
+    * Cormack/Clarke/Buettcher's original RRF formulation — public IR
+    * folklore). Rank-based fusion never mixes a BM25 magnitude with a
+    * cosine distance, so it sidesteps the dimensional oddity the
+    * reference's averaging rule carries; integer ranks make the score
+    * bit-deterministic cross-engine. */
+  val RrfK = 60.0
+  def rrfScore(ftsRank: Column, vssRank: Column): Column =
+    coalesce(lit(1.0) / (lit(RrfK) + ftsRank.cast("double")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(RrfK) + vssRank.cast("double")), lit(0.0))
 
   /** POSIX normpath for a user-supplied path prefix (mirrors the
     * reference's `os.path.normpath` before its startswith check,
@@ -224,8 +243,23 @@ object HybridSearch {
       case None =>
         fts.withColumn("vss_score", lit(null).cast("double"))
     }
-    val candidates = fused
-      .withColumn("score", hybridScore(col("fts_score"), col("vss_score")))
+    val candidates = opts.fusion match {
+      case "rrf" =>
+        // leg ranks over the fused frame: ≤ 2k rows by construction, so the
+        // unpartitioned windows are the bounded O6 accepted-cost class.
+        // nulls_last keeps absent-leg rows out of the real rank sequence.
+        import org.apache.spark.sql.expressions.Window
+        val wF = Window.orderBy(col("fts_score").desc_nulls_last, col("doc_id").asc)
+        val wV = Window.orderBy(round(col("vss_score"), 6).asc_nulls_last, col("doc_id").asc)
+        fused
+          .withColumn("_fr", when(col("fts_score").isNotNull, row_number().over(wF)))
+          .withColumn("_vr", when(col("vss_score").isNotNull, row_number().over(wV)))
+          .withColumn("score", rrfScore(col("_fr"), col("_vr")))
+          .drop("_fr", "_vr")
+      case "mean" =>
+        fused.withColumn("score", hybridScore(col("fts_score"), col("vss_score")))
+      case other => sys.error(s"unknown fusion '$other' (expected mean or rrf)")
+    }
 
     // J1: candidate fetch — broadcast the ≤2k candidate ids into the
     // documents scan (reference IN-list fetch, `src/searcher.py:172-180`).

@@ -55,6 +55,31 @@ class SearchSpec extends AnyFunSuite {
     assert(rows == Seq(0.75, 0.8, 0.4, 0.0))
   }
 
+  test("rrf fusion: rank-based scores, missing legs contribute zero, search works") {
+    val rows = Seq((Some(1L), Some(2L)), (Some(1L), None), (None, Some(3L)))
+      .toDF("fr", "vr")
+      .select(HybridSearch.rrfScore($"fr", $"vr").as("s"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(math.abs(rows(0) - (1.0 / 61 + 1.0 / 62)) < 1e-12)
+    assert(math.abs(rows(1) - 1.0 / 61) < 1e-12)
+    assert(math.abs(rows(2) - 1.0 / 63) < 1e-12)
+
+    // e2e with rrf: the top doc must hit BOTH legs (rank-sum dominance) and
+    // every score stays in the rrf range (0, 2/61]
+    val hits = HybridSearch.search(index, "spark database",
+      embedder = Some(new graft.embed.LookupEmbedder(
+        Map("spark database" -> Array(1f, 0f, 0f)))),
+      reranker = None,
+      opts = HybridSearch.Options(k = 3, rerank = false,
+        fusion = "rrf", scoreThreshold = 0.001))
+      .select("doc_id", "score").collect()
+    assert(hits.nonEmpty)
+    assert(hits.forall(r => r.getDouble(1) > 0 && r.getDouble(1) <= 2.0 / 61 + 1e-12))
+    // rank math, verifiable by hand: fts ranks (idf-driven) d3=1, d2=2,
+    // d1=3; vss ranks d1=1, d3=2. So d3 = 1/61+1/62 beats d1 = 1/63+1/61.
+    assert(hits.map(_.getString(0)).take(2).toSeq == Seq("d3", "d1"), hits.mkString(","))
+  }
+
   test("search end-to-end: fusion, candidate-set semantics, path rewrite, k") {
     val hits = HybridSearch.search(
       index, "spark database",
