@@ -200,6 +200,46 @@ object SearchQueries {
         s"${Q.r6Sql("COALESCE(1.0 / (60 + fts_rank), 0.0) + COALESCE(1.0 / (60 + vss_rank), 0.0)")} AS score " +
         "FROM j ORDER BY round(score, 6) DESC, doc_id")),
 
+    // Search-hit snippet extraction — the serving-layer feature the
+    // reference approximates with its 200-char preview (X10): for each
+    // BM25 top-10 hit, the first matching query term (query-order
+    // precedence), its 1-based character offset, and an ±40-char window
+    // around the match with the term [bracket]-highlighted. Pure string
+    // expressions over the ≤10 fused candidates — map-only, scale-free;
+    // `instr`/`substr` are 1-based with identical semantics in both
+    // engines.
+    Q("q_search_snippets",
+      (s, d) => {
+        val text = col("text")
+        val term = queryTerms.foldRight(lit(null).cast("string")) { (t, acc) =>
+          when(instr(text, t) > 0, lit(t)).otherwise(acc)
+        }
+        t(s, d, "documents").select(col("doc_id"), text)
+          .join(broadcast(ftsLeg(s, d).select("doc_id")), Seq("doc_id"))
+          .withColumn("term", term)
+          .withColumn("off", instr(text, col("term")).cast("long"))
+          .withColumn("snippet", substring(
+            text, greatest(lit(1), col("off") - 40).cast("int"), lit(100)))
+          .withColumn("highlighted",
+            regexp_replace(col("snippet"), col("term"),
+              concat(lit("["), col("term"), lit("]"))))
+          .select("doc_id", "term", "off", "snippet", "highlighted")
+          .orderBy("doc_id")
+      },
+      Some(s"WITH ${Q.bm25Ctes}, ${Q.bm25ScoresCte(queryTermsSql)}, " +
+        s"ftop AS (SELECT doc_id FROM scores ORDER BY round(score, 6) DESC, doc_id LIMIT $K), " +
+        "m AS (SELECT d.doc_id, d.text, " +
+        "CASE WHEN instr(d.text, 'spark') > 0 THEN 'spark' " +
+        "WHEN instr(d.text, 'join') > 0 THEN 'join' " +
+        "WHEN instr(d.text, 'merge') > 0 THEN 'merge' END AS term " +
+        "FROM documents d JOIN ftop USING (doc_id)), " +
+        "o AS (SELECT doc_id, text, term, CAST(instr(text, term) AS BIGINT) AS off FROM m), " +
+        "sn AS (SELECT doc_id, term, off, substr(text, CAST(greatest(1, off - 40) AS INT), 100) AS snippet FROM o) " +
+        "SELECT doc_id, term, off, snippet, " +
+        // 'g': DuckDB replaces first-only by default; Spark replaces all
+        "regexp_replace(snippet, term, '[' || term || ']', 'g') AS highlighted " +
+        "FROM sn ORDER BY doc_id")),
+
     // O6: stable merge order — FTS hits (by BM25 rank) before VSS-only hits
     // (reference `src/searcher.py:152-166`)
     Q("q_o6_merge_order",
