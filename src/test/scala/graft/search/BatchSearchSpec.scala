@@ -47,10 +47,10 @@ class BatchSearchSpec extends AnyFunSuite {
     // ANN batch leg: probing ALL clusters must reproduce the exact batch
     // result (the probeSearchBatch composition changes the scan, never the
     // candidate semantics at full probe)
-    val ann = graft.index.AnnIndex(
-      graft.index.AnnIndex.fit(index.documents, "doc_id", "embedding", k = 3, iters = 2),
-      graft.index.AnnIndex.buildPostings(index.documents, "doc_id", "embedding",
-        graft.index.AnnIndex.fit(index.documents, "doc_id", "embedding", k = 3, iters = 2)))
+    val cents = graft.index.AnnIndex.fit(index.documents, "doc_id", "embedding",
+      k = 3, iters = 2).localCheckpoint(true)
+    val ann = graft.index.AnnIndex(cents,
+      graft.index.AnnIndex.buildPostings(index.documents, "doc_id", "embedding", cents))
     val annIndex = index.copy(ann = Some(ann))
     val annBatch = BatchSearch.searchBatch(annIndex, queries,
       analyzer = graft.analyze.WhitespaceAnalyzer,
