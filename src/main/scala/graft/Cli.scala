@@ -20,6 +20,7 @@ import graft.search.HybridSearch
   *                    [--remove-path-prefix P] [--add-path-prefix P]
   *                    [--ann ivf[:nprobe] | pq[:shortlist] | ivf[:np]+pq[:sl]]
   *                    [--fusion mean|rrf]   (score-average A4 or reciprocal-rank)
+  *                    [--threshold T]   (min score; defaults 0.01 mean / 0.001 rrf)
   *   graft.Cli serve  --db DIR [--top-k K] [--tool-name N] [--tool-description D]
   *                    [--transport stdio|http] [--host H] [--port P] [--path /mcp]
   *                    [--trim-prefix P] [--add-prefix P] [--protocol jsonl]
@@ -91,8 +92,12 @@ object Cli {
     val keptOut = arg(a, "--layout").map(_.toLowerCase) match {
       case None | Some("none") => kept
       case Some(m) =>
-        val cols = arg(a, "--layout-cols").getOrElse("doc_id,text").split(",", 2)
-        graft.ops.Layout.cluster(kept, m, cols(0).trim, cols(1).trim,
+        val raw = arg(a, "--layout-cols").getOrElse("doc_id,text")
+        val cols = raw.split(",").map(_.trim).filter(_.nonEmpty)
+        if (cols.length != 2)
+          sys.error(s"--layout-cols expects exactly two comma-separated column names " +
+            s"(e.g. doc_id,text); got '$raw'")
+        graft.ops.Layout.cluster(kept, m, cols(0), cols(1),
           arg(a, "--layout-files").map(_.toInt).getOrElse(8))
     }
     keptOut.write.mode("overwrite").parquet(s"$out/kept")
@@ -214,7 +219,7 @@ object Cli {
 
   private def runSearch(index: IndexData, db: String, query: String, k: Int, rerank: Boolean,
       removeP: Option[String], addP: Option[String], ann: (Int, Int) = (0, 0),
-      fusion: String = "mean") = {
+      fusion: String = "mean", threshold: Option[Double] = None) = {
     HybridSearch.search(index, query,
       analyzer = DefaultAnalyzer,
       embedder = Some(embedderFor(index, db)),
@@ -223,9 +228,27 @@ object Cli {
         removePathPrefix = removeP, addPathPrefix = addP,
         annNprobe = ann._1, annPqShortlist = ann._2, fusion = fusion,
         // RRF scores live in (0, 2/61]; the reference's 0.01 threshold would
-        // cut real hits once k > 40 — scale it to the rank domain
-        scoreThreshold = if (fusion == "rrf") 0.001 else 0.01)).collect()
+        // cut real hits once k > 40 — scale the DEFAULT to the rank domain
+        // (an explicit --threshold wins, with [[thresholdWarning]] if it
+        // looks mean-domain-sized)
+        scoreThreshold = threshold.getOrElse(if (fusion == "rrf") 0.001 else 0.01))).collect()
   }
+
+  /** The `--threshold` / `--fusion rrf` domain-mismatch check: RRF scores
+    * are rank-domain (a doc present in ONE leg at rank r contributes
+    * 1/(60+r), so anything past rank k scores ≤ 1/(60+k) and the best
+    * possible score is 2/61 ≈ 0.033). An explicit threshold above 1/(60+k)
+    * — e.g. the reference's mean-domain habit of 0.01 with a large k — cuts
+    * real hits with no visible error. Returns the stderr note to print, or
+    * None when the combination is coherent. */
+  private[graft] def thresholdWarning(
+      threshold: Option[Double], fusion: String, k: Int): Option[String] =
+    threshold.filter(t => fusion == "rrf" && t > 1.0 / (HybridSearch.RrfK + k)).map { t =>
+      f"[graft] warning: --threshold $t%s with --fusion rrf exceeds the max " +
+        f"single-leg RRF contribution at rank k (1/(60+$k) = ${1.0 / (HybridSearch.RrfK + k)}%.5f); " +
+        "rrf scores are rank-domain (max 2/61 ≈ 0.033) — hits will be " +
+        "filtered. Use a threshold below 1/(60+k), or --fusion mean."
+    }
 
   private def searchCmd(a: Array[String]): Unit = {
     val db = arg(a, "--db").getOrElse(sys.error("--db required"))
@@ -235,11 +258,13 @@ object Cli {
     val addP = arg(a, "--add-path-prefix")
     val ann = parseAnn(arg(a, "--ann"))
     val fusion = arg(a, "--fusion").getOrElse("mean")
+    val threshold = arg(a, "--threshold").map(_.toDouble)
+    thresholdWarning(threshold, fusion, k).foreach(System.err.println)
     val spark = session()
     arg(a, "--query") match {
       case Some(query) =>
         val index = IndexData.load(spark, db)
-        val hits = runSearch(index, db, query, k, rerank, removeP, addP, ann, fusion)
+        val hits = runSearch(index, db, query, k, rerank, removeP, addP, ann, fusion, threshold)
         println(s"""{"results":${hitsJson(hits)}}""")
       case None =>
         // Interactive mode (reference `src/cli.py:345-379`: `search` without
@@ -249,7 +274,7 @@ object Cli {
         index.stats.count() // materialize caches before the first prompt
         System.err.println(s"[graft] interactive search on $db; one query per line, EOF exits")
         interactiveLoop(index, db, scala.io.Source.stdin.getLines(), System.out,
-          k, rerank, removeP, addP, ann, fusion)
+          k, rerank, removeP, addP, ann, fusion, threshold)
     }
     spark.stop()
   }
@@ -260,12 +285,12 @@ object Cli {
       index: IndexData, db: String, lines: Iterator[String],
       out: java.io.PrintStream, k: Int, rerank: Boolean,
       removeP: Option[String], addP: Option[String], ann: (Int, Int) = (0, 0),
-      fusion: String = "mean"): Unit =
+      fusion: String = "mean", threshold: Option[Double] = None): Unit =
     lines.foreach { line =>
       val query = line.trim
       if (query.nonEmpty) {
         try {
-          val hits = runSearch(index, db, query, k, rerank, removeP, addP, ann, fusion)
+          val hits = runSearch(index, db, query, k, rerank, removeP, addP, ann, fusion, threshold)
           out.println(s"""{"results":${hitsJson(hits)}}""")
         } catch {
           case e: Throwable =>
@@ -292,12 +317,14 @@ object Cli {
     val addP = arg(a, "--add-prefix")
     val ann = parseAnn(arg(a, "--ann"))
     val fusion = arg(a, "--fusion").getOrElse("mean")
+    val threshold = arg(a, "--threshold").map(_.toDouble)
+    thresholdWarning(threshold, fusion, defaultK).foreach(System.err.println)
     val spark = session()
     val index = IndexData.load(spark, db).cached()
     index.stats.count() // materialize caches before serving
 
     def answer(query: String, k: Int): String = {
-      val hits = runSearch(index, db, query, k, rerank = true, removeP, addP, ann, fusion)
+      val hits = runSearch(index, db, query, k, rerank = true, removeP, addP, ann, fusion, threshold)
       s"""{"results":${hitsJson(hits)}}"""
     }
 

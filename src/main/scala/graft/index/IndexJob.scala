@@ -263,7 +263,18 @@ object IndexJob {
   /** Full INDEX job with DataFrame-native TF-IDF embeddings instead of a
     * per-row [[Embedder]]: the bulk path when embedding needs whole-corpus
     * statistics (IDF fit) — one distributed fit + transform, no driver
-    * loops. */
+    * loops.
+    *
+    * Always a FULL REBUILD (`clear` semantics regardless of `opts.clear`):
+    * the model fits over the scanned corpus, so merging old-model documents
+    * into a new-model artifact would mix embedding spaces. Incremental
+    * tf-idf is the streaming staleness contract
+    * ([[graft.streaming.IndexStream.startTfIdf]]). Routing through
+    * [[mergeAndWrite]] gives this path the same tail as every other entry
+    * point — stale-sidecar deletion, layout clustering, ANN + PQ sidecars —
+    * so `--embedder tfidf --pq-codes K` / `--layout` are honored, not
+    * silently dropped, and a re-index over an existing artifact can never
+    * leave an old-space `ann_pq_codes` behind for `search --ann pq`. */
   def runTfIdf(
       spark: SparkSession,
       dirs: Seq[String],
@@ -277,8 +288,10 @@ object IndexJob {
     val (embedded, model) = graft.embed.TfIdfEmbed.fitTransform(chunks, "tokens", dim)
     model.save(spark, s"$indexDir/tfidf_model")
     val docs = chunksToDocs(embedded, opts)
-    withAnn(IndexData.write(docs, settingsOf(spark, model.name, dim), indexDir),
-      indexDir, opts.annClusters, opts.annIters)
+    mergeAndWrite(spark, docs, settingsOf(spark, model.name, dim), indexDir,
+      clear = true, annClusters = opts.annClusters, annIters = opts.annIters,
+      pqCodes = opts.pqCodes, pqIters = opts.pqIters,
+      layout = opts.layout, layoutFiles = opts.layoutFiles)
   }
 
   /** Build an in-memory index straight from an existing table of documents

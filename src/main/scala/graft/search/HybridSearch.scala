@@ -249,7 +249,11 @@ object HybridSearch {
         // unpartitioned windows are the bounded O6 accepted-cost class.
         // nulls_last keeps absent-leg rows out of the real rank sequence.
         import org.apache.spark.sql.expressions.Window
-        val wF = Window.orderBy(col("fts_score").desc_nulls_last, col("doc_id").asc)
+        // both legs rank on the ROUNDED score (the engine-wide deterministic
+        // cut-line convention, and exactly what the oracle-checked
+        // q_fusion_rrf ranks on) so near-tie fts scores can't order
+        // differently here than in the pinned cross-engine semantics
+        val wF = Window.orderBy(round(col("fts_score"), 6).desc_nulls_last, col("doc_id").asc)
         val wV = Window.orderBy(round(col("vss_score"), 6).asc_nulls_last, col("doc_id").asc)
         fused
           .withColumn("_fr", when(col("fts_score").isNotNull, row_number().over(wF)))

@@ -107,11 +107,15 @@ object IndexStream {
     *  - between re-fits, NEW files are embedded by the FROZEN current model
     *    (idf weights from the last fit) — geometry consistent with the
     *    already-indexed corpus, slightly stale w.r.t. the true corpus idf;
-    *  - every `refitEvery` non-empty micro-batches (and on an explicit
+    *  - every `refitEvery` micro-batches (by the CHECKPOINTED batchId, so
+    *    the cadence survives stream restarts; and on an explicit
     *    [[tfidfRefit]] barrier) the model re-fits over the MERGED corpus and
     *    EVERY document re-embeds under the new model — after a barrier the
     *    artifact is exactly what a batch [[IndexJob.runTfIdf]] over the same
-    *    files produces (IndexStreamSpec pins the equality);
+    *    files produces (IndexStreamSpec pins the equality), INCLUDING the
+    *    ANN/PQ sidecars, which a re-fit rebuilds from scratch in the new
+    *    embedding space (frozen old-space centroids/codebooks would be
+    *    wholesale-invalid, not merely stale);
     *  - bootstrap: with no persisted model, the first arrival set IS the
     *    corpus, so the model fits on it (batch semantics at that point).
     *
@@ -130,13 +134,11 @@ object IndexStream {
     val chunker = IndexJob.chunkerFor(opts, analyzer)
     val modelPath = s"$indexDir/tfidf_model"
     val files = markdownSource(spark, docsDir)
-    // driver-side micro-batch counter: foreachBatch bodies run on the driver
-    var nonEmptyBatches = 0L
 
     files.writeStream
       .option("checkpointLocation",
         checkpointDir.getOrElse(s"$indexDir/_index_checkpoint"))
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val sp = batch.sparkSession
           val chunks = IndexJob.chunkFiles(batch.toDF(), chunker)
@@ -162,9 +164,15 @@ object IndexStream {
               pqCodes = opts.pqCodes, pqIters = opts.pqIters,
               layout = opts.layout, layoutFiles = opts.layoutFiles)
           }
-          nonEmptyBatches += 1
-          if (refitEvery > 0 && nonEmptyBatches % refitEvery == 0) {
-            tfidfRefit(sp, indexDir, dim)
+          // cadence keys off the CHECKPOINTED batchId (monotonic across
+          // stream restarts, stable under foreachBatch retries) — a
+          // driver-side counter would reset on every restart and
+          // double-count retried batches, silently drifting the schedule.
+          // Contract: the re-fit fires on each non-empty micro-batch whose
+          // batchId completes a `refitEvery` stride (ids consumed by empty
+          // batches count toward the stride).
+          if (refitEvery > 0 && (batchId + 1) % refitEvery == 0) {
+            tfidfRefit(sp, indexDir, dim, opts)
             ()
           }
         }
@@ -174,15 +182,48 @@ object IndexStream {
 
   /** The re-fit barrier: fit idf over the merged corpus tokens, re-embed
     * EVERY document under the new model, rewrite artifact + model. After
-    * this, the artifact equals a batch `runTfIdf` over the same files. */
-  def tfidfRefit(spark: SparkSession, indexDir: String, dim: Int): graft.embed.TfIdfEmbed.TfIdfModel = {
+    * this, the artifact equals a batch `runTfIdf` over the same files —
+    * sidecars included.
+    *
+    * A re-fit changes the embedding SPACE wholesale: frozen centroids /
+    * codebooks fit in the old space are invalid afterwards (every distance
+    * `--ann` search would compute against them is against the wrong
+    * geometry — not the documented gradual drift). So the barrier deletes
+    * the sidecar dirs and re-fits them over the re-embedded corpus. Sidecar
+    * shape comes from `opts` when set, else is carried over from what the
+    * artifact already had (K clusters from `ann_centroids`, K codes from
+    * the codebook), so an explicit barrier can never silently downgrade an
+    * ANN-enabled index to exact-only. */
+  def tfidfRefit(spark: SparkSession, indexDir: String, dim: Int,
+      opts: IndexJob.Options = IndexJob.Options()): graft.embed.TfIdfEmbed.TfIdfModel = {
+    import graft.index.{AnnIndex, PqIndex}
     // materialize before overwriting the parquet dirs being read
     val docs = spark.read.parquet(s"$indexDir/documents")
       .drop("embedding").localCheckpoint(true)
     val (embedded, model) = graft.embed.TfIdfEmbed.fitTransform(docs, "tokens", dim)
     model.save(spark, s"$indexDir/tfidf_model")
-    graft.index.IndexData.write(embedded,
+    // carry over the existing sidecar shape before deleting (K rows / 8×K
+    // rows — scalar-sized reads)
+    val annK =
+      if (opts.annClusters > 0) opts.annClusters
+      else AnnIndex.load(spark, indexDir).map(_.numClusters).getOrElse(0)
+    val pqK =
+      if (opts.pqCodes > 0) opts.pqCodes
+      else PqIndex.load(spark, indexDir)
+        .map(_.codebooks.select("cid").distinct().count().toInt).getOrElse(0)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(AnnIndex.CentroidsDir, AnnIndex.PostingsDir,
+      PqIndex.CodebooksDir, PqIndex.CodesDir).foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(indexDir, d), true)
+    }
+    val laidOut =
+      if (opts.layout == "none") embedded
+      else graft.ops.Layout.cluster(embedded, opts.layout, "file_path", "line_start", opts.layoutFiles)
+    val written = graft.index.IndexData.write(laidOut,
       IndexJob.settingsOf(spark, model.name, dim), indexDir)
+    IndexJob.withPq(IndexJob.withAnn(written, indexDir, annK, opts.annIters),
+      indexDir, pqK, opts.pqIters)
     model
   }
 }

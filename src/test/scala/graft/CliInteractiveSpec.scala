@@ -31,6 +31,36 @@ class CliInteractiveSpec extends AnyFunSuite {
     intercept[RuntimeException](Cli.parseAnn(Some("hnsw")))
   }
 
+  test("thresholdWarning fires only on a mean-domain threshold with rrf fusion") {
+    // rrf max single-leg contribution at rank k=5 is 1/65 ≈ 0.01538
+    assert(Cli.thresholdWarning(Some(0.01), "rrf", 5).isEmpty)   // below 1/65: coherent
+    val warn = Cli.thresholdWarning(Some(0.02), "rrf", 5)        // above 1/65: cuts hits
+    assert(warn.isDefined && warn.get.contains("rank-domain"), warn)
+    assert(Cli.thresholdWarning(Some(0.02), "mean", 5).isEmpty)  // mean fusion: any T ok
+    assert(Cli.thresholdWarning(None, "rrf", 5).isEmpty)         // default T: no warning
+    // the reference-habit 0.01 DOES warn once k pushes 1/(60+k) below it
+    assert(Cli.thresholdWarning(Some(0.01), "rrf", 50).isDefined)
+  }
+
+  test("interactive search loop honors an explicit --threshold") {
+    import spark.implicits._
+    val corpus = Seq(
+      ("d1", "spark runs fast", Seq("spark", "runs", "fast"), Array(1f, 0f, 0f)),
+      ("d2", "duck db database", Seq("duck", "db", "database"), Array(0f, 1f, 0f)))
+      .toDF("doc_id", "content", "tokens", "embedding")
+      .withColumn("file_path", concat(lit("docs/"), col("doc_id")))
+      .withColumn("header_path", lit(""))
+      .withColumn("line_start", lit(1)).withColumn("line_end", lit(1))
+    val index = IndexData.fromDocuments(corpus,
+      Seq(Setting("embedding_model", "hashing"), Setting("embedding_dim", "3")).toDF())
+    val bos = new ByteArrayOutputStream()
+    // a threshold above any attainable score filters every hit — results: []
+    Cli.interactiveLoop(index, "unused-db", Iterator("spark"),
+      new PrintStream(bos, true, "UTF-8"), k = 3, rerank = false,
+      removeP = None, addP = None, threshold = Some(1e9))
+    assert(bos.toString("UTF-8").trim == """{"results":[]}""")
+  }
+
   test("interactive search loop answers each line and skips blanks") {
     import spark.implicits._
     val corpus = Seq(

@@ -122,4 +122,60 @@ class IndexStreamSpec extends AnyFunSuite {
     val bm = graft.embed.TfIdfEmbed.load(spark, s"$batchIdx/tfidf_model")
     assert(sm.dim == bm.dim && sm.idf.toSeq == bm.idf.toSeq)
   }
+
+  test("tfidf refit barrier rebuilds ANN/PQ sidecars in the NEW embedding space") {
+    import org.apache.spark.sql.functions._
+    val docs = Files.createTempDirectory("idxstream-tfann-docs").toString
+    val streamIdx = Files.createTempDirectory("idxstream-tfann-s").toString + "/idx"
+    val batchIdx = Files.createTempDirectory("idxstream-tfann-b").toString + "/idx"
+    val dim = 32
+    val opts = IndexJob.Options(annClusters = 2, annIters = 2, pqCodes = 4, pqIters = 2)
+
+    write(docs, "a.md", "# Alpha\n\nspark merges sorted runs fast\n")
+    val q = IndexStream.startTfIdf(spark, docs, streamIdx, dim, opts = opts, refitEvery = 0)
+    try {
+      q.processAllAvailable()
+      write(docs, "b.md", "# Beta\n\nvector cosine search embedding space\n")
+      write(docs, "c.md", "plain spark text body with cosine vector terms\n")
+      write(docs, "d.md", "# Delta\n\nhybrid ranking fuses lexical and dense scores\n")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // explicit barrier with the watch opts: sidecars re-fit at the requested
+    // shape in the new space (the bootstrap batch had 1 doc, so the streamed
+    // sidecar could only seed 1 centroid — the refit over the 3-doc merged
+    // corpus reaches the full K=2)
+    IndexStream.tfidfRefit(spark, streamIdx, dim, opts)
+
+    val streamed = IndexData.load(spark, streamIdx)
+    val ann = streamed.ann.getOrElse(fail("ann sidecar missing after refit"))
+    val pq = streamed.pq.getOrElse(fail("pq sidecar missing after refit"))
+    assert(ann.numClusters == 2)
+    assert(pq.codebooks.select("cid").distinct().count() == 4)
+    // sidecar vectors live in the NEW space: every posting's embedding is
+    // bit-identical to the re-embedded document it indexes
+    val docEmb = streamed.documents.select(col("doc_id"), col("embedding"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    val postEmb = ann.postings.select(col("doc_id"), col("embedding"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(postEmb == docEmb) // stale old-space postings would differ
+    // and the barrier equals a batch runTfIdf with the same sidecar opts —
+    // deterministic fits over an identical corpus give identical sidecars
+    val batch = IndexJob.runTfIdf(spark, Seq(docs), batchIdx, dim, opts = opts)
+    val bAnn = batch.ann.getOrElse(fail("batch ann sidecar missing"))
+    def cents(a: graft.index.AnnIndex) = a.centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    assert(cents(ann) == cents(bAnn))
+    def books(p: graft.index.PqIndex) = p.codebooks.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Float](2)).toMap
+    assert(books(pq) == books(batch.pq.getOrElse(fail("batch pq missing"))))
+
+    // a later barrier WITHOUT explicit sidecar opts carries the shape over
+    // from the artifact — a refit can never silently downgrade an
+    // ANN-enabled index to exact-only
+    IndexStream.tfidfRefit(spark, streamIdx, dim)
+    val again = IndexData.load(spark, streamIdx)
+    assert(again.ann.map(_.numClusters).contains(2))
+    assert(again.pq.map(_.codebooks.select("cid").distinct().count()).contains(4L))
+  }
 }
