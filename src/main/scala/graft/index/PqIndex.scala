@@ -10,14 +10,16 @@ import org.apache.spark.sql.functions._
   * raw vectors:
   *
   * {{{
-  *   <dir>/ann_pq_codebooks/  j: long, cid: int, cv: array<float>   (8×K, tiny)
-  *   <dir>/ann_pq_codes/      doc_id, codes: array<int>             (8 ints/doc)
+  *   <dir>/ann_pq_codebooks/  j: long, cid: int, cv: array<float>   (m×K, tiny)
+  *   <dir>/ann_pq_codes/      doc_id, codes: array<int>             (m ints/doc)
   * }}}
   *
-  * A 64-float embedding compresses to 8 small ints; the query builds an
-  * 8×K lookup table of exact query-subvector→centroid distances, and the
-  * approximate distance is a sum of 8 table lookups — no per-vector float
-  * math. At 100 TB the codes dataset is ~1/32 the bytes of the raw vectors,
+  * m = ceil(dim/8) subspaces (a dim not divisible by 8 gets a narrower
+  * final subspace, so EVERY dimension contributes to ADC ranking — dim 64
+  * ⇒ 8 codes). A 64-float embedding compresses to 8 small ints; the query
+  * builds an m×K lookup table of exact query-subvector→centroid distances,
+  * and the approximate distance is a sum of m table lookups — no
+  * per-vector float math. At 100 TB the codes dataset is ~1/32 the bytes of the raw vectors,
   * and the exact cosine kernel touches only the shortlist (`shortlist`
   * ids ride a broadcast back into the documents scan). `shortlist ≥ corpus`
   * reproduces the exact result (PqIndexSpec pins it). Composable with the
@@ -63,11 +65,17 @@ object PqIndex {
   val SubDim = 8 // subspace width — the q_embed_pq layout
 
   /** Slice an embedding column into 8-dim double subvectors:
-    * (idCol, j, sv). Subspace count derives from the vector length. */
+    * (idCol, j, sv). Subspace count is ceil(dim/8), so a dim that is not a
+    * multiple of 8 gets a narrower FINAL subspace covering the remainder
+    * dims (`slice` truncates at the array end) — every dimension
+    * contributes to ADC ranking. Floor division here would silently drop
+    * the `dim mod 8` tail from the approximate stage: a recall nibble the
+    * exact rerank can't see (PqIndexSpec pins a dim=100 fixture). */
   private def subspaces(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("_id"),
         explode(transform(
-          sequence(lit(0), (size(col(vecCol)) / SubDim).cast("int") - 1),
+          sequence(lit(0),
+            ceil(size(col(vecCol)).cast("double") / SubDim).cast("int") - 1),
           j => struct(j.cast("long").as("j"),
             slice(transform(col(vecCol), x => x.cast("double")),
               j * SubDim + 1, lit(SubDim)).as("sv")))).as("sub"))

@@ -25,6 +25,24 @@ object Dedup {
   val NumHashes = 8
   val RowsPerBand = 4 // ⇒ 2 bands
 
+  /** Default bucket-density cap for BATCH candidate formation — the
+    * streaming `maxPerBucket` contract ([[graft.streaming.NearDupStream]])
+    * brought to the batch LSH verify stages. In-bucket pair count grows as
+    * Σ n_b², and boilerplate-heavy real corpora produce dense buckets
+    * organically (license headers, templated pages), so an uncapped verify
+    * stage goes superlinear exactly when the data gets realistic. Capping
+    * MEMBERSHIP per bucket at C bounds pairs at C(C−1)/2 per bucket no
+    * matter how dense the corpus gets.
+    *
+    * RECALL CONTRACT (explicit, not silent): members are kept in
+    * deterministic id order; a document beyond the cap in an oversized
+    * bucket forms no candidate pairs through THAT bucket (it can still pair
+    * through its other band, and an oversized bucket is near-identical
+    * boilerplate whose survivors still represent the cluster). Both engines
+    * apply the identical cap — it is part of the operator's semantics, and
+    * the oracle SQL reproduces it row-for-row. */
+  val MaxPerBucket = 256
+
   /** Portable token hash: a few ascii probes + length. Weak as a hash, but
     * deterministic, collision-tolerant (both engines see identical values),
     * and expressible in ANSI-ish SQL — the property the oracle needs.
@@ -74,6 +92,19 @@ object Dedup {
     (0 until RowsPerBand).map(r => s"${mhCols(band * RowsPerBand + r)} * ${ws(r)}").mkString(" + ")
   }
 
+  /** The batch bucket-density guard: keep only the first `maxPerBucket`
+    * members of each bucket, in deterministic ascending-id order (see
+    * [[MaxPerBucket]] for the recall contract). One row_number window
+    * partitioned on the bucket key — the downstream pair join shuffles on
+    * the same key, so the exchange is reused, not added. */
+  def capBuckets(df: DataFrame, idCol: String, bucketKeys: Seq[String],
+      maxPerBucket: Int = MaxPerBucket): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(bucketKeys.map(col): _*).orderBy(col(idCol).asc)
+    df.withColumn("_bn", row_number().over(w))
+      .filter(col("_bn") <= maxPerBucket).drop("_bn")
+  }
+
   /** Exact duplicate groups: hash-groupBy on content (map-side partial agg;
     * one shuffle on the content hash, never on raw text at scale — group by
     * md5 so the shuffle key is 32 bytes, not the document). */
@@ -120,8 +151,8 @@ object Dedup {
     * is only valid for bounded query sets). */
   def nearDupByLsh(
       bucketed: DataFrame, idCol: String, vecCol: String, bucketCol: String,
-      threshold: Double): DataFrame =
-    Similarity.nearDupInBuckets(bucketed, idCol, vecCol, bucketCol)
+      threshold: Double, maxPerBucket: Int = MaxPerBucket): DataFrame =
+    Similarity.nearDupInBuckets(bucketed, idCol, vecCol, bucketCol, maxPerBucket)
       .withColumn("near_dup", round(col("dist"), 6) < threshold)
 
   /** Exact Jaccard similarity of two DISTINCT-element array columns. */

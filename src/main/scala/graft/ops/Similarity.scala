@@ -156,16 +156,23 @@ object Similarity {
     * (one shuffle), so candidate pairs only form inside a bucket, and the
     * per-vector argmin is a window over each vector's own candidates.
     * Intermediate size is Σ n_b² over buckets — controlled by plane count
-    * (more planes → smaller buckets) exactly like the MinHash LSH pairs
-    * pipeline. Vectors alone in their bucket emit no row (no in-bucket
-    * candidate; at scale those are "no near-dup" by construction). */
+    * (more planes → smaller buckets) like the MinHash LSH pairs pipeline,
+    * and BOUNDED by the `maxPerBucket` density guard: membership per bucket
+    * is capped in ascending-id order ([[Dedup.MaxPerBucket]]'s recall
+    * contract — boilerplate-dense corpora otherwise go quadratic inside
+    * hot buckets). A capped-out vector emits no row, same as a solo vector.
+    * Vectors alone in their bucket emit no row (no in-bucket candidate; at
+    * scale those are "no near-dup" by construction). */
   def nearDupInBuckets(
       bucketed: DataFrame, idCol: String, vecCol: String,
-      bucketCol: String): DataFrame = {
-    val a = bucketed.select(
-      col(bucketCol).as("bucket"), col(idCol).as("vec_id"), col(vecCol).as("_va"))
-    val b = bucketed.select(
-      col(bucketCol).as("bucket"), col(idCol).as("nn_id"), col(vecCol).as("_vb"))
+      bucketCol: String, maxPerBucket: Int = Dedup.MaxPerBucket): DataFrame = {
+    val capped = Dedup.capBuckets(
+      bucketed.select(col(bucketCol).as("bucket"), col(idCol), col(vecCol)),
+      idCol, Seq("bucket"), maxPerBucket)
+    val a = capped.select(
+      col("bucket"), col(idCol).as("vec_id"), col(vecCol).as("_va"))
+    val b = capped.select(
+      col("bucket"), col(idCol).as("nn_id"), col(vecCol).as("_vb"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(round(col("dist"), 6).asc, col("nn_id").asc)
     a.join(b, Seq("bucket"))

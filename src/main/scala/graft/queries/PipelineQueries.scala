@@ -21,17 +21,34 @@ object PipelineQueries {
 
   private val HourNs = 3600000000000L
 
-  /** LSH candidate pairs (doc_a < doc_b) of an already-tokenized
-    * (doc_id, tokens) frame, formed ONLY inside a band bucket — never an
-    * all-pairs join. DataFrame-parameterized so the oracle-checked queries
-    * and the curate CLI chain run the ONE implementation. */
-  private[graft] def minhashPairsOf(tokenized: DataFrame): DataFrame = {
+  /** Exploded (doc_id, band, bucket) membership rows with the batch
+    * bucket-density guard applied: membership per (band, bucket) is capped
+    * at `maxPerBucket` in ascending-id order ([[Dedup.MaxPerBucket]]'s
+    * recall contract — the streaming `maxPerBucket` brought to batch, so
+    * Σ n_b² in-bucket pair growth stays bounded on boilerplate-dense
+    * corpora). Every LSH candidate consumer (pairs, incremental screen,
+    * curate chain) draws from THIS one frame, and the oracle's
+    * [[minhashBandsCtes]] applies the identical cap. */
+  private[graft] def minhashBands(tokenized: DataFrame,
+      maxPerBucket: Int = Dedup.MaxPerBucket): DataFrame = {
     val sig = Dedup.withMinhashSignature(
       tokenized.filter(size(col("tokens")) >= 3), "tokens")
     val bands = sig.select(col("doc_id"), explode(array(
       struct(lit(0).as("band"), col("band0").as("bucket")),
       struct(lit(1).as("band"), col("band1").as("bucket")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    Dedup.capBuckets(bands, "doc_id", Seq("band", "bucket"), maxPerBucket)
+  }
+
+  /** LSH candidate pairs (doc_a < doc_b) of an already-tokenized
+    * (doc_id, tokens) frame, formed ONLY inside a band bucket — never an
+    * all-pairs join, and never more than C(C−1)/2 pairs per bucket (the
+    * [[minhashBands]] density guard). DataFrame-parameterized so the
+    * oracle-checked queries and the curate CLI chain run the ONE
+    * implementation. */
+  private[graft] def minhashPairsOf(tokenized: DataFrame,
+      maxPerBucket: Int = Dedup.MaxPerBucket): DataFrame = {
+    val bands = minhashBands(tokenized, maxPerBucket)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -59,7 +76,10 @@ object PipelineQueries {
     minhashVerifiedPairsOf(docs(s, d))
 
   /** Oracle CTE prefix shared by every MinHash-LSH query: tokenize →
-    * shingle sets → signatures → exploded `bands(doc_id, band, bucket)`. */
+    * shingle sets → signatures → exploded `bands(doc_id, band, bucket)`,
+    * with the SAME per-(band,bucket) membership cap as [[minhashBands]] —
+    * the density guard is operator semantics, so the oracle reproduces it
+    * row-for-row rather than diffing against an uncapped candidate set. */
   private[queries] val minhashBandsCtes: String = {
     val sh = Dedup.shinglesSql("toks")
     val hs = s"list_transform($sh, s -> ${Dedup.tokHashSql("s")})"
@@ -67,8 +87,11 @@ object PipelineQueries {
     s"${Q.toksCte}, " +
       s"shc AS (SELECT doc_id, list_distinct($sh) AS ds, $hs AS hs FROM toks WHERE len(toks) >= 3), " +
       s"mh AS (SELECT doc_id, ${mhs.mkString(", ")} FROM shc), " +
-      s"bands AS (SELECT doc_id, 0 AS band, ${Dedup.bandBucketSql((0 until 8).map(j => s"mh$j"), 0)} AS bucket FROM mh " +
-      s"UNION ALL SELECT doc_id, 1, ${Dedup.bandBucketSql((0 until 8).map(j => s"mh$j"), 1)} FROM mh)"
+      s"bands0 AS (SELECT doc_id, 0 AS band, ${Dedup.bandBucketSql((0 until 8).map(j => s"mh$j"), 0)} AS bucket FROM mh " +
+      s"UNION ALL SELECT doc_id, 1, ${Dedup.bandBucketSql((0 until 8).map(j => s"mh$j"), 1)} FROM mh), " +
+      "bands AS (SELECT doc_id, band, bucket FROM (SELECT doc_id, band, bucket, " +
+      "row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS bn FROM bands0) " +
+      s"WHERE bn <= ${Dedup.MaxPerBucket})"
   }
 
   /** Oracle mirror of [[minhashCandidatePairs]]: CTE chain ending in
@@ -270,8 +293,12 @@ object PipelineQueries {
         val bits = (0 until 4).map(i =>
           s"(CASE WHEN ${Q.dotSql("embedding", s"pv$i")} > 0.0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
         s"WITH ${planes.mkString(", ")}, " +
-          s"bk AS (SELECT vec_id, embedding, ${bits.mkString(" + ")} AS bucket " +
+          s"bk0 AS (SELECT vec_id, embedding, ${bits.mkString(" + ")} AS bucket " +
           "FROM embeddings CROSS JOIN p0 CROSS JOIN p1 CROSS JOIN p2 CROSS JOIN p3), " +
+          // the same per-bucket membership cap as Similarity.nearDupInBuckets
+          "bk AS (SELECT vec_id, embedding, bucket FROM (SELECT vec_id, embedding, bucket, " +
+          "row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn FROM bk0) " +
+          s"WHERE bn <= ${graft.ops.Dedup.MaxPerBucket}), " +
           "dd AS (SELECT a.vec_id, a.bucket, b.vec_id AS nn_id, " +
           s"${Q.cosineDistSql("a.embedding", "b.embedding")} AS dist " +
           "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id != b.vec_id), " +
@@ -292,11 +319,9 @@ object PipelineQueries {
     Q("q_dedup_incremental",
       (s, d) => {
         val base = docs(s, d).filter(size(col("tokens")) >= 3)
-        val sig = Dedup.withMinhashSignature(base, "tokens")
-        val bands = sig.select(col("doc_id"), explode(array(
-          struct(lit(0).as("band"), col("band0").as("bucket")),
-          struct(lit(1).as("band"), col("band1").as("bucket")))).as("bb"))
-          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        // capped bands (the shared density guard) — new×existing candidate
+        // growth inside a bucket is the same Σ n_b² mechanism as the pairs
+        val bands = minhashBands(docs(s, d))
         val pairs = bands.filter(col("doc_id") >= 400).withColumnRenamed("doc_id", "new_id")
           .join(bands.filter(col("doc_id") < 400).withColumnRenamed("doc_id", "old_id"),
             Seq("band", "bucket"))

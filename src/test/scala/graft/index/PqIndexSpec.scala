@@ -112,6 +112,47 @@ class PqIndexSpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("dim not divisible by 8: remainder dims contribute to ADC and exactness holds") {
+    // dim=100 ⇒ 13 subspaces, the last 4-wide. Two vector families agree on
+    // dims 0..95 and differ ONLY in the tail dims 96..99 — with the old
+    // floor(dim/8) slicing the ADC stage was blind to the difference.
+    val dim = 100
+    def vec(tail: Float): Array[Float] = Array.fill(96)(0.1f) ++ Array.fill(4)(tail)
+    val rows = (0 until 8).map { i =>
+      val tail = if (i % 2 == 0) 1.0f else -1.0f
+      (s"d$i", s"d$i", "", 1, 1, s"text $i", Seq(s"text", s"$i"),
+        vec(tail + i * 0.01f))
+    }
+    val docs = rows.toDF("doc_id", "file_path", "header_path",
+      "line_start", "line_end", "content", "tokens", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq100").toString
+    IndexData.write(docs, Seq.empty[graft.core.Schemas.Setting].toDF(), dir)
+    val pq = IndexJob.withPq(IndexData.load(spark, dir), dir, pqCodes = 4, pqIters = 2)
+      .pq.getOrElse(fail("pq sidecar missing"))
+
+    // every dimension is covered: 13 subspaces, widths 8×12 + 4
+    assert(pq.codes.filter(size(col("codes")) =!= 13).count() == 0)
+    val widths = pq.codebooks.select(col("j"), size(col("cv")).as("w")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert((0L until 12L).forall(widths(_) == 8) && widths(12L) == 4)
+
+    // the ADC stage SEES the tail: a query matching the +1 family must
+    // shortlist a +1 doc first even at shortlist=1 (tail dims are the only
+    // signal separating the families)
+    val q = vec(1.0f)
+    val loaded = IndexData.load(spark, dir)
+    val top = graft.search.HybridSearch.vssTopKPq(pq, loaded.documents, q, 1, 1)
+      .select("doc_id").as[String].collect()
+    assert(top.nonEmpty && Set("d0", "d2", "d4", "d6").contains(top.head), top.toSeq)
+
+    // and shortlist ≥ corpus still reproduces the exact scan at dim=100
+    val exact = graft.search.HybridSearch.vssTopK(loaded.documents, q, 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val viaPq = graft.search.HybridSearch.vssTopKPq(pq, loaded.documents, q, 4, 8)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(viaPq == exact)
+  }
+
   test("codes dataset is an order of magnitude smaller than the raw vectors") {
     def dirBytes(p: String): Long = {
       val d = new java.io.File(p)

@@ -30,6 +30,39 @@ class OpsSpec extends AnyFunSuite {
     assert(sig(1L) != sig(3L))
   }
 
+  test("bucket-density guard: membership caps deterministically, pairs stay bounded") {
+    // capBuckets keeps the first C members per bucket in ascending-id order
+    val bands = Seq(
+      (1L, 0, 100L), (2L, 0, 100L), (3L, 0, 100L), (4L, 0, 100L), // dense bucket
+      (5L, 0, 200L), (9L, 1, 100L))                               // sparse buckets
+      .toDF("doc_id", "band", "bucket")
+    val capped = Dedup.capBuckets(bands, "doc_id", Seq("band", "bucket"), maxPerBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(capped == Set((1L, 0, 100L), (2L, 0, 100L), (5L, 0, 200L), (9L, 1, 100L)))
+
+    // through the pairs builder: 4 identical docs but cap=2 ⇒ exactly one
+    // pair, between the two smallest ids (the recall contract, not a crash)
+    val toks = "the quick brown fox jumps over the lazy dog again".split(" ").toSeq
+    val docs4 = Seq((10L, toks), (11L, toks), (12L, toks), (13L, toks)).toDF("doc_id", "tokens")
+    val pairs = graft.queries.PipelineQueries.minhashPairsOf(docs4, maxPerBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 11L)))
+    // uncapped (default 256 ≫ 4) the same corpus forms all 6 pairs
+    assert(graft.queries.PipelineQueries.minhashPairsOf(docs4).count() == 6)
+  }
+
+  test("nearDupInBuckets honors the membership cap: capped-out vectors emit no row") {
+    val v = (x: Float) => Array(x, 1f - x)
+    val bucketed = Seq(
+      (1L, v(0.50f), 7L), (2L, v(0.51f), 7L), (3L, v(0.52f), 7L), (4L, v(0.53f), 7L))
+      .toDF("vec_id", "embedding", "bucket")
+    val out = Similarity.nearDupInBuckets(bucketed, "vec_id", "embedding", "bucket",
+      maxPerBucket = 2).collect()
+    // only the two smallest ids participate; each is the other's NN
+    assert(out.map(_.getAs[Long]("vec_id")).sorted.toSeq == Seq(1L, 2L))
+    assert(out.forall(r => Set(1L, 2L).contains(r.getAs[Long]("nn_id"))))
+  }
+
   test("simhash of near-identical docs is closer than unrelated docs") {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val base = "spark sql engine with catalyst optimizer and tungsten runtime".split(" ").toSeq
