@@ -48,6 +48,8 @@ object BenchProbe {
   private def serveProbe(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = session()
+    // match `graft serve`: AQE off for the ≤2k-row cached online plans
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     import spark.implicits._
 
     val dir = java.nio.file.Files.createTempDirectory("graft-serve-probe").toString

@@ -13,6 +13,7 @@ import graft.search.HybridSearch
   *   graft.Cli index  --db DIR --docs D1 [D2 ...] [--clear] [--trim-path-prefix P]
   *                    [--chunk-size N] [--overlap N] [--embedding-dim N]
   *                    [--ann-clusters K [--ann-iters N]]   (persist the IVF sidecar)
+  *                    [--refit-ann]   (re-fit frozen centroids after drift)
   *                    [--pq-codes K [--pq-iters N]]         (persist the PQ sidecar)
   *                    [--layout zorder|hilbert [--layout-files N]]   (cluster files)
   *                    [--watch]   (stream NEW files into the index until killed)
@@ -135,6 +136,9 @@ object Cli {
       // sidecar so `search --ann` can probe instead of scanning
       annClusters = arg(a, "--ann-clusters").map(_.toInt).getOrElse(0),
       annIters = arg(a, "--ann-iters").map(_.toInt).getOrElse(4),
+      // drift recovery: drop the frozen centroids and re-fit over the
+      // merged corpus (responds to the ann_drift warning on search)
+      annRefit = flag(a, "--refit-ann"),
       pqCodes = arg(a, "--pq-codes").map(_.toInt).getOrElse(0),
       pqIters = arg(a, "--pq-iters").map(_.toInt).getOrElse(3),
       layout = arg(a, "--layout").map(_.toLowerCase).getOrElse("none"),
@@ -250,6 +254,28 @@ object Cli {
         "filtered. Use a threshold below 1/(60+k), or --fusion mean."
     }
 
+  /** The sidecar-staleness check (IndexJob.withAnn drift contract): when an
+    * `--ann` search runs against an artifact whose measured drift passed
+    * [[graft.index.AnnIndex.DriftWarnThreshold]], say so — frozen-centroid
+    * recall decay is otherwise silent. Returns the stderr note, or None. */
+  private[graft] def driftWarning(index: IndexData, ann: (Int, Int)): Option[String] =
+    if (ann._1 == 0) None
+    else index.setting(graft.index.AnnIndex.DriftKey).map(_.toDouble)
+      .filter(_ > graft.index.AnnIndex.DriftWarnThreshold)
+      .map { d =>
+        f"[graft] warning: ANN sidecar drift $d%.3f exceeds " +
+          f"${graft.index.AnnIndex.DriftWarnThreshold}%.2f — the corpus has shifted " +
+          "since the centroids were fit and --ann recall may have decayed; " +
+          "re-fit with `graft index --refit-ann`."
+      }
+
+  /** The online paths (interactive search, serve) run ≤2k-row plans over
+    * cached datasets; AQE's per-stage re-planning only adds fixed latency
+    * there. Batch jobs (index/curate/one-shot search over a cold session)
+    * keep it on. */
+  private def disableAqeForOnline(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
   private def searchCmd(a: Array[String]): Unit = {
     val db = arg(a, "--db").getOrElse(sys.error("--db required"))
     val k = arg(a, "--top-k").map(_.toInt).getOrElse(5)
@@ -264,13 +290,16 @@ object Cli {
     arg(a, "--query") match {
       case Some(query) =>
         val index = IndexData.load(spark, db)
+        driftWarning(index, ann).foreach(System.err.println)
         val hits = runSearch(index, db, query, k, rerank, removeP, addP, ann, fusion, threshold)
         println(s"""{"results":${hitsJson(hits)}}""")
       case None =>
         // Interactive mode (reference `src/cli.py:345-379`: `search` without
         // a query loops on prompted input): one query per stdin line, blanks
         // skipped, EOF exits. The index datasets stay cached across queries.
+        disableAqeForOnline(spark)
         val index = IndexData.load(spark, db).cached()
+        driftWarning(index, ann).foreach(System.err.println)
         index.stats.count() // materialize caches before the first prompt
         System.err.println(s"[graft] interactive search on $db; one query per line, EOF exits")
         interactiveLoop(index, db, scala.io.Source.stdin.getLines(), System.out,
@@ -320,7 +349,9 @@ object Cli {
     val threshold = arg(a, "--threshold").map(_.toDouble)
     thresholdWarning(threshold, fusion, defaultK).foreach(System.err.println)
     val spark = session()
+    disableAqeForOnline(spark)
     val index = IndexData.load(spark, db).cached()
+    driftWarning(index, ann).foreach(System.err.println)
     index.stats.count() // materialize caches before serving
 
     def answer(query: String, k: Int): String = {

@@ -30,17 +30,38 @@ import graft.ops.Similarity
   */
 final case class AnnIndex(centroids: DataFrame, postings: DataFrame) {
 
-  /** Number of clusters (collected from the tiny centroid table). */
-  lazy val numClusters: Int = centroids.count().toInt
+  /** The K centroids as a driver-local array, collected ONCE per index
+    * instance (K×dim floats — scalar-sized by definition). The serving
+    * probe decision runs against this array instead of scheduling a Spark
+    * job over a K-row DataFrame per query: at sf0.1 that job was a fixed
+    * ~10² ms of pure plan/scheduling overhead on every keystroke of the
+    * interactive/MCP path. Sorted by cid so iteration order is stable. */
+  lazy val centroidArray: Array[(Int, Array[Float])] =
+    centroids.select("cid", "cvec").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  /** Number of clusters. */
+  lazy val numClusters: Int = centroidArray.length
 
   /** Top-`nprobe` clusters for a query vector, by the engine-wide
-    * (rounded cosine distance, cid) order. The centroid table is K rows —
-    * scalar-sized, so the collect here is the probe DECISION, not data
-    * movement (the same class of driver scalar as the BPE argmax). Distances
-    * are computed by the same codegen'd [[VectorOps.cosineDist]] expression
-    * the corpus legs use, so probe selection can never drift from the
-    * distributed math. */
-  def probe(queryVec: Array[Float], nprobe: Int): Seq[Int] = {
+    * (rounded cosine distance, cid) order — computed DRIVER-LOCALLY over
+    * [[centroidArray]]: the probe is a decision over K scalar rows, and a
+    * distributed plan for it costs a full job's scheduling latency per
+    * query. [[AnnIndex.localCosineDist]] replicates the codegen'd
+    * [[VectorOps.cosineDist]] arithmetic term-for-term (same accumulation
+    * order, same rounding), and AnnIndexSpec pins `probe ≡
+    * probeDistributed` so the scalar math can never drift from the
+    * distributed math the corpus legs use. */
+  def probe(queryVec: Array[Float], nprobe: Int): Seq[Int] =
+    centroidArray
+      .map { case (cid, cvec) => (AnnIndex.round6(AnnIndex.localCosineDist(cvec, queryVec)), cid) }
+      .sorted.take(nprobe).map(_._2).toSeq
+
+  /** The distributed formulation of [[probe]] — kept as the spec's parity
+    * oracle (scalar ≡ distributed pinned in AnnIndexSpec), not on the
+    * serving path. */
+  private[graft] def probeDistributed(queryVec: Array[Float], nprobe: Int): Seq[Int] = {
     val qv = typedlit(queryVec.toSeq)
     centroids
       .select(col("cid"), VectorOps.cosineDist(col("cvec"), qv).as("d"))
@@ -48,6 +69,17 @@ final case class AnnIndex(centroids: DataFrame, postings: DataFrame) {
       .limit(nprobe)
       .select("cid").collect().map(_.getInt(0)).toSeq
   }
+
+  /** Mean assignment distance of the inverted lists: the average cosine
+    * distance of every stored vector to its own centroid — the scalar that
+    * the sidecar-staleness (drift) contract tracks. One broadcast join +
+    * one avg over the already-written postings (columnar scan, no window,
+    * no shuffle wider than the partial aggregate). */
+  def meanAssignDist: Double =
+    postings
+      .join(broadcast(centroids), col("cluster") === col("cid"))
+      .agg(avg(VectorOps.cosineDist(col("embedding"), col("cvec"))))
+      .head().getDouble(0)
 
   /** Cache both datasets for a long-lived serving session. */
   def cached(): AnnIndex =
@@ -86,6 +118,55 @@ object AnnIndex {
 
   val CentroidsDir = "ann_centroids"
   val PostingsDir = "ann_postings"
+
+  /** Sidecar-staleness settings keys (SURVEY.md §1.3 settings dataset).
+    * `ann_fit_meandist` is the mean assignment distance measured when the
+    * centroids were FIT; `ann_meandist` is the same scalar re-measured on
+    * the latest incremental merge (frozen centroids, re-derived lists);
+    * `ann_drift` is their relative growth — the signal that frozen-centroid
+    * recall is quietly decaying and the sidecar wants `--refit-ann`. */
+  val FitMeanDistKey = "ann_fit_meandist"
+  val MeanDistKey = "ann_meandist"
+  val DriftKey = "ann_drift"
+
+  /** Drift past this relative growth triggers the `--ann` search warning
+    * (quantization error 25% above the fit-time baseline — conservative:
+    * real recall decay typically shows earlier in the metric than in
+    * results, so the warning leads the failure). */
+  val DriftWarnThreshold = 0.25
+
+  /** Relative drift of the current mean assignment distance vs the
+    * fit-time baseline. A degenerate baseline (≈0: corpus of identical
+    * vectors) reports 0 — there is no meaningful scale to drift against. */
+  def driftOf(fitMeanDist: Double, curMeanDist: Double): Double =
+    if (fitMeanDist > 1e-12) (curMeanDist - fitMeanDist) / fitMeanDist else 0.0
+
+  /** Scalar replica of the codegen'd [[graft.functions.CosineDistance]]
+    * kernel — same left-to-right double accumulation over float inputs,
+    * same `1 − dot/(√na·√nb)` with `a` = stored vector, `b` = query — so
+    * the driver-local probe computes BIT-IDENTICAL doubles to the
+    * distributed legs (parity pinned in AnnIndexSpec). */
+  def localCosineDist(a: Array[Float], b: Array[Float]): Double = {
+    require(a.length == b.length,
+      s"localCosineDist: dim mismatch ${a.length} vs ${b.length}")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val xv = a(i).toDouble
+      val yv = b(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    1.0 - dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb))
+  }
+
+  /** Scalar replica of Spark's `round(_, 6)` on doubles (BigDecimal
+    * HALF_UP via the canonical string representation — what Catalyst's
+    * Round does for DoubleType), so local probe ranking rounds exactly
+    * like the distributed `round(col, 6)` cut lines. */
+  def round6(d: Double): Double =
+    if (d.isNaN || d.isInfinite) d // Catalyst Round passes non-finite through
+    else BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Deterministic distributed k-means over an embedding column.
     * Returns (cid: int, cvec: array<float>).

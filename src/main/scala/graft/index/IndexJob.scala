@@ -37,6 +37,10 @@ object IndexJob {
       // (`--ann-clusters`); 0 = no ANN index (search stays exact)
       annClusters: Int = 0,
       annIters: Int = 4,
+      // `--refit-ann`: drop frozen centroids and re-fit over the merged
+      // corpus (the drift-recovery action; K carried over unless
+      // --ann-clusters overrides). No-op when the artifact has no sidecar.
+      annRefit: Boolean = false,
       // PQ sidecar (`--pq-codes K`): >0 trains K-entry per-subspace
       // codebooks and persists codes so `search --ann pq` ranks from codes
       pqCodes: Int = 0,
@@ -147,7 +151,7 @@ object IndexJob {
     val fresh = embedChunks(chunkFiles(files, chunker), embedder, opts)
     mergeAndWrite(spark, fresh, settingsFor(spark, embedder), indexDir,
       clear = opts.clear, annClusters = opts.annClusters, annIters = opts.annIters,
-      pqCodes = opts.pqCodes, pqIters = opts.pqIters,
+      annRefit = opts.annRefit, pqCodes = opts.pqCodes, pqIters = opts.pqIters,
       layout = opts.layout, layoutFiles = opts.layoutFiles)
   }
 
@@ -165,6 +169,7 @@ object IndexJob {
       clear: Boolean,
       annClusters: Int = 0,
       annIters: Int = 4,
+      annRefit: Boolean = false,
       pqCodes: Int = 0,
       pqIters: Int = 3,
       layout: String = "none",
@@ -199,9 +204,20 @@ object IndexJob {
     val laidOut =
       if (layout == "none") docs
       else graft.ops.Layout.cluster(docs, layout, "file_path", "line_start", layoutFiles)
+    // incremental settings are an UPSERT against the artifact (the
+    // reference's INSERT OR REPLACE, `src/db.py:170-178`), never a
+    // truncate: replacing the table with just the embedder keys would
+    // clobber artifact-lifetime state like the ann_* drift baseline on
+    // every merge. clear=true replaces wholesale (sidecars are gone too).
+    val mergedSettings =
+      if (!incremental) settings
+      else spark.read.parquet(s"$indexDir/settings")
+        .join(settings.select("key"), Seq("key"), "left_anti")
+        .unionByName(settings)
+        .localCheckpoint(true)
     // write-then-derive: the chunk+embed lineage executes exactly once
-    val written = IndexData.write(laidOut, settings, indexDir)
-    withPq(withAnn(written, indexDir, annClusters, annIters),
+    val written = IndexData.write(laidOut, mergedSettings, indexDir)
+    withPq(withAnn(written, indexDir, annClusters, annIters, refit = annRefit),
       indexDir, pqCodes, pqIters)
   }
 
@@ -241,23 +257,86 @@ object IndexJob {
     * inverted lists re-derive from the merged corpus — a broadcast-argmin
     * assignment pass, no re-fit — so every merged document (including
     * replaced paths) is in exactly one list and `--ann` search never
-    * silently misses new docs. Centroid drift is the documented staleness;
-    * re-fit by rebuilding with `clear = true` or calling this with a fresh
-    * artifact. Fit-from-scratch happens only when no sidecar exists and
-    * `annClusters > 0`. */
+    * silently misses new docs. Fit-from-scratch happens only when no
+    * sidecar exists and `annClusters > 0`, or when `refit = true`
+    * (`--refit-ann`: drop the frozen centroids and re-fit over the merged
+    * corpus, keeping the existing K unless `annClusters` overrides it).
+    *
+    * Staleness is MEASURED, not just documented: every frozen-centroid
+    * merge re-computes the mean assignment distance over the re-derived
+    * lists (one broadcast join + avg on a pass that already runs) and
+    * persists `ann_meandist` / `ann_drift` against the fit-time
+    * `ann_fit_meandist` baseline in `settings` — so `--ann` search can
+    * warn once drift passes [[AnnIndex.DriftWarnThreshold]] instead of
+    * quietly serving decayed recall (AnnIndexSpec pins the metric rising
+    * under a shifted distribution and a re-fit restoring it). */
   def withAnn(written: IndexData, indexDir: String, annClusters: Int,
-      annIters: Int = 4): IndexData = written.ann match {
-    case Some(existing) =>
-      // frozen centroids: re-assign the merged corpus into the lists
-      val centroids = existing.centroids.localCheckpoint(true)
-      AnnIndex.buildPostings(written.documents, "doc_id", "embedding", centroids)
-        .write.mode("overwrite").partitionBy("cluster")
-        .parquet(s"$indexDir/${AnnIndex.PostingsDir}")
-      written.copy(ann = AnnIndex.load(written.documents.sparkSession, indexDir))
-    case None if annClusters > 0 =>
-      written.copy(ann = Some(AnnIndex.buildAndWrite(
-        written.documents, "doc_id", "embedding", indexDir, annClusters, annIters)))
-    case None => written
+      annIters: Int = 4, refit: Boolean = false): IndexData = {
+    val spark = written.documents.sparkSession
+    written.ann match {
+      case Some(existing) if refit =>
+        val k = if (annClusters > 0) annClusters else existing.numClusters
+        val fs = new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Seq(AnnIndex.CentroidsDir, AnnIndex.PostingsDir).foreach { d =>
+          fs.delete(new org.apache.hadoop.fs.Path(indexDir, d), true)
+        }
+        val ann = AnnIndex.buildAndWrite(
+          written.documents, "doc_id", "embedding", indexDir, k, annIters)
+        written.copy(ann = Some(ann),
+          settings = persistFitBaseline(spark, indexDir, ann))
+      case Some(existing) =>
+        // frozen centroids: re-assign the merged corpus into the lists
+        val centroids = existing.centroids.localCheckpoint(true)
+        AnnIndex.buildPostings(written.documents, "doc_id", "embedding", centroids)
+          .write.mode("overwrite").partitionBy("cluster")
+          .parquet(s"$indexDir/${AnnIndex.PostingsDir}")
+        val ann = AnnIndex.load(spark, indexDir)
+        val cur = ann.map(_.meanAssignDist).getOrElse(0.0)
+        // fit-time baseline; artifacts from before the drift contract have
+        // none — adopt the current measurement as the baseline (drift 0)
+        val fit = written.setting(AnnIndex.FitMeanDistKey)
+          .map(_.toDouble).getOrElse(cur)
+        val settings = upsertSettingsOnDisk(spark, indexDir, Seq(
+          AnnIndex.FitMeanDistKey -> fit.toString,
+          AnnIndex.MeanDistKey -> cur.toString,
+          AnnIndex.DriftKey -> AnnIndex.driftOf(fit, cur).toString))
+        written.copy(ann = ann, settings = settings)
+      case None if annClusters > 0 =>
+        val ann = AnnIndex.buildAndWrite(
+          written.documents, "doc_id", "embedding", indexDir, annClusters, annIters)
+        written.copy(ann = Some(ann),
+          settings = persistFitBaseline(spark, indexDir, ann))
+      case None => written
+    }
+  }
+
+  /** Persist the fit-time drift baseline for a freshly-fit sidecar:
+    * fit = current by definition, drift = 0. */
+  private def persistFitBaseline(spark: SparkSession, indexDir: String,
+      ann: AnnIndex): DataFrame = {
+    val fit = ann.meanAssignDist
+    upsertSettingsOnDisk(spark, indexDir, Seq(
+      AnnIndex.FitMeanDistKey -> fit.toString,
+      AnnIndex.MeanDistKey -> fit.toString,
+      AnnIndex.DriftKey -> "0.0"))
+  }
+
+  /** Keyed upsert into the on-disk settings dataset (S5 semantics against
+    * the artifact itself): read, replace the given keys, write back.
+    * Settings is a handful of rows — the localCheckpoints are the standard
+    * read-before-overwrite materialization, not data movement. */
+  private def upsertSettingsOnDisk(spark: SparkSession, indexDir: String,
+      kvs: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val path = s"$indexDir/settings"
+    val keys = kvs.map(_._1)
+    val updated = spark.read.parquet(path)
+      .filter(!col("key").isInCollection(keys))
+      .unionByName(kvs.toDF("key", "value"))
+      .localCheckpoint(true)
+    updated.coalesce(1).write.mode("overwrite").parquet(path)
+    updated
   }
 
   /** Full INDEX job with DataFrame-native TF-IDF embeddings instead of a

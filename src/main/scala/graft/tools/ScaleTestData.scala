@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic 10× scale-up of the sf0.1 testdata into a local sf1-shape
@@ -10,12 +10,26 @@ import org.apache.spark.sql.functions._
   * Each fact table is replicated `factor` times with primary keys shifted
   * by `i · (max_key + 1)` so referential joins stay consistent across
   * replicas; dimension tables (region/nation) keep their original keys.
-  * Document texts get a per-replica marker token so the dedup operators see
-  * a realistic duplicate rate instead of an artificial 10-way exact-dup
-  * corpus; event user_ids shift so sessions scale in COUNT, not in
-  * per-user depth.
+  * Event user_ids shift so sessions scale in COUNT, not per-user depth.
   *
-  *   SPARK_GRAFT_SCALE_OUT=/tmp/sf1 sbt "runMain graft.tools.ScaleTestData"
+  * Two scale MODES, selected by `SPARK_GRAFT_SCALE_MODE`, differing in what
+  * they do to the similarity-bearing columns (document text, embeddings):
+  *
+  *  - `replicate` (default): texts get a per-replica marker token and
+  *    embeddings are copied verbatim. Replicas form genuine 10-way near-dup
+  *    FAMILIES, so LSH bucket DENSITY (Σ n_b² in-bucket pair growth) scales
+  *    quadratically — a worst-case boilerplate-corpus stress for the dedup
+  *    verify stages and their maxPerBucket cap.
+  *  - `grow`: every replica's tokens are REMAPPED (per-replica suffix on
+  *    each word → entirely new shingle/minhash space) and its embeddings
+  *    are circularly ROTATED by the replica index (a rotated near-uniform
+  *    vector is ~orthogonal to its original). New content adds BUCKETS at
+  *    ~constant density — how an organically grown corpus scales — so an
+  *    audit under `grow` isolates plan defects from replication-density
+  *    artifacts by construction (the round-6 audit's confound).
+  *
+  *   SPARK_GRAFT_SCALE_MODE=grow SPARK_GRAFT_SCALE_OUT=/tmp/sf1g \
+  *     sbt "runMain graft.tools.ScaleTestData"
   */
 object ScaleTestData {
 
@@ -23,6 +37,9 @@ object ScaleTestData {
     val in = sys.env.getOrElse("SPARK_GRAFT_SCALE_IN", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/tmp/sf1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val mode = sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "replicate")
+    require(mode == "replicate" || mode == "grow",
+      s"SPARK_GRAFT_SCALE_MODE must be replicate|grow, got '$mode'")
     val spark = SparkSession.builder()
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -34,20 +51,38 @@ object ScaleTestData {
     def t(name: String): DataFrame = spark.read.parquet(s"$in/$name.parquet")
     def save(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"[scale] $name -> ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+      println(s"[scale] $name ($mode) -> ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+    }
+
+    /** replica i's text: `replicate` appends a marker token (near-dup
+      * family); `grow` rewrites every word (new shingle space). */
+    def growText(c: Column, i: Int): Column =
+      if (mode == "grow")
+        array_join(transform(split(c, " "), w => concat(w, lit(s"_g$i"))), " ")
+      else concat(c, lit(s" rep$i"))
+
+    /** replica i's embedding under `grow`: circular rotation by i dims. */
+    def growVec(c: Column, i: Int): Column = {
+      val dim = size(c)
+      concat(slice(c, lit(i + 1), dim - lit(i)), slice(c, lit(1), lit(i)))
     }
 
     /** Replicate with the listed long key columns shifted per replica. */
-    def rep(df: DataFrame, shiftCols: Seq[String], markerCol: Option[String] = None): DataFrame = {
+    def rep(df: DataFrame, shiftCols: Seq[String], textCol: Option[String] = None,
+        vecCol: Option[String] = None): DataFrame = {
       val spans = shiftCols.map { c => c -> (df.agg(max(col(c))).head().getLong(0) + 1L) }.toMap
       (0 until factor).map { i =>
         val shifted = spans.foldLeft(df) { case (d, (c, span)) =>
           d.withColumn(c, col(c) + lit(i * span))
         }
-        markerCol match {
-          case Some(mc) if i > 0 =>
-            shifted.withColumn(mc, concat(col(mc), lit(s" rep$i")))
-          case _ => shifted
+        val texted = textCol match {
+          case Some(tc) if i > 0 => shifted.withColumn(tc, growText(col(tc), i))
+          case _                 => shifted
+        }
+        vecCol match {
+          case Some(vc) if i > 0 && mode == "grow" =>
+            texted.withColumn(vc, growVec(col(vc), i))
+          case _ => texted
         }
       }.reduce(_ unionByName _)
     }
@@ -62,8 +97,8 @@ object ScaleTestData {
     save(rep(t("orders"), Seq("o_orderkey", "o_custkey")), "orders")
     save(rep(t("lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
     save(rep(t("events"), Seq("event_id", "user_id")), "events")
-    save(rep(t("documents"), Seq("doc_id"), markerCol = Some("text")), "documents")
-    save(rep(t("embeddings"), Seq("vec_id")), "embeddings")
+    save(rep(t("documents"), Seq("doc_id"), textCol = Some("text")), "documents")
+    save(rep(t("embeddings"), Seq("vec_id"), vecCol = Some("embedding")), "embeddings")
     spark.stop()
   }
 }

@@ -42,6 +42,26 @@ class CliInteractiveSpec extends AnyFunSuite {
     assert(Cli.thresholdWarning(Some(0.01), "rrf", 50).isDefined)
   }
 
+  test("driftWarning fires only for --ann ivf search over a drifted sidecar") {
+    import spark.implicits._
+    def idxWith(drift: Option[String]): IndexData = {
+      val settings = drift match {
+        case Some(d) => Seq(Setting(graft.index.AnnIndex.DriftKey, d)).toDF()
+        case None    => Seq.empty[Setting].toDF()
+      }
+      IndexData.fromDocuments(
+        Seq(("d1", "a b")).toDF("doc_id", "content")
+          .withColumn("tokens", split(col("content"), " ")),
+        settings)
+    }
+    val drifted = idxWith(Some("0.5"))
+    val warn = Cli.driftWarning(drifted, (2, 0))
+    assert(warn.isDefined && warn.get.contains("--refit-ann"), warn)
+    assert(Cli.driftWarning(drifted, (0, 0)).isEmpty)   // exact search: no ANN in play
+    assert(Cli.driftWarning(idxWith(Some("0.1")), (2, 0)).isEmpty) // below threshold
+    assert(Cli.driftWarning(idxWith(None), (2, 0)).isEmpty)        // pre-contract artifact
+  }
+
   test("interactive search loop honors an explicit --threshold") {
     import spark.implicits._
     val corpus = Seq(

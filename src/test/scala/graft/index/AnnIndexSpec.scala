@@ -93,6 +93,36 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(ann.probe(queryVec, K).take(2) == p1) // prefix-stable ranking
   }
 
+  test("driver-local probe ≡ distributed probe (the scalar math can't drift)") {
+    val ann = index.ann.get
+    val qvecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 10).orderBy("vec_id")
+      .select("embedding").as[Array[Float]].collect()
+    assert(qvecs.length == 10)
+    for (qv <- qvecs; np <- Seq(1, 2, K))
+      assert(ann.probe(qv, np) == ann.probeDistributed(qv, np),
+        s"local vs distributed probe diverged at nprobe=$np")
+  }
+
+  test("local cosine distance is bit-identical to the codegen expression") {
+    val pairs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 8)
+      .select(col("embedding").as("a"))
+      .crossJoin(spark.read.parquet(s"$sf/embeddings.parquet")
+        .filter(col("vec_id") >= 8 && col("vec_id") < 12)
+        .select(col("embedding").as("b")))
+    val viaExpr = pairs
+      .select(col("a"), col("b"),
+        graft.functions.VectorOps.cosineDist(col("a"), col("b")).as("d"))
+      .collect()
+    viaExpr.foreach { r =>
+      val local = AnnIndex.localCosineDist(
+        r.getSeq[Float](0).toArray, r.getSeq[Float](1).toArray)
+      assert(java.lang.Double.doubleToLongBits(local) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))
+    }
+  }
+
   test("ivf leg recall vs the exact leg is high at nprobe=2 and its hits are real") {
     val exact = HybridSearch.vssTopK(index.documents, queryVec, 10)
       .select("doc_id").as[String].collect().toSet
@@ -108,6 +138,74 @@ class AnnIndexSpec extends AnyFunSuite {
     // contract asserted hard is nprobe=K ≡ exact (above), this is a sanity
     // floor that the probed half of the corpus still finds most neighbors
     assert(recall >= 0.3, s"recall $recall; exact=$exact approx=$approx")
+  }
+
+  /** Deterministic clustered corpus: doc i sits near unit axis `axisOf(i)`
+    * of a 16-dim space, plus small id-derived noise (so k-means has real
+    * work and no two vectors tie). */
+  private def clusteredDocs(ids: Seq[String], axisOf: Int => Int): org.apache.spark.sql.DataFrame = {
+    val rows = ids.zipWithIndex.map { case (id, i) =>
+      val ax = axisOf(i)
+      val v = Array.tabulate(16) { j =>
+        (if (j == ax) 1.0f else 0.0f) + 0.05f * (((i * 7 + j * 13) % 11) - 5) / 5.0f
+      }.toSeq
+      (id, id, "", 1, 1, s"doc $id", Seq("doc", id), v)
+    }
+    rows.toDF("doc_id", "file_path", "header_path", "line_start", "line_end",
+      "content", "tokens", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+  }
+
+  test("drift contract: shifted merge raises ann_drift past the threshold; --refit-ann restores it and the recall floor") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-drift").toString
+    // corpus A: 200 docs clustered on axes 0-3 — a fit the IVF index nails
+    val docsA = clusteredDocs((0 until 200).map(i => f"a$i%03d"), _ % 4)
+    IndexData.write(docsA, Seq.empty[(String, String)].toDF("key", "value"), dir)
+    val a1 = IndexJob.withAnn(IndexData.load(spark, dir), dir, annClusters = K, annIters = 3)
+    // fresh fit: baseline persisted, drift 0 by definition
+    val fit = a1.setting(AnnIndex.FitMeanDistKey).map(_.toDouble)
+      .getOrElse(fail("no fit baseline after fresh withAnn"))
+    assert(fit > 0.0)
+    assert(a1.setting(AnnIndex.DriftKey).map(_.toDouble).contains(0.0))
+
+    // merge a batch from a SHIFTED distribution (axes 8-11 — orthogonal to
+    // everything the centroids were fit on) through the real incremental
+    // path: frozen centroids re-derive the lists, the metric is re-measured
+    // settings passed the way the CLI passes them — only the embedder keys.
+    // The merge must UPSERT against the artifact's settings (not truncate),
+    // or the fit-time drift baseline would be clobbered on every merge.
+    val docsB = clusteredDocs((0 until 100).map(i => f"b$i%03d"), i => 8 + i % 4)
+    val a2 = IndexJob.mergeAndWrite(spark, docsB,
+      IndexJob.settingsOf(spark, "synthetic", 16), dir, clear = false)
+    assert(a2.setting(AnnIndex.FitMeanDistKey).map(_.toDouble).contains(fit),
+      "fit baseline must survive an incremental merge with embedder-only settings")
+    assert(a2.setting("embedding_model").contains("synthetic"))
+    val drift = a2.setting(AnnIndex.DriftKey).map(_.toDouble)
+      .getOrElse(fail("no drift after incremental merge"))
+    assert(drift > AnnIndex.DriftWarnThreshold,
+      s"shifted-distribution merge should raise drift past the warn threshold; got $drift")
+
+    // recall under the frozen (stale) centroids for a shifted-region query
+    val qB = Array.tabulate(16)(j => if (j == 9) 1.0f else 0.0f)
+    def recallAt(ann: AnnIndex, documents: org.apache.spark.sql.DataFrame): Double = {
+      val exact = HybridSearch.vssTopK(documents, qB, 10)
+        .select("doc_id").as[String].collect().toSet
+      val approx = HybridSearch.vssTopKIvf(ann, qB, 10, nprobe = 1)
+        .select("doc_id").as[String].collect().toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val frozenRecall = recallAt(a2.ann.get, a2.documents)
+
+    // --refit-ann: re-fit over the merged corpus (K carried over), drift
+    // resets below the threshold and recall is at least restored
+    val a3 = IndexJob.withAnn(a2, dir, annClusters = 0, refit = true)
+    assert(a3.ann.map(_.numClusters).contains(K)) // K carried over
+    val refitDrift = a3.setting(AnnIndex.DriftKey).map(_.toDouble).get
+    assert(refitDrift == 0.0)
+    val refitRecall = recallAt(a3.ann.get, a3.documents)
+    assert(refitRecall >= frozenRecall,
+      s"refit recall $refitRecall should not be below frozen recall $frozenRecall")
+    assert(refitRecall >= 0.5, s"refit recall floor: $refitRecall")
   }
 
   test("IndexJob.run --ann-clusters end-to-end on markdown files") {
