@@ -13,7 +13,7 @@ import graft.search.HybridSearch
   *   graft.Cli index  --db DIR --docs D1 [D2 ...] [--clear] [--trim-path-prefix P]
   *                    [--chunk-size N] [--overlap N] [--embedding-dim N]
   *                    [--ann-clusters K [--ann-iters N]]   (persist the IVF sidecar)
-  *                    [--refit-ann]   (re-fit frozen centroids after drift)
+  *                    [--refit-ann] [--refit-pq]   (re-fit frozen sidecars after drift)
   *                    [--pq-codes K [--pq-iters N]]         (persist the PQ sidecar)
   *                    [--layout zorder|hilbert [--layout-files N]]   (cluster files)
   *                    [--watch]   (stream NEW files into the index until killed)
@@ -136,9 +136,10 @@ object Cli {
       // sidecar so `search --ann` can probe instead of scanning
       annClusters = arg(a, "--ann-clusters").map(_.toInt).getOrElse(0),
       annIters = arg(a, "--ann-iters").map(_.toInt).getOrElse(4),
-      // drift recovery: drop the frozen centroids and re-fit over the
-      // merged corpus (responds to the ann_drift warning on search)
+      // drift recovery: drop the frozen centroids/codebooks and re-fit
+      // over the merged corpus (responds to the drift warnings on search)
       annRefit = flag(a, "--refit-ann"),
+      pqRefit = flag(a, "--refit-pq"),
       pqCodes = arg(a, "--pq-codes").map(_.toInt).getOrElse(0),
       pqIters = arg(a, "--pq-iters").map(_.toInt).getOrElse(3),
       layout = arg(a, "--layout").map(_.toLowerCase).getOrElse("none"),
@@ -254,20 +255,28 @@ object Cli {
         "filtered. Use a threshold below 1/(60+k), or --fusion mean."
     }
 
-  /** The sidecar-staleness check (IndexJob.withAnn drift contract): when an
-    * `--ann` search runs against an artifact whose measured drift passed
-    * [[graft.index.AnnIndex.DriftWarnThreshold]], say so — frozen-centroid
-    * recall decay is otherwise silent. Returns the stderr note, or None. */
-  private[graft] def driftWarning(index: IndexData, ann: (Int, Int)): Option[String] =
-    if (ann._1 == 0) None
-    else index.setting(graft.index.AnnIndex.DriftKey).map(_.toDouble)
-      .filter(_ > graft.index.AnnIndex.DriftWarnThreshold)
-      .map { d =>
-        f"[graft] warning: ANN sidecar drift $d%.3f exceeds " +
-          f"${graft.index.AnnIndex.DriftWarnThreshold}%.2f — the corpus has shifted " +
-          "since the centroids were fit and --ann recall may have decayed; " +
-          "re-fit with `graft index --refit-ann`."
-      }
+  /** The sidecar-staleness check (IndexJob.withAnn/withPq drift contract):
+    * when an `--ann` search runs against an artifact whose measured drift
+    * passed [[graft.index.AnnIndex.DriftWarnThreshold]], say so —
+    * frozen-centroid/-codebook recall decay is otherwise silent. Checks the
+    * sidecar(s) the requested mode actually serves from. Returns the
+    * stderr note, or None. */
+  private[graft] def driftWarning(index: IndexData, ann: (Int, Int)): Option[String] = {
+    def check(active: Boolean, key: String, what: String, fix: String): Option[String] =
+      if (!active) None
+      else index.setting(key).map(_.toDouble)
+        .filter(_ > graft.index.AnnIndex.DriftWarnThreshold)
+        .map { d =>
+          f"[graft] warning: $what drift $d%.3f exceeds " +
+            f"${graft.index.AnnIndex.DriftWarnThreshold}%.2f — the corpus has shifted " +
+            s"since the fit and --ann recall may have decayed; re-fit with " +
+            s"`graft index $fix`."
+        }
+    val msgs =
+      check(ann._1 > 0, graft.index.AnnIndex.DriftKey, "ANN centroid", "--refit-ann") ++
+        check(ann._2 > 0, graft.index.PqIndex.DriftKey, "PQ codebook", "--refit-pq")
+    if (msgs.isEmpty) None else Some(msgs.mkString("\n"))
+  }
 
   /** The online paths (interactive search, serve) run ≤2k-row plans over
     * cached datasets; AQE's per-stage re-planning only adds fixed latency

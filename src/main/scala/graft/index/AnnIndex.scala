@@ -136,10 +136,13 @@ object AnnIndex {
   val DriftWarnThreshold = 0.25
 
   /** Relative drift of the current mean assignment distance vs the
-    * fit-time baseline. A degenerate baseline (≈0: corpus of identical
-    * vectors) reports 0 — there is no meaningful scale to drift against. */
+    * fit-time baseline. The denominator is floored at 1e-6 so a
+    * near-perfect fit (tiny corpus the model reconstructs exactly) still
+    * reports real drift when new data raises the error — zeroing the
+    * result there would silently miss a wholesale distribution shift —
+    * while a corpus that stays perfectly fit keeps drift ≈ 0. */
   def driftOf(fitMeanDist: Double, curMeanDist: Double): Double =
-    if (fitMeanDist > 1e-12) (curMeanDist - fitMeanDist) / fitMeanDist else 0.0
+    (curMeanDist - fitMeanDist) / math.max(fitMeanDist, 1e-6)
 
   /** Scalar replica of the codegen'd [[graft.functions.CosineDistance]]
     * kernel — same left-to-right double accumulation over float inputs,

@@ -45,6 +45,9 @@ object IndexJob {
       // codebooks and persists codes so `search --ann pq` ranks from codes
       pqCodes: Int = 0,
       pqIters: Int = 3,
+      // `--refit-pq`: drop frozen codebooks and re-fit (K carried over
+      // unless --pq-codes overrides). No-op without a PQ sidecar.
+      pqRefit: Boolean = false,
       // space-filling-curve file clustering for the documents dataset
       // (`--layout zorder|hilbert`): range-partitions the write on the
       // Layout curve key over (file_path, line_start) so each parquet file
@@ -152,7 +155,7 @@ object IndexJob {
     mergeAndWrite(spark, fresh, settingsFor(spark, embedder), indexDir,
       clear = opts.clear, annClusters = opts.annClusters, annIters = opts.annIters,
       annRefit = opts.annRefit, pqCodes = opts.pqCodes, pqIters = opts.pqIters,
-      layout = opts.layout, layoutFiles = opts.layoutFiles)
+      pqRefit = opts.pqRefit, layout = opts.layout, layoutFiles = opts.layoutFiles)
   }
 
   /** S4 semantics (reference `--clear`, `src/indexer.py:48-50`): with
@@ -172,6 +175,7 @@ object IndexJob {
       annRefit: Boolean = false,
       pqCodes: Int = 0,
       pqIters: Int = 3,
+      pqRefit: Boolean = false,
       layout: String = "none",
       layoutFiles: Int = 8): IndexData = {
     // FileSystem API, not java.io.File: indexDir may be hdfs://, s3a://, …
@@ -218,7 +222,7 @@ object IndexJob {
     // write-then-derive: the chunk+embed lineage executes exactly once
     val written = IndexData.write(laidOut, mergedSettings, indexDir)
     withPq(withAnn(written, indexDir, annClusters, annIters, refit = annRefit),
-      indexDir, pqCodes, pqIters)
+      indexDir, pqCodes, pqIters, refit = pqRefit)
   }
 
   /** Fit + persist the PQ sidecar over an already-written artifact (the
@@ -227,25 +231,65 @@ object IndexJob {
     * sidecar present, codes write cluster-partitioned so the composed
     * `--ann ivf+pq` path partition-prunes the code files by probe. */
   def withPq(written: IndexData, indexDir: String, pqCodes: Int,
-      pqIters: Int = 3): IndexData = written.pq match {
-    case Some(existing) =>
-      val spark = written.documents.sparkSession
-      val books = existing.codebooks.localCheckpoint(true)
-      val codes = PqIndex.encode(written.documents, "doc_id", "embedding", books)
-      written.ann.map(_.postings) match {
-        case Some(assign) =>
-          codes.join(assign.select(col("cluster"), col("doc_id")), Seq("doc_id"))
-            .write.mode("overwrite").partitionBy("cluster")
-            .parquet(s"$indexDir/${PqIndex.CodesDir}")
-        case None =>
-          codes.write.mode("overwrite").parquet(s"$indexDir/${PqIndex.CodesDir}")
-      }
-      written.copy(pq = PqIndex.load(spark, indexDir))
-    case None if pqCodes > 0 =>
-      written.copy(pq = Some(PqIndex.buildAndWrite(
-        written.documents, "doc_id", "embedding", indexDir, pqCodes, pqIters,
-        clusterOf = written.ann.map(_.postings))))
-    case None => written
+      pqIters: Int = 3, refit: Boolean = false): IndexData = {
+    val spark = written.documents.sparkSession
+    written.pq match {
+      case Some(existing) if refit =>
+        // `--refit-pq`: drop the frozen codebooks, re-fit in place (K
+        // carried over from the codebook unless --pq-codes overrides)
+        val k = if (pqCodes > 0) pqCodes
+          else existing.codebooks.select("cid").distinct().count().toInt
+        val fs = new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Seq(PqIndex.CodebooksDir, PqIndex.CodesDir).foreach { d =>
+          fs.delete(new org.apache.hadoop.fs.Path(indexDir, d), true)
+        }
+        val pq = PqIndex.buildAndWrite(
+          written.documents, "doc_id", "embedding", indexDir, k, pqIters,
+          clusterOf = written.ann.map(_.postings))
+        written.copy(pq = Some(pq),
+          settings = persistPqBaseline(spark, indexDir, pq, written.documents))
+      case Some(existing) =>
+        val books = existing.codebooks.localCheckpoint(true)
+        val codes = PqIndex.encode(written.documents, "doc_id", "embedding", books)
+        written.ann.map(_.postings) match {
+          case Some(assign) =>
+            codes.join(assign.select(col("cluster"), col("doc_id")), Seq("doc_id"))
+              .write.mode("overwrite").partitionBy("cluster")
+              .parquet(s"$indexDir/${PqIndex.CodesDir}")
+          case None =>
+            codes.write.mode("overwrite").parquet(s"$indexDir/${PqIndex.CodesDir}")
+        }
+        // frozen-codebook staleness, measured (the pq face of the ann_drift
+        // contract): re-measure the mean reconstruction error and persist
+        // drift against the fit-time baseline
+        val cur = PqIndex.meanAssignError(
+          written.documents, "doc_id", "embedding", books)
+        val fit = written.setting(PqIndex.FitMeanErrKey)
+          .map(_.toDouble).getOrElse(cur)
+        val settings = upsertSettingsOnDisk(spark, indexDir, Seq(
+          PqIndex.FitMeanErrKey -> fit.toString,
+          PqIndex.MeanErrKey -> cur.toString,
+          PqIndex.DriftKey -> AnnIndex.driftOf(fit, cur).toString))
+        written.copy(pq = PqIndex.load(spark, indexDir), settings = settings)
+      case None if pqCodes > 0 =>
+        val pq = PqIndex.buildAndWrite(
+          written.documents, "doc_id", "embedding", indexDir, pqCodes, pqIters,
+          clusterOf = written.ann.map(_.postings))
+        written.copy(pq = Some(pq),
+          settings = persistPqBaseline(spark, indexDir, pq, written.documents))
+      case None => written
+    }
+  }
+
+  /** Persist the fit-time PQ drift baseline: fit = current, drift = 0. */
+  private def persistPqBaseline(spark: SparkSession, indexDir: String,
+      pq: PqIndex, documents: DataFrame): DataFrame = {
+    val fit = PqIndex.meanAssignError(documents, "doc_id", "embedding", pq.codebooks)
+    upsertSettingsOnDisk(spark, indexDir, Seq(
+      PqIndex.FitMeanErrKey -> fit.toString,
+      PqIndex.MeanErrKey -> fit.toString,
+      PqIndex.DriftKey -> "0.0"))
   }
 
   /** Fit + persist the IVF sidecar over an already-written artifact. The fit

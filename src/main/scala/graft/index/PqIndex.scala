@@ -64,6 +64,14 @@ object PqIndex {
   val CodesDir = "ann_pq_codes"
   val SubDim = 8 // subspace width — the q_embed_pq layout
 
+  /** Codebook-staleness settings keys, the PQ face of the ANN drift
+    * contract ([[AnnIndex.DriftKey]]): mean per-subspace assignment
+    * (reconstruction) error at fit time vs re-measured on each
+    * frozen-codebook incremental merge. */
+  val FitMeanErrKey = "pq_fit_meanerr"
+  val MeanErrKey = "pq_meanerr"
+  val DriftKey = "pq_drift"
+
   /** Slice an embedding column into 8-dim double subvectors:
     * (idCol, j, sv). Subspace count is ceil(dim/8), so a dim that is not a
     * multiple of 8 gets a narrower FINAL subspace covering the remainder
@@ -164,6 +172,24 @@ object PqIndex {
       .groupBy(col("_id").as("doc_id"))
       .agg(transform(array_sort(collect_list(struct(col("j"), col("cid")))),
         x => x.getField("cid")).as("codes"))
+  }
+
+  /** Mean assignment (reconstruction) error of the corpus under the given
+    * codebooks: avg over (vector, subspace) of the L2 from the subvector to
+    * its nearest codebook entry — the scalar the pq_drift staleness
+    * contract tracks. One subspace explode + broadcast-argmin + avg (the
+    * same pass shape encode() runs; no corpus-corpus shuffle). */
+  def meanAssignError(docs: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame): Double = {
+    val sub = docs
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("_did"), col(vecCol).as("_v"))
+      .transform(d => subspaces(d, "_did", "_v"))
+    assign(sub, codebooks)
+      .join(broadcast(codebooks.withColumn("cvd",
+        transform(col("cv"), x => x.cast("double")))), Seq("j", "cid"))
+      .agg(avg(l2(col("sv"), col("cvd"))))
+      .head().getDouble(0)
   }
 
   /** Fit + encode + persist. When the artifact also has an IVF sidecar

@@ -60,6 +60,14 @@ class CliInteractiveSpec extends AnyFunSuite {
     assert(Cli.driftWarning(drifted, (0, 0)).isEmpty)   // exact search: no ANN in play
     assert(Cli.driftWarning(idxWith(Some("0.1")), (2, 0)).isEmpty) // below threshold
     assert(Cli.driftWarning(idxWith(None), (2, 0)).isEmpty)        // pre-contract artifact
+    // the PQ face: pq_drift is checked only when the pq stage is in play
+    val pqDrifted = IndexData.fromDocuments(
+      Seq(("d1", "a b")).toDF("doc_id", "content")
+        .withColumn("tokens", split(col("content"), " ")),
+      Seq(Setting(graft.index.PqIndex.DriftKey, "0.5")).toDF())
+    val pqWarn = Cli.driftWarning(pqDrifted, (0, 50))
+    assert(pqWarn.isDefined && pqWarn.get.contains("--refit-pq"), pqWarn)
+    assert(Cli.driftWarning(pqDrifted, (2, 0)).isEmpty) // ivf-only: pq not served
   }
 
   test("interactive search loop honors an explicit --threshold") {

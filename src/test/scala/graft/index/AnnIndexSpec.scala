@@ -140,21 +140,8 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall; exact=$exact approx=$approx")
   }
 
-  /** Deterministic clustered corpus: doc i sits near unit axis `axisOf(i)`
-    * of a 16-dim space, plus small id-derived noise (so k-means has real
-    * work and no two vectors tie). */
-  private def clusteredDocs(ids: Seq[String], axisOf: Int => Int): org.apache.spark.sql.DataFrame = {
-    val rows = ids.zipWithIndex.map { case (id, i) =>
-      val ax = axisOf(i)
-      val v = Array.tabulate(16) { j =>
-        (if (j == ax) 1.0f else 0.0f) + 0.05f * (((i * 7 + j * 13) % 11) - 5) / 5.0f
-      }.toSeq
-      (id, id, "", 1, 1, s"doc $id", Seq("doc", id), v)
-    }
-    rows.toDF("doc_id", "file_path", "header_path", "line_start", "line_end",
-      "content", "tokens", "embedding")
-      .withColumn("embedding", col("embedding").cast("array<float>"))
-  }
+  private def clusteredDocs(ids: Seq[String], axisOf: Int => Int) =
+    graft.TestFixtures.clusteredDocs(spark, ids, axisOf)
 
   test("drift contract: shifted merge raises ann_drift past the threshold; --refit-ann restores it and the recall floor") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ann-drift").toString

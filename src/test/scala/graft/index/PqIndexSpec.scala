@@ -76,6 +76,60 @@ class PqIndexSpec extends AnyFunSuite {
     assert(hits.nonEmpty && hits.length <= 5)
   }
 
+  test("drift contract: shifted merge raises pq_drift past the threshold; --refit-pq restores it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-drift").toString
+    // corpus A clustered on axes 0-3: subspace j=0 carries all the signal,
+    // j=1 (dims 8-15) is pure noise the codebooks learn to reconstruct well
+    val docsA = graft.TestFixtures.clusteredDocs(
+      spark, (0 until 200).map(i => f"a$i%03d"), _ % 4)
+    IndexData.write(docsA, Seq.empty[(String, String)].toDF("key", "value"), dir)
+    val a1 = IndexJob.withPq(IndexData.load(spark, dir), dir, pqCodes = 4, pqIters = 2)
+    val fit = a1.setting(PqIndex.FitMeanErrKey).map(_.toDouble)
+      .getOrElse(fail("no fit baseline after fresh withPq"))
+    assert(fit > 0.0)
+    assert(a1.setting(PqIndex.DriftKey).map(_.toDouble).contains(0.0))
+
+    // merge a batch on axes 8-11: subspace j=1 suddenly carries unit spikes
+    // the frozen codebooks have no entry near — reconstruction error jumps.
+    // Settings passed CLI-style (embedder keys only): baseline must survive.
+    val docsB = graft.TestFixtures.clusteredDocs(
+      spark, (0 until 100).map(i => f"b$i%03d"), i => 8 + i % 4)
+    val a2 = IndexJob.mergeAndWrite(spark, docsB,
+      IndexJob.settingsOf(spark, "synthetic", 16), dir, clear = false)
+    assert(a2.setting(PqIndex.FitMeanErrKey).map(_.toDouble).contains(fit),
+      "pq fit baseline must survive an incremental merge")
+    val drift = a2.setting(PqIndex.DriftKey).map(_.toDouble)
+      .getOrElse(fail("no pq drift after incremental merge"))
+    assert(drift > AnnIndex.DriftWarnThreshold,
+      s"shifted-distribution merge should raise pq_drift past the warn threshold; got $drift")
+
+    // --refit-pq: codebooks re-fit over the merged corpus, K carried over,
+    // drift resets, and the QUALITY the metric proxies — how well codes
+    // reconstruct the corpus, which is what ADC ranking quality rides on —
+    // is restored: post-refit mean reconstruction error must come back
+    // near the original fit, far below the stale-codebook error. (Recall
+    // through a small shortlist is not assertable on this fixture: ADC
+    // distances tie EXACTLY across every doc sharing a code pair, so the
+    // deterministic doc_id tie-break, not codebook quality, decides a
+    // 20-doc cut. The exactness guarantee is what search correctness
+    // rests on, and it must survive the refit.)
+    val staleErr = a2.setting(PqIndex.MeanErrKey).map(_.toDouble).get
+    val a3 = IndexJob.withPq(a2, dir, pqCodes = 0, refit = true)
+    assert(a3.pq.get.codebooks.select("cid").distinct().count() == 4) // K carried
+    assert(a3.setting(PqIndex.DriftKey).map(_.toDouble).contains(0.0))
+    val refitErr = a3.setting(PqIndex.MeanErrKey).map(_.toDouble).get
+    assert(refitErr < staleErr / 2,
+      s"refit should restore reconstruction quality: stale $staleErr, refit $refitErr")
+    // two-stage exactness survives the refit: shortlist ≥ corpus ≡ exact
+    val qB = Array.tabulate(16)(j => if (j == 9) 1.0f else 0.0f)
+    val n = a3.documents.count().toInt
+    val exact = HybridSearch.vssTopK(a3.documents, qB, 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val viaPq = HybridSearch.vssTopKPq(a3.pq.get, a3.documents, qB, 10, n)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(viaPq == exact)
+  }
+
   test("composed ivf+pq: cluster-partitioned codes, pruned scan, full-params ≡ exact") {
     // artifact with BOTH sidecars: codes must come out cluster-partitioned
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
