@@ -81,6 +81,10 @@ class IndexStreamSpec extends AnyFunSuite {
         annNprobe = ann.numClusters))
       .select("file_path").collect().map(_.getString(0))
     assert(hits.exists(_.endsWith("b.md")), hits.mkString(","))
+    // the drift contract rides the same mergeAndWrite path: every watched
+    // micro-batch re-measures staleness against the fit-time baseline
+    assert(idx.setting(graft.index.AnnIndex.FitMeanDistKey).isDefined)
+    assert(idx.setting(graft.index.AnnIndex.DriftKey).isDefined)
   }
 
   test("tfidf watch: frozen-model deltas, re-fit barrier restores batch equality") {
