@@ -105,6 +105,23 @@ object Dedup {
       .filter(col("_bn") <= maxPerBucket).drop("_bn")
   }
 
+  /** Re-spread a candidate-pair frame before a CPU-dense verify kernel.
+    *
+    * AQE sizes shuffle partitions by BYTES, so a candidate-pair frame a few
+    * MB wide coalesces to ONE partition — and the verify kernel that follows
+    * (a 200-char Levenshtein is ~0.5 ms/pair, ~1000× the per-byte cost of a
+    * scan; exact Jaccard over shingle sets is the same class) runs on one
+    * core while 31 idle (measured: 20 s single-core vs 1.3 s spread for 74k
+    * pairs). One explicit round-robin exchange over the skinny pair rows
+    * restores full-width execution; verify output is keyed by the pair, so
+    * row placement is semantically irrelevant. The rule generalizes to any
+    * cluster: partition count for a kernel stage must track CPU, not bytes —
+    * this is the batch twin of sizing `maxFilesPerTrigger`, and at 100 TB
+    * the same call sites stay correct because `defaultParallelism` is the
+    * cluster's core count there. */
+  def spreadForKernel(pairs: DataFrame): DataFrame =
+    pairs.repartition(pairs.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact duplicate groups: hash-groupBy on content (map-side partial agg;
     * one shuffle on the content hash, never on raw text at scale — group by
     * md5 so the shuffle key is 32 bytes, not the document). */

@@ -457,14 +457,25 @@ object MiningQueries {
     // kernel runs per-pair, map-only, with L capped at 200 chars so the
     // worst-case cell count is bounded no matter how long documents get at
     // 100 TB (the cap is the standard trick — near-dups disagree early).
+    // Equal prefixes short-circuit to lev=0 before the kernel: in the
+    // boilerplate-dense corpora that saturate LSH buckets (license headers,
+    // templated pages) most candidate pairs share their first 200 chars
+    // exactly, so the dominant cost class drops from O(L²) to an equality
+    // check; a result-identical rewrite, so the oracle SQL is unchanged.
+    // The remaining kernel input spreads via [[Dedup.spreadForKernel]] —
+    // without it AQE byte-coalesces the skinny pair frame to one partition
+    // and the kernel runs single-core (measured 20 s vs 1.3 s on 74k pairs).
     Q("q_dedup_lev_pairs",
       (s, d) => {
         val txt = t(s, d, "documents")
           .select(col("doc_id"), substring(col("text"), 1, 200).as("t200"))
-        PipelineQueries.minhashCandidatePairs(s, d)
-          .join(txt.select(col("doc_id").as("doc_a"), col("t200").as("ta")), Seq("doc_a"))
-          .join(txt.select(col("doc_id").as("doc_b"), col("t200").as("tb")), Seq("doc_b"))
-          .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+        graft.ops.Dedup.spreadForKernel(
+          PipelineQueries.minhashCandidatePairs(s, d)
+            .join(txt.select(col("doc_id").as("doc_a"), col("t200").as("ta")), Seq("doc_a"))
+            .join(txt.select(col("doc_id").as("doc_b"), col("t200").as("tb")), Seq("doc_b")))
+          .withColumn("lev",
+            when(col("ta") === col("tb"), lit(0L))
+              .otherwise(levenshtein(col("ta"), col("tb")).cast("long")))
           .select(col("doc_a"), col("doc_b"), col("lev"),
             Q.r6(lit(1.0) - col("lev").cast("double") /
               greatest(length(col("ta")), length(col("tb"))).cast("double")).as("lev_sim"))

@@ -57,13 +57,15 @@ object PipelineQueries {
   }
 
   /** [[minhashPairsOf]] verified with exact Jaccard (rounded) over distinct
-    * shingle sets. */
+    * shingle sets. The exact `array_intersect` over two ~L-element shingle
+    * sets is the same CPU-dense per-pair class as the Levenshtein verify,
+    * so the kernel input spreads via [[Dedup.spreadForKernel]]. */
   private[graft] def minhashVerifiedPairsOf(tokenized: DataFrame): DataFrame = {
     val shingleSets = tokenized.filter(size(col("tokens")) >= 3)
       .select(col("doc_id"), array_distinct(Dedup.shingles(col("tokens"))).as("ds"))
-    minhashPairsOf(tokenized)
-      .join(shingleSets.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
-      .join(shingleSets.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b"))
+    Dedup.spreadForKernel(minhashPairsOf(tokenized)
+        .join(shingleSets.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
+        .join(shingleSets.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b")))
       .select(col("doc_a"), col("doc_b"),
         round(Dedup.jaccard(col("dsa"), col("dsb")), 6).as("jaccard"))
   }

@@ -55,10 +55,24 @@ object ScaleTestData {
     }
 
     /** replica i's text: `replicate` appends a marker token (near-dup
-      * family); `grow` rewrites every word (new shingle space). */
+      * family); `grow` rewrites every word (new shingle space). The grow
+      * marker placement matters because the portable token hash the LSH
+      * queries share with their oracle ([[graft.ops.Dedup.tokHash]]) probes
+      * only chars 1–3 + length of the SHINGLE STRING: a same-width suffix
+      * leaves every replica's hash identical to its siblings' (collapses
+      * into one 9-way family per doc — replicate-density again), and a
+      * uniform prefix is far worse (every shingle in a replica shares its
+      * probed chars, so hash diversity collapses to the length histogram —
+      * both measured). Inserting the replica digit at char 2 of each word
+      * keeps original text at probed positions 1 and 3 (per-replica
+      * diversity ≈ the real corpus) while shifting every replica into a
+      * disjoint hash space (31·digit term) — buckets grow in COUNT at
+      * ~constant density, the organic-corpus shape this mode exists to
+      * model. */
     def growText(c: Column, i: Int): Column =
       if (mode == "grow")
-        array_join(transform(split(c, " "), w => concat(w, lit(s"_g$i"))), " ")
+        array_join(transform(split(c, " "),
+          w => concat(substring(w, 1, 1), lit(i.toString), substring(w, 2, 10000))), " ")
       else concat(c, lit(s" rep$i"))
 
     /** replica i's embedding under `grow`: circular rotation by i dims. */
