@@ -105,6 +105,31 @@ object Dedup {
       .filter(col("_bn") <= maxPerBucket).drop("_bn")
   }
 
+  /** The other oversized-bucket policy: SUB-SPLIT instead of cap. Members of
+    * a (band, bucket) group are assigned to contiguous blocks of
+    * `maxPerBucket` in deterministic ascending-id order (`_sub` =
+    * ⌊(rank−1)/C⌋), and candidate pairs form only inside a (bucket, sub)
+    * block — so pairs per original bucket are bounded at ⌈n/C⌉·C(C−1)/2
+    * (LINEAR in n, vs the uncapped Σ n_b² quadratic) while EVERY member
+    * keeps forming pairs through its block.
+    *
+    * Trade-off vs [[capBuckets]], stated so operators can choose: the cap
+    * drops docs beyond C from the bucket entirely (bounded pairs, bounded
+    * recall loss concentrated on cap overflow); the sub-split keeps every
+    * doc but loses cross-block pairs, so one oversized near-dup family may
+    * surface as ⌈n/C⌉ pair-cliques instead of one (downstream connected
+    * components no longer bridge them through this band — they can still
+    * bridge through the other band's buckets). Both policies are
+    * deterministic operator semantics reproduced row-for-row by the oracle.
+    * Same window shape as the cap: one row_number over the bucket key the
+    * pair join already shuffles on. */
+  def subSplitBuckets(df: DataFrame, idCol: String, bucketKeys: Seq[String],
+      maxPerBucket: Int = MaxPerBucket): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(bucketKeys.map(col): _*).orderBy(col(idCol).asc)
+    df.withColumn("_sub", floor((row_number().over(w) - 1) / maxPerBucket))
+  }
+
   /** Re-spread a candidate-pair frame before a CPU-dense verify kernel.
     *
     * AQE sizes shuffle partitions by BYTES, so a candidate-pair frame a few

@@ -29,16 +29,20 @@ object PipelineQueries {
     * corpora). Every LSH candidate consumer (pairs, incremental screen,
     * curate chain) draws from THIS one frame, and the oracle's
     * [[minhashBandsCtes]] applies the identical cap. */
-  private[graft] def minhashBands(tokenized: DataFrame,
-      maxPerBucket: Int = Dedup.MaxPerBucket): DataFrame = {
+  /** Uncapped (doc_id, band, bucket) membership rows — the input both
+    * oversized-bucket policies (cap, sub-split) draw from. */
+  private def rawBands(tokenized: DataFrame): DataFrame = {
     val sig = Dedup.withMinhashSignature(
       tokenized.filter(size(col("tokens")) >= 3), "tokens")
-    val bands = sig.select(col("doc_id"), explode(array(
+    sig.select(col("doc_id"), explode(array(
       struct(lit(0).as("band"), col("band0").as("bucket")),
       struct(lit(1).as("band"), col("band1").as("bucket")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    Dedup.capBuckets(bands, "doc_id", Seq("band", "bucket"), maxPerBucket)
   }
+
+  private[graft] def minhashBands(tokenized: DataFrame,
+      maxPerBucket: Int = Dedup.MaxPerBucket): DataFrame =
+    Dedup.capBuckets(rawBands(tokenized), "doc_id", Seq("band", "bucket"), maxPerBucket)
 
   /** LSH candidate pairs (doc_a < doc_b) of an already-tokenized
     * (doc_id, tokens) frame, formed ONLY inside a band bucket — never an
@@ -68,6 +72,22 @@ object PipelineQueries {
         .join(shingleSets.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b")))
       .select(col("doc_a"), col("doc_b"),
         round(Dedup.jaccard(col("dsa"), col("dsb")), 6).as("jaccard"))
+  }
+
+  /** LSH candidate pairs under the SUB-SPLIT oversized-bucket policy
+    * ([[Dedup.subSplitBuckets]]): every banded doc keeps forming pairs, but
+    * only inside its ⌈n/C⌉-way block — pairs per bucket grow linearly in
+    * bucket size instead of quadratically, with no membership loss (the
+    * cap's trade-off inverted; see the policy scaladoc). */
+  private[graft] def minhashSubsplitPairsOf(tokenized: DataFrame,
+      maxPerBucket: Int = Dedup.MaxPerBucket): DataFrame = {
+    val sub = Dedup.subSplitBuckets(
+      rawBands(tokenized), "doc_id", Seq("band", "bucket"), maxPerBucket)
+    sub.as("a").join(sub.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a._sub") === col("b._sub") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** LSH candidate pairs over the documents corpus (query-surface shape). */
@@ -171,6 +191,35 @@ object PipelineQueries {
       (s, d) => minhashVerifiedPairs(s, d).orderBy("doc_a", "doc_b"),
       Some(s"WITH $minhashPairsCtes " +
         "SELECT doc_a, doc_b, jaccard FROM verified ORDER BY doc_a, doc_b")),
+
+    // The SUB-SPLIT oversized-bucket policy as a first-class query: same
+    // LSH candidate stage, but oversized buckets split into deterministic
+    // C-sized blocks instead of capping membership — every doc keeps
+    // pairing, pairs per bucket grow linearly in bucket size. C is pinned
+    // small (4) so the policy is exercised at every sf, not just on
+    // boilerplate-dense corpora; production callers pass Dedup.MaxPerBucket.
+    Q("q_dedup_subsplit_pairs",
+      (s, d) => {
+        val verified = {
+          val tokenized = docs(s, d)
+          val shingleSets = tokenized.filter(size(col("tokens")) >= 3)
+            .select(col("doc_id"), array_distinct(Dedup.shingles(col("tokens"))).as("ds"))
+          Dedup.spreadForKernel(minhashSubsplitPairsOf(tokenized, 4)
+              .join(shingleSets.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
+              .join(shingleSets.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b")))
+            .select(col("doc_a"), col("doc_b"),
+              round(Dedup.jaccard(col("dsa"), col("dsb")), 6).as("jaccard"))
+        }
+        verified.orderBy("doc_a", "doc_b")
+      },
+      Some(s"WITH $minhashBandsCtes, " +
+        "subs AS (SELECT doc_id, band, bucket, CAST(floor((row_number() OVER " +
+        "(PARTITION BY band, bucket ORDER BY doc_id) - 1) / 4) AS BIGINT) AS sub FROM bands0), " +
+        "spairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM subs a JOIN subs b " +
+        "ON a.band = b.band AND a.bucket = b.bucket AND a.sub = b.sub AND a.doc_id < b.doc_id) " +
+        s"SELECT doc_a, doc_b, round(${Dedup.jaccardSql("sa.ds", "sb.ds")}, 6) AS jaccard " +
+        "FROM spairs JOIN shc sa ON spairs.doc_a = sa.doc_id JOIN shc sb ON spairs.doc_b = sb.doc_id " +
+        "ORDER BY doc_a, doc_b")),
 
     // Dup-CLUSTER resolution: connected components over the verified LSH
     // pairs (jaccard ≥ 0.5 edges). Pairwise near-dup hits aren't a dedup

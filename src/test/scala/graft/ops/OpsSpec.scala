@@ -51,6 +51,33 @@ class OpsSpec extends AnyFunSuite {
     assert(graft.queries.PipelineQueries.minhashPairsOf(docs4).count() == 6)
   }
 
+  test("sub-split policy: every doc keeps pairing, blocks bound pairs, wide C is exact") {
+    // 4 identical docs, C=2 ⇒ two 2-doc blocks: every doc forms a pair
+    // (no membership loss — the cap's contract inverted), but only inside
+    // its block, so pairs per bucket grow linearly in bucket size
+    val toks = "the quick brown fox jumps over the lazy dog again".split(" ").toSeq
+    val docs4 = Seq((10L, toks), (11L, toks), (12L, toks), (13L, toks)).toDF("doc_id", "tokens")
+    val pairs = graft.queries.PipelineQueries.minhashSubsplitPairsOf(docs4, maxPerBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 11L), (12L, 13L)))
+    assert(pairs.flatMap(p => Set(p._1, p._2)) == Set(10L, 11L, 12L, 13L))
+
+    // C at least the bucket size ⇒ the policy is a no-op: same pairs as the
+    // uncapped candidate stage
+    val sub = graft.queries.PipelineQueries.minhashSubsplitPairsOf(docs4, maxPerBucket = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = graft.queries.PipelineQueries.minhashPairsOf(docs4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sub == uncapped && sub.size == 6)
+
+    // block assignment is deterministic: ascending-id contiguous blocks
+    val bands = Seq((1L, 0, 100L), (2L, 0, 100L), (3L, 0, 100L), (4L, 0, 100L), (5L, 0, 200L))
+      .toDF("doc_id", "band", "bucket")
+    val subs = Dedup.subSplitBuckets(bands, "doc_id", Seq("band", "bucket"), maxPerBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("_sub"))).toMap
+    assert(subs == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
+  }
+
   test("nearDupInBuckets honors the membership cap: capped-out vectors emit no row") {
     val v = (x: Float) => Array(x, 1f - x)
     val bucketed = Seq(
