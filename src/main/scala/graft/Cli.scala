@@ -83,7 +83,8 @@ object Cli {
     val out = arg(a, "--out").getOrElse(sys.error("--out <dir> required"))
     val opts = graft.ops.CuratePipeline.Opts(
       jaccardThreshold = arg(a, "--jaccard").map(_.toDouble).getOrElse(0.5),
-      sample = flag(a, "--sample"))
+      sample = flag(a, "--sample"),
+      bucketPolicy = arg(a, "--bucket-policy").map(_.toLowerCase).getOrElse("cap"))
     val spark = session()
     val docs = spark.read.parquet(in)
     val (kept, report) = graft.ops.CuratePipeline.run(docs, opts)

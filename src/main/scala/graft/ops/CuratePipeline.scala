@@ -21,7 +21,12 @@ object CuratePipeline {
 
   final case class Opts(
       jaccardThreshold: Double = 0.5,
-      sample: Boolean = false)
+      sample: Boolean = false,
+      /** Oversized-LSH-bucket policy for the near-dup stage: `cap` (bound
+        * pairs, overflow docs lose the band) or `subsplit` (every doc keeps
+        * pairing inside its C-sized block) — [[Dedup.MaxPerBucket]]'s two
+        * deterministic candidate-stage contracts. */
+      bucketPolicy: String = "cap")
 
   /** Run the chain over (doc_id, text) rows. Returns (kept, report) where
     * `kept` is the surviving (doc_id, text) corpus and `report` is
@@ -63,7 +68,8 @@ object CuratePipeline {
     //    machinery is the SAME implementation the oracle-checked queries
     //    run (PipelineQueries.minhashVerifiedPairsOf) — one definition, no
     //    drift between the CLI tool and the gated surface.
-    val edges = graft.queries.PipelineQueries.minhashVerifiedPairsOf(kept2d)
+    val edges = graft.queries.PipelineQueries
+      .minhashVerifiedPairsOf(kept2d, opts.bucketPolicy)
       .filter(col("jaccard") >= opts.jaccardThreshold)
       .select("doc_a", "doc_b")
     val comps = Components.connectedComponents(

@@ -208,6 +208,56 @@ object CurationQueries {
         s"${Q.r6Sql("max(rate)")} AS rate, CAST(count(*) AS BIGINT) AS n_after " +
         "FROM k WHERE u < rate GROUP BY source ORDER BY source")),
 
+    // α-temperature source mixing — the multinomial-sampling recipe
+    // (p_s ∝ n_s^α, α = 0.3 here) that upweights rare domains relative to
+    // their raw token share, applied as deterministic per-doc keep rates
+    // toward a 50%-of-corpus token budget. Differs from q_mix_rebalance
+    // (uniform target) in both the target distribution and the unit: this
+    // one budgets TOKENS, the currency a trainer actually consumes. The
+    // keep rate is rounded to 6 decimals BEFORE the u < rate cut in both
+    // engines — the deterministic cut-line convention — and the corpus
+    // never shuffles: per-source token totals partial-agg to ~|sources|
+    // rows, rates broadcast back, the keep decision is map-only.
+    Q("q_mix_temperature",
+      (s, d) => {
+        val dd = t(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+        val counts = dd.groupBy("source").agg(sum(col("n_tok")).as("tok_before"))
+        val tot = counts.agg(
+          sum(pow(col("tok_before").cast("double"), lit(0.3))).as("sum_pow"),
+          sum(col("tok_before")).as("tok_total"))
+        val rates = counts.crossJoin(broadcast(tot))
+          .withColumn("rate", round(least(lit(1.0),
+            (pow(col("tok_before").cast("double"), lit(0.3)) / col("sum_pow")) *
+              lit(0.5) * col("tok_total").cast("double") /
+              col("tok_before").cast("double")), 6))
+          .select(col("source"), col("tok_before"), col("rate"))
+        dd.join(broadcast(rates), Seq("source"))
+          .withColumn("u", expr(unitHashSql))
+          .filter(col("u") < col("rate"))
+          .groupBy("source")
+          .agg(max(col("tok_before")).as("tok_before"),
+            Q.r6(max(col("rate"))).as("rate"),
+            count(lit(1)).as("n_after"),
+            sum(col("n_tok")).as("tok_after"))
+          .orderBy("source")
+      },
+      Some("WITH n AS (SELECT doc_id, text, source, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+        "c AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok_before FROM n GROUP BY source), " +
+        "t AS (SELECT sum(pow(CAST(tok_before AS DOUBLE), 0.3)) AS sum_pow, " +
+        "CAST(sum(tok_before) AS BIGINT) AS tok_total FROM c), " +
+        "r AS (SELECT source, tok_before, round(least(1.0, " +
+        "(pow(CAST(tok_before AS DOUBLE), 0.3) / sum_pow) * 0.5 * " +
+        "CAST(tok_total AS DOUBLE) / CAST(tok_before AS DOUBLE)), 6) AS rate FROM c, t), " +
+        s"k AS (SELECT n.source, r.tok_before, r.rate, n.n_tok, $unitHashSql AS u " +
+        "FROM n JOIN r ON n.source = r.source) " +
+        "SELECT source, max(tok_before) AS tok_before, " +
+        s"${Q.r6Sql("max(rate)")} AS rate, CAST(count(*) AS BIGINT) AS n_after, " +
+        "CAST(sum(n_tok) AS BIGINT) AS tok_after " +
+        "FROM k WHERE u < rate GROUP BY source ORDER BY source")),
+
     // URL canonicalization + dedup — the CommonCrawl-style ingest step that
     // collapses scheme/case/www/query-string/trailing-slash variants of one
     // resource before any content processing runs. URLs are synthesized
@@ -523,6 +573,47 @@ object CurationQueries {
         "i -> toks[i] || ' ' || toks[i + 1])) AS pair FROM toks WHERE len(toks) >= 2) " +
         "SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pr " +
         "GROUP BY pair ORDER BY n DESC, pair LIMIT 50")),
+
+    // BPE APPLY: encode every word under the pinned ordered merge table
+    // (graft.ops.BpeEncode — greedy left-to-right merge passes as a pure
+    // expression fold, no UDF) and report per-doc symbol counts + the
+    // compression ratio a tokenizer budget planner needs. This is the
+    // missing half of the BPE story next to q_bpe_train: train fits the
+    // table, THIS op applies one — and because the table is a compile-time
+    // artifact, the DuckDB oracle replays the identical fold row-for-row
+    // (a real oracle check, where the iterative trainer can only get a
+    // local-replay spec). Map-only, no shuffle, O(|merges|·|word|)/word.
+    Q("q_bpe_encode",
+      (s, d) => {
+        val words = t(s, d, "documents")
+          .filter(instr(col("text"), "|") === 0)
+          .select(col("doc_id"),
+            explode(filter(split(col("text"), " "), w => length(w) > 0)).as("w"))
+        // the per-word merge chain is a CPU-dense kernel over skinny rows —
+        // spread it (Dedup.spreadForKernel doctrine: the corpus byte-size
+        // underfills the scan splits, but the kernel cost is per-row CPU)
+        graft.ops.BpeEncode.encodeWords(
+            graft.ops.Dedup.spreadForKernel(words), "w", "s")
+          .groupBy("doc_id")
+          .agg(sum(length(col("w"))).cast("long").as("n_chars"),
+            count(lit(1)).as("ws_tokens"),
+            sum(graft.ops.BpeEncode.symbolCount(col("s"))).as("bpe_tokens"))
+          .withColumn("compression", Q.r6(
+            col("n_chars").cast("double") / col("bpe_tokens").cast("double")))
+          .orderBy("doc_id")
+      },
+      Some {
+        val enc = graft.ops.BpeEncode.symbolCountSql(graft.ops.BpeEncode.encodeWordSql("w"))
+        "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS words " +
+          "FROM documents WHERE instr(text, '|') = 0), " +
+          "e AS (SELECT doc_id, " +
+          "CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS n_chars, " +
+          "CAST(len(words) AS BIGINT) AS ws_tokens, " +
+          s"CAST(list_sum(list_transform(words, w -> $enc)) AS BIGINT) AS bpe_tokens FROM w) " +
+          "SELECT doc_id, n_chars, ws_tokens, bpe_tokens, " +
+          s"${Q.r6Sql("CAST(n_chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE)")} AS compression " +
+          "FROM e ORDER BY doc_id"
+      }),
 
     // Per-doc out-of-vocabulary rate against the top-10 vocab — the
     // coverage statistic that decides whether a tokenizer vocab is big

@@ -63,11 +63,20 @@ object PipelineQueries {
   /** [[minhashPairsOf]] verified with exact Jaccard (rounded) over distinct
     * shingle sets. The exact `array_intersect` over two ~L-element shingle
     * sets is the same CPU-dense per-pair class as the Levenshtein verify,
-    * so the kernel input spreads via [[Dedup.spreadForKernel]]. */
-  private[graft] def minhashVerifiedPairsOf(tokenized: DataFrame): DataFrame = {
+    * so the kernel input spreads via [[Dedup.spreadForKernel]].
+    * `bucketPolicy` selects the oversized-bucket candidate stage: `cap`
+    * ([[minhashPairsOf]], the default) or `subsplit`
+    * ([[minhashSubsplitPairsOf]]). */
+  private[graft] def minhashVerifiedPairsOf(tokenized: DataFrame,
+      bucketPolicy: String = "cap"): DataFrame = {
+    val pairs = bucketPolicy match {
+      case "cap"      => minhashPairsOf(tokenized)
+      case "subsplit" => minhashSubsplitPairsOf(tokenized)
+      case other => sys.error(s"unknown bucket policy '$other' (expected cap or subsplit)")
+    }
     val shingleSets = tokenized.filter(size(col("tokens")) >= 3)
       .select(col("doc_id"), array_distinct(Dedup.shingles(col("tokens"))).as("ds"))
-    Dedup.spreadForKernel(minhashPairsOf(tokenized)
+    Dedup.spreadForKernel(pairs
         .join(shingleSets.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
         .join(shingleSets.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b")))
       .select(col("doc_a"), col("doc_b"),

@@ -114,4 +114,25 @@ class BpeTrainerSpec extends AnyFunSuite {
     val got2 = df2.orderBy("id").collect().map(_.getSeq[String](1).toList).toSeq
     assert(got2 == cases.map(localApply(_, "a", "a").toList))
   }
+
+  test("BpeEncode applies the pinned merge table with greedy BPE semantics") {
+    import spark.implicits._
+    // expected values derive from hand-running Merges = th, the, in, an,
+    // and, er in order: e.g. 'another' = a n o t h e r → (t,h) → (th,e)
+    // 'the' → (a,n) 'an' → an|o|the|r; (e,r) never fires there because
+    // the preceding symbol is 'the', not 'e'
+    val want = Map(
+      "there" -> "the|r|e", "another" -> "an|o|the|r", "in" -> "in",
+      "a" -> "a", "and" -> "and", "thethe" -> "the|the", "x" -> "x",
+      "hat" -> "h|a|t")
+    val df = want.keys.toSeq.toDF("w")
+    val got = BpeEncode.encodeWords(df, "w", "s").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == want)
+    // symbol counts follow the delimited representation
+    val counts = BpeEncode.encodeWords(df, "w", "s")
+      .select(col("w"), BpeEncode.symbolCount(col("s")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("there") == 3L && counts("in") == 1L && counts("hat") == 3L)
+  }
 }

@@ -62,6 +62,22 @@ class CuratePipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("subsplit bucket policy curates identically when no bucket is oversized") {
+    // fixture buckets are far below MaxPerBucket, so cap and subsplit see
+    // the same candidate pairs — the chain must be policy-invariant there
+    val (keptCap, _) = CuratePipeline.run(docs)
+    val (keptSub, reportSub) = CuratePipeline.run(docs,
+      CuratePipeline.Opts(bucketPolicy = "subsplit"))
+    val a = keptCap.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = keptSub.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(reportSub.count() > 0)
+    val err = intercept[RuntimeException] {
+      CuratePipeline.run(docs, CuratePipeline.Opts(bucketPolicy = "nope"))._1.count()
+    }
+    assert(err.getMessage.contains("bucket policy"))
+  }
+
   test("sampling stage drops only sampled_out rows and stays deterministic") {
     val (kept, report) = CuratePipeline.run(docs, CuratePipeline.Opts(sample = true))
     val (kept2, _) = CuratePipeline.run(docs, CuratePipeline.Opts(sample = true))
