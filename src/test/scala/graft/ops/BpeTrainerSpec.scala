@@ -115,6 +115,36 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(got2 == cases.map(localApply(_, "a", "a").toList))
   }
 
+  test("BpeEncode matches a local greedy reference on randomized words") {
+    import spark.implicits._
+    // independent Scala implementation of greedy left-to-right merge passes
+    def localEncode(w: String): List[String] = {
+      var syms = w.map(_.toString).toList
+      for ((a, b) <- BpeEncode.Merges) {
+        val out = scala.collection.mutable.ListBuffer[String]()
+        for (s <- syms) {
+          if (out.nonEmpty && out.last == a && s == b) {
+            out.remove(out.length - 1); out += (a + b)
+          } else out += s
+        }
+        syms = out.toList
+      }
+      syms
+    }
+    // seeded draw over an alphabet dense in merge characters so every merge
+    // (incl. the chained th→the and an→and) fires often
+    val rnd = new scala.util.Random(20260813L)
+    val alphabet = "thieandr"
+    val words = (1 to 300).map { _ =>
+      (1 to (1 + rnd.nextInt(10))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.distinct
+    val got = BpeEncode.encodeWords(words.toDF("w"), "w", "s").collect()
+      .map(r => r.getString(0) -> r.getString(1).split("\\|").toList).toMap
+    words.foreach { w =>
+      assert(got(w) == localEncode(w), s"word '$w' diverged")
+    }
+  }
+
   test("BpeEncode applies the pinned merge table with greedy BPE semantics") {
     import spark.implicits._
     // expected values derive from hand-running Merges = th, the, in, an,
