@@ -72,11 +72,16 @@ final case class AnnIndex(centroids: DataFrame, postings: DataFrame) {
 
   /** Mean assignment distance of the inverted lists: the average cosine
     * distance of every stored vector to its own centroid — the scalar that
-    * the sidecar-staleness (drift) contract tracks. One broadcast join +
-    * one avg over the already-written postings (columnar scan, no window,
-    * no shuffle wider than the partial aggregate). */
+    * the sidecar-staleness (drift) contract tracks. The distance is a
+    * byproduct of the assignment argmin [[AnnIndex.buildPostings]] already
+    * computed, persisted as the `assign_dist` column — so the measurement
+    * is a single-column parquet scan + avg, NOT a second corpus-wide
+    * join/distance pass per merge. Sidecars written before the column
+    * existed fall back to recomputing via the broadcast join. */
   def meanAssignDist: Double =
-    postings
+    if (postings.columns.contains("assign_dist"))
+      postings.agg(avg(col("assign_dist"))).head().getDouble(0)
+    else postings
       .join(broadcast(centroids), col("cluster") === col("cid"))
       .agg(avg(VectorOps.cosineDist(col("embedding"), col("cvec"))))
       .head().getDouble(0)
@@ -235,7 +240,10 @@ object AnnIndex {
 
   /** The inverted lists: every embedded document under its nearest centroid.
     * One broadcast join + windowed argmin over the corpus — embarrassingly
-    * parallel, never all-pairs. */
+    * parallel, never all-pairs. The argmin's own distance rides along as
+    * `assign_dist` (one double per row next to a dim-float embedding —
+    * negligible bytes) so the drift measurement ([[AnnIndex.meanAssignDist]])
+    * never re-runs the assignment pass. */
   def buildPostings(
       docs: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame =
@@ -243,7 +251,8 @@ object AnnIndex {
         docs.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
           .select(col(idCol).as("doc_id"), col(vecCol).cast("array<float>").as("embedding")),
         "doc_id", "embedding", centroids, "cid", "cvec")
-      .select(col("cid").as("cluster"), col("doc_id"), col("embedding"))
+      .select(col("cid").as("cluster"), col("doc_id"), col("embedding"),
+        col("centroid_dist").as("assign_dist"))
 
   /** Fit + assign + persist into an existing index artifact directory. */
   def buildAndWrite(

@@ -59,8 +59,8 @@ final case class IndexData(
   def upsertSetting(key: String, value: String): IndexData = {
     val spark = settings.sparkSession
     import spark.implicits._
-    val updated = settings.filter(col("key") =!= key)
-      .unionByName(Seq((key, value)).toDF("key", "value"))
+    val updated = IndexData.upsertSettings(
+        settings, Seq((key, value)).toDF("key", "value"))
       // materialize: the lineage reads $dir/settings, which a subsequent
       // save(dir) overwrites — read-before-overwrite needs a checkpoint
       // (settings is a handful of rows)
@@ -86,6 +86,17 @@ final case class IndexData(
 }
 
 object IndexData {
+
+  /** THE keyed settings upsert (S5, reference `INSERT OR REPLACE`,
+    * `src/db.py:170-178`): rows of `existing` whose key appears in `fresh`
+    * are replaced by the fresh rows; everything else is kept. Every settings
+    * merge in the engine — in-memory ([[IndexData.upsertSetting]]),
+    * merge-time ([[IndexJob.mergeAndWrite]]), on-disk drift updates
+    * (`IndexJob.upsertSettingsOnDisk`) — routes through this one
+    * definition. Both frames are a handful of rows. */
+  def upsertSettings(existing: DataFrame, fresh: DataFrame): DataFrame =
+    existing.join(fresh.select("key"), Seq("key"), "left_anti")
+      .unionByName(fresh)
 
   /** Write a full artifact from a documents DataFrame with an expensive
     * lineage: documents parquet first, then every stats table derived from

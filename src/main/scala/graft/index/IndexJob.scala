@@ -215,10 +215,8 @@ object IndexJob {
     // every merge. clear=true replaces wholesale (sidecars are gone too).
     val mergedSettings =
       if (!incremental) settings
-      else spark.read.parquet(s"$indexDir/settings")
-        .join(settings.select("key"), Seq("key"), "left_anti")
-        .unionByName(settings)
-        .localCheckpoint(true)
+      else IndexData.upsertSettings(
+        spark.read.parquet(s"$indexDir/settings"), settings).localCheckpoint(true)
     // write-then-derive: the chunk+embed lineage executes exactly once
     val written = IndexData.write(laidOut, mergedSettings, indexDir)
     withPq(withAnn(written, indexDir, annClusters, annIters, refit = annRefit),
@@ -261,17 +259,20 @@ object IndexJob {
             codes.write.mode("overwrite").parquet(s"$indexDir/${PqIndex.CodesDir}")
         }
         // frozen-codebook staleness, measured (the pq face of the ann_drift
-        // contract): re-measure the mean reconstruction error and persist
-        // drift against the fit-time baseline
-        val cur = PqIndex.meanAssignError(
-          written.documents, "doc_id", "embedding", books)
+        // contract): the reconstruction error is a byproduct of the encode
+        // pass just written (codes.err_sum), so the measurement is a column
+        // scan of the new codes parquet — never a second encode pass
+        val reloaded = PqIndex.load(spark, indexDir)
+        val cur = reloaded.flatMap(p => PqIndex.meanCodesError(p.codes))
+          .getOrElse(PqIndex.meanAssignError(
+            written.documents, "doc_id", "embedding", books))
         val fit = written.setting(PqIndex.FitMeanErrKey)
           .map(_.toDouble).getOrElse(cur)
         val settings = upsertSettingsOnDisk(spark, indexDir, Seq(
           PqIndex.FitMeanErrKey -> fit.toString,
           PqIndex.MeanErrKey -> cur.toString,
           PqIndex.DriftKey -> AnnIndex.driftOf(fit, cur).toString))
-        written.copy(pq = PqIndex.load(spark, indexDir), settings = settings)
+        written.copy(pq = reloaded, settings = settings)
       case None if pqCodes > 0 =>
         val pq = PqIndex.buildAndWrite(
           written.documents, "doc_id", "embedding", indexDir, pqCodes, pqIters,
@@ -282,10 +283,13 @@ object IndexJob {
     }
   }
 
-  /** Persist the fit-time PQ drift baseline: fit = current, drift = 0. */
+  /** Persist the fit-time PQ drift baseline: fit = current, drift = 0.
+    * Reads the error off the just-written codes (`err_sum` column scan);
+    * recomputes only for pre-column artifacts. */
   private def persistPqBaseline(spark: SparkSession, indexDir: String,
       pq: PqIndex, documents: DataFrame): DataFrame = {
-    val fit = PqIndex.meanAssignError(documents, "doc_id", "embedding", pq.codebooks)
+    val fit = PqIndex.meanCodesError(pq.codes).getOrElse(
+      PqIndex.meanAssignError(documents, "doc_id", "embedding", pq.codebooks))
     upsertSettingsOnDisk(spark, indexDir, Seq(
       PqIndex.FitMeanErrKey -> fit.toString,
       PqIndex.MeanErrKey -> fit.toString,
@@ -367,17 +371,19 @@ object IndexJob {
   }
 
   /** Keyed upsert into the on-disk settings dataset (S5 semantics against
-    * the artifact itself): read, replace the given keys, write back.
-    * Settings is a handful of rows — the localCheckpoints are the standard
-    * read-before-overwrite materialization, not data movement. */
+    * the artifact itself, via the one shared [[IndexData.upsertSettings]]):
+    * read, replace the given keys, write back. Settings is a handful of
+    * rows — the localCheckpoint is the standard read-before-overwrite
+    * materialization, not data movement. Each sidecar maintenance step
+    * (withAnn, withPq) persists its own drift keys because each is an
+    * independent entry point (refit CLI, tests) — per merge that is at most
+    * two extra O(10-row) write cycles, accepted for the isolation. */
   private def upsertSettingsOnDisk(spark: SparkSession, indexDir: String,
       kvs: Seq[(String, String)]): DataFrame = {
     import spark.implicits._
     val path = s"$indexDir/settings"
-    val keys = kvs.map(_._1)
-    val updated = spark.read.parquet(path)
-      .filter(!col("key").isInCollection(keys))
-      .unionByName(kvs.toDF("key", "value"))
+    val updated = IndexData.upsertSettings(
+        spark.read.parquet(path), kvs.toDF("key", "value"))
       .localCheckpoint(true)
     updated.coalesce(1).write.mode("overwrite").parquet(path)
     updated

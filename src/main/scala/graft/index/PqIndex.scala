@@ -150,18 +150,30 @@ object PqIndex {
 
   /** Nearest codebook entry per (vector, subspace): struct-min argmin —
     * map-side partials, never a window over N×8×K candidates (the
-    * q_embed_pq shape). Input `sub`: (_id, j, sv). Output: (_id, j, cid, sv). */
+    * q_embed_pq shape). Input `sub`: (_id, j, sv). Output:
+    * (_id, j, cid, sv, aerr) — `aerr` is the chosen entry's UNROUNDED L2
+    * (the per-subspace reconstruction error), carried out of the argmin the
+    * pass already computed so the drift metric never re-runs it. The
+    * rounded d6 leads the min struct for the deterministic (d6, cid)
+    * tie-break; for a fixed (j, cid) candidate the trailing fields are
+    * functionally determined, so including them cannot change the argmin. */
   private def assign(sub: DataFrame, codebooks: DataFrame): DataFrame =
     sub.join(broadcast(codebooks.withColumn("cvd",
         transform(col("cv"), x => x.cast("double")))), Seq("j"))
       .withColumn("_d", l2(col("sv"), col("cvd")))
       .groupBy("_id", "j")
-      .agg(min(struct(round(col("_d"), 6).as("d6"), col("cid").as("cid"))).as("best"),
+      .agg(min(struct(round(col("_d"), 6).as("d6"), col("cid").as("cid"),
+        col("_d").as("d"))).as("best"),
         first(col("sv")).as("sv"))
-      .select(col("_id"), col("j"), col("best.cid").as("cid"), col("sv"))
+      .select(col("_id"), col("j"), col("best.cid").as("cid"), col("sv"),
+        col("best.d").as("aerr"))
 
   /** Encode every embedded document as its 8 codebook codes, packed in
-    * subspace order: (doc_id, codes: array<int>). */
+    * subspace order: (doc_id, codes: array<int>, err_sum). `err_sum` is the
+    * summed per-subspace reconstruction error of the doc — a byproduct of
+    * the encode argmin, persisted with the codes so the pq_drift
+    * measurement is a column scan over the written codes
+    * ([[meanCodesError]]), not a second corpus-wide encode pass. */
   def encode(docs: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame): DataFrame = {
     val sub = docs
@@ -171,14 +183,29 @@ object PqIndex {
     assign(sub, codebooks)
       .groupBy(col("_id").as("doc_id"))
       .agg(transform(array_sort(collect_list(struct(col("j"), col("cid")))),
-        x => x.getField("cid")).as("codes"))
+        x => x.getField("cid")).as("codes"),
+        sum(col("aerr")).as("err_sum"))
   }
+
+  /** Mean per-(vector, subspace) reconstruction error read from the
+    * `err_sum` column the codes dataset carries — sum of per-doc error sums
+    * over the total subspace count, identical by algebra to
+    * [[meanAssignError]]'s avg over assignment rows, at the cost of a
+    * two-column scan of the (already tiny) codes parquet. `None` for codes
+    * written before the column existed (callers fall back to the
+    * recomputing [[meanAssignError]]). */
+  def meanCodesError(codes: DataFrame): Option[Double] =
+    if (!codes.columns.contains("err_sum")) None
+    else Some(codes.agg(sum(col("err_sum")) / sum(size(col("codes"))))
+      .head().getDouble(0))
 
   /** Mean assignment (reconstruction) error of the corpus under the given
     * codebooks: avg over (vector, subspace) of the L2 from the subvector to
     * its nearest codebook entry — the scalar the pq_drift staleness
     * contract tracks. One subspace explode + broadcast-argmin + avg (the
-    * same pass shape encode() runs; no corpus-corpus shuffle). */
+    * same pass shape encode() runs). This is the RECOMPUTING form, kept as
+    * the fallback for codes written before `err_sum` existed and as the
+    * spec's independent oracle for [[meanCodesError]]. */
   def meanAssignError(docs: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame): Double = {
     val sub = docs

@@ -604,12 +604,16 @@ object CurationQueries {
       },
       Some {
         val enc = graft.ops.BpeEncode.symbolCountSql(graft.ops.BpeEncode.encodeWordSql("w"))
+        // len(words) > 0 mirrors Spark's explode dropping zero-word docs —
+        // without it an empty-text doc would surface here as a NULL-stats
+        // row the Spark side never emits
         "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS words " +
           "FROM documents WHERE instr(text, '|') = 0), " +
           "e AS (SELECT doc_id, " +
           "CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS n_chars, " +
           "CAST(len(words) AS BIGINT) AS ws_tokens, " +
-          s"CAST(list_sum(list_transform(words, w -> $enc)) AS BIGINT) AS bpe_tokens FROM w) " +
+          s"CAST(list_sum(list_transform(words, w -> $enc)) AS BIGINT) AS bpe_tokens " +
+          "FROM w WHERE len(words) > 0) " +
           "SELECT doc_id, n_chars, ws_tokens, bpe_tokens, " +
           s"${Q.r6Sql("CAST(n_chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE)")} AS compression " +
           "FROM e ORDER BY doc_id"

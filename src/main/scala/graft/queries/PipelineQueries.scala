@@ -21,14 +21,6 @@ object PipelineQueries {
 
   private val HourNs = 3600000000000L
 
-  /** Exploded (doc_id, band, bucket) membership rows with the batch
-    * bucket-density guard applied: membership per (band, bucket) is capped
-    * at `maxPerBucket` in ascending-id order ([[Dedup.MaxPerBucket]]'s
-    * recall contract — the streaming `maxPerBucket` brought to batch, so
-    * Σ n_b² in-bucket pair growth stays bounded on boilerplate-dense
-    * corpora). Every LSH candidate consumer (pairs, incremental screen,
-    * curate chain) draws from THIS one frame, and the oracle's
-    * [[minhashBandsCtes]] applies the identical cap. */
   /** Uncapped (doc_id, band, bucket) membership rows — the input both
     * oversized-bucket policies (cap, sub-split) draw from. */
   private def rawBands(tokenized: DataFrame): DataFrame = {
@@ -40,6 +32,15 @@ object PipelineQueries {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** [[rawBands]] with the batch bucket-density guard applied: membership
+    * per (band, bucket) capped at `maxPerBucket` in ascending-id order
+    * ([[Dedup.MaxPerBucket]]'s recall contract — the streaming
+    * `maxPerBucket` brought to batch, so Σ n_b² in-bucket pair growth stays
+    * bounded on boilerplate-dense corpora). The symmetric-pair consumers
+    * (pairs, curate chain) draw from this frame; the oracle's
+    * [[minhashBandsCtes]] applies the identical cap as `bands`. The
+    * incremental screen caps only its EXISTING side (a screened doc is
+    * never dropped). */
   private[graft] def minhashBands(tokenized: DataFrame,
       maxPerBucket: Int = Dedup.MaxPerBucket): DataFrame =
     Dedup.capBuckets(rawBands(tokenized), "doc_id", Seq("band", "bucket"), maxPerBucket)
@@ -97,6 +98,46 @@ object PipelineQueries {
           col("a._sub") === col("b._sub") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Incremental dedup screen: every doc with id ≥ `newFrom` is screened
+    * against the existing corpus (id < `newFrom`) through the shared LSH
+    * bands. The density cap applies ONLY to the EXISTING side — it bounds
+    * per-new-doc work at ≤C old candidates per band, but a doc being
+    * screened must never itself be capped out of its bucket: a joint cap
+    * would report is_dup=false for a genuine duplicate of an oversized
+    * boilerplate family, the exact corpus shape the cap targets
+    * (OpsSpec pins the regression). */
+  private[graft] def incrementalScreen(tokenized: DataFrame, newFrom: Long,
+      maxPerBucket: Int = Dedup.MaxPerBucket): DataFrame = {
+    val base = tokenized.filter(size(col("tokens")) >= 3)
+    val raw = rawBands(tokenized)
+    val oldBands = Dedup.capBuckets(
+      raw.filter(col("doc_id") < newFrom), "doc_id", Seq("band", "bucket"),
+      maxPerBucket)
+    val pairs = raw.filter(col("doc_id") >= newFrom).withColumnRenamed("doc_id", "new_id")
+      .join(oldBands.withColumnRenamed("doc_id", "old_id"),
+        Seq("band", "bucket"))
+      .select(col("new_id"), col("old_id")).distinct()
+    val shingleSets = base
+      .select(col("doc_id"), array_distinct(Dedup.shingles(col("tokens"))).as("ds"))
+    val verified = pairs
+      .join(shingleSets.select(col("doc_id").as("new_id"), col("ds").as("dsn")), Seq("new_id"))
+      .join(shingleSets.select(col("doc_id").as("old_id"), col("ds").as("dso")), Seq("old_id"))
+      .select(col("new_id"), col("old_id"),
+        round(Dedup.jaccard(col("dsn"), col("dso")), 6).as("j"))
+      .filter(col("j") >= 0.3)
+    val best = verified.groupBy("new_id")
+      .agg(count(lit(1)).as("nm"),
+        min(struct((-col("j")).as("nj"), col("old_id").as("a"))).as("best"))
+    base.filter(col("doc_id") >= newFrom).select(col("doc_id").as("new_id"))
+      .join(best, Seq("new_id"), "left")
+      .select(col("new_id").as("doc_id"),
+        coalesce(col("nm"), lit(0L)).as("n_matches"),
+        col("best.a").as("best_match"),
+        Q.r6(-col("best.nj")).as("best_jaccard"),
+        col("nm").isNotNull.as("is_dup"))
+      .orderBy("doc_id")
   }
 
   /** LSH candidate pairs over the documents corpus (query-surface shape). */
@@ -377,38 +418,13 @@ object PipelineQueries {
     // struct-min. At scale the existing side's signatures/buckets are a
     // precomputed table partitioned by (band, bucket).
     Q("q_dedup_incremental",
-      (s, d) => {
-        val base = docs(s, d).filter(size(col("tokens")) >= 3)
-        // capped bands (the shared density guard) — new×existing candidate
-        // growth inside a bucket is the same Σ n_b² mechanism as the pairs
-        val bands = minhashBands(docs(s, d))
-        val pairs = bands.filter(col("doc_id") >= 400).withColumnRenamed("doc_id", "new_id")
-          .join(bands.filter(col("doc_id") < 400).withColumnRenamed("doc_id", "old_id"),
-            Seq("band", "bucket"))
-          .select(col("new_id"), col("old_id")).distinct()
-        val shingleSets = base
-          .select(col("doc_id"), array_distinct(Dedup.shingles(col("tokens"))).as("ds"))
-        val verified = pairs
-          .join(shingleSets.select(col("doc_id").as("new_id"), col("ds").as("dsn")), Seq("new_id"))
-          .join(shingleSets.select(col("doc_id").as("old_id"), col("ds").as("dso")), Seq("old_id"))
-          .select(col("new_id"), col("old_id"),
-            round(Dedup.jaccard(col("dsn"), col("dso")), 6).as("j"))
-          .filter(col("j") >= 0.3)
-        val best = verified.groupBy("new_id")
-          .agg(count(lit(1)).as("nm"),
-            min(struct((-col("j")).as("nj"), col("old_id").as("a"))).as("best"))
-        base.filter(col("doc_id") >= 400).select(col("doc_id").as("new_id"))
-          .join(best, Seq("new_id"), "left")
-          .select(col("new_id").as("doc_id"),
-            coalesce(col("nm"), lit(0L)).as("n_matches"),
-            col("best.a").as("best_match"),
-            Q.r6(-col("best.nj")).as("best_jaccard"),
-            col("nm").isNotNull.as("is_dup"))
-          .orderBy("doc_id")
-      },
+      (s, d) => incrementalScreen(docs(s, d), 400),
+      // new side draws from the UNCAPPED bands0 (a screened doc is never
+      // capped out); old side from the capped bands — which restricted to
+      // doc_id < 400 equals an old-only cap, since old ids sort first.
       Some(s"WITH $minhashBandsCtes, " +
         "pairs AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id " +
-        "FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket " +
+        "FROM bands0 a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket " +
         "AND a.doc_id >= 400 AND b.doc_id < 400), " +
         s"ver AS (SELECT new_id, old_id, round(${Dedup.jaccardSql("sn.ds", "so.ds")}, 6) AS j " +
         "FROM pairs JOIN shc sn ON pairs.new_id = sn.doc_id " +

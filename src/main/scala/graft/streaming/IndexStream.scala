@@ -61,6 +61,21 @@ object IndexStream {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Settings marker set by every frozen-model micro-batch merge and cleared
+    * by a re-fit (the refit rewrites settings wholesale, so the key is
+    * simply absent afterwards). Lives in the ARTIFACT, not driver memory or
+    * the checkpoint: it survives restarts and makes the re-fit cadence a
+    * function of "is there unrefitted data", not of which batchId happened
+    * to carry rows. */
+  val TfIdfDirtyKey = "tfidf_dirty"
+
+  private def tfidfDirty(spark: SparkSession, indexDir: String): Boolean =
+    pathExists(spark, s"$indexDir/settings") &&
+      !spark.read.parquet(s"$indexDir/settings")
+        .filter(org.apache.spark.sql.functions.col("key") === TfIdfDirtyKey &&
+          org.apache.spark.sql.functions.col("value") === "true")
+        .isEmpty
+
   /** Watch `docsDir` and fold every new markdown file into the index at
     * `indexDir`. Blockable via the returned query (`processAllAvailable`
     * to drain in tests/one-shot use). */
@@ -107,9 +122,12 @@ object IndexStream {
     *  - between re-fits, NEW files are embedded by the FROZEN current model
     *    (idf weights from the last fit) — geometry consistent with the
     *    already-indexed corpus, slightly stale w.r.t. the true corpus idf;
-    *  - every `refitEvery` micro-batches (by the CHECKPOINTED batchId, so
-    *    the cadence survives stream restarts; and on an explicit
-    *    [[tfidfRefit]] barrier) the model re-fits over the MERGED corpus and
+    *  - at every `refitEvery`-th stride boundary (by the CHECKPOINTED
+    *    batchId, so the cadence survives stream restarts) that finds
+    *    unrefitted merged data (the artifact-persisted [[TfIdfDirtyKey]] —
+    *    empty boundary batches still fire the check, idle streams never
+    *    re-fit a clean artifact; and on an explicit [[tfidfRefit]] barrier)
+    *    the model re-fits over the MERGED corpus and
     *    EVERY document re-embeds under the new model — after a barrier the
     *    artifact is exactly what a batch [[IndexJob.runTfIdf]] over the same
     *    files produces (IndexStreamSpec pins the equality), INCLUDING the
@@ -139,11 +157,13 @@ object IndexStream {
       .option("checkpointLocation",
         checkpointDir.getOrElse(s"$indexDir/_index_checkpoint"))
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sp = batch.sparkSession
         if (!batch.isEmpty) {
-          val sp = batch.sparkSession
+          import sp.implicits._
           val chunks = IndexJob.chunkFiles(batch.toDF(), chunker)
           if (!pathExists(sp, modelPath)) {
-            // bootstrap fit on the first arrival set
+            // bootstrap fit on the first arrival set — the model IS the
+            // corpus fit at this point, so the artifact starts clean
             val (embedded, model) =
               graft.embed.TfIdfEmbed.fitTransform(chunks.toDF(), "tokens", dim)
             model.save(sp, modelPath)
@@ -154,27 +174,35 @@ object IndexStream {
               layout = opts.layout, layoutFiles = opts.layoutFiles)
           } else {
             // frozen-model embedding of the delta (per-row reproduction of
-            // the fitted pipeline — same hash buckets, idf, L2 norm)
+            // the fitted pipeline — same hash buckets, idf, L2 norm); the
+            // merge marks the artifact dirty-for-refit
             val model = graft.embed.TfIdfEmbed.load(sp, modelPath)
             val fresh = IndexJob.embedChunks(
               chunks, model.embedder(analyzer.tokenize), opts)
             IndexJob.mergeAndWrite(sp, fresh,
-              IndexJob.settingsOf(sp, model.name, dim), indexDir, clear = false,
+              IndexJob.settingsOf(sp, model.name, dim)
+                .unionByName(Seq((TfIdfDirtyKey, "true")).toDF("key", "value")),
+              indexDir, clear = false,
               annClusters = opts.annClusters, annIters = opts.annIters,
               pqCodes = opts.pqCodes, pqIters = opts.pqIters,
               layout = opts.layout, layoutFiles = opts.layoutFiles)
           }
-          // cadence keys off the CHECKPOINTED batchId (monotonic across
-          // stream restarts, stable under foreachBatch retries) — a
-          // driver-side counter would reset on every restart and
-          // double-count retried batches, silently drifting the schedule.
-          // Contract: the re-fit fires on each non-empty micro-batch whose
-          // batchId completes a `refitEvery` stride (ids consumed by empty
-          // batches count toward the stride).
-          if (refitEvery > 0 && (batchId + 1) % refitEvery == 0) {
-            tfidfRefit(sp, indexDir, dim, opts)
-            ()
-          }
+          ()
+        }
+        // Cadence keys off the CHECKPOINTED batchId (monotonic across stream
+        // restarts, stable under foreachBatch retries — a driver-side
+        // counter would reset on restart and double-count retries), checked
+        // OUTSIDE the empty-batch guard: a stride boundary consumed by an
+        // empty micro-batch must still fire, or a stream whose empty batches
+        // recur on the stride would never auto-refit while data keeps
+        // merging between boundaries. The artifact-persisted [[TfIdfDirtyKey]]
+        // gates the actual work, so an IDLE stream crossing boundaries never
+        // pays a no-op corpus re-fit — the contract is "a re-fit happens at
+        // the first stride boundary at-or-after unrefitted data".
+        if (refitEvery > 0 && (batchId + 1) % refitEvery == 0 &&
+            tfidfDirty(sp, indexDir)) {
+          tfidfRefit(sp, indexDir, dim, opts)
+          ()
         }
       }
       .start()

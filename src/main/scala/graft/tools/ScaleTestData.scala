@@ -75,10 +75,13 @@ object ScaleTestData {
           w => concat(substring(w, 1, 1), lit(i.toString), substring(w, 2, 10000))), " ")
       else concat(c, lit(s" rep$i"))
 
-    /** replica i's embedding under `grow`: circular rotation by i dims. */
+    /** replica i's embedding under `grow`: circular rotation by `i mod dim`
+      * dims (the mod keeps the slice lengths non-negative for factors
+      * larger than the embedding dim — rotation is circular anyway). */
     def growVec(c: Column, i: Int): Column = {
       val dim = size(c)
-      concat(slice(c, lit(i + 1), dim - lit(i)), slice(c, lit(1), lit(i)))
+      val rot = lit(i) % dim
+      concat(slice(c, rot + lit(1), dim - rot), slice(c, lit(1), rot))
     }
 
     /** Replicate with the listed long key columns shifted per replica. */

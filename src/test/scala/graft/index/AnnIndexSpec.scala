@@ -49,6 +49,20 @@ class AnnIndexSpec extends AnyFunSuite {
       .select("doc_id", "score")
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
 
+  test("drift metric rides the postings: assign_dist column ≡ recomputed join") {
+    val ann = index.ann.getOrElse(fail("ann sidecar missing"))
+    assert(ann.postings.columns.contains("assign_dist"))
+    // the column-scan metric (what merges now pay) against the recomputing
+    // broadcast-join form (what pre-column sidecars fall back to): same
+    // per-row distances, so the means agree to float-sum reassociation
+    val viaColumn = ann.meanAssignDist
+    val viaJoin = ann.postings
+      .join(broadcast(ann.centroids), col("cluster") === col("cid"))
+      .agg(avg(graft.functions.VectorOps.cosineDist(col("embedding"), col("cvec"))))
+      .head().getDouble(0)
+    assert(math.abs(viaColumn - viaJoin) < 1e-9, s"$viaColumn vs $viaJoin")
+  }
+
   test("fit is deterministic: same corpus, same centroids, both runs") {
     val docs = index.documents
     def centroids() = AnnIndex.fit(docs, "doc_id", "embedding", k = K, iters = 2)

@@ -34,6 +34,18 @@ class PqIndexSpec extends AnyFunSuite {
       .filter(col("vec_id") === 5).select("embedding")
       .as[Array[Float]].head()
 
+  test("drift metric rides the codes: err_sum column ≡ recomputed assignment pass") {
+    val pq = index.pq.getOrElse(fail("pq sidecar missing"))
+    assert(pq.codes.columns.contains("err_sum"))
+    // column-scan form (what merges now pay) vs the recomputing encode-shaped
+    // pass (the pre-column fallback and independent oracle)
+    val viaColumn = PqIndex.meanCodesError(pq.codes)
+      .getOrElse(fail("err_sum present but meanCodesError empty"))
+    val viaAssign = PqIndex.meanAssignError(
+      index.documents, "doc_id", "embedding", pq.codebooks)
+    assert(math.abs(viaColumn - viaAssign) < 1e-9, s"$viaColumn vs $viaAssign")
+  }
+
   test("codebook fit is deterministic across runs") {
     def books() = PqIndex.fit(index.documents, "doc_id", "embedding", k = 8, iters = 2)
       .orderBy("j", "cid").collect()

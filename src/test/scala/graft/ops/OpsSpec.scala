@@ -167,4 +167,24 @@ class OpsSpec extends AnyFunSuite {
     assert(meta(1L).n_bytes == 3L && meta(2L).n_bytes == 7L)
     assert(meta(1L).width == 64L + 3 % 577)
   }
+
+  test("incremental screen: new doc in an over-capacity bucket is still screened") {
+    // 6 identical old docs form a family whose bucket OVERFLOWS the cap=2;
+    // a new copy (id 400) arrives. The cap must bound only the old side —
+    // a joint cap (ascending-id order) would fill both band buckets with
+    // old docs, drop the new doc from the bands entirely, and report
+    // is_dup=false for an exact duplicate of the dominant family.
+    val fam = "the quick brown fox jumps over the lazy dog again".split(" ").toSeq
+    val other = "completely unrelated content with nothing shared at all".split(" ").toSeq
+    val df = ((0L to 5L).map(i => (i, fam)) ++ Seq((400L, fam), (401L, other)))
+      .toDF("doc_id", "tokens")
+    val out = graft.queries.PipelineQueries.incrementalScreen(df, 400L, maxPerBucket = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_matches"), r.getAs[Boolean]("is_dup"))).toMap
+    assert(out(400L)._2, s"new family copy must screen as dup: $out")
+    // exactly the capped old members (ids 0, 1) can match — work per new
+    // doc is bounded by the cap even in a degenerate bucket
+    assert(out(400L)._1 == 2L, out.toString)
+    assert(!out(401L)._2 && out(401L)._1 == 0L, out.toString)
+  }
 }

@@ -182,4 +182,45 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(again.ann.map(_.numClusters).contains(2))
     assert(again.pq.map(_.codebooks.select("cid").distinct().count()).contains(4L))
   }
+
+  test("tfidf auto-refit: dirty marker set by frozen merges, cleared by the refit") {
+    import org.apache.spark.sql.functions._
+    val docs = Files.createTempDirectory("idxstream-dirty-docs").toString
+    val streamIdx = Files.createTempDirectory("idxstream-dirty-s").toString + "/idx"
+    val batchIdx = Files.createTempDirectory("idxstream-dirty-b").toString + "/idx"
+    val dim = 32
+
+    def dirty(): Option[String] =
+      IndexData.load(spark, streamIdx).setting(IndexStream.TfIdfDirtyKey)
+
+    // refitEvery = 0 first, to observe the marker between merges
+    write(docs, "a.md", "# Alpha\n\nspark merges sorted runs fast\n")
+    val q0 = IndexStream.startTfIdf(spark, docs, streamIdx, dim, refitEvery = 0)
+    try {
+      q0.processAllAvailable()
+      // bootstrap fit IS the corpus fit: clean
+      assert(dirty().isEmpty, s"bootstrap must not mark dirty: ${dirty()}")
+      write(docs, "b.md", "# Beta\n\nvector cosine search embedding space\n")
+      q0.processAllAvailable()
+      // frozen-model merge: unrefitted data present
+      assert(dirty().contains("true"), s"frozen merge must mark dirty: ${dirty()}")
+    } finally q0.stop()
+
+    // the explicit barrier clears the marker (settings rewrite drops it)
+    IndexStream.tfidfRefit(spark, streamIdx, dim)
+    assert(dirty().isEmpty, s"refit must clear the marker: ${dirty()}")
+
+    // refitEvery = 1: every stride boundary checks the marker, so after
+    // draining a new-file batch the artifact must equal a batch runTfIdf
+    // over the same files — the auto-refit actually fired
+    write(docs, "c.md", "plain spark text body with cosine vector terms\n")
+    val q1 = IndexStream.startTfIdf(spark, docs, streamIdx, dim, refitEvery = 1)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(dirty().isEmpty, s"auto-refit must clear the marker: ${dirty()}")
+    val streamed = IndexData.load(spark, streamIdx)
+    val batch = IndexJob.runTfIdf(spark, Seq(docs), batchIdx, dim)
+    def embs(df: DataFrame) = df.select(col("doc_id"), col("embedding"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(embs(streamed.documents) == embs(batch.documents))
+  }
 }
