@@ -16,6 +16,7 @@ import graft.search.HybridSearch
   *                    [--refit-ann] [--refit-pq]   (re-fit frozen sidecars after drift)
   *                    [--pq-codes K [--pq-iters N]]         (persist the PQ sidecar)
   *                    [--layout zorder|hilbert [--layout-files N]]   (cluster files)
+  *                    [--merge append]   (O(delta) segment merges; see compact)
   *                    [--watch]   (stream NEW files into the index until killed)
   *   graft.Cli search --db DIR --query Q [--top-k K] [--no-rerank]
   *                    [--remove-path-prefix P] [--add-path-prefix P]
@@ -26,6 +27,7 @@ import graft.search.HybridSearch
   *                    [--transport stdio|http] [--host H] [--port P] [--path /mcp]
   *                    [--trim-prefix P] [--add-prefix P] [--protocol jsonl]
   *                    [--ann ivf[:nprobe]]
+  *   graft.Cli compact --db DIR [--layout zorder|hilbert [--layout-files N]]
   * }}}
   *
   * `--db` is the index *directory* (the artifact of SURVEY.md §1.3), not a
@@ -65,13 +67,30 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = args.headOption match {
-    case Some("index")  => indexCmd(args.tail)
-    case Some("search") => searchCmd(args.tail)
-    case Some("serve")  => serveCmd(args.tail)
-    case Some("curate") => curateCmd(args.tail)
+    case Some("index")   => indexCmd(args.tail)
+    case Some("search")  => searchCmd(args.tail)
+    case Some("serve")   => serveCmd(args.tail)
+    case Some("curate")  => curateCmd(args.tail)
+    case Some("compact") => compactCmd(args.tail)
     case _ =>
-      System.err.println("usage: graft.Cli index|search|serve|curate [options]")
+      System.err.println("usage: graft.Cli index|search|serve|curate|compact [options]")
       sys.exit(2)
+  }
+
+  /** Fold append-merge segments back into the canonical base and refresh
+    * the ANN/PQ sidecars over the compacted corpus
+    * ([[graft.index.IndexJob.compact]]). Also the one-time migration that
+    * upgrades a pre-append-layout artifact. */
+  private def compactCmd(a: Array[String]): Unit = {
+    val db = arg(a, "--db").getOrElse(sys.error("--db required"))
+    val spark = session()
+    val before = IndexData.segments(spark, db).size
+    val compacted = IndexJob.compact(spark, db,
+      layout = arg(a, "--layout").map(_.toLowerCase).getOrElse("none"),
+      layoutFiles = arg(a, "--layout-files").map(_.toInt).getOrElse(8))
+    println(s"compact: folded $before segment(s), " +
+      s"${compacted.documents.count()} live docs -> $db")
+    spark.stop()
   }
 
   /** Run the end-to-end curation chain (quality gate → exact dedup →
@@ -144,7 +163,10 @@ object Cli {
       pqCodes = arg(a, "--pq-codes").map(_.toInt).getOrElse(0),
       pqIters = arg(a, "--pq-iters").map(_.toInt).getOrElse(3),
       layout = arg(a, "--layout").map(_.toLowerCase).getOrElse("none"),
-      layoutFiles = arg(a, "--layout-files").map(_.toInt).getOrElse(8))
+      layoutFiles = arg(a, "--layout-files").map(_.toInt).getOrElse(8),
+      // `--merge append`: O(delta) segment merges instead of base rewrites
+      // (fold back with `graft compact`); default rewrite
+      mergeMode = arg(a, "--merge").map(_.toLowerCase).getOrElse("rewrite"))
     val dim = arg(a, "--embedding-dim").map(_.toInt).getOrElse(64)
     if (flag(a, "--watch")) {
       // incremental streaming mode: keep folding NEW files from the first
@@ -279,6 +301,18 @@ object Cli {
     if (msgs.isEmpty) None else Some(msgs.mkString("\n"))
   }
 
+  /** Append-mode artifacts refresh their ANN/PQ sidecars only at compaction:
+    * segment docs are searchable through the exact paths immediately, but an
+    * `--ann` accelerated search serves from sidecars that cover only the
+    * compacted base. Say so instead of silently missing recent docs. */
+  private[graft] def segmentsWarning(index: IndexData, ann: (Int, Int)): Option[String] =
+    if ((ann._1 > 0 || ann._2 > 0) && index.pendingSegments > 0)
+      Some(s"[graft] warning: ${index.pendingSegments} append segment(s) pending — " +
+        "--ann serves from sidecars that cover only the compacted base and may " +
+        "miss recently appended docs (exact search sees them); run " +
+        "`graft compact --db <dir>` to fold the segments in.")
+    else None
+
   /** The online paths (interactive search, serve) run ≤2k-row plans over
     * cached datasets; AQE's per-stage re-planning only adds fixed latency
     * there. Batch jobs (index/curate/one-shot search over a cold session)
@@ -301,6 +335,7 @@ object Cli {
       case Some(query) =>
         val index = IndexData.load(spark, db)
         driftWarning(index, ann).foreach(System.err.println)
+        segmentsWarning(index, ann).foreach(System.err.println)
         val hits = runSearch(index, db, query, k, rerank, removeP, addP, ann, fusion, threshold)
         println(s"""{"results":${hitsJson(hits)}}""")
       case None =>
@@ -310,6 +345,7 @@ object Cli {
         disableAqeForOnline(spark)
         val index = IndexData.load(spark, db).cached()
         driftWarning(index, ann).foreach(System.err.println)
+        segmentsWarning(index, ann).foreach(System.err.println)
         index.stats.count() // materialize caches before the first prompt
         System.err.println(s"[graft] interactive search on $db; one query per line, EOF exits")
         interactiveLoop(index, db, scala.io.Source.stdin.getLines(), System.out,
@@ -362,6 +398,7 @@ object Cli {
     disableAqeForOnline(spark)
     val index = IndexData.load(spark, db).cached()
     driftWarning(index, ann).foreach(System.err.println)
+    segmentsWarning(index, ann).foreach(System.err.println)
     index.stats.count() // materialize caches before serving
 
     def answer(query: String, k: Int): String = {

@@ -11,16 +11,28 @@ import graft.search.Bm25
   * {{{
   *   <dir>/documents/   doc_id, file_path, header_path, line_start, line_end,
   *                      content, tokens: array<string>, embedding: array<float>
-  *   <dir>/postings/    term, doc_id, tf         (hash-partitioned by term)
+  *   <dir>/postings/    term, doc_id, tf[, file_path]  (hash-partitioned by term)
   *   <dir>/termdf/      term, df
-  *   <dir>/doclen/      doc_id, dl
+  *   <dir>/doclen/      doc_id, dl[, file_path]
   *   <dir>/stats/       n_docs, avgdl            (single row)
   *   <dir>/settings/    key, value               (embedding_model/_dim, …)
+  *   <dir>/seg/<n>/     append-merge segments (same canonical layouts,
+  *                      termdf rows SIGNED, + tombstones/ = replaced paths)
   * }}}
   *
   * The FTS inverted index is replaced by the postings/termdf/doclen/stats
   * statistics tables (SURVEY.md §2.4); the HNSW index by brute-force top-k
   * over `documents.embedding` (exact — SURVEY.md §2.5 V2).
+  *
+  * An artifact may carry APPEND-MERGE SEGMENTS (`seg/<n>/`, written by
+  * `IndexJob.mergeAndWrite(mergeMode = "append")`): each is an O(delta)
+  * batch of documents + derived stats rows, with replace-by-path handled by
+  * per-segment tombstones instead of a base rewrite. [[IndexData.load]]
+  * presents the LIVE view transparently — base ∪ segments, rows of a
+  * replaced path masked unless they belong to the replacing segment or
+  * later — so every consumer (search, bench, queries) is segment-oblivious.
+  * `graft compact` ([[IndexJob.compact]]) folds segments back into the
+  * canonical base.
   */
 final case class IndexData(
     documents: DataFrame,
@@ -34,7 +46,11 @@ final case class IndexData(
     // to the exact heap scan
     ann: Option[AnnIndex] = None,
     // PQ sidecar: codes-only ADC shortlist + exact rerank (`--ann pq`)
-    pq: Option[PqIndex] = None) {
+    pq: Option[PqIndex] = None,
+    // number of uncompacted append-merge segments the live view spans —
+    // >0 means the ANN/PQ sidecars (rebuilt only at compaction) do not
+    // cover the segment docs yet; the exact search paths are unaffected
+    pendingSegments: Int = 0) {
 
   /** Cache the search-path datasets for a long-lived serving session
     * (SURVEY.md §3.3). */
@@ -101,29 +117,100 @@ object IndexData {
   /** Write a full artifact from a documents DataFrame with an expensive
     * lineage: documents parquet first, then every stats table derived from
     * the re-read parquet — the chunk/embed pipeline executes exactly once
-    * instead of once per derived dataset. */
+    * instead of once per derived dataset. The stats rows carry `file_path`
+    * (when documents has it) so later append-merge segments can mask
+    * replaced rows without a join back to documents. */
   def write(documents: DataFrame, settings: DataFrame, dir: String): IndexData = {
     val spark = documents.sparkSession
     documents.write.mode("overwrite").parquet(s"$dir/documents")
     val docsOnDisk = spark.read.parquet(s"$dir/documents")
-    val derived = fromDocuments(docsOnDisk, settings)
-    derived.postings.repartition(col("term")).write.mode("overwrite").parquet(s"$dir/postings")
-    derived.termdf.write.mode("overwrite").parquet(s"$dir/termdf")
-    derived.doclen.write.mode("overwrite").parquet(s"$dir/doclen")
-    derived.stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    val carry = if (docsOnDisk.columns.contains("file_path")) Seq("file_path") else Nil
+    val doclen = Bm25.docLengths(docsOnDisk, carry = carry)
+    val postings = Bm25.postings(docsOnDisk, carry = carry)
+    postings.repartition(col("term")).write.mode("overwrite").parquet(s"$dir/postings")
+    Bm25.docFreq(postings).write.mode("overwrite").parquet(s"$dir/termdf")
+    doclen.write.mode("overwrite").parquet(s"$dir/doclen")
+    Bm25.corpusStats(doclen).coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
     settings.coalesce(1).write.mode("overwrite").parquet(s"$dir/settings")
     load(spark, dir)
   }
 
-  def load(spark: SparkSession, dir: String): IndexData = IndexData(
-    documents = spark.read.parquet(s"$dir/documents"),
-    postings = spark.read.parquet(s"$dir/postings"),
-    termdf = spark.read.parquet(s"$dir/termdf"),
-    doclen = spark.read.parquet(s"$dir/doclen"),
-    stats = spark.read.parquet(s"$dir/stats"),
-    settings = spark.read.parquet(s"$dir/settings"),
-    ann = AnnIndex.load(spark, dir),
-    pq = PqIndex.load(spark, dir))
+  /** Committed append-merge segments of an artifact, ascending by number.
+    * A segment commits by its `tombstones` dataset (written LAST by
+    * `IndexJob.appendMerge`): a crash mid-append leaves a segment without
+    * it, and the loader simply never sees the partial segment — the
+    * artifact stays consistent at the pre-merge state. */
+  private[graft] def segments(spark: SparkSession, dir: String): Seq[(Int, String)] = {
+    val segRoot = new org.apache.hadoop.fs.Path(dir, SegDir)
+    val fs = segRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(segRoot)) Nil
+    else fs.listStatus(segRoot).toSeq
+      .filter(_.isDirectory)
+      .flatMap(st => scala.util.Try(st.getPath.getName.toInt).toOption
+        .map(_ -> st.getPath.toString))
+      .filter { case (_, p) =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, "tombstones/_SUCCESS")) }
+      .sortBy(_._1)
+  }
+
+  val SegDir = "seg"
+
+  /** Load the artifact's LIVE view. Without segments this is a plain read of
+    * the canonical datasets. With segments: base ∪ segments with a
+    * generation injected from the STORAGE LOCATION at read time (base = 0,
+    * segment n = n — no on-disk schema change), masked by the tombstone
+    * rule "a row of a replaced path is live iff its generation ≥ the latest
+    * generation that replaced the path". termdf sums base + signed segment
+    * deltas per term; stats derive from the live doclen. The mask join
+    * broadcasts the (tiny between compactions) tombstone set; consumers see
+    * canonical schemas either way. */
+  def load(spark: SparkSession, dir: String): IndexData = {
+    val segs = segments(spark, dir)
+    val settings = spark.read.parquet(s"$dir/settings")
+    if (segs.isEmpty) IndexData(
+      documents = spark.read.parquet(s"$dir/documents"),
+      postings = spark.read.parquet(s"$dir/postings").select("doc_id", "term", "tf"),
+      termdf = spark.read.parquet(s"$dir/termdf"),
+      doclen = spark.read.parquet(s"$dir/doclen").select("doc_id", "dl"),
+      stats = spark.read.parquet(s"$dir/stats"),
+      settings = settings,
+      ann = AnnIndex.load(spark, dir),
+      pq = PqIndex.load(spark, dir))
+    else {
+      // latest replacing generation per replaced path — the one mask frame
+      val tombMax = segs.map { case (n, p) =>
+          spark.read.parquet(s"$p/tombstones")
+            .select(col("file_path"), lit(n).as("_upto")) }
+        .reduce(_ unionByName _)
+        .groupBy("file_path").agg(max("_upto").as("_upto"))
+      def live(table: String): DataFrame = {
+        val all = segs.foldLeft(
+            spark.read.parquet(s"$dir/$table").withColumn("_gen", lit(0))) {
+          case (acc, (n, p)) =>
+            acc.unionByName(spark.read.parquet(s"$p/$table").withColumn("_gen", lit(n)))
+        }
+        all.join(broadcast(tombMax), Seq("file_path"), "left")
+          .filter(col("_upto").isNull || col("_gen") >= col("_upto"))
+          .drop("_gen", "_upto")
+      }
+      val doclenLive = live("doclen")
+      val termdf = (spark.read.parquet(s"$dir/termdf") +:
+          segs.map { case (_, p) => spark.read.parquet(s"$p/termdf") })
+        .reduce(_ unionByName _)
+        .groupBy("term").agg(sum("df").cast("long").as("df"))
+        .filter(col("df") > 0)
+      IndexData(
+        documents = live("documents"),
+        postings = live("postings").select("doc_id", "term", "tf"),
+        termdf = termdf,
+        doclen = doclenLive.select("doc_id", "dl"),
+        stats = Bm25.corpusStats(doclenLive),
+        settings = settings,
+        ann = AnnIndex.load(spark, dir),
+        pq = PqIndex.load(spark, dir),
+        pendingSegments = segs.size)
+    }
+  }
 
   /** Derive the full artifact from a `documents` DataFrame that already has
     * (doc_id, tokens[, embedding]) columns — the F1–F3 stats build

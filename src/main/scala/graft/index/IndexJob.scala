@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.analyze.{Analyzer, Chunker, DefaultAnalyzer, MarkdownChunker}
 import graft.core.Schemas.{Chunk, Setting}
 import graft.embed.Embedder
+import graft.search.Bm25
 
 /** The INDEX write path (SURVEY.md §2.12, §3.1) as one distributed job:
   *
@@ -54,7 +55,16 @@ object IndexJob {
       // covers a disjoint key range — path/line predicates prune files via
       // row-group stats. "none" keeps the pipeline's natural partitioning.
       layout: String = "none",
-      layoutFiles: Int = 8)
+      layoutFiles: Int = 8,
+      // incremental-merge strategy (`--merge`): "rewrite" (default) folds
+      // each batch into a full base rewrite — O(corpus) per merge, always
+      // canonical; "append" writes an O(delta) segment under seg/<n>/ with
+      // per-segment tombstones for replaced paths, folded back into the
+      // base by `graft compact` ([[IndexJob.compact]]). Append keeps merge
+      // cost proportional to the BATCH at 100 TB; the trade is that the
+      // ANN/PQ sidecars only refresh at compaction (exact search paths see
+      // segments immediately via the live view).
+      mergeMode: String = "rewrite")
 
   /** The `--splitter` factory (reference `src/splitter.py:621-651`). */
   def chunkerFor(opts: Options, analyzer: Analyzer): Chunker = opts.splitter match {
@@ -155,7 +165,8 @@ object IndexJob {
     mergeAndWrite(spark, fresh, settingsFor(spark, embedder), indexDir,
       clear = opts.clear, annClusters = opts.annClusters, annIters = opts.annIters,
       annRefit = opts.annRefit, pqCodes = opts.pqCodes, pqIters = opts.pqIters,
-      pqRefit = opts.pqRefit, layout = opts.layout, layoutFiles = opts.layoutFiles)
+      pqRefit = opts.pqRefit, layout = opts.layout, layoutFiles = opts.layoutFiles,
+      mergeMode = opts.mergeMode)
   }
 
   /** S4 semantics (reference `--clear`, `src/indexer.py:48-50`): with
@@ -163,7 +174,11 @@ object IndexJob {
     * replaced (keyed anti-join, then union); stats always rebuild from the
     * merged corpus. clear=true starts from empty. Shared by the batch run
     * and the streaming incremental indexer
-    * ([[graft.streaming.IndexStream]], one call per micro-batch). */
+    * ([[graft.streaming.IndexStream]], one call per micro-batch).
+    *
+    * `mergeMode = "append"` routes an incremental merge to [[appendMerge]]
+    * (O(delta) segment instead of an O(corpus) rewrite); full builds and
+    * clear always write the canonical base. */
   def mergeAndWrite(
       spark: SparkSession,
       fresh: DataFrame,
@@ -177,26 +192,35 @@ object IndexJob {
       pqIters: Int = 3,
       pqRefit: Boolean = false,
       layout: String = "none",
-      layoutFiles: Int = 8): IndexData = {
+      layoutFiles: Int = 8,
+      mergeMode: String = "rewrite"): IndexData = {
+    require(mergeMode == "rewrite" || mergeMode == "append",
+      s"unknown mergeMode '$mergeMode' (expected rewrite or append)")
     // FileSystem API, not java.io.File: indexDir may be hdfs://, s3a://, …
     // — java.io.File.exists() is always false there, which would silently
     // turn a clear=false merge into a destructive full overwrite.
     val docsPath = new org.apache.hadoop.fs.Path(indexDir, "documents")
     val fs = docsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val incremental = !clear && fs.exists(docsPath)
+    if (incremental && mergeMode == "append")
+      return appendMerge(spark, fresh, settings, indexDir)
     if (!incremental) {
-      // a full (re)build must not inherit a previous build's sidecars: the
+      // a full (re)build must not inherit a previous build's sidecars (the
       // frozen-model incremental contract below would otherwise re-assign
-      // the new corpus under OLD centroids/codebooks
-      Seq(AnnIndex.CentroidsDir, AnnIndex.PostingsDir,
-        PqIndex.CodebooksDir, PqIndex.CodesDir).foreach { d =>
+      // the new corpus under OLD centroids/codebooks) — nor its append
+      // segments, which describe a corpus that no longer exists
+      (Seq(AnnIndex.CentroidsDir, AnnIndex.PostingsDir,
+        PqIndex.CodebooksDir, PqIndex.CodesDir, IndexData.SegDir)).foreach { d =>
         fs.delete(new org.apache.hadoop.fs.Path(indexDir, d), true)
       }
     }
     val docs =
       if (!incremental) fresh
       else {
-        val existing = spark.read.parquet(s"$indexDir/documents")
+        // the LIVE view, not the raw base: a rewrite-mode merge over an
+        // artifact carrying append segments must fold the segment docs in,
+        // not silently drop them
+        val existing = IndexData.load(spark, indexDir).documents
         val freshPaths = fresh.select("file_path").distinct()
         existing.join(freshPaths, Seq("file_path"), "left_anti")
           .unionByName(fresh)
@@ -219,8 +243,102 @@ object IndexJob {
         spark.read.parquet(s"$indexDir/settings"), settings).localCheckpoint(true)
     // write-then-derive: the chunk+embed lineage executes exactly once
     val written = IndexData.write(laidOut, mergedSettings, indexDir)
+    // a rewrite merge folded any pending segments into the base just written
+    fs.delete(new org.apache.hadoop.fs.Path(indexDir, IndexData.SegDir), true)
     withPq(withAnn(written, indexDir, annClusters, annIters, refit = annRefit),
       indexDir, pqCodes, pqIters, refit = pqRefit)
+  }
+
+  /** O(delta) incremental merge: write the fresh batch as append segment
+    * `seg/<n>/` instead of rewriting the base — documents + per-segment
+    * doclen/postings rows, a SIGNED termdf delta (+df for fresh docs, −df
+    * for the rows of replaced paths they mask), and the tombstone list of
+    * replaced paths, written LAST as the commit point
+    * ([[IndexData.segments]]' crash contract). Work is proportional to the
+    * batch except when paths are REPLACED, which adds one filtered scan of
+    * the live documents to subtract the dead rows' term stats (no rewrite —
+    * the dead rows stay on disk, masked, until [[compact]] folds them out).
+    * Sidecars are NOT touched: the exact search paths see segment docs
+    * immediately through the live view; the ANN/PQ accelerated paths cover
+    * them after the next compaction (`IndexData.pendingSegments` drives the
+    * search-time warning). */
+  def appendMerge(
+      spark: SparkSession,
+      fresh: DataFrame,
+      settings: DataFrame,
+      indexDir: String): IndexData = {
+    val basePostings = spark.read.parquet(s"$indexDir/postings")
+    require(basePostings.columns.contains("file_path"),
+      s"append merge needs a base whose stats rows carry file_path; " +
+        s"this artifact predates that layout — run a one-time compaction " +
+        s"(graft compact --db $indexDir) first")
+    val segN = IndexData.segments(spark, indexDir).lastOption.map(_._1 + 1).getOrElse(1)
+    val segDir = s"$indexDir/${IndexData.SegDir}/$segN"
+    // segment documents first: the expensive chunk+embed lineage executes
+    // exactly once, and everything below derives from the written parquet
+    fresh.write.mode("overwrite").parquet(s"$segDir/documents")
+    val segDocs = spark.read.parquet(s"$segDir/documents")
+    // pre-merge live view — segments() can't see this segment yet (its
+    // tombstones, the commit marker, don't exist until the end)
+    val pre = IndexData.load(spark, indexDir)
+    val replaced = pre.documents.select("file_path").distinct()
+      .join(segDocs.select("file_path").distinct(), Seq("file_path"))
+      // bounded by the batch's path count; used twice (dead-stats subtract
+      // + tombstone write), so materialize once
+      .localCheckpoint(true)
+    val carry = Seq("file_path")
+    Bm25.docLengths(segDocs, carry = carry)
+      .write.mode("overwrite").parquet(s"$segDir/doclen")
+    Bm25.postings(segDocs, carry = carry)
+      .write.mode("overwrite").parquet(s"$segDir/postings")
+    val plus = Bm25.docFreq(spark.read.parquet(s"$segDir/postings"))
+    val deadDocs = pre.documents.join(broadcast(replaced), Seq("file_path"))
+    val minus = Bm25.docFreq(Bm25.postings(deadDocs))
+      .select(col("term"), (-col("df")).as("df"))
+    plus.unionByName(minus)
+      .groupBy("term").agg(sum("df").cast("long").as("df"))
+      .filter(col("df") =!= 0)
+      .write.mode("overwrite").parquet(s"$segDir/termdf")
+    upsertSettingsOnDisk(spark, indexDir,
+      settings.collect().map(r => r.getString(0) -> r.getString(1)).toSeq)
+    // commit point: the segment becomes visible atomically with this write
+    replaced.write.mode("overwrite").parquet(s"$segDir/tombstones")
+    IndexData.load(spark, indexDir)
+  }
+
+  /** Fold append segments back into the canonical base: rewrite the live
+    * view into a staging dir, swap it in, drop `seg/`, then re-derive the
+    * ANN/PQ sidecars over the compacted corpus under the standard
+    * frozen-model incremental contract (drift measured, like any merge).
+    * O(corpus) by design — that is the LSM bargain: many O(delta) merges,
+    * one periodic fold. Also serves as the one-time migration that gives a
+    * pre-append-layout artifact the `file_path`-carrying stats rows. */
+  def compact(spark: SparkSession, indexDir: String,
+      layout: String = "none", layoutFiles: Int = 8): IndexData = {
+    val live = IndexData.load(spark, indexDir)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = s"$indexDir/_compact"
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    val docs =
+      if (layout == "none") live.documents
+      else graft.ops.Layout.cluster(live.documents, layout, "file_path", "line_start", layoutFiles)
+    // live lineage reads base + segments; it writes into the staging dir,
+    // so there is no read-before-overwrite hazard and no corpus-sized
+    // driver materialization
+    IndexData.write(docs, live.settings.localCheckpoint(true), staging)
+    Seq("documents", "postings", "termdf", "doclen", "stats", "settings")
+      .foreach { d =>
+        fs.delete(new org.apache.hadoop.fs.Path(indexDir, d), true)
+        fs.rename(new org.apache.hadoop.fs.Path(staging, d),
+          new org.apache.hadoop.fs.Path(indexDir, d))
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(indexDir, IndexData.SegDir), true)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    // sidecar refresh over the compacted corpus: the standard
+    // frozen-centroid/codebook re-derive (shape carried from the artifact)
+    val compacted = IndexData.load(spark, indexDir)
+    withPq(withAnn(compacted, indexDir, annClusters = 0), indexDir, pqCodes = 0)
   }
 
   /** Fit + persist the PQ sidecar over an already-written artifact (the

@@ -25,9 +25,14 @@ object Bm25 {
   val K1 = 1.2
   val B = 0.75
 
-  /** F1: per-document token count. Input needs (idCol, tokensCol). */
-  def docLengths(docs: DataFrame, idCol: String = "doc_id", tokensCol: String = "tokens"): DataFrame =
-    docs.select(col(idCol).as("doc_id"), size(col(tokensCol)).cast("long").as("dl"))
+  /** F1: per-document token count. Input needs (idCol, tokensCol). `carry`
+    * columns ride along unchanged (the append-merge artifact carries
+    * `file_path` on its stats rows so segment masking never needs a join
+    * back to documents). */
+  def docLengths(docs: DataFrame, idCol: String = "doc_id", tokensCol: String = "tokens",
+      carry: Seq[String] = Nil): DataFrame =
+    docs.select(col(idCol).as("doc_id") +: size(col(tokensCol)).cast("long").as("dl") +:
+      carry.map(col): _*)
 
   /** Corpus constants as a 1-row DataFrame (kept lazy/broadcastable rather
     * than collected to the driver). avgdl = exact long sum / count, divided in
@@ -38,12 +43,17 @@ object Bm25 {
       (sum("dl").cast("double") / count("*").cast("double")).as("avgdl"))
 
   /** F2: term frequencies — the postings list. One shuffle (hash aggregate
-    * with map-side partial combine). */
-  def postings(docs: DataFrame, idCol: String = "doc_id", tokensCol: String = "tokens"): DataFrame =
+    * with map-side partial combine). `carry` columns are functionally
+    * determined by doc_id, so `first` under the (doc_id, term) group is
+    * deterministic in value. */
+  def postings(docs: DataFrame, idCol: String = "doc_id", tokensCol: String = "tokens",
+      carry: Seq[String] = Nil): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"), explode(col(tokensCol)).as("term"))
+      .select(col(idCol).as("doc_id") +: explode(col(tokensCol)).as("term") +:
+        carry.map(col): _*)
       .groupBy("doc_id", "term")
-      .agg(count("*").cast("long").as("tf"))
+      .agg(count("*").cast("long").as("tf"),
+        carry.map(c => first(col(c)).as(c)): _*)
 
   /** F3: document frequency per term. `postings` is already distinct per
     * (doc_id, term), so a plain count suffices — no countDistinct shuffle. */

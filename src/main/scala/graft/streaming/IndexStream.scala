@@ -109,7 +109,8 @@ object IndexStream {
           IndexJob.mergeAndWrite(batch.sparkSession, fresh, settings, indexDir,
             clear = false, annClusters = opts.annClusters, annIters = opts.annIters,
             pqCodes = opts.pqCodes, pqIters = opts.pqIters,
-            layout = opts.layout, layoutFiles = opts.layoutFiles)
+            layout = opts.layout, layoutFiles = opts.layoutFiles,
+            mergeMode = opts.mergeMode)
           ()
         }
       }
@@ -171,7 +172,8 @@ object IndexStream {
               IndexJob.settingsOf(sp, model.name, dim), indexDir, clear = false,
               annClusters = opts.annClusters, annIters = opts.annIters,
               pqCodes = opts.pqCodes, pqIters = opts.pqIters,
-              layout = opts.layout, layoutFiles = opts.layoutFiles)
+              layout = opts.layout, layoutFiles = opts.layoutFiles,
+              mergeMode = opts.mergeMode)
           } else {
             // frozen-model embedding of the delta (per-row reproduction of
             // the fitted pipeline — same hash buckets, idf, L2 norm); the
@@ -185,7 +187,8 @@ object IndexStream {
               indexDir, clear = false,
               annClusters = opts.annClusters, annIters = opts.annIters,
               pqCodes = opts.pqCodes, pqIters = opts.pqIters,
-              layout = opts.layout, layoutFiles = opts.layoutFiles)
+              layout = opts.layout, layoutFiles = opts.layoutFiles,
+              mergeMode = opts.mergeMode)
           }
           ()
         }
@@ -225,8 +228,10 @@ object IndexStream {
   def tfidfRefit(spark: SparkSession, indexDir: String, dim: Int,
       opts: IndexJob.Options = IndexJob.Options()): graft.embed.TfIdfEmbed.TfIdfModel = {
     import graft.index.{AnnIndex, PqIndex}
-    // materialize before overwriting the parquet dirs being read
-    val docs = spark.read.parquet(s"$indexDir/documents")
+    // the LIVE view (an append-mode watch may have pending segments whose
+    // docs the refit must not lose), materialized before overwriting the
+    // parquet dirs being read
+    val docs = graft.index.IndexData.load(spark, indexDir).documents
       .drop("embedding").localCheckpoint(true)
     val (embedded, model) = graft.embed.TfIdfEmbed.fitTransform(docs, "tokens", dim)
     model.save(spark, s"$indexDir/tfidf_model")
@@ -245,6 +250,9 @@ object IndexStream {
       PqIndex.CodebooksDir, PqIndex.CodesDir).foreach { d =>
       fs.delete(new org.apache.hadoop.fs.Path(indexDir, d), true)
     }
+    // the full re-embed below folds any pending append segments into the
+    // rewritten base (docs was the live view) — drop the now-stale segments
+    fs.delete(new org.apache.hadoop.fs.Path(indexDir, graft.index.IndexData.SegDir), true)
     val laidOut =
       if (opts.layout == "none") embedded
       else graft.ops.Layout.cluster(embedded, opts.layout, "file_path", "line_start", opts.layoutFiles)

@@ -1,0 +1,185 @@
+package graft.index
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.embed.HashingEmbedder
+
+/** The O(delta) append-merge path (`mergeMode = "append"`): segment writes
+  * instead of base rewrites, tombstone masking for replaced paths, live-view
+  * equality with the rewrite path, crash atomicity at the tombstone commit
+  * point, and compaction folding everything back to canonical — with the
+  * sidecars re-derived over the compacted corpus. */
+class AppendMergeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def write(dir: String, name: String, text: String): Unit =
+    Files.writeString(Paths.get(dir, name), text)
+
+  private def embedder = new HashingEmbedder(dim = 16)
+
+  private def canon(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private def canonDocs(df: DataFrame): Set[Seq[Any]] =
+    canon(df.select(col("doc_id"), col("file_path"), col("header_path"),
+      col("line_start"), col("line_end"), col("content")))
+
+  /** Build base from a.md+b.md, append c.md (new path), then append a
+    * REPLACED a.md + new d.md. Delta batches live in their own temp dirs,
+    * with each run's `trimPathPrefix` stripping its scan root so the stored
+    * file_path is the bare name — the same path key the rebuild over
+    * `docs` produces. Returns (docsDir, indexDir). */
+  private def appendFixture(): (String, String) = {
+    val docs = Files.createTempDirectory("appnd-docs").toString
+    val idx = Files.createTempDirectory("appnd-idx").toString + "/idx"
+    def opts(scanDir: String, clear: Boolean) = IndexJob.Options(
+      clear = clear, mergeMode = "append", trimPathPrefix = Some(s"file:$scanDir"))
+    write(docs, "a.md", "# Alpha\n\nspark merges sorted runs fast\n")
+    write(docs, "b.md", "# Beta\n\nvector cosine search embedding space\n")
+    IndexJob.run(spark, Seq(docs), idx, embedder, opts = opts(docs, clear = true))
+    write(docs, "c.md", "plain text body with no headers at all\n")
+    val just = Files.createTempDirectory("appnd-just").toString
+    write(just, "c.md", Files.readString(Paths.get(docs, "c.md")))
+    IndexJob.run(spark, Seq(just), idx, embedder, opts = opts(just, clear = false))
+    // replace a.md with different content AND add d.md in one batch
+    write(docs, "a.md", "# Alpha v2\n\nreplaced body about hash joins and sorts\n")
+    write(docs, "d.md", "# Delta\n\nhybrid ranking fuses lexical and dense scores\n")
+    val second = Files.createTempDirectory("appnd-second").toString
+    write(second, "a.md", Files.readString(Paths.get(docs, "a.md")))
+    write(second, "d.md", Files.readString(Paths.get(docs, "d.md")))
+    IndexJob.run(spark, Seq(second), idx, embedder, opts = opts(second, clear = false))
+    (docs, idx)
+  }
+
+  /** Rebuild over the full docs dir with the matching trim — the canonical
+    * artifact every append-path test compares against. */
+  private def rebuild(docs: String): IndexData =
+    IndexJob.run(spark, Seq(docs),
+      Files.createTempDirectory("appnd-rebuild").toString + "/idx", embedder,
+      opts = IndexJob.Options(clear = true, trimPathPrefix = Some(s"file:$docs")))
+
+  test("append merges: live view equals a batch rebuild, including a replaced path") {
+    val (docs, idx) = appendFixture()
+    val live = IndexData.load(spark, idx)
+    assert(live.pendingSegments == 2, s"expected 2 segments, got ${live.pendingSegments}")
+
+    val rebuilt = rebuild(docs)
+
+    assert(canonDocs(live.documents) == canonDocs(rebuilt.documents))
+    assert(canon(live.postings) == canon(rebuilt.postings))
+    assert(canon(live.termdf) == canon(rebuilt.termdf))
+    assert(canon(live.doclen) == canon(rebuilt.doclen))
+    assert(canon(live.stats) == canon(rebuilt.stats))
+    // the replaced path surfaces ONLY its new content
+    val aContents = live.documents.filter(col("file_path").endsWith("a.md"))
+      .select("content").collect().map(_.getString(0))
+    assert(aContents.nonEmpty && aContents.forall(_.contains("replaced body")),
+      aContents.mkString("; "))
+  }
+
+  test("append merge is O(delta): base files untouched, work lands in seg/") {
+    val (_, idx) = appendFixture()
+    // base documents files carry the initial 2-file corpus only; every later
+    // arrival lives in seg/<n>/ — the base was never rewritten
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/seg/1/documents")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/seg/2/documents")))
+    val baseDocs = spark.read.parquet(s"$idx/documents")
+    val basePaths = baseDocs.select("file_path").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(basePaths.forall(p => p.endsWith("a.md") || p.endsWith("b.md")), basePaths)
+    // the base still holds the ORIGINAL a.md rows (masked, not rewritten)
+    assert(baseDocs.filter(col("file_path").endsWith("a.md"))
+      .select("content").collect().map(_.getString(0))
+      .forall(!_.contains("replaced body")))
+  }
+
+  test("segment without its tombstone commit marker is invisible (crash atomicity)") {
+    val (_, idx) = appendFixture()
+    val before = IndexData.load(spark, idx)
+    val beforeDocs = canonDocs(before.documents)
+    // simulate a crash after seg/2's data writes but before the commit
+    // point: remove the tombstones _SUCCESS marker
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/seg/2/tombstones/_SUCCESS"), false)
+    val after = IndexData.load(spark, idx)
+    assert(after.pendingSegments == 1)
+    // the artifact reads consistently at the pre-merge state: a.md's ORIGINAL
+    // content is live again (its tombstone vanished with the segment)
+    val aContents = after.documents.filter(col("file_path").endsWith("a.md"))
+      .select("content").collect().map(_.getString(0))
+    assert(aContents.nonEmpty && aContents.forall(!_.contains("replaced body")))
+    assert(canonDocs(after.documents) != beforeDocs)
+  }
+
+  test("compact folds segments to canonical; search parity before and after") {
+    val (docs, idx) = appendFixture()
+    val live = IndexData.load(spark, idx)
+    def hits(ix: IndexData): Seq[(String, Double)] =
+      graft.search.HybridSearch.search(ix, "hybrid ranking scores",
+        analyzer = graft.analyze.DefaultAnalyzer,
+        embedder = Some(embedder),
+        reranker = None,
+        opts = graft.search.HybridSearch.Options(k = 5, rerank = false))
+        .select("doc_id", "score")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val liveHits = hits(live)
+    assert(liveHits.nonEmpty)
+    // d.md arrived only via an append segment — the exact path must see it
+    assert(live.documents.filter(col("file_path").endsWith("d.md")).count() > 0)
+
+    val compacted = IndexJob.compact(spark, idx)
+    assert(compacted.pendingSegments == 0)
+    assert(!new java.io.File(s"$idx/seg").exists())
+    val rebuilt = rebuild(docs)
+    assert(canonDocs(compacted.documents) == canonDocs(rebuilt.documents))
+    assert(canon(compacted.termdf) == canon(rebuilt.termdf))
+    assert(hits(compacted) == liveHits)
+  }
+
+  test("compact refreshes the ANN sidecar to cover appended docs") {
+    val docs = Files.createTempDirectory("appnd-ann-docs").toString
+    val idx = Files.createTempDirectory("appnd-ann-idx").toString + "/idx"
+    val opts = IndexJob.Options(clear = true, mergeMode = "append",
+      annClusters = 2, annIters = 2)
+    write(docs, "a.md", "# Alpha\n\nspark merges sorted runs fast\n")
+    write(docs, "b.md", "# Beta\n\nvector cosine search embedding space\n")
+    IndexJob.run(spark, Seq(docs), idx, embedder, opts = opts)
+    val delta = Files.createTempDirectory("appnd-ann-delta").toString
+    write(delta, "c.md", "# Gamma\n\nnew appended doc about probe pruning\n")
+    IndexJob.run(spark, Seq(delta), idx, embedder,
+      opts = opts.copy(clear = false))
+    // pending segment: sidecar postings do NOT cover c.md yet
+    val pending = IndexData.load(spark, idx)
+    assert(pending.pendingSegments == 1)
+    val annBefore = pending.ann.getOrElse(fail("ann sidecar missing"))
+    val coveredBefore = annBefore.postings.select("doc_id").distinct().count()
+    assert(coveredBefore == pending.documents.count() - 1)
+    // compaction re-derives the lists over the full live corpus
+    val compacted = IndexJob.compact(spark, idx)
+    val annAfter = compacted.ann.getOrElse(fail("ann sidecar missing after compact"))
+    assert(annAfter.postings.select("doc_id").distinct().count()
+      == compacted.documents.count())
+  }
+
+  test("append merge on a pre-append-layout artifact demands a compaction first") {
+    val docs = Files.createTempDirectory("appnd-legacy-docs").toString
+    val idx = Files.createTempDirectory("appnd-legacy-idx").toString + "/idx"
+    write(docs, "a.md", "# Alpha\n\nspark merges sorted runs fast\n")
+    IndexJob.run(spark, Seq(docs), idx, embedder)
+    // strip file_path off the base postings — the pre-append layout
+    val legacy = spark.read.parquet(s"$idx/postings")
+      .select("doc_id", "term", "tf").localCheckpoint(true)
+    legacy.write.mode("overwrite").parquet(s"$idx/postings")
+    val e = intercept[IllegalArgumentException] {
+      IndexJob.run(spark, Seq(docs), idx, embedder,
+        opts = IndexJob.Options(clear = false, mergeMode = "append"))
+    }
+    assert(e.getMessage.contains("compact"), e.getMessage)
+  }
+}

@@ -53,6 +53,35 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(sStats == bStats)
   }
 
+  test("append-mode watch: micro-batches land as segments, live view equals batch") {
+    val docs = Files.createTempDirectory("idxstream-ap-docs").toString
+    val streamIdx = Files.createTempDirectory("idxstream-ap-s").toString + "/idx"
+    val batchIdx = Files.createTempDirectory("idxstream-ap-b").toString + "/idx"
+    val embedder = new HashingEmbedder(dim = 16)
+    val opts = IndexJob.Options(mergeMode = "append")
+
+    write(docs, "a.md", "# Alpha\n\nspark merges sorted runs fast\n")
+    val q = IndexStream.start(spark, docs, streamIdx, embedder, opts = opts)
+    try {
+      q.processAllAvailable()
+      write(docs, "b.md", "# Beta\n\nvector cosine search embedding space\n")
+      write(docs, "c.md", "plain text body with no headers at all\n")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = IndexData.load(spark, streamIdx)
+    // the first batch bootstrapped the base; later arrivals are segments
+    assert(streamed.pendingSegments >= 1, s"segments: ${streamed.pendingSegments}")
+    val batch = IndexJob.run(spark, Seq(docs), batchIdx, new HashingEmbedder(dim = 16))
+    assert(canonDocs(streamed.documents) == canonDocs(batch.documents))
+    assert(streamed.stats.collect().map(_.toSeq).toSet
+      == batch.stats.collect().map(_.toSeq).toSet)
+    // compaction folds the watch's segments into the canonical base
+    val compacted = IndexJob.compact(spark, streamIdx)
+    assert(compacted.pendingSegments == 0)
+    assert(canonDocs(compacted.documents) == canonDocs(batch.documents))
+  }
+
   test("watched index with ANN sidecar: lists re-derive each batch, --ann finds new docs") {
     import org.apache.spark.sql.functions._
     val docs = Files.createTempDirectory("idxstream-ann-docs").toString
