@@ -301,12 +301,14 @@ object Cli {
     if (msgs.isEmpty) None else Some(msgs.mkString("\n"))
   }
 
-  /** Append-mode artifacts refresh their ANN/PQ sidecars only at compaction:
-    * segment docs are searchable through the exact paths immediately, but an
-    * `--ann` accelerated search serves from sidecars that cover only the
-    * compacted base. Say so instead of silently missing recent docs. */
+  /** Append-mode segments normally carry frozen-model sidecar DELTAS, so
+    * `--ann` search covers them through the assembled live view. Only
+    * legacy segments written before the delta layout lack them — there the
+    * accelerated search serves from sidecars that cover only the compacted
+    * base. Say so instead of silently missing recent docs. */
   private[graft] def segmentsWarning(index: IndexData, ann: (Int, Int)): Option[String] =
-    if ((ann._1 > 0 || ann._2 > 0) && index.pendingSegments > 0)
+    if ((ann._1 > 0 || ann._2 > 0) && index.pendingSegments > 0
+        && !index.sidecarsCoverSegments)
       Some(s"[graft] warning: ${index.pendingSegments} append segment(s) pending — " +
         "--ann serves from sidecars that cover only the compacted base and may " +
         "miss recently appended docs (exact search sees them); run " +

@@ -17,7 +17,9 @@ import graft.search.Bm25
   *   <dir>/stats/       n_docs, avgdl            (single row)
   *   <dir>/settings/    key, value               (embedding_model/_dim, …)
   *   <dir>/seg/<n>/     append-merge segments (same canonical layouts,
-  *                      termdf rows SIGNED, + tombstones/ = replaced paths)
+  *                      termdf rows SIGNED, + dead_ids/ = masked doc_ids,
+  *                      + tombstones/ = replaced paths, + per-segment
+  *                      ann_postings/ann_pq_codes sidecar deltas)
   * }}}
   *
   * The FTS inverted index is replaced by the postings/termdf/doclen/stats
@@ -47,10 +49,14 @@ final case class IndexData(
     ann: Option[AnnIndex] = None,
     // PQ sidecar: codes-only ADC shortlist + exact rerank (`--ann pq`)
     pq: Option[PqIndex] = None,
-    // number of uncompacted append-merge segments the live view spans —
-    // >0 means the ANN/PQ sidecars (rebuilt only at compaction) do not
-    // cover the segment docs yet; the exact search paths are unaffected
-    pendingSegments: Int = 0) {
+    // number of uncompacted append-merge segments the live view spans
+    pendingSegments: Int = 0,
+    // whether every pending segment carries its frozen-model sidecar deltas
+    // (per-segment ann_postings / ann_pq_codes + dead_ids), so the
+    // assembled `ann`/`pq` above already cover the segment docs. False only
+    // for legacy segments written before the delta layout — `--ann` search
+    // then warns that sidecars cover the compacted base only
+    sidecarsCoverSegments: Boolean = true) {
 
   /** Cache the search-path datasets for a long-lived serving session
     * (SURVEY.md §3.3). */
@@ -199,6 +205,44 @@ object IndexData {
         .reduce(_ unionByName _)
         .groupBy("term").agg(sum("df").cast("long").as("df"))
         .filter(col("df") > 0)
+
+      // Sidecar assembly: segments written by `appendMerge` under a
+      // sidecar-bearing base carry frozen-model DELTAS (per-segment
+      // ann_postings / ann_pq_codes) plus dead_ids — the doc_ids their
+      // tombstones masked. Sidecar rows are keyed by doc_id, not file_path,
+      // so the mask here is by dead doc_id with the same generation rule
+      // ("live iff gen ≥ the latest segment that declared the id dead" —
+      // a replaced path re-indexed with IDENTICAL content reuses its
+      // doc_id, and only the generation keeps the new row alive). The
+      // cluster filter of the probed `--ann` path pushes through the union
+      // into BOTH parquet scans, so partition pruning survives assembly.
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def segHas(p: String, sub: String): Boolean =
+        fs.exists(new org.apache.hadoop.fs.Path(p, s"$sub/_SUCCESS"))
+      val allDead = segs.forall { case (_, p) => segHas(p, "dead_ids") }
+      lazy val deadMax = segs.map { case (n, p) =>
+          spark.read.parquet(s"$p/dead_ids")
+            .select(col("doc_id"), lit(n).as("_upto")) }
+        .reduce(_ unionByName _)
+        .groupBy("doc_id").agg(max("_upto").as("_upto"))
+      def liveById(base: DataFrame, sub: String): DataFrame = {
+        val all = segs.foldLeft(base.withColumn("_gen", lit(0))) {
+          case (acc, (n, p)) =>
+            acc.unionByName(
+              spark.read.parquet(s"$p/$sub").withColumn("_gen", lit(n)),
+              allowMissingColumns = true)
+        }
+        all.join(broadcast(deadMax), Seq("doc_id"), "left")
+          .filter(col("_upto").isNull || col("_gen") >= col("_upto"))
+          .drop("_gen", "_upto")
+      }
+      val baseAnn = AnnIndex.load(spark, dir)
+      val annCovered = baseAnn.isDefined && allDead &&
+        segs.forall { case (_, p) => segHas(p, AnnIndex.PostingsDir) }
+      val basePq = PqIndex.load(spark, dir)
+      val pqCovered = basePq.isDefined && allDead &&
+        segs.forall { case (_, p) => segHas(p, PqIndex.CodesDir) }
       IndexData(
         documents = live("documents"),
         postings = live("postings").select("doc_id", "term", "tf"),
@@ -206,9 +250,17 @@ object IndexData {
         doclen = doclenLive.select("doc_id", "dl"),
         stats = Bm25.corpusStats(doclenLive),
         settings = settings,
-        ann = AnnIndex.load(spark, dir),
-        pq = PqIndex.load(spark, dir),
-        pendingSegments = segs.size)
+        ann =
+          if (annCovered)
+            baseAnn.map(a => a.copy(postings = liveById(a.postings, AnnIndex.PostingsDir)))
+          else baseAnn,
+        pq =
+          if (pqCovered)
+            basePq.map(q => q.copy(codes = liveById(q.codes, PqIndex.CodesDir)))
+          else basePq,
+        pendingSegments = segs.size,
+        sidecarsCoverSegments =
+          (baseAnn.isEmpty || annCovered) && (basePq.isEmpty || pqCovered))
     }
   }
 

@@ -258,10 +258,18 @@ object IndexJob {
     * batch except when paths are REPLACED, which adds one filtered scan of
     * the live documents to subtract the dead rows' term stats (no rewrite —
     * the dead rows stay on disk, masked, until [[compact]] folds them out).
-    * Sidecars are NOT touched: the exact search paths see segment docs
-    * immediately through the live view; the ANN/PQ accelerated paths cover
-    * them after the next compaction (`IndexData.pendingSegments` drives the
-    * search-time warning). */
+    *
+    * Sidecars stay fresh WITHOUT compaction: when the base carries an
+    * ANN/PQ sidecar, the segment also gets its frozen-model DELTA — the
+    * batch assigned under the frozen centroids (`seg/<n>/ann_postings`,
+    * cluster-partitioned like the base lists) and/or encoded under the
+    * frozen codebooks (`seg/<n>/ann_pq_codes`) — plus `dead_ids`, the
+    * doc_ids the tombstones masked, so [[IndexData.load]] can assemble the
+    * live sidecar view (union + dead-id mask) and `--ann` search sees
+    * appended docs immediately. All O(delta): assignment/encode touch only
+    * the batch. The drift metrics update after the commit from the
+    * assembled view's persisted byproduct columns (`assign_dist` /
+    * `err_sum`) — a narrow column scan, never a re-assignment pass. */
   def appendMerge(
       spark: SparkSession,
       fresh: DataFrame,
@@ -299,11 +307,69 @@ object IndexJob {
       .groupBy("term").agg(sum("df").cast("long").as("df"))
       .filter(col("df") =!= 0)
       .write.mode("overwrite").parquet(s"$segDir/termdf")
+    // the doc_ids the tombstones mask — the sidecar-side mask key (sidecar
+    // rows carry no file_path; [[IndexData.load]] masks them by dead id
+    // with the same generation rule)
+    deadDocs.select("doc_id").distinct()
+      .write.mode("overwrite").parquet(s"$segDir/dead_ids")
+    // frozen-model sidecar deltas: O(delta) assignment/encode of the BATCH
+    // so the --ann paths cover segment docs without waiting for compaction
+    val segAnnAssign = pre.ann.map { ann =>
+      val centroids = ann.centroids.localCheckpoint(true)
+      AnnIndex.buildPostings(segDocs, "doc_id", "embedding", centroids)
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$segDir/${AnnIndex.PostingsDir}")
+      spark.read.parquet(s"$segDir/${AnnIndex.PostingsDir}")
+    }
+    pre.pq.foreach { pq =>
+      val books = pq.codebooks.localCheckpoint(true)
+      val codes = PqIndex.encode(segDocs, "doc_id", "embedding", books)
+      (if (pq.codes.columns.contains("cluster")) segAnnAssign match {
+        // composed ivf×pq base: segment codes keep the cluster partitioning
+        // so the probe-pruned ADC path prunes segment files too
+        case Some(assign) =>
+          codes.join(assign.select(col("cluster"), col("doc_id")), Seq("doc_id"))
+            .write.partitionBy("cluster")
+        case None => codes.write
+      } else codes.write)
+        .mode("overwrite").parquet(s"$segDir/${PqIndex.CodesDir}")
+    }
     upsertSettingsOnDisk(spark, indexDir,
       settings.collect().map(r => r.getString(0) -> r.getString(1)).toSeq)
     // commit point: the segment becomes visible atomically with this write
     replaced.write.mode("overwrite").parquet(s"$segDir/tombstones")
-    IndexData.load(spark, indexDir)
+    // staleness bookkeeping over the now-live assembled view (post-commit:
+    // a crash before this leaves the metrics one merge stale — advisory
+    // data, refreshed by the next merge). Reads the persisted byproduct
+    // columns only — a narrow column scan of base+segments, no second
+    // assignment/encode pass.
+    val after = IndexData.load(spark, indexDir)
+    val driftKvs = if (!after.sidecarsCoverSegments) Nil else {
+      // all settings READS happen before the single upsert below — the
+      // upsert overwrites the settings dir `after.settings` still points at
+      val annKvs = after.ann.toSeq.flatMap { ann =>
+        val cur = ann.meanAssignDist
+        val fit = after.setting(AnnIndex.FitMeanDistKey).map(_.toDouble).getOrElse(cur)
+        Seq(
+          AnnIndex.FitMeanDistKey -> fit.toString,
+          AnnIndex.MeanDistKey -> cur.toString,
+          AnnIndex.DriftKey -> AnnIndex.driftOf(fit, cur).toString)
+      }
+      val pqKvs = after.pq.toSeq
+        .flatMap(pq => PqIndex.meanCodesError(pq.codes)).flatMap { cur =>
+          val fit = after.setting(PqIndex.FitMeanErrKey).map(_.toDouble).getOrElse(cur)
+          Seq(
+            PqIndex.FitMeanErrKey -> fit.toString,
+            PqIndex.MeanErrKey -> cur.toString,
+            PqIndex.DriftKey -> AnnIndex.driftOf(fit, cur).toString)
+        }
+      annKvs ++ pqKvs
+    }
+    if (driftKvs.isEmpty) after
+    else {
+      upsertSettingsOnDisk(spark, indexDir, driftKvs)
+      IndexData.load(spark, indexDir)
+    }
   }
 
   /** Fold append segments back into the canonical base: rewrite the live

@@ -142,7 +142,7 @@ class AppendMergeSpec extends AnyFunSuite {
     assert(hits(compacted) == liveHits)
   }
 
-  test("compact refreshes the ANN sidecar to cover appended docs") {
+  test("segment ANN delta: --ann search sees appended docs without compaction") {
     val docs = Files.createTempDirectory("appnd-ann-docs").toString
     val idx = Files.createTempDirectory("appnd-ann-idx").toString + "/idx"
     val opts = IndexJob.Options(clear = true, mergeMode = "append",
@@ -154,17 +154,93 @@ class AppendMergeSpec extends AnyFunSuite {
     write(delta, "c.md", "# Gamma\n\nnew appended doc about probe pruning\n")
     IndexJob.run(spark, Seq(delta), idx, embedder,
       opts = opts.copy(clear = false))
-    // pending segment: sidecar postings do NOT cover c.md yet
     val pending = IndexData.load(spark, idx)
     assert(pending.pendingSegments == 1)
-    val annBefore = pending.ann.getOrElse(fail("ann sidecar missing"))
-    val coveredBefore = annBefore.postings.select("doc_id").distinct().count()
-    assert(coveredBefore == pending.documents.count() - 1)
-    // compaction re-derives the lists over the full live corpus
+    // the segment carried its frozen-centroid delta: the ASSEMBLED lists
+    // cover every live doc, while the base sidecar files still hold only
+    // the original two (O(delta) — the base was not rewritten)
+    assert(pending.sidecarsCoverSegments)
+    val ann = pending.ann.getOrElse(fail("ann sidecar missing"))
+    assert(ann.postings.select("doc_id").distinct().count()
+      == pending.documents.count())
+    assert(spark.read.parquet(s"$idx/${AnnIndex.PostingsDir}")
+      .select("doc_id").distinct().count() == pending.documents.count() - 1)
+    // probing ALL clusters ≡ exact — the appended doc must surface
+    val hits = graft.search.HybridSearch.search(pending, "probe pruning",
+      analyzer = graft.analyze.DefaultAnalyzer, embedder = Some(embedder),
+      reranker = None,
+      opts = graft.search.HybridSearch.Options(k = 3, rerank = false,
+        annNprobe = ann.numClusters))
+      .select("file_path").collect().map(_.getString(0))
+    assert(hits.exists(_.endsWith("c.md")), hits.mkString("; "))
+    // drift bookkeeping updated on the append merge itself
+    assert(pending.setting(AnnIndex.MeanDistKey).isDefined)
+    // compaction folds the delta into the base sidecar files
     val compacted = IndexJob.compact(spark, idx)
+    assert(compacted.pendingSegments == 0)
     val annAfter = compacted.ann.getOrElse(fail("ann sidecar missing after compact"))
     assert(annAfter.postings.select("doc_id").distinct().count()
       == compacted.documents.count())
+  }
+
+  test("sidecar deltas mask replaced-path rows by dead id; PQ codes stay live") {
+    val docs = Files.createTempDirectory("appnd-pq-docs").toString
+    val idx = Files.createTempDirectory("appnd-pq-idx").toString + "/idx"
+    // trim each run's scan root so both runs store the BARE file name —
+    // replacement is keyed by the stored path (the appendFixture rule)
+    def opts(scanDir: String, clear: Boolean) = IndexJob.Options(
+      clear = clear, mergeMode = "append", annClusters = 2, annIters = 2,
+      pqCodes = 4, pqIters = 2, trimPathPrefix = Some(s"file:$scanDir"))
+    write(docs, "a.md", "# Alpha\n\nspark merges sorted runs fast\n")
+    write(docs, "b.md", "# Beta\n\nvector cosine search embedding space\n")
+    IndexJob.run(spark, Seq(docs), idx, embedder, opts = opts(docs, clear = true))
+    val oldAIds = IndexData.load(spark, idx).documents
+      .filter(col("file_path").endsWith("a.md"))
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    // replace a.md + add c.md in one append batch
+    val delta = Files.createTempDirectory("appnd-pq-delta").toString
+    write(delta, "a.md", "# Alpha v2\n\nreplaced body about hash joins\n")
+    write(delta, "c.md", "# Gamma\n\nnew appended doc about probe pruning\n")
+    IndexJob.run(spark, Seq(delta), idx, embedder, opts = opts(delta, clear = false))
+    val live = IndexData.load(spark, idx)
+    assert(live.sidecarsCoverSegments)
+    val liveIds = live.documents.select("doc_id").collect().map(_.getString(0)).toSet
+    // doc_id is path-derived, so the replaced a.md REUSES its id — the
+    // generation rule (not the id alone) must keep exactly the segment's
+    // row: assembled sidecars have one row per live doc, no unmasked
+    // base duplicates
+    assert(oldAIds.subsetOf(liveIds))
+    val annIds = live.ann.get.postings.select("doc_id")
+      .collect().map(_.getString(0)).toSet
+    val pqIds = live.pq.get.codes.select("doc_id")
+      .collect().map(_.getString(0)).toSet
+    assert(annIds == liveIds)
+    assert(pqIds == liveIds)
+    assert(live.ann.get.postings.count() == live.documents.count())
+    assert(live.pq.get.codes.count() == live.documents.count())
+    // …and the surviving a.md row carries the NEW content's embedding
+    val newEmb = live.documents.filter(col("file_path").endsWith("a.md"))
+      .select("embedding").collect().map(_.getSeq[Float](0)).head
+    val annEmb = live.ann.get.postings
+      .filter(col("doc_id").isin(oldAIds.toSeq: _*))
+      .select("embedding").collect().map(_.getSeq[Float](0)).head
+    assert(annEmb == newEmb)
+    // composed base ⇒ the segment codes are cluster-partitioned too
+    assert(live.pq.get.codes.columns.contains("cluster"))
+    // shortlist ≥ corpus through the assembled codes ≡ exact heap scan
+    val k = 3
+    val exact = graft.search.HybridSearch.search(live, "probe pruning",
+      analyzer = graft.analyze.DefaultAnalyzer, embedder = Some(embedder),
+      reranker = None,
+      opts = graft.search.HybridSearch.Options(k = k, rerank = false))
+      .select("doc_id", "score").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val viaPq = graft.search.HybridSearch.search(live, "probe pruning",
+      analyzer = graft.analyze.DefaultAnalyzer, embedder = Some(embedder),
+      reranker = None,
+      opts = graft.search.HybridSearch.Options(k = k, rerank = false,
+        annPqShortlist = liveIds.size))
+      .select("doc_id", "score").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(viaPq == exact)
   }
 
   test("append merge on a pre-append-layout artifact demands a compaction first") {
