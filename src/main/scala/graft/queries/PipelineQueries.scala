@@ -299,6 +299,44 @@ object PipelineQueries {
         "SELECT doc_id, component, cluster_size, doc_id = component AS is_canonical " +
         "FROM comp JOIN cs USING (component) ORDER BY doc_id")),
 
+    // Canonical-representative selection over the near-dup clusters — the
+    // step that turns "we found the duplicates" into "this is the training
+    // set": within each connected component keep the LONGEST document
+    // (the standard keep-best policy; n_chars stands in for a quality
+    // score), ties to the smaller doc_id. One row_number window PARTITIONED
+    // BY component — the per-cluster sort never sees more rows than the
+    // cluster, so the pass scales with the largest dup cluster, not the
+    // corpus.
+    Q("q_dedup_keep_longest",
+      (s, d) => {
+        val edges = minhashVerifiedPairs(s, d).filter(col("jaccard") >= 0.5)
+        val nodes = t(s, d, "documents").select(col("doc_id"))
+        val comp = graft.ops.Components.connectedComponents(
+          nodes, "doc_id", edges, "doc_a", "doc_b")
+        val sized = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+        val w = Window.partitionBy("comp")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        comp.join(t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+            comp("id") === col("doc_id"))
+          .join(sized, Seq("comp"))
+          .withColumn("kept", row_number().over(w) === 1)
+          .select(col("doc_id"), col("comp").as("component"),
+            col("cluster_size"), col("n_chars"), col("kept"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH RECURSIVE $minhashPairsCtes, " +
+        "edges AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5), " +
+        "sym AS (SELECT doc_a AS a, doc_b AS b FROM edges UNION SELECT doc_b, doc_a FROM edges), " +
+        "reach(x, r) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.x), " +
+        "comp AS (SELECT x AS doc_id, min(r) AS component FROM reach GROUP BY x), " +
+        "cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY component), " +
+        "rk AS (SELECT c.doc_id, c.component, cs.cluster_size, dd.n_chars, " +
+        "row_number() OVER (PARTITION BY c.component ORDER BY dd.n_chars DESC, c.doc_id ASC) AS rn " +
+        "FROM comp c JOIN cs USING (component) JOIN documents dd ON dd.doc_id = c.doc_id) " +
+        "SELECT doc_id, component, cluster_size, n_chars, rn = 1 AS kept " +
+        "FROM rk ORDER BY doc_id")),
+
     // 16-bit SimHash signatures (bounded sample)
     Q("q_dedup_simhash",
       (s, d) => docs(s, d).filter(col("doc_id") < 100)
@@ -721,6 +759,53 @@ object PipelineQueries {
           .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
             Q.r6(col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
               .as("contamination"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH ${Q.toksCte}, " +
+        s"shx AS (SELECT doc_id, unnest(list_distinct(${Dedup.shinglesSql("toks")})) AS sh " +
+        "FROM toks WHERE len(toks) >= 3), " +
+        "bench AS (SELECT DISTINCT sh FROM shx WHERE doc_id < 25), " +
+        "tr AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles, " +
+        "CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated " +
+        "FROM shx s LEFT JOIN bench b ON s.sh = b.sh WHERE s.doc_id >= 25 GROUP BY s.doc_id) " +
+        "SELECT doc_id, n_shingles, n_contaminated, " +
+        s"${Q.r6Sql("CAST(n_contaminated AS DOUBLE) / CAST(n_shingles AS DOUBLE)")} AS contamination " +
+        "FROM tr ORDER BY doc_id")),
+
+    // Bloom-prefiltered decontamination — same RESULT as q_decontaminate
+    // (a Bloom filter has no false negatives, and the exact verify join
+    // kills its false positives, so the output is hash-identical), but the
+    // regime it exists for is the one where the benchmark shingle set is
+    // too big to broadcast as a HASH RELATION yet trivial as a BLOOM:
+    // ~10 bits/key vs ≥30-100 bytes/key means a 100M-shingle eval suite is
+    // a ~120 MB bloom where the broadcast-hash-join relation would be
+    // 10+ GB. The train side is pruned MAP-SIDE by the bloom (no shuffle,
+    // no join) down to the ~contaminated fraction, and only those
+    // survivors pay the exact verify join. The bloom membership probe is a
+    // broadcast-closure UDF over spark.util.sketch.BloomFilter — one
+    // non-codegen filter stage, accepted deliberately: it replaces the
+    // entire big-side join input, which at 100 TB is the difference
+    // between joining every shingle and joining ~1% of them.
+    Q("q_decontaminate_bloom",
+      (s, d) => {
+        val sh = docs(s, d).filter(size(col("tokens")) >= 3)
+          .select(col("doc_id"),
+            explode(array_distinct(Dedup.shingles(col("tokens")))).as("sh"))
+        val bench = sh.filter(col("doc_id") < 25).select("sh").distinct()
+          .localCheckpoint(true) // sized once, probed twice (bloom + verify)
+        val bf = bench.stat.bloomFilter("sh", math.max(bench.count(), 1L), 0.01)
+        val bfB = s.sparkContext.broadcast(bf)
+        val mightContain = udf((x: String) => x != null && bfB.value.mightContainString(x))
+        val train = sh.filter(col("doc_id") >= 25)
+        val counts = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        val contaminated = train.filter(mightContain(col("sh")))
+          .join(bench, Seq("sh")) // exact verify of the bloom survivors
+          .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+        counts.join(contaminated, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+            Q.r6(coalesce(col("n_contaminated"), lit(0L)).cast("double")
+              / col("n_shingles").cast("double")).as("contamination"))
           .orderBy("doc_id")
       },
       Some(s"WITH ${Q.toksCte}, " +
