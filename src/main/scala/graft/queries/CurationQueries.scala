@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.queries.Q.t
 
@@ -78,6 +79,80 @@ object CurationQueries {
         "CAST(sum(nt) AS BIGINT) AS n_tokens, " +
         "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
         "FROM sh GROUP BY shard_id ORDER BY shard_id")),
+
+    // Seeded epoch shuffle: every training epoch wants a DIFFERENT global
+    // order, reproducibly, without moving a byte of document data. Each
+    // (epoch, doc) gets an md5 position key; shard = first nibble, order
+    // within shard = (position key, doc_id). Re-shuffling 100 TB for epoch
+    // N+1 is then a metadata pass — recompute ranks, leave the shard files
+    // where they are; the rank window is PARTITIONED by shard, so no
+    // global sort ever exists. Two epochs emitted side by side to pin that
+    // the orders actually differ while both stay deterministic.
+    Q("q_epoch_shuffle",
+      (s, d) => {
+        def h(e: String) = s"md5(concat('$e:', CAST(doc_id AS STRING)))"
+        def shard(e: String) =
+          s"instr('0123456789abcdef', substr(${h(e)}, 1, 1)) - 1"
+        val w1 = Window.partitionBy(col("shard_e1"))
+          .orderBy(col("h1").asc, col("doc_id").asc)
+        val w2 = Window.partitionBy(col("shard_e2"))
+          .orderBy(col("h2").asc, col("doc_id").asc)
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            expr(h("ep1")).as("h1"), expr(shard("ep1")).as("shard_e1"),
+            expr(h("ep2")).as("h2"), expr(shard("ep2")).as("shard_e2"))
+          .withColumn("rank_e1", row_number().over(w1).cast("long"))
+          .withColumn("rank_e2", row_number().over(w2).cast("long"))
+          .select("doc_id", "shard_e1", "rank_e1", "shard_e2", "rank_e2")
+          .orderBy("doc_id")
+      },
+      Some("WITH k AS (SELECT doc_id, " +
+        "md5(concat('ep1:', CAST(doc_id AS STRING))) AS h1, " +
+        "md5(concat('ep2:', CAST(doc_id AS STRING))) AS h2 FROM documents), " +
+        "sh AS (SELECT doc_id, h1, h2, " +
+        "instr('0123456789abcdef', substr(h1, 1, 1)) - 1 AS shard_e1, " +
+        "instr('0123456789abcdef', substr(h2, 1, 1)) - 1 AS shard_e2 FROM k) " +
+        "SELECT doc_id, shard_e1, " +
+        "CAST(row_number() OVER (PARTITION BY shard_e1 ORDER BY h1, doc_id) AS BIGINT) AS rank_e1, " +
+        "shard_e2, " +
+        "CAST(row_number() OVER (PARTITION BY shard_e2 ORDER BY h2, doc_id) AS BIGINT) AS rank_e2 " +
+        "FROM sh ORDER BY doc_id")),
+
+    // Corpus-global boilerplate detection — the C4/CCNet repeated-line
+    // rule, at 8-token-window granularity (the corpus has no line
+    // structure): hash every non-overlapping window, count global
+    // occurrences, flag each doc's fraction of windows that appear
+    // elsewhere. Shapes like exact dedup: one shuffle keyed on the window
+    // hash (32-byte key, map-side combined), one per-doc agg — no
+    // pairwise anything, so the pass is linear in corpus tokens at 100 TB.
+    Q("q_boilerplate_windows",
+      (s, d) => {
+        val win = docs(s, d).filter(size(col("tokens")) >= 1)
+          .select(col("doc_id"),
+            explode(transform(
+              sequence(lit(0),
+                ceil(size(col("tokens")).cast("double") / 8).cast("int") - 1),
+              i => md5(concat_ws(" ", slice(col("tokens"), i * 8 + 1, lit(8))))))
+              .as("wh"))
+        val freq = win.groupBy("wh").agg(count(lit(1)).as("wf"))
+        win.join(freq, Seq("wh"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            sum(when(col("wf") > 1, 1L).otherwise(0L)).as("n_boiler"))
+          .select(col("doc_id"), col("n_windows"), col("n_boiler"),
+            Q.r6(col("n_boiler").cast("double") / col("n_windows").cast("double"))
+              .as("boiler_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH ${Q.toksCte}, " +
+        "w AS (SELECT doc_id, md5(array_to_string(list_slice(toks, (i-1)*8+1, i*8), ' ')) AS wh " +
+        "FROM toks CROSS JOIN (SELECT unnest(range(1, (SELECT CAST(ceil(max(len(toks)) / 8.0) AS BIGINT) + 1 FROM toks))) AS i) g " +
+        "WHERE len(toks) >= 1 AND (i-1)*8 < len(toks)), " +
+        "f AS (SELECT wh, count(*) AS wf FROM w GROUP BY wh) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows, " +
+        "CAST(sum(CASE WHEN wf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler, " +
+        s"${Q.r6Sql("CAST(sum(CASE WHEN wf > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS boiler_ratio " +
+        "FROM w JOIN f USING (wh) GROUP BY doc_id ORDER BY doc_id")),
 
     // Corpus snapshot diff: classify every doc across two corpus versions
     // as added / removed / changed / same by content hash — the ingest
