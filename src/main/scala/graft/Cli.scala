@@ -17,6 +17,7 @@ import graft.search.HybridSearch
   *                    [--pq-codes K [--pq-iters N]]         (persist the PQ sidecar)
   *                    [--layout zorder|hilbert [--layout-files N]]   (cluster files)
   *                    [--merge append]   (O(delta) segment merges; see compact)
+  *                    [--compact-every N]   (watch: fold segments every N)
   *                    [--watch]   (stream NEW files into the index until killed)
   *   graft.Cli search --db DIR --query Q [--top-k K] [--no-rerank]
   *                    [--remove-path-prefix P] [--add-path-prefix P]
@@ -166,7 +167,9 @@ object Cli {
       layoutFiles = arg(a, "--layout-files").map(_.toInt).getOrElse(8),
       // `--merge append`: O(delta) segment merges instead of base rewrites
       // (fold back with `graft compact`); default rewrite
-      mergeMode = arg(a, "--merge").map(_.toLowerCase).getOrElse("rewrite"))
+      mergeMode = arg(a, "--merge").map(_.toLowerCase).getOrElse("rewrite"),
+      // `--compact-every N`: watch-mode LSM fold cadence for append merges
+      compactEvery = arg(a, "--compact-every").map(_.toInt).getOrElse(0))
     val dim = arg(a, "--embedding-dim").map(_.toInt).getOrElse(64)
     if (flag(a, "--watch")) {
       // incremental streaming mode: keep folding NEW files from the first

@@ -64,7 +64,14 @@ object IndexJob {
       // cost proportional to the BATCH at 100 TB; the trade is that the
       // ANN/PQ sidecars only refresh at compaction (exact search paths see
       // segments immediately via the live view).
-      mergeMode: String = "rewrite")
+      mergeMode: String = "rewrite",
+      // auto-compaction policy for append mode (`--compact-every N`, the
+      // LSM fold cadence): whenever the committed segment count reaches N,
+      // the streaming watch folds segments into the canonical base —
+      // bounding the live view's read amplification (every query unions
+      // base + segments). 0 = never (compact explicitly via `graft
+      // compact`). Only meaningful with mergeMode = "append".
+      compactEvery: Int = 0)
 
   /** The `--splitter` factory (reference `src/splitter.py:621-651`). */
   def chunkerFor(opts: Options, analyzer: Analyzer): Chunker = opts.splitter match {

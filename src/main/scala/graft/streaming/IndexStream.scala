@@ -111,6 +111,17 @@ object IndexStream {
             pqCodes = opts.pqCodes, pqIters = opts.pqIters,
             layout = opts.layout, layoutFiles = opts.layoutFiles,
             mergeMode = opts.mergeMode)
+          // LSM fold cadence (`--compact-every N`): a long-lived append-mode
+          // watch otherwise accumulates segments without bound, and every
+          // query pays the union of base + all segments. Segment count (not
+          // batchId) drives the trigger so empty batches never fold.
+          if (opts.mergeMode == "append" && opts.compactEvery > 0 &&
+              graft.index.IndexData.segments(batch.sparkSession, indexDir).size
+                >= opts.compactEvery) {
+            IndexJob.compact(batch.sparkSession, indexDir,
+              opts.layout, opts.layoutFiles)
+            ()
+          }
           ()
         }
       }

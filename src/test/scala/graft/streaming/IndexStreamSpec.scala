@@ -82,6 +82,31 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(canonDocs(compacted.documents) == canonDocs(batch.documents))
   }
 
+  test("append-mode watch with --compact-every folds segments automatically") {
+    val docs = Files.createTempDirectory("idxstream-ce-docs").toString
+    val streamIdx = Files.createTempDirectory("idxstream-ce-s").toString + "/idx"
+    val embedder = new HashingEmbedder(dim = 16)
+    val opts = IndexJob.Options(mergeMode = "append", compactEvery = 2)
+
+    write(docs, "a.md", "# Alpha\n\nspark merges sorted runs fast\n")
+    val q = IndexStream.start(spark, docs, streamIdx, embedder, opts = opts)
+    try {
+      q.processAllAvailable()
+      write(docs, "b.md", "# Beta\n\nvector cosine search embedding space\n")
+      q.processAllAvailable() // segment 1 — below the fold threshold
+      write(docs, "c.md", "plain text body with no headers at all\n")
+      q.processAllAvailable() // segment 2 — reaches it, the stream folds
+    } finally q.stop()
+
+    val streamed = IndexData.load(spark, streamIdx)
+    assert(streamed.pendingSegments < 2,
+      s"expected auto-fold at 2 segments, found ${streamed.pendingSegments} pending")
+    val batch = IndexJob.run(spark, Seq(docs),
+      Files.createTempDirectory("idxstream-ce-b").toString + "/idx",
+      new HashingEmbedder(dim = 16))
+    assert(canonDocs(streamed.documents) == canonDocs(batch.documents))
+  }
+
   test("watched index with ANN sidecar: lists re-derive each batch, --ann finds new docs") {
     import org.apache.spark.sql.functions._
     val docs = Files.createTempDirectory("idxstream-ann-docs").toString
