@@ -161,6 +161,41 @@ object IndexData {
 
   val SegDir = "seg"
 
+  val CompactStagingDir = "_compact"
+  val CompactCommitMarker = "_COMMIT"
+
+  /** Complete a committed compaction swap. `IndexJob.compact` writes the
+    * full staging artifact under `_compact/`, then drops the `_COMMIT`
+    * marker, then swaps table directories into place — a crash mid-swap
+    * would tear the artifact, so the swap is IDEMPOTENT and any reader
+    * that finds the marker finishes it here before reading (a table
+    * already swapped is simply absent from staging and skipped). Without
+    * the marker, staging is an uncommitted leftover and is ignored. */
+  private[graft] def finishCompactSwap(spark: SparkSession, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(dir, CompactStagingDir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(staging, CompactCommitMarker))) return
+    // tables AND sidecars: compact stages the frozen-model sidecar rebuild
+    // alongside the folded tables, so the whole artifact swaps behind the
+    // one marker — a torn swap can never pair the folded base (segments
+    // gone) with sidecars that only covered the old base
+    Seq("documents", "postings", "termdf", "doclen", "stats", "settings",
+        AnnIndex.CentroidsDir, AnnIndex.PostingsDir,
+        PqIndex.CodebooksDir, PqIndex.CodesDir)
+      .foreach { d =>
+        val src = new org.apache.hadoop.fs.Path(staging, d)
+        if (fs.exists(src)) {
+          fs.delete(new org.apache.hadoop.fs.Path(dir, d), true)
+          fs.rename(src, new org.apache.hadoop.fs.Path(dir, d))
+        }
+      }
+    // the staged base folded every segment in; marker removal (with the
+    // staging dir) is the swap's own completion point
+    fs.delete(new org.apache.hadoop.fs.Path(dir, SegDir), true)
+    fs.delete(staging, true)
+  }
+
   /** Load the artifact's LIVE view. Without segments this is a plain read of
     * the canonical datasets. With segments: base ∪ segments with a
     * generation injected from the STORAGE LOCATION at read time (base = 0,
@@ -171,6 +206,7 @@ object IndexData {
     * broadcasts the (tiny between compactions) tombstone set; consumers see
     * canonical schemas either way. */
   def load(spark: SparkSession, dir: String): IndexData = {
+    finishCompactSwap(spark, dir) // heal a crashed compaction, if any
     val segs = segments(spark, dir)
     val settings = spark.read.parquet(s"$dir/settings")
     if (segs.isEmpty) IndexData(

@@ -351,28 +351,35 @@ object IndexJob {
     // columns only — a narrow column scan of base+segments, no second
     // assignment/encode pass.
     val after = IndexData.load(spark, indexDir)
-    val driftKvs = if (!after.sidecarsCoverSegments) Nil else {
-      // all settings READS happen before the single upsert below — the
-      // upsert overwrites the settings dir `after.settings` still points at
-      val annKvs = after.ann.toSeq.flatMap { ann =>
-        val cur = ann.meanAssignDist
-        val fit = after.setting(AnnIndex.FitMeanDistKey).map(_.toDouble).getOrElse(cur)
-        Seq(
-          AnnIndex.FitMeanDistKey -> fit.toString,
-          AnnIndex.MeanDistKey -> cur.toString,
-          AnnIndex.DriftKey -> AnnIndex.driftOf(fit, cur).toString)
-      }
-      val pqKvs = after.pq.toSeq
-        .flatMap(pq => PqIndex.meanCodesError(pq.codes)).flatMap { cur =>
-          val fit = after.setting(PqIndex.FitMeanErrKey).map(_.toDouble).getOrElse(cur)
-          Seq(
-            PqIndex.FitMeanErrKey -> fit.toString,
-            PqIndex.MeanErrKey -> cur.toString,
-            PqIndex.DriftKey -> AnnIndex.driftOf(fit, cur).toString)
-        }
-      annKvs ++ pqKvs
+    if (!after.sidecarsCoverSegments) after
+    else updateDriftSettings(spark, indexDir, after)
+  }
+
+  /** Refresh the ann/pq drift metrics from the artifact's current
+    * (assembled) sidecar views — persisted byproduct columns only
+    * (`assign_dist` / `err_sum`), never a re-assignment pass. All settings
+    * READS happen before the single upsert (which overwrites the settings
+    * dir `data.settings` still points at). */
+  private def updateDriftSettings(spark: SparkSession, indexDir: String,
+      data: IndexData): IndexData = {
+    val annKvs = data.ann.toSeq.flatMap { ann =>
+      val cur = ann.meanAssignDist
+      val fit = data.setting(AnnIndex.FitMeanDistKey).map(_.toDouble).getOrElse(cur)
+      Seq(
+        AnnIndex.FitMeanDistKey -> fit.toString,
+        AnnIndex.MeanDistKey -> cur.toString,
+        AnnIndex.DriftKey -> AnnIndex.driftOf(fit, cur).toString)
     }
-    if (driftKvs.isEmpty) after
+    val pqKvs = data.pq.toSeq
+      .flatMap(pq => PqIndex.meanCodesError(pq.codes)).flatMap { cur =>
+        val fit = data.setting(PqIndex.FitMeanErrKey).map(_.toDouble).getOrElse(cur)
+        Seq(
+          PqIndex.FitMeanErrKey -> fit.toString,
+          PqIndex.MeanErrKey -> cur.toString,
+          PqIndex.DriftKey -> AnnIndex.driftOf(fit, cur).toString)
+      }
+    val driftKvs = annKvs ++ pqKvs
+    if (driftKvs.isEmpty) data
     else {
       upsertSettingsOnDisk(spark, indexDir, driftKvs)
       IndexData.load(spark, indexDir)
@@ -391,7 +398,7 @@ object IndexJob {
     val live = IndexData.load(spark, indexDir)
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = s"$indexDir/_compact"
+    val staging = s"$indexDir/${IndexData.CompactStagingDir}"
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     val docs =
       if (layout == "none") live.documents
@@ -399,19 +406,42 @@ object IndexJob {
     // live lineage reads base + segments; it writes into the staging dir,
     // so there is no read-before-overwrite hazard and no corpus-sized
     // driver materialization
-    IndexData.write(docs, live.settings.localCheckpoint(true), staging)
-    Seq("documents", "postings", "termdf", "doclen", "stats", "settings")
-      .foreach { d =>
-        fs.delete(new org.apache.hadoop.fs.Path(indexDir, d), true)
-        fs.rename(new org.apache.hadoop.fs.Path(staging, d),
-          new org.apache.hadoop.fs.Path(indexDir, d))
-      }
-    fs.delete(new org.apache.hadoop.fs.Path(indexDir, IndexData.SegDir), true)
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-    // sidecar refresh over the compacted corpus: the standard
-    // frozen-centroid/codebook re-derive (shape carried from the artifact)
-    val compacted = IndexData.load(spark, indexDir)
-    withPq(withAnn(compacted, indexDir, annClusters = 0), indexDir, pqCodes = 0)
+    val staged = IndexData.write(docs, live.settings.localCheckpoint(true), staging)
+    // sidecars are staged too, rebuilt over the folded corpus under the
+    // FROZEN models (the standard incremental contract — compact is a
+    // merge, not a re-fit), so the whole artifact swaps behind one marker:
+    // a crash can never pair the folded base with sidecars that covered
+    // only the old base
+    live.ann.foreach { ann =>
+      val centroids = ann.centroids.localCheckpoint(true)
+      centroids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$staging/${AnnIndex.CentroidsDir}")
+      AnnIndex.buildPostings(staged.documents, "doc_id", "embedding", centroids)
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$staging/${AnnIndex.PostingsDir}")
+    }
+    live.pq.foreach { pq =>
+      val books = pq.codebooks.localCheckpoint(true)
+      books.coalesce(1).write.mode("overwrite")
+        .parquet(s"$staging/${PqIndex.CodebooksDir}")
+      val codes = PqIndex.encode(staged.documents, "doc_id", "embedding", books)
+      (if (live.ann.isDefined)
+        codes.join(spark.read.parquet(s"$staging/${AnnIndex.PostingsDir}")
+            .select(col("cluster"), col("doc_id")), Seq("doc_id"))
+          .write.partitionBy("cluster")
+      else codes.write)
+        .mode("overwrite").parquet(s"$staging/${PqIndex.CodesDir}")
+    }
+    // commit point: the swap tears the artifact if interrupted, so it only
+    // begins once the marker exists — from here any reader that finds the
+    // marker completes the SAME idempotent swap
+    // ([[IndexData.finishCompactSwap]], run by [[IndexData.load]]) before
+    // reading. Before the marker a crash just leaves dead staging files.
+    fs.create(new org.apache.hadoop.fs.Path(staging, IndexData.CompactCommitMarker), true).close()
+    IndexData.finishCompactSwap(spark, indexDir)
+    // staleness bookkeeping over the compacted corpus (post-swap; a crash
+    // before this leaves the metrics one fold stale — advisory only)
+    updateDriftSettings(spark, indexDir, IndexData.load(spark, indexDir))
   }
 
   /** Fit + persist the PQ sidecar over an already-written artifact (the

@@ -243,6 +243,32 @@ class AppendMergeSpec extends AnyFunSuite {
     assert(viaPq == exact)
   }
 
+  test("torn compaction swap heals at load") {
+    val (docs, idx) = appendFixture()
+    val live = IndexData.load(spark, idx)
+    val staging = s"$idx/${IndexData.CompactStagingDir}"
+    // stage the fold exactly as compact does, then simulate a crash right
+    // after the commit marker with only ONE table swapped
+    IndexData.write(live.documents.localCheckpoint(true),
+      live.settings.localCheckpoint(true), staging)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$staging/${IndexData.CompactCommitMarker}"), true).close()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/documents"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$staging/documents"),
+      new org.apache.hadoop.fs.Path(s"$idx/documents"))
+    // any reader heals: the remaining tables swap, segments + staging go
+    val healed = IndexData.load(spark, idx)
+    assert(healed.pendingSegments == 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(staging)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/seg")))
+    val rebuilt = rebuild(docs)
+    assert(canonDocs(healed.documents) == canonDocs(rebuilt.documents))
+    assert(canon(healed.termdf) == canon(rebuilt.termdf))
+    assert(canon(healed.stats) == canon(rebuilt.stats))
+  }
+
   test("append merge on a pre-append-layout artifact demands a compaction first") {
     val docs = Files.createTempDirectory("appnd-legacy-docs").toString
     val idx = Files.createTempDirectory("appnd-legacy-idx").toString + "/idx"
