@@ -69,6 +69,29 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming decontamination screen equals the batch query") {
+    val dir = "/root/testdata/sf0.001"
+    // benchmark side frozen up front from the batch corpus (docs 0-24 —
+    // the q_decontaminate fixture rule); the stream screens the rest
+    val (bloom, bench) = graft.ops.Decontam.benchSet(
+      tokenized(spark.read.parquet(s"$dir/documents.parquet"))
+        .filter(col("doc_id") < 25))
+    val q = graft.ops.Decontam.screen(
+        tokenized(docsStream(dir)).filter(col("doc_id") >= 25), bloom, bench)
+      .writeStream.outputMode("append").format("memory").queryName("decontam")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_contaminated"), r.getAs[Double]("contamination"))
+    val streamed = spark.table("decontam").collect().map(key).toSet
+    val batch = graft.SparkEntry.queries("q_decontaminate")(spark, dir)
+      .collect().map(key).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.exists(_._3 > 0), "fixture should show real contamination")
+  }
+
   test("streaming weighted sampling keeps exactly the batch keep set") {
     val dir = "/root/testdata/sf0.001"
     val q = graft.queries.CurationQueries.weightedSample(tokenizedWithText(docsStream(dir)))
