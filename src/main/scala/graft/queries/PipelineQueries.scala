@@ -337,6 +337,52 @@ object PipelineQueries {
         "SELECT doc_id, component, cluster_size, n_chars, rn = 1 AS kept " +
         "FROM rk ORDER BY doc_id")),
 
+    // Leakage-safe split assignment — the constructive fix the
+    // q_split_leakage audit checks for: train/val/test is drawn per
+    // near-dup CLUSTER (md5-uniform on the component id), so every member
+    // of a duplicate family lands in the same split by construction and
+    // near-identical docs can never straddle the train/test boundary. The
+    // draw is the engine's deterministic md5-uniform rule keyed on the
+    // component — no RNG, reproducible and resumable at 100 TB.
+    Q("q_split_by_cluster",
+      (s, d) => {
+        val edges = minhashVerifiedPairs(s, d).filter(col("jaccard") >= 0.5)
+        val nodes = t(s, d, "documents").select(col("doc_id"))
+        val comp = graft.ops.Components.connectedComponents(
+          nodes, "doc_id", edges, "doc_a", "doc_b")
+        val uSql = (0 until 8).map { i =>
+          s"CAST(instr('0123456789abcdef', substr(md5(concat('split:', " +
+            s"CAST(component AS STRING))), ${i + 1}, 1)) - 1 AS BIGINT) " +
+            s"* ${1L << (4 * (7 - i))}"
+        }.mkString("(", " + ", ") / 4294967296.0")
+        comp.select(col("id").as("doc_id"), col("comp").as("component"))
+          .withColumn("u", expr(uSql))
+          .withColumn("split",
+            when(col("u") < 0.9, "train").when(col("u") < 0.95, "val")
+              .otherwise("test"))
+          .select(col("doc_id"), col("component"), Q.r6(col("u")).as("u"),
+            col("split"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val uSql = (0 until 8).map { i =>
+          s"CAST(instr('0123456789abcdef', substr(md5(concat('split:', " +
+            s"CAST(component AS STRING))), ${i + 1}, 1)) - 1 AS BIGINT) " +
+            s"* ${1L << (4 * (7 - i))}"
+        }.mkString("(", " + ", ") / 4294967296.0")
+        s"WITH RECURSIVE $minhashPairsCtes, " +
+          "edges AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5), " +
+          "sym AS (SELECT doc_a AS a, doc_b AS b FROM edges UNION SELECT doc_b, doc_a FROM edges), " +
+          "reach(x, r) AS (SELECT doc_id, doc_id FROM documents " +
+          "UNION SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.x), " +
+          "comp AS (SELECT x AS doc_id, min(r) AS component FROM reach GROUP BY x), " +
+          s"dr AS (SELECT doc_id, component, $uSql AS u FROM comp) " +
+          "SELECT doc_id, component, " +
+          s"${Q.r6Sql("u")} AS u, " +
+          "CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split " +
+          "FROM dr ORDER BY doc_id"
+      }),
+
     // 16-bit SimHash signatures (bounded sample)
     Q("q_dedup_simhash",
       (s, d) => docs(s, d).filter(col("doc_id") < 100)
