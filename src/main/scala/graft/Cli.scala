@@ -104,7 +104,9 @@ object Cli {
     val opts = graft.ops.CuratePipeline.Opts(
       jaccardThreshold = arg(a, "--jaccard").map(_.toDouble).getOrElse(0.5),
       sample = flag(a, "--sample"),
-      bucketPolicy = arg(a, "--bucket-policy").map(_.toLowerCase).getOrElse("cap"))
+      bucketPolicy = arg(a, "--bucket-policy").map(_.toLowerCase).getOrElse("cap"),
+      // `--keep minid|longest`: which member of a near-dup cluster survives
+      keepPolicy = arg(a, "--keep").map(_.toLowerCase).getOrElse("minid"))
     val spark = session()
     val docs = spark.read.parquet(in)
     val (kept, report) = graft.ops.CuratePipeline.run(docs, opts)

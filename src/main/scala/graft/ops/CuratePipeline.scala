@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The end-to-end corpus curation chain — the composition a pretraining
@@ -26,7 +27,13 @@ object CuratePipeline {
         * pairs, overflow docs lose the band) or `subsplit` (every doc keeps
         * pairing inside its C-sized block) — [[Dedup.MaxPerBucket]]'s two
         * deterministic candidate-stage contracts. */
-      bucketPolicy: String = "cap")
+      bucketPolicy: String = "cap",
+      /** Which member of a near-dup cluster survives (`--keep`):
+        * `minid` (the component root — cheapest, order-stable) or
+        * `longest` (max text length, ties to the smaller id — the
+        * keep-best-representative policy of q_dedup_keep_longest). Both
+        * run the same one-window-per-component argmax. */
+      keepPolicy: String = "minid")
 
   /** Run the chain over (doc_id, text) rows. Returns (kept, report) where
     * `kept` is the surviving (doc_id, text) corpus and `report` is
@@ -76,10 +83,25 @@ object CuratePipeline {
       kept2d.select("doc_id"), "doc_id", edges, "doc_a", "doc_b")
     val kept3 = kept2d.join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
       .localCheckpoint()
-    val dropNear = kept3.filter(col("doc_id") =!= col("comp"))
+    // survivor per component by the configured policy — one row_number
+    // window PARTITIONED by component (never wider than the largest
+    // cluster). `minid` ranks by doc_id alone, so the keeper IS the
+    // component root — byte-identical to the historical behavior.
+    val keepOrder = opts.keepPolicy match {
+      case "minid" => Seq(col("doc_id").asc)
+      case "longest" => Seq(length(col("text")).desc, col("doc_id").asc)
+      case other => sys.error(
+        s"unknown keep policy '$other' (expected minid or longest)")
+    }
+    val wKeep = Window.partitionBy(col("comp")).orderBy(keepOrder: _*)
+    val ranked = kept3
+      .withColumn("_rn", row_number().over(wKeep))
+      .withColumn("_keep_id", first(col("doc_id")).over(
+        wKeep.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val dropNear = ranked.filter(col("_rn") =!= 1)
       .select(col("doc_id"), lit("near_dup").as("stage"),
-        concat(lit("cluster_of="), col("comp")).as("detail"))
-    val kept3d = kept3.filter(col("doc_id") === col("comp"))
+        concat(lit("cluster_of="), col("_keep_id")).as("detail"))
+    val kept3d = ranked.filter(col("_rn") === 1)
       .select("doc_id", "text", "tokens")
 
     // 4. optional quality-weighted sampling (deterministic md5 draw)

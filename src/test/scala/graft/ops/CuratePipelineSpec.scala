@@ -78,6 +78,29 @@ class CuratePipelineSpec extends AnyFunSuite {
     assert(err.getMessage.contains("bucket policy"))
   }
 
+  test("keep=longest survives the longest cluster member; counts match minid") {
+    val (keptMin, _) = CuratePipeline.run(docs)
+    val (keptLong, reportLong) = CuratePipeline.run(docs,
+      CuratePipeline.Opts(keepPolicy = "longest"))
+    // same clusters either way — one survivor each, so counts agree
+    assert(keptLong.count() == keptMin.count())
+    val lenOf = docs.select(col("doc_id"), length(col("text")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nearDrops = reportLong.filter(col("stage") === "near_dup").collect()
+    assert(nearDrops.nonEmpty)
+    nearDrops.foreach { r =>
+      val dropped = r.getLong(0)
+      val keeper = r.getString(2).split("=")(1).toLong
+      assert(lenOf(keeper) > lenOf(dropped) ||
+        (lenOf(keeper) == lenOf(dropped) && keeper < dropped),
+        s"keeper $keeper (len ${lenOf(keeper)}) vs dropped $dropped (len ${lenOf(dropped)})")
+    }
+    val err = intercept[RuntimeException] {
+      CuratePipeline.run(docs, CuratePipeline.Opts(keepPolicy = "nope"))._1.count()
+    }
+    assert(err.getMessage.contains("keep policy"))
+  }
+
   test("sampling stage drops only sampled_out rows and stays deterministic") {
     val (kept, report) = CuratePipeline.run(docs, CuratePipeline.Opts(sample = true))
     val (kept2, _) = CuratePipeline.run(docs, CuratePipeline.Opts(sample = true))
