@@ -86,8 +86,12 @@ object CurationQueries {
     // within shard = (position key, doc_id). Re-shuffling 100 TB for epoch
     // N+1 is then a metadata pass — recompute ranks, leave the shard files
     // where they are; the rank window is PARTITIONED by shard, so no
-    // global sort ever exists. Two epochs emitted side by side to pin that
-    // the orders actually differ while both stay deterministic.
+    // global sort ever exists. The shard count is the parallelism knob:
+    // per-reducer sort cost is corpus/shards, so a real 100 TB run widens
+    // the key to enough nibbles that a shard fits a reducer (the plan is
+    // identical at 16 or 65536 shards; 16 keeps the oracle compact). Two
+    // epochs emitted side by side to pin that the orders actually differ
+    // while both stay deterministic.
     Q("q_epoch_shuffle",
       (s, d) => {
         def h(e: String) = s"md5(concat('$e:', CAST(doc_id AS STRING)))"
