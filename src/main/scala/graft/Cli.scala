@@ -109,7 +109,16 @@ object Cli {
       keepPolicy = arg(a, "--keep").map(_.toLowerCase).getOrElse("minid"))
     val spark = session()
     val docs = spark.read.parquet(in)
-    val (kept, report) = graft.ops.CuratePipeline.run(docs, opts)
+    // `--decontaminate BENCH.parquet [--contamination-max F]`: screen the
+    // corpus against a benchmark parquet (doc_id, text) before dedup
+    val optsD = arg(a, "--decontaminate") match {
+      case None => opts
+      case Some(benchPath) => opts.copy(
+        decontaminate = Some(spark.read.parquet(benchPath)),
+        contaminationMax =
+          arg(a, "--contamination-max").map(_.toDouble).getOrElse(0.05))
+    }
+    val (kept, report) = graft.ops.CuratePipeline.run(docs, optsD)
     // `--layout zorder|hilbert [--layout-cols x,y] [--layout-files N]`:
     // range-cluster the kept corpus on the curve key before writing, so each
     // output file covers a disjoint key range (pure layout — same rows)

@@ -33,7 +33,15 @@ object CuratePipeline {
         * `longest` (max text length, ties to the smaller id — the
         * keep-best-representative policy of q_dedup_keep_longest). Both
         * run the same one-window-per-component argmax. */
-      keepPolicy: String = "minid")
+      keepPolicy: String = "minid",
+      /** Benchmark decontamination stage (`--decontaminate BENCH.parquet`):
+        * docs whose shingle-contamination fraction against the benchmark
+        * corpus reaches [[contaminationMax]] are dropped before dedup.
+        * The benchmark freezes into a bloom + exact set pair
+        * ([[Decontam.benchSet]] — benchmark-sized, never corpus-sized) and
+        * each doc is screened by one stateless per-row pass. None = skip. */
+      decontaminate: Option[DataFrame] = None,
+      contaminationMax: Double = 0.05)
 
   /** Run the chain over (doc_id, text) rows. Returns (kept, report) where
     * `kept` is the surviving (doc_id, text) corpus and `report` is
@@ -57,7 +65,29 @@ object CuratePipeline {
       .localCheckpoint()
     val dropQuality = gated.filter(!col("keep"))
       .select(col("doc_id"), lit("quality").as("stage"), col("drop_reason").as("detail"))
-    val kept1 = gated.filter(col("keep")).select("doc_id", "text", "tokens")
+    val kept1g = gated.filter(col("keep")).select("doc_id", "text", "tokens")
+
+    // 1.5 (optional) benchmark decontamination: map-only screen against the
+    //     frozen bloom + exact set; runs before dedup so eval-contaminated
+    //     docs never become cluster representatives
+    val (kept1, dropContam) = opts.decontaminate match {
+      case None => (kept1g, kept1g.limit(0)
+        .select(col("doc_id"), lit("").as("stage"), lit("").as("detail")))
+      case Some(benchDocs) =>
+        val (bloom, bench) = Decontam.benchSet(
+          benchDocs.select(col("doc_id"), split(col("text"), " ").as("tokens")))
+        val screened = Decontam.screen(
+            kept1g.select(col("doc_id"), col("tokens")), bloom, bench)
+          .select(col("doc_id"), col("contamination"))
+        val joined = kept1g.join(screened, Seq("doc_id"), "left")
+          .withColumn("contamination", coalesce(col("contamination"), lit(0.0)))
+          .localCheckpoint()
+        (joined.filter(col("contamination") < opts.contaminationMax)
+          .select("doc_id", "text", "tokens"),
+          joined.filter(col("contamination") >= opts.contaminationMax)
+            .select(col("doc_id"), lit("contaminated").as("stage"),
+              concat(lit("contamination="), round(col("contamination"), 6)).as("detail")))
+    }
 
     // 2. exact dedup: min doc_id per content hash survives (one 32-byte
     //    keyed shuffle; texts stay in place)
@@ -118,6 +148,7 @@ object CuratePipeline {
       }
 
     (keptFinal.select("doc_id", "text"),
-      dropQuality.union(dropExact).union(dropNear).union(dropSample))
+      dropQuality.union(dropContam).union(dropExact).union(dropNear)
+        .union(dropSample))
   }
 }

@@ -101,6 +101,29 @@ class CuratePipelineSpec extends AnyFunSuite {
     assert(err.getMessage.contains("keep policy"))
   }
 
+  test("decontamination stage drops exactly the docs contaminated by the benchmark") {
+    // benchmark = the corpus' own docs 0-9: those docs screen as 100%
+    // contaminated against themselves (plus any true shingle overlaps)
+    val bench = docs.filter(col("doc_id") < 10)
+    val (kept, report) = CuratePipeline.run(docs,
+      CuratePipeline.Opts(decontaminate = Some(bench), contaminationMax = 0.5))
+    val (keptPlain, _) = CuratePipeline.run(docs)
+    val contamRows = report.filter(col("stage") === "contaminated").collect()
+    assert(contamRows.nonEmpty)
+    val contamIds = contamRows.map(_.getLong(0)).toSet
+    // every benchmark doc that survived the quality gate must be dropped
+    // as contaminated (self-overlap = 1.0), and detail carries the fraction
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val benchSurvivors = keptPlain.select("doc_id").collect().map(_.getLong(0))
+      .toSet.intersect((0L until 10L).toSet)
+    assert(benchSurvivors.nonEmpty && benchSurvivors.subsetOf(contamIds))
+    assert(keptIds.intersect(contamIds).isEmpty)
+    assert(contamRows.forall(_.getString(2).startsWith("contamination=")))
+    // screening is a pre-dedup stage: nothing else about the chain changes
+    // for uncontaminated docs
+    assert(kept.count() <= keptPlain.count())
+  }
+
   test("sampling stage drops only sampled_out rows and stays deterministic") {
     val (kept, report) = CuratePipeline.run(docs, CuratePipeline.Opts(sample = true))
     val (kept2, _) = CuratePipeline.run(docs, CuratePipeline.Opts(sample = true))
