@@ -133,7 +133,24 @@ object Cli {
         graft.ops.Layout.cluster(kept, m, cols(0), cols(1),
           arg(a, "--layout-files").map(_.toInt).getOrElse(8))
     }
-    keptOut.write.mode("overwrite").parquet(s"$out/kept")
+    // `--shards N`: write the kept corpus as a training-output shard layout
+    // (deterministic md5-mod shard key, one directory per shard via
+    // partitionBy — the q_shard_assign assignment made physical). Composes
+    // after --layout: clustering orders rows, sharding places files.
+    val sharded = arg(a, "--shards").map(_.toInt) match {
+      case None => keptOut.write
+      case Some(n) =>
+        require(n > 0, "--shards must be positive")
+        keptOut
+          .withColumn("shard_id", org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.expr(
+              "(instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16 + " +
+                "instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1"),
+            org.apache.spark.sql.functions.lit(n)))
+          .repartition(org.apache.spark.sql.functions.col("shard_id"))
+          .write.partitionBy("shard_id")
+    }
+    sharded.mode("overwrite").parquet(s"$out/kept")
     report.write.mode("overwrite").parquet(s"$out/report")
     val nIn = docs.count()
     val nKept = spark.read.parquet(s"$out/kept").count()
