@@ -76,6 +76,29 @@ object SearchQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Phrase (adjacency) match — the positional-search capability plain
+    // bag-of-words BM25 can't express: docs where "table value" occurs as
+    // ADJACENT tokens, with the occurrence count. Pure per-row
+    // higher-order functions over the tokens array (filter over an index
+    // sequence) — map-only, codegen-friendly, zero shuffles before the
+    // presentation sort. At 100 TB this is the scan-speed pre-filter in
+    // front of a positional ranker; a posting-list formulation would add
+    // a position column to the postings build, same stats pipeline.
+    Q("q_phrase_match",
+      (s, d) => docs(s, d).filter(size(col("tokens")) >= 2)
+        .select(col("doc_id"),
+          size(filter(sequence(lit(1), size(col("tokens")) - 1),
+            i => element_at(col("tokens"), i) === "table" &&
+              element_at(col("tokens"), i + 1) === "value"))
+            .cast("long").as("n_matches"))
+        .filter(col("n_matches") > 0)
+        .orderBy("doc_id"),
+      Some(s"WITH ${Q.toksCte}, " +
+        "m AS (SELECT doc_id, CAST(len(list_filter(generate_series(1, len(toks) - 1), " +
+        "i -> toks[i] = 'table' AND toks[i + 1] = 'value')) AS BIGINT) AS n_matches " +
+        "FROM toks WHERE len(toks) >= 2) " +
+        "SELECT doc_id, n_matches FROM m WHERE n_matches > 0 ORDER BY doc_id")),
+
     // F1: document lengths
     Q("q_f1_doclen",
       (s, d) => Bm25.docLengths(docs(s, d)).orderBy("doc_id"),
