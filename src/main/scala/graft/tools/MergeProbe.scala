@@ -60,8 +60,46 @@ object MergeProbe {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Read-amplification probe (`MergeProbe readamp [nSegs]`): the cost the
+    * live view pays per pending segment — time one full BM25-stats read
+    * (postings + termdf + doclen + stats counts, the search path's input)
+    * at 0, nSegs/2 and nSegs pending segments, then after compaction.
+    * This is the number `--compact-every` exists to bound. */
+  private def readAmp(spark: SparkSession, sfDir: String, nSegs: Int): Unit = {
+    val settings = IndexJob.settingsOf(spark, s"hashing-bow-$Dim", Dim)
+    val root = java.nio.file.Files.createTempDirectory("mergeprobe-ra").toString
+    val dir = s"$root/idx"
+    buildBase(spark, sfDir, 8, dir)
+    def readSec(): Double = timed {
+      val ix = IndexData.load(spark, dir)
+      ix.postings.count(); ix.termdf.count(); ix.doclen.count(); ix.stats.count()
+    }
+    println(f"""{"pending_segments":0,"stats_read_sec":${readSec()}%.2f}""")
+    (1 to nSegs).foreach { i =>
+      val delta = synthDocs(spark, sfDir, 1, s"ra${i}_", take = 50).localCheckpoint(true)
+      IndexJob.appendMerge(spark, delta, settings, dir)
+      if (i == nSegs / 2 || i == nSegs)
+        println(f"""{"pending_segments":$i,"stats_read_sec":${readSec()}%.2f}""")
+    }
+    IndexJob.compact(spark, dir)
+    println(f"""{"pending_segments":0,"compacted":true,"stats_read_sec":${readSec()}%.2f}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("readamp")) {
+      val spark = SparkSession.builder()
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      readAmp(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(8))
+      spark.stop()
+      return
+    }
     val replicas = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(2, 8, 16)
     val spark = SparkSession.builder()
       .master("local[32]")
