@@ -106,7 +106,9 @@ object Cli {
       sample = flag(a, "--sample"),
       bucketPolicy = arg(a, "--bucket-policy").map(_.toLowerCase).getOrElse("cap"),
       // `--keep minid|longest`: which member of a near-dup cluster survives
-      keepPolicy = arg(a, "--keep").map(_.toLowerCase).getOrElse("minid"))
+      keepPolicy = arg(a, "--keep").map(_.toLowerCase).getOrElse("minid"),
+      // `--boilerplate-max F`: drop docs dominated by corpus-repeated windows
+      boilerplateMax = arg(a, "--boilerplate-max").map(_.toDouble).getOrElse(-1.0))
     val spark = session()
     val docs = spark.read.parquet(in)
     // `--decontaminate BENCH.parquet [--contamination-max F]`: screen the

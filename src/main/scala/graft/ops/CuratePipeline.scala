@@ -41,7 +41,14 @@ object CuratePipeline {
         * ([[Decontam.benchSet]] — benchmark-sized, never corpus-sized) and
         * each doc is screened by one stateless per-row pass. None = skip. */
       decontaminate: Option[DataFrame] = None,
-      contaminationMax: Double = 0.05)
+      contaminationMax: Double = 0.05,
+      /** Corpus-global boilerplate drop (`--boilerplate-max F`): docs whose
+        * fraction of non-overlapping 8-token windows appearing elsewhere in
+        * the corpus reaches F are dropped (the q_boilerplate_windows rule
+        * as a stage). Negative = skip. Unlike the benchmark screen this is
+        * corpus-self-referential: one hash-keyed shuffle to count window
+        * frequencies, one join back — the exact-dedup cost class. */
+      boilerplateMax: Double = -1.0)
 
   /** Run the chain over (doc_id, text) rows. Returns (kept, report) where
     * `kept` is the surviving (doc_id, text) corpus and `report` is
@@ -89,9 +96,38 @@ object CuratePipeline {
               concat(lit("contamination="), round(col("contamination"), 6)).as("detail")))
     }
 
+    // 1.6 (optional) corpus-global boilerplate drop: flag docs dominated by
+    //     windows that repeat ANYWHERE in the gated corpus (the
+    //     q_boilerplate_windows shape — window-hash groupBy + join back)
+    val (kept1b, dropBoiler) =
+      if (opts.boilerplateMax < 0) (kept1, kept1.limit(0)
+        .select(col("doc_id"), lit("").as("stage"), lit("").as("detail")))
+      else {
+        val win = kept1.filter(size(col("tokens")) >= 1)
+          .select(col("doc_id"),
+            explode(transform(
+              sequence(lit(0),
+                ceil(size(col("tokens")).cast("double") / 8).cast("int") - 1),
+              i => md5(concat_ws(" ", slice(col("tokens"), i * 8 + 1, lit(8))))))
+              .as("wh"))
+        val freq = win.groupBy("wh").agg(count(lit(1)).as("wf"))
+        val ratio = win.join(freq, Seq("wh"))
+          .groupBy("doc_id")
+          .agg((sum(when(col("wf") > 1, 1.0).otherwise(0.0)) / count(lit(1)))
+            .as("boiler_ratio"))
+        val joined = kept1.join(ratio, Seq("doc_id"), "left")
+          .withColumn("boiler_ratio", coalesce(col("boiler_ratio"), lit(0.0)))
+          .localCheckpoint()
+        (joined.filter(col("boiler_ratio") < opts.boilerplateMax)
+          .select("doc_id", "text", "tokens"),
+          joined.filter(col("boiler_ratio") >= opts.boilerplateMax)
+            .select(col("doc_id"), lit("boilerplate").as("stage"),
+              concat(lit("boiler_ratio="), round(col("boiler_ratio"), 6)).as("detail")))
+      }
+
     // 2. exact dedup: min doc_id per content hash survives (one 32-byte
     //    keyed shuffle; texts stay in place)
-    val withH = kept1.withColumn("_h", md5(col("text")))
+    val withH = kept1b.withColumn("_h", md5(col("text")))
     val keepExact = withH.groupBy("_h").agg(min(col("doc_id")).as("_keep_id"))
     val kept2 = withH.join(keepExact, Seq("_h")).localCheckpoint()
     val dropExact = kept2.filter(col("doc_id") =!= col("_keep_id"))
@@ -148,7 +184,7 @@ object CuratePipeline {
       }
 
     (keptFinal.select("doc_id", "text"),
-      dropQuality.union(dropContam).union(dropExact).union(dropNear)
-        .union(dropSample))
+      dropQuality.union(dropContam).union(dropBoiler).union(dropExact)
+        .union(dropNear).union(dropSample))
   }
 }

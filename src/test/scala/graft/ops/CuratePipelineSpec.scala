@@ -124,6 +124,28 @@ class CuratePipelineSpec extends AnyFunSuite {
     assert(kept.count() <= keptPlain.count())
   }
 
+  test("boilerplate stage drops docs dominated by corpus-repeated windows") {
+    // plant a boilerplate family: three gate-passing docs (33 distinct
+    // tokens — length/quality/repetition all clear) whose windows past the
+    // first are identical across the family, so 4 of each doc's 5
+    // non-overlapping 8-token windows repeat corpus-globally (ratio 0.8)
+    val boiler = (9001L to 9003L).map(i =>
+      (i, s"unique$i " + (1 to 32).map(j => s"shared$j").mkString(" ")))
+    val spark2 = spark
+    import spark2.implicits._
+    val augmented = docs.unionByName(boiler.toDF("doc_id", "text"))
+    val (kept, report) = CuratePipeline.run(augmented,
+      CuratePipeline.Opts(boilerplateMax = 0.5))
+    val drops = report.filter(col("stage") === "boilerplate").collect()
+    assert(drops.nonEmpty)
+    val dropIds = drops.map(_.getLong(0)).toSet
+    // the planted family windows repeat 3x corpus-wide: all three drop
+    assert(Set(9001L, 9002L, 9003L).subsetOf(dropIds), dropIds.toString)
+    assert(drops.forall(_.getString(2).startsWith("boiler_ratio=")))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet
+      .intersect(dropIds).isEmpty)
+  }
+
   test("sampling stage drops only sampled_out rows and stays deterministic") {
     val (kept, report) = CuratePipeline.run(docs, CuratePipeline.Opts(sample = true))
     val (kept2, _) = CuratePipeline.run(docs, CuratePipeline.Opts(sample = true))
