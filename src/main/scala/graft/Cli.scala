@@ -17,13 +17,14 @@ import graft.search.HybridSearch
   *                    [--pq-codes K [--pq-iters N]]         (persist the PQ sidecar)
   *                    [--layout zorder|hilbert [--layout-files N]]   (cluster files)
   *                    [--merge append]   (O(delta) segment merges; see compact)
-  *                    [--compact-every N]   (watch: fold segments every N)
+  *                    [--compact-every N]   (append mode: fold segments every N)
   *                    [--watch]   (stream NEW files into the index until killed)
   *   graft.Cli search --db DIR --query Q [--top-k K] [--no-rerank]
   *                    [--remove-path-prefix P] [--add-path-prefix P]
   *                    [--ann ivf[:nprobe] | pq[:shortlist] | ivf[:np]+pq[:sl]]
   *                    [--fusion mean|rrf]   (score-average A4 or reciprocal-rank)
   *                    [--threshold T]   (min score; defaults 0.01 mean / 0.001 rrf)
+  *                    [--phrase]   (candidates must contain the query as an adjacent run)
   *   graft.Cli serve  --db DIR [--top-k K] [--tool-name N] [--tool-description D]
   *                    [--transport stdio|http] [--host H] [--port P] [--path /mcp]
   *                    [--trim-prefix P] [--add-prefix P] [--protocol jsonl]
@@ -226,6 +227,14 @@ object Cli {
         case _       => IndexJob.run(spark, docs, db, new HashingEmbedder(dim), DefaultAnalyzer, opts)
       }
       println(s"indexed ${index.documents.count()} chunks into $db")
+      // batch face of the watch-mode LSM fold cadence: same trigger rule
+      if (opts.mergeMode == "append" && opts.compactEvery > 0 &&
+          IndexData.segments(spark, db).size >= opts.compactEvery) {
+        val folded = IndexJob.compact(spark, db,
+          layout = opts.layout, layoutFiles = opts.layoutFiles)
+        println(s"compact: segment threshold reached, " +
+          s"${folded.documents.count()} live docs folded")
+      }
     }
     spark.stop()
   }
@@ -280,7 +289,8 @@ object Cli {
 
   private def runSearch(index: IndexData, db: String, query: String, k: Int, rerank: Boolean,
       removeP: Option[String], addP: Option[String], ann: (Int, Int) = (0, 0),
-      fusion: String = "mean", threshold: Option[Double] = None) = {
+      fusion: String = "mean", threshold: Option[Double] = None,
+      phrase: Boolean = false) = {
     HybridSearch.search(index, query,
       analyzer = DefaultAnalyzer,
       embedder = Some(embedderFor(index, db)),
@@ -288,6 +298,7 @@ object Cli {
       opts = HybridSearch.Options(k = k, rerank = rerank,
         removePathPrefix = removeP, addPathPrefix = addP,
         annNprobe = ann._1, annPqShortlist = ann._2, fusion = fusion,
+        phraseOnly = phrase,
         // RRF scores live in (0, 2/61]; the reference's 0.01 threshold would
         // cut real hits once k > 40 — scale the DEFAULT to the rank domain
         // (an explicit --threshold wins, with [[thresholdWarning]] if it
@@ -364,6 +375,9 @@ object Cli {
     val ann = parseAnn(arg(a, "--ann"))
     val fusion = arg(a, "--fusion").getOrElse("mean")
     val threshold = arg(a, "--threshold").map(_.toDouble)
+    // `--phrase`: candidates must contain the query terms as an adjacent
+    // in-order run (positional filter over the fused candidate set)
+    val phrase = flag(a, "--phrase")
     thresholdWarning(threshold, fusion, k).foreach(System.err.println)
     val spark = session()
     arg(a, "--query") match {
@@ -371,7 +385,7 @@ object Cli {
         val index = IndexData.load(spark, db)
         driftWarning(index, ann).foreach(System.err.println)
         segmentsWarning(index, ann).foreach(System.err.println)
-        val hits = runSearch(index, db, query, k, rerank, removeP, addP, ann, fusion, threshold)
+        val hits = runSearch(index, db, query, k, rerank, removeP, addP, ann, fusion, threshold, phrase)
         println(s"""{"results":${hitsJson(hits)}}""")
       case None =>
         // Interactive mode (reference `src/cli.py:345-379`: `search` without
@@ -384,7 +398,7 @@ object Cli {
         index.stats.count() // materialize caches before the first prompt
         System.err.println(s"[graft] interactive search on $db; one query per line, EOF exits")
         interactiveLoop(index, db, scala.io.Source.stdin.getLines(), System.out,
-          k, rerank, removeP, addP, ann, fusion, threshold)
+          k, rerank, removeP, addP, ann, fusion, threshold, phrase)
     }
     spark.stop()
   }
@@ -395,12 +409,13 @@ object Cli {
       index: IndexData, db: String, lines: Iterator[String],
       out: java.io.PrintStream, k: Int, rerank: Boolean,
       removeP: Option[String], addP: Option[String], ann: (Int, Int) = (0, 0),
-      fusion: String = "mean", threshold: Option[Double] = None): Unit =
+      fusion: String = "mean", threshold: Option[Double] = None,
+      phrase: Boolean = false): Unit =
     lines.foreach { line =>
       val query = line.trim
       if (query.nonEmpty) {
         try {
-          val hits = runSearch(index, db, query, k, rerank, removeP, addP, ann, fusion, threshold)
+          val hits = runSearch(index, db, query, k, rerank, removeP, addP, ann, fusion, threshold, phrase)
           out.println(s"""{"results":${hitsJson(hits)}}""")
         } catch {
           case e: Throwable =>

@@ -45,7 +45,13 @@ object HybridSearch {
       // dimensional-oddity fix the reference's rule carries; see
       // [[rrfScore]]). NOTE with rrf, per-doc scores are ≤ 2/61 ≈ 0.033 —
       // keep scoreThreshold below 1/(60+k) or hits get filtered.
-      fusion: String = "mean")
+      fusion: String = "mean",
+      // `--phrase`: keep only candidates whose token stream contains the
+      // query terms as an ADJACENT run, in order (positional semantics
+      // bag-of-words BM25 can't express). Applied to the fused candidate
+      // set (≤2k rows) as a pure codegen HOF over the stored tokens —
+      // bounded work, no corpus pass beyond what the legs already do.
+      phraseOnly: Boolean = false)
 
   /** A4 — the hybrid score fusion rule (reference `src/searcher.py:218-241`):
     * both present → mean; exactly one → 0.8·that; neither → 0.
@@ -200,6 +206,20 @@ object HybridSearch {
   /** Full hybrid search. `embedder=None` degrades to FTS-only, mirroring the
     * reference's VSS-failure fallback (reference `src/searcher.py:148-150`);
     * `reranker=None` ⇔ `--no-rerank` (reference `src/cli.py:305-309`). */
+  /** True when `tokens` contains `terms` as an adjacent in-order run —
+    * pure column HOF (exists over a start-index sequence), codegen'd, no
+    * UDF. The `size ≥ n` guard keeps the sequence ascending (a descending
+    * default-step sequence would probe index 0, which array indexing
+    * rejects). */
+  private[graft] def phrasePredicate(tokens: org.apache.spark.sql.Column,
+      terms: Seq[String]): org.apache.spark.sql.Column = {
+    val n = terms.length
+    when(size(tokens) < n, lit(false)).otherwise(
+      exists(sequence(lit(1), size(tokens) - (n - 1)),
+        i => terms.zipWithIndex.map { case (t, j) =>
+          element_at(tokens, i + j) === t }.reduce(_ && _)))
+  }
+
   def search(
       index: IndexData,
       query: String,
@@ -267,12 +287,15 @@ object HybridSearch {
 
     // J1: candidate fetch — broadcast the ≤2k candidate ids into the
     // documents scan (reference IN-list fetch, `src/searcher.py:172-180`).
-    val hits = index.documents
+    val fetched = index.documents
       .join(broadcast(candidates), Seq("doc_id"))
       .withColumn("file_path",
         rewritePath(col("file_path"), opts.removePathPrefix, opts.addPathPrefix))
       .select("doc_id", "file_path", "header_path", "line_start", "line_end",
-        "content", "score", "fts_score", "vss_score")
+        "content", "tokens", "score", "fts_score", "vss_score")
+    val hits = (if (opts.phraseOnly && terms.nonEmpty)
+      fetched.filter(phrasePredicate(col("tokens"), terms))
+    else fetched).drop("tokens")
 
     val reranked = reranker match {
       case Some(rr) if opts.rerank =>

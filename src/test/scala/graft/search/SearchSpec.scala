@@ -133,6 +133,30 @@ class SearchSpec extends AnyFunSuite {
       base.map(_.getAs[Double]("score")).toSeq)
   }
 
+  test("phrase search keeps only candidates with the adjacent in-order run") {
+    // "spark runs" occurs adjacently only in d1; d3 has spark without runs
+    val hits = HybridSearch.search(index, "spark runs",
+      analyzer = graft.analyze.WhitespaceAnalyzer,
+      embedder = None, reranker = None,
+      opts = HybridSearch.Options(k = 5, rerank = false, phraseOnly = true))
+      .select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(hits == Seq("d1"), hits.mkString(","))
+    // without the flag, bag-of-words BM25 also surfaces d3
+    val loose = HybridSearch.search(index, "spark runs",
+      analyzer = graft.analyze.WhitespaceAnalyzer,
+      embedder = None, reranker = None,
+      opts = HybridSearch.Options(k = 5, rerank = false))
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(loose.contains("d1") && loose.contains("d3"))
+    // predicate unit cases: order matters, runs longer than the doc don't
+    val df = Seq(
+      (Seq("a", "b", "c"), true), (Seq("c", "a", "b"), true),
+      (Seq("b", "a", "c"), false), (Seq("a"), false))
+      .toDF("tokens", "expected")
+      .withColumn("got", HybridSearch.phrasePredicate(col("tokens"), Seq("a", "b")))
+    assert(df.filter(col("got") =!= col("expected")).count() == 0)
+  }
+
   test("P5: a query matching no document returns empty, not an error") {
     val res = HybridSearch.search(index, "zzz qqq nothing_matches_this",
       analyzer = graft.analyze.WhitespaceAnalyzer, embedder = None, reranker = None)
