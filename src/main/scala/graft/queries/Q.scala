@@ -27,14 +27,54 @@ object Q {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table — the ONE place that arms the ns-timestamp read
-    * setting (`events.parquet` stores ns; without the flag the scan fails
-    * with PARQUET_TYPE_ILLEGAL). Every entry-point SparkSession builder sets
-    * it too; doing it here as well keeps ad-hoc sessions working while no
-    * query BODY ever mutates session state (order-independence rule). */
+  /** The events table, normalized to the engine-wide `ts` contract:
+    * **BIGINT epoch-nanoseconds** — the ONE place that adapts to whatever
+    * physical parquet encoding the fixture was generated with. Downstream
+    * ns arithmetic (sessionize gaps, funnel windows, cohort days, tumbling
+    * buckets) never has to care how `ts` was stored.
+    *
+    * Encodings handled (both have shipped in `/root/testdata` across
+    * rounds, so both are load-bearing):
+    *  - int64 TIMESTAMP(NANOS): readable only with
+    *    `spark.sql.legacy.parquet.nanosAsLong` (scan yields BIGINT ns —
+    *    already the contract; without the flag the scan fails with
+    *    PARQUET_TYPE_ILLEGAL);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), e.g. pandas/pyarrow
+    *    default: NTZ inference is disabled for the read so the scan yields
+    *    TimestampType whose *internal value is the stored micros verbatim*,
+    *    and `unix_micros * 1000` recovers ns independent of the session
+    *    timezone. (DuckDB's `epoch_ns(ts)` on the same naive timestamp
+    *    yields the identical number, so oracles stay unchanged.)
+    *
+    * Entry-point builders also arm the legacy flag; setting it here as well
+    * keeps ad-hoc sessions working while no query BODY ever mutates session
+    * state (order-independence rule). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    normalizeTs(t(spark, dir, "events"))
+  }
+
+  /** Normalize a `ts` column to BIGINT epoch-nanos whatever type the scan
+    * produced. The TimestampNTZ branch is a safety net for sessions where
+    * NTZ inference was re-enabled: the NTZ→LTZ cast interprets the wall
+    * clock in the session zone, so it is exact only under the pinned-UTC
+    * sessions every entry point builds (DuckDB treats naive timestamps as
+    * UTC wall clock). */
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(colName).dataType match {
+      case LongType => df
+      case TimestampType =>
+        df.withColumn(colName, unix_micros(col(colName)) * lit(1000L))
+      case TimestampNTZType =>
+        df.withColumn(colName,
+          unix_micros(col(colName).cast(TimestampType)) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"unsupported events.$colName encoding: $other")
+    }
   }
 
   /** The documents corpus with its tokenization — the ONE Spark-side

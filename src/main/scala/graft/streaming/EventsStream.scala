@@ -17,8 +17,9 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events schema when ns timestamps are read as epoch-nano longs
-    * (`spark.sql.legacy.parquet.nanosAsLong`). */
+  /** events schema under the engine-wide `ts` contract (BIGINT epoch-nanos,
+    * [[graft.queries.Q.normalizeTs]]) — what every downstream transform
+    * sees AFTER normalization, whatever the files physically store. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -83,13 +84,24 @@ object EventsStream {
         col("amount"), col("s_ts"), col("p_ts"))
   }
 
-  /** Open a streaming source over a directory of event parquet files. */
+  /** Open a streaming source over a directory of event parquet files,
+    * normalized to the BIGINT-epoch-nanos `ts` contract ([[eventsSchema]]).
+    *
+    * `readStream` requires a user-declared schema, and the fixture's
+    * physical `ts` encoding has drifted across regenerations (int64-ns vs
+    * timestamp[us]) — so the PHYSICAL schema is probed from a one-off batch
+    * read of the same files (driver-side footer read, no data scan), the
+    * stream is declared with that, and [[graft.queries.Q.normalizeTs]]
+    * converts on the stream. Downstream transforms are encoding-agnostic. */
   def readEventsStream(spark: SparkSession, dir: String, glob: String = "events.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val physical = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val raw = spark.readStream
+      .schema(physical)
       .option("pathGlobFilter", glob)
       .parquet(dir)
+    graft.queries.Q.normalizeTs(raw)
   }
 
   /** Run the streaming rollup over whatever files are in `dir` and block

@@ -29,6 +29,31 @@ class CuratePipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup prefix is materialized once: kept and report read checkpoints, " +
+      "never recompute the LSH pair machinery") {
+    // the expensive shared prefix (shingles → minhash → banded pairs →
+    // Jaccard verify → connected components) sits BEHIND localCheckpoint
+    // barriers, so every downstream consumer — survivor selection, the drop
+    // report, a later --keep/--split style stage — reads the materialized
+    // frame instead of re-deriving components per consumer. Pin that: the
+    // returned plans must contain checkpointed RDD scans and must NOT
+    // contain any Generate (the explode at the root of the shingle/minhash
+    // subtree) or parquet re-scan of the corpus.
+    val (kept, report) = CuratePipeline.run(docs)
+    Seq("kept" -> kept, "report" -> report).foreach { case (label, df) =>
+      val plan = df.queryExecution.optimizedPlan
+      val rdds = plan.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r }
+      val gens = plan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
+      val scans = plan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l }
+      assert(rdds.nonEmpty, s"$label: no checkpoint barrier in plan")
+      assert(gens.isEmpty, s"$label: pair machinery recomputed downstream of the barrier")
+      assert(scans.isEmpty, s"$label: corpus re-scanned downstream of the barrier")
+    }
+  }
+
   test("kept corpus has no exact duplicates and survives re-curation intact") {
     val (kept, _) = CuratePipeline.run(docs)
     val texts = kept.select("text").collect().map(_.getString(0))

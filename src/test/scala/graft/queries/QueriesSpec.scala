@@ -25,6 +25,21 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("every declared query analyzes and physically plans against the fixture") {
+    // The round-8 outage class: fixture-encoding drift broke 5 queries at
+    // ANALYSIS time, and the driver's correctness compare silently dropped
+    // them (no result dir → no row) — a green-looking file shrank. Forcing
+    // analysis + physical planning of the ENTIRE declared surface here makes
+    // any such drift a loud suite failure instead. (Planning is cheap — no
+    // execution — and catches every DATATYPE_MISMATCH / UNRESOLVED_COLUMN /
+    // strategy-selection regression.)
+    val bad = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, dir).queryExecution.executedPlan; None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(bad.isEmpty, s"${bad.size} queries fail to plan:\n${bad.mkString("\n")}")
+  }
+
   test("salted aggregation equals the direct groupBy") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._

@@ -12,7 +12,7 @@ class EventsStreamSpec extends AnyFunSuite {
       .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
 
     val batch = EventsStream.hourlyRollup(
-      spark.read.parquet(s"$dir/events.parquet"))
+      graft.queries.Q.events(spark, dir))
       .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
 
     assert(streamed == batch)
@@ -25,8 +25,7 @@ class EventsStreamSpec extends AnyFunSuite {
       .writeStream.outputMode("append").format("memory").queryName("dedup").start()
     q.processAllAvailable(); q.stop()
     val streamed = spark.table("dedup").count()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = graft.queries.Q.events(spark, dir)
       .dropDuplicates("event_id").count()
     assert(streamed == batch && streamed > 0)
   }

@@ -16,10 +16,9 @@ class SessionizeStreamSpec extends AnyFunSuite {
       .collect().map(s => (s.user_id, s.first_event, s.n_events, s.duration_s)).toSet
 
     // batch truth: same lag/flag/running-sum construction as q_sessionize
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = graft.queries.Q.events(spark, dir)
       .withColumn("prev", lag($"ts", 1).over(w))
       .withColumn("news", when($"prev".isNull || $"ts" - $"prev" > gap, 1L).otherwise(0L))
       .withColumn("sid", sum($"news").over(

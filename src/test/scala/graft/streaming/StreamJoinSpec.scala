@@ -16,8 +16,7 @@ class StreamJoinSpec extends AnyFunSuite {
       r.getAs[Long]("purchase_id"), r.getAs[Double]("amount"))
 
   test("streaming signup→purchase attribution equals the batch join") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchEvents = spark.read.parquet(s"$dir/events.parquet")
+    val batchEvents = graft.queries.Q.events(spark, dir)
     val batch = EventsStream.signupPurchaseJoin(
       batchEvents.filter(col("event_type") === "signup"),
       batchEvents.filter(col("event_type") === "purchase")).collect().map(key)
@@ -39,8 +38,7 @@ class StreamJoinSpec extends AnyFunSuite {
   }
 
   test("batch attribution pairs really fall inside the hour window") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchEvents = spark.read.parquet(s"$dir/events.parquet")
+    val batchEvents = graft.queries.Q.events(spark, dir)
     val rows = EventsStream.signupPurchaseJoin(
       batchEvents.filter(col("event_type") === "signup"),
       batchEvents.filter(col("event_type") === "purchase")).collect()
