@@ -161,7 +161,7 @@ object Cli {
     spark.stop()
   }
 
-  private val KnownEmbedders = Set("hashing", "tfidf")
+  private val KnownEmbedders = Set("hashing", "tfidf", "word2vec")
 
   private def indexCmd(a: Array[String]): Unit = {
     val db = arg(a, "--db").getOrElse(sys.error("--db required"))
@@ -172,6 +172,12 @@ object Cli {
     val embedder = arg(a, "--embedder").getOrElse("hashing")
     require(KnownEmbedders(embedder),
       s"unknown --embedder '$embedder' (expected one of: ${KnownEmbedders.toSeq.sorted.mkString(", ")})")
+    // `--analyzer default|bigram|whitespace`: which tokenizer produces the
+    // stored tokens; persisted in settings so search re-resolves the same
+    // one (errors on a typo rather than silently indexing with the default)
+    val analyzer = graft.analyze.Analyzers.byName(
+      arg(a, "--analyzer").map(_.toLowerCase)
+        .getOrElse(graft.analyze.Analyzers.DefaultName))
     val spark = session()
     val opts = IndexJob.Options(
       chunkSize = arg(a, "--chunk-size").map(_.toInt).getOrElse(512),
@@ -207,24 +213,28 @@ object Cli {
       // docs dir into the index until killed (append-only per path — see
       // graft.streaming.IndexStream's contract)
       require(docs.size == 1, "--watch takes exactly one docs directory")
+      require(embedder != "word2vec",
+        "--watch does not support word2vec (training is a batch fit; " +
+          "index with `graft index --embedder word2vec` instead)")
       val q = embedder match {
         case "tfidf" =>
           // global-fit model, made incremental by the frozen-model +
           // periodic-re-fit staleness contract (IndexStream.startTfIdf;
           // `--refit-every N` micro-batches, 0 = barrier-only)
           graft.streaming.IndexStream.startTfIdf(
-            spark, docs.head, db, dim, DefaultAnalyzer, opts,
+            spark, docs.head, db, dim, analyzer, opts,
             refitEvery = arg(a, "--refit-every").map(_.toInt).getOrElse(4))
         case _ =>
           graft.streaming.IndexStream.start(
-            spark, docs.head, db, new HashingEmbedder(dim), DefaultAnalyzer, opts)
+            spark, docs.head, db, new HashingEmbedder(dim), analyzer, opts)
       }
       System.err.println(s"[graft] watching ${docs.head} -> $db (ctrl-c to stop)")
       q.awaitTermination()
     } else {
       val index = embedder match {
-        case "tfidf" => IndexJob.runTfIdf(spark, docs, db, dim, DefaultAnalyzer, opts)
-        case _       => IndexJob.run(spark, docs, db, new HashingEmbedder(dim), DefaultAnalyzer, opts)
+        case "tfidf"    => IndexJob.runTfIdf(spark, docs, db, dim, analyzer, opts)
+        case "word2vec" => IndexJob.runWord2Vec(spark, docs, db, dim, analyzer, opts)
+        case _          => IndexJob.run(spark, docs, db, new HashingEmbedder(dim), analyzer, opts)
       }
       println(s"indexed ${index.documents.count()} chunks into $db")
       // batch face of the watch-mode LSM fold cadence: same trigger rule
@@ -259,14 +269,26 @@ object Cli {
         s""""fts_score":${opt("fts_score")},"vss_score":${opt("vss_score")}}"""
     }.mkString("[", ",", "]")
 
+  /** Query-time analyzer must match the index-time tokenization — resolved
+    * from the index `settings` (tokens are data; an index built with the
+    * bigram analyzer searched with the default one would never match). An
+    * index predating the setting falls back to the historical default. */
+  private def analyzerFor(index: IndexData): graft.analyze.Analyzer =
+    index.setting("analyzer").map(graft.analyze.Analyzers.byName)
+      .getOrElse(DefaultAnalyzer)
+
   /** Query-time embedder must match the index-time model — resolved from the
     * index `settings`, like the reference (`src/cli.py:327-338`). */
   private def embedderFor(index: IndexData, db: String): graft.embed.Embedder = {
     val dim = index.setting("embedding_dim").map(_.toInt).getOrElse(64)
+    val tokenize = analyzerFor(index).tokenize _
     index.setting("embedding_model") match {
       case Some(m) if m.startsWith("tfidf-") =>
         graft.embed.TfIdfEmbed.load(index.documents.sparkSession, s"$db/tfidf_model")
-          .embedder(DefaultAnalyzer.tokenize)
+          .embedder(tokenize)
+      case Some(m) if m.startsWith("w2v-") =>
+        graft.embed.Word2VecEmbed.load(index.documents.sparkSession, s"$db/w2v_model")
+          .embedder(tokenize)
       case _ => new HashingEmbedder(dim)
     }
   }
@@ -292,7 +314,7 @@ object Cli {
       fusion: String = "mean", threshold: Option[Double] = None,
       phrase: Boolean = false) = {
     HybridSearch.search(index, query,
-      analyzer = DefaultAnalyzer,
+      analyzer = analyzerFor(index),
       embedder = Some(embedderFor(index, db)),
       reranker = if (rerank) Some(new TokenOverlapReranker()) else None,
       opts = HybridSearch.Options(k = k, rerank = rerank,

@@ -87,14 +87,20 @@ object IndexJob {
   def decodeMarkdownFiles(files: DataFrame): DataFrame =
     files.select(col("path").as("file_path"), decode(col("content"), "UTF-8").as("text"))
 
-  def settingsFor(spark: SparkSession, embedder: Embedder): DataFrame =
-    settingsOf(spark, embedder.name, embedder.dim)
+  def settingsFor(spark: SparkSession, embedder: Embedder,
+      analyzer: Analyzer = DefaultAnalyzer): DataFrame =
+    settingsOf(spark, embedder.name, embedder.dim,
+      graft.analyze.Analyzers.nameOf(analyzer))
 
-  def settingsOf(spark: SparkSession, modelName: String, dim: Int): DataFrame = {
+  def settingsOf(spark: SparkSession, modelName: String, dim: Int,
+      analyzerName: String = graft.analyze.Analyzers.DefaultName): DataFrame = {
     import spark.implicits._
     Seq(
       Setting("embedding_model", modelName),
-      Setting("embedding_dim", dim.toString)).toDF()
+      Setting("embedding_dim", dim.toString),
+      // which Analyzer produced the stored tokens — search must re-resolve
+      // the SAME one (tokens are data, SURVEY.md §7.4)
+      Setting("analyzer", analyzerName)).toDF()
   }
 
   /** Scan directories for markdown files (S1/S2). `binaryFile` pushes the
@@ -169,7 +175,7 @@ object IndexJob {
     val chunker = chunkerFor(opts, analyzer)
     val files = scanMarkdown(spark, dirs)
     val fresh = embedChunks(chunkFiles(files, chunker), embedder, opts)
-    mergeAndWrite(spark, fresh, settingsFor(spark, embedder), indexDir,
+    mergeAndWrite(spark, fresh, settingsFor(spark, embedder, analyzer), indexDir,
       clear = opts.clear, annClusters = opts.annClusters, annIters = opts.annIters,
       annRefit = opts.annRefit, pqCodes = opts.pqCodes, pqIters = opts.pqIters,
       pqRefit = opts.pqRefit, layout = opts.layout, layoutFiles = opts.layoutFiles,
@@ -638,7 +644,34 @@ object IndexJob {
     val (embedded, model) = graft.embed.TfIdfEmbed.fitTransform(chunks, "tokens", dim)
     model.save(spark, s"$indexDir/tfidf_model")
     val docs = chunksToDocs(embedded, opts)
-    mergeAndWrite(spark, docs, settingsOf(spark, model.name, dim), indexDir,
+    mergeAndWrite(spark, docs, settingsOf(spark, model.name, dim,
+      graft.analyze.Analyzers.nameOf(analyzer)), indexDir,
+      clear = true, annClusters = opts.annClusters, annIters = opts.annIters,
+      pqCodes = opts.pqCodes, pqIters = opts.pqIters,
+      layout = opts.layout, layoutFiles = opts.layoutFiles)
+  }
+
+  /** [[runTfIdf]]'s trained-model sibling: corpus-fit MLlib Word2Vec
+    * ([[graft.embed.Word2VecEmbed]]) — the index path with LEARNED vectors,
+    * plugged in exactly where the reference runs its SentenceTransformer
+    * bulk encode (reference `src/models/embedding.py:48-77`). The saved
+    * word-vector table is the settings-pinned model search reloads. */
+  def runWord2Vec(
+      spark: SparkSession,
+      dirs: Seq[String],
+      indexDir: String,
+      dim: Int = 64,
+      analyzer: Analyzer = DefaultAnalyzer,
+      opts: Options = Options()): IndexData = {
+    import spark.implicits._
+    val chunker = chunkerFor(opts, analyzer)
+    val chunks = chunkFiles(scanMarkdown(spark, dirs), chunker).toDF()
+    val (embedded, model) =
+      graft.embed.Word2VecEmbed.fitTransform(chunks, "tokens", dim)
+    model.save(spark, s"$indexDir/w2v_model")
+    val docs = chunksToDocs(embedded, opts)
+    mergeAndWrite(spark, docs, settingsOf(spark, model.name, dim,
+      graft.analyze.Analyzers.nameOf(analyzer)), indexDir,
       clear = true, annClusters = opts.annClusters, annIters = opts.annIters,
       pqCodes = opts.pqCodes, pqIters = opts.pqIters,
       layout = opts.layout, layoutFiles = opts.layoutFiles)

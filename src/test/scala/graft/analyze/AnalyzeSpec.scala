@@ -21,6 +21,65 @@ class AnalyzeSpec extends AnyFunSuite {
       Seq("全", "文", "検", "索", "と", "abc"))
   }
 
+  test("CjkBigramAnalyzer: overlapping bigrams within a script run, " +
+      "unigram singletons, script boundaries break runs") {
+    // 2-kanji content words become single tokens — the granularity the
+    // reference's Lindera reaches by dictionary (src/splitter.py:39-47)
+    assert(CjkBigramAnalyzer.tokenize("全文検索") == Seq("全文", "文検", "検索"))
+    // han→hiragana boundaries split runs (content word vs particle)
+    assert(CjkBigramAnalyzer.tokenize("に関する情報") ==
+      Seq("に", "関", "する", "情報"))
+    // latin runs tokenize like DefaultAnalyzer, interleaved in order
+    assert(CjkBigramAnalyzer.tokenize("DuckDBと全文検索API") ==
+      Seq("duckdb", "と", "全文", "文検", "検索", "api"))
+    assert(CjkBigramAnalyzer.tokenize("Hello, World! x2") ==
+      Seq("hello", "world", "x2"))
+    assert(CjkBigramAnalyzer.tokenize("") == Seq.empty)
+    // katakana and hangul runs bigram too
+    assert(CjkBigramAnalyzer.tokenize("エンジン") == Seq("エン", "ンジ", "ジン"))
+    assert(CjkBigramAnalyzer.tokenize("한국어") == Seq("한국", "국어"))
+  }
+
+  test("CjkBigramAnalyzer properties hold on the reference sample fixture") {
+    val src = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/root/reference/sample_docs/sample.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val lines = src.split("\n").toSeq.filter(_.nonEmpty)
+    assert(lines.nonEmpty)
+    lines.foreach { line =>
+      val toks = CjkBigramAnalyzer.tokenize(line)
+      // every token is a verbatim substring of the lower-cased source line
+      toks.foreach(t => assert(line.toLowerCase.contains(t), s"'$t' not in '$line'"))
+      // CJK tokens are exactly 1 or 2 code points
+      toks.filter(t => t.exists(_ >= 0x3040)).foreach { t =>
+        val n = t.codePointCount(0, t.length)
+        assert(n == 1 || n == 2, s"CJK token '$t' has $n code points")
+      }
+      // completeness: EVERY adjacent same-script CJK pair in the line is
+      // emitted as a bigram — no position can be skipped, or a query term
+      // overlapping it could never match
+      val cps = line.codePoints().toArray
+      def cls(cp: Int): Int = {
+        val b = Character.UnicodeBlock.of(cp)
+        if (b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS) 1
+        else if (b == Character.UnicodeBlock.HIRAGANA) 2
+        else if (b == Character.UnicodeBlock.KATAKANA) 3
+        else 0
+      }
+      val expected = cps.sliding(2).collect {
+        case Array(a, b) if cls(a) != 0 && cls(a) == cls(b) =>
+          new String(Character.toChars(a)) + new String(Character.toChars(b))
+      }.toSet
+      val tokSet = toks.toSet
+      expected.foreach(bg => assert(tokSet.contains(bg), s"missing bigram '$bg' in '$line'"))
+    }
+    // the doc's own vocabulary: a user query in reference terms matches
+    val docToks = CjkBigramAnalyzer.tokenize(src).toSet
+    assert(CjkBigramAnalyzer.tokenize("全文検索").forall(docToks.contains))
+    assert(docToks.contains("duckdb"))
+  }
+
   test("FrontMatter strips a leading YAML block and counts its lines") {
     val doc = "---\ntitle: x\n---\n# Body\ntext\n"
     assert(FrontMatter.strip(doc) == "# Body\ntext\n")

@@ -31,6 +31,46 @@ class EmbedSpec extends AnyFunSuite {
     assert(cos(rows(1L), rows(2L)) > cos(rows(1L), rows(3L)) + 0.1)
   }
 
+  test("Word2Vec embedding: trained vectors, unit norm, query path " +
+      "reproduces the bulk geometry, model survives save/load") {
+    // a corpus with two clearly separated topic clusters so the trained
+    // geometry is testable (words co-occurring in sentences end up closer)
+    val sents = (0 until 30).map { i =>
+      if (i % 2 == 0) (i.toLong, Seq("spark", "sql", "query", "engine", "plan"))
+      else (i.toLong, Seq("grape", "banana", "kiwi", "mango", "fruit"))
+    }
+    val df = sents.toDF("id", "tokens")
+    val (emb, model) = Word2VecEmbed.fitTransform(df, "tokens", dim = 16)
+    assert(model.vectors.nonEmpty && model.dim == 16)
+    assert(emb.schema("embedding").dataType.simpleString == "array<float>")
+    val rows = emb.select($"id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    rows.values.foreach { v =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-5, s"not unit-norm: $n")
+    }
+    def cos(a: Seq[Float], b: Seq[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    // same-topic docs are identical token bags → cosine 1; cross-topic must
+    // be measurably farther (the vectors are LEARNED, not hand-set)
+    assert(cos(rows(0L), rows(2L)) > cos(rows(0L), rows(1L)) + 0.05)
+
+    // query-time embedder = bulk kernel, bit-for-bit
+    val qe = model.embedder(t => t.split(" ").toSeq)
+    val q = qe.embed(Seq("spark sql query engine plan")).head
+    assert(q.toSeq == rows(0L))
+    // all-OOV embeds to the zero vector, not a crash
+    assert(qe.embed(Seq("zzz yyy")).head.forall(_ == 0.0f))
+
+    // save/load round-trip preserves every vector
+    val dir = java.nio.file.Files.createTempDirectory("graft-w2v").toString
+    model.save(spark, dir)
+    val loaded = Word2VecEmbed.load(spark, dir)
+    assert(loaded.dim == model.dim)
+    assert(loaded.vectors.keySet == model.vectors.keySet)
+    model.vectors.foreach { case (w, v) => assert(loaded.vectors(w).toSeq == v.toSeq) }
+  }
+
   test("MLlib LSH approx kNN agrees with brute force on an easy corpus") {
     val rnd = new scala.util.Random(11)
     def unit(dim: Int) = {
