@@ -70,19 +70,31 @@ object Bench {
     // keeps only a ~2KB tail, and the full 80-query map alone exceeds that —
     // in rounds 1 and 2 the one-line JSON was truncated mid-line and never
     // parsed. stdout gets a compact headline subset that always fits.
-    val allJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    //
+    // A query with NO successful run is recorded as JSON null (not a
+    // sentinel a naive sum would absorb), "value" explicitly covers
+    // completed queries only, and "failed" carries the count + names — so
+    // cross-round total comparisons can detect differing failure sets
+    // instead of misreading a shrunken green total as a speedup (the round-8
+    // lesson, per ADVICE.md).
+    def tJson(v: Double): String = if (v < 0) "null" else f"$v%.3f"
+    val allJson = results.map { case (k, v) => "\"" + k + "\":" + tJson(v) }
       .mkString("{", ",", "}")
+    val failedNames = results.collect { case (k, v) if v < 0 => jsonStr(k) }
+      .mkString("[", ",", "]")
     val detailsPath = java.nio.file.Paths.get("bench_details.json")
     java.nio.file.Files.write(detailsPath,
-      (f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$allJson,"sf":${jsonStr(sfDir)}}""" + "\n")
+      (f"""{"metric":"total_completed","value":$total%.3f,"unit":"sec",""" +
+        s""""n_queries":${results.size},"failed":$failed,"failed_names":$failedNames,""" +
+        f""""queries":$allJson,"sf":${jsonStr(sfDir)}}""" + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
     val headlineSet = Headline.filter(results.toMap.contains)
     val head = results.filter(r => headlineSet.contains(r._1))
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + tJson(v) }
       .mkString("{", ",", "}")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$head,""" +
-      s""""n_queries":${results.size},"failed":$failed,""" +
+      s""""n_queries":${results.size},"failed":$failed,"failed_names":$failedNames,""" +
       s""""queries_all":${jsonStr(detailsPath.toAbsolutePath.toString)},"sf":${jsonStr(sfDir)}}""")
     spark.stop()
   }

@@ -81,6 +81,25 @@ object ExtraQueries {
         "SELECT l_returnflag, array_to_string(list_slice(list(cents ORDER BY cents DESC), 1, 5), ',') AS top5_cents " +
         "FROM c GROUP BY l_returnflag ORDER BY l_returnflag")),
 
+    // Time-slice scan: the range predicate is applied to the RAW ts column
+    // (Q.eventsBetween) so it reaches the parquet reader as a PushedFilter
+    // and prunes row groups — at 100 TB this is the difference between
+    // reading one day and reading the table. PlanRegressionSpec pins the
+    // pushdown; the [fromNs, toNs) bounds are 2024-01-05 → 2024-01-15 UTC.
+    Q("q_events_time_slice",
+      (s, d) => Q.eventsBetween(s, d, 1704412800000000000L, 1705276800000000000L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
+          min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+        .orderBy("event_type"),
+      Some("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value, " +
+        "min(epoch_ns(ts)) AS min_ts, max(epoch_ns(ts)) AS max_ts " +
+        "FROM events WHERE epoch_ns(ts) >= 1704412800000000000 " +
+        "AND epoch_ns(ts) < 1705276800000000000 " +
+        "GROUP BY event_type ORDER BY event_type")),
+
     // Gap-based sessionization: lag → new-session flag → running session id →
     // per-session stats. THE canonical event-pipeline op; at scale it is one
     // shuffle on user_id and everything else is window-local.

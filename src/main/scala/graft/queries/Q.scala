@@ -55,6 +55,41 @@ object Q {
     normalizeTs(t(spark, dir, "events"))
   }
 
+  /** Time-sliced events scan with the range predicate applied to the RAW
+    * `ts` column BEFORE [[normalizeTs]] — so it reaches the parquet reader
+    * as a pushed filter and prunes row groups, whatever the physical
+    * encoding. (A predicate written against the normalized ns column would
+    * sit above the `unix_micros*1000` projection and scan everything — the
+    * difference between reading one day and reading the 100 TB table.)
+    *
+    * Bounds are `[fromNs, toNs)` epoch-nanos. For micros-encoded files the
+    * ns bounds translate exactly because stored values are micro-aligned:
+    * `ts_us*1000 >= fromNs ⇔ ts_us >= ceil(fromNs/1000)` and
+    * `ts_us*1000 < toNs ⇔ ts_us < ceil(toNs/1000)`. */
+  def eventsBetween(spark: SparkSession, dir: String,
+      fromNs: Long, toNs: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val raw = t(spark, dir, "events")
+    def ceilUs(ns: Long): Long = (ns + 999L) / 1000L
+    val pruned = raw.schema("ts").dataType match {
+      case LongType =>
+        raw.filter(col("ts") >= fromNs && col("ts") < toNs)
+      case TimestampType =>
+        raw.filter(col("ts") >= timestamp_micros(lit(ceilUs(fromNs))) &&
+          col("ts") < timestamp_micros(lit(ceilUs(toNs))))
+      case TimestampNTZType =>
+        raw.filter(
+          col("ts") >= timestamp_micros(lit(ceilUs(fromNs))).cast(TimestampNTZType) &&
+            col("ts") < timestamp_micros(lit(ceilUs(toNs))).cast(TimestampNTZType))
+      case other =>
+        throw new IllegalStateException(s"unsupported events.ts encoding: $other")
+    }
+    normalizeTs(pruned)
+  }
+
   /** Normalize a `ts` column to BIGINT epoch-nanos whatever type the scan
     * produced. The TimestampNTZ branch is a safety net for sessions where
     * NTZ inference was re-enabled: the NTZ→LTZ cast interprets the wall

@@ -19,6 +19,17 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"), p.take(600))
   }
 
+  test("events time slice pushes the ts range to the parquet scan") {
+    val p = plan("q_events_time_slice")
+    // the range predicate must bind to the RAW ts column under the
+    // normalization projection — visible as PushedFilters on ts, which is
+    // what lets parquet prune row groups at 100 TB (Q.eventsBetween)
+    assert(p.contains("PushedFilters"), p.take(800))
+    val pushed = "PushedFilters: \\[[^\\]]*".r.findFirstIn(p).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(ts") && pushed.contains("LessThan(ts"),
+      s"ts range not pushed: $pushed")
+  }
+
   test("semi join broadcasts the filtered build side") {
     val p = plan("q_j1_semi_join")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(800))

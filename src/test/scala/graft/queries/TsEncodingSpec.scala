@@ -67,6 +67,28 @@ class TsEncodingSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)) == ns)
   }
 
+  test("eventsBetween selects identical rows from every encoding, " +
+      "including non-micro-aligned ns bounds") {
+    def sliceOf(df: DataFrame, from: Long, to: Long): Seq[Long] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ts-slice").toString
+      df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      Q.eventsBetween(spark, dir, from, to)
+        .orderBy("event_id").collect().map(_.getLong(1)).toSeq
+    }
+    val ltz = baseDf.withColumn("ts",
+      timestamp_micros((col("ts") / 1000).cast(LongType)))
+    val ntz = ltz.withColumn("ts", col("ts").cast(TimestampNTZType))
+    // half-open [from, to): to-bound excludes the last row; a from-bound
+    // 1ns below a stored value must still include it (ceil translation)
+    val from = ns(1) - 1L
+    val to = ns(2)
+    Seq(baseDf, ltz, ntz).foreach { df =>
+      assert(sliceOf(df, from, to) == Seq(ns(1)), df.schema("ts").dataType.toString)
+    }
+    // exact-bound inclusivity: from == stored value is included
+    assert(sliceOf(baseDf, ns(1), ns(2) + 1) == Seq(ns(1), ns(2)))
+  }
+
   test("normalizeTs rejects an unusable encoding loudly, not silently") {
     val bad = baseDf.withColumn("ts", col("ts").cast(StringType))
     val e = intercept[IllegalStateException](Q.normalizeTs(bad))
