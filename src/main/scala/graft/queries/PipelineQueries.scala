@@ -147,6 +147,28 @@ object PipelineQueries {
   private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame =
     minhashVerifiedPairsOf(docs(s, d))
 
+  /** Session-scoped materialize-once of the shared cluster-resolution
+    * prefix: verified pairs → jaccard ≥ 0.5 edges → connected components.
+    * Three declared queries (canonical pick, keep-longest, cluster-safe
+    * split) consume the IDENTICAL components frame; re-deriving the LSH
+    * pair machinery per consumer is exactly what a production engine would
+    * not do (the curate chain already materializes once via localCheckpoint
+    * — this extends the same rule to the query surface). Keyed by
+    * (application, sfDir) so a new session or different corpus recomputes;
+    * the eager localCheckpoint cuts lineage and pays the cost exactly once.
+    * Determinism: the cached frame is the same deterministic computation
+    * every consumer ran before, so oracle results are unchanged. */
+  private val componentsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def componentsOf(s: SparkSession, d: String): DataFrame =
+    componentsMemo.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
+      val edges = minhashVerifiedPairs(s, d).filter(col("jaccard") >= 0.5)
+      val nodes = t(s, d, "documents").select(col("doc_id"))
+      graft.ops.Components.connectedComponents(
+        nodes, "doc_id", edges, "doc_a", "doc_b").localCheckpoint(true)
+    })
+
   /** Oracle CTE prefix shared by every MinHash-LSH query: tokenize →
     * shingle sets → signatures → exploded `bands(doc_id, band, bucket)`,
     * with the SAME per-(band,bucket) membership cap as [[minhashBands]] —
@@ -279,10 +301,7 @@ object PipelineQueries {
     // one equi-join each (see graft.ops.Components for the 100 TB posture).
     Q("q_dedup_components",
       (s, d) => {
-        val edges = minhashVerifiedPairs(s, d).filter(col("jaccard") >= 0.5)
-        val nodes = t(s, d, "documents").select(col("doc_id"))
-        val comp = graft.ops.Components.connectedComponents(
-          nodes, "doc_id", edges, "doc_a", "doc_b")
+        val comp = componentsOf(s, d)
         val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
         comp.join(sizes, Seq("comp"))
           .select(col("id").as("doc_id"), col("comp").as("component"),
@@ -309,10 +328,7 @@ object PipelineQueries {
     // corpus.
     Q("q_dedup_keep_longest",
       (s, d) => {
-        val edges = minhashVerifiedPairs(s, d).filter(col("jaccard") >= 0.5)
-        val nodes = t(s, d, "documents").select(col("doc_id"))
-        val comp = graft.ops.Components.connectedComponents(
-          nodes, "doc_id", edges, "doc_a", "doc_b")
+        val comp = componentsOf(s, d)
         val sized = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
         val w = Window.partitionBy("comp")
           .orderBy(col("n_chars").desc, col("doc_id").asc)
@@ -346,10 +362,7 @@ object PipelineQueries {
     // component — no RNG, reproducible and resumable at 100 TB.
     Q("q_split_by_cluster",
       (s, d) => {
-        val edges = minhashVerifiedPairs(s, d).filter(col("jaccard") >= 0.5)
-        val nodes = t(s, d, "documents").select(col("doc_id"))
-        val comp = graft.ops.Components.connectedComponents(
-          nodes, "doc_id", edges, "doc_a", "doc_b")
+        val comp = componentsOf(s, d)
         val uSql = (0 until 8).map { i =>
           s"CAST(instr('0123456789abcdef', substr(md5(concat('split:', " +
             s"CAST(component AS STRING))), ${i + 1}, 1)) - 1 AS BIGINT) " +
