@@ -89,7 +89,9 @@ object IndexStream {
       checkpointDir: Option[String] = None): StreamingQuery = {
     val chunker = IndexJob.chunkerFor(opts, analyzer)
     // source config and settings shared with the batch job — one contract
-    val settings = IndexJob.settingsFor(spark, embedder)
+    // (analyzer name included: a --watch --analyzer bigram index must be
+    // searchable by the same resolution rule as a batch one)
+    val settings = IndexJob.settingsFor(spark, embedder, analyzer)
 
     val files = markdownSource(spark, docsDir)
 
@@ -180,7 +182,8 @@ object IndexStream {
               graft.embed.TfIdfEmbed.fitTransform(chunks.toDF(), "tokens", dim)
             model.save(sp, modelPath)
             IndexJob.mergeAndWrite(sp, IndexJob.chunksToDocs(embedded, opts),
-              IndexJob.settingsOf(sp, model.name, dim), indexDir, clear = false,
+              IndexJob.settingsOf(sp, model.name, dim,
+                graft.analyze.Analyzers.nameOf(analyzer)), indexDir, clear = false,
               annClusters = opts.annClusters, annIters = opts.annIters,
               pqCodes = opts.pqCodes, pqIters = opts.pqIters,
               layout = opts.layout, layoutFiles = opts.layoutFiles,
@@ -193,7 +196,8 @@ object IndexStream {
             val fresh = IndexJob.embedChunks(
               chunks, model.embedder(analyzer.tokenize), opts)
             IndexJob.mergeAndWrite(sp, fresh,
-              IndexJob.settingsOf(sp, model.name, dim)
+              IndexJob.settingsOf(sp, model.name, dim,
+                  graft.analyze.Analyzers.nameOf(analyzer))
                 .unionByName(Seq((TfIdfDirtyKey, "true")).toDF("key", "value")),
               indexDir, clear = false,
               annClusters = opts.annClusters, annIters = opts.annIters,
@@ -242,7 +246,13 @@ object IndexStream {
     // the LIVE view (an append-mode watch may have pending segments whose
     // docs the refit must not lose), materialized before overwriting the
     // parquet dirs being read
-    val docs = graft.index.IndexData.load(spark, indexDir).documents
+    val loaded = graft.index.IndexData.load(spark, indexDir)
+    // a refit rewrites settings wholesale — carry over which analyzer
+    // produced the stored tokens (resetting it to the default would break
+    // query-time resolution for a bigram/whitespace index)
+    val analyzerName = loaded.setting("analyzer")
+      .getOrElse(graft.analyze.Analyzers.DefaultName)
+    val docs = loaded.documents
       .drop("embedding").localCheckpoint(true)
     val (embedded, model) = graft.embed.TfIdfEmbed.fitTransform(docs, "tokens", dim)
     model.save(spark, s"$indexDir/tfidf_model")
@@ -268,7 +278,7 @@ object IndexStream {
       if (opts.layout == "none") embedded
       else graft.ops.Layout.cluster(embedded, opts.layout, "file_path", "line_start", opts.layoutFiles)
     val written = graft.index.IndexData.write(laidOut,
-      IndexJob.settingsOf(spark, model.name, dim), indexDir)
+      IndexJob.settingsOf(spark, model.name, dim, analyzerName), indexDir)
     IndexJob.withPq(IndexJob.withAnn(written, indexDir, annK, opts.annIters),
       indexDir, pqK, opts.pqIters)
     model

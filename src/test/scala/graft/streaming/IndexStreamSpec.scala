@@ -179,6 +179,11 @@ class IndexStreamSpec extends AnyFunSuite {
     val sm = graft.embed.TfIdfEmbed.load(spark, s"$streamIdx/tfidf_model")
     val bm = graft.embed.TfIdfEmbed.load(spark, s"$batchIdx/tfidf_model")
     assert(sm.dim == bm.dim && sm.idf.toSeq == bm.idf.toSeq)
+    // the analyzer setting survives both the watch merges and the refit
+    // barrier (a refit rewrites settings wholesale; losing the analyzer
+    // would break query-time token resolution)
+    assert(streamed.setting("analyzer").contains("default"))
+    assert(batch.setting("analyzer").contains("default"))
   }
 
   test("tfidf refit barrier rebuilds ANN/PQ sidecars in the NEW embedding space") {
