@@ -14,8 +14,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries ns timestamps; Spark's TimestampType is µs —
-      // read them as epoch-nano longs (queries bucket on the raw nanos).
+      // legacy int64-ns events files need the flag to scan at all; the
+      // authoritative ts adapter is Q.events/normalizeTs (handles this and
+      // the timestamp[us] encoding the fixture currently ships)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -95,6 +95,29 @@ class TsEncodingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("encoding"))
   }
 
+  test("date-typed TPC-H columns produce identical results under both NTZ " +
+      "inference settings") {
+    // orders/lineitem date columns are ALSO timestamp[us] in the current
+    // fixture; queries touching them must not depend on whether the scan
+    // yields TIMESTAMP or TIMESTAMP_NTZ (Q.events flips the session conf,
+    // so both states occur within one session depending on query order)
+    val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val prev = spark.conf.getOption(key)
+    def run() = graft.SparkEntry.queries("q_profile_lineitem")(
+      spark, "/root/testdata/sf0.001").collect().toSeq
+    try {
+      spark.conf.set(key, "true")
+      val ntz = run()
+      spark.conf.set(key, "false")
+      val ltz = run()
+      assert(ntz == ltz, "shipdate formatting diverges across inference settings")
+      assert(ntz.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("the shipped fixture itself round-trips through the contract") {
     val dir = "/root/testdata/sf0.001"
     val df = Q.events(spark, dir)
