@@ -21,7 +21,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the consumer of our stdout keeps only a ~2KB tail,
+    // and benign per-query WARNs (e.g. WindowExec on the ≤2k-row fused
+    // candidate frames) flood that window and push the summary JSON line
+    // out of it (r07/r08: `parsed: null` in the driver artifact)
+    spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftStrategies.install(spark)
 
     // JVM/codegen warmup: one full pass of EVERY query at the smallest scale
