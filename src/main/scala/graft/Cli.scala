@@ -213,15 +213,17 @@ object Cli {
       // docs dir into the index until killed (append-only per path — see
       // graft.streaming.IndexStream's contract)
       require(docs.size == 1, "--watch takes exactly one docs directory")
-      require(embedder != "word2vec",
-        "--watch does not support word2vec (training is a batch fit; " +
-          "index with `graft index --embedder word2vec` instead)")
       val q = embedder match {
         case "tfidf" =>
           // global-fit model, made incremental by the frozen-model +
           // periodic-re-fit staleness contract (IndexStream.startTfIdf;
           // `--refit-every N` micro-batches, 0 = barrier-only)
           graft.streaming.IndexStream.startTfIdf(
+            spark, docs.head, db, dim, analyzer, opts,
+            refitEvery = arg(a, "--refit-every").map(_.toInt).getOrElse(4))
+        case "word2vec" =>
+          // trained model under the same staleness contract
+          graft.streaming.IndexStream.startWord2Vec(
             spark, docs.head, db, dim, analyzer, opts,
             refitEvery = arg(a, "--refit-every").map(_.toInt).getOrElse(4))
         case _ =>

@@ -87,12 +87,21 @@ object Word2VecEmbed {
     */
   def fitTransform(df: DataFrame, tokensCol: String, dim: Int = 64,
       minCount: Int = 1, outputCol: String = "embedding",
-      seed: Long = 42L): (DataFrame, W2vModel) = {
+      seed: Long = 42L, sortCols: Seq[String] = Nil): (DataFrame, W2vModel) = {
+    // `sortCols`: skip-gram SGD is input-ORDER sensitive even at one
+    // training partition, so callers that need run-to-run reproducibility
+    // independent of arrival order (the streaming refit barrier vs the
+    // batch build) fit over a deterministically sorted single partition —
+    // training at numPartitions=1 is serial anyway, so the coalesce costs
+    // nothing extra. The TRANSFORM still runs over `df` untouched.
+    val fitInput =
+      if (sortCols.isEmpty) df
+      else df.orderBy(sortCols.map(col): _*).coalesce(1)
     val w2v = new Word2Vec()
       .setInputCol(tokensCol).setOutputCol("_w2v")
       .setVectorSize(dim).setMinCount(minCount)
       .setNumPartitions(1).setSeed(seed)
-    val fitted = w2v.fit(df)
+    val fitted = w2v.fit(fitInput)
     val vectors = fitted.getVectors.collect().map { r =>
       r.getAs[String]("word") -> r.getAs[Vector]("vector").toArray.map(_.toFloat)
     }.toMap

@@ -667,7 +667,8 @@ object IndexJob {
     val chunker = chunkerFor(opts, analyzer)
     val chunks = chunkFiles(scanMarkdown(spark, dirs), chunker).toDF()
     val (embedded, model) =
-      graft.embed.Word2VecEmbed.fitTransform(chunks, "tokens", dim)
+      graft.embed.Word2VecEmbed.fitTransform(chunks, "tokens", dim,
+        sortCols = Seq("filePath", "lineStart"))
     model.save(spark, s"$indexDir/w2v_model")
     val docs = chunksToDocs(embedded, opts)
     mergeAndWrite(spark, docs, settingsOf(spark, model.name, dim,

@@ -69,12 +69,18 @@ object IndexStream {
     * to carry rows. */
   val TfIdfDirtyKey = "tfidf_dirty"
 
-  private def tfidfDirty(spark: SparkSession, indexDir: String): Boolean =
+  /** [[TfIdfDirtyKey]]'s Word2Vec twin (same artifact-persisted contract). */
+  val W2vDirtyKey = "w2v_dirty"
+
+  private def modelDirty(spark: SparkSession, indexDir: String, key: String): Boolean =
     pathExists(spark, s"$indexDir/settings") &&
       !spark.read.parquet(s"$indexDir/settings")
-        .filter(org.apache.spark.sql.functions.col("key") === TfIdfDirtyKey &&
+        .filter(org.apache.spark.sql.functions.col("key") === key &&
           org.apache.spark.sql.functions.col("value") === "true")
         .isEmpty
+
+  private def tfidfDirty(spark: SparkSession, indexDir: String): Boolean =
+    modelDirty(spark, indexDir, TfIdfDirtyKey)
 
   /** Watch `docsDir` and fold every new markdown file into the index at
     * `indexDir`. Blockable via the returned query (`processAllAvailable`
@@ -226,6 +232,80 @@ object IndexStream {
       .start()
   }
 
+  /** Watch with the TRAINED Word2Vec embedder — [[startTfIdf]]'s staleness
+    * contract applied to the skip-gram model: bootstrap fit on the first
+    * arrival set; later files embed under the FROZEN word vectors (the
+    * shared [[graft.embed.Word2VecEmbed.meanVector]] kernel, geometry
+    * consistent with the indexed corpus, stale w.r.t. unseen vocabulary —
+    * an OOV-heavy delta embeds toward zero until the next re-fit); at every
+    * `refitEvery`-th checkpointed-batchId boundary that finds unrefitted
+    * merged data ([[W2vDirtyKey]]) the model re-trains over the merged
+    * corpus and every document re-embeds — after a barrier the artifact is
+    * bit-identical to a batch [[IndexJob.runWord2Vec]] over the same files
+    * (sorted deterministic fit input; IndexStreamSpec pins the equality).
+    * `refitEvery <= 0` disables automatic re-fits (barrier-only). */
+  def startWord2Vec(
+      spark: SparkSession,
+      docsDir: String,
+      indexDir: String,
+      dim: Int = 64,
+      analyzer: Analyzer = DefaultAnalyzer,
+      opts: IndexJob.Options = IndexJob.Options(),
+      refitEvery: Int = 4,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val chunker = IndexJob.chunkerFor(opts, analyzer)
+    val modelPath = s"$indexDir/w2v_model"
+    val files = markdownSource(spark, docsDir)
+
+    files.writeStream
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$indexDir/_index_checkpoint"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sp = batch.sparkSession
+        if (!batch.isEmpty) {
+          import sp.implicits._
+          val chunks = IndexJob.chunkFiles(batch.toDF(), chunker)
+          if (!pathExists(sp, modelPath)) {
+            // bootstrap fit on the first arrival set (sorted fit input so
+            // the model is a deterministic function of the file set)
+            val (embedded, model) = graft.embed.Word2VecEmbed.fitTransform(
+              chunks.toDF(), "tokens", dim, sortCols = Seq("filePath", "lineStart"))
+            model.save(sp, modelPath)
+            IndexJob.mergeAndWrite(sp, IndexJob.chunksToDocs(embedded, opts),
+              IndexJob.settingsOf(sp, model.name, dim,
+                graft.analyze.Analyzers.nameOf(analyzer)), indexDir, clear = false,
+              annClusters = opts.annClusters, annIters = opts.annIters,
+              pqCodes = opts.pqCodes, pqIters = opts.pqIters,
+              layout = opts.layout, layoutFiles = opts.layoutFiles,
+              mergeMode = opts.mergeMode)
+          } else {
+            // frozen-model embedding of the delta; the merge marks the
+            // artifact dirty-for-refit
+            val model = graft.embed.Word2VecEmbed.load(sp, modelPath)
+            val fresh = IndexJob.embedChunks(
+              chunks, model.embedder(analyzer.tokenize), opts)
+            IndexJob.mergeAndWrite(sp, fresh,
+              IndexJob.settingsOf(sp, model.name, dim,
+                  graft.analyze.Analyzers.nameOf(analyzer))
+                .unionByName(Seq((W2vDirtyKey, "true")).toDF("key", "value")),
+              indexDir, clear = false,
+              annClusters = opts.annClusters, annIters = opts.annIters,
+              pqCodes = opts.pqCodes, pqIters = opts.pqIters,
+              layout = opts.layout, layoutFiles = opts.layoutFiles,
+              mergeMode = opts.mergeMode)
+          }
+          ()
+        }
+        // same cadence contract as startTfIdf (see the comment there)
+        if (refitEvery > 0 && (batchId + 1) % refitEvery == 0 &&
+            modelDirty(sp, indexDir, W2vDirtyKey)) {
+          w2vRefit(sp, indexDir, dim, opts)
+          ()
+        }
+      }
+      .start()
+  }
+
   /** The re-fit barrier: fit idf over the merged corpus tokens, re-embed
     * EVERY document under the new model, rewrite artifact + model. After
     * this, the artifact equals a batch `runTfIdf` over the same files —
@@ -242,6 +322,43 @@ object IndexStream {
     * ANN-enabled index to exact-only. */
   def tfidfRefit(spark: SparkSession, indexDir: String, dim: Int,
       opts: IndexJob.Options = IndexJob.Options()): graft.embed.TfIdfEmbed.TfIdfModel = {
+    var out: graft.embed.TfIdfEmbed.TfIdfModel = null
+    refitRewrite(spark, indexDir, dim, opts, docs => {
+      val (embedded, model) = graft.embed.TfIdfEmbed.fitTransform(docs, "tokens", dim)
+      model.save(spark, s"$indexDir/tfidf_model")
+      out = model
+      (embedded, model.name)
+    })
+    out
+  }
+
+  /** [[tfidfRefit]]'s Word2Vec twin: re-train skip-gram vectors over the
+    * merged corpus (sorted fit input, so the barrier result is
+    * bit-identical to a batch [[IndexJob.runWord2Vec]] over the same
+    * files), re-embed everything, rewrite artifact + model + sidecars. */
+  def w2vRefit(spark: SparkSession, indexDir: String, dim: Int,
+      opts: IndexJob.Options = IndexJob.Options()): graft.embed.Word2VecEmbed.W2vModel = {
+    var out: graft.embed.Word2VecEmbed.W2vModel = null
+    refitRewrite(spark, indexDir, dim, opts, docs => {
+      val (embedded, model) = graft.embed.Word2VecEmbed.fitTransform(
+        docs, "tokens", dim, sortCols = Seq("file_path", "line_start"))
+      model.save(spark, s"$indexDir/w2v_model")
+      out = model
+      (embedded, model.name)
+    })
+    out
+  }
+
+  /** The model-agnostic rewrite tail of a re-fit barrier: materialize the
+    * LIVE doc view (append segments included), run the model-specific
+    * `fit` (re-embeds every doc and persists the model, returning the
+    * embedded frame + model name), then rewrite the artifact with the
+    * analyzer setting carried over and the ANN/PQ sidecars rebuilt in the
+    * NEW embedding space (frozen old-space sidecars would be wholesale
+    * invalid — see [[tfidfRefit]]'s scaladoc for the full contract). */
+  private def refitRewrite(spark: SparkSession, indexDir: String, dim: Int,
+      opts: IndexJob.Options,
+      fit: org.apache.spark.sql.DataFrame => (org.apache.spark.sql.DataFrame, String)): Unit = {
     import graft.index.{AnnIndex, PqIndex}
     // the LIVE view (an append-mode watch may have pending segments whose
     // docs the refit must not lose), materialized before overwriting the
@@ -254,8 +371,7 @@ object IndexStream {
       .getOrElse(graft.analyze.Analyzers.DefaultName)
     val docs = loaded.documents
       .drop("embedding").localCheckpoint(true)
-    val (embedded, model) = graft.embed.TfIdfEmbed.fitTransform(docs, "tokens", dim)
-    model.save(spark, s"$indexDir/tfidf_model")
+    val (embedded, modelName) = fit(docs)
     // carry over the existing sidecar shape before deleting (K rows / 8×K
     // rows — scalar-sized reads)
     val annK =
@@ -278,9 +394,8 @@ object IndexStream {
       if (opts.layout == "none") embedded
       else graft.ops.Layout.cluster(embedded, opts.layout, "file_path", "line_start", opts.layoutFiles)
     val written = graft.index.IndexData.write(laidOut,
-      IndexJob.settingsOf(spark, model.name, dim, analyzerName), indexDir)
+      IndexJob.settingsOf(spark, modelName, dim, analyzerName), indexDir)
     IndexJob.withPq(IndexJob.withAnn(written, indexDir, annK, opts.annIters),
       indexDir, pqK, opts.pqIters)
-    model
   }
 }

@@ -186,6 +186,47 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(batch.setting("analyzer").contains("default"))
   }
 
+  test("word2vec watch: frozen-model deltas, re-fit barrier restores batch equality") {
+    import org.apache.spark.sql.functions._
+    val docs = Files.createTempDirectory("idxstream-w2v-docs").toString
+    val streamIdx = Files.createTempDirectory("idxstream-w2v-s").toString + "/idx"
+    val batchIdx = Files.createTempDirectory("idxstream-w2v-b").toString + "/idx"
+    val dim = 16
+
+    write(docs, "a.md", "# Alpha\n\nspark merges sorted runs fast\n")
+    val q = IndexStream.startWord2Vec(spark, docs, streamIdx, dim, refitEvery = 0)
+    try {
+      q.processAllAvailable()
+      assert(IndexData.load(spark, streamIdx).documents.count() >= 1)
+      write(docs, "b.md", "# Beta\n\nvector cosine search embedding space\n")
+      q.processAllAvailable()
+      // frozen-model interval: the dirty marker is set, and b.md's tokens
+      // (all OOV to the bootstrap vocab) embed to the zero vector — the
+      // documented staleness, not an accident
+      val interim = IndexData.load(spark, streamIdx)
+      assert(interim.setting(IndexStream.W2vDirtyKey).contains("true"))
+    } finally q.stop()
+
+    IndexStream.w2vRefit(spark, streamIdx, dim)
+
+    val streamed = IndexData.load(spark, streamIdx)
+    val batch = IndexJob.runWord2Vec(spark, Seq(docs), batchIdx, dim)
+    assert(canonDocs(streamed.documents) == canonDocs(batch.documents))
+    // bit-identical embeddings after the barrier: both sides are one
+    // deterministic sorted-input fit over the same content-addressed corpus
+    def embs(df: DataFrame) = df
+      .select(col("doc_id"), col("embedding"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(embs(streamed.documents) == embs(batch.documents))
+    // persisted word vectors agree, and the dirty marker is gone
+    val sm = graft.embed.Word2VecEmbed.load(spark, s"$streamIdx/w2v_model")
+    val bm = graft.embed.Word2VecEmbed.load(spark, s"$batchIdx/w2v_model")
+    assert(sm.dim == bm.dim && sm.vectors.keySet == bm.vectors.keySet)
+    sm.vectors.foreach { case (w, v) => assert(bm.vectors(w).toSeq == v.toSeq) }
+    assert(streamed.setting(IndexStream.W2vDirtyKey).isEmpty)
+    assert(streamed.setting("embedding_model").contains(s"w2v-$dim"))
+  }
+
   test("tfidf refit barrier rebuilds ANN/PQ sidecars in the NEW embedding space") {
     import org.apache.spark.sql.functions._
     val docs = Files.createTempDirectory("idxstream-tfann-docs").toString
