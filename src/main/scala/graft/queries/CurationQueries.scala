@@ -775,6 +775,43 @@ object CurationQueries {
         s"${Q.r6Sql("CAST(sum(CAST(floor(lp * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e6)")} AS avg_logprob " +
         "FROM sc GROUP BY doc_id ORDER BY doc_id")),
 
+    // Per-doc token-distribution Shannon entropy (nats) — the classic
+    // repetitiveness/quality signal (low entropy = boilerplate or
+    // keyword-stuffed text; complements the window-based repetition score
+    // with a whole-distribution view). One partial-agg'd (doc, term) count,
+    // one per-doc rollup; per-term contributions quantize to 1e6-ints
+    // before summing so Spark's aggregation tree and DuckDB's sequential
+    // sum get the same integer (the q_text_bigram_logprob determinism
+    // pattern).
+    Q("q_text_entropy",
+      (s, d) => {
+        val tf = Q.docsTokens(s, d)
+          .select(col("doc_id"), explode(col("tokens")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        val dl = tf.groupBy("doc_id")
+          .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"))
+        val p = col("c").cast("double") / col("n").cast("double")
+        tf.join(dl, Seq("doc_id"))
+          .withColumn("hq", floor(-p * log(p) * 1e6 + 0.5).cast("long"))
+          .groupBy("doc_id")
+          .agg(first(col("n")).as("n_tokens"),
+            first(col("n_distinct")).as("n_distinct"),
+            Q.r6((sum(col("hq")).cast("double") / 1e6)).as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH ${Q.toksCte}, " +
+        "tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c " +
+        "FROM (SELECT doc_id, unnest(toks) AS w FROM toks) GROUP BY doc_id, w), " +
+        "dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, " +
+        "CAST(count(*) AS BIGINT) AS n_distinct FROM tf GROUP BY doc_id), " +
+        "hc AS (SELECT tf.doc_id, n, n_distinct, " +
+        "CAST(floor(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) " +
+        "* ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS hq " +
+        "FROM tf JOIN dl ON tf.doc_id = dl.doc_id) " +
+        "SELECT doc_id, min(n) AS n_tokens, min(n_distinct) AS n_distinct, " +
+        s"${Q.r6Sql("CAST(sum(hq) AS DOUBLE) / 1e6")} AS entropy " +
+        "FROM hc GROUP BY doc_id ORDER BY doc_id")),
+
     // ---- PII redaction / URL handling ----
 
     // Regex PII redaction + URL/domain extraction. The corpus is synthetic
