@@ -315,10 +315,13 @@ object Cli {
       removeP: Option[String], addP: Option[String], ann: (Int, Int) = (0, 0),
       fusion: String = "mean", threshold: Option[Double] = None,
       phrase: Boolean = false) = {
+    val analyzer = analyzerFor(index)
     HybridSearch.search(index, query,
-      analyzer = analyzerFor(index),
+      analyzer = analyzer,
       embedder = Some(embedderFor(index, db)),
-      reranker = if (rerank) Some(new TokenOverlapReranker()) else None,
+      // the rerank leg must score in the SAME token space as the index
+      // (bigram index + unigram rerank would resurrect single-char overlap)
+      reranker = if (rerank) Some(new TokenOverlapReranker(analyzer.tokenize)) else None,
       opts = HybridSearch.Options(k = k, rerank = rerank,
         removePathPrefix = removeP, addPathPrefix = addP,
         annNprobe = ann._1, annPqShortlist = ann._2, fusion = fusion,

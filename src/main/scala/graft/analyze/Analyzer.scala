@@ -25,11 +25,6 @@ object WhitespaceAnalyzer extends Analyzer {
     else text.split(" ", -1).toSeq
 }
 
-/** Default Unicode/CJK-aware tokenizer: lower-cases, emits runs of
-  * letters/digits as single tokens, and each CJK ideograph as its own token
-  * (unigram segmentation — a deterministic, dependency-free stand-in for the
-  * reference's Lindera IPADIC segmentation, reference `src/splitter.py:39-47`).
-  */
 /** Name ⇄ instance registry so an index can PERSIST which analyzer produced
   * its tokens (`settings.analyzer`) and search can re-resolve the same one —
   * the analyzer-consistency contract the reference keeps implicitly by
@@ -42,7 +37,11 @@ object Analyzers {
     case WhitespaceAnalyzer => "whitespace"
     case CjkBigramAnalyzer  => "bigram"
     case DefaultAnalyzer    => DefaultName
-    case other              => other.getClass.getName
+    case other => sys.error(
+      s"analyzer ${other.getClass.getName} is not registered in Analyzers — " +
+        "an unregistered name would persist in settings and make the index " +
+        "unsearchable at query time (byName could never resolve it); " +
+        "register the analyzer here before indexing with it")
   }
 
   def byName(name: String): Analyzer = name match {
@@ -118,6 +117,11 @@ object CjkBigramAnalyzer extends Analyzer {
   }
 }
 
+/** Default Unicode/CJK-aware tokenizer: lower-cases, emits runs of
+  * letters/digits as single tokens, and each CJK ideograph as its own token
+  * (unigram segmentation — a deterministic, dependency-free stand-in for the
+  * reference's Lindera IPADIC segmentation, reference `src/splitter.py:39-47`).
+  */
 object DefaultAnalyzer extends Analyzer {
   private def isCjk(cp: Int): Boolean = {
     val b = Character.UnicodeBlock.of(cp)

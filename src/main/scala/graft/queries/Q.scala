@@ -39,19 +39,23 @@ object Q {
     *    `spark.sql.legacy.parquet.nanosAsLong` (scan yields BIGINT ns —
     *    already the contract; without the flag the scan fails with
     *    PARQUET_TYPE_ILLEGAL);
-    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), e.g. pandas/pyarrow
-    *    default: NTZ inference is disabled for the read so the scan yields
-    *    TimestampType whose *internal value is the stored micros verbatim*,
-    *    and `unix_micros * 1000` recovers ns independent of the session
-    *    timezone. (DuckDB's `epoch_ns(ts)` on the same naive timestamp
-    *    yields the identical number, so oracles stay unchanged.)
+    *  - TIMESTAMP(MICROS), adjusted-to-UTC or not (pandas/pyarrow default
+    *    is not): the scan yields TimestampType or TimestampNTZType
+    *    depending on the session's NTZ-inference setting, and
+    *    [[normalizeTs]] recovers the stored micros × 1000 from either —
+    *    exactly what DuckDB's `epoch_ns(ts)` yields on the same naive
+    *    timestamp, so oracles stay unchanged. (The NTZ branch interprets
+    *    the wall clock in the session zone; every entry point pins UTC.)
     *
     * Entry-point builders also arm the legacy flag; setting it here as well
-    * keeps ad-hoc sessions working while no query BODY ever mutates session
-    * state (order-independence rule). */
+    * keeps ad-hoc sessions working. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // nanosAsLong is required to SCAN legacy int64-ns files at all (it is
+    // additive — NANOS parquet appears only in events fixtures). The NTZ
+    // inference conf is deliberately NOT touched: normalizeTs handles both
+    // TimestampType and TimestampNTZType, so other tables' scan types never
+    // depend on whether an events query ran first (order independence).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     normalizeTs(t(spark, dir, "events"))
   }
 
@@ -71,9 +75,10 @@ object Q {
     import org.apache.spark.sql.functions.{col, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = t(spark, dir, "events")
-    def ceilUs(ns: Long): Long = (ns + 999L) / 1000L
+    // floorDiv-based ceil: truncating division would round toward zero for
+    // pre-1970 bounds and silently shift the slice by one microsecond
+    def ceilUs(ns: Long): Long = Math.floorDiv(ns + 999L, 1000L)
     val pruned = raw.schema("ts").dataType match {
       case LongType =>
         raw.filter(col("ts") >= fromNs && col("ts") < toNs)

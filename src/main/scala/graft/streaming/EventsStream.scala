@@ -95,8 +95,15 @@ object EventsStream {
     * converts on the stream. Downstream transforms are encoding-agnostic. */
   def readEventsStream(spark: SparkSession, dir: String, glob: String = "events.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val physical = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    // no matching files yet (a watch started before the producer's first
+    // write): fall back to the declared ns-long contract schema — the
+    // stream starts cleanly and LongType passes normalizeTs through. Files
+    // that later arrive in a DIFFERENT physical encoding need the stream
+    // restarted (file-source schemas are fixed at start; the probe will
+    // then see them).
+    val physical =
+      try spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => eventsSchema }
     val raw = spark.readStream
       .schema(physical)
       .option("pathGlobFilter", glob)

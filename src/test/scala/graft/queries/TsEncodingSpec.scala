@@ -89,6 +89,31 @@ class TsEncodingSpec extends AnyFunSuite {
     assert(sliceOf(baseDf, ns(1), ns(2) + 1) == Seq(ns(1), ns(2)))
   }
 
+  test("eventsBetween bound translation is exact for pre-1970 instants") {
+    // truncating division would ceil wrong for negative micros (round
+    // toward zero), shifting the slice edge by 1us on pre-epoch data
+    import spark.implicits._
+    val negNs = Seq(-2000000000L, -1000000000L, 0L, 1000000L)
+    def df = negNs.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, 0L, "t", 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def slice(d: DataFrame, from: Long, to: Long): Seq[Long] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ts-neg").toString
+      d.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      Q.eventsBetween(spark, dir, from, to)
+        .orderBy("event_id").collect().map(_.getLong(1)).toSeq
+    }
+    val ltz = df.withColumn("ts",
+      timestamp_micros((col("ts") / 1000).cast(LongType)))
+    // [-1s, 0): exactly the -1s row, from both encodings — including a
+    // from-bound 1ns below the stored value
+    Seq[(DataFrame, String)](df -> "long", ltz -> "ltz").foreach { case (d, label) =>
+      assert(slice(d, -1000000000L, 0L) == Seq(-1000000000L), label)
+      assert(slice(d, -1000000001L, 0L) == Seq(-1000000000L), label)
+      assert(slice(d, -999999999L, 1000001L) == Seq(0L, 1000000L), label)
+    }
+  }
+
   test("normalizeTs rejects an unusable encoding loudly, not silently") {
     val bad = baseDf.withColumn("ts", col("ts").cast(StringType))
     val e = intercept[IllegalStateException](Q.normalizeTs(bad))

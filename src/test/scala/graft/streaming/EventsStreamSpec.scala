@@ -19,6 +19,17 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("readEventsStream starts cleanly on a directory with no files yet") {
+    // watch-before-first-write: the schema probe finds nothing and falls
+    // back to the declared ns-long contract schema instead of failing
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-events").toString
+    val q = EventsStream.hourlyRollup(EventsStream.readEventsStream(spark, dir))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("empty_events").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("empty_events").count() == 0)
+  }
+
   test("streaming dedup by event_id equals batch distinct") {
     val dir = "/root/testdata/sf0.001"
     val q = EventsStream.dedupedEvents(EventsStream.readEventsStream(spark, dir))
