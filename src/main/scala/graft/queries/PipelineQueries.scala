@@ -299,6 +299,31 @@ object PipelineQueries {
     // one canonical doc (min id) survives. Alternating large-star/small-star
     // (Kiveris et al.), ~log(component size) rounds of one groupBy(min) +
     // one equi-join each (see graft.ops.Components for the 100 TB posture).
+    // Dup-cluster size HISTOGRAM — the corpus-health view of the same
+    // components frame: how many clusters of each size, and how much of
+    // the corpus sits in them (singletons = unique docs; a heavy tail =
+    // boilerplate families dominating the crawl). Two scalar-output
+    // aggregations over the memoized components — at 100 TB this is the
+    // report you run after every dedup pass, for the cost of two
+    // partial-agg'd groupBys.
+    Q("q_dedup_cluster_histogram",
+      (s, d) => componentsOf(s, d)
+        .groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("cluster_size")).as("n_docs"))
+        .orderBy("cluster_size"),
+      Some(s"WITH RECURSIVE $minhashPairsCtes, " +
+        "edges AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5), " +
+        "sym AS (SELECT doc_a AS a, doc_b AS b FROM edges UNION SELECT doc_b, doc_a FROM edges), " +
+        "reach(x, r) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.x), " +
+        "comp AS (SELECT x AS doc_id, min(r) AS component FROM reach GROUP BY x), " +
+        "cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY component) " +
+        "SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters, " +
+        "CAST(sum(cluster_size) AS BIGINT) AS n_docs " +
+        "FROM cs GROUP BY cluster_size ORDER BY cluster_size")),
+
     Q("q_dedup_components",
       (s, d) => {
         val comp = componentsOf(s, d)
