@@ -158,4 +158,44 @@ object EngineProperties extends Properties("graft") {
         prob > 0.0 && prob <= 1.0 && math.log(prob) <= 0.0
       }
     }
+
+  // ---- CJK bigram analyzer invariants ----
+  private val mixedTextGen: Gen[String] = {
+    val latin = Gen.alphaNumChar
+    val han = Gen.choose(0x4e00, 0x9fa5).map(_.toChar)
+    val hira = Gen.choose(0x3041, 0x3096).map(_.toChar)
+    val kata = Gen.choose(0x30a1, 0x30fa).map(_.toChar)
+    val punct = Gen.oneOf(' ', '.', ',', '!', '、', '。')
+    Gen.listOf(Gen.frequency(
+      3 -> latin, 2 -> han, 2 -> hira, 1 -> kata, 2 -> punct)).map(_.mkString)
+  }
+
+  private def cjkClass(c: Char): Int =
+    if (c >= 0x4e00 && c <= 0x9fff) 1
+    else if (c >= 0x3040 && c <= 0x309f) 2
+    else if (c >= 0x30a0 && c <= 0x30ff) 3
+    else 0
+
+  property("cjk bigram: every token is a verbatim substring of the lower-cased input") =
+    forAll(mixedTextGen) { text =>
+      val lower = text.toLowerCase
+      graft.analyze.CjkBigramAnalyzer.tokenize(text).forall(lower.contains)
+    }
+
+  property("cjk bigram: CJK tokens are 1-2 chars; every adjacent same-script pair emitted") =
+    forAll(mixedTextGen) { text =>
+      val toks = graft.analyze.CjkBigramAnalyzer.tokenize(text)
+      val cjkLenOk = toks.filter(_.exists(c => cjkClass(c) != 0))
+        .forall(t => t.length == 1 || t.length == 2)
+      val expected = text.toLowerCase.sliding(2).collect {
+        case p if p.length == 2 && cjkClass(p(0)) != 0 &&
+          cjkClass(p(0)) == cjkClass(p(1)) => p
+      }.toSet
+      cjkLenOk && expected.subsetOf(toks.toSet)
+    }
+
+  property("cjk bigram: latin-only input tokenizes exactly like DefaultAnalyzer") =
+    forAll(Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' '))).map(_.mkString)) { text =>
+      graft.analyze.CjkBigramAnalyzer.tokenize(text) == DefaultAnalyzer.tokenize(text)
+    }
 }
