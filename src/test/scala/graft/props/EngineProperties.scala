@@ -198,4 +198,22 @@ object EngineProperties extends Properties("graft") {
     forAll(Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' '))).map(_.mkString)) { text =>
       graft.analyze.CjkBigramAnalyzer.tokenize(text) == DefaultAnalyzer.tokenize(text)
     }
+
+  // ---- w2v mean-vector kernel invariants ----
+  private val w2vCaseGen: Gen[(Map[String, Array[Float]], Seq[String])] = for {
+    dim <- Gen.choose(2, 8)
+    vocabWords <- Gen.nonEmptyListOf(Gen.identifier.map(_.take(6)))
+    vecs <- Gen.listOfN(vocabWords.size,
+      Gen.listOfN(dim, Gen.choose(-1.0f, 1.0f)).map(_.toArray))
+    extra <- Gen.listOf(Gen.identifier.map("zz" + _))
+    picks <- Gen.listOf(Gen.oneOf(vocabWords ++ extra))
+  } yield (vocabWords.zip(vecs).toMap, picks)
+
+  property("w2v mean vector: output is unit-norm, or exactly zero when nothing matches") =
+    forAll(w2vCaseGen) { case (vocab, tokens) =>
+      val dim = vocab.headOption.map(_._2.length).getOrElse(2)
+      val v = graft.embed.Word2VecEmbed.meanVector(dim, vocab, tokens)
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.length == dim && (math.abs(norm - 1.0) < 1e-5 || v.forall(_ == 0.0f))
+    }
 }
