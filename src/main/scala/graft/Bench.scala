@@ -38,36 +38,70 @@ object Bench {
       catch { case _: Throwable => () } // failures surface in the timed loop
     }
 
-    // Two timed iterations per query, report the min — but INTERLEAVED as two
-    // separated full passes (all queries once, then all queries again) rather
-    // than back-to-back per query. The host VM's CPU availability comes and
-    // goes in multi-minute windows; back-to-back iterations land both samples
-    // of a query inside the same contention window (round 3: the first half
-    // of the alphabetical run order read 20-80s for queries whose steady
-    // state is <2s). Two passes minutes apart make correlated contention of
-    // both samples far less likely, at identical total work.
+    // THREE timed iterations per query, report the per-query MEDIAN — as
+    // three separated full passes (all queries once, then again, then again)
+    // rather than back-to-back per query. The host VM's CPU availability
+    // comes and goes in multi-minute windows; back-to-back iterations land
+    // all samples of a query inside the same contention window (round 3:
+    // the first half of the alphabetical run order read 20-80s for queries
+    // whose steady state is <2s; round 8/9: single contended passes
+    // distorted min-of-2 totals). Median-of-3 passes minutes apart makes a
+    // single contention window unable to move any query's reported time.
+    //
+    // Lane split (round-9 verdict): `q_bpe_train` is the one
+    // driver-sequential training loop — the top noise amplifier under host
+    // contention — so it reports in a separate `training` lane and the
+    // headline total covers only the serving/pipeline queries. The shared
+    // cluster-resolution prefix (componentsMemo) is CLEARED before each
+    // timed pass and its one-time build is timed explicitly as
+    // `infra_components_build`, so the dedup-trio timings are honestly
+    // memoized-warm marginal costs and the build is charged to a visible
+    // line instead of whichever query ran first (round-9 ADVICE).
+    val TrainingLane = Set("q_bpe_train")
+    val InfraComponents = "infra_components_build"
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    def timedPass(): Map[String, Double] = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val t = try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0 // no successful run this pass
-      }
-      name -> t
-    }.toMap
-    val pass1 = timedPass()
-    val pass2 = timedPass()
-    // min over SUCCESSFUL runs; -1 marks a query with no successful run
-    // (elapsed-until-exception would read as a plausible timing)
-    val results = ordered.map { case (name, _) =>
-      val ts = Seq(pass1(name), pass2(name)).filter(_ >= 0)
-      name -> ts.minOption.getOrElse(-1.0)
+    def timedPass(): Map[String, Double] = {
+      graft.queries.PipelineQueries.clearComponentsMemo()
+      val i0 = System.nanoTime()
+      val infra =
+        try {
+          graft.queries.PipelineQueries.prebuildComponents(spark, sfDir)
+          (System.nanoTime() - i0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $InfraComponents failed: ${e.getMessage}")
+            -1.0
+        }
+      ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val t = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0 // no successful run this pass
+        }
+        name -> t
+      }.toMap + (InfraComponents -> infra)
     }
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val passes = Seq(timedPass(), timedPass(), timedPass())
+    // median over SUCCESSFUL runs (odd count → middle; even → lower middle,
+    // a real observed timing, conservative under one slow outlier); -1
+    // marks a query with no successful run (elapsed-until-exception would
+    // read as a plausible timing)
+    def median(ts: Seq[Double]): Double = {
+      val ok = ts.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2)
+    }
+    val measured = ordered.map(_._1) :+ InfraComponents
+    val results = measured.map(name => name -> median(passes.map(_(name))))
+    val resultMap = results.toMap
+    val headlineResults = results.filter { case (n, _) =>
+      !TrainingLane.contains(n) && n != InfraComponents }
+    val total = headlineResults.map(_._2).filter(_ >= 0).sum
+    val trainingTotal =
+      results.collect { case (n, t) if TrainingLane.contains(n) && t >= 0 => t }.sum
     val failed = results.count(_._2 < 0)
 
     // Full per-query timings go to a FILE: the harness that reads our stdout
@@ -82,23 +116,35 @@ object Bench {
     // instead of misreading a shrunken green total as a speedup (the round-8
     // lesson, per ADVICE.md).
     def tJson(v: Double): String = if (v < 0) "null" else f"$v%.3f"
-    val allJson = results.map { case (k, v) => "\"" + k + "\":" + tJson(v) }
+    // "queries" = declared-query medians only; the training lane and the
+    // infra build are broken out so the headline "value" (serving/pipeline
+    // queries) stays comparable across rounds even when a training loop or
+    // the one-time prefix build absorbs host contention.
+    val queryResults = results.filter(_._1 != InfraComponents)
+    val allJson = queryResults.map { case (k, v) => "\"" + k + "\":" + tJson(v) }
       .mkString("{", ",", "}")
+    val trainingJson = (results.collect {
+        case (k, v) if TrainingLane.contains(k) => "\"" + k + "\":" + tJson(v)
+      } :+ (f""""total":$trainingTotal%.3f""")).mkString("{", ",", "}")
     val failedNames = results.collect { case (k, v) if v < 0 => jsonStr(k) }
       .mkString("[", ",", "]")
     val detailsPath = java.nio.file.Paths.get("bench_details.json")
     java.nio.file.Files.write(detailsPath,
       (f"""{"metric":"total_completed","value":$total%.3f,"unit":"sec",""" +
-        s""""n_queries":${results.size},"failed":$failed,"failed_names":$failedNames,""" +
+        f""""headline_total":$total%.3f,"training":$trainingJson,""" +
+        s""""infra":{"components_build":${tJson(resultMap(InfraComponents))}},""" +
+        s""""passes":${passes.size},"stat":"median",""" +
+        s""""n_queries":${queryResults.size},"failed":$failed,"failed_names":$failedNames,""" +
         f""""queries":$allJson,"sf":${jsonStr(sfDir)}}""" + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-    val headlineSet = Headline.filter(results.toMap.contains)
-    val head = results.filter(r => headlineSet.contains(r._1))
+    val headlineSet = Headline.filter(resultMap.contains)
+    val head = queryResults.filter(r => headlineSet.contains(r._1))
       .map { case (k, v) => "\"" + k + "\":" + tJson(v) }
       .mkString("{", ",", "}")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$head,""" +
-      s""""n_queries":${results.size},"failed":$failed,"failed_names":$failedNames,""" +
+      f""""training":$trainingJson,""" +
+      s""""n_queries":${queryResults.size},"failed":$failed,"failed_names":$failedNames,""" +
       s""""queries_all":${jsonStr(detailsPath.toAbsolutePath.toString)},"sf":${jsonStr(sfDir)}}""")
     spark.stop()
   }

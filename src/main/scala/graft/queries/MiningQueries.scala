@@ -182,6 +182,109 @@ object MiningQueries {
         s"SELECT qid, vec_id, rank, ${Q.r6Sql("dist")} AS dist " +
         "FROM rr2 WHERE rank <= 5 ORDER BY qid, rank")),
 
+    // ANN recall@10 of every approximate serving leg vs the exact leg —
+    // the measurement that quantifies the exactness-for-speed trade the
+    // `--ann ivf/pq` paths make (the missing half of the HNSW-replacement
+    // story, reference `src/db.py:152-165`: HNSW is approximate too, it
+    // just never reports by how much). All legs are this engine's own
+    // deterministic plans (fixed centroids, fixed codebook, round-6
+    // tie-breaks), so recall is a pure function of the fixtures and the
+    // oracle replays every leg bit-for-bit. Two structural facts make the
+    // spec's monotonicity assertions sound, not just empirical: an exact
+    // top-10 member ranks ≤10 inside ANY candidate subset that contains it
+    // (at most 9 vectors are closer anywhere), so IVF recall is
+    // non-decreasing in nprobe (probe sets nest) and the reranked-20
+    // shortlist's recall is ≥ the ADC-10 shortlist's (ADC shortlists nest
+    // and exact rerank keeps every true member). Cost shape: each leg is
+    // the already-audited top-k-pruned plan; the recall join is k-rows ×
+    // queries against a broadcast truth set — negligible over any corpus.
+    Q("q_ann_recall",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val k = 10
+        val qs = e.filter(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val cent = e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val exact = graft.ops.Similarity.bruteForceTopK(
+            qs, "qid", "qvec", e, "vec_id", "embedding", k)
+          .select(col("qid"), col("vec_id"))
+        def ivfLeg(np: Int): DataFrame = graft.ops.Similarity.ivfSearch(
+            qs, "qid", "qvec", e, "vec_id", "embedding", cent, "cid", "cvec",
+            nprobe = np, k = k)
+          .select(col("qid"), col("vec_id"))
+        val pqAdc = adcShortlist(s, d, k).select(col("qid"), col("vec_id"))
+        val short20 = adcShortlist(s, d, 20).select(col("qid"), col("vec_id"))
+        val wR = Window.partitionBy(col("qid"))
+          .orderBy(round(col("dist"), 6).asc, col("vec_id").asc)
+        val pqRerank = e.join(broadcast(short20), Seq("vec_id"))
+          .join(broadcast(qs), Seq("qid"))
+          .withColumn("dist",
+            graft.functions.VectorOps.cosineDist(col("embedding"), col("qvec")))
+          .withColumn("rank", row_number().over(wR))
+          .filter(col("rank") <= k)
+          .select(col("qid"), col("vec_id"))
+        val qids = qs.select(col("qid"))
+        def legRecall(leg: String, approx: DataFrame): DataFrame = {
+          val hits = approx
+            .join(broadcast(exact), Seq("qid", "vec_id"), "left_semi")
+            .groupBy("qid").agg(count(lit(1)).cast("long").as("hits"))
+          qids.join(hits, Seq("qid"), "left")
+            .select(lit(leg).as("leg"), col("qid"),
+              coalesce(col("hits"), lit(0L)).as("hits"),
+              Q.r6(coalesce(col("hits"), lit(0L)).cast("double") / k).as("recall"))
+        }
+        legRecall("exact", exact)
+          .unionAll(legRecall("ivf_np1", ivfLeg(1)))
+          .unionAll(legRecall("ivf_np2", ivfLeg(2)))
+          .unionAll(legRecall("pq_adc", pqAdc))
+          .unionAll(legRecall("pq_rerank", pqRerank))
+          .orderBy("leg", "qid")
+      },
+      Some(s"WITH $adcCtes, " +
+        "aqs AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id IN (0, 1, 2)), " +
+        s"xd AS (SELECT qid, vec_id, ${Q.cosineDistSql("embedding", "qvec")} AS dist " +
+        "FROM embeddings CROSS JOIN aqs WHERE vec_id != qid), " +
+        "xt AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY round(dist, 6), vec_id) AS rn FROM xd) WHERE rn <= 10), " +
+        "icent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 4), " +
+        s"iad AS (SELECT e.vec_id, e.embedding, c.cid, ${Q.cosineDistSql("e.embedding", "c.cvec")} AS cdist " +
+        "FROM embeddings e CROSS JOIN icent c), " +
+        "iasg AS (SELECT vec_id, embedding, cid FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY round(cdist, 6), cid) AS rn FROM iad) WHERE rn = 1), " +
+        s"ipd AS (SELECT qid, qvec, cid, ${Q.cosineDistSql("cvec", "qvec")} AS qcdist " +
+        "FROM aqs CROSS JOIN icent), " +
+        "ipr AS (SELECT qid, qvec, cid, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY round(qcdist, 6), cid) AS pr FROM ipd), " +
+        s"ivd1 AS (SELECT p.qid, a.vec_id, ${Q.cosineDistSql("a.embedding", "p.qvec")} AS dist " +
+        "FROM iasg a JOIN (SELECT qid, qvec, cid FROM ipr WHERE pr <= 1) p ON a.cid = p.cid " +
+        "WHERE a.vec_id != p.qid), " +
+        "ivt1 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY round(dist, 6), vec_id) AS rn FROM ivd1) WHERE rn <= 10), " +
+        s"ivd2 AS (SELECT p.qid, a.vec_id, ${Q.cosineDistSql("a.embedding", "p.qvec")} AS dist " +
+        "FROM iasg a JOIN (SELECT qid, qvec, cid FROM ipr WHERE pr <= 2) p ON a.cid = p.cid " +
+        "WHERE a.vec_id != p.qid), " +
+        "ivt2 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY round(dist, 6), vec_id) AS rn FROM ivd2) WHERE rn <= 10), " +
+        "pqt AS (SELECT qid, vec_id FROM rr WHERE rank <= 10), " +
+        "s20 AS (SELECT qid, vec_id FROM rr WHERE rank <= 20), " +
+        s"prx AS (SELECT s.qid, s.vec_id, ${Q.cosineDistSql("e.embedding", "q.qvec")} AS dist " +
+        "FROM s20 s JOIN embeddings e ON s.vec_id = e.vec_id JOIN aqs q ON s.qid = q.qid), " +
+        "prt AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY round(dist, 6), vec_id) AS rn FROM prx) WHERE rn <= 10), " +
+        "legs AS (SELECT 'exact' AS leg, qid, vec_id FROM xt " +
+        "UNION ALL SELECT 'ivf_np1', qid, vec_id FROM ivt1 " +
+        "UNION ALL SELECT 'ivf_np2', qid, vec_id FROM ivt2 " +
+        "UNION ALL SELECT 'pq_adc', qid, vec_id FROM pqt " +
+        "UNION ALL SELECT 'pq_rerank', qid, vec_id FROM prt), " +
+        "h AS (SELECT l.leg, l.qid, CAST(count(*) AS BIGINT) AS hits " +
+        "FROM legs l JOIN xt x ON l.qid = x.qid AND l.vec_id = x.vec_id GROUP BY l.leg, l.qid), " +
+        "base AS (SELECT leg, qid FROM (VALUES ('exact'), ('ivf_np1'), ('ivf_np2'), " +
+        "('pq_adc'), ('pq_rerank')) lv(leg) CROSS JOIN (SELECT qid FROM aqs) qq) " +
+        "SELECT b.leg, b.qid, COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits, " +
+        s"${Q.r6Sql("CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10.0")} AS recall " +
+        "FROM base b LEFT JOIN h ON b.leg = h.leg AND b.qid = h.qid ORDER BY b.leg, b.qid")),
+
     // End-to-end SEARCH with the PQ-accelerated VSS leg — the `--ann pq`
     // product path as an oracle-checked query: ADC shortlists 20 candidates
     // from codes alone, the exact cosine kernel reranks ONLY the shortlist,

@@ -154,20 +154,79 @@ object PipelineQueries {
     * pair machinery per consumer is exactly what a production engine would
     * not do (the curate chain already materializes once via localCheckpoint
     * — this extends the same rule to the query surface). Keyed by
-    * (application, sfDir) so a new session or different corpus recomputes;
-    * the eager localCheckpoint cuts lineage and pays the cost exactly once.
-    * Determinism: the cached frame is the same deterministic computation
-    * every consumer ran before, so oracle results are unchanged. */
+    * (application, sfDir, corpus fingerprint) — the fingerprint is a
+    * driver-side listing hash of the documents parquet (names + lengths +
+    * mtimes, no data scan), so a corpus regenerated IN PLACE invalidates
+    * the memo instead of silently serving stale components (round-9
+    * ADVICE); a new session or different corpus recomputes as before. The
+    * map is bounded: beyond [[MaxMemoEntries]] the eldest entry is evicted
+    * and its checkpoint blocks freed, so a long-lived session touching many
+    * corpora cannot pin unbounded storage. Determinism: the cached frame is
+    * the same deterministic computation every consumer ran before, so
+    * oracle results are unchanged. */
   private val componentsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.LinkedHashMap[String, DataFrame]()
 
-  private def componentsOf(s: SparkSession, d: String): DataFrame =
-    componentsMemo.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
-      val edges = minhashVerifiedPairs(s, d).filter(col("jaccard") >= 0.5)
-      val nodes = t(s, d, "documents").select(col("doc_id"))
-      graft.ops.Components.connectedComponents(
-        nodes, "doc_id", edges, "doc_a", "doc_b").localCheckpoint(true)
-    })
+  private val MaxMemoEntries = 4
+
+  /** Listing fingerprint of `d`'s documents table: per-file name, length
+    * and modification time, MD5'd. Pure driver-side metadata — at 100 TB
+    * this is one namenode listing, never a data pass. */
+  private def corpusFingerprint(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stats =
+      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+      else Seq(fs.getFileStatus(p))
+    val listing = stats.sortBy(_.getPath.toString)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .mkString(",")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def componentsOf(s: SparkSession, d: String): DataFrame = {
+    val key = s.sparkContext.applicationId + "|" + d + "|" + corpusFingerprint(s, d)
+    componentsMemo.synchronized {
+      Option(componentsMemo.get(key)).getOrElse {
+        val edges = minhashVerifiedPairs(s, d).filter(col("jaccard") >= 0.5)
+        val nodes = t(s, d, "documents").select(col("doc_id"))
+        val comp = graft.ops.Components.connectedComponents(
+          nodes, "doc_id", edges, "doc_a", "doc_b").localCheckpoint(true)
+        componentsMemo.put(key, comp)
+        if (componentsMemo.size > MaxMemoEntries) {
+          val it = componentsMemo.entrySet().iterator()
+          val eldest = it.next()
+          try eldest.getValue.unpersist(blocking = false)
+          catch { case _: Throwable => () }
+          it.remove()
+        }
+        comp
+      }
+    }
+  }
+
+  /** Evict every memoized components frame and free its checkpoint blocks.
+    * Bench calls this before each timed pass so the one-time prefix build
+    * is re-paid (and separately timed) per pass instead of hiding behind
+    * min-of-passes warmth (round-9 ADVICE); long-lived library sessions can
+    * call it to release storage. */
+  def clearComponentsMemo(): Unit = componentsMemo.synchronized {
+    componentsMemo.values().forEach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    componentsMemo.clear()
+  }
+
+  /** Materialize the shared cluster-resolution prefix for `d` NOW (the
+    * memoized eager localCheckpoint), so callers that want the one-time
+    * build cost measured where it's spent — Bench's
+    * `infra_components_build` lane — can trigger and time it explicitly
+    * rather than letting it land inside whichever trio query runs first. */
+  def prebuildComponents(s: SparkSession, d: String): Unit = {
+    componentsOf(s, d); ()
+  }
 
   /** Oracle CTE prefix shared by every MinHash-LSH query: tokenize →
     * shingle sets → signatures → exploded `bands(doc_id, band, bucket)`,

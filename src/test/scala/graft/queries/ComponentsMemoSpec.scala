@@ -40,4 +40,36 @@ class ComponentsMemoSpec extends AnyFunSuite {
       assert(keep(r.getAs[Long]("doc_id")) == r.getAs[Long]("component"))
     }
   }
+
+  test("memo invalidates when the corpus is regenerated in place") {
+    // the memo key carries a listing fingerprint (name + length + mtime) of
+    // documents.parquet, so overwriting the corpus under an unchanged dir
+    // path must recompute components, not serve the stale checkpoint
+    val tmp = java.nio.file.Files.createTempDirectory("memo_stale").toString
+    val full = spark.read.parquet(s"$dir/documents.parquet").collect()
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    def writeDocs(rows: Array[org.apache.spark.sql.Row]): Unit =
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 2), schema)
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    writeDocs(full)
+    val n1 = graft.SparkEntry.queries("q_dedup_components")(spark, tmp).count()
+    assert(n1 == full.length.toLong)
+
+    // regenerate in place with half the corpus: a stale memo would keep
+    // reporting the old doc count
+    writeDocs(full.take(full.length / 2))
+    val n2 = graft.SparkEntry.queries("q_dedup_components")(spark, tmp).count()
+    assert(n2 == (full.length / 2).toLong,
+      s"memo served stale components: got $n2 rows for a ${full.length / 2}-doc corpus")
+  }
+
+  test("clearComponentsMemo forces a rebuild that still serves correct results") {
+    val before = q("q_dedup_components").collect()
+    graft.queries.PipelineQueries.clearComponentsMemo()
+    val after = q("q_dedup_components").collect()
+    assert(after.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ==
+      before.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
+  }
 }
