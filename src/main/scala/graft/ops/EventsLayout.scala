@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Date-partitioned storage layout for the events table — the 100 TB
+  * posture for time-sliced analytics. `Q.eventsBetween` proves the range
+  * predicate reaches the parquet reader and prunes ROW GROUPS inside a
+  * file; at cluster scale the table should additionally be laid out as one
+  * `event_date=YYYY-MM-DD/` directory per UTC day, so a time-sliced query
+  * prunes whole PARTITIONS at planning time — unmatched days are never
+  * listed, never footer-read, never scanned. Partition pruning gets the
+  * scan to the right days; the pushed ts bounds then prune row groups
+  * inside the two boundary days. One day of a 100 TB year-span table is
+  * ~0.3% of the data; this layout makes that the I/O ceiling for a
+  * one-day slice instead of a best case.
+  *
+  * All ts values follow the engine-wide BIGINT-epoch-nanos contract
+  * ([[graft.queries.Q.normalizeTs]]); the partition column is derived, the
+  * stored `ts` stays exact.
+  */
+object EventsLayout {
+
+  private val DayNs = 86400L * 1000000000L
+
+  /** Write a normalized events frame (ts = BIGINT epoch-ns) as a
+    * date-partitioned parquet layout.
+    *
+    * The frame is shuffled BY the partition column first: without it,
+    * every input task holds rows of every day and `partitionBy` writes
+    * tasks × days small files (the classic file-explosion failure at
+    * 1000 executors × 365 days); with it, each day's rows land in one
+    * task. At real scale add a second repartition key (e.g. a hash bucket
+    * of user_id) so one hot day spreads over N tasks — one file per
+    * (day, bucket) is still listing-friendly. Rows are sorted by ts within
+    * partitions so row-group min/max stats stay tight for intra-day
+    * slicing. */
+  def writePartitioned(events: DataFrame, path: String): Unit =
+    events
+      .withColumn("event_date",
+        to_date(timestamp_micros((col("ts") / lit(1000L)).cast("long"))))
+      .repartition(col("event_date"))
+      .sortWithinPartitions("ts")
+      .write.partitionBy("event_date").mode("overwrite").parquet(path)
+
+  /** Read a [[writePartitioned]] layout restricted to `[fromNs, toNs)`
+    * epoch-nanos. The day-range predicate binds to the PARTITION column
+    * (directory pruning, visible as `PartitionFilters` in the plan —
+    * pinned by PlanRegressionSpec); the exact ns bounds bind to the stored
+    * `ts` column (row-group pruning inside the boundary days, visible as
+    * `PushedFilters`). Returns the normalized events columns with the
+    * derived partition column dropped, so downstream code is
+    * layout-agnostic. */
+  def readBetween(spark: SparkSession, path: String,
+      fromNs: Long, toNs: Long): DataFrame = {
+    val fromDay = java.time.LocalDate.ofEpochDay(Math.floorDiv(fromNs, DayNs))
+    val toDay = java.time.LocalDate.ofEpochDay(Math.floorDiv(toNs - 1, DayNs))
+    spark.read.parquet(path)
+      .filter(col("event_date") >= lit(java.sql.Date.valueOf(fromDay)) &&
+        col("event_date") <= lit(java.sql.Date.valueOf(toDay)))
+      .filter(col("ts") >= lit(fromNs) && col("ts") < lit(toNs))
+      .drop("event_date")
+  }
+}

@@ -100,6 +100,35 @@ object ExtraQueries {
         "AND epoch_ns(ts) < 1705276800000000000 " +
         "GROUP BY event_type ORDER BY event_type")),
 
+    // Same slice through the DATE-PARTITIONED layout (EventsLayout): the
+    // query first materializes the events table as one event_date=…/
+    // directory per UTC day, then slices through partition pruning (the
+    // day range never lists unmatched directories) + the pushed ts bounds
+    // (row-group pruning inside the boundary days). Identical oracle as
+    // q_events_time_slice — the layout must be semantics-invisible; what
+    // changes is the I/O ceiling at 100 TB (one day ≈ 0.3% of a year-span
+    // table). PlanRegressionSpec pins PartitionFilters + PushedFilters;
+    // EventsLayoutSpec pins files-read < files-written.
+    Q("q_events_partitioned_slice",
+      (s, d) => {
+        val layout = s"${sys.props("java.io.tmpdir")}/graft_events_bydate_" +
+          new java.io.File(d).getName
+        graft.ops.EventsLayout.writePartitioned(Q.events(s, d), layout)
+        graft.ops.EventsLayout
+          .readBetween(s, layout, 1704412800000000000L, 1705276800000000000L)
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
+            min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+          .orderBy("event_type")
+      },
+      Some("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value, " +
+        "min(epoch_ns(ts)) AS min_ts, max(epoch_ns(ts)) AS max_ts " +
+        "FROM events WHERE epoch_ns(ts) >= 1704412800000000000 " +
+        "AND epoch_ns(ts) < 1705276800000000000 " +
+        "GROUP BY event_type ORDER BY event_type")),
+
     // Gap-based sessionization: lag → new-session flag → running session id →
     // per-session stats. THE canonical event-pipeline op; at scale it is one
     // shuffle on user_id and everything else is window-local.

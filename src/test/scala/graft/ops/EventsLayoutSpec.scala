@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.queries.Q
+
+/** Date-partitioned events layout: semantics-invisible (slices agree with
+  * Q.eventsBetween row-for-row) and pruning-visible (the sliced scan reads
+  * strictly fewer partitions than the layout holds, with the day predicate
+  * in PartitionFilters — the property that turns a 100 TB scan into a
+  * per-day one). */
+class EventsLayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  // 2024-01-05 → 2024-01-15 UTC, the q_events_time_slice bounds
+  private val FromNs = 1704412800000000000L
+  private val ToNs = 1705276800000000000L
+
+  test("partitioned slice equals the raw-table slice row-for-row") {
+    val p = java.nio.file.Files.createTempDirectory("events_bydate").toString
+    EventsLayout.writePartitioned(Q.events(spark, dir), p)
+    val viaLayout = EventsLayout.readBetween(spark, p, FromNs, ToNs)
+      .select("event_id", "ts", "user_id", "event_type")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val viaRaw = Q.eventsBetween(spark, dir, FromNs, ToNs)
+      .select("event_id", "ts", "user_id", "event_type")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(viaLayout.nonEmpty)
+    assert(viaLayout.toSeq == viaRaw.toSeq)
+  }
+
+  test("slice scan prunes partitions: reads only the in-range days") {
+    val p = java.nio.file.Files.createTempDirectory("events_bydate").toString
+    EventsLayout.writePartitioned(Q.events(spark, dir), p)
+    val allDays = spark.read.parquet(p).select("event_date").distinct().count()
+    val scan = EventsLayout.readBetween(spark, p, FromNs, ToNs)
+      .queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+    assert(scan.nonEmpty, "no FileSourceScanExec in the plan")
+    val partsRead = scan.head.selectedPartitions.partitionCount
+    // the fixture spans ~30 days; the slice covers 10 → strictly fewer
+    assert(partsRead < allDays,
+      s"no partition pruning: read $partsRead of $allDays day-partitions")
+    assert(partsRead <= 10, s"slice of 10 days read $partsRead partitions")
+    assert(scan.head.partitionFilters.map(_.toString).mkString
+      .contains("event_date"), "day predicate not in partitionFilters")
+  }
+
+  test("ts bounds still reach the parquet reader inside boundary days") {
+    val p = java.nio.file.Files.createTempDirectory("events_bydate").toString
+    EventsLayout.writePartitioned(Q.events(spark, dir), p)
+    val plan = EventsLayout.readBetween(spark, p, FromNs, ToNs)
+      .queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[[^\\]]*".r.findFirstIn(plan).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(ts") && pushed.contains("LessThan(ts"),
+      s"ts range not pushed: $pushed")
+  }
+}

@@ -30,6 +30,19 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"ts range not pushed: $pushed")
   }
 
+  test("partitioned events slice prunes day directories AND row groups") {
+    val p = plan("q_events_partitioned_slice")
+    // the date-partitioned layout must surface the day range as partition
+    // filters (directories outside the slice are never listed or opened)
+    // AND still push the exact ns bounds to the reader for the boundary
+    // days — both prunings, not either one
+    val pf = "PartitionFilters: \\[[^\\]]*".r.findFirstIn(p).getOrElse("")
+    assert(pf.contains("event_date"), s"day range not a partition filter: $pf")
+    val pushed = "PushedFilters: \\[[^\\]]*".r.findFirstIn(p).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(ts") && pushed.contains("LessThan(ts"),
+      s"ts range not pushed: $pushed")
+  }
+
   test("semi join broadcasts the filtered build side") {
     val p = plan("q_j1_semi_join")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(800))
