@@ -174,10 +174,23 @@ object Cli {
       s"unknown --embedder '$embedder' (expected one of: ${KnownEmbedders.toSeq.sorted.mkString(", ")})")
     // `--analyzer default|bigram|whitespace`: which tokenizer produces the
     // stored tokens; persisted in settings so search re-resolves the same
-    // one (errors on a typo rather than silently indexing with the default)
-    val analyzer = graft.analyze.Analyzers.byName(
-      arg(a, "--analyzer").map(_.toLowerCase)
-        .getOrElse(graft.analyze.Analyzers.DefaultName))
+    // one (errors on a typo rather than silently indexing with the default).
+    // `--dict FILE` (one word per line, UTF-8) upgrades the CJK handling to
+    // dictionary longest-match with bigram fallback; the wordlist persists
+    // inside the settings name, so search needs no extra flag.
+    val analyzer = arg(a, "--dict") match {
+      case Some(f) =>
+        require(arg(a, "--analyzer").forall(_.equalsIgnoreCase("dict")),
+          "--dict implies --analyzer dict; drop the conflicting --analyzer")
+        val words = java.nio.file.Files.readAllLines(
+            java.nio.file.Paths.get(f),
+            java.nio.charset.StandardCharsets.UTF_8)
+          .toArray(Array.empty[String]).map(_.trim).filter(_.nonEmpty).toSet
+        graft.analyze.DictionaryAnalyzer(words)
+      case None => graft.analyze.Analyzers.byName(
+        arg(a, "--analyzer").map(_.toLowerCase)
+          .getOrElse(graft.analyze.Analyzers.DefaultName))
+    }
     val spark = session()
     val opts = IndexJob.Options(
       chunkSize = arg(a, "--chunk-size").map(_.toInt).getOrElse(512),
@@ -289,7 +302,8 @@ object Cli {
         graft.embed.TfIdfEmbed.load(index.documents.sparkSession, s"$db/tfidf_model")
           .embedder(tokenize)
       case Some(m) if m.startsWith("w2v-") =>
-        graft.embed.Word2VecEmbed.load(index.documents.sparkSession, s"$db/w2v_model")
+        graft.embed.Word2VecEmbed.load(index.documents.sparkSession,
+            s"$db/w2v_model", expectedDim = Some(dim))
           .embedder(tokenize)
       case _ => new HashingEmbedder(dim)
     }

@@ -10,6 +10,17 @@ package graft.analyze
   * precisely so the index is analyzer-agnostic. We keep the same contract:
   * whatever `Analyzer` produced the tokens at index time must also tokenize
   * the query at search time.
+  *
+  * REGISTRY REQUIREMENT: every analyzer passed to an index-building entry
+  * point (`IndexJob.run`/`runTfIdf`/`runWord2Vec`, `IndexStream.start`) must
+  * be representable in [[Analyzers]] — its name persists in the index
+  * `settings` and search re-resolves it with `Analyzers.byName`, so an
+  * unregistered analyzer fails FAST at index time rather than producing an
+  * index that can never be searched consistently. Custom analyzers have two
+  * supported routes: a dictionary layer over the built-ins
+  * ([[DictionaryAnalyzer]], fully persistable), or passing an explicit
+  * pre-registered name through `IndexJob.settingsFor`'s `analyzerName`
+  * override and re-supplying the same Analyzer instance at search time.
   */
 trait Analyzer extends Serializable {
   def tokenize(text: String): Seq[String]
@@ -32,11 +43,13 @@ object WhitespaceAnalyzer extends Analyzer {
   * `src/searcher.py:55-73`). */
 object Analyzers {
   val DefaultName = "default"
+  private val DictPrefix = "dict:"
 
   def nameOf(a: Analyzer): String = a match {
-    case WhitespaceAnalyzer => "whitespace"
-    case CjkBigramAnalyzer  => "bigram"
-    case DefaultAnalyzer    => DefaultName
+    case WhitespaceAnalyzer     => "whitespace"
+    case CjkBigramAnalyzer      => "bigram"
+    case DefaultAnalyzer        => DefaultName
+    case d: DictionaryAnalyzer  => DictPrefix + d.encodedWords
     case other => sys.error(
       s"analyzer ${other.getClass.getName} is not registered in Analyzers — " +
         "an unregistered name would persist in settings and make the index " +
@@ -48,8 +61,11 @@ object Analyzers {
     case "whitespace" => WhitespaceAnalyzer
     case "bigram"     => CjkBigramAnalyzer
     case DefaultName  => DefaultAnalyzer
+    case n if n.startsWith(DictPrefix) =>
+      DictionaryAnalyzer.fromEncoded(n.stripPrefix(DictPrefix))
     case other => sys.error(
-      s"unknown analyzer '$other' (expected default, bigram, or whitespace)")
+      s"unknown analyzer '$other' (expected default, bigram, whitespace, " +
+        "or dict:<base64 wordlist>)")
   }
 }
 
@@ -69,7 +85,7 @@ object Analyzers {
   * oracle-checked corpus surface stays on whitespace tokens.
   */
 object CjkBigramAnalyzer extends Analyzer {
-  private def scriptClass(cp: Int): Int = {
+  private[analyze] def scriptClass(cp: Int): Int = {
     val b = Character.UnicodeBlock.of(cp)
     if (b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS ||
       b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS_EXTENSION_A ||
@@ -114,6 +130,124 @@ object CjkBigramAnalyzer extends Analyzer {
     }
     flushRun(); flushLatin()
     out.result()
+  }
+}
+
+/** User-dictionary layer over the CJK bigram analyzer — the closest
+  * dependency-free step toward the reference's Lindera IPADIC segmentation
+  * (reference `src/splitter.py:39-47`): contiguous CJK text is segmented by
+  * GREEDY LONGEST MATCH against a user-supplied wordlist (what a
+  * morphological tokenizer's dictionary lookup does for the words it
+  * knows), and only the spans no dictionary word covers fall back to the
+  * [[CjkBigramAnalyzer]] rule (per-script overlapping bigrams; lone chars
+  * as unigrams). Latin/digit runs tokenize exactly like [[DefaultAnalyzer]].
+  *
+  * Dictionary matching runs over the WHOLE contiguous CJK span before any
+  * script split, so compound words mixing kanji and kana (消しゴム,
+  * 押しボタン) match as units — exactly where pure script-run bigrams
+  * break down. Fallback spans are then split at script boundaries as
+  * before.
+  *
+  * The wordlist persists INSIDE the analyzer's registry name
+  * (`dict:<base64 of sorted newline-joined words>`), so the index settings
+  * row alone round-trips the full tokenization contract — search
+  * re-resolves byName and gets bit-identical segmentation with no sidecar
+  * file. Intended for user dictionaries (10s–1000s of words); a full
+  * IPADIC-size lexicon belongs in a real morphological analyzer, not a
+  * settings string.
+  */
+final case class DictionaryAnalyzer(words: Set[String]) extends Analyzer {
+  private val dict: Set[String] = words.map(_.toLowerCase)
+  private val maxLen: Int = if (dict.isEmpty) 0 else dict.map(_.length).max
+
+  /** Canonical persistable form: sorted, newline-joined, base64 (URL-safe,
+    * no padding — settings values stay shell- and JSON-friendly). */
+  def encodedWords: String =
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
+      dict.toSeq.sorted.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def tokenize(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val latin = new StringBuilder
+    val run = new StringBuilder // contiguous CJK span, lower-cased
+    def flushLatin(): Unit =
+      if (latin.nonEmpty) { out += latin.toString; latin.clear() }
+    def bigramize(span: String): Unit = {
+      // CjkBigramAnalyzer's within-run rule, re-applied per script class
+      var i = 0
+      while (i < span.length) {
+        val cls = CjkBigramAnalyzer.scriptClass(span.codePointAt(i))
+        var j = i
+        while (j < span.length &&
+          CjkBigramAnalyzer.scriptClass(span.codePointAt(j)) == cls)
+          j += Character.charCount(span.codePointAt(j))
+        val sub = span.substring(i, j)
+        val cps = sub.codePoints().toArray
+        if (cps.length == 1) out += sub
+        else {
+          var k = 0
+          while (k < cps.length - 1) {
+            out += new String(cps, k, 2); k += 1
+          }
+        }
+        i = j
+      }
+    }
+    def flushRun(): Unit = {
+      if (run.nonEmpty) {
+        val span = run.toString
+        var i = 0
+        var unmatchedFrom = -1
+        def flushUnmatched(upTo: Int): Unit =
+          if (unmatchedFrom >= 0) {
+            bigramize(span.substring(unmatchedFrom, upTo)); unmatchedFrom = -1
+          }
+        while (i < span.length) {
+          // greedy longest dictionary match at i
+          var hit = -1
+          var l = math.min(maxLen, span.length - i)
+          while (hit < 0 && l >= 1) {
+            if (dict.contains(span.substring(i, i + l))) hit = l
+            l -= 1
+          }
+          if (hit > 0) {
+            flushUnmatched(i)
+            out += span.substring(i, i + hit)
+            i += hit
+          } else {
+            if (unmatchedFrom < 0) unmatchedFrom = i
+            i += Character.charCount(span.codePointAt(i))
+          }
+        }
+        flushUnmatched(span.length)
+        run.clear()
+      }
+    }
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      val n = Character.charCount(cp)
+      if (CjkBigramAnalyzer.scriptClass(cp) != 0) {
+        flushLatin()
+        run.appendAll(Character.toChars(Character.toLowerCase(cp)))
+      } else if (Character.isLetterOrDigit(cp)) {
+        flushRun()
+        latin.appendAll(Character.toChars(Character.toLowerCase(cp)))
+      } else { flushRun(); flushLatin() }
+      i += n
+    }
+    flushRun(); flushLatin()
+    out.result()
+  }
+}
+
+object DictionaryAnalyzer {
+  def fromEncoded(encoded: String): DictionaryAnalyzer = {
+    val decoded = new String(
+      java.util.Base64.getUrlDecoder.decode(encoded),
+      java.nio.charset.StandardCharsets.UTF_8)
+    DictionaryAnalyzer(decoded.split("\n").toSet.filter(_.nonEmpty))
   }
 }
 

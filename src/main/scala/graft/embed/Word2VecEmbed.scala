@@ -45,12 +45,30 @@ object Word2VecEmbed {
       new W2vQueryEmbedder(this, tokenize)
   }
 
-  def load(spark: SparkSession, path: String): W2vModel = {
+  /** Reload saved word vectors. Fails LOUDLY on an empty vector table
+    * (an empty corpus or over-aggressive minCount would otherwise
+    * round-trip as a dim-0 model named "w2v-0" that silently embeds every
+    * query to a zero vector — round-9 ADVICE); pass `expectedDim` (the
+    * index's persisted `embedding_dim` setting) to also assert the stored
+    * geometry matches what the index was built with. */
+  def load(spark: SparkSession, path: String,
+      expectedDim: Option[Int] = None): W2vModel = {
     val rows = spark.read.parquet(path).collect()
     val vectors = rows.map { r =>
       r.getAs[String]("word") -> r.getAs[Seq[Float]]("vector").toArray
     }.toMap
-    W2vModel(vectors.headOption.map(_._2.length).getOrElse(0), vectors)
+    if (vectors.isEmpty)
+      throw new IllegalStateException(
+        s"w2v model at $path has an empty vocabulary — refusing to serve " +
+          "zero-length query embeddings (was the corpus empty, or minCount " +
+          "too aggressive at fit time?)")
+    val dim = vectors.head._2.length
+    expectedDim.foreach { d =>
+      require(d == dim,
+        s"w2v model at $path has dim $dim but the index was built with " +
+          s"embedding_dim $d — refusing a geometry mismatch")
+    }
+    W2vModel(dim, vectors)
   }
 
   /** The ONE shared kernel: sum of known-word vectors in token order,
@@ -80,27 +98,36 @@ object Word2VecEmbed {
 
   /** Train on the corpus and add an `embedding: array<float>` column.
     *
-    * `numPartitions = 1` + fixed seed keeps training deterministic (MLlib's
-    * multi-partition Word2Vec is Hogwild-style and run-order dependent); at
-    * 100 TB raise it and accept run-to-run vector jitter — document geometry
-    * is stable either way because serving always reloads the SAVED vectors.
+    * `numPartitions = 1` (the default) + fixed seed keeps training
+    * deterministic (MLlib's multi-partition Word2Vec is Hogwild-style and
+    * run-order dependent) — the correctness-surface posture. At scale pass
+    * `numPartitions = N`: training parallelizes over N partitions and
+    * run-to-run vector JITTER is accepted; the SERVING contract is
+    * unaffected either way, because serving always reloads the SAVED
+    * vectors and the one shared [[meanVector]] kernel makes bulk and query
+    * geometry a pure function of those — EmbedSpec pins exactly this
+    * (partitioned fit → save → load → bit-identical bulk/query agreement).
     */
   def fitTransform(df: DataFrame, tokensCol: String, dim: Int = 64,
       minCount: Int = 1, outputCol: String = "embedding",
-      seed: Long = 42L, sortCols: Seq[String] = Nil): (DataFrame, W2vModel) = {
+      seed: Long = 42L, sortCols: Seq[String] = Nil,
+      numPartitions: Int = 1): (DataFrame, W2vModel) = {
     // `sortCols`: skip-gram SGD is input-ORDER sensitive even at one
     // training partition, so callers that need run-to-run reproducibility
     // independent of arrival order (the streaming refit barrier vs the
     // batch build) fit over a deterministically sorted single partition —
     // training at numPartitions=1 is serial anyway, so the coalesce costs
-    // nothing extra. The TRANSFORM still runs over `df` untouched.
+    // nothing extra. The TRANSFORM still runs over `df` untouched. With
+    // numPartitions > 1 determinism is off the table by design, so the
+    // fit input is simply spread over N partitions.
     val fitInput =
-      if (sortCols.isEmpty) df
+      if (numPartitions > 1) df.repartition(numPartitions)
+      else if (sortCols.isEmpty) df
       else df.orderBy(sortCols.map(col): _*).coalesce(1)
     val w2v = new Word2Vec()
       .setInputCol(tokensCol).setOutputCol("_w2v")
       .setVectorSize(dim).setMinCount(minCount)
-      .setNumPartitions(1).setSeed(seed)
+      .setNumPartitions(math.max(1, numPartitions)).setSeed(seed)
     val fitted = w2v.fit(fitInput)
     val vectors = fitted.getVectors.collect().map { r =>
       r.getAs[String]("word") -> r.getAs[Vector]("vector").toArray.map(_.toFloat)

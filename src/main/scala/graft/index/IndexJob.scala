@@ -87,10 +87,16 @@ object IndexJob {
   def decodeMarkdownFiles(files: DataFrame): DataFrame =
     files.select(col("path").as("file_path"), decode(col("content"), "UTF-8").as("text"))
 
+  /** `analyzerName`: explicit override for analyzers outside the
+    * [[graft.analyze.Analyzers]] registry — the persisted name is then the
+    * caller's contract, and the caller must re-supply the same Analyzer
+    * instance at search time (byName cannot resolve it). Registered
+    * analyzers (incl. `DictionaryAnalyzer`) should omit it. */
   def settingsFor(spark: SparkSession, embedder: Embedder,
-      analyzer: Analyzer = DefaultAnalyzer): DataFrame =
+      analyzer: Analyzer = DefaultAnalyzer,
+      analyzerName: Option[String] = None): DataFrame =
     settingsOf(spark, embedder.name, embedder.dim,
-      graft.analyze.Analyzers.nameOf(analyzer))
+      analyzerName.getOrElse(graft.analyze.Analyzers.nameOf(analyzer)))
 
   def settingsOf(spark: SparkSession, modelName: String, dim: Int,
       analyzerName: String = graft.analyze.Analyzers.DefaultName): DataFrame = {

@@ -96,14 +96,31 @@ object EventsStream {
   def readEventsStream(spark: SparkSession, dir: String, glob: String = "events.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // no matching files yet (a watch started before the producer's first
-    // write): fall back to the declared ns-long contract schema — the
-    // stream starts cleanly and LongType passes normalizeTs through. Files
-    // that later arrive in a DIFFERENT physical encoding need the stream
-    // restarted (file-source schemas are fixed at start; the probe will
-    // then see them).
-    val physical =
-      try spark.read.option("pathGlobFilter", glob).parquet(dir).schema
-      catch { case _: org.apache.spark.sql.AnalysisException => eventsSchema }
+    // write): re-probe briefly — the common race is the producer's first
+    // file landing milliseconds after the watch starts, and catching it
+    // here means the stream fixes on the file's ACTUAL encoding instead of
+    // an assumed one. If the dir is still empty after the grace window,
+    // fall back to the declared ns-long contract schema with a LOUD
+    // warning: file-source schemas are fixed at start, so files that later
+    // arrive in a different physical encoding (the fixture has shipped
+    // timestamp[us]!) will mismatch until the stream is restarted
+    // (round-9 ADVICE — the fallback must never be silent).
+    def probe(): Option[org.apache.spark.sql.types.StructType] =
+      try Some(spark.read.option("pathGlobFilter", glob).parquet(dir).schema)
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val physical = probe()
+      // grace poll: 4 × 250 ms before committing to the assumed encoding
+      .orElse((1 to 4).iterator
+        .map { _ => Thread.sleep(250L); probe() }
+        .collectFirst { case Some(s) => s })
+      .getOrElse {
+        System.err.println(
+          s"[graft] WARN: no files matching $glob in $dir yet — stream " +
+            "schema fixed to the declared int64-ns contract; if the " +
+            "producer writes a different ts encoding (e.g. timestamp[us]) " +
+            "the stream must be restarted to pick it up")
+        eventsSchema
+      }
     val raw = spark.readStream
       .schema(physical)
       .option("pathGlobFilter", glob)

@@ -281,7 +281,8 @@ object IndexStream {
           } else {
             // frozen-model embedding of the delta; the merge marks the
             // artifact dirty-for-refit
-            val model = graft.embed.Word2VecEmbed.load(sp, modelPath)
+            val model = graft.embed.Word2VecEmbed.load(sp, modelPath,
+              expectedDim = Some(dim))
             val fresh = IndexJob.embedChunks(
               chunks, model.embedder(analyzer.tokenize), opts)
             IndexJob.mergeAndWrite(sp, fresh,

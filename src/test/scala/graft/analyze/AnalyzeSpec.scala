@@ -80,6 +80,41 @@ class AnalyzeSpec extends AnyFunSuite {
     assert(docToks.contains("duckdb"))
   }
 
+  test("DictionaryAnalyzer: longest match wins; fallback spans bigram-ize; " +
+      "mixed-script compounds match as units") {
+    val a = DictionaryAnalyzer(Set("全文検索", "検索", "エンジン"))
+    // greedy longest match: 全文検索 beats its substring 検索
+    assert(a.tokenize("全文検索エンジン") == Seq("全文検索", "エンジン"))
+    // the span no dictionary word covers falls back to the bigram rule
+    assert(a.tokenize("意味検索") == Seq("意味", "検索"))
+    // latin interleaves exactly like the other CJK analyzers
+    assert(a.tokenize("Spark検索API") == Seq("spark", "検索", "api"))
+    // a kanji+kana compound matches as a unit — the case where pure
+    // script-run bigrams structurally cannot (the run splits at し/ゴ)
+    val b = DictionaryAnalyzer(Set("消しゴム"))
+    assert(b.tokenize("消しゴムを買う") == Seq("消しゴム", "を", "買", "う"))
+    assert(CjkBigramAnalyzer.tokenize("消しゴム") != Seq("消しゴム"))
+  }
+
+  test("DictionaryAnalyzer: registry name round-trips the wordlist; " +
+      "empty dictionary degenerates to the bigram analyzer") {
+    val a = DictionaryAnalyzer(Set("全文検索", "エンジン"))
+    val name = Analyzers.nameOf(a)
+    assert(name.startsWith("dict:"))
+    val resolved = Analyzers.byName(name)
+    Seq("全文検索エンジンの意味検索", "DuckDBと全文検索API").foreach { s =>
+      assert(resolved.tokenize(s) == a.tokenize(s), s)
+    }
+    // settings-value round-trip is exact: re-encoding yields the same name
+    assert(Analyzers.nameOf(resolved.asInstanceOf[DictionaryAnalyzer]) == name)
+
+    val empty = DictionaryAnalyzer(Set.empty)
+    Seq("全文検索エンジン", "に関する情報", "DuckDBと全文検索API",
+        "ひらがなとカタカナ", "한국어 텍스트", "Hello, World! x2").foreach { s =>
+      assert(empty.tokenize(s) == CjkBigramAnalyzer.tokenize(s), s)
+    }
+  }
+
   test("FrontMatter strips a leading YAML block and counts its lines") {
     val doc = "---\ntitle: x\n---\n# Body\ntext\n"
     assert(FrontMatter.strip(doc) == "# Body\ntext\n")

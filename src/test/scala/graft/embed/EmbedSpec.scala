@@ -71,6 +71,54 @@ class EmbedSpec extends AnyFunSuite {
     model.vectors.foreach { case (w, v) => assert(loaded.vectors(w).toSeq == v.toSeq) }
   }
 
+  test("Word2Vec partitioned fit (N=4): serving contract survives — " +
+      "save/load → bulk and query geometry bit-stable") {
+    // the at-scale fit mode: training runs Hogwild over 4 partitions, so
+    // the LEARNED vectors may jitter run-to-run — but everything serving
+    // depends on (saved vectors → load → one shared meanVector kernel)
+    // must stay a bit-exact pure function of whatever was saved
+    val sents = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, Seq("spark", "sql", "query", "engine", "plan"))
+      else (i.toLong, Seq("grape", "banana", "kiwi", "mango", "fruit"))
+    }
+    val df = sents.toDF("id", "tokens")
+    val (emb, model) = Word2VecEmbed.fitTransform(df, "tokens", dim = 16,
+      numPartitions = 4)
+    assert(model.vectors.nonEmpty && model.dim == 16)
+    val rows = emb.select($"id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    rows.values.foreach { v =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-5, s"not unit-norm: $n")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-w2v-par").toString
+    model.save(spark, dir)
+    val loaded = Word2VecEmbed.load(spark, dir, expectedDim = Some(16))
+    // reloaded model reproduces the BULK geometry exactly through the
+    // query path — the contract that lets training jitter stay harmless
+    val qe = loaded.embedder(t => t.split(" ").toSeq)
+    assert(qe.embed(Seq("spark sql query engine plan")).head.toSeq == rows(0L))
+    assert(qe.embed(Seq("grape banana kiwi mango fruit")).head.toSeq == rows(1L))
+  }
+
+  test("Word2Vec load fails loudly on empty vocab and on dim mismatch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-w2v-bad").toString
+    // empty vector table (what an empty corpus / aggressive minCount saves)
+    Seq.empty[(String, Seq[Float])].toDF("word", "vector")
+      .write.mode("overwrite").parquet(s"$dir/empty")
+    val e = intercept[IllegalStateException] {
+      Word2VecEmbed.load(spark, s"$dir/empty")
+    }
+    assert(e.getMessage.contains("empty vocabulary"))
+    // persisted dim disagrees with the index's embedding_dim setting
+    Seq(("w", Seq(1.0f, 0.0f))).toDF("word", "vector")
+      .write.mode("overwrite").parquet(s"$dir/d2")
+    val m = intercept[IllegalArgumentException] {
+      Word2VecEmbed.load(spark, s"$dir/d2", expectedDim = Some(64))
+    }
+    assert(m.getMessage.contains("geometry mismatch"))
+  }
+
   test("MLlib LSH approx kNN agrees with brute force on an easy corpus") {
     val rnd = new scala.util.Random(11)
     def unit(dim: Int) = {

@@ -55,4 +55,49 @@ class JapaneseSearchSpec extends AnyFunSuite {
     assert(CjkBigramAnalyzer.tokenize("全文検索") !=
       graft.analyze.DefaultAnalyzer.tokenize("全文検索"))
   }
+
+  test("dictionary analyzer: wordlist persists inside the settings name " +
+      "and Japanese retrieval segments by dictionary words") {
+    val docsDir = java.nio.file.Files.createTempDirectory("graft-jd-docs")
+    def write(name: String, text: String): Unit =
+      java.nio.file.Files.write(docsDir.resolve(name),
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    write("kensaku.md",
+      "# 検索エンジン\n\n全文検索と意味検索を組み合わせたハイブリッド検索。\n")
+    write("ryouri.md",
+      "# 料理メモ\n\n味噌汁と炊き込みご飯の作り方。\n")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-jd-idx").toString
+
+    val dict = graft.analyze.DictionaryAnalyzer(
+      Set("全文検索", "意味検索", "検索", "エンジン", "ハイブリッド"))
+    IndexJob.runWord2Vec(spark, Seq(docsDir.toString), idxDir,
+      dim = 16, analyzer = dict)
+
+    // the ONE settings value carries the whole tokenization contract:
+    // resolving byName from the persisted string reproduces the analyzer
+    val index = IndexData.load(spark, idxDir)
+    val persisted = index.setting("analyzer").get
+    assert(persisted.startsWith("dict:"))
+    val analyzer = Analyzers.byName(persisted)
+    assert(analyzer.tokenize("全文検索エンジン") == Seq("全文検索", "エンジン"))
+
+    // model reload honors the persisted dim (exercises the load guard)
+    val model = graft.embed.Word2VecEmbed.load(spark, s"$idxDir/w2v_model",
+      expectedDim = Some(16))
+    assert(model.dim == 16)
+    // FTS-only search: on a 2-doc corpus the w2v cosine leg is noise
+    // (vectors trained on ~20 sentences), and the property under test is
+    // that the DICTIONARY token 全文検索 drives retrieval — the cooking doc
+    // shares no query term, so BM25 alone must rank kensaku.md first
+    val hits = HybridSearch.search(index, "全文検索",
+      analyzer = analyzer, embedder = None,
+      opts = HybridSearch.Options(k = 3, rerank = false)).collect()
+    assert(hits.nonEmpty, "dictionary-analyzer query found nothing")
+    assert(hits.head.getAs[String]("file_path").endsWith("kensaku.md"),
+      hits.map(_.getAs[String]("file_path")).mkString(", "))
+    // and the match is on the WORD token, not loose bigram overlap: the
+    // stored postings contain 全文検索 as one term
+    assert(analyzer.tokenize(hits.head.getAs[String]("content"))
+      .contains("全文検索"))
+  }
 }
