@@ -213,8 +213,13 @@ object MiningQueries {
             qs, "qid", "qvec", e, "vec_id", "embedding", cent, "cid", "cvec",
             nprobe = np, k = k)
           .select(col("qid"), col("vec_id"))
-        val pqAdc = adcShortlist(s, d, k).select(col("qid"), col("vec_id"))
-        val short20 = adcShortlist(s, d, 20).select(col("qid"), col("vec_id"))
+        // ONE ADC pass serves both PQ legs: the 10-shortlist is by
+        // construction the rank≤10 prefix of the 20-shortlist (same
+        // quantized ranking), so the code-scan runs once, not twice
+        val short20all = adcShortlist(s, d, 20)
+        val pqAdc = short20all.filter(col("rank") <= k)
+          .select(col("qid"), col("vec_id"))
+        val short20 = short20all.select(col("qid"), col("vec_id"))
         val wR = Window.partitionBy(col("qid"))
           .orderBy(round(col("dist"), 6).asc, col("vec_id").asc)
         val pqRerank = e.join(broadcast(short20), Seq("vec_id"))
@@ -229,7 +234,7 @@ object MiningQueries {
           val hits = approx
             .join(broadcast(exact), Seq("qid", "vec_id"), "left_semi")
             .groupBy("qid").agg(count(lit(1)).cast("long").as("hits"))
-          qids.join(hits, Seq("qid"), "left")
+          qids.join(broadcast(hits), Seq("qid"), "left")
             .select(lit(leg).as("leg"), col("qid"),
               coalesce(col("hits"), lit(0L)).as("hits"),
               Q.r6(coalesce(col("hits"), lit(0L)).cast("double") / k).as("recall"))
