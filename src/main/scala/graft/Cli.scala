@@ -12,6 +12,8 @@ import graft.search.HybridSearch
   * {{{
   *   graft.Cli index  --db DIR --docs D1 [D2 ...] [--clear] [--trim-path-prefix P]
   *                    [--chunk-size N] [--overlap N] [--embedding-dim N]
+  *                    [--analyzer default|bigram|whitespace]
+  *                    [--dict FILE]   (CJK dictionary longest-match; wordlist persists in settings)
   *                    [--ann-clusters K [--ann-iters N]]   (persist the IVF sidecar)
   *                    [--refit-ann] [--refit-pq]   (re-fit frozen sidecars after drift)
   *                    [--pq-codes K [--pq-iters N]]         (persist the PQ sidecar)
@@ -25,6 +27,7 @@ import graft.search.HybridSearch
   *                    [--fusion mean|rrf]   (score-average A4 or reciprocal-rank)
   *                    [--threshold T]   (min score; defaults 0.01 mean / 0.001 rrf)
   *                    [--phrase]   (candidates must contain the query as an adjacent run)
+  *                    [--ann-verify]   (also run the exact legs; live recall on stderr)
   *   graft.Cli serve  --db DIR [--top-k K] [--tool-name N] [--tool-description D]
   *                    [--transport stdio|http] [--host H] [--port P] [--path /mcp]
   *                    [--trim-prefix P] [--add-prefix P] [--protocol jsonl]
@@ -363,6 +366,22 @@ object Cli {
         "filtered. Use a threshold below 1/(60+k), or --fusion mean."
     }
 
+  /** The `--ann-verify` report: overlap of the approximate result's doc ids
+    * with the exact result's, as live per-query recall. None when the exact
+    * search itself returned nothing (0/0 is not a recall). */
+  private[graft] def annVerifyNote(
+      approxIds: Seq[String], exactIds: Seq[String]): Option[String] = {
+    val e = exactIds.toSet
+    if (e.isEmpty) None
+    else {
+      val overlap = approxIds.toSet.intersect(e).size
+      Some(f"[graft] --ann-verify: overlap ${overlap}/${e.size} with the " +
+        f"exact legs (live recall ${overlap.toDouble / e.size}%.2f); " +
+        "raise nprobe/shortlist if this is low — see q_ann_recall for the " +
+        "corpus-level curve")
+    }
+  }
+
   /** The sidecar-staleness check (IndexJob.withAnn/withPq drift contract):
     * when an `--ann` search runs against an artifact whose measured drift
     * passed [[graft.index.AnnIndex.DriftWarnThreshold]], say so —
@@ -419,6 +438,11 @@ object Cli {
     // `--phrase`: candidates must contain the query terms as an adjacent
     // in-order run (positional filter over the fused candidate set)
     val phrase = flag(a, "--phrase")
+    // `--ann-verify`: also run the exact legs for THIS query and report the
+    // live overlap on stderr — the per-query spot-check companion to the
+    // corpus-level q_ann_recall measurement (costs one extra exact search;
+    // a diagnostic, not a serving mode)
+    val annVerify = flag(a, "--ann-verify")
     thresholdWarning(threshold, fusion, k).foreach(System.err.println)
     val spark = session()
     arg(a, "--query") match {
@@ -427,6 +451,13 @@ object Cli {
         driftWarning(index, ann).foreach(System.err.println)
         segmentsWarning(index, ann).foreach(System.err.println)
         val hits = runSearch(index, db, query, k, rerank, removeP, addP, ann, fusion, threshold, phrase)
+        if (annVerify && (ann._1 > 0 || ann._2 > 0)) {
+          val exact = runSearch(
+            index, db, query, k, rerank, removeP, addP, (0, 0), fusion, threshold, phrase)
+          annVerifyNote(hits.map(_.getAs[String]("doc_id")).toSeq,
+            exact.map(_.getAs[String]("doc_id")).toSeq)
+            .foreach(System.err.println)
+        }
         println(s"""{"results":${hitsJson(hits)}}""")
       case None =>
         // Interactive mode (reference `src/cli.py:345-379`: `search` without

@@ -240,6 +240,15 @@ object HybridSearch {
     // two top-k lists, NOT the corpus (reference `src/searcher.py:112-166`;
     // SURVEY.md §4.3 candidate-set semantics).
     val fused = embedder match {
+      // Zero-norm query embedding (every query token OOV for the model —
+      // TfIdf with all-idf-0 terms, Word2Vec with an unseen vocabulary):
+      // cosine against the zero vector is 0/0 = NaN, and Spark orders NaN
+      // ABOVE every real double, so NaN scores would pass the `> threshold`
+      // gate and sort to the top. The vector leg carries no signal here by
+      // definition — drop it and degrade to BM25-only, the same contract as
+      // "vss leg found nothing".
+      case Some(e) if { val q = e.embed(Seq(query)).head; !q.exists(_ != 0.0f) } =>
+        fts.withColumn("vss_score", lit(null).cast("double"))
       case Some(e) =>
         val qvec = e.embed(Seq(query)).head
         val vss =
@@ -259,7 +268,15 @@ object HybridSearch {
               "--ann requires an index built with --ann-clusters (no ann_centroids in artifact)"))
             vssTopKIvf(ann, qvec, opts.k, opts.annNprobe)
           } else vssTopK(index.documents, qvec, opts.k)
+        // zero-norm DOC embeddings (degenerate all-OOV docs) produce NaN
+        // distances; they sort last in the asc leg but can still enter the
+        // cut on a small corpus — null them here (post-join projection over
+        // ≤2k rows; the leg plans, incl. the AnnTopKRewrite shape, stay
+        // untouched) so fusion treats them as "missed the vss leg"
         fts.join(vss, Seq("doc_id"), "full_outer")
+          .withColumn("vss_score",
+            when(isnan(col("vss_score")), lit(null).cast("double"))
+              .otherwise(col("vss_score")))
       case None =>
         fts.withColumn("vss_score", lit(null).cast("double"))
     }

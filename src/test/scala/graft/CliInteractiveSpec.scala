@@ -31,6 +31,20 @@ class CliInteractiveSpec extends AnyFunSuite {
     intercept[RuntimeException](Cli.parseAnn(Some("hnsw")))
   }
 
+  test("annVerifyNote reports live recall; silent when exact found nothing") {
+    val full = Cli.annVerifyNote(Seq("a", "b", "c"), Seq("a", "b", "c"))
+    assert(full.exists(_.contains("overlap 3/3")), full)
+    assert(full.exists(_.contains("1.00")), full)
+    val partial = Cli.annVerifyNote(Seq("a", "x", "y"), Seq("a", "b", "c"))
+    assert(partial.exists(_.contains("overlap 1/3")), partial)
+    assert(partial.exists(_.contains("0.33")), partial)
+    // 0/0 is not a recall — an empty exact result must not produce a note
+    assert(Cli.annVerifyNote(Seq("a"), Seq.empty).isEmpty)
+    // approx empty but exact non-empty IS a (zero) recall
+    val zero = Cli.annVerifyNote(Seq.empty, Seq("a", "b"))
+    assert(zero.exists(_.contains("overlap 0/2")), zero)
+  }
+
   test("thresholdWarning fires only on a mean-domain threshold with rrf fusion") {
     // rrf max single-leg contribution at rank k=5 is 1/65 ≈ 0.01538
     assert(Cli.thresholdWarning(Some(0.01), "rrf", 5).isEmpty)   // below 1/65: coherent

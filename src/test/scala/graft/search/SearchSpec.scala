@@ -157,6 +157,56 @@ class SearchSpec extends AnyFunSuite {
     assert(df.filter(col("got") =!= col("expected")).count() == 0)
   }
 
+  test("zero-norm query embedding degrades to BM25-only — no NaN scores") {
+    // an all-OOV query embeds to the zero vector (TfIdf with all-idf-0
+    // terms, w2v with unseen vocab); cosine against it is 0/0 = NaN, and
+    // Spark sorts NaN ABOVE every real double, so without the guard NaN
+    // rows pass the threshold and rank FIRST (found by driving the CLI)
+    final class ZeroEmbedder extends graft.embed.Embedder {
+      def dim = 3
+      def name = "zero"
+      def embed(texts: Seq[String]): Seq[Array[Float]] =
+        texts.map(_ => Array(0f, 0f, 0f))
+    }
+    val hits = HybridSearch.search(index, "spark",
+      analyzer = graft.analyze.WhitespaceAnalyzer,
+      embedder = Some(new ZeroEmbedder),
+      opts = HybridSearch.Options(k = 3, rerank = false)).collect()
+    assert(hits.nonEmpty, "BM25-only degradation returned nothing")
+    hits.foreach { r =>
+      assert(!r.getAs[Double]("score").isNaN, "NaN hybrid score leaked")
+      assert(r.isNullAt(r.fieldIndex("vss_score")),
+        "vss_score should be null when the query embedding is zero")
+    }
+    // ranking is the BM25 ranking: d3 (tf=3) over d1 (tf=1)
+    assert(hits.head.getAs[String]("doc_id") == "d3")
+  }
+
+  test("zero-norm DOC embedding cannot poison fusion with NaN") {
+    val corpusWithZero = corpus.unionByName(
+      Seq(("dz", "spark zero vec", Seq("spark", "zero", "vec"),
+          Array(0f, 0f, 0f)))
+        .toDF("doc_id", "content", "tokens", "embedding")
+        .withColumn("file_path", concat(lit("docs/"), col("doc_id")))
+        .withColumn("header_path", lit(""))
+        .withColumn("line_start", lit(1)).withColumn("line_end", lit(1)))
+    val idx = IndexData.fromDocuments(corpusWithZero,
+      Seq(Setting("embedding_model", "test")).toDF())
+    // k = corpus size forces the NaN-distance doc into the vss cut
+    val hits = HybridSearch.search(idx, "spark",
+      analyzer = graft.analyze.WhitespaceAnalyzer,
+      embedder = Some(new graft.embed.FixedVectorEmbedder(Array(1f, 0f, 0f))),
+      opts = HybridSearch.Options(k = 5, rerank = false,
+        scoreThreshold = 0.0)).collect()
+    assert(hits.nonEmpty)
+    hits.foreach { r =>
+      assert(!r.getAs[Double]("score").isNaN,
+        s"NaN score for ${r.getAs[String]("doc_id")}")
+      val vi = r.fieldIndex("vss_score")
+      assert(r.isNullAt(vi) || !r.getDouble(vi).isNaN, "NaN vss_score leaked")
+    }
+  }
+
   test("P5: a query matching no document returns empty, not an error") {
     val res = HybridSearch.search(index, "zzz qqq nothing_matches_this",
       analyzer = graft.analyze.WhitespaceAnalyzer, embedder = None, reranker = None)
