@@ -79,7 +79,11 @@ object BatchSearch {
         // one batched embed call for the whole query set (the Embedder
         // contract exists for exactly this amortization)
         val embedded = e.embed(queries.map(_._2))
+        // zero-norm query embeddings carry no vss signal and yield NaN
+        // cosines — drop those queries from the leg so they degrade to
+        // BM25-only (the HybridSearch.search contract)
         val vecs = queries.zip(embedded)
+          .filter { case (_, v) => v.exists(_ != 0.0f) }
           .map { case ((qid, _), v) => (qid, v.toSeq) }
           .toDF("qid", "qvec")
         if (opts.annNprobe > 0) {
@@ -98,6 +102,11 @@ object BatchSearch {
 
     // ---- fusion ----
     fts.join(vss, Seq("qid", "doc_id"), "full_outer")
+      // zero-norm DOC embeddings → NaN distance → treat as "missed the
+      // vss leg" (same guard as HybridSearch.search fusion)
+      .withColumn("vss_score",
+        when(isnan($"vss_score"), lit(null).cast("double"))
+          .otherwise($"vss_score"))
       .withColumn("score", HybridSearch.hybridScore($"fts_score", $"vss_score"))
   }
 

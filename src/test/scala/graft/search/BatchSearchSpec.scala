@@ -44,6 +44,30 @@ class BatchSearchSpec extends AnyFunSuite {
       assert(batch(qid) == single, s"mismatch for $qid")
     }
 
+    // zero-embedding query in the batch: degrades to BM25-only for THAT
+    // query (null vss leg, no NaN scores), others unaffected — the
+    // HybridSearch.search zero-norm contract, batch edition
+    final class ZeroFor(q: String) extends graft.embed.Embedder {
+      def dim = 64
+      def name = "zero-for"
+      def embed(texts: Seq[String]): Seq[Array[Float]] =
+        texts.map(t =>
+          if (t == q) Array.fill(64)(0f) else embedder.embed(Seq(t)).head)
+    }
+    val withZero = BatchSearch.searchBatch(index, queries,
+      analyzer = graft.analyze.WhitespaceAnalyzer,
+      embedder = Some(new ZeroFor("spark join merge")),
+      opts = BatchSearch.Options(k = 5)).collect()
+    assert(withZero.nonEmpty)
+    withZero.foreach { r =>
+      assert(!r.getAs[Double]("score").isNaN,
+        s"NaN score for ${r.getAs[String]("qid")}/${r.getAs[String]("doc_id")}")
+    }
+    val zeroQ = withZero.filter(_.getAs[String]("qid") == "q0")
+    assert(zeroQ.nonEmpty, "zeroed query returned nothing (BM25 leg lost)")
+    zeroQ.foreach(r => assert(r.isNullAt(r.fieldIndex("vss_score")),
+      "vss_score should be null for the zero-embedded query"))
+
     // ANN batch leg: probing ALL clusters must reproduce the exact batch
     // result (the probeSearchBatch composition changes the scan, never the
     // candidate semantics at full probe)
