@@ -43,6 +43,30 @@ object EventsLayout {
       .sortWithinPartitions("ts")
       .write.partitionBy("event_date").mode("overwrite").parquet(path)
 
+  /** Streaming ingestion INTO the date-partitioned layout — the production
+    * path that keeps the layout current without batch rewrites: a
+    * normalized events stream ([[graft.streaming.EventsStream
+    * .readEventsStream]] output, ts = BIGINT epoch-ns) lands as
+    * `event_date=…/part-…` files, exactly-once via the checkpoint. Late
+    * events land in their OWN day's directory (the partition column derives
+    * from event time, not arrival time), so [[readBetween]] pruning stays
+    * correct under out-of-order arrival; a slice query just sees the late
+    * day gain a file. Returns the started query; callers own its
+    * lifecycle (`processAllAvailable` to drain in tests, `awaitTermination`
+    * in a service). */
+  def sinkPartitioned(events: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .withColumn("event_date",
+        to_date(timestamp_micros((col("ts") / lit(1000L)).cast("long"))))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("event_date")
+      .outputMode("append")
+      .start()
+
   /** Read a [[writePartitioned]] layout restricted to `[fromNs, toNs)`
     * epoch-nanos. The day-range predicate binds to the PARTITION column
     * (directory pruning, visible as `PartitionFilters` in the plan —

@@ -47,6 +47,28 @@ class EventsLayoutSpec extends AnyFunSuite {
       .contains("event_date"), "day predicate not in partitionFilters")
   }
 
+  test("streaming sink lands events in day directories; slice equals batch") {
+    val src = java.nio.file.Files.createTempDirectory("events_src").toString
+    val out = java.nio.file.Files.createTempDirectory("events_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("events_ckpt").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events.parquet"))
+    val q = EventsLayout.sinkPartitioned(
+      graft.streaming.EventsStream.readEventsStream(spark, src), out, ckpt)
+    q.processAllAvailable(); q.stop()
+    // day directories exist (event-time derived)
+    val days = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("event_date=")).map(_.getName).sorted
+    assert(days.length > 20, s"expected ~30 day dirs, got ${days.length}")
+    // the streamed layout serves the same slice as the raw table
+    val viaSink = EventsLayout.readBetween(spark, out, FromNs, ToNs)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val viaRaw = Q.eventsBetween(spark, dir, FromNs, ToNs)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaSink.nonEmpty && viaSink == viaRaw)
+  }
+
   test("ts bounds still reach the parquet reader inside boundary days") {
     val p = java.nio.file.Files.createTempDirectory("events_bydate").toString
     EventsLayout.writePartitioned(Q.events(spark, dir), p)
