@@ -67,6 +67,30 @@ object EventsLayout {
       .outputMode("append")
       .start()
 
+  /** Small-file compaction for a (typically stream-fed) partitioned layout:
+    * every micro-batch [[sinkPartitioned]] commits adds one file per
+    * touched day, and at 1000 executors × months of days the listing cost
+    * alone eats the pruning win — so the standard maintenance job rewrites
+    * each day into one ts-sorted file (restoring the [[writePartitioned]]
+    * shape) and swaps directories. The swap is write-new → delete-old →
+    * rename: crash-safe to re-run (the `._compacting` temp is overwritten),
+    * though concurrent readers of the SAME path see a window — at real
+    * scale this runs under a table-format transaction (Iceberg/Delta);
+    * here it documents the maintenance contract the layout needs. */
+  def compactPartitioned(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compacting")
+    spark.read.parquet(path)
+      .repartition(col("event_date"))
+      .sortWithinPartitions("ts")
+      .write.partitionBy("event_date").mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    if (!fs.rename(tmp, p))
+      throw new IllegalStateException(
+        s"compaction swap failed: could not rename $tmp to $p")
+  }
+
   /** Read a [[writePartitioned]] layout restricted to `[fromNs, toNs)`
     * epoch-nanos. The day-range predicate binds to the PARTITION column
     * (directory pruning, visible as `PartitionFilters` in the plan —

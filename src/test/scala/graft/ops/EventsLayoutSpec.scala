@@ -69,6 +69,41 @@ class EventsLayoutSpec extends AnyFunSuite {
     assert(viaSink.nonEmpty && viaSink == viaRaw)
   }
 
+  test("compaction folds a multi-file day into one; rows and slices survive") {
+    val src = java.nio.file.Files.createTempDirectory("events_csrc").toString
+    val out = java.nio.file.Files.createTempDirectory("events_cout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("events_cckpt").toString
+    // two source files → the file-source stream commits them as separate
+    // batch writes → ≥2 files per day directory (the small-file shape)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$src/a.parquet"))
+    val q = EventsLayout.sinkPartitioned(
+      graft.streaming.EventsStream.readEventsStream(spark, src, glob = "*.parquet"),
+      out, ckpt)
+    q.processAllAvailable()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$src/b.parquet"))
+    q.processAllAvailable(); q.stop()
+
+    def dayFiles(): Map[String, Int] =
+      new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("event_date=")).map { d =>
+          d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+        }.toMap
+    val before = dayFiles()
+    assert(before.values.exists(_ >= 2), s"no multi-file day to compact: $before")
+    val rowsBefore = spark.read.parquet(out).count()
+
+    EventsLayout.compactPartitioned(spark, out)
+    val after = dayFiles()
+    assert(after.values.forall(_ == 1), s"day not folded to one file: $after")
+    assert(spark.read.parquet(out).count() == rowsBefore)
+    assert(EventsLayout.readBetween(spark, out, FromNs, ToNs).count() ==
+      Q.eventsBetween(spark, dir, FromNs, ToNs).count() * 2) // two copies streamed
+  }
+
   test("ts bounds still reach the parquet reader inside boundary days") {
     val p = java.nio.file.Files.createTempDirectory("events_bydate").toString
     EventsLayout.writePartitioned(Q.events(spark, dir), p)
