@@ -229,6 +229,40 @@ object MiningQueries {
           .withColumn("rank", row_number().over(wR))
           .filter(col("rank") <= k)
           .select(col("qid"), col("vec_id"))
+        // composed IVF×PQ leg (the q_search_e2e_ivfpq dataflow): restrict
+        // the ADC candidate pool to each query's 2 probed clusters, ADC-
+        // shortlist 20 WITHIN the pool, exact-rerank to top-10. ADC
+        // distances are per-(query, vector) — independent of the pool — so
+        // the full-rank frame serves here too (offline audit: one ADC scan
+        // total, not one per leg)
+        val adistAll = adcShortlist(s, d, Int.MaxValue)
+          .select(col("qid"), col("vec_id"), col("adist"))
+        val assigned = graft.ops.Similarity
+          .ivfAssign(e, "vec_id", "embedding", cent, "cid", "cvec")
+          .select(col("vec_id"), col("cid"))
+        val wProbe = Window.partitionBy(col("qid"))
+          .orderBy(round(col("qcd"), 6).asc, col("cid").asc)
+        val probes = qs.crossJoin(broadcast(cent))
+          .withColumn("qcd",
+            graft.functions.VectorOps.cosineDist(col("qvec"), col("cvec")))
+          .withColumn("pr", row_number().over(wProbe))
+          .filter(col("pr") <= 2)
+          .select(col("qid"), col("cid"))
+        val wIn = Window.partitionBy(col("qid"))
+          .orderBy(round(col("adist"), 6).asc, col("vec_id").asc)
+        val composedShort = adistAll
+          .join(broadcast(assigned), Seq("vec_id"))
+          .join(broadcast(probes), Seq("qid", "cid"))
+          .withColumn("rn", row_number().over(wIn))
+          .filter(col("rn") <= 20)
+          .select(col("qid"), col("vec_id"))
+        val ivfPq = e.join(broadcast(composedShort), Seq("vec_id"))
+          .join(broadcast(qs), Seq("qid"))
+          .withColumn("dist",
+            graft.functions.VectorOps.cosineDist(col("embedding"), col("qvec")))
+          .withColumn("rank", row_number().over(wR))
+          .filter(col("rank") <= k)
+          .select(col("qid"), col("vec_id"))
         val qids = qs.select(col("qid"))
         def legRecall(leg: String, approx: DataFrame): DataFrame = {
           val hits = approx
@@ -242,6 +276,7 @@ object MiningQueries {
         legRecall("exact", exact)
           .unionAll(legRecall("ivf_np1", ivfLeg(1)))
           .unionAll(legRecall("ivf_np2", ivfLeg(2)))
+          .unionAll(legRecall("ivfpq", ivfPq))
           .unionAll(legRecall("pq_adc", pqAdc))
           .unionAll(legRecall("pq_rerank", pqRerank))
           .orderBy("leg", "qid")
@@ -277,15 +312,27 @@ object MiningQueries {
         "FROM s20 s JOIN embeddings e ON s.vec_id = e.vec_id JOIN aqs q ON s.qid = q.qid), " +
         "prt AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, row_number() OVER " +
         "(PARTITION BY qid ORDER BY round(dist, 6), vec_id) AS rn FROM prx) WHERE rn <= 10), " +
+        // composed IVF×PQ: ADC distances (ad) restricted to each query's
+        // probed clusters, shortlist 20 within the pool, exact rerank to 10
+        "cvd AS (SELECT ad.qid, ad.vec_id, ad.adist FROM ad " +
+        "JOIN iasg ON ad.vec_id = iasg.vec_id " +
+        "JOIN ipr p ON p.qid = ad.qid AND p.cid = iasg.cid AND p.pr <= 2), " +
+        "cst AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY round(adist, 6), vec_id) AS rn FROM cvd) WHERE rn <= 20), " +
+        s"cex AS (SELECT s.qid, s.vec_id, ${Q.cosineDistSql("e.embedding", "q.qvec")} AS dist " +
+        "FROM cst s JOIN embeddings e ON s.vec_id = e.vec_id JOIN aqs q ON s.qid = q.qid), " +
+        "cpt AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY round(dist, 6), vec_id) AS rn FROM cex) WHERE rn <= 10), " +
         "legs AS (SELECT 'exact' AS leg, qid, vec_id FROM xt " +
         "UNION ALL SELECT 'ivf_np1', qid, vec_id FROM ivt1 " +
         "UNION ALL SELECT 'ivf_np2', qid, vec_id FROM ivt2 " +
+        "UNION ALL SELECT 'ivfpq', qid, vec_id FROM cpt " +
         "UNION ALL SELECT 'pq_adc', qid, vec_id FROM pqt " +
         "UNION ALL SELECT 'pq_rerank', qid, vec_id FROM prt), " +
         "h AS (SELECT l.leg, l.qid, CAST(count(*) AS BIGINT) AS hits " +
         "FROM legs l JOIN xt x ON l.qid = x.qid AND l.vec_id = x.vec_id GROUP BY l.leg, l.qid), " +
         "base AS (SELECT leg, qid FROM (VALUES ('exact'), ('ivf_np1'), ('ivf_np2'), " +
-        "('pq_adc'), ('pq_rerank')) lv(leg) CROSS JOIN (SELECT qid FROM aqs) qq) " +
+        "('ivfpq'), ('pq_adc'), ('pq_rerank')) lv(leg) CROSS JOIN (SELECT qid FROM aqs) qq) " +
         "SELECT b.leg, b.qid, COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits, " +
         s"${Q.r6Sql("CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10.0")} AS recall " +
         "FROM base b LEFT JOIN h ON b.leg = h.leg AND b.qid = h.qid ORDER BY b.leg, b.qid")),

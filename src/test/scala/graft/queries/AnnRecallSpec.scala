@@ -32,10 +32,10 @@ class AnnRecallSpec extends AnyFunSuite {
     rows.filter(_.getAs[String]("leg") == leg)
       .map(r => r.getAs[Long]("qid") -> r.getAs[Double]("recall")).toMap
 
-  test("shape: 5 legs × 3 queries, hits consistent with recall") {
-    assert(rows.length == 15)
+  test("shape: 6 legs × 3 queries, hits consistent with recall") {
+    assert(rows.length == 18)
     assert(rows.map(_.getAs[String]("leg")).distinct.sorted.toSeq ==
-      Seq("exact", "ivf_np1", "ivf_np2", "pq_adc", "pq_rerank"))
+      Seq("exact", "ivf_np1", "ivf_np2", "ivfpq", "pq_adc", "pq_rerank"))
     rows.foreach { r =>
       val hits = r.getAs[Long]("hits")
       assert(hits >= 0 && hits <= K)
