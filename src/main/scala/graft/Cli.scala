@@ -255,6 +255,10 @@ object Cli {
         case _          => IndexJob.run(spark, docs, db, new HashingEmbedder(dim), analyzer, opts)
       }
       println(s"indexed ${index.documents.count()} chunks into $db")
+      // a freshly-fit IVF sidecar measured its own sample recall curve —
+      // show the user the dial they just bought (see `--ann ivf:N`)
+      index.setting(graft.index.AnnIndex.RecallCurveKey).foreach(c =>
+        System.err.println(s"[graft] ann sample recall@10 by nprobe: [$c]"))
       // batch face of the watch-mode LSM fold cadence: same trigger rule
       if (opts.mergeMode == "append" && opts.compactEvery > 0 &&
           IndexData.segments(spark, db).size >= opts.compactEvery) {
@@ -382,6 +386,28 @@ object Cli {
     }
   }
 
+  /** Fit-time recall guidance for `--ann ivf:N`: the index persisted its
+    * sample nprobe→recall curve when the centroids were fit
+    * ([[graft.index.AnnIndex.recallCurve]]); if the curve's recall at the
+    * requested nprobe (largest measured step ≤ N — recall is monotone in
+    * nprobe, so that's a lower bound) is below
+    * [[graft.index.AnnIndex.RecallWarnThreshold]], say so before the user
+    * wonders where their documents went. Returns the stderr note, or
+    * None. */
+  private[graft] def recallWarning(index: IndexData, ann: (Int, Int)): Option[String] =
+    if (ann._1 <= 0) None
+    else index.setting(graft.index.AnnIndex.RecallCurveKey).flatMap { s =>
+      graft.index.AnnIndex.decodeCurve(s)
+        .filter(_._1 <= ann._1).lastOption
+        .filter(_._2 < graft.index.AnnIndex.RecallWarnThreshold)
+        .map { case (np, r) =>
+          f"[graft] note: fit-time sample recall@10 at nprobe=$np is $r%.2f " +
+            f"(< ${graft.index.AnnIndex.RecallWarnThreshold}%.1f) — expect " +
+            s"missing neighbors at --ann ivf:${ann._1}; the measured curve " +
+            s"is [$s], pick a larger nprobe or --refit-ann."
+        }
+    }
+
   /** The sidecar-staleness check (IndexJob.withAnn/withPq drift contract):
     * when an `--ann` search runs against an artifact whose measured drift
     * passed [[graft.index.AnnIndex.DriftWarnThreshold]], say so —
@@ -450,6 +476,7 @@ object Cli {
         val index = IndexData.load(spark, db)
         driftWarning(index, ann).foreach(System.err.println)
         segmentsWarning(index, ann).foreach(System.err.println)
+        recallWarning(index, ann).foreach(System.err.println)
         val hits = runSearch(index, db, query, k, rerank, removeP, addP, ann, fusion, threshold, phrase)
         if (annVerify && (ann._1 > 0 || ann._2 > 0)) {
           val exact = runSearch(
@@ -467,6 +494,7 @@ object Cli {
         val index = IndexData.load(spark, db).cached()
         driftWarning(index, ann).foreach(System.err.println)
         segmentsWarning(index, ann).foreach(System.err.println)
+        recallWarning(index, ann).foreach(System.err.println)
         index.stats.count() // materialize caches before the first prompt
         System.err.println(s"[graft] interactive search on $db; one query per line, EOF exits")
         interactiveLoop(index, db, scala.io.Source.stdin.getLines(), System.out,

@@ -140,6 +140,57 @@ object AnnIndex {
     * results, so the warning leads the failure). */
   val DriftWarnThreshold = 0.25
 
+  /** Settings key for the fit-time sample recall curve: `"1:0.60,2:0.85,
+    * 4:1.00"` — recall@k at each probed nprobe, measured on a deterministic
+    * corpus sample when the centroids were fit. The tuning guidance the
+    * reference's HNSW never gives its users: how approximate is `--ann
+    * ivf:N` on THIS corpus, before any query runs. */
+  val RecallCurveKey = "ann_recall_curve"
+
+  /** Fit-time recall at nprobe settings below this get the `--ann` search
+    * advisory note. */
+  val RecallWarnThreshold = 0.7
+
+  /** Measure the fitted index's recall@k curve on a deterministic corpus
+    * sample: the first `sample` vectors in id order are the query set, the
+    * exact answer is one batched brute-force top-k job, and each probed
+    * nprobe step (powers of two up to K, plus K itself) is one
+    * [[AnnIndex.probeSearchBatch]] job. Self-matches stay in on BOTH sides
+    * (the sample is drawn from the corpus), so the comparison is
+    * apples-to-apples. Cost: (1 + steps) sample-width jobs at FIT time
+    * only — never on the serving path; at 100 TB this is the price of
+    * printing an honest dial on the index you just built. */
+  def recallCurve(ann: AnnIndex, docs: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10, sample: Int = 8): Seq[(Int, Double)] = {
+    val corpus = docs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("_did"), col(vecCol).as("_dvec"))
+    val qs = corpus.orderBy(col("_did")).limit(sample)
+      .select(col("_did").as("_qid"), col("_dvec").as("_qvec"))
+      .localCheckpoint(true)
+    val exact = Similarity.bruteForceTopK(qs, "_qid", "_qvec",
+        corpus, "_did", "_dvec", k, excludeSelf = false)
+      .select(col("_qid"), col("_did")).collect()
+      .map(r => (String.valueOf(r.get(0)), String.valueOf(r.get(1)))).toSet
+    val steps = (Iterator.iterate(1)(_ * 2)
+      .takeWhile(_ < ann.numClusters).toSeq :+ ann.numClusters).distinct
+    steps.map { np =>
+      val got = ann.probeSearchBatch(qs, "_qid", "_qvec", np, k)
+        .select(col("_qid"), col("doc_id")).collect()
+        .map(r => (String.valueOf(r.get(0)), String.valueOf(r.get(1)))).toSet
+      np -> (if (exact.isEmpty) 1.0
+        else got.intersect(exact).size.toDouble / exact.size)
+    }
+  }
+
+  def encodeCurve(curve: Seq[(Int, Double)]): String =
+    curve.map { case (np, r) => f"$np%d:$r%.2f" }.mkString(",")
+
+  def decodeCurve(s: String): Seq[(Int, Double)] =
+    s.split(",").toSeq.filter(_.nonEmpty).map { p =>
+      val Array(np, r) = p.split(":", 2)
+      (np.toInt, r.toDouble)
+    }
+
   /** Relative drift of the current mean assignment distance vs the
     * fit-time baseline. The denominator is floored at 1e-6 so a
     * near-perfect fit (tiny corpus the model reconstructs exactly) still

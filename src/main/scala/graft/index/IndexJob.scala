@@ -565,7 +565,7 @@ object IndexJob {
         val ann = AnnIndex.buildAndWrite(
           written.documents, "doc_id", "embedding", indexDir, k, annIters)
         written.copy(ann = Some(ann),
-          settings = persistFitBaseline(spark, indexDir, ann))
+          settings = persistFitBaseline(spark, indexDir, ann, written.documents))
       case Some(existing) =>
         // frozen centroids: re-assign the merged corpus into the lists
         val centroids = existing.centroids.localCheckpoint(true)
@@ -587,20 +587,24 @@ object IndexJob {
         val ann = AnnIndex.buildAndWrite(
           written.documents, "doc_id", "embedding", indexDir, annClusters, annIters)
         written.copy(ann = Some(ann),
-          settings = persistFitBaseline(spark, indexDir, ann))
+          settings = persistFitBaseline(spark, indexDir, ann, written.documents))
       case None => written
     }
   }
 
   /** Persist the fit-time drift baseline for a freshly-fit sidecar:
-    * fit = current by definition, drift = 0. */
+    * fit = current by definition, drift = 0 — plus the measured sample
+    * recall curve ([[AnnIndex.recallCurve]]), so every fitted index ships
+    * its own nprobe→recall dial in settings. */
   private def persistFitBaseline(spark: SparkSession, indexDir: String,
-      ann: AnnIndex): DataFrame = {
+      ann: AnnIndex, docs: DataFrame): DataFrame = {
     val fit = ann.meanAssignDist
+    val curve = AnnIndex.recallCurve(ann, docs, "doc_id", "embedding")
     upsertSettingsOnDisk(spark, indexDir, Seq(
       AnnIndex.FitMeanDistKey -> fit.toString,
       AnnIndex.MeanDistKey -> fit.toString,
-      AnnIndex.DriftKey -> "0.0"))
+      AnnIndex.DriftKey -> "0.0",
+      AnnIndex.RecallCurveKey -> AnnIndex.encodeCurve(curve)))
   }
 
   /** Keyed upsert into the on-disk settings dataset (S5 semantics against

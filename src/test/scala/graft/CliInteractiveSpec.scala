@@ -56,6 +56,31 @@ class CliInteractiveSpec extends AnyFunSuite {
     assert(Cli.thresholdWarning(Some(0.01), "rrf", 50).isDefined)
   }
 
+  test("recallWarning fires only when the fitted curve is low at the requested nprobe") {
+    import spark.implicits._
+    def idxWith(curve: Option[String]): IndexData = {
+      val settings = curve match {
+        case Some(c) => Seq(Setting(graft.index.AnnIndex.RecallCurveKey, c)).toDF()
+        case None    => Seq.empty[Setting].toDF()
+      }
+      IndexData.fromDocuments(
+        Seq(("d1", "a b")).toDF("doc_id", "content")
+          .withColumn("tokens", split(col("content"), " ")),
+        settings)
+    }
+    val low = idxWith(Some("1:0.40,2:0.60,4:1.00"))
+    // nprobe=1 → curve says 0.40 < 0.7 → note
+    assert(Cli.recallWarning(low, (1, 0)).exists(_.contains("0.40")))
+    // nprobe=2 → 0.60 → note; nprobe=3 uses the 2-step lower bound → note
+    assert(Cli.recallWarning(low, (2, 0)).isDefined)
+    assert(Cli.recallWarning(low, (3, 0)).isDefined)
+    // nprobe=4 → 1.00 → silent; exact search (nprobe 0) → silent
+    assert(Cli.recallWarning(low, (4, 0)).isEmpty)
+    assert(Cli.recallWarning(low, (0, 0)).isEmpty)
+    // no curve persisted (pre-curve artifact) → silent
+    assert(Cli.recallWarning(idxWith(None), (1, 0)).isEmpty)
+  }
+
   test("driftWarning fires only for --ann ivf search over a drifted sidecar") {
     import spark.implicits._
     def idxWith(drift: Option[String]): IndexData = {

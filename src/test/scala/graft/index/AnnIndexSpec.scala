@@ -157,6 +157,31 @@ class AnnIndexSpec extends AnyFunSuite {
   private def clusteredDocs(ids: Seq[String], axisOf: Int => Int) =
     graft.TestFixtures.clusteredDocs(spark, ids, axisOf)
 
+  test("fit persists a sample recall curve: monotone in nprobe, 1.0 at K, " +
+      "decodable from settings") {
+    // the artifact fit via withAnn persisted the curve
+    val persisted = index.setting(AnnIndex.RecallCurveKey)
+    assert(persisted.isDefined, "no ann_recall_curve setting after fit")
+    val curve = AnnIndex.decodeCurve(persisted.get)
+    assert(curve.nonEmpty && curve.last._1 == K)
+    // monotone non-decreasing (probe sets nest; structural, not fixture luck)
+    curve.sliding(2).foreach {
+      case Seq((n1, r1), (n2, r2)) =>
+        assert(r2 >= r1 - 1e-9, s"recall fell from $r1 (np=$n1) to $r2 (np=$n2)")
+      case _ => ()
+    }
+    // full probe scans everything — recall is exactly 1.0 by construction
+    assert(curve.last._2 == 1.0, s"recall at nprobe=K != 1.0: ${curve.last}")
+    // re-measuring on the same artifact reproduces the persisted values
+    val ann = index.ann.getOrElse(fail("no ann sidecar"))
+    val remeasured = AnnIndex.recallCurve(
+      ann, index.documents, "doc_id", "embedding")
+    assert(AnnIndex.encodeCurve(remeasured) == persisted.get)
+    // encode/decode round-trip
+    assert(AnnIndex.decodeCurve(AnnIndex.encodeCurve(curve)) ==
+      AnnIndex.decodeCurve(persisted.get))
+  }
+
   test("drift contract: shifted merge raises ann_drift past the threshold; --refit-ann restores it and the recall floor") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ann-drift").toString
     // corpus A: 200 docs clustered on axes 0-3 — a fit the IVF index nails
