@@ -199,6 +199,48 @@ object EngineProperties extends Properties("graft") {
       graft.analyze.CjkBigramAnalyzer.tokenize(text) == DefaultAnalyzer.tokenize(text)
     }
 
+  // ---- dictionary analyzer invariants ----
+  private val dictCaseGen: Gen[(Set[String], String)] = for {
+    text <- mixedTextGen
+    // draw dictionary words FROM the text (so matches actually occur) plus
+    // arbitrary CJK words that may or may not appear
+    fromText <- Gen.listOf(for {
+      start <- Gen.choose(0, math.max(0, text.length - 1))
+      len <- Gen.choose(2, 4)
+    } yield text.toLowerCase.slice(start, math.min(text.length, start + len)))
+    free <- Gen.listOf(Gen.listOfN(3,
+      Gen.choose(0x4e00, 0x9fa5).map(_.toChar)).map(_.mkString))
+    words = (fromText ++ free).filter(w =>
+      w.length >= 2 && w.forall(c => cjkClass(c) != 0)).toSet
+  } yield (words, text)
+
+  property("dict analyzer: every token is a substring of the lower-cased input") =
+    forAll(dictCaseGen) { case (words, text) =>
+      val lower = text.toLowerCase
+      graft.analyze.DictionaryAnalyzer(words).tokenize(text).forall(lower.contains)
+    }
+
+  property("dict analyzer: CJK tokens are dictionary words or ≤2 code points") =
+    forAll(dictCaseGen) { case (words, text) =>
+      val dict = words.map(_.toLowerCase)
+      graft.analyze.DictionaryAnalyzer(words).tokenize(text)
+        .filter(_.exists(c => cjkClass(c) != 0))
+        .forall(t => dict.contains(t) || t.codePointCount(0, t.length) <= 2)
+    }
+
+  property("dict analyzer: empty dictionary ≡ the bigram analyzer") =
+    forAll(mixedTextGen) { text =>
+      graft.analyze.DictionaryAnalyzer(Set.empty).tokenize(text) ==
+        graft.analyze.CjkBigramAnalyzer.tokenize(text)
+    }
+
+  property("dict analyzer: registry name round-trips segmentation exactly") =
+    forAll(dictCaseGen) { case (words, text) =>
+      val a = graft.analyze.DictionaryAnalyzer(words)
+      val b = graft.analyze.Analyzers.byName(graft.analyze.Analyzers.nameOf(a))
+      b.tokenize(text) == a.tokenize(text)
+    }
+
   // ---- w2v mean-vector kernel invariants ----
   private val w2vCaseGen: Gen[(Map[String, Array[Float]], Seq[String])] = for {
     dim <- Gen.choose(2, 8)
