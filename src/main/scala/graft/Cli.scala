@@ -386,6 +386,15 @@ object Cli {
     }
   }
 
+  /** `--ann pq:S` with S < k starves the final cut: the exact rerank can
+    * return at most S candidates, so `--top-k K` quietly yields S rows.
+    * Returns the stderr note, or None when coherent. */
+  private[graft] def shortlistWarning(ann: (Int, Int), k: Int): Option[String] =
+    Some(ann._2).filter(s => s > 0 && s < k).map { s =>
+      s"[graft] warning: --ann pq shortlist $s is smaller than --top-k $k — " +
+        s"at most $s results can come back; raise the shortlist (pq:$k or more)."
+    }
+
   /** Fit-time recall guidance for `--ann ivf:N`: the index persisted its
     * sample nprobe→recall curve when the centroids were fit
     * ([[graft.index.AnnIndex.recallCurve]]); if the curve's recall at the
@@ -470,6 +479,7 @@ object Cli {
     // a diagnostic, not a serving mode)
     val annVerify = flag(a, "--ann-verify")
     thresholdWarning(threshold, fusion, k).foreach(System.err.println)
+    shortlistWarning(ann, k).foreach(System.err.println)
     val spark = session()
     arg(a, "--query") match {
       case Some(query) =>

@@ -56,6 +56,15 @@ class CliInteractiveSpec extends AnyFunSuite {
     assert(Cli.thresholdWarning(Some(0.01), "rrf", 50).isDefined)
   }
 
+  test("shortlistWarning fires only when the pq shortlist starves top-k") {
+    assert(Cli.shortlistWarning((0, 3), 5).exists(_.contains("at most 3")))
+    assert(Cli.shortlistWarning((2, 3), 5).isDefined)  // composed path too
+    assert(Cli.shortlistWarning((0, 5), 5).isEmpty)    // shortlist == k: fine
+    assert(Cli.shortlistWarning((0, 50), 5).isEmpty)   // default-sized: fine
+    assert(Cli.shortlistWarning((2, 0), 5).isEmpty)    // ivf-only: no shortlist
+    assert(Cli.shortlistWarning((0, 0), 5).isEmpty)    // exact: silent
+  }
+
   test("recallWarning fires only when the fitted curve is low at the requested nprobe") {
     import spark.implicits._
     def idxWith(curve: Option[String]): IndexData = {
