@@ -23,7 +23,8 @@ import graft.search.HybridSearch
   *                    [--watch]   (stream NEW files into the index until killed)
   *   graft.Cli search --db DIR --query Q [--top-k K] [--no-rerank]
   *                    [--remove-path-prefix P] [--add-path-prefix P]
-  *                    [--ann ivf[:nprobe] | pq[:shortlist] | ivf[:np]+pq[:sl]]
+  *                    [--ann ivf[:nprobe|:auto] | pq[:shortlist] | ivf[:np]+pq[:sl]]
+  *                        (:auto = smallest nprobe meeting the fitted recall curve's 0.9 target)
   *                    [--fusion mean|rrf]   (score-average A4 or reciprocal-rank)
   *                    [--threshold T]   (min score; defaults 0.01 mean / 0.001 rrf)
   *                    [--phrase]   (candidates must contain the query as an adjacent run)
@@ -316,21 +317,47 @@ object Cli {
     }
   }
 
-  /** Parse `--ann ivf[:nprobe] | pq[:shortlist] | ivf[:np]+pq[:sl]` into
-    * (ivf nprobe, pq shortlist); (0,0) = exact. Both nonzero = the
+  /** Sentinel nprobe for `--ann ivf:auto` — resolved against the fitted
+    * recall curve by [[resolveAutoNprobe]] once the index is loaded. */
+  private[graft] val AutoNprobe = -1
+
+  /** Parse `--ann ivf[:nprobe|:auto] | pq[:shortlist] | ivf[:np]+pq[:sl]`
+    * into (ivf nprobe, pq shortlist); (0,0) = exact. Both nonzero = the
     * composed path (partition-prune code files by probe, then ADC). */
   private[graft] def parseAnn(v: Option[String]): (Int, Int) = v match {
     case None => (0, 0)
     case Some(s) =>
       s.split("\\+").map(_.split(":", 2) match {
-        case Array("ivf")     => (2, 0)
-        case Array("ivf", np) => (np.toInt, 0)
-        case Array("pq")      => (0, 50)
-        case Array("pq", sl)  => (0, sl.toInt)
+        case Array("ivf")         => (2, 0)
+        case Array("ivf", "auto") => (AutoNprobe, 0)
+        case Array("ivf", np)     => (np.toInt, 0)
+        case Array("pq")          => (0, 50)
+        case Array("pq", sl)      => (0, sl.toInt)
         case _ => sys.error(s"unknown --ann '$s' " +
-          "(expected ivf[:<nprobe>], pq[:<shortlist>], or ivf[:np]+pq[:sl])")
+          "(expected ivf[:<nprobe>|:auto], pq[:<shortlist>], or ivf[:np]+pq[:sl])")
       }).reduce((a, b) => (math.max(a._1, b._1), math.max(a._2, b._2)))
   }
+
+  /** `--ann ivf:auto`: pick the SMALLEST nprobe whose fit-time sample
+    * recall meets `target` (recall is monotone in nprobe, so smallest-
+    * sufficient is optimal); an index whose curve never reaches the target
+    * probes everything (the curve ends at nprobe = K ≡ exact); a pre-curve
+    * artifact falls back to the ivf default of 2. Non-auto requests pass
+    * through untouched. */
+  private[graft] def resolveAutoNprobe(index: IndexData, ann: (Int, Int),
+      target: Double = 0.9): (Int, Int) =
+    if (ann._1 != AutoNprobe) ann
+    else {
+      val np = index.setting(graft.index.AnnIndex.RecallCurveKey)
+        .map(graft.index.AnnIndex.decodeCurve)
+        .flatMap(c => c.find(_._2 >= target).orElse(c.lastOption).map(_._1))
+        .getOrElse(2)
+      System.err.println(
+        f"[graft] --ann ivf:auto resolved to nprobe=$np (fitted sample " +
+          f"recall target $target%.2f; curve ${index.setting(
+            graft.index.AnnIndex.RecallCurveKey).getOrElse("absent — default 2")}%s)")
+      (np, ann._2)
+    }
 
   private def runSearch(index: IndexData, db: String, query: String, k: Int, rerank: Boolean,
       removeP: Option[String], addP: Option[String], ann: (Int, Int) = (0, 0),
@@ -484,11 +511,12 @@ object Cli {
     arg(a, "--query") match {
       case Some(query) =>
         val index = IndexData.load(spark, db)
-        driftWarning(index, ann).foreach(System.err.println)
-        segmentsWarning(index, ann).foreach(System.err.println)
-        recallWarning(index, ann).foreach(System.err.println)
-        val hits = runSearch(index, db, query, k, rerank, removeP, addP, ann, fusion, threshold, phrase)
-        if (annVerify && (ann._1 > 0 || ann._2 > 0)) {
+        val annR = resolveAutoNprobe(index, ann)
+        driftWarning(index, annR).foreach(System.err.println)
+        segmentsWarning(index, annR).foreach(System.err.println)
+        recallWarning(index, annR).foreach(System.err.println)
+        val hits = runSearch(index, db, query, k, rerank, removeP, addP, annR, fusion, threshold, phrase)
+        if (annVerify && (annR._1 > 0 || annR._2 > 0)) {
           val exact = runSearch(
             index, db, query, k, rerank, removeP, addP, (0, 0), fusion, threshold, phrase)
           annVerifyNote(hits.map(_.getAs[String]("doc_id")).toSeq,
@@ -502,13 +530,14 @@ object Cli {
         // skipped, EOF exits. The index datasets stay cached across queries.
         disableAqeForOnline(spark)
         val index = IndexData.load(spark, db).cached()
-        driftWarning(index, ann).foreach(System.err.println)
-        segmentsWarning(index, ann).foreach(System.err.println)
-        recallWarning(index, ann).foreach(System.err.println)
+        val annR = resolveAutoNprobe(index, ann)
+        driftWarning(index, annR).foreach(System.err.println)
+        segmentsWarning(index, annR).foreach(System.err.println)
+        recallWarning(index, annR).foreach(System.err.println)
         index.stats.count() // materialize caches before the first prompt
         System.err.println(s"[graft] interactive search on $db; one query per line, EOF exits")
         interactiveLoop(index, db, scala.io.Source.stdin.getLines(), System.out,
-          k, rerank, removeP, addP, ann, fusion, threshold, phrase)
+          k, rerank, removeP, addP, annR, fusion, threshold, phrase)
     }
     spark.stop()
   }
@@ -557,12 +586,13 @@ object Cli {
     val spark = session()
     disableAqeForOnline(spark)
     val index = IndexData.load(spark, db).cached()
-    driftWarning(index, ann).foreach(System.err.println)
-    segmentsWarning(index, ann).foreach(System.err.println)
+    val annR = resolveAutoNprobe(index, ann)
+    driftWarning(index, annR).foreach(System.err.println)
+    segmentsWarning(index, annR).foreach(System.err.println)
     index.stats.count() // materialize caches before serving
 
     def answer(query: String, k: Int): String = {
-      val hits = runSearch(index, db, query, k, rerank = true, removeP, addP, ann, fusion, threshold)
+      val hits = runSearch(index, db, query, k, rerank = true, removeP, addP, annR, fusion, threshold)
       s"""{"results":${hitsJson(hits)}}"""
     }
 

@@ -164,7 +164,12 @@ object AnnIndex {
       vecCol: String, k: Int = 10, sample: Int = 8): Seq[(Int, Double)] = {
     val corpus = docs.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("_did"), col(vecCol).as("_dvec"))
-    val qs = corpus.orderBy(col("_did")).limit(sample)
+    // deterministic SPREAD sample: order by md5(id) — ids often correlate
+    // with ingest order/content, so "first 8 by id" could land in one
+    // cluster and flatter the curve; a hash order decorrelates for free
+    // and TakeOrdered keeps it one bounded pass
+    val qs = corpus.orderBy(md5(col("_did").cast("string")), col("_did"))
+      .limit(sample)
       .select(col("_did").as("_qid"), col("_dvec").as("_qvec"))
       .localCheckpoint(true)
     val exact = Similarity.bruteForceTopK(qs, "_qid", "_qvec",

@@ -28,7 +28,34 @@ class CliInteractiveSpec extends AnyFunSuite {
     assert(Cli.parseAnn(Some("pq:100")) == (0, 100))
     assert(Cli.parseAnn(Some("ivf+pq")) == (2, 50))
     assert(Cli.parseAnn(Some("ivf:3+pq:80")) == (3, 80))
+    assert(Cli.parseAnn(Some("ivf:auto")) == (Cli.AutoNprobe, 0))
     intercept[RuntimeException](Cli.parseAnn(Some("hnsw")))
+  }
+
+  test("ivf:auto resolves the smallest nprobe meeting the fitted recall target") {
+    import spark.implicits._
+    def idxWith(curve: Option[String]): IndexData = {
+      val settings = curve match {
+        case Some(c) => Seq(Setting(graft.index.AnnIndex.RecallCurveKey, c)).toDF()
+        case None    => Seq.empty[Setting].toDF()
+      }
+      IndexData.fromDocuments(
+        Seq(("d1", "a b")).toDF("doc_id", "content")
+          .withColumn("tokens", split(col("content"), " ")),
+        settings)
+    }
+    val idx = idxWith(Some("1:0.40,2:0.95,4:1.00"))
+    // smallest step meeting 0.9 is nprobe=2
+    assert(Cli.resolveAutoNprobe(idx, (Cli.AutoNprobe, 0)) == (2, 0))
+    // a curve never reaching the target probes everything (its last step)
+    val low = idxWith(Some("1:0.10,2:0.30,4:0.50"))
+    assert(Cli.resolveAutoNprobe(low, (Cli.AutoNprobe, 0)) == (4, 0))
+    // pre-curve artifact: the ivf default
+    assert(Cli.resolveAutoNprobe(idxWith(None), (Cli.AutoNprobe, 0)) == (2, 0))
+    // non-auto requests pass through untouched (incl. exact and composed)
+    assert(Cli.resolveAutoNprobe(idx, (3, 0)) == (3, 0))
+    assert(Cli.resolveAutoNprobe(idx, (0, 0)) == (0, 0))
+    assert(Cli.resolveAutoNprobe(idx, (Cli.AutoNprobe, 20)) == (2, 20))
   }
 
   test("annVerifyNote reports live recall; silent when exact found nothing") {
