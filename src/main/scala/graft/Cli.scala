@@ -250,6 +250,10 @@ object Cli {
       System.err.println(s"[graft] watching ${docs.head} -> $db (ctrl-c to stop)")
       q.awaitTermination()
     } else {
+      corpusFitRebuildWarning(embedder, opts.mergeMode, opts.clear,
+        artifactExists = java.nio.file.Files.exists(
+          java.nio.file.Paths.get(db, "documents")))
+        .foreach(System.err.println)
       val index = embedder match {
         case "tfidf"    => IndexJob.runTfIdf(spark, docs, db, dim, analyzer, opts)
         case "word2vec" => IndexJob.runWord2Vec(spark, docs, db, dim, analyzer, opts)
@@ -316,6 +320,25 @@ object Cli {
       case _ => new HashingEmbedder(dim)
     }
   }
+
+  /** Corpus-fit embedders (tfidf/word2vec) ALWAYS rebuild the artifact
+    * from the given `--docs` (the model fits over the scanned corpus;
+    * merging old-model docs would mix embedding spaces —
+    * [[graft.index.IndexJob.runTfIdf]]). A user combining them with
+    * `--merge append`, or re-indexing an existing artifact without
+    * `--clear`, expects a merge and silently loses every document not
+    * under `--docs` — found by driving the append→compact cycle. Returns
+    * the stderr warning, or None when the combination can't surprise. */
+  private[graft] def corpusFitRebuildWarning(embedder: String,
+      mergeMode: String, clear: Boolean, artifactExists: Boolean): Option[String] =
+    if (!Seq("tfidf", "word2vec").contains(embedder)) None
+    else if (mergeMode != "append" && (clear || !artifactExists)) None
+    else Some(
+      s"[graft] warning: --embedder $embedder is corpus-fit — the index is " +
+        "always REBUILT from the given --docs; merge/append semantics do " +
+        "not apply and existing documents outside --docs will be DROPPED. " +
+        "Use --watch for incremental corpus-fit indexing, or the hashing " +
+        "embedder for append merges.")
 
   /** Sentinel nprobe for `--ann ivf:auto` — resolved against the fitted
     * recall curve by [[resolveAutoNprobe]] once the index is loaded. */

@@ -83,6 +83,25 @@ class CliInteractiveSpec extends AnyFunSuite {
     assert(Cli.thresholdWarning(Some(0.01), "rrf", 50).isDefined)
   }
 
+  test("corpusFitRebuildWarning fires when a corpus-fit embedder would surprise a merge") {
+    // --merge append with tfidf/word2vec: always a surprise
+    assert(Cli.corpusFitRebuildWarning("tfidf", "append", clear = false,
+      artifactExists = false).exists(_.contains("REBUILT")))
+    assert(Cli.corpusFitRebuildWarning("word2vec", "append", clear = true,
+      artifactExists = true).isDefined)
+    // rewrite over an EXISTING artifact without --clear: also a surprise
+    assert(Cli.corpusFitRebuildWarning("tfidf", "rewrite", clear = false,
+      artifactExists = true).isDefined)
+    // fresh build, or explicit --clear: exactly what the user asked for
+    assert(Cli.corpusFitRebuildWarning("tfidf", "rewrite", clear = false,
+      artifactExists = false).isEmpty)
+    assert(Cli.corpusFitRebuildWarning("tfidf", "rewrite", clear = true,
+      artifactExists = true).isEmpty)
+    // hashing embedder honors merges — never warns
+    assert(Cli.corpusFitRebuildWarning("hashing", "append", clear = false,
+      artifactExists = true).isEmpty)
+  }
+
   test("shortlistWarning fires only when the pq shortlist starves top-k") {
     assert(Cli.shortlistWarning((0, 3), 5).exists(_.contains("at most 3")))
     assert(Cli.shortlistWarning((2, 3), 5).isDefined)  // composed path too
