@@ -289,6 +289,41 @@ object ExtraQueries {
         "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY event_type ORDER BY event_type")),
 
+    // Skew-resistant JOIN: the salting sibling of q_skew_salted_agg for a
+    // big×big equi-join. When one join key is hot, a plain sort-merge join
+    // funnels every row of that key into one reducer — the 100 TB straggler.
+    // Salting fans the probe side over S sub-keys (a deterministic hash of
+    // a non-key column) and replicates the build side S× (explode over the
+    // salt domain), so the join key becomes (key, salt) and each hot key
+    // spreads across S reducers. The replication cost is S× the SMALLER
+    // side only; results are identical because every (probe, build) pair
+    // still meets on exactly one salt. AQE's skew-join split handles
+    // runtime-detected skew; explicit salting is the portable plan-level
+    // guarantee when the hot keys are known (the shape is pinned even at
+    // fixture scale via the merge hint — Catalyst would broadcast here).
+    Q("q_skew_salted_join",
+      (s, d) => {
+        val S = 4
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+            pmod(col("l_linenumber").cast("long"), lit(S.toLong)).as("_salt"))
+        val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+          .withColumn("_salt", explode(sequence(lit(0L), lit(S.toLong - 1))))
+        li.join(o.hint("merge"),
+            col("l_orderkey") === col("o_orderkey") && li("_salt") === o("_salt"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).cast("long").as("n_items"),
+            sum((col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(BigDecimal(1)).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+              .cast("decimal(28,4)")).cast("double").as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items, " +
+        "CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+
     // HLL sketch distinct count — engine-specific estimates, so the gate is
     // rows-only; EmbedSpec-style accuracy is asserted in ScalaTest instead
     Q("q_approx_distinct",
@@ -442,5 +477,96 @@ object ExtraQueries {
         "CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es, " +
         "CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh, " +
         "CAST(sum(CASE WHEN lang NOT IN ('en', 'es', 'zh') THEN 1 ELSE 0 END) AS BIGINT) AS n_other " +
-        "FROM documents GROUP BY source ORDER BY source")))
+        "FROM documents GROUP BY source ORDER BY source")),
+
+    // Range join: point-in-interval, binned to an equi-join. Naive Spark
+    // plans a range-only join condition as BroadcastNestedLoopJoin (every
+    // probe against every interval — O(n·m) at 100 TB). The scale path
+    // quantizes the day line into fixed-width bins: an interval registers
+    // in every bin it overlaps (explode(sequence)), a point probes exactly
+    // one bin, and the join becomes an EQUI-join on bin + an exact range
+    // filter. Bin width 64 d > the max interval length (50 d) bounds the
+    // duplication factor at 2×, and because a point lives in one bin each
+    // matching pair joins exactly once — no post-join dedup. The interval
+    // is a synthesized delivery window [shipdate, shipdate + quantity
+    // days] (the fixture carries no receiptdate); probes are the distinct
+    // order dates of a small key range, so Catalyst broadcasts them — the
+    // lineitem side never shuffles. With a corpus-sized probe side the
+    // same plan degrades gracefully to a sort-merge equi-join on bin.
+    Q("q_range_join",
+      (s, d) => {
+        val B = 64
+        val probes = t(s, d, "orders").filter(col("o_orderkey") < 500)
+          .select(col("o_orderdate")).distinct()
+          .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+            datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date")).as("od"))
+          .withColumn("bin", expr(s"od div $B"))
+        val iv = t(s, d, "lineitem")
+          .select(
+            datediff(col("l_shipdate").cast("date"), lit("1992-01-01").cast("date")).as("sd"),
+            col("l_quantity"))
+          .withColumn("ed", col("sd") + col("l_quantity").cast("int"))
+          .withColumn("bin", explode(sequence(expr(s"sd div $B"), expr(s"ed div $B"))))
+        iv.join(probes, Seq("bin"))
+          .filter(col("sd") <= col("od") && col("od") <= col("ed"))
+          .groupBy("order_date")
+          .agg(count(lit(1)).cast("long").as("n_items"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .orderBy("order_date")
+      },
+      Some("WITH p AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS pd " +
+        "FROM orders WHERE o_orderkey < 500), " +
+        "pn AS (SELECT pd, date_diff('day', DATE '1992-01-01', pd) AS od FROM p), " +
+        "iv AS (SELECT date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS sd, " +
+        "date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) + CAST(l_quantity AS INT) AS ed, " +
+        "l_quantity FROM lineitem) " +
+        "SELECT strftime(pd, '%Y-%m-%d') AS order_date, CAST(count(*) AS BIGINT) AS n_items, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM pn JOIN iv ON iv.sd <= pn.od AND pn.od <= iv.ed " +
+        "GROUP BY pd ORDER BY order_date")),
+
+    // Bucketed co-located join: the zero-shuffle layout for a join both
+    // sides of which are too big to broadcast. Both tables are written
+    // bucketed on the join key (`bucketBy` + one file per bucket), so each
+    // scan reports HashPartitioning(key, n) and the sort-merge join — and
+    // the per-key aggregate above it — consume that partitioning directly:
+    // the only exchange in the whole plan is the presentation sort's. At
+    // 100 TB this is the difference between shuffling both fact tables on
+    // every join and paying the shuffle ONCE at layout time, then joining
+    // bucket-to-bucket forever after (bucket count scales with data;
+    // 8 keeps the fixture readable). The merge hint pins SMJ so the plan
+    // demonstrates the big×big case even at test scale, where Catalyst
+    // would otherwise broadcast the small side. The bucketed write is part
+    // of the measured query (the layout build is the honest cost); the
+    // oracle reads the plain tables — the layout must be
+    // semantics-invisible.
+    Q("q_join_bucketed",
+      (s, d) => {
+        val nb = 8
+        val base = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+        def bucketed(df: DataFrame, key: String, table: String): DataFrame = {
+          // repartition on the bucket key first: each task then owns whole
+          // buckets and writes one file per bucket (tasks × buckets files
+          // otherwise), which also lets the sorted-bucket read skip sorts
+          df.repartition(nb, col(key))
+            .write.mode("overwrite")
+            .bucketBy(nb, key).sortBy(key)
+            .option("path", s"$base/$table")
+            .saveAsTable(table)
+          s.table(table)
+        }
+        val o = bucketed(t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+          "o_custkey", "graft_bkt_orders")
+        val c = bucketed(t(s, d, "customer").select("c_custkey", "c_mktsegment"),
+          "c_custkey", "graft_bkt_customer")
+        o.hint("merge").join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_custkey")
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+          .orderBy("c_custkey")
+      },
+      Some("SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_orders, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_custkey ORDER BY c_custkey")))
 }

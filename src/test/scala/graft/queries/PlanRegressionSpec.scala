@@ -251,6 +251,36 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(onlyFusionSortMerge(p) && !p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("range join bins to an equi-join, never a nested-loop over intervals") {
+    val p = plan("q_range_join")
+    // the bin quantization must turn the range condition into a hash-joinable
+    // equi key: a BroadcastNestedLoopJoin/CartesianProduct here means the
+    // range predicate reached the planner bare and every probe scans every
+    // interval
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+  }
+
+  test("salted join: the sort-merge keys carry the salt") {
+    val p = plan("q_skew_salted_join")
+    // the whole point: the shuffle key is (orderkey, salt), so a hot
+    // orderkey spreads across S reducers instead of funneling into one
+    val smj = "SortMergeJoin [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(smj.contains("_salt"), s"salt not in the join key: $smj\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("bucketed join: no hash exchange anywhere — both scans carry the bucket partitioning") {
+    val p = plan("q_join_bucketed")
+    // the whole point of the bucketed layout: join AND per-key aggregate
+    // consume HashPartitioning(key, n) straight from the scans; the only
+    // exchange left is the presentation sort's range partitioning
+    assert(p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+    assert(p.contains("Bucketed: true"), p.take(1500))
+  }
+
   test("pq and composed ivf+pq e2e search: ADC sum partial-aggregates; shortlist rides broadcasts") {
     Seq("q_search_e2e_pq", "q_search_e2e_ivfpq").foreach { n =>
       val p = plan(n)
