@@ -207,4 +207,15 @@ object Dedup {
     val inter = s"CAST(len(list_filter($a, x -> list_contains($b, x))) AS DOUBLE)"
     s"$inter / (CAST(len($a) AS DOUBLE) + CAST(len($b) AS DOUBLE) - $inter)"
   }
+
+  /** Asymmetric containment of DISTINCT-element set `a` in `b`: |a∩b|/|a|.
+    * The sub-document-duplication measure Jaccard misses: a short doc fully
+    * embedded in a long one has jaccard ≈ |a|/|b| (arbitrarily small) but
+    * containment(a,b) = 1. Requires size(a) > 0. */
+  def containment(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(a).cast("double")
+
+  def containmentSql(a: String, b: String): String =
+    s"CAST(len(list_filter($a, x -> list_contains($b, x))) AS DOUBLE) / " +
+      s"CAST(len($a) AS DOUBLE)"
 }

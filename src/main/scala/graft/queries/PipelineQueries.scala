@@ -352,6 +352,39 @@ object PipelineQueries {
         "FROM spairs JOIN shc sa ON spairs.doc_a = sa.doc_id JOIN shc sb ON spairs.doc_b = sb.doc_id " +
         "ORDER BY doc_a, doc_b")),
 
+    // Asymmetric CONTAINMENT verification over the same LSH candidates:
+    // |A∩B|/|A| in both directions. This is the sub-document-duplication
+    // measure Jaccard misses — a short doc fully embedded in a boilerplate
+    // page has jaccard ≈ |A|/|B| (arbitrarily small) but containment 1.0,
+    // and training pipelines drop exactly those. Candidates still come from
+    // the band buckets (never all-pairs); the honest caveat is that
+    // minhash-LSH recall is calibrated to JACCARD, so very-low-jaccard
+    // containment pairs can miss the candidate stage — the at-scale fix is
+    // containment-calibrated banding (LSH Ensemble, Zhu et al., VLDB'16),
+    // which swaps the band layout, not this verify dataflow. The ≥0.5 gate
+    // compares ROUNDED values so the cut line is identical cross-engine.
+    Q("q_dedup_containment",
+      (s, d) => {
+        val tokenized = docs(s, d)
+        val shingleSets = tokenized.filter(size(col("tokens")) >= 3)
+          .select(col("doc_id"), array_distinct(Dedup.shingles(col("tokens"))).as("ds"))
+        Dedup.spreadForKernel(minhashPairsOf(tokenized)
+            .join(shingleSets.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
+            .join(shingleSets.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b")))
+          .select(col("doc_a"), col("doc_b"),
+            round(Dedup.containment(col("dsa"), col("dsb")), 6).as("cont_ab"),
+            round(Dedup.containment(col("dsb"), col("dsa")), 6).as("cont_ba"))
+          .filter(greatest(col("cont_ab"), col("cont_ba")) >= 0.5)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"WITH $minhashCandCtes, " +
+        "cont AS (SELECT doc_a, doc_b, " +
+        s"round(${Dedup.containmentSql("sa.ds", "sb.ds")}, 6) AS cont_ab, " +
+        s"round(${Dedup.containmentSql("sb.ds", "sa.ds")}, 6) AS cont_ba " +
+        "FROM pairs JOIN shc sa ON pairs.doc_a = sa.doc_id JOIN shc sb ON pairs.doc_b = sb.doc_id) " +
+        "SELECT doc_a, doc_b, cont_ab, cont_ba FROM cont " +
+        "WHERE greatest(cont_ab, cont_ba) >= 0.5 ORDER BY doc_a, doc_b")),
+
     // Dup-CLUSTER resolution: connected components over the verified LSH
     // pairs (jaccard ≥ 0.5 edges). Pairwise near-dup hits aren't a dedup
     // decision yet — if A≈B and B≈C all three are one cluster and exactly

@@ -109,6 +109,21 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(df.head().getDouble(0) - 1.0 / 3.0) < 1e-12)
   }
 
+  test("containment: asymmetric, 1.0 for a subset, and never below jaccard") {
+    // a ⊂ b: containment(a,b)=1 while jaccard = |a|/|b| — the sub-document
+    // dup case the symmetric measure hides
+    val df = Seq((Seq("x", "y"), Seq("x", "y", "z", "w")))
+      .toDF("a", "b")
+      .select(
+        Dedup.containment($"a", $"b").as("cab"),
+        Dedup.containment($"b", $"a").as("cba"),
+        Dedup.jaccard($"a", $"b").as("j"))
+    val r = df.head()
+    assert(r.getDouble(0) == 1.0)
+    assert(math.abs(r.getDouble(1) - 0.5) < 1e-12)
+    assert(r.getDouble(2) <= math.min(r.getDouble(0), r.getDouble(1)) + 1e-12)
+  }
+
   test("brute-force top-k returns self-excluded nearest neighbors") {
     val vecs = Seq(
       (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
