@@ -152,9 +152,15 @@ object IndexJob {
   private[graft] def chunksToDocs(df: DataFrame, opts: Options): DataFrame = {
     val trimmed = opts.trimPathPrefix match {
       case Some(p) =>
+        // binaryFile stores URIs (`file:/...` locally, `s3a://...` remote),
+        // but users pass filesystem prefixes — an anchored literal match
+        // would silently no-op against the scheme. Accept the plain form by
+        // optionally consuming a `file:` scheme before the prefix; schemed
+        // prefixes (`file:/x`, `s3a://bucket/x`) still match literally.
         df.withColumn("filePath",
           regexp_replace(
-            regexp_replace(col("filePath"), lit("^" + java.util.regex.Pattern.quote(p)), lit("")),
+            regexp_replace(col("filePath"),
+              lit("^(?:file:)?" + java.util.regex.Pattern.quote(p)), lit("")),
             lit("^/+"), lit("")))
       case None => df
     }

@@ -98,8 +98,11 @@ object HybridSearch {
   def rewritePath(path: Column, remove: Option[String], add: Option[String]): Column = {
     val removed = remove match {
       case Some(p) =>
+        // stored paths may carry a `file:` URI scheme (binaryFile scan) that
+        // index-time trimming left in place; a user's plain `/docs` prefix
+        // must still strip `file:/docs/...` — consume the scheme optionally
         regexp_replace(path,
-          lit("^" + java.util.regex.Pattern.quote(normPrefix(p)) + "/?"), lit(""))
+          lit("^(?:file:)?" + java.util.regex.Pattern.quote(normPrefix(p)) + "/?"), lit(""))
       case None => path
     }
     add match {

@@ -91,4 +91,18 @@ class IndexJobSpec extends AnyFunSuite {
     val reloaded = graft.index.IndexData.load(spark, indexDir)
     assert(reloaded.setting("new_key").contains("v1"))
   }
+
+  test("a PLAIN --trim-path-prefix strips the file:-schemed scan paths") {
+    // the CLI-user form: no `file:` scheme on the prefix — must not
+    // silently no-op against binaryFile's `file:/...` URIs
+    val root = Files.createTempDirectory("graft-trim").toFile
+    val docs = new java.io.File(root, "docs"); docs.mkdirs()
+    Files.writeString(new java.io.File(docs, "plain.md").toPath,
+      "# T\n\nsome content here.\n")
+    val index = IndexJob.run(spark, Seq(docs.getAbsolutePath),
+      new java.io.File(root, "idx").getAbsolutePath, new HashingEmbedder(16),
+      opts = IndexJob.Options(trimPathPrefix = Some(docs.getAbsolutePath)))
+    val paths = index.documents.collect().map(_.getAs[String]("file_path")).toSet
+    assert(paths == Set("plain.md"), paths)
+  }
 }

@@ -102,6 +102,17 @@ class SearchSpec extends AnyFunSuite {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("path rewrite strips a plain prefix from file:-schemed stored paths") {
+    // binaryFile scans store `file:/...` URIs; a user's plain filesystem
+    // prefix must still strip them (the silent-no-op regression)
+    import spark.implicits._
+    val out = Seq("file:/data/docs/a.md", "/data/docs/b.md", "/other/c.md")
+      .toDF("p")
+      .select(HybridSearch.rewritePath($"p", Some("/data/docs"), Some("x")).as("r"))
+      .as[String].collect().toSeq
+    assert(out == Seq("x/a.md", "x/b.md", "x//other/c.md"))
+  }
+
   test("search degrades to FTS-only without an embedder (reference VSS fallback)") {
     val hits = HybridSearch.search(index, "spark",
       analyzer = graft.analyze.WhitespaceAnalyzer,
