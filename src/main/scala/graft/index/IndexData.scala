@@ -206,6 +206,12 @@ object IndexData {
     * broadcasts the (tiny between compactions) tombstone set; consumers see
     * canonical schemas either way. */
   def load(spark: SparkSession, dir: String): IndexData = {
+    // a clean not-an-index error beats the raw FileNotFound stack the
+    // parquet reader would throw three calls deeper
+    val settingsPath = new org.apache.hadoop.fs.Path(s"$dir/settings")
+    val fs = settingsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(settingsPath))
+      sys.error(s"no index at $dir (missing $dir/settings — run `graft index --db $dir` first)")
     finishCompactSwap(spark, dir) // heal a crashed compaction, if any
     val segs = segments(spark, dir)
     val settings = spark.read.parquet(s"$dir/settings")
