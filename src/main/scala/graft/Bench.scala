@@ -156,6 +156,7 @@ object Bench {
     * bench_details.json; only the printed map is subset. */
   private val Headline: Seq[String] = Seq(
     "q_agg_pricing_summary", "q_asof_join", "q_batch_search", "q_events_time_slice",
+    "q_range_join", "q_join_bucketed",
     "q_decontaminate", "q_dedup_components", "q_dedup_embed_lsh_knn",
     "q_dedup_exact", "q_dedup_minhash_pairs", "q_f4_bm25_topk",
     "q_embed_pq", "q_mm_frame_sample", "q_o1_topk_desc", "q_pack_sequences",
