@@ -34,6 +34,11 @@ import graft.search.HybridSearch
   *                    [--trim-prefix P] [--add-prefix P] [--protocol jsonl]
   *                    [--ann ivf[:nprobe]]
   *   graft.Cli compact --db DIR [--layout zorder|hilbert [--layout-files N]]
+  *   graft.Cli curate --in DOCS --out DIR [--format parquet|jsonl|csv|tsv]
+  *                    [--jaccard T] [--keep minid|longest] [--bucket-policy cap|subsplit]
+  *                    [--boilerplate-max F] [--decontaminate BENCH [--contamination-max F]]
+  *                    [--sample] [--layout zorder|hilbert [--layout-cols x,y] [--layout-files N]]
+  *                    [--shards N]
   * }}}
   *
   * `--db` is the index *directory* (the artifact of SURVEY.md §1.3), not a
@@ -104,7 +109,8 @@ object Cli {
     * parquet, writing `OUT/kept` + `OUT/report` — the pipeline-extension
     * surface as a usable tool (SURVEY.md §2.13). */
   private def curateCmd(a: Array[String]): Unit = {
-    val in = arg(a, "--in").getOrElse(sys.error("--in <documents.parquet> required"))
+    val in = arg(a, "--in").getOrElse(
+      sys.error("--in <documents .parquet/.jsonl/.csv> required"))
     val out = arg(a, "--out").getOrElse(sys.error("--out <dir> required"))
     val opts = graft.ops.CuratePipeline.Opts(
       jaccardThreshold = arg(a, "--jaccard").map(_.toDouble).getOrElse(0.5),
@@ -115,13 +121,15 @@ object Cli {
       // `--boilerplate-max F`: drop docs dominated by corpus-repeated windows
       boilerplateMax = arg(a, "--boilerplate-max").map(_.toDouble).getOrElse(-1.0))
     val spark = session()
-    val docs = spark.read.parquet(in)
-    // `--decontaminate BENCH.parquet [--contamination-max F]`: screen the
-    // corpus against a benchmark parquet (doc_id, text) before dedup
+    // `--format parquet|jsonl|csv|tsv` (default: by extension) — JSONL/CSV
+    // corpora read through DocSources with pinned schemas (no inference scan)
+    val docs = graft.sources.DocSources.read(spark, in, arg(a, "--format"))
+    // `--decontaminate BENCH[.parquet|.jsonl|.csv] [--contamination-max F]`:
+    // screen the corpus against a benchmark table (doc_id, text) before dedup
     val optsD = arg(a, "--decontaminate") match {
       case None => opts
       case Some(benchPath) => opts.copy(
-        decontaminate = Some(spark.read.parquet(benchPath)),
+        decontaminate = Some(graft.sources.DocSources.read(spark, benchPath, None)),
         contaminationMax =
           arg(a, "--contamination-max").map(_.toDouble).getOrElse(0.05))
     }

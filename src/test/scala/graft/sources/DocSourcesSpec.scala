@@ -1,0 +1,75 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class DocSourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft-src").toFile
+    val f = new java.io.File(dir, name)
+    Files.writeString(f.toPath, content)
+    f.getAbsolutePath
+  }
+
+  test("jsonl reads with the pinned schema; extra fields ignored, no inference") {
+    val p = tmp("docs.jsonl",
+      """{"doc_id": 1, "text": "alpha beta", "lang": "en", "junk": {"deep": [1,2]}}
+        |{"doc_id": 2, "text": "gamma delta", "source": "web"}
+        |""".stripMargin)
+    val df = DocSources.read(spark, p)
+    assert(df.columns.toSeq == Seq("doc_id", "text", "lang", "source"))
+    val rows = df.orderBy("doc_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "alpha beta")
+    assert(rows(0).getString(2) == "en" && rows(0).isNullAt(3))
+    assert(rows(1).getString(3) == "web" && rows(1).isNullAt(2))
+  }
+
+  test("csv reads header-typed and casts the contract columns") {
+    val p = tmp("docs.csv",
+      "doc_id,text,lang\n10,hello world,en\n11,more text here,es\n")
+    val rows = DocSources.read(spark, p).orderBy("doc_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 10L && rows(0).getString(1) == "hello world")
+    assert(rows(1).getString(2) == "es")
+    assert(rows(0).isNullAt(3)) // no source column -> null, schema stable
+  }
+
+  test("format inference by extension, including compressed") {
+    assert(DocSources.formatOf("/x/a.jsonl") == "jsonl")
+    assert(DocSources.formatOf("/x/a.JSONL.gz") == "jsonl")
+    assert(DocSources.formatOf("/x/a.csv.zst") == "csv")
+    assert(DocSources.formatOf("/x/a.parquet") == "parquet")
+    assert(DocSources.formatOf("/x/dir") == "parquet")
+  }
+
+  test("missing contract columns fail loudly") {
+    val p = tmp("bad.csv", "id,body\n1,hello\n")
+    val e = intercept[RuntimeException](DocSources.read(spark, p))
+    assert(e.getMessage.contains("doc_id") && e.getMessage.contains("text"))
+  }
+
+  test("wholesale-unparseable ids fail loudly (wrong separator probe)") {
+    val p = tmp("sep.csv", "doc_id\ttext\n1\thello\n2\tworld\n") // tabs in a .csv
+    val e = intercept[RuntimeException](DocSources.read(spark, p))
+    assert(e.getMessage.contains("doc_id") || e.getMessage.contains("missing"))
+  }
+
+  test("a jsonl corpus runs the full curate chain") {
+    val lines = (0 until 40).map { i =>
+      val words = if (i % 10 == 0) "tiny" // gated: too short to shingle
+      else s"document number $i talks about spark joins and shuffles at scale " +
+        s"with plenty of distinct words ${"w" + i} to pass the quality gate"
+      s"""{"doc_id": $i, "text": "$words"}"""
+    }
+    val p = tmp("corpus.jsonl", lines.mkString("", "\n", "\n"))
+    val docs = DocSources.read(spark, p)
+    val (kept, report) = graft.ops.CuratePipeline.run(docs)
+    val (nKept, nDropped) = (kept.count(), report.count())
+    assert(nKept > 0 && nKept < 40) // the short docs are gated out
+    assert(nKept + nDropped == 40) // report = one row per dropped doc
+  }
+}
