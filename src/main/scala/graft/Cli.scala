@@ -11,6 +11,8 @@ import graft.search.HybridSearch
   *
   * {{{
   *   graft.Cli index  --db DIR --docs D1 [D2 ...] [--clear] [--trim-path-prefix P]
+  *                    (--docs may also be ONE .jsonl/.csv FILE: a pre-curated
+  *                     row corpus — one row = one chunk, no splitter)
   *                    [--chunk-size N] [--overlap N] [--embedding-dim N]
   *                    [--analyzer default|bigram|whitespace]
   *                    [--dict FILE]   (CJK dictionary longest-match; wordlist persists in settings)
@@ -262,11 +264,26 @@ object Cli {
         artifactExists = java.nio.file.Files.exists(
           java.nio.file.Paths.get(db, "documents")))
         .foreach(System.err.println)
-      val index = embedder match {
-        case "tfidf"    => IndexJob.runTfIdf(spark, docs, db, dim, analyzer, opts)
-        case "word2vec" => IndexJob.runWord2Vec(spark, docs, db, dim, analyzer, opts)
-        case _          => IndexJob.run(spark, docs, db, new HashingEmbedder(dim), analyzer, opts)
-      }
+      // a single --docs argument that is a JSONL/CSV FILE indexes a
+      // pre-curated row corpus (one row = one chunk; see IndexJob.runRows);
+      // directories take the markdown scan as before
+      val rowCorpus = docs.size == 1 &&
+        graft.sources.DocSources.formatOf(docs.head) != "parquet" &&
+        java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(docs.head))
+      val index =
+        if (rowCorpus) {
+          val rows = graft.sources.DocSources.read(spark, docs.head, None)
+          embedder match {
+            case "tfidf" | "word2vec" =>
+              IndexJob.runRowsFit(spark, rows, db, embedder, dim, analyzer, opts)
+            case _ =>
+              IndexJob.runRows(spark, rows, db, new HashingEmbedder(dim), analyzer, opts)
+          }
+        } else embedder match {
+          case "tfidf"    => IndexJob.runTfIdf(spark, docs, db, dim, analyzer, opts)
+          case "word2vec" => IndexJob.runWord2Vec(spark, docs, db, dim, analyzer, opts)
+          case _          => IndexJob.run(spark, docs, db, new HashingEmbedder(dim), analyzer, opts)
+        }
       println(s"indexed ${index.documents.count()} chunks into $db")
       // a freshly-fit IVF sidecar measured its own sample recall curve —
       // show the user the dial they just bought (see `--ann ivf:N`)

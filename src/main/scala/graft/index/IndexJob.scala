@@ -194,6 +194,46 @@ object IndexJob {
       mergeMode = opts.mergeMode)
   }
 
+  /** Index a pre-curated ROW corpus (JSONL/CSV read through
+    * [[graft.sources.DocSources]], or any (doc_id, text[, source]) frame):
+    * each row becomes ONE document chunk — sizing belongs to the upstream
+    * curation pass (`q_token_windows`/chunk-size there), so no splitter
+    * runs here. No markdown structure exists: file_path is the row's
+    * `source` when present else a `doc:<id>` synthetic, header_path empty,
+    * line range 1..(line count). Same merge/sidecar/layout machinery as the
+    * markdown run — the artifact is indistinguishable downstream. */
+  /** (doc_id, text[, source]) rows → one [[Chunk]] per row: `source` (or a
+    * `doc:<id>` synthetic) as the path, empty header, 1..lineCount range. */
+  private def rowChunks(rows: DataFrame, analyzer: Analyzer): Dataset[Chunk] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val srcCol =
+      if (rows.columns.contains("source"))
+        coalesce(col("source"), concat(lit("doc:"), col("doc_id")))
+      else concat(lit("doc:"), col("doc_id"))
+    val an = analyzer // Analyzer extends Serializable — ships to executors
+    rows
+      .select(srcCol.cast("string").as("p"), col("text").cast("string").as("t"))
+      .filter(col("t").isNotNull)
+      .as[(String, String)]
+      .map { case (p, t) => Chunk(p, "", 1, 1 + t.count(_ == '\n'), t, an.tokenize(t)) }
+  }
+
+  def runRows(
+      spark: SparkSession,
+      rows: org.apache.spark.sql.DataFrame,
+      indexDir: String,
+      embedder: Embedder,
+      analyzer: Analyzer = DefaultAnalyzer,
+      opts: Options = Options()): IndexData = {
+    val fresh = embedChunks(rowChunks(rows, analyzer), embedder, opts)
+    mergeAndWrite(spark, fresh, settingsFor(spark, embedder, analyzer), indexDir,
+      clear = opts.clear, annClusters = opts.annClusters, annIters = opts.annIters,
+      annRefit = opts.annRefit, pqCodes = opts.pqCodes, pqIters = opts.pqIters,
+      pqRefit = opts.pqRefit, layout = opts.layout, layoutFiles = opts.layoutFiles,
+      mergeMode = opts.mergeMode)
+  }
+
   /** S4 semantics (reference `--clear`, `src/indexer.py:48-50`): with
     * clear=false, existing documents are kept and re-indexed paths are
     * replaced (keyed anti-join, then union); stats always rebuild from the
@@ -654,13 +694,35 @@ object IndexJob {
       dim: Int = 256,
       analyzer: Analyzer = DefaultAnalyzer,
       opts: Options = Options()): IndexData = {
-    import spark.implicits._
     val chunker = chunkerFor(opts, analyzer)
     val chunks = chunkFiles(scanMarkdown(spark, dirs), chunker).toDF()
-    val (embedded, model) = graft.embed.TfIdfEmbed.fitTransform(chunks, "tokens", dim)
-    model.save(spark, s"$indexDir/tfidf_model")
+    fitCorpusAndWrite(spark, chunks, indexDir, dim, analyzer, opts, "tfidf")
+  }
+
+  /** Shared corpus-fit tail of [[runTfIdf]]/[[runWord2Vec]] (and their
+    * row-corpus siblings): fit the model over the chunk frame, persist it,
+    * and write the artifact. Corpus-fit models always rebuild (clear=true —
+    * see the CLI's corpusFitRebuildWarning). */
+  private def fitCorpusAndWrite(
+      spark: SparkSession,
+      chunks: DataFrame,
+      indexDir: String,
+      dim: Int,
+      analyzer: Analyzer,
+      opts: Options,
+      kind: String): IndexData = {
+    val (embedded, modelName) = kind match {
+      case "tfidf" =>
+        val (e, m) = graft.embed.TfIdfEmbed.fitTransform(chunks, "tokens", dim)
+        m.save(spark, s"$indexDir/tfidf_model"); (e, m.name)
+      case "word2vec" =>
+        val (e, m) = graft.embed.Word2VecEmbed.fitTransform(chunks, "tokens", dim,
+          sortCols = Seq("filePath", "lineStart"))
+        m.save(spark, s"$indexDir/w2v_model"); (e, m.name)
+      case other => sys.error(s"unknown corpus-fit embedder '$other'")
+    }
     val docs = chunksToDocs(embedded, opts)
-    mergeAndWrite(spark, docs, settingsOf(spark, model.name, dim,
+    mergeAndWrite(spark, docs, settingsOf(spark, modelName, dim,
       graft.analyze.Analyzers.nameOf(analyzer)), indexDir,
       clear = true, annClusters = opts.annClusters, annIters = opts.annIters,
       pqCodes = opts.pqCodes, pqIters = opts.pqIters,
@@ -679,20 +741,23 @@ object IndexJob {
       dim: Int = 64,
       analyzer: Analyzer = DefaultAnalyzer,
       opts: Options = Options()): IndexData = {
-    import spark.implicits._
     val chunker = chunkerFor(opts, analyzer)
     val chunks = chunkFiles(scanMarkdown(spark, dirs), chunker).toDF()
-    val (embedded, model) =
-      graft.embed.Word2VecEmbed.fitTransform(chunks, "tokens", dim,
-        sortCols = Seq("filePath", "lineStart"))
-    model.save(spark, s"$indexDir/w2v_model")
-    val docs = chunksToDocs(embedded, opts)
-    mergeAndWrite(spark, docs, settingsOf(spark, model.name, dim,
-      graft.analyze.Analyzers.nameOf(analyzer)), indexDir,
-      clear = true, annClusters = opts.annClusters, annIters = opts.annIters,
-      pqCodes = opts.pqCodes, pqIters = opts.pqIters,
-      layout = opts.layout, layoutFiles = opts.layoutFiles)
+    fitCorpusAndWrite(spark, chunks, indexDir, dim, analyzer, opts, "word2vec")
   }
+
+  /** [[runRows]] with a corpus-fit embedder (`kind` = tfidf | word2vec):
+    * the row-corpus face of [[runTfIdf]]/[[runWord2Vec]]. */
+  def runRowsFit(
+      spark: SparkSession,
+      rows: DataFrame,
+      indexDir: String,
+      kind: String,
+      dim: Int = 256,
+      analyzer: Analyzer = DefaultAnalyzer,
+      opts: Options = Options()): IndexData =
+    fitCorpusAndWrite(spark, rowChunks(rows, analyzer).toDF(),
+      indexDir, dim, analyzer, opts, kind)
 
   /** Build an in-memory index straight from an existing table of documents
     * (used by tests and the testdata-corpus queries): any DataFrame with an

@@ -92,6 +92,27 @@ class IndexJobSpec extends AnyFunSuite {
     assert(reloaded.setting("new_key").contains("v1"))
   }
 
+  test("runRows indexes a row corpus: one row = one chunk, searchable end-to-end") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      (1L, "alpha beta gamma spark merging tables", "web/a"),
+      (2L, "delta epsilon different content entirely", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "source")
+    val root = Files.createTempDirectory("graft-rows").toFile
+    val index = IndexJob.runRows(spark, rows,
+      new java.io.File(root, "idx").getAbsolutePath, new HashingEmbedder(16))
+    val docs = index.documents.orderBy("file_path").collect()
+    assert(docs.length == 2)
+    // source column becomes the path; a null source gets the synthetic id path
+    assert(docs.map(_.getAs[String]("file_path")).toSet == Set("web/a", "doc:2"))
+    assert(docs.forall(_.getAs[String]("header_path") == ""))
+    val hits = HybridSearch.search(index, "alpha spark tables",
+      analyzer = DefaultAnalyzer, embedder = Some(new HashingEmbedder(16)),
+      reranker = None, opts = HybridSearch.Options(k = 1)).collect()
+    assert(hits.head.getAs[String]("file_path") == "web/a")
+  }
+
   test("a PLAIN --trim-path-prefix strips the file:-schemed scan paths") {
     // the CLI-user form: no `file:` scheme on the prefix — must not
     // silently no-op against binaryFile's `file:/...` URIs
