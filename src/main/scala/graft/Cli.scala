@@ -240,7 +240,17 @@ object Cli {
       // docs dir into the index until killed (append-only per path — see
       // graft.streaming.IndexStream's contract)
       require(docs.size == 1, "--watch takes exactly one docs directory")
-      val q = embedder match {
+      // `--watch --format jsonl`: watch for JSONL row-corpus DROPS instead
+      // of markdown files (one row = one chunk; per-doc_id upsert across
+      // drops — IndexStream.startRows)
+      val rowWatch = arg(a, "--format").map(_.toLowerCase).contains("jsonl")
+      if (rowWatch) require(embedder == "hashing",
+        s"--watch --format jsonl supports the hashing embedder only (got $embedder); " +
+          "corpus-fit watch staleness contracts are markdown-watch features")
+      val q = if (rowWatch)
+        graft.streaming.IndexStream.startRows(
+          spark, docs.head, db, new HashingEmbedder(dim), analyzer, opts)
+      else embedder match {
         case "tfidf" =>
           // global-fit model, made incremental by the frozen-model +
           // periodic-re-fit staleness contract (IndexStream.startTfIdf;

@@ -204,7 +204,7 @@ object IndexJob {
     * markdown run — the artifact is indistinguishable downstream. */
   /** (doc_id, text[, source]) rows → one [[Chunk]] per row: `source` (or a
     * `doc:<id>` synthetic) as the path, empty header, 1..lineCount range. */
-  private def rowChunks(rows: DataFrame, analyzer: Analyzer): Dataset[Chunk] = {
+  private[graft] def rowChunks(rows: DataFrame, analyzer: Analyzer): Dataset[Chunk] = {
     val spark = rows.sparkSession
     import spark.implicits._
     val srcCol =

@@ -25,7 +25,10 @@ object DocSources {
     "doc_id" -> LongType, "text" -> StringType,
     "lang" -> StringType, "source" -> StringType)
 
-  private val JsonSchema = StructType(Contract.map { case (n, t) =>
+  /** The pinned JSONL read schema (also the streaming-source schema —
+    * streaming reads REQUIRE one up front, which is the same no-inference
+    * discipline the batch path keeps by choice). */
+  val JsonSchema: StructType = StructType(Contract.map { case (n, t) =>
     StructField(n, t, nullable = true)
   })
 

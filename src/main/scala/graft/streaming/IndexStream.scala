@@ -136,6 +136,55 @@ object IndexStream {
       .start()
   }
 
+  /** [[start]]'s ROW-CORPUS sibling: watch a directory for JSONL drops
+    * (`*.jsonl`, one `{doc_id, text[, lang, source]}` object per line — the
+    * DocSources contract, read with its pinned schema) and fold each new
+    * file's rows into the index: one row = one chunk, no splitter
+    * ([[IndexJob.runRows]] semantics). Same exactly-once-per-FILE source
+    * contract as the markdown watch; additionally, because the merge
+    * replaces by path and a row's path is its `source`/`doc:<id>`, a later
+    * drop that re-ships a doc_id REPLACES the earlier row — per-document
+    * upsert across drops, which the markdown watch cannot do (its unit of
+    * replacement is the file). */
+  def startRows(
+      spark: SparkSession,
+      docsDir: String,
+      indexDir: String,
+      embedder: Embedder,
+      analyzer: Analyzer = DefaultAnalyzer,
+      opts: IndexJob.Options = IndexJob.Options(),
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val settings = IndexJob.settingsFor(spark, embedder, analyzer)
+    val rows = spark.readStream
+      .schema(graft.sources.DocSources.JsonSchema)
+      .option("maxFileAge", "36500d") // as in [[markdownSource]]
+      .option("pathGlobFilter", "*.jsonl")
+      .json(docsDir)
+    rows.writeStream
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$indexDir/_index_checkpoint"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val fresh = IndexJob.embedChunks(
+            IndexJob.rowChunks(batch.toDF(), analyzer), embedder, opts)
+          IndexJob.mergeAndWrite(batch.sparkSession, fresh, settings, indexDir,
+            clear = false, annClusters = opts.annClusters, annIters = opts.annIters,
+            pqCodes = opts.pqCodes, pqIters = opts.pqIters,
+            layout = opts.layout, layoutFiles = opts.layoutFiles,
+            mergeMode = opts.mergeMode)
+          if (opts.mergeMode == "append" && opts.compactEvery > 0 &&
+              graft.index.IndexData.segments(batch.sparkSession, indexDir).size
+                >= opts.compactEvery) {
+            IndexJob.compact(batch.sparkSession, indexDir,
+              opts.layout, opts.layoutFiles)
+            ()
+          }
+          ()
+        }
+      }
+      .start()
+  }
+
   /** Watch with the TF-IDF embedder — the whole-corpus-fit model made
     * incremental by an explicit STALENESS CONTRACT:
     *

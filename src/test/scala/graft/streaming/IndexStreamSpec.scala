@@ -323,4 +323,39 @@ class IndexStreamSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
     assert(embs(streamed.documents) == embs(batch.documents))
   }
+
+  test("jsonl row-corpus watch: drops fold in; a re-shipped doc_id upserts") {
+    import org.apache.spark.sql.functions.col
+    val drops = Files.createTempDirectory("idxstream-jsonl").toString
+    val idx = Files.createTempDirectory("idxstream-jidx").toString + "/idx"
+    val embedder = new HashingEmbedder(dim = 16)
+
+    write(drops, "drop1.jsonl",
+      """{"doc_id": 1, "text": "alpha beta original content", "source": "web/a"}
+        |{"doc_id": 2, "text": "gamma delta second doc"}
+        |""".stripMargin)
+    val q = IndexStream.startRows(spark, drops, idx, embedder)
+    try {
+      q.processAllAvailable()
+      val v1 = IndexData.load(spark, idx)
+      assert(v1.documents.count() == 2)
+
+      // second drop: new doc 3, and doc 1 re-shipped with NEW text — the
+      // path-keyed merge must REPLACE it (per-doc upsert across drops)
+      write(drops, "drop2.jsonl",
+        """{"doc_id": 1, "text": "alpha beta REVISED content", "source": "web/a"}
+          |{"doc_id": 3, "text": "epsilon zeta third doc"}
+          |""".stripMargin)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val v2 = IndexData.load(spark, idx)
+    assert(v2.documents.count() == 3)
+    val byPath = v2.documents.collect()
+      .map(r => r.getAs[String]("file_path") -> r.getAs[String]("content")).toMap
+    assert(byPath("web/a").contains("REVISED"))
+    assert(byPath.keySet == Set("web/a", "doc:2", "doc:3"))
+    // stats rebuilt over the merged corpus, not the last batch
+    assert(v2.stats.select(col("n_docs")).head().getLong(0) == 3L)
+  }
 }
