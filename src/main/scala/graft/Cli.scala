@@ -23,6 +23,8 @@ import graft.search.HybridSearch
   *                    [--merge append]   (O(delta) segment merges; see compact)
   *                    [--compact-every N]   (append mode: fold segments every N)
   *                    [--watch]   (stream NEW files into the index until killed)
+  *                    [--watch --format jsonl]   (watch a dir of JSONL row drops;
+  *                     re-shipped doc_ids upsert)
   *   graft.Cli search --db DIR --query Q [--top-k K] [--no-rerank]
   *                    [--remove-path-prefix P] [--add-path-prefix P]
   *                    [--ann ivf[:nprobe|:auto] | pq[:shortlist] | ivf[:np]+pq[:sl]]
