@@ -245,7 +245,10 @@ object Cli {
       // `--watch --format jsonl`: watch for JSONL row-corpus DROPS instead
       // of markdown files (one row = one chunk; per-doc_id upsert across
       // drops — IndexStream.startRows)
-      val rowWatch = arg(a, "--format").map(_.toLowerCase).contains("jsonl")
+      val watchFmt = arg(a, "--format").map(_.toLowerCase)
+      watchFmt.foreach(f => require(f == "jsonl",
+        s"--watch supports --format jsonl only (got $f)"))
+      val rowWatch = watchFmt.contains("jsonl")
       if (rowWatch) require(embedder == "hashing",
         s"--watch --format jsonl supports the hashing embedder only (got $embedder); " +
           "corpus-fit watch staleness contracts are markdown-watch features")
@@ -276,15 +279,17 @@ object Cli {
         artifactExists = java.nio.file.Files.exists(
           java.nio.file.Paths.get(db, "documents")))
         .foreach(System.err.println)
-      // a single --docs argument that is a JSONL/CSV FILE indexes a
-      // pre-curated row corpus (one row = one chunk; see IndexJob.runRows);
-      // directories take the markdown scan as before
+      // a single --docs argument that is a JSONL/CSV FILE (by extension, or
+      // an explicit --format) indexes a pre-curated row corpus (one row =
+      // one chunk; see IndexJob.runRows); directories take the markdown
+      // scan as before
+      val fmtArg = arg(a, "--format").map(_.toLowerCase)
       val rowCorpus = docs.size == 1 &&
-        graft.sources.DocSources.formatOf(docs.head) != "parquet" &&
-        java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(docs.head))
+        java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(docs.head)) &&
+        fmtArg.getOrElse(graft.sources.DocSources.formatOf(docs.head)) != "parquet"
       val index =
         if (rowCorpus) {
-          val rows = graft.sources.DocSources.read(spark, docs.head, None)
+          val rows = graft.sources.DocSources.read(spark, docs.head, fmtArg)
           embedder match {
             case "tfidf" | "word2vec" =>
               IndexJob.runRowsFit(spark, rows, db, embedder, dim, analyzer, opts)

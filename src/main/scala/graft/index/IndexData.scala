@@ -206,13 +206,17 @@ object IndexData {
     * broadcasts the (tiny between compactions) tombstone set; consumers see
     * canonical schemas either way. */
   def load(spark: SparkSession, dir: String): IndexData = {
-    // a clean not-an-index error beats the raw FileNotFound stack the
-    // parquet reader would throw three calls deeper
+    finishCompactSwap(spark, dir) // heal a crashed compaction, if any
+    // AFTER the heal: a compaction crash inside the settings swap window
+    // (old settings deleted, staged rename pending) leaves exactly the
+    // state this check rejects — the heal must get first look or that
+    // artifact becomes permanently unloadable. Then a clean not-an-index
+    // error beats the raw FileNotFound stack the parquet reader would
+    // throw three calls deeper.
     val settingsPath = new org.apache.hadoop.fs.Path(s"$dir/settings")
     val fs = settingsPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(settingsPath))
       sys.error(s"no index at $dir (missing $dir/settings — run `graft index --db $dir` first)")
-    finishCompactSwap(spark, dir) // heal a crashed compaction, if any
     val segs = segments(spark, dir)
     val settings = spark.read.parquet(s"$dir/settings")
     if (segs.isEmpty) IndexData(

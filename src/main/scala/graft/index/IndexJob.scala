@@ -202,19 +202,30 @@ object IndexJob {
     * `source` when present else a `doc:<id>` synthetic, header_path empty,
     * line range 1..(line count). Same merge/sidecar/layout machinery as the
     * markdown run — the artifact is indistinguishable downstream. */
-  /** (doc_id, text[, source]) rows → one [[Chunk]] per row: `source` (or a
-    * `doc:<id>` synthetic) as the path, empty header, 1..lineCount range. */
+  /** (doc_id, text[, source]) rows → one [[Chunk]] per row: path
+    * `<source-or-"doc">:<doc_id>`, empty header, 1..lineCount range.
+    *
+    * The doc_id is ALWAYS part of the path: `source` is a shared provenance
+    * label (many rows per source is the normal shape — see `GROUP BY
+    * source` across the query surface), and the merge replaces BY PATH, so
+    * a source-only path would collapse sibling docs into one identity and
+    * an incremental drop would anti-join them all away. Rows with a null
+    * doc_id or null text are SKIPPED (PERMISSIVE parsing nulls malformed
+    * rows; a wholesale-null corpus is caught loudly by DocSources' probe).
+    * doc_id uniqueness within one frame is the caller's contract —
+    * duplicate ids mean duplicate chunks here (the streaming ingest dedups
+    * per batch before calling, last drop wins). */
   private[graft] def rowChunks(rows: DataFrame, analyzer: Analyzer): Dataset[Chunk] = {
     val spark = rows.sparkSession
     import spark.implicits._
     val srcCol =
-      if (rows.columns.contains("source"))
-        coalesce(col("source"), concat(lit("doc:"), col("doc_id")))
-      else concat(lit("doc:"), col("doc_id"))
+      if (rows.columns.contains("source")) coalesce(col("source"), lit("doc"))
+      else lit("doc")
     val an = analyzer // Analyzer extends Serializable — ships to executors
     rows
-      .select(srcCol.cast("string").as("p"), col("text").cast("string").as("t"))
-      .filter(col("t").isNotNull)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(concat(srcCol.cast("string"), lit(":"), col("doc_id").cast("string")).as("p"),
+        col("text").cast("string").as("t"))
       .as[(String, String)]
       .map { case (p, t) => Chunk(p, "", 1, 1 + t.count(_ == '\n'), t, an.tokenize(t)) }
   }

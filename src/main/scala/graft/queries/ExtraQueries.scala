@@ -16,6 +16,11 @@ object ExtraQueries {
 
   private val SessionGapNs = 1800000000000L // 30 min
 
+  /** q_join_bucketed's layout location — one per JVM so re-runs overwrite
+    * rather than leak (each invocation rewrites both bucketed tables). */
+  private lazy val bucketedBase: String =
+    java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+
   val all: Seq[Q] = Seq(
 
     // Multiway join: revenue by region (TPC-H Q5 shape). nation/region
@@ -543,7 +548,10 @@ object ExtraQueries {
     Q("q_join_bucketed",
       (s, d) => {
         val nb = 8
-        val base = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+        // one base dir per JVM (not per invocation): bench passes and
+        // repeated plan() calls OVERWRITE the same layout location instead
+        // of stranding a full table copy per run
+        val base = bucketedBase
         def bucketed(df: DataFrame, key: String, table: String): DataFrame = {
           // repartition on the bucket key first: each task then owns whole
           // buckets and writes one file per bucket (tasks × buckets files

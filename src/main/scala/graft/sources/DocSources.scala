@@ -32,11 +32,13 @@ object DocSources {
     StructField(n, t, nullable = true)
   })
 
-  /** Infer a format from the path when `--format` is absent. */
+  /** Infer a format from the path when `--format` is absent. (`.tsv` must
+    * map to "tsv", not "csv" — the separator choice keys off the format.) */
   def formatOf(path: String): String = {
     val base = path.toLowerCase.stripSuffix(".gz").stripSuffix(".zst")
     if (base.endsWith(".jsonl") || base.endsWith(".json")) "jsonl"
-    else if (base.endsWith(".csv") || base.endsWith(".tsv")) "csv"
+    else if (base.endsWith(".tsv")) "tsv"
+    else if (base.endsWith(".csv")) "csv"
     else "parquet"
   }
 

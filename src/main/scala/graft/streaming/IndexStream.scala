@@ -142,10 +142,11 @@ object IndexStream {
     * file's rows into the index: one row = one chunk, no splitter
     * ([[IndexJob.runRows]] semantics). Same exactly-once-per-FILE source
     * contract as the markdown watch; additionally, because the merge
-    * replaces by path and a row's path is its `source`/`doc:<id>`, a later
-    * drop that re-ships a doc_id REPLACES the earlier row — per-document
-    * upsert across drops, which the markdown watch cannot do (its unit of
-    * replacement is the file). */
+    * replaces by path and a row's path is `<source-or-"doc">:<doc_id>`, a
+    * later drop that re-ships a (source, doc_id) REPLACES the earlier row —
+    * per-document upsert across drops, which the markdown watch cannot do
+    * (its unit of replacement is the file). Within one micro-batch the
+    * latest drop file wins per document (see the foreachBatch dedup). */
   def startRows(
       spark: SparkSession,
       docsDir: String,
@@ -158,15 +159,33 @@ object IndexStream {
     val rows = spark.readStream
       .schema(graft.sources.DocSources.JsonSchema)
       .option("maxFileAge", "36500d") // as in [[markdownSource]]
-      .option("pathGlobFilter", "*.jsonl")
+      // `*.jsonl*` so compressed drops (.jsonl.gz/.jsonl.zst) match too;
+      // recursive like the markdown watch — producers date-partition drops
+      .option("pathGlobFilter", "*.jsonl*")
+      .option("recursiveFileLookup", "true")
       .json(docsDir)
+      // which file each row came from, for the within-batch winner below
+      .withColumn("_src", org.apache.spark.sql.functions.col("_metadata.file_path"))
     rows.writeStream
       .option("checkpointLocation",
         checkpointDir.getOrElse(s"$indexDir/_index_checkpoint"))
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
+          import org.apache.spark.sql.functions._
+          // Two drops re-shipping the same doc_id can land in ONE
+          // micro-batch (backlog at stream start, files between triggers);
+          // the path-keyed merge only replaces across batches, so resolve
+          // within the batch first: latest file (max path — drop names
+          // sort by time in practice) wins per doc key. Ties within one
+          // file are a malformed corpus; a single arbitrary row survives.
+          val latest = batch.toDF()
+            .filter(col("doc_id").isNotNull)
+            .groupBy(col("doc_id"), coalesce(col("source"), lit("doc")).as("source"))
+            .agg(max_by(struct(col("text"), col("lang")), col("_src")).as("r"))
+            .select(col("doc_id"), col("r.text").as("text"),
+              col("r.lang").as("lang"), col("source"))
           val fresh = IndexJob.embedChunks(
-            IndexJob.rowChunks(batch.toDF(), analyzer), embedder, opts)
+            IndexJob.rowChunks(latest, analyzer), embedder, opts)
           IndexJob.mergeAndWrite(batch.sparkSession, fresh, settings, indexDir,
             clear = false, annClusters = opts.annClusters, annIters = opts.annIters,
             pqCodes = opts.pqCodes, pqIters = opts.pqIters,

@@ -104,13 +104,15 @@ class IndexJobSpec extends AnyFunSuite {
       new java.io.File(root, "idx").getAbsolutePath, new HashingEmbedder(16))
     val docs = index.documents.orderBy("file_path").collect()
     assert(docs.length == 2)
-    // source column becomes the path; a null source gets the synthetic id path
-    assert(docs.map(_.getAs[String]("file_path")).toSet == Set("web/a", "doc:2"))
+    // path = <source-or-"doc">:<doc_id> — the doc_id is always in the path
+    // (source is a SHARED provenance label; a source-only path would merge
+    // sibling docs into one replace-by-path identity)
+    assert(docs.map(_.getAs[String]("file_path")).toSet == Set("web/a:1", "doc:2"))
     assert(docs.forall(_.getAs[String]("header_path") == ""))
     val hits = HybridSearch.search(index, "alpha spark tables",
       analyzer = DefaultAnalyzer, embedder = Some(new HashingEmbedder(16)),
       reranker = None, opts = HybridSearch.Options(k = 1)).collect()
-    assert(hits.head.getAs[String]("file_path") == "web/a")
+    assert(hits.head.getAs[String]("file_path") == "web/a:1")
   }
 
   test("a PLAIN --trim-path-prefix strips the file:-schemed scan paths") {

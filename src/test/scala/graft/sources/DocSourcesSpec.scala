@@ -42,8 +42,17 @@ class DocSourcesSpec extends AnyFunSuite {
     assert(DocSources.formatOf("/x/a.jsonl") == "jsonl")
     assert(DocSources.formatOf("/x/a.JSONL.gz") == "jsonl")
     assert(DocSources.formatOf("/x/a.csv.zst") == "csv")
+    assert(DocSources.formatOf("/x/a.tsv") == "tsv") // NOT csv: separator keys off this
+    assert(DocSources.formatOf("/x/a.tsv.gz") == "tsv")
     assert(DocSources.formatOf("/x/a.parquet") == "parquet")
     assert(DocSources.formatOf("/x/dir") == "parquet")
+  }
+
+  test("tsv reads tab-separated by extension alone") {
+    val p = tmp("docs.tsv", "doc_id\ttext\n5\ttabbed doc text\n")
+    val rows = DocSources.read(spark, p).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 5L && rows(0).getString(1) == "tabbed doc text")
   }
 
   test("missing contract columns fail loudly") {

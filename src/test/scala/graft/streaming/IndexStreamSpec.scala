@@ -353,9 +353,30 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(v2.documents.count() == 3)
     val byPath = v2.documents.collect()
       .map(r => r.getAs[String]("file_path") -> r.getAs[String]("content")).toMap
-    assert(byPath("web/a").contains("REVISED"))
-    assert(byPath.keySet == Set("web/a", "doc:2", "doc:3"))
+    assert(byPath("web/a:1").contains("REVISED"))
+    assert(byPath.keySet == Set("web/a:1", "doc:2", "doc:3"))
     // stats rebuilt over the merged corpus, not the last batch
     assert(v2.stats.select(col("n_docs")).head().getLong(0) == 3L)
+  }
+
+  test("jsonl watch: re-shipped doc_id in the SAME micro-batch — latest drop file wins") {
+    // a backlog at stream start lands multiple drops in one batch; the
+    // path-keyed merge only replaces ACROSS batches, so the foreachBatch
+    // dedup must resolve within it (max file path = latest drop)
+    val drops = Files.createTempDirectory("idxstream-jb").toString
+    val idx = Files.createTempDirectory("idxstream-jbidx").toString + "/idx"
+    write(drops, "drop1.jsonl",
+      """{"doc_id": 7, "text": "version one of the doc"}
+        |{"doc_id": 8, "text": "untouched sibling doc"}
+        |""".stripMargin)
+    write(drops, "drop2.jsonl",
+      """{"doc_id": 7, "text": "version two wins here"}
+        |""".stripMargin)
+    val q = IndexStream.startRows(spark, drops, idx, new HashingEmbedder(16))
+    try q.processAllAvailable() finally q.stop()
+    val docs = IndexData.load(spark, idx).documents.collect()
+      .map(r => r.getAs[String]("file_path") -> r.getAs[String]("content")).toMap
+    assert(docs.size == 2, docs.keySet)
+    assert(docs("doc:7").contains("version two"))
   }
 }
