@@ -67,6 +67,28 @@ class DocSourcesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("doc_id") || e.getMessage.contains("missing"))
   }
 
+  test("jsonl round-trips escaping edge cases (quotes, newlines, unicode, control chars)") {
+    // texts that stress the escaping path, written with the engine's own
+    // Json.str — pins the writer/reader pair together
+    val texts = Seq(
+      "plain words",
+      "with \"double quotes\" inside",
+      "back\\slash and tab\there",
+      "multi\nline\ntext",
+      "unicode: 日本語のドキュメント été ß",
+      "control: end",
+      "")
+    val lines = texts.zipWithIndex.map { case (t, i) =>
+      s"""{"doc_id": $i, "text": ${graft.util.Json.str(t)}}"""
+    }
+    val p = tmp("escape.jsonl", lines.mkString("", "\n", "\n"))
+    val back = DocSources.read(spark, p).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(back(i.toLong) == t, s"text $i mangled: ${back(i.toLong)}")
+    }
+  }
+
   test("a jsonl corpus runs the full curate chain") {
     val lines = (0 until 40).map { i =>
       val words = if (i % 10 == 0) "tiny" // gated: too short to shingle
