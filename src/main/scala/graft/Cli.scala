@@ -38,6 +38,7 @@ import graft.search.HybridSearch
   *                    [--trim-prefix P] [--add-prefix P] [--protocol jsonl]
   *                    [--ann ivf[:nprobe]]
   *   graft.Cli compact --db DIR [--layout zorder|hilbert [--layout-files N]]
+  *   graft.Cli stats  --db DIR   (read-only index health JSON)
   *   graft.Cli curate --in DOCS --out DIR [--format parquet|jsonl|csv|tsv]
   *                    [--jaccard T] [--keep minid|longest] [--bucket-policy cap|subsplit]
   *                    [--boilerplate-max F] [--decontaminate BENCH [--contamination-max F]]
@@ -87,8 +88,9 @@ object Cli {
     case Some("serve")   => serveCmd(args.tail)
     case Some("curate")  => curateCmd(args.tail)
     case Some("compact") => compactCmd(args.tail)
+    case Some("stats")   => statsCmd(args.tail)
     case _ =>
-      System.err.println("usage: graft.Cli index|search|serve|curate|compact [options]")
+      System.err.println("usage: graft.Cli index|search|serve|curate|compact|stats [options]")
       sys.exit(2)
   }
 
@@ -107,6 +109,44 @@ object Cli {
       s"${compacted.documents.count()} live docs -> $db")
     spark.stop()
   }
+
+  /** Read-only index health report as one JSON line: corpus counts, BM25
+    * constants, segment/sidecar state, and the persisted settings that
+    * govern search (analyzer, embedding model, recall curve). Safe to run
+    * against a live artifact — nothing is written. */
+  private def statsCmd(a: Array[String]): Unit = {
+    val db = arg(a, "--db").getOrElse(sys.error("--db required"))
+    val spark = session()
+    val index = IndexData.load(spark, db)
+    val st = index.stats.collect().head
+    val vocab = index.termdf.count()
+    def j(s: String) = graft.util.Json.str(s)
+    val settingsJson = index.settings.collect()
+      .map(r => s"${j(r.getString(0))}: ${j(r.getString(1))}")
+      .sorted.mkString("{", ",", "}")
+    println(
+      s"""{"db": ${j(db)}, "n_docs": ${st.getAs[Long]("n_docs")}, """ +
+        f""""avgdl": ${st.getAs[Double]("avgdl")}%.3f, "vocab_terms": $vocab, """ +
+        s""""pending_segments": ${index.pendingSegments}, """ +
+        s""""sidecars_cover_segments": ${index.sidecarsCoverSegments}, """ +
+        s""""ann": ${index.ann.isDefined}, "pq": ${index.pq.isDefined}, """ +
+        // drift keys hold the NUMERIC relative quantization-error growth
+        // ("0.0" right after a fit); the warn flag applies the same
+        // threshold the search-time warning uses
+        s""""ann_drift": ${driftJson(index, graft.index.AnnIndex.DriftKey)}, """ +
+        s""""pq_drift": ${driftJson(index, graft.index.PqIndex.DriftKey)}, """ +
+        s""""settings": $settingsJson}""")
+    spark.stop()
+  }
+
+  /** `{"value": <drift>, "warn": <bool>}`, or `null` when no sidecar ever
+    * fit (the key is absent). */
+  private def driftJson(index: IndexData, key: String): String =
+    index.setting(key).flatMap(v => scala.util.Try(v.toDouble).toOption) match {
+      case Some(d) =>
+        f"""{"value": $d%.4f, "warn": ${d > graft.index.AnnIndex.DriftWarnThreshold}}"""
+      case None => "null"
+    }
 
   /** Run the end-to-end curation chain (quality gate → exact dedup →
     * near-dup clustering → optional weighted sampling) over a documents
