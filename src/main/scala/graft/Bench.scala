@@ -102,7 +102,10 @@ object Bench {
     val total = headlineResults.map(_._2).filter(_ >= 0).sum
     val trainingTotal =
       results.collect { case (n, t) if TrainingLane.contains(n) && t >= 0 => t }.sum
-    val failed = results.count(_._2 < 0)
+    // failure ledger covers DECLARED QUERIES only (consistent with
+    // n_queries); an infra-build failure surfaces as "infra": null, not as
+    // a failed_names entry that names something outside the query set
+    val failed = results.count { case (n, t) => n != InfraComponents && t < 0 }
 
     // Full per-query timings go to a FILE: the harness that reads our stdout
     // keeps only a ~2KB tail, and the full 80-query map alone exceeds that —
@@ -126,7 +129,9 @@ object Bench {
     val trainingJson = (results.collect {
         case (k, v) if TrainingLane.contains(k) => "\"" + k + "\":" + tJson(v)
       } :+ (f""""total":$trainingTotal%.3f""")).mkString("{", ",", "}")
-    val failedNames = results.collect { case (k, v) if v < 0 => jsonStr(k) }
+    val failedNames = results.collect {
+      case (k, v) if v < 0 && k != InfraComponents => jsonStr(k)
+    }
       .mkString("[", ",", "]")
     val detailsPath = java.nio.file.Paths.get("bench_details.json")
     java.nio.file.Files.write(detailsPath,

@@ -345,7 +345,9 @@ object Cli {
       // a freshly-fit IVF sidecar measured its own sample recall curve —
       // show the user the dial they just bought (see `--ann ivf:N`)
       index.setting(graft.index.AnnIndex.RecallCurveKey).foreach(c =>
-        System.err.println(s"[graft] ann sample recall@10 by nprobe: [$c]"))
+        // wording matters: on frozen-centroid merges this curve is the one
+        // measured at the LAST FIT, not on the corpus just written
+        System.err.println(s"[graft] ann sample recall@10 by nprobe (measured at last fit): [$c]"))
       // batch face of the watch-mode LSM fold cadence: same trigger rule
       if (opts.mergeMode == "append" && opts.compactEvery > 0 &&
           IndexData.segments(spark, db).size >= opts.compactEvery) {
@@ -440,7 +442,14 @@ object Cli {
         case Array("pq", sl)      => (0, sl.toInt)
         case _ => sys.error(s"unknown --ann '$s' " +
           "(expected ivf[:<nprobe>|:auto], pq[:<shortlist>], or ivf[:np]+pq[:sl])")
-      }).reduce((a, b) => (math.max(a._1, b._1), math.max(a._2, b._2)))
+      }).reduce { (a, b) =>
+        // the AutoNprobe sentinel is -1: a plain max would let the pq leg's
+        // nprobe=0 erase it and silently drop the IVF leg from
+        // `--ann ivf:auto+pq:sl` — auto must survive the combine
+        def nc(x: Int, y: Int) =
+          if (x == AutoNprobe || y == AutoNprobe) AutoNprobe else math.max(x, y)
+        (nc(a._1, b._1), math.max(a._2, b._2))
+      }
   }
 
   /** `--ann ivf:auto`: pick the SMALLEST nprobe whose fit-time sample

@@ -35,10 +35,18 @@ object EventsLayout {
     * (day, bucket) is still listing-friendly. Rows are sorted by ts within
     * partitions so row-group min/max stats stay tight for intra-day
     * slicing. */
+  /** ns → UTC day, in EXACT integer arithmetic. `/` on two longs is DOUBLE
+    * division in Spark, and at 2024-era epoch-ns the double ulp is 256 —
+    * a row 100 ns before midnight would round UP into the next day's
+    * directory while [[readBetween]]'s exact `Math.floorDiv` bounds exclude
+    * that directory: the row silently vanishes from slices. pmod-floor
+    * keeps negative (pre-1970) ts on the correct day too. */
+  private def eventDateCol =
+    to_date(timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+
   def writePartitioned(events: DataFrame, path: String): Unit =
     events
-      .withColumn("event_date",
-        to_date(timestamp_micros((col("ts") / lit(1000L)).cast("long"))))
+      .withColumn("event_date", eventDateCol)
       .repartition(col("event_date"))
       .sortWithinPartitions("ts")
       .write.partitionBy("event_date").mode("overwrite").parquet(path)
@@ -57,8 +65,7 @@ object EventsLayout {
   def sinkPartitioned(events: DataFrame, path: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     events
-      .withColumn("event_date",
-        to_date(timestamp_micros((col("ts") / lit(1000L)).cast("long"))))
+      .withColumn("event_date", eventDateCol)
       .writeStream
       .format("parquet")
       .option("path", path)
@@ -72,23 +79,38 @@ object EventsLayout {
     * touched day, and at 1000 executors × months of days the listing cost
     * alone eats the pruning win — so the standard maintenance job rewrites
     * each day into one ts-sorted file (restoring the [[writePartitioned]]
-    * shape) and swaps directories. The swap is write-new → delete-old →
-    * rename: crash-safe to re-run (the `._compacting` temp is overwritten),
-    * though concurrent readers of the SAME path see a window — at real
-    * scale this runs under a table-format transaction (Iceberg/Delta);
-    * here it documents the maintenance contract the layout needs. */
+    * shape) and swaps directories. The swap NEVER deletes the live copy
+    * before its replacement is in place: write `._compacting` → rename live
+    * aside to `._precompact` → rename `._compacting` in → delete the aside.
+    * A crash in any window leaves a state the next run's heal recognizes
+    * and finishes, so re-running is always safe. Concurrent readers of the
+    * SAME path still see a rename window — at real scale this runs under a
+    * table-format transaction (Iceberg/Delta); here it documents the
+    * maintenance contract the layout needs. */
   def compactPartitioned(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + "._compacting")
+    val aside = new org.apache.hadoop.fs.Path(path + "._precompact")
+    // heal a crashed prior swap: the live dir only ever disappears AFTER a
+    // complete tmp exists (rename-aside window) — finish that swap; a
+    // leftover aside next to a live dir is a crash after the swap — drop it
+    if (!fs.exists(p) && fs.exists(tmp) && fs.exists(aside)) {
+      if (!fs.rename(tmp, p))
+        throw new IllegalStateException(s"compaction heal failed: $tmp -> $p")
+      fs.delete(aside, true)
+    } else if (fs.exists(aside) && fs.exists(p)) {
+      fs.delete(aside, true)
+    }
     spark.read.parquet(path)
       .repartition(col("event_date"))
       .sortWithinPartitions("ts")
       .write.partitionBy("event_date").mode("overwrite").parquet(tmp.toString)
-    fs.delete(p, true)
+    if (!fs.rename(p, aside))
+      throw new IllegalStateException(s"compaction swap failed: $p -> $aside")
     if (!fs.rename(tmp, p))
-      throw new IllegalStateException(
-        s"compaction swap failed: could not rename $tmp to $p")
+      throw new IllegalStateException(s"compaction swap failed: $tmp -> $p")
+    fs.delete(aside, true)
   }
 
   /** Read a [[writePartitioned]] layout restricted to `[fromNs, toNs)`

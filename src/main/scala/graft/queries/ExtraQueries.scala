@@ -21,6 +21,12 @@ object ExtraQueries {
   private lazy val bucketedBase: String =
     java.nio.file.Files.createTempDirectory("graft_bucketed").toString
 
+  /** q_events_partitioned_slice's layout base — per JVM for the same
+    * reasons, so concurrent bench/verify processes can't race one shared
+    * fixed path. */
+  private lazy val eventsLayoutBase: String =
+    java.nio.file.Files.createTempDirectory("graft_events").toString
+
   val all: Seq[Q] = Seq(
 
     // Multiway join: revenue by region (TPC-H Q5 shape). nation/region
@@ -116,8 +122,12 @@ object ExtraQueries {
     // EventsLayoutSpec pins files-read < files-written.
     Q("q_events_partitioned_slice",
       (s, d) => {
-        val layout = s"${sys.props("java.io.tmpdir")}/graft_events_bydate_" +
-          new java.io.File(d).getName
+        // per-JVM base (like bucketedBase) so concurrent processes never
+        // overwrite each other's layout mid-read; keyed by the FULL corpus
+        // path (md5), not the basename — /a/sf1 and /b/sf1 must not collide
+        val layout = eventsLayoutBase + "/bydate_" +
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
         graft.ops.EventsLayout.writePartitioned(Q.events(s, d), layout)
         graft.ops.EventsLayout
           .readBetween(s, layout, 1704412800000000000L, 1705276800000000000L)

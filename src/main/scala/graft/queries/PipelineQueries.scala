@@ -198,6 +198,14 @@ object PipelineQueries {
         if (componentsMemo.size > MaxMemoEntries) {
           val it = componentsMemo.entrySet().iterator()
           val eldest = it.next()
+          // CAUTION for long-lived sessions: unpersisting frees the evicted
+          // frame's checkpoint blocks, and localCheckpoint truncated its
+          // lineage — a caller still HOLDING a trio DataFrame for the
+          // evicted corpus cannot execute it afterwards. Holding a result
+          // across > MaxMemoEntries other corpora means collecting it
+          // first; the alternative (skip the unpersist) leaks checkpoint
+          // storage without bound, which is worse for the long-lived case
+          // the bound exists to protect.
           try eldest.getValue.unpersist(blocking = false)
           catch { case _: Throwable => () }
           it.remove()

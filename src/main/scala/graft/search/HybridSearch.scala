@@ -242,7 +242,12 @@ object HybridSearch {
     // J2 + A4: fuse the two top-k lists — fusion re-ranks the union of the
     // two top-k lists, NOT the corpus (reference `src/searcher.py:112-166`;
     // SURVEY.md §4.3 candidate-set semantics).
-    val fused = embedder match {
+    // embed ONCE and branch on the result — the Embedder contract exists to
+    // amortize model cost, and a guard that re-embeds would both double the
+    // serving-path work and let a nondeterministic model disagree with the
+    // vector actually scored
+    val queryVec = embedder.map(e => e.embed(Seq(query)).head)
+    val fused = queryVec match {
       // Zero-norm query embedding (every query token OOV for the model —
       // TfIdf with all-idf-0 terms, Word2Vec with an unseen vocabulary):
       // cosine against the zero vector is 0/0 = NaN, and Spark orders NaN
@@ -250,10 +255,9 @@ object HybridSearch {
       // gate and sort to the top. The vector leg carries no signal here by
       // definition — drop it and degrade to BM25-only, the same contract as
       // "vss leg found nothing".
-      case Some(e) if { val q = e.embed(Seq(query)).head; !q.exists(_ != 0.0f) } =>
+      case Some(q) if !q.exists(_ != 0.0f) =>
         fts.withColumn("vss_score", lit(null).cast("double"))
-      case Some(e) =>
-        val qvec = e.embed(Seq(query)).head
+      case Some(qvec) =>
         val vss =
           if (opts.annPqShortlist > 0 && opts.annNprobe > 0) {
             val ann = index.ann.getOrElse(sys.error(

@@ -29,6 +29,10 @@ class CliInteractiveSpec extends AnyFunSuite {
     assert(Cli.parseAnn(Some("ivf+pq")) == (2, 50))
     assert(Cli.parseAnn(Some("ivf:3+pq:80")) == (3, 80))
     assert(Cli.parseAnn(Some("ivf:auto")) == (Cli.AutoNprobe, 0))
+    // the -1 sentinel must survive the leg combine — a plain max would let
+    // the pq leg's nprobe=0 erase it and silently drop the IVF probe
+    assert(Cli.parseAnn(Some("ivf:auto+pq:100")) == (Cli.AutoNprobe, 100))
+    assert(Cli.parseAnn(Some("pq:100+ivf:auto")) == (Cli.AutoNprobe, 100))
     intercept[RuntimeException](Cli.parseAnn(Some("hnsw")))
   }
 

@@ -18,6 +18,32 @@ class EventsLayoutSpec extends AnyFunSuite {
   private val FromNs = 1704412800000000000L
   private val ToNs = 1705276800000000000L
 
+  test("day derivation is exact at midnight boundaries and for pre-1970 ts") {
+    // non-micro-aligned ts right at a UTC midnight: double division (ulp
+    // 256 at 2024-era ns) would round the -100 ns row UP into the next
+    // day's directory, where the exact floorDiv partition bounds of
+    // readBetween would never look for it
+    import spark.implicits._
+    val midnight = 1704499200000000000L // 2024-01-06T00:00:00Z
+    val rows = Seq(
+      (1L, midnight - 100L), // 100 ns before midnight -> Jan 5
+      (2L, midnight + 100L), // 100 ns after -> Jan 6
+      (3L, -1L))             // 1 ns before the epoch -> 1969-12-31
+      .toDF("event_id", "ts")
+      .withColumn("user_id", lit(0L)).withColumn("event_type", lit("x"))
+      .withColumn("value", lit(0.0))
+    val p = java.nio.file.Files.createTempDirectory("events_midnight").toString
+    EventsLayout.writePartitioned(rows, p)
+    val days = new java.io.File(p).listFiles().map(_.getName)
+      .filter(_.startsWith("event_date=")).toSet
+    assert(days == Set("event_date=2024-01-05", "event_date=2024-01-06",
+      "event_date=1969-12-31"), days)
+    // and the slice bounded AT midnight returns exactly the pre-midnight row
+    val got = EventsLayout.readBetween(spark, p, midnight - 1000000L, midnight)
+      .select("event_id").as[Long].collect().toSet
+    assert(got == Set(1L), got)
+  }
+
   test("partitioned slice equals the raw-table slice row-for-row") {
     val p = java.nio.file.Files.createTempDirectory("events_bydate").toString
     EventsLayout.writePartitioned(Q.events(spark, dir), p)
