@@ -188,7 +188,13 @@ object AnnIndex {
   }
 
   def encodeCurve(curve: Seq[(Int, Double)]): String =
-    curve.map { case (np, r) => f"$np%d:$r%.2f" }.mkString(",")
+    // Locale.ROOT: the f-interpolator formats with the JVM default locale,
+    // and a comma-decimal locale (de_DE, fr_FR) would persist "1:0,60" —
+    // which decodeCurve can never parse back (the one persisted double in
+    // the codebase that goes through a formatter rather than toString)
+    curve.map { case (np, r) =>
+      "%d:%.2f".formatLocal(java.util.Locale.ROOT, np, r)
+    }.mkString(",")
 
   def decodeCurve(s: String): Seq[(Int, Double)] =
     s.split(",").toSeq.filter(_.nonEmpty).map { p =>
@@ -328,10 +334,20 @@ object AnnIndex {
     * `--ann-clusters` simply don't — the search path then uses the exact
     * heap scan). */
   def load(spark: SparkSession, dir: String): Option[AnnIndex] = {
-    val p = new org.apache.hadoop.fs.Path(dir, CentroidsDir)
-    val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    if (!exists) None
-    else Some(AnnIndex(
+    val fs = new org.apache.hadoop.fs.Path(dir, CentroidsDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def has(d: String) = fs.exists(new org.apache.hadoop.fs.Path(dir, d))
+    // BOTH datasets must exist: a crash between the centroids and postings
+    // writes must degrade this load to None (exact search still works),
+    // not brick every IndexData.load with PATH_NOT_FOUND — the sidecar is
+    // optional acceleration, never a load-bearing artifact member
+    if (!has(CentroidsDir) || !has(PostingsDir)) {
+      if (has(CentroidsDir) != has(PostingsDir))
+        System.err.println(s"[graft] warning: torn ANN sidecar at $dir " +
+          "(one of centroids/postings missing — crashed fit?); ignoring it. " +
+          "Re-run with --ann-clusters to rebuild.")
+      None
+    } else Some(AnnIndex(
       centroids = spark.read.parquet(s"$dir/$CentroidsDir"),
       postings = spark.read.parquet(s"$dir/$PostingsDir")))
   }

@@ -44,7 +44,7 @@ final case class PqIndex(codebooks: DataFrame, codes: DataFrame) {
       var acc = 0.0
       var i = 0
       while (i < cv.length) {
-        val q = queryVec((j * 8 + i).toInt).toDouble
+        val q = queryVec((j * PqIndex.SubDim + i).toInt).toDouble
         val d = q - cv(i).toDouble
         acc += d * d
         i += 1
@@ -243,10 +243,18 @@ object PqIndex {
   }
 
   def load(spark: SparkSession, dir: String): Option[PqIndex] = {
-    val p = new org.apache.hadoop.fs.Path(dir, CodebooksDir)
-    val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    if (!exists) None
-    else Some(PqIndex(
+    val fs = new org.apache.hadoop.fs.Path(dir, CodebooksDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def has(d: String) = fs.exists(new org.apache.hadoop.fs.Path(dir, d))
+    // both or nothing — a crash between the codebooks and codes writes must
+    // degrade to None, not fail every IndexData.load (see AnnIndex.load)
+    if (!has(CodebooksDir) || !has(CodesDir)) {
+      if (has(CodebooksDir) != has(CodesDir))
+        System.err.println(s"[graft] warning: torn PQ sidecar at $dir " +
+          "(one of codebooks/codes missing — crashed fit?); ignoring it. " +
+          "Re-run with --pq-codes to rebuild.")
+      None
+    } else Some(PqIndex(
       codebooks = spark.read.parquet(s"$dir/$CodebooksDir"),
       codes = spark.read.parquet(s"$dir/$CodesDir")))
   }

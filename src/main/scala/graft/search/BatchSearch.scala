@@ -150,8 +150,12 @@ object BatchSearch {
     val spark = index.documents.sparkSession
     import spark.implicits._
     val queryText = queries.toMap
+    // materialize once (queries × ≤2k rows): the frame feeds BOTH sides of
+    // the rerank join, and without the checkpoint the full eval pipeline
+    // (postings scan + kNN over the corpus per query) executes twice
     val candidates = fusedCandidates(index, queries, analyzer, embedder, opts)
       .withColumnRenamed("score", "original_score")
+      .localCheckpoint(true)
     val withText = candidates.join(index.documents.select($"doc_id", $"content"), Seq("doc_id"))
     val rrScores = withText
       .select($"qid", $"doc_id", substring($"content", 1, rerankTruncate).as("t"))

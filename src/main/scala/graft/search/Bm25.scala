@@ -115,7 +115,13 @@ object Bm25 {
   }
 
   /** Top-k BM25 with deterministic doc_id tiebreak →
-    * `TakeOrderedAndProject`, no full sort (SURVEY.md §2.6 O1). */
+    * `TakeOrderedAndProject`, no full sort (SURVEY.md §2.6 O1).
+    *
+    * The cut orders on the ROUNDED score (engine-wide cut-line convention,
+    * same as the VSS leg): the raw double is a partial-aggregation sum
+    * whose last ULP depends on merge order, so a raw cut could admit a
+    * different boundary doc across runs/partitionings. The emitted score
+    * column stays RAW — only the admission ordering rounds. */
   def topK(scored: DataFrame, k: Int): DataFrame =
-    scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    scored.orderBy(round(col("score"), 6).desc, col("doc_id").asc).limit(k)
 }

@@ -323,6 +323,12 @@ object HybridSearch {
 
     val reranked = reranker match {
       case Some(rr) if opts.rerank =>
+        // Materialize the ≤2k-row candidate frame ONCE: it feeds BOTH
+        // sides of the rerank join (the rrScores derivation and the
+        // streamed side), and Spark does not share subtrees across join
+        // sides — without this the whole candidate pipeline (corpus VSS
+        // scan + BM25 postings join) executes twice per query.
+        val hitsMat = hits.localCheckpoint(true)
         val batch = opts.rerankBatchSize
         val trunc = opts.rerankTruncate
         val q = query
@@ -332,7 +338,7 @@ object HybridSearch {
         // restores original_score on any rerank exception; the distributed
         // failure domain is the batch, so an isolated bad batch degrades
         // only its own rows).
-        val rrScores = hits
+        val rrScores = hitsMat
           .select(col("doc_id"), substring(col("content"), 1, trunc).as("t"))
           .as[(String, String)]
           .mapPartitions { it =>
@@ -344,7 +350,7 @@ object HybridSearch {
             }
           }
           .toDF("doc_id", "rerank_score")
-        hits.join(broadcast(rrScores), Seq("doc_id"))
+        hitsMat.join(broadcast(rrScores), Seq("doc_id"))
           .withColumn("original_score", col("score"))
           .withColumn("score", coalesce(col("rerank_score"), col("original_score")))
           .drop("rerank_score")
