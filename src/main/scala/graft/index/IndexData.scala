@@ -97,9 +97,14 @@ final case class IndexData(
     * upstream lineage per dataset. */
   def save(dir: String): Unit = {
     documents.write.mode("overwrite").parquet(s"$dir/documents")
-    // Partition postings by term hash so a query's broadcast-join probe and
-    // any term-keyed maintenance touch co-located partitions at 100 TB scale.
-    postings.repartition(col("term")).write.mode("overwrite").parquet(s"$dir/postings")
+    // Partition postings by term hash AND sort within files by term: the
+    // clustering co-locates a term's rows in one file, and the sort gives
+    // every parquet row group tight term min/max stats — so the serving
+    // path's pushed `In(term, …)` filter ([[graft.search.Bm25.scores]])
+    // prunes the read to just the query's posting lists instead of
+    // scanning the corpus-proportional table.
+    postings.repartition(col("term")).sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(s"$dir/postings")
     termdf.write.mode("overwrite").parquet(s"$dir/termdf")
     doclen.write.mode("overwrite").parquet(s"$dir/doclen")
     stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
@@ -133,7 +138,10 @@ object IndexData {
     val carry = if (docsOnDisk.columns.contains("file_path")) Seq("file_path") else Nil
     val doclen = Bm25.docLengths(docsOnDisk, carry = carry)
     val postings = Bm25.postings(docsOnDisk, carry = carry)
-    postings.repartition(col("term")).write.mode("overwrite").parquet(s"$dir/postings")
+    // term-clustered + term-sorted files: see [[IndexData.save]] — this is
+    // what lets the pushed In(term, …) probe prune row groups at serve time
+    postings.repartition(col("term")).sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(s"$dir/postings")
     Bm25.docFreq(postings).write.mode("overwrite").parquet(s"$dir/termdf")
     doclen.write.mode("overwrite").parquet(s"$dir/doclen")
     Bm25.corpusStats(doclen).coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")

@@ -373,7 +373,11 @@ object IndexJob {
     val carry = Seq("file_path")
     Bm25.docLengths(segDocs, carry = carry)
       .write.mode("overwrite").parquet(s"$segDir/doclen")
+    // segment postings are O(delta)-small but share the serving probe with
+    // the base: sort within files by term so the pushed In(term, …) filter
+    // prunes their row groups too (base layout: IndexData.save)
     Bm25.postings(segDocs, carry = carry)
+      .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(s"$segDir/postings")
     val plus = Bm25.docFreq(spark.read.parquet(s"$segDir/postings"))
     val deadDocs = pre.documents.join(broadcast(replaced), Seq("file_path"))

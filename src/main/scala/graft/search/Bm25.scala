@@ -72,7 +72,17 @@ object Bm25 {
 
   /** F4: BM25 scores of all documents matching ≥1 query term.
     * Output: (doc_id, score). Only distinct query terms contribute once each
-    * (bag-of-words query, matching DuckDB FTS `match_bm25` semantics). */
+    * (bag-of-words query, matching DuckDB FTS `match_bm25` semantics).
+    *
+    * The query-term restriction is an `isin` FILTER, not a join: a literal
+    * IN-list pushes to the parquet scan as `PushedFilters: [In(term, …)]`,
+    * and because the artifact writes postings term-clustered AND term-sorted
+    * within files ([[graft.index.IndexData.save]]), parquet row-group
+    * min/max stats prune the read to just the query's terms — the inverted-
+    * index probe semantics of the reference (`src/db.py:143-150`: an FTS
+    * probe touches only the query's posting lists), where a broadcast join
+    * alone would still scan every postings byte. Pinned in
+    * PlanRegressionSpec/SearchSpec. */
   def scores(
       queryTerms: Seq[String],
       postings: DataFrame,
@@ -81,10 +91,10 @@ object Bm25 {
       stats: DataFrame): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
-    val q = queryTerms.distinct.toDF("term")
+    val terms = queryTerms.distinct
     postings
-      .join(broadcast(q), "term")
-      .join(broadcast(termdf.join(broadcast(q), "term")), "term")
+      .filter(col("term").isin(terms: _*))
+      .join(broadcast(termdf.filter(col("term").isin(terms: _*))), "term")
       .join(doclen, "doc_id")
       .crossJoin(broadcast(stats))
       .groupBy("doc_id")
@@ -102,9 +112,8 @@ object Bm25 {
       stats: DataFrame): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
-    val q = queryTerms.distinct.toDF("term")
     val withDf = postings
-      .join(broadcast(q), "term")
+      .filter(col("term").isin(queryTerms.distinct: _*))
       .withColumn("df", count("*").over(
         org.apache.spark.sql.expressions.Window.partitionBy("term")).cast("long"))
     withDf

@@ -38,6 +38,60 @@ class SearchSpec extends AnyFunSuite {
     assert(!scored.contains("d2") && !scored.contains("d4"))
   }
 
+  test("FTS probe pushes In(term) to the postings parquet scan") {
+    // the serving path's inverted-index probe semantics (reference
+    // `src/db.py:143-150`): a query reads only its own terms' posting
+    // lists. The isin literal must reach the parquet scan as a pushed
+    // filter — with the term-sorted file layout that is what lets parquet
+    // row-group stats prune the corpus-proportional table at 100 TB.
+    val tmp = java.nio.file.Files.createTempDirectory("fts-prune").toString
+    index.save(tmp)
+    val loaded = IndexData.load(spark, tmp)
+    val scored = Bm25.scores(Seq("spark", "fast"), loaded.postings,
+      loaded.termdf, loaded.doclen, loaded.stats)
+    val p = scored.queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[[^\\]]*".r.findAllIn(p).toSeq
+    assert(pushed.exists(f => f.contains("In(term, [fast,spark") ||
+      f.contains("In(term, [spark,fast")),
+      s"term IN-list not pushed to a parquet scan:\n${pushed.mkString("\n")}\n${p.take(1500)}")
+    // and the pruned read still computes the exact same scores as the
+    // in-memory stats pipeline
+    val onDisk = scored.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val inMem = Bm25.scores(Seq("spark", "fast"), index.postings, index.termdf,
+      index.doclen, index.stats)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(onDisk == inMem, s"disk=$onDisk mem=$inMem")
+    assert(onDisk.keySet == Set("d1", "d3"))
+  }
+
+  test("FTS probe pushes In(term) through the segmented live view's union") {
+    // after an append-merge the postings live view is base ∪ segment with a
+    // broadcast tombstone mask — the term IN-list must still push through
+    // the union into EVERY parquet scan, or segment reads stay unpruned
+    val tmp = java.nio.file.Files.createTempDirectory("fts-prune-seg").toString
+    val settingsDf = Seq(Setting("embedding_model", "test")).toDF()
+    // IndexData.write: stats rows carry file_path (append-merge layout)
+    IndexData.write(corpus, settingsDf, tmp)
+    val delta = Seq(("d5", "spark again here", Seq("spark", "again", "here"),
+        Array(0.5f, 0.5f, 0f)))
+      .toDF("doc_id", "content", "tokens", "embedding")
+      .withColumn("file_path", concat(lit("docs/"), col("doc_id")))
+      .withColumn("header_path", lit(""))
+      .withColumn("line_start", lit(1)).withColumn("line_end", lit(1))
+    graft.index.IndexJob.appendMerge(spark, delta, settingsDf, tmp)
+    val live = IndexData.load(spark, tmp)
+    assert(live.pendingSegments == 1)
+    val scored = Bm25.scores(Seq("spark", "fast"), live.postings,
+      live.termdf, live.doclen, live.stats)
+    val p = scored.queryExecution.executedPlan.toString
+    val postingsScans = "PushedFilters: \\[[^\\]]*".r.findAllIn(p).toSeq
+      .filter(f => f.contains("In(term"))
+    assert(postingsScans.size >= 2,
+      s"expected the In(term) push on base AND segment scans, got ${postingsScans.size}:\n${p.take(2000)}")
+    val got = scored.collect().map(r => r.getString(0)).toSet
+    assert(got == Set("d1", "d3", "d5"), got.mkString(","))
+  }
+
   test("cosine distance matches known geometry") {
     val df = Seq((Array(1f, 0f, 0f), Array(0.6f, 0.8f, 0f))).toDF("a", "b")
       .select(VectorOps.cosineDist($"a", $"b").as("d"))
