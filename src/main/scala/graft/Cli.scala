@@ -25,6 +25,7 @@ import graft.search.HybridSearch
   *                    [--watch]   (stream NEW files into the index until killed)
   *                    [--watch --format jsonl]   (watch a dir of JSONL row drops;
   *                     re-shipped doc_ids upsert)
+  *                    [--multiline]   (row-corpus CSV/TSV whose quoted text holds raw newlines)
   *   graft.Cli search --db DIR --query Q [--top-k K] [--no-rerank]
   *                    [--remove-path-prefix P] [--add-path-prefix P]
   *                    [--ann ivf[:nprobe|:auto] | pq[:shortlist] | ivf[:np]+pq[:sl]]
@@ -40,6 +41,7 @@ import graft.search.HybridSearch
   *   graft.Cli compact --db DIR [--layout zorder|hilbert [--layout-files N]]
   *   graft.Cli stats  --db DIR   (read-only index health JSON)
   *   graft.Cli curate --in DOCS --out DIR [--format parquet|jsonl|csv|tsv]
+  *                    [--multiline]   (CSV/TSV with quoted raw newlines; one file = one split)
   *                    [--jaccard T] [--keep minid|longest] [--bucket-policy cap|subsplit]
   *                    [--boilerplate-max F] [--decontaminate BENCH [--contamination-max F]]
   *                    [--sample] [--layout zorder|hilbert [--layout-cols x,y] [--layout-files N]]
@@ -124,9 +126,13 @@ object Cli {
     val settingsJson = index.settings.collect()
       .map(r => s"${j(r.getString(0))}: ${j(r.getString(1))}")
       .sorted.mkString("{", ",", "}")
+    // formatLocal(Locale.ROOT): the plain f-interpolator uses the JVM
+    // default locale, and a comma-decimal locale (de_DE) would emit
+    // "avgdl": 12,345 — invalid JSON (same class as AnnIndex.encodeCurve)
+    val avgdl = "%.3f".formatLocal(java.util.Locale.ROOT, st.getAs[Double]("avgdl"))
     println(
       s"""{"db": ${j(db)}, "n_docs": ${st.getAs[Long]("n_docs")}, """ +
-        f""""avgdl": ${st.getAs[Double]("avgdl")}%.3f, "vocab_terms": $vocab, """ +
+        s""""avgdl": $avgdl, "vocab_terms": $vocab, """ +
         s""""pending_segments": ${index.pendingSegments}, """ +
         s""""sidecars_cover_segments": ${index.sidecarsCoverSegments}, """ +
         s""""ann": ${index.ann.isDefined}, "pq": ${index.pq.isDefined}, """ +
@@ -144,7 +150,8 @@ object Cli {
   private def driftJson(index: IndexData, key: String): String =
     index.setting(key).flatMap(v => scala.util.Try(v.toDouble).toOption) match {
       case Some(d) =>
-        f"""{"value": $d%.4f, "warn": ${d > graft.index.AnnIndex.DriftWarnThreshold}}"""
+        val v = "%.4f".formatLocal(java.util.Locale.ROOT, d)
+        s"""{"value": $v, "warn": ${d > graft.index.AnnIndex.DriftWarnThreshold}}"""
       case None => "null"
     }
 
@@ -167,7 +174,8 @@ object Cli {
     val spark = session()
     // `--format parquet|jsonl|csv|tsv` (default: by extension) — JSONL/CSV
     // corpora read through DocSources with pinned schemas (no inference scan)
-    val docs = graft.sources.DocSources.read(spark, in, arg(a, "--format"))
+    val docs = graft.sources.DocSources.read(spark, in, arg(a, "--format"),
+      multiLine = flag(a, "--multiline"))
     // `--decontaminate BENCH[.parquet|.jsonl|.csv] [--contamination-max F]`:
     // screen the corpus against a benchmark table (doc_id, text) before dedup
     val optsD = arg(a, "--decontaminate") match {
@@ -329,7 +337,8 @@ object Cli {
         fmtArg.getOrElse(graft.sources.DocSources.formatOf(docs.head)) != "parquet"
       val index =
         if (rowCorpus) {
-          val rows = graft.sources.DocSources.read(spark, docs.head, fmtArg)
+          val rows = graft.sources.DocSources.read(spark, docs.head, fmtArg,
+            multiLine = flag(a, "--multiline"))
           embedder match {
             case "tfidf" | "word2vec" =>
               IndexJob.runRowsFit(spark, rows, db, embedder, dim, analyzer, opts)

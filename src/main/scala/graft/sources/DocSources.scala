@@ -45,8 +45,21 @@ object DocSources {
   /** Read a documents corpus as `doc_id, text[, lang, source]`.
     * Fails loudly when the contract columns are missing or unfilled —
     * a silent all-null `text` column would sail through the quality gate
-    * dropping everything with no visible cause. */
-  def read(spark: SparkSession, path: String, format: Option[String] = None): DataFrame = {
+    * dropping everything with no visible cause.
+    *
+    * CSV/TSV contract: ONE RECORD PER LINE. The default read keeps
+    * `multiLine=false` because that is what makes a 100 TB CSV splittable
+    * (every worker can start at any line boundary); the price is that a
+    * QUOTED text field containing raw newlines — common in document
+    * corpora — splits into malformed continuation rows. Those rows null
+    * out under the pinned cast (continuation fragments don't parse a
+    * doc_id), so the probe below counts them and fails loudly with a
+    * pointer at `multiLine = true` instead of silently dropping documents.
+    * Callers with such a corpus opt in via `multiLine = true` (CLI
+    * `--multiline`), accepting that each FILE then parses as one split —
+    * parallelism comes from file count, the standard Spark trade. */
+  def read(spark: SparkSession, path: String, format: Option[String] = None,
+      multiLine: Boolean = false): DataFrame = {
     val fmt = format.map(_.toLowerCase).getOrElse(formatOf(path))
     val raw = fmt match {
       case "parquet" => spark.read.parquet(path)
@@ -59,6 +72,7 @@ object DocSources {
         spark.read
           .option("header", "true")
           .option("sep", if (fmt == "tsv") "\t" else ",")
+          .option("multiLine", multiLine.toString)
           .csv(path) // header-typed strings: no inference scan
       case other => sys.error(s"unknown --format '$other' (parquet|jsonl|csv|tsv)")
     }
@@ -68,7 +82,11 @@ object DocSources {
       sys.error(s"$path ($fmt) is missing required column(s) ${missing.mkString(", ")} " +
         s"— found [${raw.columns.mkString(", ")}]; documents need doc_id + text")
     val out = raw.select(
-      col("doc_id").cast(LongType).as("doc_id"),
+      // try_cast, not cast: under ANSI mode a malformed id (e.g. a quoted-
+      // newline continuation fragment) would THROW mid-scan with a bare
+      // CAST_INVALID_INPUT; nulling it lets the probe below report the
+      // breakage with the actionable message instead
+      expr("try_cast(doc_id AS BIGINT)").as("doc_id"),
       col("text").cast(StringType).as("text"),
       (if (cols.contains("lang")) col("lang").cast(StringType) else lit(null).cast(StringType))
         .as("lang"),
@@ -90,6 +108,15 @@ object DocSources {
     if (n > 0 && nText == 0)
       sys.error(s"$path ($fmt): text is null in all of the first $n rows " +
         "— wrong format/separator?")
+    // PARTIAL malformation under the one-record-per-line read is the
+    // quoted-newline signature: a text field containing raw newlines splits
+    // into continuation fragments whose doc_id doesn't parse. Loud error
+    // (with the remedy) beats silently skipping those documents.
+    if ((fmt == "csv" || fmt == "tsv") && !multiLine && nId < n)
+      sys.error(s"$path ($fmt): ${n - nId} of the first $n rows have a " +
+        "null/unparseable doc_id — if quoted text fields contain raw " +
+        "newlines, re-read with --multiline (one file = one split), or " +
+        "re-export the corpus one-record-per-line (escaped newlines)")
     out
   }
 }

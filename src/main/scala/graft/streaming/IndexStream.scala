@@ -164,8 +164,11 @@ object IndexStream {
       .option("pathGlobFilter", "*.jsonl*")
       .option("recursiveFileLookup", "true")
       .json(docsDir)
-      // which file each row came from, for the within-batch winner below
+      // which file each row came from + its mtime, for the within-batch
+      // winner below (mtime first: arrival order, not name order)
       .withColumn("_src", org.apache.spark.sql.functions.col("_metadata.file_path"))
+      .withColumn("_mtime",
+        org.apache.spark.sql.functions.col("_metadata.file_modification_time"))
     rows.writeStream
       .option("checkpointLocation",
         checkpointDir.getOrElse(s"$indexDir/_index_checkpoint"))
@@ -175,13 +178,20 @@ object IndexStream {
           // Two drops re-shipping the same doc_id can land in ONE
           // micro-batch (backlog at stream start, files between triggers);
           // the path-keyed merge only replaces across batches, so resolve
-          // within the batch first: latest file (max path — drop names
-          // sort by time in practice) wins per doc key. Ties within one
-          // file are a malformed corpus; a single arbitrary row survives.
+          // within the batch first: latest file wins per doc key, ordered
+          // by file MODIFICATION TIME with path as tiebreak — lexicographic
+          // path order alone is not arrival order ('drop10' < 'drop9', so
+          // a restart backlog could index the stale version). Malformed
+          // PERMISSIVE-nulled rows (null text) must not shadow a valid
+          // same-batch row either, so they are dropped before the merge —
+          // a doc whose ONLY row is malformed simply never indexes, same
+          // as the batch path. Ties within one file are a malformed
+          // corpus; a single arbitrary row survives.
           val latest = batch.toDF()
-            .filter(col("doc_id").isNotNull)
+            .filter(col("doc_id").isNotNull && col("text").isNotNull)
             .groupBy(col("doc_id"), coalesce(col("source"), lit("doc")).as("source"))
-            .agg(max_by(struct(col("text"), col("lang")), col("_src")).as("r"))
+            .agg(max_by(struct(col("text"), col("lang")),
+              struct(col("_mtime"), col("_src"))).as("r"))
             .select(col("doc_id"), col("r.text").as("text"),
               col("r.lang").as("lang"), col("source"))
           val fresh = IndexJob.embedChunks(

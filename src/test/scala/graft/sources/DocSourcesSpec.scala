@@ -89,6 +89,21 @@ class DocSourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("csv with quoted raw newlines: loud error by default, --multiline parses it") {
+    // quoted text holding a raw newline splits into malformed continuation
+    // rows under the splittable one-record-per-line read; the probe must
+    // fail LOUDLY (naming the remedy) instead of silently skipping the doc
+    val p = tmp("newlines.csv",
+      "doc_id,text\n1,\"line one\nline two\"\n2,plain row\n")
+    val e = intercept[RuntimeException](DocSources.read(spark, p).collect())
+    assert(e.getMessage.contains("multiline"), e.getMessage)
+    // opting in trades splittability for correct quoted-newline parsing
+    val rows = DocSources.read(spark, p, multiLine = true)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == "line one\nline two", rows(1L))
+    assert(rows(2L) == "plain row")
+  }
+
   test("a jsonl corpus runs the full curate chain") {
     val lines = (0 until 40).map { i =>
       val words = if (i % 10 == 0) "tiny" // gated: too short to shingle

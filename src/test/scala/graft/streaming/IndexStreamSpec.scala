@@ -379,4 +379,37 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(docs.size == 2, docs.keySet)
     assert(docs("doc:7").contains("version two"))
   }
+
+  test("same-batch dedup orders by file MTIME, not name; malformed rows cannot shadow valid ones") {
+    // two adversarial backlog shapes in one batch:
+    //  - name order contradicts arrival order ('drop10.jsonl' < 'drop9.jsonl'
+    //    lexicographically, but drop10 is the NEWER file) — the winner must
+    //    follow modification time, or a restart backlog indexes stale text;
+    //  - the newest file re-ships a doc as a PERMISSIVE-nulled malformed row
+    //    (null text) — it must not shadow the older VALID row, or the doc
+    //    silently never indexes.
+    val drops = Files.createTempDirectory("idxstream-jm").toString
+    val idx = Files.createTempDirectory("idxstream-jmidx").toString + "/idx"
+    write(drops, "drop9.jsonl",
+      """{"doc_id": 7, "text": "stale version from drop nine"}
+        |{"doc_id": 8, "text": "valid text for doc eight"}
+        |""".stripMargin)
+    write(drops, "drop10.jsonl",
+      """{"doc_id": 7, "text": "fresh version from drop ten"}
+        |{"doc_id": 8, "text": null}
+        |""".stripMargin)
+    // pin arrival order explicitly: drop9 is a minute older than drop10
+    import java.nio.file.attribute.FileTime
+    val now = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(drops, "drop10.jsonl")).toMillis
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(drops, "drop9.jsonl"), FileTime.fromMillis(now - 60000))
+    val q = IndexStream.startRows(spark, drops, idx, new HashingEmbedder(16))
+    try q.processAllAvailable() finally q.stop()
+    val docs = IndexData.load(spark, idx).documents.collect()
+      .map(r => r.getAs[String]("file_path") -> r.getAs[String]("content")).toMap
+    assert(docs.size == 2, docs.keySet)
+    assert(docs("doc:7").contains("fresh version"), docs("doc:7"))
+    assert(docs("doc:8").contains("valid text"), docs("doc:8"))
+  }
 }
