@@ -118,7 +118,11 @@ object Bench {
     // cross-round total comparisons can detect differing failure sets
     // instead of misreading a shrunken green total as a speedup (the round-8
     // lesson, per ADVICE.md).
-    def tJson(v: Double): String = if (v < 0) "null" else f"$v%.3f"
+    // formatLocal(Locale.ROOT): a comma-decimal default locale would make
+    // every timing an invalid JSON token (same class as AnnIndex.encodeCurve)
+    def tJson(v: Double): String =
+      if (v < 0) "null" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def d3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // "queries" = declared-query medians only; the training lane and the
     // infra build are broken out so the headline "value" (serving/pipeline
     // queries) stays comparable across rounds even when a training loop or
@@ -128,27 +132,49 @@ object Bench {
       .mkString("{", ",", "}")
     val trainingJson = (results.collect {
         case (k, v) if TrainingLane.contains(k) => "\"" + k + "\":" + tJson(v)
-      } :+ (f""""total":$trainingTotal%.3f""")).mkString("{", ",", "}")
+      } :+ (s""""total":${d3(trainingTotal)}""")).mkString("{", ",", "}")
+
+    // ---- serving lane (round-11 directive): the reference is an
+    // interactive tool, so alongside the batch lanes measure per-query
+    // SEARCH latency over a warm cached artifact — the `graft serve`
+    // serving posture — in exact and `--ann ivf:auto` modes, p50/p95 over
+    // 20 requests each. A failure degrades to "serving": null rather than
+    // failing the bench.
+    val servingJson =
+      try ServingLane.run(spark, sfDir)
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] serving lane failed: ${e.getMessage}")
+          "null"
+      }
     val failedNames = results.collect {
       case (k, v) if v < 0 && k != InfraComponents => jsonStr(k)
     }
       .mkString("[", ",", "]")
-    val detailsPath = java.nio.file.Paths.get("bench_details.json")
+    // Per-run artifacts land under target/bench/ (non-versioned) so a
+    // driver/bench run never clobbers the builder's COMMITTED
+    // bench_details.json in place (round-10 verdict: runs left the tree
+    // dirty). The committed copy at the repo root is a deliberate pin; the
+    // stdout line always carries the actual path of this run's details.
+    val detailsPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_BENCH_DETAILS", "target/bench/bench_details.json"))
+    Option(detailsPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(detailsPath,
-      (f"""{"metric":"total_completed","value":$total%.3f,"unit":"sec",""" +
-        f""""headline_total":$total%.3f,"training":$trainingJson,""" +
+      (s"""{"metric":"total_completed","value":${d3(total)},"unit":"sec",""" +
+        s""""headline_total":${d3(total)},"training":$trainingJson,""" +
         s""""infra":{"components_build":${tJson(resultMap(InfraComponents))}},""" +
+        s""""serving":$servingJson,""" +
         s""""passes":${passes.size},"stat":"median",""" +
         s""""n_queries":${queryResults.size},"failed":$failed,"failed_names":$failedNames,""" +
-        f""""queries":$allJson,"sf":${jsonStr(sfDir)}}""" + "\n")
+        s""""queries":$allJson,"sf":${jsonStr(sfDir)}}""" + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
     val headlineSet = Headline.filter(resultMap.contains)
     val head = queryResults.filter(r => headlineSet.contains(r._1))
       .map { case (k, v) => "\"" + k + "\":" + tJson(v) }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$head,""" +
-      f""""training":$trainingJson,""" +
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$head,""" +
+      s""""training":$trainingJson,"serving":$servingJson,""" +
       s""""n_queries":${queryResults.size},"failed":$failed,"failed_names":$failedNames,""" +
       s""""queries_all":${jsonStr(detailsPath.toAbsolutePath.toString)},"sf":${jsonStr(sfDir)}}""")
     spark.stop()
