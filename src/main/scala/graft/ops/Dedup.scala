@@ -92,6 +92,32 @@ object Dedup {
     (0 until RowsPerBand).map(r => s"${mhCols(band * RowsPerBand + r)} * ${ws(r)}").mkString(" + ")
   }
 
+  /** Containment-calibrated band layout — the band-layout swap of LSH
+    * Ensemble (Zhu et al., VLDB'16: partition the domain and tune (b, r)
+    * per partition so sets at the CONTAINMENT threshold collide, not sets
+    * at the jaccard threshold). With a fixed budget of [[NumHashes]] = 8
+    * minhashes, the containment-recall-optimal member of the b·r = 8
+    * family is (b = 8, r = 1): a short doc A fully contained in a long
+    * boilerplate B has P(mh_j(A) = mh_j(B)) = jaccard(A,B) ≈ |A|/|B| —
+    * arbitrarily small even at containment 1.0 — so a 4-row band collides
+    * with probability j⁴ (≈ 10⁻⁵ at j = 0.05, the 20× size-ratio shape)
+    * while ≥1 single-minhash collision happens with probability
+    * 1 − (1−j)⁸ (0.34 at j = 0.05, 0.57 at j = 0.1, 0.96 at j = 0.33).
+    * This is exactly the low-jaccard-floor operating point Zhu et al.'s
+    * per-size-partition optimizer converges to; the price is denser
+    * buckets (a bucket = every doc sharing one minhash value), which the
+    * same cap/sub-split density policies bound — candidate formation stays
+    * strictly in-bucket, never all-pairs, at any corpus size.
+    *
+    * Output: one (doc_id, band = j, bucket = mh_j) row per hash — same
+    * shape as the jaccard bands, so every downstream consumer (cap,
+    * sub-split, pair join, verify) is reused unchanged. */
+  def containmentBands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(array(
+      (0 until NumHashes).map(j =>
+        struct(lit(j).as("band"), col(s"mh$j").as("bucket"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
   /** The batch bucket-density guard: keep only the first `maxPerBucket`
     * members of each bucket, in deterministic ascending-id order (see
     * [[MaxPerBucket]] for the recall contract). One row_number window

@@ -140,6 +140,26 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Candidate pairs under the CONTAINMENT-calibrated band layout
+    * ([[Dedup.containmentBands]], the LSH Ensemble (b=8, r=1) swap): same
+    * cap policy, same in-bucket-only pair join — only the band layout
+    * differs from [[minhashPairsOf]]. Any 4-row-band collision implies 4
+    * single-row collisions, so this candidate set is a SUPERSET of the
+    * jaccard layout's (before capping); the new pairs are exactly the
+    * low-jaccard/high-containment ones. */
+  private[graft] def containmentBandPairsOf(tokenized: DataFrame,
+      maxPerBucket: Int = Dedup.MaxPerBucket): DataFrame = {
+    val sig = Dedup.withMinhashSignature(
+      tokenized.filter(size(col("tokens")) >= 3), "tokens")
+    val bands = Dedup.capBuckets(
+      Dedup.containmentBands(sig), "doc_id", Seq("band", "bucket"), maxPerBucket)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** LSH candidate pairs over the documents corpus (query-surface shape). */
   private[queries] def minhashCandidatePairs(s: SparkSession, d: String): DataFrame =
     minhashPairsOf(docs(s, d))
@@ -369,7 +389,8 @@ object PipelineQueries {
     // minhash-LSH recall is calibrated to JACCARD, so very-low-jaccard
     // containment pairs can miss the candidate stage — the at-scale fix is
     // containment-calibrated banding (LSH Ensemble, Zhu et al., VLDB'16),
-    // which swaps the band layout, not this verify dataflow. The ≥0.5 gate
+    // which swaps the band layout, not this verify dataflow — implemented
+    // as q_dedup_containment_lshe below. The ≥0.5 gate
     // compares ROUNDED values so the cut line is identical cross-engine.
     Q("q_dedup_containment",
       (s, d) => {
@@ -391,6 +412,48 @@ object PipelineQueries {
         s"round(${Dedup.containmentSql("sb.ds", "sa.ds")}, 6) AS cont_ba " +
         "FROM pairs JOIN shc sa ON pairs.doc_a = sa.doc_id JOIN shc sb ON pairs.doc_b = sb.doc_id) " +
         "SELECT doc_a, doc_b, cont_ab, cont_ba FROM cont " +
+        "WHERE greatest(cont_ab, cont_ba) >= 0.5 ORDER BY doc_a, doc_b")),
+
+    // The at-scale fix the previous query's caveat names, implemented: the
+    // CONTAINMENT-calibrated band layout (LSH Ensemble, Zhu et al. VLDB'16
+    // — the (b=2, r=4) → (b=8, r=1) swap; see Dedup.containmentBands for
+    // the calibration math). Candidates now collide on ANY shared minhash
+    // (prob 1−(1−j)⁸, alive at the low jaccard a short-doc-inside-
+    // boilerplate pair has) instead of a full 4-row band (prob j⁴, dead
+    // there); the verify stage and the ≥0.5 rounded containment gate are
+    // identical. DedupSpec pins a pair the jaccard bands provably miss and
+    // these bands catch. Buckets are denser by construction — the same
+    // per-bucket cap bounds the pair count, so the 100 TB posture
+    // (in-bucket-only, never all-pairs) is unchanged.
+    Q("q_dedup_containment_lshe",
+      (s, d) => {
+        val tokenized = docs(s, d)
+        val shingleSets = tokenized.filter(size(col("tokens")) >= 3)
+          .select(col("doc_id"), array_distinct(Dedup.shingles(col("tokens"))).as("ds"))
+        Dedup.spreadForKernel(containmentBandPairsOf(tokenized)
+            .join(shingleSets.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
+            .join(shingleSets.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b")))
+          .select(col("doc_a"), col("doc_b"),
+            round(Dedup.containment(col("dsa"), col("dsb")), 6).as("cont_ab"),
+            round(Dedup.containment(col("dsb"), col("dsa")), 6).as("cont_ba"))
+          .filter(greatest(col("cont_ab"), col("cont_ba")) >= 0.5)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"WITH $minhashBandsCtes, " +
+        "cbands0 AS (" +
+        (0 until Dedup.NumHashes).map(j =>
+          s"SELECT doc_id, $j AS band, mh$j AS bucket FROM mh").mkString(" UNION ALL ") +
+        "), " +
+        "cbands AS (SELECT doc_id, band, bucket FROM (SELECT doc_id, band, bucket, " +
+        "row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS bn FROM cbands0) " +
+        s"WHERE bn <= ${Dedup.MaxPerBucket}), " +
+        "cpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM cbands a " +
+        "JOIN cbands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
+        "ccont AS (SELECT doc_a, doc_b, " +
+        s"round(${Dedup.containmentSql("sa.ds", "sb.ds")}, 6) AS cont_ab, " +
+        s"round(${Dedup.containmentSql("sb.ds", "sa.ds")}, 6) AS cont_ba " +
+        "FROM cpairs JOIN shc sa ON cpairs.doc_a = sa.doc_id JOIN shc sb ON cpairs.doc_b = sb.doc_id) " +
+        "SELECT doc_a, doc_b, cont_ab, cont_ba FROM ccont " +
         "WHERE greatest(cont_ab, cont_ba) >= 0.5 ORDER BY doc_a, doc_b")),
 
     // Dup-CLUSTER resolution: connected components over the verified LSH

@@ -124,6 +124,33 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getDouble(2) <= math.min(r.getDouble(0), r.getDouble(1)) + 1e-12)
   }
 
+  test("LSH Ensemble band swap: jaccard bands miss the contained pair, containment bands catch it") {
+    // the pair q_dedup_containment's caveat documents: a short doc fully
+    // embedded at the head of a long boilerplate page — containment 1.0,
+    // jaccard ≈ |A|/|B| — must MISS the (b=2, r=4) jaccard bands (collide
+    // only if all 4 minhashes of a band match, prob ~j⁴) and be CAUGHT by
+    // the (b=8, r=1) containment layout (any shared minhash). Everything
+    // here is deterministic (fixed tokens, fixed hash params).
+    val a = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu").split(" ").toSeq
+    val filler = (1 to 60).map(i => "boilerplate%02d".format(i))
+    val b = a ++ filler
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "tokens")
+    val m = df.filter(size($"tokens") >= 3)
+      .select($"doc_id", array_distinct(Dedup.shingles($"tokens")).as("ds"))
+    val Seq(dsa, dsb) = m.orderBy("doc_id").collect().map(_.getSeq[String](1)).toSeq
+    val shared = dsa.toSet.intersect(dsb.toSet).size
+    assert(shared == dsa.size, "A's shingles must all be contained in B")
+    val j = shared.toDouble / (dsa.size + dsb.size - shared)
+    assert(j < 0.2, s"fixture not adversarial enough: jaccard $j")
+    val jaccardPairs = graft.queries.PipelineQueries.minhashPairsOf(df).collect()
+    assert(jaccardPairs.isEmpty,
+      s"jaccard bands caught the pair — fixture no longer adversarial: ${jaccardPairs.toSeq}")
+    val contPairs = graft.queries.PipelineQueries.containmentBandPairsOf(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(contPairs == Seq((1L, 2L)), contPairs.toString)
+  }
+
   test("brute-force top-k returns self-excluded nearest neighbors") {
     val vecs = Seq(
       (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
