@@ -140,9 +140,17 @@ object CuratePipeline {
     //    edges → connected components → component min survives. The pair
     //    machinery is the SAME implementation the oracle-checked queries
     //    run (PipelineQueries.minhashVerifiedPairsOf) — one definition, no
-    //    drift between the CLI tool and the gated surface.
+    //    drift between the CLI tool and the gated surface — but with the
+    //    PRODUCTION hash (portable = false): the oracle-parity tokHash
+    //    saturates on large corpora (measured: candidate pairs grew 178×
+    //    per 10× docs at the 500k-doc decade purely from hash-space
+    //    crowding — Dedup.tokHash scaladoc), while xxhash64 keeps buckets
+    //    = true near-dup families and pair growth linear. Exact-jaccard
+    //    verification is hash-independent, so the kept/dropped decision
+    //    semantics are unchanged — only the candidate recall/cost curve
+    //    improves.
     val edges = graft.queries.PipelineQueries
-      .minhashVerifiedPairsOf(kept2d, opts.bucketPolicy)
+      .minhashVerifiedPairsOf(kept2d, opts.bucketPolicy, portable = false)
       .filter(col("jaccard") >= opts.jaccardThreshold)
       .select("doc_a", "doc_b")
     val comps = Components.connectedComponents(

@@ -46,12 +46,30 @@ object Dedup {
   /** Portable token hash: a few ascii probes + length. Weak as a hash, but
     * deterministic, collision-tolerant (both engines see identical values),
     * and expressible in ANSI-ish SQL — the property the oracle needs.
-    * ascii('') = 0 in both Spark and DuckDB, so short tokens are safe. */
+    * ascii('') = 0 in both Spark and DuckDB, so short tokens are safe.
+    *
+    * ORACLE-ONLY: its effective range (~first-3-chars × length) SATURATES
+    * as the corpus grows — measured on the grow-mode scale fixtures, the
+    * in-bucket candidate-pair count went 3.7k → 76k → 13.6M across
+    * 5k → 50k → 500k docs (20× then 178× per 10× docs), because unrelated
+    * documents start colliding on minhashes of the crowded hash space. The
+    * oracle-checked queries keep it (cross-engine parity is their point
+    * and the driver corpus is small); every PRODUCTION consumer (curate
+    * chain) hashes with [[prodTokHash]] instead — see
+    * [[graft.queries.PipelineQueries.minhashVerifiedPairsOf]]'s `portable`
+    * knob and the round-11 PLANS.md audit. */
   def tokHash(c: Column): Column =
     (ascii(substring(c, 1, 1)) * 961 +
       ascii(substring(c, 2, 1)) * 31 +
       ascii(substring(c, 3, 1)) +
       length(c) * 7919).cast("long")
+
+  /** Production shingle hash: uniform 64-bit xxhash64 folded into
+    * [0, [[ProdP]]) — collision probability per doc pair ~|shingles|/2³¹
+    * instead of the portable hash's saturating range. Not SQL-portable
+    * (DuckDB has no xxhash64), so only non-oracle consumers use it. */
+  val ProdP = 2147483647L // 2^31 − 1, Mersenne prime
+  def prodTokHash(c: Column): Column = pmod(xxhash64(c), lit(ProdP))
 
   def tokHashSql(e: String): String =
     s"CAST(ascii(substr($e, 1, 1)) * 961 + ascii(substr($e, 2, 1)) * 31 + " +
@@ -74,6 +92,14 @@ object Dedup {
   def minhash(shingleHashes: Column, j: Int): Column = {
     val (a, b) = hashParams(j)
     array_min(transform(shingleHashes, h => (h * a + b) % P))
+  }
+
+  /** [[minhash]] over the production hash domain: same permutation
+    * family, modulus [[ProdP]], pmod for sign-safety. h < 2³¹ and
+    * a ≤ 2·7+3 per [[hashParams]], so h·a + b < 2⁴² — no ANSI overflow. */
+  def minhashProd(shingleHashes: Column, j: Int): Column = {
+    val (a, b) = hashParams(j)
+    array_min(transform(shingleHashes, h => pmod(h * a + b, lit(ProdP))))
   }
 
   def minhashSql(hashesExpr: String, j: Int): String = {
@@ -181,12 +207,18 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count("*").cast("long").as("n_dups"))
 
   /** Per-document MinHash signature columns mh0..mh{n-1} + band buckets.
-    * Input must have ≥3 tokens per row (filter first). */
-  def withMinhashSignature(df: DataFrame, tokensCol: String): DataFrame = {
-    val sh = transform(shingles(col(tokensCol)), s => tokHash(s))
+    * Input must have ≥3 tokens per row (filter first). `portable` selects
+    * the oracle-parity [[tokHash]] (default — every oracle-checked query)
+    * or the saturation-free [[prodTokHash]] (production consumers: the
+    * curate chain; see the tokHash scaladoc for the measured difference). */
+  def withMinhashSignature(df: DataFrame, tokensCol: String,
+      portable: Boolean = true): DataFrame = {
+    val sh = transform(shingles(col(tokensCol)),
+      s => if (portable) tokHash(s) else prodTokHash(s))
     val withH = df.withColumn("_sh", sh)
     val withMh = (0 until NumHashes).foldLeft(withH) { (acc, j) =>
-      acc.withColumn(s"mh$j", minhash(col("_sh"), j))
+      acc.withColumn(s"mh$j",
+        if (portable) minhash(col("_sh"), j) else minhashProd(col("_sh"), j))
     }
     val mh = (0 until NumHashes).map(j => col(s"mh$j"))
     withMh

@@ -23,9 +23,10 @@ object PipelineQueries {
 
   /** Uncapped (doc_id, band, bucket) membership rows — the input both
     * oversized-bucket policies (cap, sub-split) draw from. */
-  private def rawBands(tokenized: DataFrame): DataFrame = {
+  private def rawBands(tokenized: DataFrame,
+      portable: Boolean = true): DataFrame = {
     val sig = Dedup.withMinhashSignature(
-      tokenized.filter(size(col("tokens")) >= 3), "tokens")
+      tokenized.filter(size(col("tokens")) >= 3), "tokens", portable)
     sig.select(col("doc_id"), explode(array(
       struct(lit(0).as("band"), col("band0").as("bucket")),
       struct(lit(1).as("band"), col("band1").as("bucket")))).as("bb"))
@@ -42,8 +43,10 @@ object PipelineQueries {
     * incremental screen caps only its EXISTING side (a screened doc is
     * never dropped). */
   private[graft] def minhashBands(tokenized: DataFrame,
-      maxPerBucket: Int = Dedup.MaxPerBucket): DataFrame =
-    Dedup.capBuckets(rawBands(tokenized), "doc_id", Seq("band", "bucket"), maxPerBucket)
+      maxPerBucket: Int = Dedup.MaxPerBucket,
+      portable: Boolean = true): DataFrame =
+    Dedup.capBuckets(rawBands(tokenized, portable), "doc_id",
+      Seq("band", "bucket"), maxPerBucket)
 
   /** LSH candidate pairs (doc_a < doc_b) of an already-tokenized
     * (doc_id, tokens) frame, formed ONLY inside a band bucket — never an
@@ -52,8 +55,9 @@ object PipelineQueries {
     * oracle-checked queries and the curate CLI chain run the ONE
     * implementation. */
   private[graft] def minhashPairsOf(tokenized: DataFrame,
-      maxPerBucket: Int = Dedup.MaxPerBucket): DataFrame = {
-    val bands = minhashBands(tokenized, maxPerBucket)
+      maxPerBucket: Int = Dedup.MaxPerBucket,
+      portable: Boolean = true): DataFrame = {
+    val bands = minhashBands(tokenized, maxPerBucket, portable)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -69,10 +73,11 @@ object PipelineQueries {
     * ([[minhashPairsOf]], the default) or `subsplit`
     * ([[minhashSubsplitPairsOf]]). */
   private[graft] def minhashVerifiedPairsOf(tokenized: DataFrame,
-      bucketPolicy: String = "cap"): DataFrame = {
+      bucketPolicy: String = "cap",
+      portable: Boolean = true): DataFrame = {
     val pairs = bucketPolicy match {
-      case "cap"      => minhashPairsOf(tokenized)
-      case "subsplit" => minhashSubsplitPairsOf(tokenized)
+      case "cap"      => minhashPairsOf(tokenized, portable = portable)
+      case "subsplit" => minhashSubsplitPairsOf(tokenized, portable = portable)
       case other => sys.error(s"unknown bucket policy '$other' (expected cap or subsplit)")
     }
     val shingleSets = tokenized.filter(size(col("tokens")) >= 3)
@@ -90,9 +95,10 @@ object PipelineQueries {
     * bucket size instead of quadratically, with no membership loss (the
     * cap's trade-off inverted; see the policy scaladoc). */
   private[graft] def minhashSubsplitPairsOf(tokenized: DataFrame,
-      maxPerBucket: Int = Dedup.MaxPerBucket): DataFrame = {
+      maxPerBucket: Int = Dedup.MaxPerBucket,
+      portable: Boolean = true): DataFrame = {
     val sub = Dedup.subSplitBuckets(
-      rawBands(tokenized), "doc_id", Seq("band", "bucket"), maxPerBucket)
+      rawBands(tokenized, portable), "doc_id", Seq("band", "bucket"), maxPerBucket)
     sub.as("a").join(sub.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a._sub") === col("b._sub") && col("a.doc_id") < col("b.doc_id"))

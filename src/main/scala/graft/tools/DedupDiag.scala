@@ -39,6 +39,21 @@ object DedupDiag {
     j.groupBy().agg(count(lit(1)).as("pairs"),
       sum(when(col("ta") === col("tb"), 1L).otherwise(0L)).as("equal_prefix"),
       avg(length(col("ta"))).as("avg_len")).show(false)
+
+    // the PRODUCTION-hash (xxhash64) candidate stage on the same corpus —
+    // the saturation comparison the tokHash scaladoc cites — plus the
+    // wall-clock of the full verified-pairs stage under each hash
+    val prodPairs = graft.queries.PipelineQueries
+      .minhashPairsOf(docs, portable = false).count()
+    println(s"[diag] prod-hash pairs=$prodPairs (portable above)")
+    def time(portable: Boolean): Double = {
+      val t0 = System.nanoTime()
+      graft.queries.PipelineQueries.minhashVerifiedPairsOf(docs, portable = portable)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[diag] verified-pairs wall-clock: portable=${time(true)}%.1fs " +
+      f"prod=${time(false)}%.1fs")
     spark.stop()
   }
 }

@@ -40,6 +40,20 @@ object ScaleTestData {
     val mode = sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "replicate")
     require(mode == "replicate" || mode == "grow",
       s"SPARK_GRAFT_SCALE_MODE must be replicate|grow, got '$mode'")
+    // grow-mode invariant: the replica marker must stay ONE char, because
+    // the portable tokHash probes shingle chars 1–3 — a 2-digit marker
+    // (factor > 10) puts digits at BOTH probed positions 2 and 3 of every
+    // word, collapsing per-replica shingle-hash diversity to the
+    // (first-char × length) histogram (the degenerate case the growText
+    // scaladoc documents). Measured: a factor=100 corpus made the LSH
+    // dedup audit read 76–119× at 10× data purely from fixture bucket
+    // density. Build larger decades by NESTING: grow(sf0.1, 10) →
+    // /tmp/sf1g, then grow(/tmp/sf1g, 10) → /tmp/sf10g — single-digit
+    // insertions compose, (new digit, old digit) keeps ~100 hash classes
+    // per word position and buckets grow in COUNT at ~constant density.
+    require(mode != "grow" || factor <= 10,
+      s"grow mode supports factor <= 10 (got $factor); nest two grow runs " +
+        "for larger decades (see the scaladoc invariant)")
     val spark = SparkSession.builder()
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")

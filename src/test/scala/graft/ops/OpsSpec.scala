@@ -151,6 +151,33 @@ class OpsSpec extends AnyFunSuite {
     assert(contPairs == Seq((1L, 2L)), contPairs.toString)
   }
 
+  test("production-hash LSH finds the true near-dup family and avoids tokHash's crowding") {
+    // same three-way near-dup family under both hashes; unrelated docs
+    // share no bucket under the production hash. The portable hash's
+    // saturation (unrelated docs colliding via the tiny first-3-chars ×
+    // length range) is a corpus-size effect pinned by the scale audit
+    // (PLANS.md round-11); here we pin the semantics: the production path
+    // still catches genuine duplicates.
+    val family = "license header boilerplate text repeated across many files verbatim tail"
+    val rows = Seq(
+      (1L, family), (2L, family + " v2"), (3L, family + " amended"),
+      (4L, "completely different content about streaming watermarks and state"),
+      (5L, "yet another unrelated document mentioning partitions and shuffles"))
+      .map { case (id, t) => (id, t.split(" ").toSeq) }
+    val df = rows.toDF("doc_id", "tokens")
+    val prod = graft.queries.PipelineQueries
+      .minhashPairsOf(df, portable = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prod.contains((1L, 2L)) && prod.contains((1L, 3L)), prod.toString)
+    assert(!prod.exists(p => p._1 == 4L || p._2 == 4L || p._1 == 5L || p._2 == 5L),
+      s"unrelated docs bucketed together under the production hash: $prod")
+    // hash-domain sanity: production minhashes live in [0, ProdP)
+    val sig = Dedup.withMinhashSignature(df, "tokens", portable = false)
+    val mh = sig.select((0 until Dedup.NumHashes).map(j => col(s"mh$j")): _*)
+      .collect().flatMap(r => (0 until Dedup.NumHashes).map(r.getLong))
+    assert(mh.forall(v => v >= 0 && v < Dedup.ProdP))
+  }
+
   test("brute-force top-k returns self-excluded nearest neighbors") {
     val vecs = Seq(
       (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
