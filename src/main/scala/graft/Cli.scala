@@ -43,6 +43,7 @@ import graft.search.HybridSearch
   *   graft.Cli curate --in DOCS --out DIR [--format parquet|jsonl|csv|tsv]
   *                    [--multiline]   (CSV/TSV with quoted raw newlines; one file = one split)
   *                    [--jaccard T] [--keep minid|longest] [--bucket-policy cap|subsplit]
+  *                    [--containment T]   (drop docs >= T contained in a larger kept doc)
   *                    [--boilerplate-max F] [--decontaminate BENCH [--contamination-max F]]
   *                    [--sample] [--layout zorder|hilbert [--layout-cols x,y] [--layout-files N]]
   *                    [--shards N]
@@ -170,7 +171,10 @@ object Cli {
       // `--keep minid|longest`: which member of a near-dup cluster survives
       keepPolicy = arg(a, "--keep").map(_.toLowerCase).getOrElse("minid"),
       // `--boilerplate-max F`: drop docs dominated by corpus-repeated windows
-      boilerplateMax = arg(a, "--boilerplate-max").map(_.toDouble).getOrElse(-1.0))
+      boilerplateMax = arg(a, "--boilerplate-max").map(_.toDouble).getOrElse(-1.0),
+      // `--containment T`: drop docs >= T contained in a larger kept doc
+      // (sub-document dups jaccard clustering cannot see)
+      containmentMin = arg(a, "--containment").map(_.toDouble).getOrElse(-1.0))
     val spark = session()
     // `--format parquet|jsonl|csv|tsv` (default: by extension) — JSONL/CSV
     // corpora read through DocSources with pinned schemas (no inference scan)

@@ -42,6 +42,18 @@ object CuratePipeline {
         * each doc is screened by one stateless per-row pass. None = skip. */
       decontaminate: Option[DataFrame] = None,
       contaminationMax: Double = 0.05,
+      /** Containment dedup stage (`--containment T`): after near-dup
+        * clustering, drop every doc whose distinct-shingle set is ≥ T
+        * CONTAINED in a LARGER kept doc (ties by id) — the sub-document-
+        * duplication jaccard clustering can't see (a short doc inside a
+        * boilerplate page has jaccard ≈ |A|/|B|, below any sane jaccard
+        * threshold, at containment ~1.0). Candidates come from the
+        * containment-calibrated (b=8, r=1) band layout (LSH Ensemble —
+        * `Dedup.containmentBands`) under the production hash; the verify
+        * is exact containment. If A ⊆ B ⊆ C, both A and B drop and C
+        * survives — each contained doc names one container in the report,
+        * not its transitive root. Negative = skip. */
+      containmentMin: Double = -1.0,
       /** Corpus-global boilerplate drop (`--boilerplate-max F`): docs whose
         * fraction of non-overlapping 8-token windows appearing elsewhere in
         * the corpus reaches F are dropped (the q_boilerplate_windows rule
@@ -178,14 +190,54 @@ object CuratePipeline {
     val kept3d = ranked.filter(col("_rn") === 1)
       .select("doc_id", "text", "tokens")
 
-    // 4. optional quality-weighted sampling (deterministic md5 draw)
-    val (keptFinal, dropSample) =
-      if (!opts.sample) (kept3d, kept3d.limit(0)
+    // 3.5 (optional) containment dedup: drop docs ≥ T contained in a
+    //     larger kept doc. Candidates via the containment-calibrated
+    //     (b=8, r=1) bands (LSH Ensemble) under the production hash —
+    //     jaccard clustering upstream cannot catch these pairs by
+    //     construction (see Opts.containmentMin). In-bucket-only pairs,
+    //     exact-containment verify on the spread kernel — the same cost
+    //     discipline as the jaccard verify stage.
+    val (kept3c, dropContained) =
+      if (opts.containmentMin < 0) (kept3d, kept3d.limit(0)
         .select(col("doc_id"), lit("").as("stage"), lit("").as("detail")))
       else {
-        val sampled = graft.queries.CurationQueries.weightedSample(kept3d)
+        val sh = kept3d.filter(size(col("tokens")) >= 3)
+          .select(col("doc_id"), array_distinct(Dedup.shingles(col("tokens"))).as("ds"))
+        val pairs = graft.queries.PipelineQueries
+          .containmentBandPairsOf(kept3d, portable = false)
+        val verdicts = Dedup.spreadForKernel(pairs
+            .join(sh.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
+            .join(sh.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b")))
+          .select(col("doc_a"), col("doc_b"),
+            Dedup.containment(col("dsa"), col("dsb")).as("cab"),
+            Dedup.containment(col("dsb"), col("dsa")).as("cba"),
+            size(col("dsa")).as("na"), size(col("dsb")).as("nb"))
+          .localCheckpoint()
+        // a drops into b iff contained AND b is strictly bigger (ties by
+        // smaller id) — the orientation makes the rule total and acyclic
+        val aDrops = verdicts.filter(col("cab") >= opts.containmentMin &&
+            (col("nb") > col("na") ||
+             (col("nb") === col("na") && col("doc_b") < col("doc_a"))))
+          .select(col("doc_a").as("doc_id"), col("doc_b").as("into"))
+        val bDrops = verdicts.filter(col("cba") >= opts.containmentMin &&
+            (col("na") > col("nb") ||
+             (col("na") === col("nb") && col("doc_a") < col("doc_b"))))
+          .select(col("doc_b").as("doc_id"), col("doc_a").as("into"))
+        val dropIds = aDrops.unionAll(bDrops)
+          .groupBy("doc_id").agg(min(col("into")).as("into"))
+        val kept = kept3d.join(dropIds.select("doc_id"), Seq("doc_id"), "left_anti")
+        (kept, dropIds.select(col("doc_id"), lit("contained").as("stage"),
+          concat(lit("contained_in="), col("into")).as("detail")))
+      }
+
+    // 4. optional quality-weighted sampling (deterministic md5 draw)
+    val (keptFinal, dropSample) =
+      if (!opts.sample) (kept3c, kept3c.limit(0)
+        .select(col("doc_id"), lit("").as("stage"), lit("").as("detail")))
+      else {
+        val sampled = graft.queries.CurationQueries.weightedSample(kept3c)
           .select(col("doc_id"), lit(true).as("_sampled"))
-        val joined = kept3d.join(sampled, Seq("doc_id"), "left")
+        val joined = kept3c.join(sampled, Seq("doc_id"), "left")
         (joined.filter(col("_sampled").isNotNull).select("doc_id", "text", "tokens"),
           joined.filter(col("_sampled").isNull)
             .select(col("doc_id"), lit("sampled_out").as("stage"), lit("").as("detail")))
@@ -193,6 +245,6 @@ object CuratePipeline {
 
     (keptFinal.select("doc_id", "text"),
       dropQuality.union(dropContam).union(dropBoiler).union(dropExact)
-        .union(dropNear).union(dropSample))
+        .union(dropNear).union(dropContained).union(dropSample))
   }
 }

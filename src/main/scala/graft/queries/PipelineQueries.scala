@@ -154,9 +154,10 @@ object PipelineQueries {
     * jaccard layout's (before capping); the new pairs are exactly the
     * low-jaccard/high-containment ones. */
   private[graft] def containmentBandPairsOf(tokenized: DataFrame,
-      maxPerBucket: Int = Dedup.MaxPerBucket): DataFrame = {
+      maxPerBucket: Int = Dedup.MaxPerBucket,
+      portable: Boolean = true): DataFrame = {
     val sig = Dedup.withMinhashSignature(
-      tokenized.filter(size(col("tokens")) >= 3), "tokens")
+      tokenized.filter(size(col("tokens")) >= 3), "tokens", portable)
     val bands = Dedup.capBuckets(
       Dedup.containmentBands(sig), "doc_id", Seq("band", "bucket"), maxPerBucket)
     bands.as("a").join(bands.as("b"),
@@ -428,15 +429,23 @@ object PipelineQueries {
     // boilerplate pair has) instead of a full 4-row band (prob j⁴, dead
     // there); the verify stage and the ≥0.5 rounded containment gate are
     // identical. DedupSpec pins a pair the jaccard bands provably miss and
-    // these bands catch. Buckets are denser by construction — the same
-    // per-bucket cap bounds the pair count, so the 100 TB posture
-    // (in-bucket-only, never all-pairs) is unchanged.
+    // these bands catch. Buckets are denser by construction — the LSH
+    // Ensemble trade — so the density cap TIGHTENS with the layout: 64
+    // members per (band, bucket) instead of 256 (the r=1 bucket count is
+    // 8× the jaccard layout's and single-minhash buckets crowd under the
+    // portable oracle hash; 64 bounds pairs at ~2k/bucket and kept this
+    // query out of the bench's expensive tier while surfacing the same
+    // sf0.01 containment pairs). The oracle applies the identical cap —
+    // the 100 TB posture (in-bucket-only, never all-pairs) is unchanged,
+    // and the PRODUCTION consumer of these bands (curate --containment)
+    // runs the saturation-free xxhash64 domain where buckets are true
+    // min-shingle families.
     Q("q_dedup_containment_lshe",
       (s, d) => {
         val tokenized = docs(s, d)
         val shingleSets = tokenized.filter(size(col("tokens")) >= 3)
           .select(col("doc_id"), array_distinct(Dedup.shingles(col("tokens"))).as("ds"))
-        Dedup.spreadForKernel(containmentBandPairsOf(tokenized)
+        Dedup.spreadForKernel(containmentBandPairsOf(tokenized, maxPerBucket = 64)
             .join(shingleSets.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
             .join(shingleSets.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b")))
           .select(col("doc_a"), col("doc_b"),
@@ -452,7 +461,7 @@ object PipelineQueries {
         "), " +
         "cbands AS (SELECT doc_id, band, bucket FROM (SELECT doc_id, band, bucket, " +
         "row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS bn FROM cbands0) " +
-        s"WHERE bn <= ${Dedup.MaxPerBucket}), " +
+        "WHERE bn <= 64), " +
         "cpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM cbands a " +
         "JOIN cbands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
         "ccont AS (SELECT doc_a, doc_b, " +

@@ -171,6 +171,36 @@ class CuratePipelineSpec extends AnyFunSuite {
       .intersect(dropIds).isEmpty)
   }
 
+  test("containment stage drops sub-document dups the jaccard clustering misses") {
+    // plant a super-document: three KEPT real docs concatenated. Each
+    // component is ~fully contained in it (containment ≈ 1.0) at jaccard
+    // ≈ 1/3 — below the 0.5 near-dup threshold, so only the containment
+    // stage can catch the relationship. All three components must drop as
+    // contained_in=9100 and the super-doc survives.
+    val (keptPlain, _) = CuratePipeline.run(docs)
+    val parts = keptPlain.orderBy("doc_id").limit(3).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val superDoc = (9100L, parts.map(_._2).mkString(" "))
+    val spark2 = spark
+    import spark2.implicits._
+    val augmented = docs.unionByName(Seq(superDoc).toDF("doc_id", "text"))
+    val (kept, report) = CuratePipeline.run(augmented,
+      CuratePipeline.Opts(containmentMin = 0.85))
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.contains(9100L), "the super-document must survive")
+    val drops = report.filter(col("stage") === "contained").collect()
+    val dropIds = drops.map(_.getLong(0)).toSet
+    assert(parts.map(_._1).toSet.subsetOf(dropIds),
+      s"expected ${parts.map(_._1).toSet} contained-dropped, got $dropIds")
+    assert(drops.forall(_.getString(2).startsWith("contained_in=")))
+    assert(keptIds.intersect(dropIds).isEmpty)
+    // and WITHOUT the flag the components are kept (the near-dup stage
+    // does not see jaccard-1/3 pairs) — the stage is genuinely additive
+    val (keptOff, _) = CuratePipeline.run(augmented)
+    val offIds = keptOff.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(parts.map(_._1).toSet.subsetOf(offIds))
+  }
+
   test("sampling stage drops only sampled_out rows and stays deterministic") {
     val (kept, report) = CuratePipeline.run(docs, CuratePipeline.Opts(sample = true))
     val (kept2, _) = CuratePipeline.run(docs, CuratePipeline.Opts(sample = true))
