@@ -185,7 +185,8 @@ object Cli {
     val optsD = arg(a, "--decontaminate") match {
       case None => opts
       case Some(benchPath) => opts.copy(
-        decontaminate = Some(graft.sources.DocSources.read(spark, benchPath, None)),
+        decontaminate = Some(graft.sources.DocSources.read(spark, benchPath, None,
+          multiLine = flag(a, "--multiline"))),
         contaminationMax =
           arg(a, "--contamination-max").map(_.toDouble).getOrElse(0.05))
     }

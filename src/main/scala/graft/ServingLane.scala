@@ -30,27 +30,29 @@ object ServingLane {
     // match `graft serve`: AQE off for the ≤2k-row cached online plans
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-serving")
+    var index: Option[graft.index.IndexData] = None
     try {
-      val dir = java.nio.file.Files.createTempDirectory("graft-bench-serving").toString
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .select(col("vec_id").cast("string").as("doc_id"), col("embedding"))
+      val embAll = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val emb = embAll.select(col("vec_id").cast("string").as("doc_id"), col("embedding"))
       val built = graft.index.IndexJob.fromTable(docs, "doc_id", "text",
         df => split(df("text"), " "), embeddings = Some(emb))
-      graft.index.IndexData.write(built.documents, built.settings, dir)
-      graft.index.IndexJob.withAnn(graft.index.IndexData.load(spark, dir), dir,
-        annClusters = 16, annIters = 3)
+      graft.index.IndexData.write(built.documents, built.settings, dir.toString)
+      graft.index.IndexJob.withAnn(graft.index.IndexData.load(spark, dir.toString),
+        dir.toString, annClusters = 16, annIters = 3)
 
       // cache exactly the way `graft serve` does
-      val index = graft.index.IndexData.load(spark, dir).cached()
-      index.stats.count(); index.documents.count(); index.postings.count()
-      index.termdf.count(); index.doclen.count()
-      index.ann.foreach { a => a.centroids.count(); a.postings.count() }
+      val idx = graft.index.IndexData.load(spark, dir.toString).cached()
+      index = Some(idx)
+      idx.stats.count(); idx.documents.count(); idx.postings.count()
+      idx.termdf.count(); idx.doclen.count()
+      idx.ann.foreach { a => a.centroids.count(); a.postings.count() }
 
       // 10 query texts with real embedding-table vectors attached, so both
       // legs do real work (the FTS terms hit the corpus vocabulary; the
-      // vectors are in-distribution)
-      val qvecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      // vectors are in-distribution); reuse the one embeddings scan
+      val qvecs = embAll
         .filter(col("vec_id") < 10)
         .select(col("vec_id").cast("string"), col("embedding"))
         .as[(String, Array[Float])].collect().toMap
@@ -63,7 +65,7 @@ object ServingLane {
 
       def runOnce(q: String, nprobe: Int): Double = {
         val t0 = System.nanoTime()
-        graft.search.HybridSearch.search(index, q,
+        graft.search.HybridSearch.search(idx, q,
           analyzer = graft.analyze.WhitespaceAnalyzer,
           embedder = Some(lookup),
           reranker = Some(new graft.rerank.TokenOverlapReranker()),
@@ -74,7 +76,7 @@ object ServingLane {
 
       // `--ann ivf:auto`, resolved the way the CLI resolves it: smallest
       // nprobe meeting the fit-time recall curve's 0.9 target
-      val (autoNprobe, _) = Cli.resolveAutoNprobe(index, (Cli.AutoNprobe, 0))
+      val (autoNprobe, _) = Cli.resolveAutoNprobe(idx, (Cli.AutoNprobe, 0))
 
       def mode(name: String, nprobe: Int): String = {
         texts.take(3).foreach(runOnce(_, nprobe)) // codegen/JIT warmup
@@ -85,6 +87,18 @@ object ServingLane {
       val exact = mode("exact", 0)
       val auto = mode("ivf_auto", autoNprobe)
       s"""{"unit":"ms","n":20,$exact,$auto}"""
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      // unpin the cached artifact (every dataset cached() pinned) and drop
+      // the temp index dir — a bench run must not leave the SF index in
+      // executor storage memory or a parquet copy on disk
+      index.foreach { i =>
+        Seq(i.documents, i.postings, i.termdf, i.doclen, i.stats, i.settings)
+          .foreach(_.unpersist(false))
+        i.ann.foreach { a => a.centroids.unpersist(false); a.postings.unpersist(false) }
+        i.pq.foreach { p => p.codes.unpersist(false) }
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
   }
 }

@@ -214,7 +214,8 @@ object CuratePipeline {
             size(col("dsa")).as("na"), size(col("dsb")).as("nb"))
           .localCheckpoint()
         // a drops into b iff contained AND b is strictly bigger (ties by
-        // smaller id) — the orientation makes the rule total and acyclic
+        // smaller id) — the orientation makes the candidate relation a DAG
+        // by (size, id)
         val aDrops = verdicts.filter(col("cab") >= opts.containmentMin &&
             (col("nb") > col("na") ||
              (col("nb") === col("na") && col("doc_b") < col("doc_a"))))
@@ -223,9 +224,41 @@ object CuratePipeline {
             (col("na") > col("nb") ||
              (col("na") === col("nb") && col("doc_a") < col("doc_b"))))
           .select(col("doc_b").as("doc_id"), col("doc_a").as("into"))
-        val dropIds = aDrops.unionAll(bDrops)
+        val cand = aDrops.unionAll(bDrops).localCheckpoint()
+        // Resolve to "contained in a doc that SURVIVES": below containment
+        // 1.0 the relation is not transitive (A 0.9-in-B, B 0.85-in-C does
+        // NOT bound A's overlap with C), so a one-pass drop could remove A
+        // whose only container B is itself removed — A's content then has
+        // no kept representative. Fixpoint over the candidate DAG: start
+        // from the over-approximation (all candidates dropped), keep a drop
+        // only while SOME container of the doc survives, iterate until
+        // stable. Converges in ≤ chain-depth rounds (each round one
+        // anti-join + distinct over the CANDIDATE frame, corpus never
+        // touched — the Components discipline); capped with a loud escape.
+        var dropped = cand.select("doc_id").distinct().localCheckpoint()
+        var stable = false
+        var rounds = 0
+        while (!stable && rounds < 25) {
+          val next = cand
+            .join(dropped.withColumnRenamed("doc_id", "into"), Seq("into"), "left_anti")
+            .select("doc_id").distinct().localCheckpoint()
+          // exact set equality (both anti-join directions), not a count
+          // compare — equal cardinality of different sets must not stop
+          // the iteration early
+          stable = next.join(dropped, Seq("doc_id"), "left_anti").isEmpty &&
+            dropped.join(next, Seq("doc_id"), "left_anti").isEmpty
+          dropped = next
+          rounds += 1
+        }
+        if (!stable) System.err.println(
+          "[curate] containment fixpoint did not stabilize in 25 rounds; " +
+            "dropping the current (conservative, smaller) set")
+        // report each dropped doc with its smallest SURVIVING container
+        val dropIds = cand
+          .join(dropped.withColumnRenamed("doc_id", "into"), Seq("into"), "left_anti")
+          .join(dropped, Seq("doc_id"), "left_semi")
           .groupBy("doc_id").agg(min(col("into")).as("into"))
-        val kept = kept3d.join(dropIds.select("doc_id"), Seq("doc_id"), "left_anti")
+        val kept = kept3d.join(dropped, Seq("doc_id"), "left_anti")
         (kept, dropIds.select(col("doc_id"), lit("contained").as("stage"),
           concat(lit("contained_in="), col("into")).as("detail")))
       }

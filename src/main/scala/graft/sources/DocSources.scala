@@ -81,12 +81,26 @@ object DocSources {
     if (missing.nonEmpty)
       sys.error(s"$path ($fmt) is missing required column(s) ${missing.mkString(", ")} " +
         s"— found [${raw.columns.mkString(", ")}]; documents need doc_id + text")
+    // id decode: try_cast so ANSI mode can't throw a bare CAST_INVALID_INPUT
+    // mid-scan — but for the string-typed csv/tsv read a decode FAILURE
+    // (raw value present, cast null) raises OUR actionable error instead,
+    // AT ANY ROW DEPTH, not just inside the probe's 1000-row window: the
+    // quoted-newline fragments (or non-integer ids) whose first occurrence
+    // is past the window would otherwise be silently nulled and skipped.
+    // Zero extra scan — the check rides the projection. jsonl keeps the
+    // probe-only contract: PERMISSIVE nulls the whole malformed row, so
+    // there is no raw value left to distinguish "absent" from "broken".
+    val idExpr =
+      if (fmt == "csv" || fmt == "tsv")
+        when(col("doc_id").isNotNull && expr("try_cast(doc_id AS BIGINT)").isNull,
+          raise_error(concat(lit(s"$path ($fmt): unparseable doc_id '"),
+            col("doc_id"),
+            lit("' — if quoted text fields contain raw newlines, re-read " +
+              "with --multiline; otherwise ids must be integers"))))
+          .otherwise(expr("try_cast(doc_id AS BIGINT)"))
+      else expr("try_cast(doc_id AS BIGINT)")
     val out = raw.select(
-      // try_cast, not cast: under ANSI mode a malformed id (e.g. a quoted-
-      // newline continuation fragment) would THROW mid-scan with a bare
-      // CAST_INVALID_INPUT; nulling it lets the probe below report the
-      // breakage with the actionable message instead
-      expr("try_cast(doc_id AS BIGINT)").as("doc_id"),
+      idExpr.as("doc_id"),
       col("text").cast(StringType).as("text"),
       (if (cols.contains("lang")) col("lang").cast(StringType) else lit(null).cast(StringType))
         .as("lang"),

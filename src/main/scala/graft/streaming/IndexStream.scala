@@ -179,9 +179,15 @@ object IndexStream {
           // micro-batch (backlog at stream start, files between triggers);
           // the path-keyed merge only replaces across batches, so resolve
           // within the batch first: latest file wins per doc key, ordered
-          // by file MODIFICATION TIME with path as tiebreak — lexicographic
-          // path order alone is not arrival order ('drop10' < 'drop9', so
-          // a restart backlog could index the stale version). Malformed
+          // by file MODIFICATION TIME with SHORTLEX path as tiebreak —
+          // lexicographic path order alone is not arrival order ('drop10'
+          // < 'drop9', so a restart backlog could index the stale
+          // version), and a plain-lex tiebreak would resurrect exactly
+          // that bug when mtimes TIE (tar/rsync-copied drops with
+          // preserved identical timestamps, second-granularity object
+          // stores). Shortlex (length first, then lex) orders numbered
+          // sequences correctly across digit-count boundaries: drop10 >
+          // drop9 because it is longer. Malformed
           // PERMISSIVE-nulled rows (null text) must not shadow a valid
           // same-batch row either, so they are dropped before the merge —
           // a doc whose ONLY row is malformed simply never indexes, same
@@ -191,7 +197,7 @@ object IndexStream {
             .filter(col("doc_id").isNotNull && col("text").isNotNull)
             .groupBy(col("doc_id"), coalesce(col("source"), lit("doc")).as("source"))
             .agg(max_by(struct(col("text"), col("lang")),
-              struct(col("_mtime"), col("_src"))).as("r"))
+              struct(col("_mtime"), length(col("_src")), col("_src"))).as("r"))
             .select(col("doc_id"), col("r.text").as("text"),
               col("r.lang").as("lang"), col("source"))
           val fresh = IndexJob.embedChunks(

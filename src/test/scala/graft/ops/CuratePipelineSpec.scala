@@ -201,6 +201,35 @@ class CuratePipelineSpec extends AnyFunSuite {
     assert(parts.map(_._1).toSet.subsetOf(offIds))
   }
 
+  test("containment fixpoint: a doc is dropped only into a SURVIVING container") {
+    // chain A ⊂ B, B 0.87-contained-in C, A ∩ C = ∅, jaccard(B,C) ≈ 0.4
+    // (below the near-dup threshold, so the jaccard stage can't touch it):
+    // the naive one-pass rule drops BOTH A (into B) and B (into C), losing
+    // A's content entirely since A is NOT in C. The fixpoint must keep A
+    // (its only container B does not survive) and drop exactly B.
+    val aToks = (1 to 22).map(i => f"aw$i%02d")
+    val shared = (1 to 150).map(i => f"sw$i%03d")
+    val extra = (1 to 200).map(i => f"ew$i%03d")
+    val fixture = Seq(
+      (9201L, aToks.mkString(" ")),
+      (9202L, (aToks ++ shared).mkString(" ")),
+      (9203L, (shared ++ extra).mkString(" ")))
+    val spark2 = spark
+    import spark2.implicits._
+    val augmented = docs.unionByName(fixture.toDF("doc_id", "text"))
+    val (kept, report) = CuratePipeline.run(augmented,
+      CuratePipeline.Opts(containmentMin = 0.85))
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val drops = report.filter(col("stage") === "contained").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(keptIds.contains(9203L), "the top container C must survive")
+    assert(drops.contains(9202L) && drops(9202L) == "contained_in=9203",
+      drops.toString)
+    assert(keptIds.contains(9201L),
+      s"A's only container B was dropped — A must survive (fixpoint), drops=$drops")
+    assert(!drops.contains(9201L))
+  }
+
   test("sampling stage drops only sampled_out rows and stays deterministic") {
     val (kept, report) = CuratePipeline.run(docs, CuratePipeline.Opts(sample = true))
     val (kept2, _) = CuratePipeline.run(docs, CuratePipeline.Opts(sample = true))

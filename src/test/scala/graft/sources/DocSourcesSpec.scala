@@ -104,6 +104,23 @@ class DocSourcesSpec extends AnyFunSuite {
     assert(rows(2L) == "plain row")
   }
 
+  test("csv malformation BEYOND the probe window still fails loudly at scan depth") {
+    // first 1500 rows clean (the 1000-row probe passes), then a quoted
+    // raw-newline doc: the in-projection raise_error must surface the
+    // actionable message when the malformed row is actually read —
+    // silent null-and-skip past the probe window is the round-11 review's
+    // data-loss finding
+    val clean = (1 to 1500).map(i => s"$i,clean row number $i").mkString("\n")
+    val p = tmp("deep.csv", s"doc_id,text\n$clean\n9999,\"line one\nline two\"\n")
+    val df = DocSources.read(spark, p) // probe passes: first 1000 rows clean
+    // materialize doc_id (as every real consumer does — it is the key);
+    // a bare count() would let Catalyst prune the id projection entirely
+    val e = intercept[Exception](df.select("doc_id").collect())
+    assert(e.getMessage.contains("multiline") ||
+      Option(e.getCause).exists(_.getMessage.contains("multiline")),
+      s"${e.getMessage}\ncause: ${Option(e.getCause).map(_.getMessage)}")
+  }
+
   test("a jsonl corpus runs the full curate chain") {
     val lines = (0 until 40).map { i =>
       val words = if (i % 10 == 0) "tiny" // gated: too short to shingle

@@ -412,4 +412,29 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(docs("doc:7").contains("fresh version"), docs("doc:7"))
     assert(docs("doc:8").contains("valid text"), docs("doc:8"))
   }
+
+  test("equal mtimes: the SHORTLEX path tiebreak keeps drop10 over drop9") {
+    // tar/rsync-extracted backlogs preserve identical mtimes; a plain-lex
+    // tiebreak would pick 'drop9.jsonl' > 'drop10.jsonl' and resurrect the
+    // stale version. Shortlex (length, then lex) orders numbered sequences
+    // correctly across digit-count boundaries.
+    val drops = Files.createTempDirectory("idxstream-tie").toString
+    val idx = Files.createTempDirectory("idxstream-tieidx").toString + "/idx"
+    write(drops, "drop9.jsonl",
+      """{"doc_id": 7, "text": "stale version from drop nine"}
+        |""".stripMargin)
+    write(drops, "drop10.jsonl",
+      """{"doc_id": 7, "text": "fresh version from drop ten"}
+        |""".stripMargin)
+    import java.nio.file.attribute.FileTime
+    val t = FileTime.fromMillis(1700000000000L)
+    Seq("drop9.jsonl", "drop10.jsonl").foreach { f =>
+      java.nio.file.Files.setLastModifiedTime(java.nio.file.Paths.get(drops, f), t)
+    }
+    val q = IndexStream.startRows(spark, drops, idx, new HashingEmbedder(16))
+    try q.processAllAvailable() finally q.stop()
+    val content = IndexData.load(spark, idx).documents.collect()
+      .map(_.getAs[String]("content")).mkString
+    assert(content.contains("fresh version"), content)
+  }
 }
