@@ -39,11 +39,19 @@ object NearDupStream {
   final case class BucketState(members: List[Long], saturated: Boolean)
 
   /** docs → (band, bucket, doc_id) via the batch signature expressions.
-    * Works on batch AND streaming frames (map-only, no state). */
-  def bandedDocs(docs: DataFrame, tokensCol: String): Dataset[BandedDoc] = {
+    * Works on batch AND streaming frames (map-only, no state). `portable`
+    * selects the hash domain exactly as in batch: the oracle-parity
+    * tokHash (default — NearDupStreamSpec pins pair-set equality against
+    * the oracle-checked batch join) or the saturation-free production
+    * xxhash64 ([[Dedup.prodTokHash]] — what a production stream over a
+    * large corpus should run, matching `graft curate`; the portable hash
+    * crowds buckets as the corpus grows, which in the STREAMING shape
+    * surfaces as saturated-bucket sentinels instead of quadratic pairs). */
+  def bandedDocs(docs: DataFrame, tokensCol: String,
+      portable: Boolean = true): Dataset[BandedDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Dedup.withMinhashSignature(docs, tokensCol)
+    Dedup.withMinhashSignature(docs, tokensCol, portable)
       .select(col("doc_id"), explode(array(
         struct(lit(0).as("band"), col("band0").as("bucket")),
         struct(lit(1).as("band"), col("band1").as("bucket")))).as("bb"))
@@ -85,10 +93,11 @@ object NearDupStream {
     * emit-on-collision. Append-mode output. */
   def candidates(
       stream: DataFrame, tokensCol: String,
-      maxPerBucket: Int = 10000): Dataset[DupCandidate] = {
+      maxPerBucket: Int = 10000,
+      portable: Boolean = true): Dataset[DupCandidate] = {
     val spark = stream.sparkSession
     import spark.implicits._
-    bandedDocs(stream, tokensCol)
+    bandedDocs(stream, tokensCol, portable)
       .groupByKey(d => (d.band, d.bucket))
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(

@@ -51,6 +51,37 @@ class NearDupStreamSpec extends AnyFunSuite {
     assert(batchPairs.nonEmpty)
   }
 
+  test("production-hash streaming candidates equal the production-hash batch pairs") {
+    // the portable=false domain (what a production stream should run,
+    // matching graft curate) keeps the same stream ≡ batch contract
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val stream = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val q = NearDupStream.candidates(tokenized(stream), "tokens", portable = false)
+      .writeStream.outputMode("append").format("memory").queryName("neardup_prod")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("neardup_prod").as[NearDupStream.DupCandidate]
+      .collect().filter(_.dup_of >= 0)
+      .map(c => (math.min(c.doc_id, c.dup_of), math.max(c.doc_id, c.dup_of)))
+      .toSet
+    val banded = NearDupStream.bandedDocs(
+      tokenized(spark.read.parquet(s"$dir/documents.parquet")), "tokens",
+      portable = false)
+    val b1 = banded.toDF("band", "bucket", "doc_a")
+    val b2 = banded.toDF("band", "bucket", "doc_b")
+    val batchPairs = b1.join(b2, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batchPairs)
+    // the production domain is strictly less crowded than the portable one
+    val portablePairs = spark.table("neardup").count()
+    assert(streamed.size <= portablePairs)
+  }
+
   test("bucket saturation freezes membership and emits one sentinel") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("neardup-sat").toString
