@@ -30,20 +30,24 @@ object ServingLane {
     // match `graft serve`: AQE off for the ≤2k-row cached online plans
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val dir = java.nio.file.Files.createTempDirectory("graft-bench-serving")
+    // dir creation INSIDE the try: if tmp allocation throws, the finally
+    // must still restore AQE for the rest of the bench process
+    var dir: Option[java.nio.file.Path] = None
     var index: Option[graft.index.IndexData] = None
     try {
+      dir = Some(java.nio.file.Files.createTempDirectory("graft-bench-serving"))
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val embAll = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val emb = embAll.select(col("vec_id").cast("string").as("doc_id"), col("embedding"))
       val built = graft.index.IndexJob.fromTable(docs, "doc_id", "text",
         df => split(df("text"), " "), embeddings = Some(emb))
-      graft.index.IndexData.write(built.documents, built.settings, dir.toString)
-      graft.index.IndexJob.withAnn(graft.index.IndexData.load(spark, dir.toString),
-        dir.toString, annClusters = 16, annIters = 3)
+      val d = dir.get.toString
+      graft.index.IndexData.write(built.documents, built.settings, d)
+      graft.index.IndexJob.withAnn(graft.index.IndexData.load(spark, d),
+        d, annClusters = 16, annIters = 3)
 
       // cache exactly the way `graft serve` does
-      val idx = graft.index.IndexData.load(spark, dir.toString).cached()
+      val idx = graft.index.IndexData.load(spark, d).cached()
       index = Some(idx)
       idx.stats.count(); idx.documents.count(); idx.postings.count()
       idx.termdf.count(); idx.doclen.count()
@@ -96,9 +100,9 @@ object ServingLane {
         Seq(i.documents, i.postings, i.termdf, i.doclen, i.stats, i.settings)
           .foreach(_.unpersist(false))
         i.ann.foreach { a => a.centroids.unpersist(false); a.postings.unpersist(false) }
-        i.pq.foreach { p => p.codes.unpersist(false) }
+        i.pq.foreach { p => p.codes.unpersist(false); p.codebooks.unpersist(false) }
       }
-      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+      dir.foreach(dd => org.apache.commons.io.FileUtils.deleteQuietly(dd.toFile))
     }
   }
 }

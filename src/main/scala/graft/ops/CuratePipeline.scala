@@ -250,9 +250,22 @@ object CuratePipeline {
           dropped = next
           rounds += 1
         }
-        if (!stable) System.err.println(
-          "[curate] containment fixpoint did not stabilize in 25 rounds; " +
-            "dropping the current (conservative, smaller) set")
+        if (!stable) {
+          // Escape path must preserve the safety property WITHOUT relying
+          // on the cap's parity (odd iterates of the antitone map are
+          // under-approximations, even iterates over-approximations — a
+          // future cap edit must not silently reintroduce orphaned drops).
+          // For ANY set D, the restriction D ∩ {d : ∃ d→c, c ∉ D} is safe:
+          // each retained drop names a container outside D, and D only
+          // shrinks, so that container survives. One extra anti-join.
+          val valid = cand
+            .join(dropped.withColumnRenamed("doc_id", "into"), Seq("into"), "left_anti")
+            .select("doc_id").distinct()
+          dropped = dropped.join(valid, Seq("doc_id"), "left_semi").localCheckpoint()
+          System.err.println(
+            "[curate] containment fixpoint did not stabilize in 25 rounds; " +
+              "dropping the safety-restricted (conservative) set")
+        }
         // report each dropped doc with its smallest SURVIVING container
         val dropIds = cand
           .join(dropped.withColumnRenamed("doc_id", "into"), Seq("into"), "left_anti")

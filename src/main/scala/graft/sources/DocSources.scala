@@ -82,23 +82,29 @@ object DocSources {
       sys.error(s"$path ($fmt) is missing required column(s) ${missing.mkString(", ")} " +
         s"— found [${raw.columns.mkString(", ")}]; documents need doc_id + text")
     // id decode: try_cast so ANSI mode can't throw a bare CAST_INVALID_INPUT
-    // mid-scan — but for the string-typed csv/tsv read a decode FAILURE
-    // (raw value present, cast null) raises OUR actionable error instead,
-    // AT ANY ROW DEPTH, not just inside the probe's 1000-row window: the
-    // quoted-newline fragments (or non-integer ids) whose first occurrence
-    // is past the window would otherwise be silently nulled and skipped.
-    // Zero extra scan — the check rides the projection. jsonl keeps the
-    // probe-only contract: PERMISSIVE nulls the whole malformed row, so
-    // there is no raw value left to distinguish "absent" from "broken".
+    // mid-scan — but for the string-typed csv/tsv read an id that fails
+    // the CONTRACT (absent — empty field reads as null — or unparseable)
+    // raises OUR actionable error instead, AT ANY ROW DEPTH, not just
+    // inside the probe's 1000-row window: quoted-newline continuation
+    // fragments, non-integer ids, and empty-first-field fragments past
+    // the window would otherwise be silently nulled and skipped. Zero
+    // extra scan — the check rides the projection. RESIDUAL (documented,
+    // row-locally undetectable): a continuation fragment whose first
+    // field happens to parse as an integer produces a bogus row — only
+    // the one-record-per-line contract (or --multiline) rules that out.
+    // jsonl keeps the probe-only contract: PERMISSIVE nulls the whole
+    // malformed row, leaving no raw value to distinguish absent from
+    // broken.
+    val tryId = expr("try_cast(doc_id AS BIGINT)")
     val idExpr =
       if (fmt == "csv" || fmt == "tsv")
-        when(col("doc_id").isNotNull && expr("try_cast(doc_id AS BIGINT)").isNull,
-          raise_error(concat(lit(s"$path ($fmt): unparseable doc_id '"),
-            col("doc_id"),
-            lit("' — if quoted text fields contain raw newlines, re-read " +
-              "with --multiline; otherwise ids must be integers"))))
-          .otherwise(expr("try_cast(doc_id AS BIGINT)"))
-      else expr("try_cast(doc_id AS BIGINT)")
+        when(col("doc_id").isNull || tryId.isNull,
+          raise_error(concat(lit(s"$path ($fmt): missing/unparseable doc_id '"),
+            coalesce(col("doc_id"), lit("<empty>")),
+            lit("' — ids must be present integers; if quoted text fields " +
+              "contain raw newlines, re-read with --multiline"))))
+          .otherwise(tryId)
+      else tryId
     val out = raw.select(
       idExpr.as("doc_id"),
       col("text").cast(StringType).as("text"),
@@ -122,15 +128,9 @@ object DocSources {
     if (n > 0 && nText == 0)
       sys.error(s"$path ($fmt): text is null in all of the first $n rows " +
         "— wrong format/separator?")
-    // PARTIAL malformation under the one-record-per-line read is the
-    // quoted-newline signature: a text field containing raw newlines splits
-    // into continuation fragments whose doc_id doesn't parse. Loud error
-    // (with the remedy) beats silently skipping those documents.
-    if ((fmt == "csv" || fmt == "tsv") && !multiLine && nId < n)
-      sys.error(s"$path ($fmt): ${n - nId} of the first $n rows have a " +
-        "null/unparseable doc_id — if quoted text fields contain raw " +
-        "newlines, re-read with --multiline (one file = one split), or " +
-        "re-export the corpus one-record-per-line (escaped newlines)")
+    // (csv/tsv partial malformation never reaches here: the in-projection
+    // raise_error above fires on the first missing/unparseable id — inside
+    // the probe window or at any depth beyond it)
     out
   }
 }

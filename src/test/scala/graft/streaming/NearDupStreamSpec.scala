@@ -77,8 +77,15 @@ class NearDupStreamSpec extends AnyFunSuite {
       .select("doc_a", "doc_b").distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamed == batchPairs)
-    // the production domain is strictly less crowded than the portable one
-    val portablePairs = spark.table("neardup").count()
+    // the production domain is no more crowded than the portable one —
+    // computed independently (no dependency on another test's memory sink)
+    val portableBanded = NearDupStream.bandedDocs(
+      tokenized(spark.read.parquet(s"$dir/documents.parquet")), "tokens")
+    val p1 = portableBanded.toDF("band", "bucket", "doc_a")
+    val p2 = portableBanded.toDF("band", "bucket", "doc_b")
+    val portablePairs = p1.join(p2, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct().count()
     assert(streamed.size <= portablePairs)
   }
 
