@@ -80,6 +80,14 @@ object Cli {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the FTS probe's row-group pruning rides a pushed In(term,…) parquet
+      // filter; past this threshold Spark silently degrades the pushed In to
+      // a min/max RANGE filter, which on a term-sorted postings file spans
+      // the whole alphabet between the query's terms — a >10-distinct-term
+      // natural-language query would quietly lose the index-probe shape.
+      // 1000 keeps the full In list for any realistic query width (pinned in
+      // SessionConfSpec; posture documented in PLANS.md).
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   * Stage order matters and mirrors production practice: the cheap map-only
   * gate runs first so dedup never hashes junk; exact dedup (32-byte keys)
   * runs before the shingle pipeline so near-dup only sees distinct texts;
-  * sampling runs last so rates apply to the clean corpus.
+  * sampling runs on the deduped corpus, BEFORE containment, so that every
+  * `contained_in=<id>` report line names a container present in the final
+  * kept output (the draw is per-doc deterministic, so its kept set is
+  * position-independent — ordering it earlier only fixes the report's
+  * referential integrity).
   */
 object CuratePipeline {
 
@@ -190,6 +194,26 @@ object CuratePipeline {
     val kept3d = ranked.filter(col("_rn") === 1)
       .select("doc_id", "text", "tokens")
 
+    // 3.4 (optional) quality-weighted sampling (deterministic md5 draw).
+    //     Runs BEFORE containment: the draw is per-doc deterministic (its
+    //     quality score and unit hash depend only on the doc's own row, not
+    //     on corpus statistics), so the sampled-in set is identical at
+    //     either position — but ordering it first makes every containment
+    //     container a doc that actually SURVIVES to the final output. With
+    //     the old order, a `contained_in=<id>` report line could name a
+    //     container the later sampling stage removed (round-11 ADVICE).
+    val (kept3s, dropSample) =
+      if (!opts.sample) (kept3d, kept3d.limit(0)
+        .select(col("doc_id"), lit("").as("stage"), lit("").as("detail")))
+      else {
+        val sampled = graft.queries.CurationQueries.weightedSample(kept3d)
+          .select(col("doc_id"), lit(true).as("_sampled"))
+        val joined = kept3d.join(sampled, Seq("doc_id"), "left")
+        (joined.filter(col("_sampled").isNotNull).select("doc_id", "text", "tokens"),
+          joined.filter(col("_sampled").isNull)
+            .select(col("doc_id"), lit("sampled_out").as("stage"), lit("").as("detail")))
+      }
+
     // 3.5 (optional) containment dedup: drop docs ≥ T contained in a
     //     larger kept doc. Candidates via the containment-calibrated
     //     (b=8, r=1) bands (LSH Ensemble) under the production hash —
@@ -197,14 +221,14 @@ object CuratePipeline {
     //     construction (see Opts.containmentMin). In-bucket-only pairs,
     //     exact-containment verify on the spread kernel — the same cost
     //     discipline as the jaccard verify stage.
-    val (kept3c, dropContained) =
-      if (opts.containmentMin < 0) (kept3d, kept3d.limit(0)
+    val (keptFinal, dropContained) =
+      if (opts.containmentMin < 0) (kept3s, kept3s.limit(0)
         .select(col("doc_id"), lit("").as("stage"), lit("").as("detail")))
       else {
-        val sh = kept3d.filter(size(col("tokens")) >= 3)
+        val sh = kept3s.filter(size(col("tokens")) >= 3)
           .select(col("doc_id"), array_distinct(Dedup.shingles(col("tokens"))).as("ds"))
         val pairs = graft.queries.PipelineQueries
-          .containmentBandPairsOf(kept3d, portable = false)
+          .containmentBandPairsOf(kept3s, portable = false)
         val verdicts = Dedup.spreadForKernel(pairs
             .join(sh.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
             .join(sh.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b")))
@@ -271,22 +295,9 @@ object CuratePipeline {
           .join(dropped.withColumnRenamed("doc_id", "into"), Seq("into"), "left_anti")
           .join(dropped, Seq("doc_id"), "left_semi")
           .groupBy("doc_id").agg(min(col("into")).as("into"))
-        val kept = kept3d.join(dropped, Seq("doc_id"), "left_anti")
+        val kept = kept3s.join(dropped, Seq("doc_id"), "left_anti")
         (kept, dropIds.select(col("doc_id"), lit("contained").as("stage"),
           concat(lit("contained_in="), col("into")).as("detail")))
-      }
-
-    // 4. optional quality-weighted sampling (deterministic md5 draw)
-    val (keptFinal, dropSample) =
-      if (!opts.sample) (kept3c, kept3c.limit(0)
-        .select(col("doc_id"), lit("").as("stage"), lit("").as("detail")))
-      else {
-        val sampled = graft.queries.CurationQueries.weightedSample(kept3c)
-          .select(col("doc_id"), lit(true).as("_sampled"))
-        val joined = kept3c.join(sampled, Seq("doc_id"), "left")
-        (joined.filter(col("_sampled").isNotNull).select("doc_id", "text", "tokens"),
-          joined.filter(col("_sampled").isNull)
-            .select(col("doc_id"), lit("sampled_out").as("stage"), lit("").as("detail")))
       }
 
     (keptFinal.select("doc_id", "text"),

@@ -21,6 +21,17 @@ object SearchQueries {
 
   private val queryTerms = Seq("spark", "join", "merge")
   private val queryTermsSql = "['spark', 'join', 'merge']"
+  /** A natural-language-width query: 12 distinct in-vocabulary terms —
+    * deliberately past Spark's default parquet In-pushdown threshold of 10
+    * (`spark.sql.parquet.pushdown.inFilterThreshold`), where the pushed
+    * `In(term,…)` filter silently degrades to a min/max RANGE filter and a
+    * term-sorted postings file loses its row-group pruning. The serving
+    * sessions raise the threshold to 1000 (Cli.session / Bench); this
+    * query pins the >10-term SCORING semantics cross-engine, and the
+    * FtsProbe `--terms 12` audit pins the pruning (PLANS.md round-12). */
+  private val longQueryTerms = Seq("spark", "join", "merge", "window",
+    "batch", "stream", "customer", "order", "value", "scan", "filter", "hash")
+  private val longQueryTermsSql = longQueryTerms.mkString("['", "', '", "']")
   private val K = 10
 
   /** documents with a real `tokens` array column. */
@@ -137,6 +148,22 @@ object SearchQueries {
           .limit(20)
       },
       Some(s"WITH ${Q.bm25Ctes}, ${Q.bm25ScoresCte(queryTermsSql)} " +
+        "SELECT doc_id, round(score, 6) AS score FROM scores " +
+        "ORDER BY round(score, 6) DESC, doc_id LIMIT 20")),
+
+    // F4 at natural-language query width: 12 distinct terms (see
+    // [[longQueryTerms]] — past the default parquet In-pushdown threshold).
+    Q("q_f4_bm25_longquery",
+      (s, d) => {
+        val dd = docs(s, d)
+        val doclen = Bm25.docLengths(dd)
+        Bm25.scoresSelfContained(longQueryTerms, Bm25.postings(dd), doclen,
+            Bm25.corpusStats(doclen))
+          .select(col("doc_id"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some(s"WITH ${Q.bm25Ctes}, ${Q.bm25ScoresCte(longQueryTermsSql)} " +
         "SELECT doc_id, round(score, 6) AS score FROM scores " +
         "ORDER BY round(score, 6) DESC, doc_id LIMIT 20")),
 

@@ -193,11 +193,19 @@ object IndexStream {
           // a doc whose ONLY row is malformed simply never indexes, same
           // as the batch path. Ties within one file are a malformed
           // corpus; a single arbitrary row survives.
+          // the shortlex tiebreak ranks the BASENAME, not the full path:
+          // recursiveFileLookup is on, so equal-mtime drops can live at
+          // different depths, and a full-path length comparison would order
+          // by directory depth (picking the stale file in nested layouts)
+          // instead of the drop-sequence number the basename carries. Full
+          // path stays as the last component purely as a deterministic
+          // tiebreak for identical basenames in different directories.
+          val bn = substring_index(col("_src"), "/", -1)
           val latest = batch.toDF()
             .filter(col("doc_id").isNotNull && col("text").isNotNull)
             .groupBy(col("doc_id"), coalesce(col("source"), lit("doc")).as("source"))
             .agg(max_by(struct(col("text"), col("lang")),
-              struct(col("_mtime"), length(col("_src")), col("_src"))).as("r"))
+              struct(col("_mtime"), length(bn), bn, col("_src"))).as("r"))
             .select(col("doc_id"), col("r.text").as("text"),
               col("r.lang").as("lang"), col("source"))
           val fresh = IndexJob.embedChunks(

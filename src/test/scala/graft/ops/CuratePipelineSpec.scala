@@ -230,6 +230,36 @@ class CuratePipelineSpec extends AnyFunSuite {
     assert(!drops.contains(9201L))
   }
 
+  test("sample + containment: every contained_in names a doc in the FINAL kept " +
+      "output (sampling runs first — round-11 ADVICE referential integrity)") {
+    // with the old stage order (containment, then sampling) the report's
+    // contained_in=<id> could name a container the sampling stage later
+    // removed; sampling-first makes the container choice final by
+    // construction. Reuse the super-document fixture so containment drops
+    // actually occur.
+    val (keptPlain, _) = CuratePipeline.run(docs)
+    val parts = keptPlain.orderBy("doc_id").limit(3).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val superDoc = (9100L, parts.map(_._2).mkString(" "))
+    val spark2 = spark
+    import spark2.implicits._
+    val augmented = docs.unionByName(Seq(superDoc).toDF("doc_id", "text"))
+    val (kept, report) = CuratePipeline.run(augmented,
+      CuratePipeline.Opts(containmentMin = 0.85, sample = true))
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val repRows = report.collect()
+    val containers = repRows.filter(_.getString(1) == "contained")
+      .map(_.getString(2).split("=")(1).toLong)
+    assert(containers.forall(keptIds.contains),
+      s"containment report names non-surviving containers: " +
+        s"${containers.filterNot(keptIds.contains).toSeq} not in kept")
+    // partition invariant still holds under the reordered stages
+    val repIds = repRows.map(_.getLong(0)).toSet
+    val allIds = augmented.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.intersect(repIds).isEmpty)
+    assert(keptIds.union(repIds) == allIds)
+  }
+
   test("sampling stage drops only sampled_out rows and stays deterministic") {
     val (kept, report) = CuratePipeline.run(docs, CuratePipeline.Opts(sample = true))
     val (kept2, _) = CuratePipeline.run(docs, CuratePipeline.Opts(sample = true))

@@ -437,4 +437,31 @@ class IndexStreamSpec extends AnyFunSuite {
       .map(_.getAs[String]("content")).mkString
     assert(content.contains("fresh version"), content)
   }
+
+  test("equal mtimes across NESTED drop dirs: the shortlex tiebreak ranks the " +
+      "BASENAME, not the full path (round-11 ADVICE)") {
+    // recursiveFileLookup is on, so drops can land at different depths. A
+    // full-path shortlex would rank by directory depth — here the STALE
+    // drop9 sits deeper, so path-length order would pick it. The basename
+    // tiebreak must still pick drop10.
+    val drops = Files.createTempDirectory("idxstream-nest").toString
+    val idx = Files.createTempDirectory("idxstream-nestidx").toString + "/idx"
+    Files.createDirectories(Paths.get(drops, "deep", "nested", "backlog"))
+    write(drops, "drop10.jsonl",
+      """{"doc_id": 7, "text": "fresh version from drop ten"}
+        |""".stripMargin)
+    write(s"$drops/deep/nested/backlog", "drop9.jsonl",
+      """{"doc_id": 7, "text": "stale version from drop nine"}
+        |""".stripMargin)
+    import java.nio.file.attribute.FileTime
+    val t = FileTime.fromMillis(1700000000000L)
+    Seq(Paths.get(drops, "drop10.jsonl"),
+        Paths.get(drops, "deep", "nested", "backlog", "drop9.jsonl"))
+      .foreach(java.nio.file.Files.setLastModifiedTime(_, t))
+    val q = IndexStream.startRows(spark, drops, idx, new HashingEmbedder(16))
+    try q.processAllAvailable() finally q.stop()
+    val content = IndexData.load(spark, idx).documents.collect()
+      .map(_.getAs[String]("content")).mkString
+    assert(content.contains("fresh version"), content)
+  }
 }
