@@ -500,13 +500,21 @@ object Cli {
       fusion: String = "mean", threshold: Option[Double] = None,
       phrase: Boolean = false) = {
     val analyzer = analyzerFor(index)
-    HybridSearch.search(index, query,
-      analyzer = analyzer,
-      embedder = Some(embedderFor(index, db)),
+    // the serving surface (interactive loop, one-shot search, MCP) runs the
+    // low-latency ServeSearch formulation — bit-identical to the DataFrame
+    // DAG path (ServeSearchSpec) at roughly half the per-request latency
+    // (ServeProbe). GRAFT_SEARCH_ENGINE=dag is the escape hatch back to the
+    // single-DAG path for plan debugging.
+    val engine: (IndexData, String, graft.analyze.Analyzer, Option[graft.embed.Embedder],
+        Option[graft.rerank.Reranker], HybridSearch.Options) => org.apache.spark.sql.DataFrame =
+      if (sys.env.get("GRAFT_SEARCH_ENGINE").contains("dag")) HybridSearch.search
+      else graft.search.ServeSearch.search
+    engine(index, query, analyzer,
+      Some(embedderFor(index, db)),
       // the rerank leg must score in the SAME token space as the index
       // (bigram index + unigram rerank would resurrect single-char overlap)
-      reranker = if (rerank) Some(new TokenOverlapReranker(analyzer.tokenize)) else None,
-      opts = HybridSearch.Options(k = k, rerank = rerank,
+      if (rerank) Some(new TokenOverlapReranker(analyzer.tokenize)) else None,
+      HybridSearch.Options(k = k, rerank = rerank,
         removePathPrefix = removeP, addPathPrefix = addP,
         annNprobe = ann._1, annPqShortlist = ann._2, fusion = fusion,
         phraseOnly = phrase,

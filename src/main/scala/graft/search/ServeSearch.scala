@@ -1,0 +1,334 @@
+package graft.search
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration.Duration
+import scala.concurrent.ExecutionContext.Implicits.global
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.analyze.{Analyzer, DefaultAnalyzer}
+import graft.embed.Embedder
+import graft.index.{AnnIndex, IndexData}
+import graft.rerank.Reranker
+
+/** The low-latency serving formulation of [[HybridSearch.search]] — same
+  * semantics, same results (bit-identical, pinned in ServeSearchSpec), built
+  * for the per-request latency the interactive CLI / MCP server actually
+  * feels.
+  *
+  * [[HybridSearch.search]] declares the WHOLE pipeline as one DataFrame DAG,
+  * which is right for the batch/oracle surface but costs ~5-7 Spark jobs per
+  * request (ServeProbe, round 12): the rerank materialization barrier, one
+  * broadcast-exchange job per small join side, and the final collect each
+  * pay local[n] job-scheduling latency, and the fused DAG re-enters Catalyst
+  * per request. Only two pieces of a request touch corpus-sized data — the
+  * two top-k legs. Everything downstream of them is ≤2k rows BY CONSTRUCTION
+  * (SURVEY.md §4.2: fusion re-ranks the union of two top-k lists, never the
+  * corpus).
+  *
+  * So this path runs exactly THREE bounded Spark jobs per request:
+  *
+  *   1. the BM25 leg (the same [[Bm25.topK]] plan), collected — and
+  *   2. the VSS leg (the same exact/IVF/PQ leg builders), collected
+  *      CONCURRENTLY with 1 (independent subtrees of the same session);
+  *   3. the candidate fetch: a pushed `doc_id IN (…)` filter over the
+  *      cached documents dataset (≤2k ids — the same candidate-set
+  *      semantics as the broadcast join it replaces), collected.
+  *
+  * Fusion, path rewrite, phrase filter, rerank, threshold, sort and limit
+  * then run driver-locally over the collected ≤2k candidate rows,
+  * replicating the DataFrame tail's arithmetic term for term (the round6 /
+  * IEEE-double disciplines the engine already pins for its cut lines —
+  * [[AnnIndex.round6]]). At 100 TB the shape is unchanged: the legs are the
+  * corpus-sized work and stay distributed; the driver tail touches only the
+  * candidate set, the same rows the reference materializes into Python per
+  * query (`src/searcher.py:112-180`).
+  *
+  * Contract: the reranker must score each (query, text) pair independently
+  * of its batch (every engine reranker does; the trait's scaladoc already
+  * requires order-stable scores) — batch BOUNDARIES here follow the
+  * collected candidate order rather than executor partition order.
+  */
+object ServeSearch {
+
+  /** Drop-in equivalent of [[HybridSearch.search]] (same defaults), returning
+    * a driver-local DataFrame (LocalRelation — collecting it schedules no
+    * further job). */
+  def search(
+      index: IndexData,
+      query: String,
+      analyzer: Analyzer = DefaultAnalyzer,
+      embedder: Option[Embedder] = None,
+      reranker: Option[Reranker] = None,
+      opts: HybridSearch.Options = HybridSearch.Options()): DataFrame = {
+    val spark = index.documents.sparkSession
+    import spark.implicits._
+
+    // phase telemetry for ServeProbe (env-gated; zero cost when unset)
+    val debug = sys.env.contains("GRAFT_SERVE_DEBUG")
+    var t0 = System.nanoTime()
+    def mark(label: String): Unit = if (debug) {
+      val t1 = System.nanoTime()
+      System.err.println(f"[serve-debug] $label%-10s ${(t1 - t0) / 1e6}%7.1fms")
+      t0 = t1
+    }
+
+    val terms = analyzer.tokenize(query)
+
+    // ---- the two corpus-sized legs, as concurrent bounded collects ----
+    val ftsF: Future[Seq[(String, Double)]] =
+      if (terms.isEmpty) Future.successful(Seq.empty) // isin() over no terms matches nothing
+      else Future {
+        // feed Bm25.scores LOCAL replicas of its broadcast-side inputs: the
+        // query's termdf rows (session term→df cache; one bounded lookup
+        // job only for cold terms — the inverted-index df probe), the
+        // per-session-cached 1-row stats, and — ONLY when it is under the
+        // auto-broadcast threshold, i.e. when Spark would have broadcast
+        // it per request anyway — the doclen side. A broadcast exchange
+        // over a LocalTableScan builds its HashedRelation on the driver
+        // WITHOUT scheduling a job, so the warm-path leg is ONE job — and
+        // the scoring join/aggregation SHAPE (hence the double-sum order,
+        // hence bit parity) is exactly the DAG path's: same
+        // BroadcastHashJoin build values, same streamed postings order. At
+        // 100 TB doclen exceeds the threshold and keeps its distributed
+        // join — the replica rule is exactly Spark's own broadcast rule.
+        Bm25.topK(Bm25.scores(terms, index.postings, localTermdf(index.termdf, terms),
+            localIfBroadcastable(index.doclen), localStats(index.stats)), opts.k)
+          .select(col("doc_id"), col("score"))
+          .as[(String, Double)].collect().toSeq
+      }
+
+    // embed ONCE and branch on the result (HybridSearch's amortization +
+    // zero-norm degradation contract, replicated)
+    val queryVec = embedder.map(e => e.embed(Seq(query)).head)
+    val vssF: Future[Seq[(String, Double)]] = queryVec match {
+      case Some(q) if !q.exists(_ != 0.0f) => Future.successful(Seq.empty)
+      case Some(qvec) => Future {
+        val leg =
+          if (opts.annPqShortlist > 0 && opts.annNprobe > 0) {
+            val ann = index.ann.getOrElse(sys.error(
+              "--ann ivf+pq requires an index built with --ann-clusters"))
+            val pq = index.pq.getOrElse(sys.error(
+              "--ann ivf+pq requires an index built with --pq-codes"))
+            HybridSearch.vssTopKIvfPq(ann, pq, index.documents, qvec, opts.k,
+              opts.annNprobe, opts.annPqShortlist)
+          } else if (opts.annPqShortlist > 0) {
+            val pq = index.pq.getOrElse(sys.error(
+              "--ann pq requires an index built with --pq-codes (no ann_pq_codebooks in artifact)"))
+            HybridSearch.vssTopKPq(pq, index.documents, qvec, opts.k, opts.annPqShortlist)
+          } else if (opts.annNprobe > 0) {
+            val ann = index.ann.getOrElse(sys.error(
+              "--ann requires an index built with --ann-clusters (no ann_centroids in artifact)"))
+            HybridSearch.vssTopKIvf(ann, qvec, opts.k, opts.annNprobe)
+          } else HybridSearch.vssTopK(index.documents, qvec, opts.k)
+        leg.select(col("doc_id"), col("vss_score"))
+          .as[(String, Double)].collect().toSeq
+      }
+      case None => Future.successful(Seq.empty)
+    }
+    val fts = Await.result(ftsF, Duration.Inf)
+    val vss = Await.result(vssF, Duration.Inf)
+    mark("legs")
+
+    // ---- J2 + A4 fusion over the two ≤k lists, driver-local ----
+    val ftsM = fts.toMap
+    val vssM = vss.toMap
+    val ids = (fts.map(_._1) ++ vss.map(_._1)).distinct
+    final case class Cand(docId: String, fts: Option[Double], vss: Option[Double],
+        var score: Double = 0.0)
+    // NaN doc embeddings (zero-norm degenerate docs): the doc STAYS a
+    // candidate — HybridSearch nulls the score after the full-outer join,
+    // so it fuses as "missed the vss leg", it is not removed from the set
+    val cands = ids.map(id => Cand(id, ftsM.get(id), vssM.get(id).filterNot(_.isNaN)))
+    opts.fusion match {
+      case "mean" =>
+        cands.foreach { c =>
+          c.score = (c.fts, c.vss) match {
+            case (Some(f), Some(v)) => (f + v) / 2.0
+            case (Some(f), None)    => f * 0.8
+            case (None, Some(v))    => v * 0.8
+            case (None, None)       => 0.0
+          }
+        }
+      case "rrf" =>
+        // leg ranks on the ROUNDED score + doc_id tiebreak — the same
+        // windows q_fusion_rrf pins (nulls rank last and are then masked,
+        // so ranking the present-leg subset is equivalent)
+        val fr = cands.filter(_.fts.isDefined)
+          .sortBy(c => (-AnnIndex.round6(c.fts.get), c.docId))
+          .zipWithIndex.map { case (c, i) => c.docId -> (i + 1) }.toMap
+        val vr = cands.filter(_.vss.isDefined)
+          .sortBy(c => (AnnIndex.round6(c.vss.get), c.docId))
+          .zipWithIndex.map { case (c, i) => c.docId -> (i + 1) }.toMap
+        cands.foreach { c =>
+          c.score = fr.get(c.docId).map(r => 1.0 / (HybridSearch.RrfK + r)).getOrElse(0.0) +
+            vr.get(c.docId).map(r => 1.0 / (HybridSearch.RrfK + r)).getOrElse(0.0)
+        }
+      case other => sys.error(s"unknown fusion '$other' (expected mean or rrf)")
+    }
+
+    // ---- J1 candidate fetch: ONE pushed-IN scan of the cached documents ----
+    val fetched: Map[String, Row] =
+      if (ids.isEmpty) Map.empty
+      else index.documents
+        .filter(col("doc_id").isin(ids: _*))
+        .select("doc_id", "file_path", "header_path", "line_start", "line_end",
+          "content", "tokens")
+        .collect().map(r => r.getString(0) -> r).toMap
+    mark("fetch")
+
+    // ---- the ≤2k-row tail, driver-local ----
+    final case class Hit(docId: String, filePath: String, headerPath: String,
+        lineStart: Int, lineEnd: Int, content: String, tokens: Seq[String],
+        fts: Option[Double], vss: Option[Double], var score: Double,
+        var originalScore: Double = 0.0)
+    var hits = cands.flatMap { c =>
+      fetched.get(c.docId).map { r =>
+        Hit(c.docId,
+          rewritePathLocal(r.getString(1), opts.removePathPrefix, opts.addPathPrefix),
+          r.getString(2), r.getInt(3), r.getInt(4), r.getString(5),
+          r.getSeq[String](6), c.fts, c.vss, c.score)
+      }
+    }
+    if (opts.phraseOnly && terms.nonEmpty)
+      hits = hits.filter(h => phraseLocal(h.tokens, terms))
+
+    val reranked = reranker match {
+      case Some(rr) if opts.rerank =>
+        hits.grouped(opts.rerankBatchSize).foreach { g =>
+          val texts = g.map(h => truncateCodePoints(h.content, opts.rerankTruncate))
+          val ss =
+            try rr.score(query, texts).map(Option(_))
+            catch { case scala.util.control.NonFatal(_) => g.map(_ => Option.empty[Double]) }
+          g.lazyZip(ss).foreach { (h, s) =>
+            h.originalScore = h.score
+            h.score = s.getOrElse(h.score)
+          }
+        }
+        hits.map { h =>
+          Row(h.docId, h.filePath, h.headerPath, h.lineStart, h.lineEnd,
+            h.content, h.score, h.fts.orNull, h.vss.orNull, h.originalScore)
+        }
+      case _ =>
+        hits.map { h =>
+          Row(h.docId, h.filePath, h.headerPath, h.lineStart, h.lineEnd,
+            h.content, h.score, h.fts.orNull, h.vss.orNull)
+        }
+    }
+    val withOriginal = reranker.isDefined && opts.rerank
+
+    val out = reranked
+      .filter(_.getDouble(6) > opts.scoreThreshold) // P4
+      .sortBy(r => (-r.getDouble(6), r.getString(0))) // O3/O4
+      .take(opts.k) // O5
+
+    val base = Seq(
+      StructField("doc_id", StringType, nullable = false),
+      StructField("file_path", StringType, nullable = false),
+      StructField("header_path", StringType, nullable = true),
+      StructField("line_start", IntegerType, nullable = false),
+      StructField("line_end", IntegerType, nullable = false),
+      StructField("content", StringType, nullable = false),
+      StructField("score", DoubleType, nullable = false),
+      StructField("fts_score", DoubleType, nullable = true),
+      StructField("vss_score", DoubleType, nullable = true))
+    val schema = StructType(
+      if (withOriginal) base :+ StructField("original_score", DoubleType, nullable = false)
+      else base)
+    mark("tail")
+    spark.createDataFrame(
+      java.util.Arrays.asList(out: _*), schema)
+  }
+
+  /** Corpus stats are STATIC per index artifact: collect once per serving
+    * session (weak-keyed so a dropped index releases its entry) and replay
+    * as a LocalRelation — the crossJoin(broadcast(stats)) inside
+    * [[Bm25.scores]] then costs no per-request job. */
+  private val statsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, Array[Row]]())
+
+  private[graft] def localStats(stats: DataFrame): DataFrame = {
+    val rows = statsCache.computeIfAbsent(stats, s => s.collect())
+    stats.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), stats.schema)
+  }
+
+  /** Session-replica of a STATIC artifact dataset, but only when its
+    * optimizer size estimate is under the auto-broadcast threshold — the
+    * exact rule under which Spark would otherwise re-broadcast it on EVERY
+    * request (so the replica's driver-memory footprint is, by definition,
+    * one Spark would have paid per query anyway). Above the threshold the
+    * dataset keeps its distributed join untouched. */
+  private val replicaCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, Option[Array[Row]]]())
+
+  private[graft] def localIfBroadcastable(df: DataFrame): DataFrame =
+    replicaCache.computeIfAbsent(df, d => {
+      val thr = d.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      val size = d.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (thr > 0 && size <= thr) Some(d.collect()) else None
+    }) match {
+      case Some(rows) => df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), df.schema)
+      case None => df // above threshold: keep the distributed join
+    }
+
+  /** Per-session term→df cache over the artifact's termdf: a term's df is
+    * static for the life of the loaded index, so warm terms skip the
+    * lookup job entirely. Bounded (an adversarial query stream cannot grow
+    * driver memory past [[TermDfCacheMax]] entries); absent terms cache as
+    * None so OOV-heavy queries stay warm too. */
+  private val TermDfCacheMax = 1 << 20
+  private val termDfCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame,
+      java.util.concurrent.ConcurrentHashMap[String, Option[Row]]]())
+
+  private[graft] def localTermdf(termdf: DataFrame, terms: Seq[String]): DataFrame = {
+    val cache = termDfCache.computeIfAbsent(termdf,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Option[Row]]())
+    val distinct = terms.distinct
+    val cold = distinct.filterNot(cache.containsKey)
+    if (cold.nonEmpty) {
+      val found = termdf.filter(col("term").isin(cold: _*)).collect()
+        .map(r => r.getAs[String]("term") -> r).toMap
+      if (cache.size() < TermDfCacheMax)
+        cold.foreach(t => cache.put(t, found.get(t)))
+      val rows = distinct.flatMap(t =>
+        Option(cache.get(t)).getOrElse(found.get(t)))
+      termdf.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), termdf.schema)
+    } else {
+      val rows = distinct.flatMap(t => cache.get(t))
+      termdf.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), termdf.schema)
+    }
+  }
+
+  /** Driver replica of [[HybridSearch.rewritePath]] (same Java regex the
+    * codegen'd regexp_replace compiles). */
+  private[search] def rewritePathLocal(path: String, remove: Option[String],
+      add: Option[String]): String = {
+    val removed = remove match {
+      case Some(p) => path.replaceAll(
+        "^(?:file:)?" + java.util.regex.Pattern.quote(HybridSearch.normPrefix(p)) + "/?", "")
+      case None => path
+    }
+    add match {
+      case Some(p) => p.stripSuffix("/") + "/" + removed
+      case None    => removed
+    }
+  }
+
+  /** Driver replica of [[HybridSearch.phrasePredicate]]: `terms` appears in
+    * `tokens` as an adjacent in-order run. */
+  private[search] def phraseLocal(tokens: Seq[String], terms: Seq[String]): Boolean =
+    tokens.sliding(terms.length).exists(_ == terms)
+
+  /** Driver replica of Spark's `substring(content, 1, n)` — UTF8String
+    * substring counts CODE POINTS, not UTF-16 units (only differs on
+    * astral-plane text, but a parity path replicates exactly). */
+  private[search] def truncateCodePoints(s: String, n: Int): String =
+    if (s.codePointCount(0, s.length) <= n) s
+    else s.substring(0, s.offsetByCodePoints(0, n))
+}

@@ -1,0 +1,133 @@
+package graft.search
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.analyze.WhitespaceAnalyzer
+import graft.core.Schemas.Setting
+import graft.embed.{Embedder, HashingEmbedder}
+import graft.index.{IndexData, IndexJob}
+import graft.rerank.TokenOverlapReranker
+
+/** ServeSearch is a latency reformulation, NOT a second engine: every
+  * (query, options) cell here must produce BIT-IDENTICAL rows and columns
+  * to HybridSearch.search — including the degradation contracts (zero-norm
+  * query, NaN doc embedding, absent legs) and every ANN mode. */
+class ServeSearchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val he = new HashingEmbedder(8)
+  private val rr = new TokenOverlapReranker()
+
+  private lazy val idx: IndexData = {
+    val contents = Seq(
+      "d1" -> "spark runs fast and spark scales",
+      "d2" -> "duck db is a small database",
+      "d3" -> "spark spark spark joins tables",
+      "d4" -> "unrelated words entirely here",
+      "d5" -> "fast joins merge sorted tables",
+      "d6" -> "spark streams merge windows",
+      "d7" -> "database tables store rows",
+      "d8" -> "rows and windows and streams")
+    val base = contents.map { case (id, text) =>
+      (id, text, text.split(" ").toSeq, he.embed(Seq(text)).head)
+    }
+    val degenerate = Seq(
+      // zero-norm embedding → NaN cosine: must fuse as "missed the vss leg"
+      ("dz", "spark zero vector doc", Seq("spark", "zero", "vector", "doc"),
+        Array.fill(8)(0f)),
+      // no embedding at all → excluded from the vss leg by the isNotNull guard
+      ("dn", "spark null vector doc", Seq("spark", "null", "vector", "doc"), null))
+    val df = (base ++ degenerate)
+      .toDF("doc_id", "content", "tokens", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      // one file:-scheme path so the prefix-rewrite parity is exercised
+      .withColumn("file_path",
+        when(col("doc_id") === "d6", concat(lit("file:docs/"), col("doc_id")))
+          .otherwise(concat(lit("docs/"), col("doc_id"))))
+      .withColumn("header_path", lit(""))
+      .withColumn("line_start", lit(1)).withColumn("line_end", lit(1))
+    val tmp = java.nio.file.Files.createTempDirectory("servesearch").toString
+    IndexData.write(df, Seq(Setting("embedding_model", "test")).toDF(), tmp)
+    val withAnn = IndexJob.withAnn(IndexData.load(spark, tmp), tmp,
+      annClusters = 2, annIters = 2)
+    IndexJob.withPq(withAnn, tmp, pqCodes = 2)
+    IndexData.load(spark, tmp).cached()
+  }
+
+  private def assertParity(label: String, query: String,
+      opts: HybridSearch.Options = HybridSearch.Options(),
+      embedder: Option[Embedder] = Some(he),
+      reranker: Option[graft.rerank.Reranker] = Some(rr)): Unit = {
+    val dag = HybridSearch.search(idx, query, WhitespaceAnalyzer, embedder, reranker, opts)
+    val srv = ServeSearch.search(idx, query, WhitespaceAnalyzer, embedder, reranker, opts)
+    assert(dag.columns.toSeq == srv.columns.toSeq,
+      s"$label: columns dag=${dag.columns.toSeq} serve=${srv.columns.toSeq}")
+    val dr = dag.collect().toSeq.map(_.toSeq)
+    val sr = srv.collect().toSeq.map(_.toSeq)
+    assert(dr == sr, s"$label:\n  dag  =$dr\n  serve=$sr")
+  }
+
+  test("default hybrid (mean fusion + rerank) is bit-identical") {
+    assertParity("default", "spark joins tables")
+    assertParity("default-2", "fast merge windows")
+    assertParity("default-3", "database rows")
+  }
+
+  test("no-rerank and rerank=false are bit-identical") {
+    assertParity("no-reranker", "spark joins tables", reranker = None)
+    assertParity("rerank-off", "spark joins tables",
+      opts = HybridSearch.Options(rerank = false))
+  }
+
+  test("rrf fusion is bit-identical (rank math on rounded scores)") {
+    assertParity("rrf", "spark joins tables",
+      opts = HybridSearch.Options(fusion = "rrf", scoreThreshold = 0.001))
+    assertParity("rrf-k3", "fast merge windows",
+      opts = HybridSearch.Options(fusion = "rrf", scoreThreshold = 0.001, k = 3))
+  }
+
+  test("phrase filter is bit-identical") {
+    assertParity("phrase-hit", "spark runs", opts = HybridSearch.Options(phraseOnly = true))
+    assertParity("phrase-miss", "runs spark", opts = HybridSearch.Options(phraseOnly = true))
+  }
+
+  test("path prefix rewrite (incl. file: scheme) is bit-identical") {
+    assertParity("rewrite", "spark streams merge",
+      opts = HybridSearch.Options(removePathPrefix = Some("docs"),
+        addPathPrefix = Some("/new/root")))
+    assertParity("rewrite-dotted", "spark streams merge",
+      opts = HybridSearch.Options(removePathPrefix = Some("./docs/")))
+  }
+
+  test("degradations are bit-identical: no embedder, zero-norm query, empty/unseen query") {
+    assertParity("fts-only", "spark joins tables", embedder = None)
+    val zeroEmbedder = new Embedder {
+      override def name = "zero"
+      override def dim = 8
+      override def embed(texts: Seq[String]): Seq[Array[Float]] =
+        texts.map(_ => Array.fill(8)(0f))
+    }
+    assertParity("zero-norm-query", "spark joins tables", embedder = Some(zeroEmbedder))
+    assertParity("empty-query", "")
+    assertParity("unseen-terms", "zzz qqq www")
+  }
+
+  test("ANN modes (ivf / pq / ivf+pq) are bit-identical") {
+    assertParity("ivf-1", "spark joins tables",
+      opts = HybridSearch.Options(annNprobe = 1))
+    assertParity("ivf-2", "fast merge windows",
+      opts = HybridSearch.Options(annNprobe = 2))
+    assertParity("pq", "spark joins tables",
+      opts = HybridSearch.Options(annPqShortlist = 3))
+    assertParity("ivf+pq", "spark joins tables",
+      opts = HybridSearch.Options(annNprobe = 1, annPqShortlist = 3))
+  }
+
+  test("high threshold and small k are bit-identical") {
+    assertParity("threshold", "spark joins tables",
+      opts = HybridSearch.Options(scoreThreshold = 0.5))
+    assertParity("k1", "spark joins tables", opts = HybridSearch.Options(k = 1))
+  }
+}
