@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The Bench `serving` lane: p50/p95 per-request latency of the full hybrid
@@ -10,10 +10,22 @@ import org.apache.spark.sql.functions._
   * lanes measure pipeline throughput; this lane measures the number a user
   * of the reference actually feels per query.
   *
-  * Modes: `exact` (heap-scan VSS leg) and `ivf_auto` (`--ann ivf:auto`,
-  * nprobe resolved from the artifact's fit-time recall curve exactly as the
-  * CLI resolves it). The artifact builds once per bench run from the SF
-  * documents+embeddings tables with an IVF sidecar, into a temp dir.
+  * Sections (all latencies ms, p50/p95 over 20 requests):
+  *
+  *  - `exact` / `ivf_auto`: the original HybridSearch DAG path over the SF
+  *    corpus — kept as the cross-round-comparable series (r11 baseline
+  *    287/292 ms).
+  *  - `serve`: the production [[graft.search.ServeSearch]] path (what the
+  *    CLI/MCP actually run since round 12) over the same corpus, in all
+  *    four VSS modes — exact, `ivf:auto`, `pq`, `ivf+pq` — so an ADC-path
+  *    or probe-path serving regression is visible per round.
+  *  - `clustered`: a synthetic corpus with GENUINE centroid structure (16
+  *    well-separated blocks + per-doc deterministic noise, ~100k docs) —
+  *    the corpus class the reference's HNSW exists for
+  *    (`src/db.py:152-165`). On the near-uniform SF embeddings the honest
+  *    recall curve forces `ivf:auto` to probe everything (r11: nprobe=16=K,
+  *    ANN reads as pure overhead); here auto resolves nprobe ≪ K and the
+  *    lane demonstrates — and guards — the pruned-leg win.
   */
 object ServingLane {
 
@@ -23,8 +35,25 @@ object ServingLane {
   private def ms1(v: Double): String =
     "%.1f".formatLocal(java.util.Locale.ROOT, v)
 
+  private val Texts = Seq("spark join merge", "window batch stream",
+    "customer order value", "shuffle partition skew", "parquet scan filter",
+    "broadcast hash join", "cosine vector search", "markdown header chunk",
+    "token quality score", "stream watermark state")
+
+  /** Synthetic clustered embedding for a doc id: 16 orthogonal 4-dim blocks
+    * (64 dims total) selected by xxhash64(id), plus deterministic per-(id,
+    * dim) noise in ±0.1 — K well-separated Gaussians without any RNG state,
+    * so the fixture is reproducible row-by-row at any scale. */
+  private def clusteredEmbedding(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val c = pmod(xxhash64(id), lit(16))
+    transform(sequence(lit(0), lit(63)), j =>
+      (when(j >= c * 4 && j < c * 4 + 4, lit(1.0)).otherwise(lit(0.0)) +
+        (pmod(xxhash64(id, j), lit(2001)) - lit(1000)).cast("double") / lit(10000.0))
+        .cast("float"))
+  }
+
   /** Returns the lane's JSON object (latencies in ms). Throws on failure —
-    * the caller degrades to `"serving": null`. */
+    * the caller degrades to a serving error object. */
   def run(spark: SparkSession, sfDir: String): String = {
     import spark.implicits._
     // match `graft serve`: AQE off for the ≤2k-row cached online plans
@@ -32,77 +61,178 @@ object ServingLane {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     // dir creation INSIDE the try: if tmp allocation throws, the finally
     // must still restore AQE for the rest of the bench process
-    var dir: Option[java.nio.file.Path] = None
-    var index: Option[graft.index.IndexData] = None
+    var dirs = List.empty[java.nio.file.Path]
+    var indexes = List.empty[graft.index.IndexData]
+    def newDir(): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft-bench-serving")
+      dirs ::= d
+      d.toString
+    }
+
+    /** Build + cache an artifact over (docs, emb); returns the cached index.
+      * `annPostingsOnDisk` leaves the IVF inverted lists PARQUET-backed
+      * (cluster-partitioned dirs) instead of cached: the 100 TB serving
+      * posture — nobody caches the corpus-sized lists in executor memory;
+      * the probe's entire point is that `cluster IN (…)` prunes to
+      * ~nprobe/K of the FILES (and hence of the scan TASKS, which is what
+      * per-request latency is made of). A fully-cached list scan runs one
+      * task per cache partition regardless of the probe. */
+    def buildArtifact(docs: DataFrame, emb: DataFrame, annClusters: Int,
+        pqCodes: Int, annPostingsOnDisk: Boolean = false): graft.index.IndexData = {
+      val d = newDir()
+      val built = graft.index.IndexJob.fromTable(docs, "doc_id", "text",
+        df => split(df("text"), " "), embeddings = Some(emb))
+      graft.index.IndexData.write(built.documents, built.settings, d)
+      val withAnn = graft.index.IndexJob.withAnn(
+        graft.index.IndexData.load(spark, d), d, annClusters = annClusters, annIters = 3)
+      if (pqCodes > 0) graft.index.IndexJob.withPq(withAnn, d, pqCodes = pqCodes)
+      val cached = graft.index.IndexData.load(spark, d).cached()
+      indexes ::= cached
+      cached.stats.count(); cached.documents.count(); cached.postings.count()
+      cached.termdf.count(); cached.doclen.count()
+      cached.ann.foreach { a =>
+        a.centroids.count()
+        if (!annPostingsOnDisk) a.postings.count()
+      }
+      cached.pq.foreach { p => p.codes.count(); p.codebooks.count() }
+      if (annPostingsOnDisk)
+        cached.copy(ann = cached.ann.map(_.copy(postings =
+          spark.read.parquet(s"$d/${graft.index.AnnIndex.PostingsDir}"))))
+      else cached
+    }
+
+    /** p50/p95 of 20 requests over `texts` through `searchFn`. */
+    def mode(name: String, extra: String, texts: Seq[String],
+        searchFn: String => Array[_]): String = {
+      texts.take(2).foreach(searchFn) // codegen/JIT warmup
+      val lats = (1 to 2).flatMap(_ => texts.map { q =>
+        val t0 = System.nanoTime()
+        searchFn(q)
+        (System.nanoTime() - t0) / 1e6
+      }).sorted
+      s""""$name":{$extra"p50":${ms1(pct(lats, 0.50))},"p95":${ms1(pct(lats, 0.95))}}"""
+    }
+
     try {
-      dir = Some(java.nio.file.Files.createTempDirectory("graft-bench-serving"))
+      // ---- uniform corpus: the SF tables, as every round since r11 ----
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val embAll = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val emb = embAll.select(col("vec_id").cast("string").as("doc_id"), col("embedding"))
-      val built = graft.index.IndexJob.fromTable(docs, "doc_id", "text",
-        df => split(df("text"), " "), embeddings = Some(emb))
-      val d = dir.get.toString
-      graft.index.IndexData.write(built.documents, built.settings, d)
-      graft.index.IndexJob.withAnn(graft.index.IndexData.load(spark, d),
-        d, annClusters = 16, annIters = 3)
+      val idx = buildArtifact(docs, emb, annClusters = 16, pqCodes = 16)
 
-      // cache exactly the way `graft serve` does
-      val idx = graft.index.IndexData.load(spark, d).cached()
-      index = Some(idx)
-      idx.stats.count(); idx.documents.count(); idx.postings.count()
-      idx.termdf.count(); idx.doclen.count()
-      idx.ann.foreach { a => a.centroids.count(); a.postings.count() }
+      // query vectors: the first 10 embeddings ACTUALLY PRESENT (by vec_id
+      // order — not an assumed 0..9 id range; round-11 ADVICE), texts in
+      // corpus vocabulary so both legs do real work
+      val qvecs = embAll.orderBy(col("vec_id")).limit(Texts.length)
+        .select(col("embedding")).as[Array[Float]].collect()
+      require(qvecs.length == Texts.length,
+        s"serving lane needs ${Texts.length} embeddings, found ${qvecs.length}")
+      val lookup = new graft.embed.LookupEmbedder(Texts.zip(qvecs).toMap)
 
-      // 10 query texts with real embedding-table vectors attached, so both
-      // legs do real work (the FTS terms hit the corpus vocabulary; the
-      // vectors are in-distribution); reuse the one embeddings scan
-      val qvecs = embAll
-        .filter(col("vec_id") < 10)
-        .select(col("vec_id").cast("string"), col("embedding"))
-        .as[(String, Array[Float])].collect().toMap
-      val texts = Seq("spark join merge", "window batch stream", "customer order value",
-        "shuffle partition skew", "parquet scan filter", "broadcast hash join",
-        "cosine vector search", "markdown header chunk", "token quality score",
-        "stream watermark state")
-      val lookup = new graft.embed.LookupEmbedder(
-        texts.zipWithIndex.map { case (t, i) => t -> qvecs(i.toString) }.toMap)
-
-      def runOnce(q: String, nprobe: Int): Double = {
-        val t0 = System.nanoTime()
-        graft.search.HybridSearch.search(idx, q,
+      def dagRun(i: graft.index.IndexData, e: graft.embed.Embedder)(
+          nprobe: Int, pqShortlist: Int)(q: String): Array[_] =
+        graft.search.HybridSearch.search(i, q,
           analyzer = graft.analyze.WhitespaceAnalyzer,
-          embedder = Some(lookup),
+          embedder = Some(e),
           reranker = Some(new graft.rerank.TokenOverlapReranker()),
           opts = graft.search.HybridSearch.Options(k = 5,
-            annNprobe = nprobe)).collect()
-        (System.nanoTime() - t0) / 1e6
-      }
+            annNprobe = nprobe, annPqShortlist = pqShortlist)).collect()
+      def serveRun(i: graft.index.IndexData, e: graft.embed.Embedder)(
+          nprobe: Int, pqShortlist: Int)(q: String): Array[_] =
+        graft.search.ServeSearch.search(i, q,
+          analyzer = graft.analyze.WhitespaceAnalyzer,
+          embedder = Some(e),
+          reranker = Some(new graft.rerank.TokenOverlapReranker()),
+          opts = graft.search.HybridSearch.Options(k = 5,
+            annNprobe = nprobe, annPqShortlist = pqShortlist)).collect()
 
       // `--ann ivf:auto`, resolved the way the CLI resolves it: smallest
       // nprobe meeting the fit-time recall curve's 0.9 target
       val (autoNprobe, _) = Cli.resolveAutoNprobe(idx, (Cli.AutoNprobe, 0))
 
-      def mode(name: String, nprobe: Int): String = {
-        texts.take(3).foreach(runOnce(_, nprobe)) // codegen/JIT warmup
-        val lats = (1 to 2).flatMap(_ => texts.map(runOnce(_, nprobe))).sorted
-        val extra = if (nprobe > 0) s""""nprobe":$nprobe,""" else ""
-        s""""$name":{$extra"p50":${ms1(pct(lats, 0.50))},"p95":${ms1(pct(lats, 0.95))}}"""
+      val exact = mode("exact", "", Texts, dagRun(idx, lookup)(0, 0))
+      val auto = mode("ivf_auto", s""""nprobe":$autoNprobe,""", Texts,
+        dagRun(idx, lookup)(autoNprobe, 0))
+      val serveJson = Seq(
+        mode("exact", "", Texts, serveRun(idx, lookup)(0, 0)),
+        mode("ivf_auto", s""""nprobe":$autoNprobe,""", Texts,
+          serveRun(idx, lookup)(autoNprobe, 0)),
+        mode("pq", """"shortlist":50,""", Texts, serveRun(idx, lookup)(0, 50)),
+        mode("ivf_pq", s""""nprobe":$autoNprobe,"shortlist":50,""", Texts,
+          serveRun(idx, lookup)(autoNprobe, 50))
+      ).mkString("{", ",", "}")
+
+      // ---- clustered corpus: genuine centroid structure at ~100k docs ----
+      val nDocs = docs.count()
+      val factor = math.max(1L, 100000L / math.max(nDocs, 1L)).toInt
+      val cDocs = (0 until factor).map { i =>
+        docs.select(concat(col("doc_id").cast("string"), lit(s"_c$i")).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionByName _)
+      val cEmb = cDocs.select(col("doc_id"), clusteredEmbedding(col("doc_id")).as("embedding"))
+      val cIdx = buildArtifact(cDocs, cEmb, annClusters = 16, pqCodes = 0,
+        annPostingsOnDisk = true)
+      val (cAutoNprobe, _) = Cli.resolveAutoNprobe(cIdx, (Cli.AutoNprobe, 0))
+      // VSS-DRIVEN queries: out-of-vocabulary terms (the FTS leg runs and
+      // finds nothing) with in-distribution query vectors — 10 of the
+      // corpus's own embeddings. The uniform section already measures the
+      // full-hybrid mix; this section isolates the quantity the clustered
+      // fixture exists to demonstrate: the probed VSS leg vs the exact
+      // scan, undiluted by an identical-in-both-modes FTS/fetch cost.
+      val cTexts = (0 until Texts.length).map(i => s"zzclusterq$i")
+      val cQvecs = cEmb.orderBy(col("doc_id")).limit(cTexts.length)
+        .select(col("embedding")).as[Array[Float]].collect()
+      val cLookup = new graft.embed.LookupEmbedder(cTexts.zip(cQvecs).toMap)
+      // leg-isolated p50 AND rows scanned: at local[32] with a ~100k-row
+      // in-memory corpus both legs are job-overhead-bound (~40 ms floors),
+      // so the latency delta understates the pruning; the rows ratio is the
+      // scale-invariant statement (probed reads ~1/K of the lists — the
+      // quantity that becomes the whole request at 100 TB; the decade
+      // audit in PLANS.md round-12 carries the growth curve)
+      def legP50(nprobe: Int): Double = {
+        def onceEach(): Seq[Double] = cQvecs.toSeq.map { qv =>
+          val t0 = System.nanoTime()
+          (if (nprobe > 0)
+            graft.search.HybridSearch.vssTopKIvf(cIdx.ann.get, qv, 5, nprobe)
+          else graft.search.HybridSearch.vssTopK(cIdx.documents, qv, 5))
+            .collect()
+          (System.nanoTime() - t0) / 1e6
+        }
+        onceEach() // warmup
+        pct((onceEach() ++ onceEach()).sorted, 0.50)
       }
-      val exact = mode("exact", 0)
-      val auto = mode("ivf_auto", autoNprobe)
-      s"""{"unit":"ms","n":20,$exact,$auto}"""
+      val clusteredJson = Seq(
+        s""""n_docs":${nDocs * factor}""",
+        mode("exact", "", cTexts, serveRun(cIdx, cLookup)(0, 0)),
+        mode("ivf_auto", s""""nprobe":$cAutoNprobe,""", cTexts,
+          serveRun(cIdx, cLookup)(cAutoNprobe, 0)),
+        {
+          val listSizes = cIdx.ann.get.postings.groupBy("cluster").count()
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          val exactRows = listSizes.values.sum
+          val probedRows = cQvecs.map(qv =>
+            cIdx.ann.get.probe(qv, cAutoNprobe).map(listSizes.getOrElse(_, 0L)).sum)
+            .sum / cQvecs.length
+          s""""vss_leg":{"exact_p50":${ms1(legP50(0))},""" +
+            s""""probed_p50":${ms1(legP50(cAutoNprobe))},"nprobe":$cAutoNprobe,""" +
+            s""""exact_rows":$exactRows,"probed_rows":$probedRows}"""
+        }
+      ).mkString("{", ",", "}")
+
+      s"""{"unit":"ms","n":20,$exact,$auto,"serve":$serveJson,""" +
+        s""""clustered":$clusteredJson}"""
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      // unpin the cached artifact (every dataset cached() pinned) and drop
-      // the temp index dir — a bench run must not leave the SF index in
+      // unpin the cached artifacts (every dataset cached() pinned) and drop
+      // the temp index dirs — a bench run must not leave the SF index in
       // executor storage memory or a parquet copy on disk
-      index.foreach { i =>
+      indexes.foreach { i =>
         Seq(i.documents, i.postings, i.termdf, i.doclen, i.stats, i.settings)
           .foreach(_.unpersist(false))
         i.ann.foreach { a => a.centroids.unpersist(false); a.postings.unpersist(false) }
         i.pq.foreach { p => p.codes.unpersist(false); p.codebooks.unpersist(false) }
       }
-      dir.foreach(dd => org.apache.commons.io.FileUtils.deleteQuietly(dd.toFile))
+      dirs.foreach(dd => org.apache.commons.io.FileUtils.deleteQuietly(dd.toFile))
     }
   }
 }
