@@ -143,13 +143,101 @@ object Bench {
     // serving posture — in exact and `--ann ivf:auto` modes, p50/p95 over
     // 20 requests each. A failure degrades to "serving": null rather than
     // failing the bench.
+    // a lane failure emits the MESSAGE into the artifact (round-11 ADVICE:
+    // a bare null was indistinguishable from a regression when the cause
+    // was a fixture assumption) — consumers treat any object without p50
+    // keys as "lane did not run"
     val servingJson =
       try ServingLane.run(spark, sfDir)
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] serving lane failed: ${e.getMessage}")
-          "null"
+          s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}"""
       }
+
+    // ---- production-hash lane (round-12 directive): the oracle-parity
+    // dedup queries deliberately run the PORTABLE token hash (cross-engine
+    // parity is their point) — but that hash saturates at ≥100k docs, so
+    // the headline dedup timings track a domain production users won't run.
+    // This lane times the same pair machinery + the curate containment
+    // stage under the xxhash64 PRODUCTION hash (`portable = false` — what
+    // `graft curate` and the streaming near-dup path actually execute), so
+    // the at-scale dedup posture (13.7× at sf10, PLANS.md round-11) is
+    // tracked cross-round instead of pinned once. Median-of-3 interleaved
+    // passes, same stat discipline as the query lanes; a failure reports
+    // null for that entry, never fails the bench.
+    val prodhashEntries: Seq[(String, () => org.apache.spark.sql.DataFrame)] = {
+      import graft.queries.{PipelineQueries, Q}
+      Seq(
+        "ph_minhash_verified_pairs" -> (() =>
+          PipelineQueries.minhashVerifiedPairsOf(
+            Q.docsTokens(spark, sfDir), portable = false)),
+        "ph_containment_pairs" -> (() =>
+          PipelineQueries.containmentBandPairsOf(
+            Q.docsTokens(spark, sfDir), portable = false)),
+        // the full production chain (gate → exact → near-dup → containment),
+        // kept side only — the composition `graft curate --containment` runs
+        "ph_curate_chain" -> (() =>
+          graft.ops.CuratePipeline.run(
+            spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text"),
+            graft.ops.CuratePipeline.Opts(containmentMin = 0.8))._1))
+    }
+    def prodhashPass(): Map[String, Double] = prodhashEntries.map { case (n, f) =>
+      n -> (try {
+        val t0 = System.nanoTime()
+        f().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $n failed: ${e.getMessage}"); -1.0
+      })
+    }.toMap
+    prodhashPass() // warmup (codegen/JIT) — prodhash plans run nowhere else
+    val phPasses = Seq(prodhashPass(), prodhashPass(), prodhashPass())
+    val prodhashJson = prodhashEntries.map { case (n, _) =>
+      "\"" + n + "\":" + tJson(median(phPasses.map(_(n))))
+    }.mkString("{", ",", "}")
+
+    // ---- skew regression guard (round-12 directive): the salted join's
+    // hot-key win (r11: 1.76× AQE-off) lived only in PLANS.md prose — run
+    // the deterministic SkewProbe fixture pair here with the AQE skew
+    // splitter off (the portable plan-level case) and record the ratio with
+    // a generous bound, so the win can't silently rot. Result equality is
+    // asserted before timing (a fast-but-wrong salted plan must fail the
+    // guard, not pass it). ok = salted ≤ 0.9× unsalted — observed 0.57×,
+    // so the bound holds through ±50% host noise yet still fails if the
+    // salted plan degenerates to the unsalted shape.
+    val skewGuardJson = try {
+      val skewWas = spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+      try {
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        import graft.tools.SkewProbe
+        val li = SkewProbe.skewedProbeSide(
+          spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"),
+          rep = 10, hotMod = 2)
+        val o = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select("o_orderkey", "o_orderpriority")
+        require(SkewProbe.unsalted(li, o).collect().toSeq ==
+          SkewProbe.salted(li, o, 8).collect().toSeq, "salted != unsalted")
+        def bestOf2(df: => org.apache.spark.sql.DataFrame): Double = {
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          math.min(once(), once())
+        }
+        val tu = bestOf2(SkewProbe.unsalted(li, o))
+        val ts = bestOf2(SkewProbe.salted(li, o, 8))
+        s"""{"unsalted_sec":${d3(tu)},"salted_sec":${d3(ts)},""" +
+          s""""ratio":${d3(ts / tu)},"bound":0.9,"ok":${ts <= 0.9 * tu}}"""
+      } finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewWas)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] skew guard failed: ${e.getMessage}")
+        s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}"""
+    }
     val failedNames = results.collect {
       case (k, v) if v < 0 && k != InfraComponents => jsonStr(k)
     }
@@ -165,7 +253,8 @@ object Bench {
     java.nio.file.Files.write(detailsPath,
       (s"""{"metric":"total_completed","value":${d3(total)},"unit":"sec",""" +
         s""""headline_total":${d3(total)},"training":$trainingJson,""" +
-        s""""infra":{"components_build":${tJson(resultMap(InfraComponents))}},""" +
+        s""""infra":{"components_build":${tJson(resultMap(InfraComponents))},""" +
+        s""""prodhash":$prodhashJson,"skew_guard":$skewGuardJson},""" +
         s""""serving":$servingJson,""" +
         s""""passes":${passes.size},"stat":"median",""" +
         s""""n_queries":${queryResults.size},"failed":$failed,"failed_names":$failedNames,""" +
@@ -178,6 +267,7 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$head,""" +
       s""""training":$trainingJson,"serving":$servingJson,""" +
+      s""""prodhash":$prodhashJson,"skew_guard":$skewGuardJson,""" +
       s""""n_queries":${queryResults.size},"failed":$failed,"failed_names":$failedNames,""" +
       s""""queries_all":${jsonStr(detailsPath.toAbsolutePath.toString)},"sf":${jsonStr(sfDir)}}""")
     spark.stop()
