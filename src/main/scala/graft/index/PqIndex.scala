@@ -35,21 +35,38 @@ final case class PqIndex(codebooks: DataFrame, codes: DataFrame) {
       .map(r => (r.getAs[Long]("j"), r.getAs[Int]("cid")) -> r.getSeq[Float](2).toArray)
       .toMap
 
-  /** Per-query ADC lookup table as (j, cid, lq) rows: exact L2 from the
-    * query's j-th subvector to each centroid, 1e-6-quantized to longs (the
-    * order-independent-sum rule of the oracle-checked q_sim_pq_adc). */
+  /** Per-query ADC lookup table as a DENSE matrix `lutLongs(j)(cid)`: exact
+    * L2 from the query's j-th subvector to each centroid, 1e-6-quantized to
+    * longs (the order-independent-sum rule of the oracle-checked
+    * q_sim_pq_adc). Dense by construction — [[PqIndex.fit]] seeds cids
+    * 0..k-1 per subspace and empty cells keep their centroid — so ADC
+    * ranking can run as a map-only literal lookup (`lutLongs(j)(codes(j))`)
+    * instead of an (j, cid) join; an unseeded gap (sub-k corpus) fills with
+    * 0, which no code references. */
+  def lutLongs(queryVec: Array[Float]): Seq[Seq[Long]] = {
+    val byJ = codebookArray.groupBy(_._1._1)
+    (0L to byJ.keys.max).map { j =>
+      val cells = byJ.getOrElse(j, Map.empty).map { case ((_, cid), cv) =>
+        var acc = 0.0
+        var i = 0
+        while (i < cv.length) {
+          val q = queryVec((j * PqIndex.SubDim + i).toInt).toDouble
+          val d = q - cv(i).toDouble
+          acc += d * d
+          i += 1
+        }
+        cid -> math.floor(acc * 1e6 + 0.5).toLong
+      }
+      if (cells.isEmpty) Seq.empty[Long]
+      else (0 to cells.keys.max).map(cid => cells.getOrElse(cid, 0L))
+    }
+  }
+
+  /** [[lutLongs]] as (j, cid, lq) rows for join-shaped consumers. */
   def lut(spark: SparkSession, queryVec: Array[Float]): DataFrame = {
     import spark.implicits._
-    val rows = codebookArray.toSeq.map { case ((j, cid), cv) =>
-      var acc = 0.0
-      var i = 0
-      while (i < cv.length) {
-        val q = queryVec((j * PqIndex.SubDim + i).toInt).toDouble
-        val d = q - cv(i).toDouble
-        acc += d * d
-        i += 1
-      }
-      (j, cid, math.floor(acc * 1e6 + 0.5).toLong)
+    val rows = lutLongs(queryVec).zipWithIndex.flatMap { case (cids, j) =>
+      cids.zipWithIndex.map { case (lq, cid) => (j.toLong, cid, lq) }
     }
     rows.toDF("j", "cid", "lq")
   }

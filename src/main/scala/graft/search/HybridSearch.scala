@@ -183,17 +183,30 @@ object HybridSearch {
   }
 
   /** Shared PQ tail: ADC shortlist over the given codes scan, exact cosine
-    * rerank of only the shortlist. */
+    * rerank of only the shortlist.
+    *
+    * The ADC stage is MAP-ONLY: the per-query LUT is a dense m×K literal
+    * matrix ([[graft.index.PqIndex.lutLongs]] — scalar-sized, 8×K longs),
+    * and the approximate distance is `Σ_j lut(j)(codes(j))` as a codegen'd
+    * zip_with/aggregate over each row's own codes array. The earlier
+    * formulation (posexplode → broadcast-join the LUT rows → groupBy
+    * doc_id) computed the identical long sum but paid an m× row explosion
+    * plus a corpus-sized aggregate EXCHANGE per query; here the shortlist
+    * cut is a TakeOrdered over the codes scan — one stage, no shuffle,
+    * which at 100 TB is the difference between a pruned scan and a pruned
+    * scan *plus* a corpus-wide shuffle per request. Long addition is
+    * order-independent, so the sum is bit-identical to the join/aggregate
+    * shape (PqIndexSpec pins exact-mode equality; q_sim_pq_adc pins the
+    * quantized-sum rule cross-engine). */
   private def adcRerank(codes: DataFrame, pq: graft.index.PqIndex,
       documents: DataFrame, queryVec: Array[Float], k: Int,
       shortlist: Int): DataFrame = {
-    val spark = documents.sparkSession
-    val lut = pq.lut(spark, queryVec)
+    val lut = typedlit(pq.lutLongs(queryVec))
     val short = codes
-      .select(col("doc_id"), posexplode(col("codes")).as(Seq("j", "cid")))
-      .join(broadcast(lut), Seq("j", "cid"))
-      .groupBy("doc_id")
-      .agg((sum(col("lq")).cast("double") / 1e6).as("adist"))
+      .select(col("doc_id"),
+        (aggregate(
+          zip_with(col("codes"), lut, (c, l) => element_at(l, c + 1)),
+          lit(0L), (acc, x) => acc + x).cast("double") / 1e6).as("adist"))
       .orderBy(round(col("adist"), 6).asc, col("doc_id").asc)
       .limit(shortlist)
       .select("doc_id")

@@ -72,6 +72,20 @@ class PqIndexSpec extends AnyFunSuite {
     assert(viaPq == exact)
   }
 
+  test("ADC stage is map-only: no exchange (shuffle) anywhere in the PQ leg plan") {
+    // the serving-path guarantee of the literal-LUT formulation (round 12):
+    // the shortlist cut is a TakeOrdered over the codes scan — Σ_j
+    // lut(j)(codes(j)) as a codegen'd zip_with/aggregate, no posexplode row
+    // blowup, no broadcast LUT join, and above all no corpus-sized
+    // aggregate exchange per query. At 100 TB the per-request cost is the
+    // (pruned) codes scan and nothing else.
+    val p = HybridSearch.vssTopKPq(index.pq.get, index.documents, queryVec, 10, 50)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Generate"), p.take(2000)) // no posexplode
+  }
+
   test("ADC shortlist at 50 keeps high recall vs exact and e2e search returns hits") {
     val exact = HybridSearch.vssTopK(index.documents, queryVec, 10)
       .select("doc_id").as[String].collect().toSet
