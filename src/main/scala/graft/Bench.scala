@@ -22,7 +22,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // keep the pushed In(term,…) probe intact for >10-term queries — same
       // serving-session posture as Cli.session() (see the comment there)
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", Cli.ServingInFilterThreshold)
       .getOrCreate()
     // ERROR, not WARN: the consumer of our stdout keeps only a ~2KB tail,
     // and benign per-query WARNs (e.g. WindowExec on the ≤2k-row fused

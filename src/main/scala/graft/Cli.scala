@@ -70,6 +70,13 @@ object Cli {
   }
   private def flag(args: Array[String], name: String): Boolean = args.contains(name)
 
+  /** Serving-session value of `spark.sql.parquet.pushdown.inFilterThreshold`
+    * — every engine session that runs the FTS probe (CLI, Bench, the probe
+    * tools) raises the default 10 to this, so a >10-distinct-term query
+    * keeps its pushed In(term,…) row-group pruning (SessionConfSpec pins
+    * both sides of the cliff). */
+  val ServingInFilterThreshold = "1000"
+
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val s = SparkSession.builder()
@@ -87,7 +94,7 @@ object Cli {
       // natural-language query would quietly lose the index-probe shape.
       // 1000 keeps the full In list for any realistic query width (pinned in
       // SessionConfSpec; posture documented in PLANS.md).
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", Cli.ServingInFilterThreshold)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

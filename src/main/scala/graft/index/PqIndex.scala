@@ -45,6 +45,7 @@ final case class PqIndex(codebooks: DataFrame, codes: DataFrame) {
     * 0, which no code references. */
   def lutLongs(queryVec: Array[Float]): Seq[Seq[Long]] = {
     val byJ = codebookArray.groupBy(_._1._1)
+    if (byJ.isEmpty) return Seq.empty // empty artifact ⇒ codes scan is empty too
     (0L to byJ.keys.max).map { j =>
       val cells = byJ.getOrElse(j, Map.empty).map { case ((_, cid), cv) =>
         var acc = 0.0

@@ -36,7 +36,7 @@ object AppendMergeProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "false") // serving posture
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", graft.Cli.ServingInFilterThreshold)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftStrategies.install(spark)

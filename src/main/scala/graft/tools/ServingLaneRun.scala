@@ -14,7 +14,7 @@ object ServingLaneRun {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", graft.Cli.ServingInFilterThreshold)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftStrategies.install(spark)
