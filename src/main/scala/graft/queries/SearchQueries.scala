@@ -28,7 +28,8 @@ object SearchQueries {
     * term-sorted postings file loses its row-group pruning. The serving
     * sessions raise the threshold to 1000 (Cli.session / Bench); this
     * query pins the >10-term SCORING semantics cross-engine, and the
-    * FtsProbe `--terms 12` audit pins the pruning (PLANS.md round-12). */
+    * SessionConfSpec pins the pruning cliff by rows-read, and the FtsProbe
+    * wide12 lanes carry the corpus-scale evidence (PLANS.md round-12). */
   private val longQueryTerms = Seq("spark", "join", "merge", "window",
     "batch", "stream", "customer", "order", "value", "scan", "filter", "hash")
   private val longQueryTermsSql = longQueryTerms.mkString("['", "', '", "']")

@@ -39,11 +39,19 @@ object FtsProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // serving posture by default (pushed In survives >10 terms); set
+    // SPARK_GRAFT_FTS_THRESHOLD=10 for a control run at the Spark default,
+    // where the WIDE query's In degrades to a range predicate and the
+    // pruned/unpruned gap collapses (SessionConfSpec pins the same cliff
+    // by rows-read at unit scale)
+    val inThreshold = sys.env.getOrElse("SPARK_GRAFT_FTS_THRESHOLD",
+      graft.Cli.ServingInFilterThreshold)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", inThreshold)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -60,13 +68,22 @@ object FtsProbe {
       Seq("window", "batch", "stream"),
       Seq("customer", "order", "value"),
       Seq("parquet", "scan", "filter"))
+    // natural-language query WIDTH: 12 distinct terms — past Spark's
+    // default In-pushdown threshold of 10, so this set only keeps its
+    // index-probe shape under the raised serving threshold (the audit the
+    // q_f4_bm25_longquery comment cites)
+    val wideSets = Seq(
+      Seq("spark", "join", "merge", "window", "batch", "stream",
+        "customer", "order", "value", "scan", "filter", "hash"),
+      Seq("parquet", "shuffle", "partition", "broadcast", "cosine", "vector",
+        "search", "token", "quality", "score", "stream", "state"))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    def probe(pruned: Boolean): Double = {
+    def probe(pruned: Boolean, sets: Seq[Seq[String]]): Double = {
       val runs = (1 to 2).map { _ =>
-        time(querySets.foreach { ts =>
+        time(sets.foreach { ts =>
           val scored =
             if (pruned) graft.search.Bm25.scores(
               ts, index.postings, index.termdf, index.doclen, index.stats)
@@ -75,14 +92,18 @@ object FtsProbe {
           graft.search.Bm25.topK(scored, 10).collect()
         })
       }
-      runs.min / querySets.size
+      runs.min / sets.size
     }
-    probe(pruned = true); probe(pruned = false) // warmup both plans
+    probe(pruned = true, querySets); probe(pruned = false, querySets) // warmup
+    probe(pruned = true, wideSets); probe(pruned = false, wideSets)
 
     def j(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     println(s"""{"sf":"$sfDir","postings_rows":$nPostings,""" +
-      s""""pruned_sec_per_query":${j(probe(pruned = true))},""" +
-      s""""unpruned_sec_per_query":${j(probe(pruned = false))}}""")
+      s""""in_threshold":$inThreshold,""" +
+      s""""pruned_sec_per_query":${j(probe(pruned = true, querySets))},""" +
+      s""""unpruned_sec_per_query":${j(probe(pruned = false, querySets))},""" +
+      s""""wide12_pruned_sec_per_query":${j(probe(pruned = true, wideSets))},""" +
+      s""""wide12_unpruned_sec_per_query":${j(probe(pruned = false, wideSets))}}""")
     spark.stop()
   }
 }
