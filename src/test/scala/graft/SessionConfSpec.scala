@@ -56,10 +56,18 @@ class SessionConfSpec extends AnyFunSuite {
       val n = spark.read.parquet(dir)
         .filter(col("term").isin(twelve: _*)).count()
       assert(n == twelve.size) // both predicate shapes agree on the ANSWER
-      // listener bus drains asynchronously; bounded wait for the metrics
+      // the listener bus drains asynchronously and the scan may split
+      // across several tasks — wait until the counter has been BOTH
+      // nonzero and stable for a few polls (not merely past a partial
+      // target), bounded by a deadline
       val deadline = System.nanoTime() + 10e9.toLong
-      while (read < twelve.size && System.nanoTime() < deadline)
+      var last = -1L
+      var stable = 0
+      while (stable < 4 && System.nanoTime() < deadline) {
         Thread.sleep(50)
+        if (read > 0 && read == last) stable += 1 else stable = 0
+        last = read
+      }
       read
     } finally {
       spark.sparkContext.removeSparkListener(listener)
