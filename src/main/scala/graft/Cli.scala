@@ -686,6 +686,7 @@ object Cli {
         segmentsWarning(index, annR).foreach(System.err.println)
         recallWarning(index, annR).foreach(System.err.println)
         index.stats.count() // materialize caches before the first prompt
+        graft.search.ServeSearch.scoredPostings(index) // impact postings too
         System.err.println(s"[graft] interactive search on $db; one query per line, EOF exits")
         interactiveLoop(index, db, scala.io.Source.stdin.getLines(), System.out,
           k, rerank, removeP, addP, annR, fusion, threshold, phrase)
@@ -741,6 +742,7 @@ object Cli {
     driftWarning(index, annR).foreach(System.err.println)
     segmentsWarning(index, annR).foreach(System.err.println)
     index.stats.count() // materialize caches before serving
+    graft.search.ServeSearch.scoredPostings(index) // impact postings too
 
     def answer(query: String, k: Int): String = {
       val hits = runSearch(index, db, query, k, rerank = true, removeP, addP, annR, fusion, threshold)

@@ -95,6 +95,9 @@ object ServingLane {
         if (!annPostingsOnDisk) a.postings.count()
       }
       cached.pq.foreach { p => p.codes.count(); p.codebooks.count() }
+      // warm serving posture: the impact-scored postings frame too, so the
+      // lane measures the path `graft serve` actually runs after startup
+      graft.search.ServeSearch.scoredPostings(cached)
       if (annPostingsOnDisk)
         cached.copy(ann = cached.ann.map(_.copy(postings =
           spark.read.parquet(s"$d/${graft.index.AnnIndex.PostingsDir}"))))
@@ -238,6 +241,7 @@ object ServingLane {
       // the temp index dirs — a bench run must not leave the SF index in
       // executor storage memory or a parquet copy on disk
       indexes.foreach { i =>
+        graft.search.ServeSearch.releaseScored(i)
         Seq(i.documents, i.postings, i.termdf, i.doclen, i.stats, i.settings)
           .foreach(_.unpersist(false))
         i.ann.foreach { a => a.centroids.unpersist(false); a.postings.unpersist(false) }

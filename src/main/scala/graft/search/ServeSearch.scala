@@ -29,7 +29,8 @@ import graft.rerank.Reranker
   *
   * So this path runs exactly THREE bounded Spark jobs per request:
   *
-  *   1. the BM25 leg (the same [[Bm25.topK]] plan), collected — and
+  *   1. the BM25 leg — filter + sum + top-k over the session's cached
+  *      impact-scored postings ([[scoredPostings]]) — collected, and
   *   2. the VSS leg (the same exact/IVF/PQ leg builders), collected
   *      CONCURRENTLY with 1 (independent subtrees of the same session);
   *   3. the candidate fetch: a pushed `doc_id IN (…)` filter over the
@@ -80,21 +81,34 @@ object ServeSearch {
     val ftsF: Future[Seq[(String, Double)]] =
       if (terms.isEmpty) Future.successful(Seq.empty) // isin() over no terms matches nothing
       else Future {
-        // feed Bm25.scores LOCAL replicas of its broadcast-side inputs: the
-        // query's termdf rows (session term→df cache; one bounded lookup
-        // job only for cold terms — the inverted-index df probe), the
-        // per-session-cached 1-row stats, and — ONLY when it is under the
-        // auto-broadcast threshold, i.e. when Spark would have broadcast
-        // it per request anyway — the doclen side. A broadcast exchange
-        // over a LocalTableScan builds its HashedRelation on the driver
-        // WITHOUT scheduling a job, so the warm-path leg is ONE job — and
-        // the scoring join/aggregation SHAPE (hence the double-sum order,
-        // hence bit parity) is exactly the DAG path's: same
-        // BroadcastHashJoin build values, same streamed postings order. At
-        // 100 TB doclen exceeds the threshold and keeps its distributed
-        // join — the replica rule is exactly Spark's own broadcast rule.
-        Bm25.topK(Bm25.scores(terms, index.postings, localTermdf(index.termdf, terms),
-            localIfBroadcastable(index.doclen), localStats(index.stats)), opts.k)
+        // IMPACT-SCORED POSTINGS (warm serving sessions): every factor of
+        // the BM25 contribution — tf, df, dl, N, avgdl — is static per
+        // (term, doc) for the life of the loaded artifact, so a session
+        // that called [[scoredPostings]] at startup (`graft serve`, the
+        // interactive loop, the bench lane) serves the leg as
+        // filter(In(term,…)) → groupBy(doc_id).sum → TakeOrdered over the
+        // cached scored frame: ONE job with ZERO per-request joins or
+        // broadcast materializations at ANY corpus size. (The replica
+        // formulation below re-runs the three-way join per request; past
+        // the auto-broadcast threshold Spark re-broadcast the doclen side
+        // on EVERY query — 3 exchange jobs/request at 50k docs,
+        // ServeProbe.) Per-row doubles are the same termScore expression
+        // over the same inputs and the aggregation topology is unchanged,
+        // so scores stay bit-identical either way (ServeSearchSpec pins
+        // both). A COLD one-shot request deliberately keeps the replica
+        // path: building the scored frame would join the ENTIRE postings
+        // table where the pushed-In probe reads only the query's row
+        // groups off disk.
+        val scored = Option(scoredPostingsCache.get(index.postings))
+        val leg = scored match {
+          case Some(sp) => sp
+            .filter(col("term").isin(terms.distinct: _*))
+            .groupBy("doc_id").agg(sum(col("s")).as("score"))
+          case None => Bm25.scores(terms, index.postings,
+            localTermdf(index.termdf, terms),
+            localIfBroadcastable(index.doclen), localStats(index.stats))
+        }
+        Bm25.topK(leg, opts.k)
           .select(col("doc_id"), col("score"))
           .as[(String, Double)].collect().toSeq
       }
@@ -239,6 +253,38 @@ object ServeSearch {
     mark("tail")
     spark.createDataFrame(
       java.util.Arrays.asList(out: _*), schema)
+  }
+
+  /** The serving session's impact-scored postings: `(term, doc_id, s)` with
+    * `s` = the full per-(term,doc) BM25 contribution ([[Bm25.termScore]]),
+    * joined and CACHED once per loaded artifact (weak-keyed on the postings
+    * frame, so a reloaded/compacted index builds a fresh frame and the old
+    * one falls to the ContextCleaner). The frame inherits the artifact's
+    * term-clustered layout, so the per-request `In(term,…)` filter prunes
+    * cached batches by batch stats exactly as it prunes row groups on disk.
+    * This is the classic impact-postings serving design: at 100 TB a
+    * request reads ~Σdf(t) scored rows and touches no other table. */
+  private val scoredPostingsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, DataFrame]())
+
+  private[graft] def scoredPostings(index: IndexData): DataFrame =
+    scoredPostingsCache.computeIfAbsent(index.postings, { _ =>
+      val scored = index.postings
+        .join(broadcast(index.termdf), "term")
+        .join(index.doclen, "doc_id")
+        .crossJoin(broadcast(index.stats))
+        .select(col("term"), col("doc_id"),
+          Bm25.termScore(col("tf"), col("df"), col("dl"),
+            col("n_docs"), col("avgdl")).as("s"))
+        .cache()
+      scored.count() // materialize eagerly: first request must not time the build
+      scored
+    })
+
+  /** Drop the cached impact-scored frame for an index (serving teardown). */
+  private[graft] def releaseScored(index: IndexData): Unit = {
+    val f = scoredPostingsCache.remove(index.postings)
+    if (f != null) f.unpersist(false)
   }
 
   /** Corpus stats are STATIC per index artifact: collect once per serving

@@ -63,6 +63,7 @@ object ServeProbe {
     idx.stats.count(); idx.documents.count(); idx.postings.count()
     idx.termdf.count(); idx.doclen.count()
     idx.ann.foreach { a => a.centroids.count(); a.postings.count() }
+    graft.search.ServeSearch.scoredPostings(idx) // warm serving posture
 
     val qvecs = embAll.orderBy(col("vec_id")).limit(10)
       .select(col("embedding")).as[Array[Float]].collect()

@@ -130,4 +130,25 @@ class ServeSearchSpec extends AnyFunSuite {
       opts = HybridSearch.Options(scoreThreshold = 0.5))
     assertParity("k1", "spark joins tables", opts = HybridSearch.Options(k = 1))
   }
+
+  test("WARM impact-postings leg is bit-identical too (the `graft serve` path)") {
+    // a warmed session serves the BM25 leg from the precomputed
+    // impact-scored postings frame instead of the per-request three-way
+    // join — same termScore doubles, same aggregation topology, so parity
+    // must hold across fusion modes, ANN modes and degradations
+    ServeSearch.scoredPostings(idx)
+    try {
+      assertParity("warm-default", "spark joins tables")
+      assertParity("warm-rrf", "fast merge windows",
+        opts = HybridSearch.Options(fusion = "rrf", scoreThreshold = 0.001))
+      assertParity("warm-ivf", "spark joins tables",
+        opts = HybridSearch.Options(annNprobe = 1))
+      assertParity("warm-pq", "spark joins tables",
+        opts = HybridSearch.Options(annPqShortlist = 3))
+      assertParity("warm-fts-only", "spark joins tables", embedder = None)
+      assertParity("warm-unseen", "zzz qqq www")
+      assertParity("warm-threshold", "spark joins tables",
+        opts = HybridSearch.Options(scoreThreshold = 0.5))
+    } finally ServeSearch.releaseScored(idx)
+  }
 }
