@@ -269,8 +269,12 @@ object ServeSearch {
 
   private[graft] def scoredPostings(index: IndexData): DataFrame =
     scoredPostingsCache.computeIfAbsent(index.postings, { _ =>
+      // no broadcast hints on the corpus-scaled sides (termdf is
+      // vocab-sized, doclen corpus-sized): this build runs ONCE per loaded
+      // artifact, so letting the optimizer pick broadcast-vs-shuffle by its
+      // own size estimates is the correct posture at every scale
       val scored = index.postings
-        .join(broadcast(index.termdf), "term")
+        .join(index.termdf, "term")
         .join(index.doclen, "doc_id")
         .crossJoin(broadcast(index.stats))
         .select(col("term"), col("doc_id"),
