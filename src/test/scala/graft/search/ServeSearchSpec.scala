@@ -131,6 +131,43 @@ class ServeSearchSpec extends AnyFunSuite {
     assertParity("k1", "spark joins tables", opts = HybridSearch.Options(k = 1))
   }
 
+  test("append-merge LIVE view (pending segments): cold and warm serve paths " +
+      "are bit-identical to the DAG path") {
+    // `graft serve` on an appended-but-not-yet-compacted artifact is a real
+    // production state: postings/termdf/doclen/stats are the segmented
+    // union frames with tombstone masking and dead-stat subtraction. The
+    // impact-postings build must compose with all of that.
+    import java.nio.file.Files
+    val docs = Files.createTempDirectory("srv-appnd").toString
+    val idxDir = Files.createTempDirectory("srv-appnd-idx").toString + "/idx"
+    def write(dir: String, name: String, text: String): Unit =
+      Files.writeString(java.nio.file.Paths.get(dir, name), text)
+    def jopts(scan: String, clear: Boolean) = IndexJob.Options(clear = clear,
+      mergeMode = "append", trimPathPrefix = Some(s"file:$scan"))
+    write(docs, "a.md", "# A\n\nspark merges sorted runs fast\n")
+    write(docs, "b.md", "# B\n\nvector cosine search embedding space\n")
+    IndexJob.run(spark, Seq(docs), idxDir, he, opts = jopts(docs, clear = true))
+    val delta = Files.createTempDirectory("srv-appnd-d").toString
+    write(delta, "a.md", "# A v2\n\nreplaced body about spark hash joins\n")
+    write(delta, "c.md", "# C\n\nhybrid ranking fuses lexical and dense scores\n")
+    IndexJob.run(spark, Seq(delta), idxDir, he, opts = jopts(delta, clear = false))
+    val live = IndexData.load(spark, idxDir).cached()
+    assert(live.pendingSegments >= 1)
+    def parity(label: String, q: String): Unit = {
+      val dag = HybridSearch.search(live, q, WhitespaceAnalyzer, Some(he), Some(rr))
+      val srv = ServeSearch.search(live, q, WhitespaceAnalyzer, Some(he), Some(rr))
+      val (dr, sr) = (dag.collect().toSeq.map(_.toSeq), srv.collect().toSeq.map(_.toSeq))
+      assert(dr == sr, s"$label:\n  dag  =$dr\n  serve=$sr")
+      assert(dr.nonEmpty, s"$label: empty result proves nothing")
+    }
+    parity("cold-live", "spark joins") // replica path over segmented frames
+    ServeSearch.scoredPostings(live)
+    try {
+      parity("warm-live", "spark joins") // impact postings over the live view
+      parity("warm-live-2", "dense scores fuse")
+    } finally ServeSearch.releaseScored(live)
+  }
+
   test("WARM impact-postings leg is bit-identical too (the `graft serve` path)") {
     // a warmed session serves the BM25 leg from the precomputed
     // impact-scored postings frame instead of the per-request three-way
