@@ -104,17 +104,22 @@ object ServingLane {
       else cached
     }
 
-    /** p50/p95 of 20 requests over `texts` through `searchFn`. */
-    def mode(name: String, extra: String, texts: Seq[String],
-        searchFn: String => Array[_]): String = {
+    /** p50/p95 of 20 requests over `texts` through `searchFn`; returns the
+      * JSON fragment and the p50 (for in-run cross-mode guards). */
+    def modeT(name: String, extra: String, texts: Seq[String],
+        searchFn: String => Array[_]): (String, Double) = {
       texts.take(2).foreach(searchFn) // codegen/JIT warmup
       val lats = (1 to 2).flatMap(_ => texts.map { q =>
         val t0 = System.nanoTime()
         searchFn(q)
         (System.nanoTime() - t0) / 1e6
       }).sorted
-      s""""$name":{$extra"p50":${ms1(pct(lats, 0.50))},"p95":${ms1(pct(lats, 0.95))}}"""
+      val p50 = pct(lats, 0.50)
+      (s""""$name":{$extra"p50":${ms1(p50)},"p95":${ms1(pct(lats, 0.95))}}""", p50)
     }
+    def mode(name: String, extra: String, texts: Seq[String],
+        searchFn: String => Array[_]): String =
+      modeT(name, extra, texts, searchFn)._1
 
     try {
       // ---- uniform corpus: the SF tables, as every round since r11 ----
@@ -153,17 +158,27 @@ object ServingLane {
       // nprobe meeting the fit-time recall curve's 0.9 target
       val (autoNprobe, _) = Cli.resolveAutoNprobe(idx, (Cli.AutoNprobe, 0))
 
-      val exact = mode("exact", "", Texts, dagRun(idx, lookup)(0, 0))
+      val (exact, dagExactP50) = modeT("exact", "", Texts, dagRun(idx, lookup)(0, 0))
       val auto = mode("ivf_auto", s""""nprobe":$autoNprobe,""", Texts,
         dagRun(idx, lookup)(autoNprobe, 0))
-      val serveJson = Seq(
-        mode("exact", "", Texts, serveRun(idx, lookup)(0, 0)),
+      val (serveExact, serveExactP50) =
+        modeT("exact", "", Texts, serveRun(idx, lookup)(0, 0))
+      val serveJson = (Seq(
+        serveExact,
         mode("ivf_auto", s""""nprobe":$autoNprobe,""", Texts,
           serveRun(idx, lookup)(autoNprobe, 0)),
         mode("pq", """"shortlist":50,""", Texts, serveRun(idx, lookup)(0, 50)),
         mode("ivf_pq", s""""nprobe":$autoNprobe,"shortlist":50,""", Texts,
-          serveRun(idx, lookup)(autoNprobe, 50))
-      ).mkString("{", ",", "}")
+          serveRun(idx, lookup)(autoNprobe, 50))) :+
+        // in-run regression guard, immune to host noise (both paths measured
+        // this run over the same warm artifact): the production ServeSearch
+        // path must not fall behind the DAG formulation it replaced — a
+        // broken warm-path gating (silent fallback to per-request joins) or
+        // a ServeSearch plan regression flips ok to false even when every
+        // absolute number merely looks "a bit slower this round"
+        s""""vs_dag":{"dag_exact_p50":${ms1(dagExactP50)},""" +
+          s""""serve_exact_p50":${ms1(serveExactP50)},""" +
+          s""""ok":${serveExactP50 <= dagExactP50}}""").mkString("{", ",", "}")
 
       // ---- clustered corpus: genuine centroid structure at ~100k docs ----
       val nDocs = docs.count()
