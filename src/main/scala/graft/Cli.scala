@@ -28,8 +28,11 @@ import graft.search.HybridSearch
   *                    [--multiline]   (row-corpus CSV/TSV whose quoted text holds raw newlines)
   *   graft.Cli search --db DIR --query Q [--top-k K] [--no-rerank]
   *                    [--remove-path-prefix P] [--add-path-prefix P]
-  *                    [--ann ivf[:nprobe|:auto] | pq[:shortlist] | ivf[:np]+pq[:sl]]
-  *                        (:auto = smallest nprobe meeting the fitted recall curve's 0.9 target)
+  *                    [--ann exact | ivf[:nprobe|:auto] | pq[:shortlist] | ivf[:np]+pq[:sl]]
+  *                        (:auto = smallest nprobe meeting the fitted recall curve's 0.9 target;
+  *                         INTERACTIVE search defaults to ivf:auto when the sidecar
+  *                         exists and its fitted curve meets the target — --ann exact
+  *                         forces the exact scan; one-shot --query stays exact)
   *                    [--fusion mean|rrf]   (score-average A4 or reciprocal-rank)
   *                    [--threshold T]   (min score; defaults 0.01 mean / 0.001 rrf)
   *                    [--phrase]   (candidates must contain the query as an adjacent run)
@@ -37,8 +40,11 @@ import graft.search.HybridSearch
   *   graft.Cli serve  --db DIR [--top-k K] [--tool-name N] [--tool-description D]
   *                    [--transport stdio|http] [--host H] [--port P] [--path /mcp]
   *                    [--trim-prefix P] [--add-prefix P] [--protocol jsonl]
-  *                    [--ann ivf[:nprobe]]
+  *                    [--ann exact|ivf[:nprobe|:auto]|...]   (defaults to ivf:auto when the
+  *                     IVF sidecar exists and its fitted recall curve meets the 0.9
+  *                     target below nprobe=K; --ann exact forces the exact scan)
   *   graft.Cli compact --db DIR [--layout zorder|hilbert [--layout-files N]]
+  *                    [--if-pending N]   (no-op unless >= N append segments pending)
   *   graft.Cli stats  --db DIR   (read-only index health JSON)
   *   graft.Cli curate --in DOCS --out DIR [--format parquet|jsonl|csv|tsv]
   *                    [--multiline]   (CSV/TSV with quoted raw newlines; one file = one split)
@@ -118,8 +124,20 @@ object Cli {
     * upgrades a pre-append-layout artifact. */
   private def compactCmd(a: Array[String]): Unit = {
     val db = arg(a, "--db").getOrElse(sys.error("--db required"))
+    // `--if-pending N`: only fold when at least N append segments are
+    // pending — the scheduled-compaction form of the append-merge posture
+    // ("append often, compact on a schedule", AppendMergeProbe: the live
+    // view costs a flat ~1.5× until folded). A cron job can run
+    // `compact --if-pending 4` unconditionally; below threshold it is a
+    // cheap no-op that leaves the artifact untouched.
+    val ifPending = arg(a, "--if-pending").map(_.toInt)
     val spark = session()
     val before = IndexData.segments(spark, db).size
+    compactSkipNote(before, ifPending).foreach { note =>
+      println(note)
+      spark.stop()
+      return
+    }
     val compacted = IndexJob.compact(spark, db,
       layout = arg(a, "--layout").map(_.toLowerCase).getOrElse("none"),
       layoutFiles = arg(a, "--layout-files").map(_.toInt).getOrElse(8))
@@ -127,6 +145,13 @@ object Cli {
       s"${compacted.documents.count()} live docs -> $db")
     spark.stop()
   }
+
+  /** The `compact --if-pending N` decision: Some(skip message) when fewer
+    * than N append segments are pending (the fold would buy nothing worth
+    * its full-corpus rewrite), None to proceed. No flag = always compact. */
+  private[graft] def compactSkipNote(pending: Int, ifPending: Option[Int]): Option[String] =
+    ifPending.filter(_ > pending).map(n =>
+      s"compact: $pending pending segment(s) < --if-pending $n; nothing to do")
 
   /** Read-only index health report as one JSON line: corpus counts, BM25
     * constants, segment/sidecar state, and the persisted settings that
@@ -464,13 +489,14 @@ object Cli {
     case None => (0, 0)
     case Some(s) =>
       s.split("\\+").map(_.split(":", 2) match {
+        case Array("exact")       => (0, 0) // explicit exact-scan override
         case Array("ivf")         => (2, 0)
         case Array("ivf", "auto") => (AutoNprobe, 0)
         case Array("ivf", np)     => (np.toInt, 0)
         case Array("pq")          => (0, 50)
         case Array("pq", sl)      => (0, sl.toInt)
         case _ => sys.error(s"unknown --ann '$s' " +
-          "(expected ivf[:<nprobe>|:auto], pq[:<shortlist>], or ivf[:np]+pq[:sl])")
+          "(expected exact, ivf[:<nprobe>|:auto], pq[:<shortlist>], or ivf[:np]+pq[:sl])")
       }).reduce { (a, b) =>
         // the AutoNprobe sentinel is -1: a plain max would let the pq leg's
         // nprobe=0 erase it and silently drop the IVF leg from
@@ -500,6 +526,42 @@ object Cli {
           f"recall target $target%.2f; curve ${index.setting(
             graft.index.AnnIndex.RecallCurveKey).getOrElse("absent — default 2")}%s)")
       (np, ann._2)
+    }
+
+  /** The serving-default decision rule (round-12 directive 2), pure for the
+    * spec: `graft serve` and the interactive loop default to `ivf:auto`
+    * exactly when (a) the artifact has an IVF sidecar, (b) its fitted
+    * recall curve reaches the 0.9 auto target, and (c) the smallest nprobe
+    * meeting it is strictly below the curve's last measured point (nprobe =
+    * K ≡ probe-everything) — i.e. the probe genuinely prunes. Anything else
+    * keeps the exact scan: no sidecar, no persisted curve (pre-curve
+    * artifact), or an honest curve that says pruning costs recall. */
+  private[graft] def serveDefaultsToAuto(hasAnn: Boolean,
+      curveSetting: Option[String], target: Double = 0.9): Boolean =
+    hasAnn && {
+      val curve = curveSetting.map(graft.index.AnnIndex.decodeCurve).getOrElse(Seq.empty)
+      curve.find(_._2 >= target).exists(_._1 < curve.last._1)
+    }
+
+  /** Resolve the serving `--ann` mode: an explicit flag (incl. `--ann
+    * exact`) always wins; with NO flag the serving surfaces follow
+    * [[serveDefaultsToAuto]] — the reference always serves through its HNSW
+    * index (`src/db.py:152-165`, `src/searcher.py:135-143`), and the 5M-doc
+    * ServeProbe decade showed the exact VSS scan dominating request latency
+    * (~575 ms) right where the fitted probe wins 1.8×. One-shot
+    * `graft search --query` keeps its exact default (a cold session never
+    * amortizes the sidecar load). */
+  private[graft] def defaultServeAnn(index: IndexData, userAnn: Option[String]): (Int, Int) =
+    userAnn match {
+      case Some(_) => parseAnn(userAnn)
+      case None =>
+        if (serveDefaultsToAuto(index.ann.isDefined,
+            index.setting(graft.index.AnnIndex.RecallCurveKey))) {
+          System.err.println("[graft] serving defaults to --ann ivf:auto " +
+            "(IVF sidecar present, fitted recall curve meets the 0.9 target " +
+            "below nprobe=K); pass --ann exact to force the exact scan")
+          (AutoNprobe, 0)
+        } else (0, 0)
     }
 
   private def runSearch(index: IndexData, db: String, query: String, k: Int, rerank: Boolean,
@@ -645,7 +707,8 @@ object Cli {
     val rerank = !flag(a, "--no-rerank")
     val removeP = arg(a, "--remove-path-prefix")
     val addP = arg(a, "--add-path-prefix")
-    val ann = parseAnn(arg(a, "--ann"))
+    val annArg = arg(a, "--ann")
+    val ann = parseAnn(annArg)
     val fusion = arg(a, "--fusion").getOrElse("mean")
     val threshold = arg(a, "--threshold").map(_.toDouble)
     // `--phrase`: candidates must contain the query terms as an adjacent
@@ -681,7 +744,7 @@ object Cli {
         // skipped, EOF exits. The index datasets stay cached across queries.
         disableAqeForOnline(spark)
         val index = IndexData.load(spark, db).cached()
-        val annR = resolveAutoNprobe(index, ann)
+        val annR = resolveAutoNprobe(index, defaultServeAnn(index, annArg))
         driftWarning(index, annR).foreach(System.err.println)
         segmentsWarning(index, annR).foreach(System.err.println)
         recallWarning(index, annR).foreach(System.err.println)
@@ -731,14 +794,14 @@ object Cli {
     val defaultK = arg(a, "--top-k").map(_.toInt).getOrElse(5)
     val removeP = arg(a, "--trim-prefix")
     val addP = arg(a, "--add-prefix")
-    val ann = parseAnn(arg(a, "--ann"))
+    val annArg = arg(a, "--ann")
     val fusion = arg(a, "--fusion").getOrElse("mean")
     val threshold = arg(a, "--threshold").map(_.toDouble)
     thresholdWarning(threshold, fusion, defaultK).foreach(System.err.println)
     val spark = session()
     disableAqeForOnline(spark)
     val index = IndexData.load(spark, db).cached()
-    val annR = resolveAutoNprobe(index, ann)
+    val annR = resolveAutoNprobe(index, defaultServeAnn(index, annArg))
     driftWarning(index, annR).foreach(System.err.println)
     segmentsWarning(index, annR).foreach(System.err.println)
     index.stats.count() // materialize caches before serving

@@ -195,13 +195,16 @@ object CuratePipeline {
       .select("doc_id", "text", "tokens")
 
     // 3.4 (optional) quality-weighted sampling (deterministic md5 draw).
-    //     Runs BEFORE containment: the draw is per-doc deterministic (its
-    //     quality score and unit hash depend only on the doc's own row, not
-    //     on corpus statistics), so the sampled-in set is identical at
-    //     either position — but ordering it first makes every containment
-    //     container a doc that actually SURVIVES to the final output. With
-    //     the old order, a `contained_in=<id>` report line could name a
-    //     container the later sampling stage removed (round-11 ADVICE).
+    //     Runs BEFORE containment. The per-doc DRAW is position-independent
+    //     (quality score and unit hash depend only on the doc's own row),
+    //     but the reorder DOES change the final kept set — deliberately: a
+    //     doc whose only would-be container is sampled out now SURVIVES
+    //     containment (its content is no longer redundant once the
+    //     superset doc is gone), where the old order dropped it and then
+    //     named a removed doc in its `contained_in=<id>` report line
+    //     (round-11 ADVICE). Both the referential integrity and the
+    //     survive-when-container-sampled-out semantics are pinned in
+    //     CuratePipelineSpec.
     val (kept3s, dropSample) =
       if (!opts.sample) (kept3d, kept3d.limit(0)
         .select(col("doc_id"), lit("").as("stage"), lit("").as("detail")))

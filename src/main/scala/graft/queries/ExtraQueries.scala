@@ -339,14 +339,26 @@ object ExtraQueries {
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority")),
 
-    // HLL sketch distinct count — engine-specific estimates, so the gate is
-    // rows-only; EmbedSpec-style accuracy is asserted in ScalaTest instead
+    // HLL sketch distinct count, oracle-checked by CONTRACT (round-12
+    // directive 7): the raw estimate is engine-specific (Spark HLL++ vs
+    // DuckDB HLL disagree bit-for-bit), but the sketch's CONTRACT — the
+    // estimate lands within rtol of the exact count — is cross-engine. The
+    // compared columns are the exact count and the bound check itself;
+    // rtol 0.15 = 3× the default 5% rsd (a >3-sigma miss means a broken
+    // sketch, not estimator variance). The exact countDistinct here exists
+    // only to express the check — the 100 TB production path is the sketch
+    // alone (one pass, mergeable partials, no distinct shuffle).
     Q("q_approx_distinct",
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(approx_count_distinct(col("l_partkey")).as("est"),
+          countDistinct(col("l_partkey")).cast("long").as("n_exact"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("est").cast("double") / col("n_exact").cast("double") - 1.0)
+            <= 0.15).as("within_rtol"))
         .orderBy("l_returnflag"),
-      None),
+      Some("SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact, " +
+        "true AS within_rtol FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
 
     // Exact distinct counts per group
     Q("q_distinct_count",

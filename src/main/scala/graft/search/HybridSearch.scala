@@ -201,19 +201,47 @@ object HybridSearch {
   private def adcRerank(codes: DataFrame, pq: graft.index.PqIndex,
       documents: DataFrame, queryVec: Array[Float], k: Int,
       shortlist: Int): DataFrame = {
+    val short = adcShortlist(codes, pq, queryVec, shortlist).select("doc_id")
+    val qv = typedlit(queryVec.toSeq)
+    documents
+      .filter(col("embedding").isNotNull && col("doc_id").isNotNull)
+      .join(broadcast(short), Seq("doc_id"))
+      .select(col("doc_id"), VectorOps.cosineDist(col("embedding"), qv).as("vss_score"))
+      .orderBy(round(col("vss_score"), 6).asc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Stage 1 of the PQ tail alone — the map-only ADC shortlist cut:
+    * (doc_id, adist) TakeOrdered over the given codes scan. Shared by
+    * [[adcRerank]] (which broadcasts it back into the documents scan — the
+    * single-DAG batch shape) and [[ServeSearch]] (which COLLECTS the
+    * ≤shortlist ids and exact-reranks via a pushed-IN fetch — the
+    * bounded-job serving shape; same rows either way, pinned in
+    * ServeSearchSpec). */
+  private[search] def adcShortlist(codes: DataFrame, pq: graft.index.PqIndex,
+      queryVec: Array[Float], shortlist: Int): DataFrame = {
     val lut = typedlit(pq.lutLongs(queryVec))
-    val short = codes
+    codes
       .select(col("doc_id"),
         (aggregate(
           zip_with(col("codes"), lut, (c, l) => element_at(l, c + 1)),
           lit(0L), (acc, x) => acc + x).cast("double") / 1e6).as("adist"))
       .orderBy(round(col("adist"), 6).asc, col("doc_id").asc)
       .limit(shortlist)
-      .select("doc_id")
+  }
+
+  /** Stage 2 of the PQ tail for the serving path: exact cosine over ONLY the
+    * already-collected shortlist ids, fetched through the same pushed
+    * `doc_id IN (…)` scan shape as the serving candidate fetch — no
+    * broadcast-exchange job wave. Identical row set to [[adcRerank]]'s
+    * inner broadcast join (an IN filter selects exactly the join's matching
+    * rows; doc_id is an artifact key, so multiplicities match too). */
+  private[search] def exactRerankByIds(documents: DataFrame, ids: Seq[String],
+      queryVec: Array[Float], k: Int): DataFrame = {
     val qv = typedlit(queryVec.toSeq)
     documents
       .filter(col("embedding").isNotNull && col("doc_id").isNotNull)
-      .join(broadcast(short), Seq("doc_id"))
+      .filter(col("doc_id").isin(ids: _*))
       .select(col("doc_id"), VectorOps.cosineDist(col("embedding"), qv).as("vss_score"))
       .orderBy(round(col("vss_score"), 6).asc, col("doc_id").asc)
       .limit(k)

@@ -119,25 +119,45 @@ object ServeSearch {
     val vssF: Future[Seq[(String, Double)]] = queryVec match {
       case Some(q) if !q.exists(_ != 0.0f) => Future.successful(Seq.empty)
       case Some(qvec) => Future {
-        val leg =
-          if (opts.annPqShortlist > 0 && opts.annNprobe > 0) {
-            val ann = index.ann.getOrElse(sys.error(
-              "--ann ivf+pq requires an index built with --ann-clusters"))
-            val pq = index.pq.getOrElse(sys.error(
-              "--ann ivf+pq requires an index built with --pq-codes"))
-            HybridSearch.vssTopKIvfPq(ann, pq, index.documents, qvec, opts.k,
-              opts.annNprobe, opts.annPqShortlist)
-          } else if (opts.annPqShortlist > 0) {
-            val pq = index.pq.getOrElse(sys.error(
-              "--ann pq requires an index built with --pq-codes (no ann_pq_codebooks in artifact)"))
-            HybridSearch.vssTopKPq(pq, index.documents, qvec, opts.k, opts.annPqShortlist)
-          } else if (opts.annNprobe > 0) {
-            val ann = index.ann.getOrElse(sys.error(
-              "--ann requires an index built with --ann-clusters (no ann_centroids in artifact)"))
-            HybridSearch.vssTopKIvf(ann, qvec, opts.k, opts.annNprobe)
-          } else HybridSearch.vssTopK(index.documents, qvec, opts.k)
-        leg.select(col("doc_id"), col("vss_score"))
-          .as[(String, Double)].collect().toSeq
+        if (opts.annPqShortlist > 0) {
+          // PQ serving tail, bounded-job shape: the batch adcRerank
+          // broadcast-joins the shortlist back into the documents scan —
+          // an extra broadcast-exchange job wave per request. Here the
+          // ≤shortlist ADC ids are COLLECTED (job 1, TakeOrdered over the
+          // pruned codes scan) and the exact rerank runs as a pushed
+          // `doc_id IN (…)` fetch (job 2) — the same two-job shape as the
+          // candidate fetch, same rows as the broadcast join (an IN filter
+          // keeps exactly the join's matching rows; ServeSearchSpec pins
+          // bit-equality against the DAG path).
+          val pq = index.pq.getOrElse(sys.error(
+            "--ann pq requires an index built with --pq-codes (no ann_pq_codebooks in artifact)"))
+          val codes =
+            if (opts.annNprobe > 0) {
+              val ann = index.ann.getOrElse(sys.error(
+                "--ann ivf+pq requires an index built with --ann-clusters"))
+              require(pq.codes.columns.contains("cluster"),
+                "--ann ivf+pq needs an artifact whose PQ codes were built alongside the " +
+                  "IVF sidecar (cluster-partitioned ann_pq_codes); re-run index with " +
+                  "both --ann-clusters and --pq-codes")
+              val probed = ann.probe(qvec, opts.annNprobe)
+              pq.codes.filter(col("cluster").isin(probed: _*))
+            } else pq.codes
+          val shortIds = HybridSearch.adcShortlist(codes, pq, qvec, opts.annPqShortlist)
+            .select("doc_id").as[String].collect().toSeq
+          if (shortIds.isEmpty) Seq.empty
+          else HybridSearch.exactRerankByIds(index.documents, shortIds, qvec, opts.k)
+            .select(col("doc_id"), col("vss_score"))
+            .as[(String, Double)].collect().toSeq
+        } else {
+          val leg =
+            if (opts.annNprobe > 0) {
+              val ann = index.ann.getOrElse(sys.error(
+                "--ann requires an index built with --ann-clusters (no ann_centroids in artifact)"))
+              HybridSearch.vssTopKIvf(ann, qvec, opts.k, opts.annNprobe)
+            } else HybridSearch.vssTopK(index.documents, qvec, opts.k)
+          leg.select(col("doc_id"), col("vss_score"))
+            .as[(String, Double)].collect().toSeq
+        }
       }
       case None => Future.successful(Seq.empty)
     }
@@ -232,9 +252,21 @@ object ServeSearch {
     }
     val withOriginal = reranker.isDefined && opts.rerank
 
+    // P4/O3/O4/O5 with SPARK double semantics, not Scala primitive ones
+    // (round-12 ADVICE): Spark orders NaN LARGER than any double (incl.
+    // +Inf) and treats -0.0 == 0.0, so a NaN score from a custom Reranker
+    // passes `score > t` and sorts FIRST under desc in the DAG path — the
+    // primitive `>`/sortBy would silently drop it here and break the
+    // bit-parity contract. (A NaN --threshold itself stays out of contract.)
+    def norm(x: Double): Double = if (x == 0.0) 0.0 else x
+    def sparkGt(a: Double, b: Double): Boolean =
+      java.lang.Double.compare(norm(a), norm(b)) > 0
     val out = reranked
-      .filter(_.getDouble(6) > opts.scoreThreshold) // P4
-      .sortBy(r => (-r.getDouble(6), r.getString(0))) // O3/O4
+      .filter(r => sparkGt(r.getDouble(6), opts.scoreThreshold)) // P4
+      .sortWith { (x, y) => // O3/O4: score desc (NaN first), doc_id asc
+        val c = java.lang.Double.compare(norm(y.getDouble(6)), norm(x.getDouble(6)))
+        if (c != 0) c < 0 else x.getString(0) < y.getString(0)
+      }
       .take(opts.k) // O5
 
     val base = Seq(
@@ -257,13 +289,20 @@ object ServeSearch {
 
   /** The serving session's impact-scored postings: `(term, doc_id, s)` with
     * `s` = the full per-(term,doc) BM25 contribution ([[Bm25.termScore]]),
-    * joined and CACHED once per loaded artifact (weak-keyed on the postings
-    * frame, so a reloaded/compacted index builds a fresh frame and the old
-    * one falls to the ContextCleaner). The frame inherits the artifact's
-    * term-clustered layout, so the per-request `In(term,…)` filter prunes
-    * cached batches by batch stats exactly as it prunes row groups on disk.
-    * This is the classic impact-postings serving design: at 100 TB a
-    * request reads ~Σdf(t) scored rows and touches no other table. */
+    * joined and CACHED once per loaded artifact. The map is weak-keyed on
+    * the postings frame so a reloaded/compacted index computes a FRESH
+    * scored frame — but note the weak key only frees the map ENTRY:
+    * `df.cache()` registers the plan strongly in Spark's CacheManager, so
+    * the old frame's executor storage blocks are NOT reclaimed by GC of
+    * the key (round-12 ADVICE). Any code path that drops or replaces an
+    * IndexData mid-session MUST call [[releaseScored]] on the old one (the
+    * bench serving lane does; the CLI commands hold one artifact for the
+    * life of the session and free everything at `spark.stop()`). The frame
+    * inherits the artifact's term-clustered layout, so the per-request
+    * `In(term,…)` filter prunes cached batches by batch stats exactly as
+    * it prunes row groups on disk. This is the classic impact-postings
+    * serving design: at 100 TB a request reads ~Σdf(t) scored rows and
+    * touches no other table. */
   private val scoredPostingsCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[DataFrame, DataFrame]())
 

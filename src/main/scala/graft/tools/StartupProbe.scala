@@ -1,0 +1,77 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Serving COLD-START decades (round-12 directive 4): the impact-postings
+  * design deliberately moves per-request join cost to session startup — the
+  * scored `(term, doc_id, s)` frame is joined, cached, and counted once per
+  * loaded artifact. Per-request p50s are flat across corpus decades
+  * (ServeProbe), but that startup span was untimed, so a regression there
+  * (e.g. the scored join losing its shuffle-free shape, or a cache pin
+  * materializing a corpus-sized frame twice) was invisible. This probe pins
+  * it: per corpus, 3 trials of EXACTLY the span `graft serve` runs between
+  * `IndexData.load` and first-request-ready —
+  *
+  *   load → cached() pins → materializing counts (documents, postings,
+  *   termdf, doclen, stats, ann sidecars) → scoredPostings build+count
+  *
+  * with `spark.catalog.clearCache()` + [[graft.search.ServeSearch
+  * .releaseScored]] between trials so every trial rebuilds the caches from
+  * parquet (warm OS page cache, warm JVM — the same definition as the bench
+  * serving lane's `startup_ms`, so decade rows and lane rows compare).
+  *
+  *   SPARK_GRAFT_SF_DIR=/tmp/sf1g SPARK_DRIVER_MEM=64g \
+  *     sbt "runMain graft.tools.StartupProbe"
+  */
+object StartupProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", graft.Cli.ServingInFilterThreshold)
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.plans.GraftStrategies.install(spark)
+
+    // one-time artifact build (NOT part of the measured span — `graft
+    // index` owns that cost; serve startup begins at artifact load)
+    val dir = java.nio.file.Files.createTempDirectory("graft-startup").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val embAll = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val emb = embAll.select(col("vec_id").cast("string").as("doc_id"), col("embedding"))
+    val built = graft.index.IndexJob.fromTable(docs, "doc_id", "text",
+      df => split(df("text"), " "), embeddings = Some(emb))
+    graft.index.IndexData.write(built.documents, built.settings, dir)
+    graft.index.IndexJob.withAnn(graft.index.IndexData.load(spark, dir),
+      dir, annClusters = 16, annIters = 3)
+    val nDocs = docs.count()
+    println(s"[startup] corpus=$sfDir docs=$nDocs artifact=$dir")
+
+    (1 to 3).foreach { trial =>
+      spark.catalog.clearCache() // every trial rebuilds caches from parquet
+      val t0 = System.nanoTime()
+      val idx = graft.index.IndexData.load(spark, dir).cached()
+      idx.stats.count(); idx.documents.count(); idx.postings.count()
+      idx.termdf.count(); idx.doclen.count()
+      idx.ann.foreach { a => a.centroids.count(); a.postings.count() }
+      idx.pq.foreach { p => p.codes.count(); p.codebooks.count() }
+      val tCaches = (System.nanoTime() - t0) / 1e6
+      graft.search.ServeSearch.scoredPostings(idx)
+      val total = (System.nanoTime() - t0) / 1e6
+      println(f"[startup] trial#$trial total=$total%8.1fms  " +
+        f"caches=$tCaches%8.1fms  scored=${total - tCaches}%8.1fms")
+      graft.search.ServeSearch.releaseScored(idx)
+    }
+
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    spark.stop()
+  }
+}

@@ -33,7 +33,24 @@ class CliInteractiveSpec extends AnyFunSuite {
     // the pq leg's nprobe=0 erase it and silently drop the IVF probe
     assert(Cli.parseAnn(Some("ivf:auto+pq:100")) == (Cli.AutoNprobe, 100))
     assert(Cli.parseAnn(Some("pq:100+ivf:auto")) == (Cli.AutoNprobe, 100))
+    // explicit exact: the serving-default override (round-12 directive 2)
+    assert(Cli.parseAnn(Some("exact")) == (0, 0))
     intercept[RuntimeException](Cli.parseAnn(Some("hnsw")))
+  }
+
+  test("serving defaults to ivf:auto only for a sidecar whose fitted curve " +
+      "meets the target below nprobe=K (round-12 directive 2)") {
+    // curve reaches 0.9 at nprobe=2 < last step 4: default to auto
+    assert(Cli.serveDefaultsToAuto(hasAnn = true, Some("1:0.40,2:0.95,4:1.00")))
+    // no sidecar: exact, whatever any leftover curve setting says
+    assert(!Cli.serveDefaultsToAuto(hasAnn = false, Some("1:0.40,2:0.95,4:1.00")))
+    // pre-curve artifact: exact (never guess an unmeasured probe)
+    assert(!Cli.serveDefaultsToAuto(hasAnn = true, None))
+    // honest curve that never reaches the target: exact
+    assert(!Cli.serveDefaultsToAuto(hasAnn = true, Some("1:0.10,2:0.30,4:0.50")))
+    // curve meeting the target only at its LAST step (nprobe=K ≡ probe
+    // everything): no pruning win — exact
+    assert(!Cli.serveDefaultsToAuto(hasAnn = true, Some("1:0.40,2:0.60,4:0.95")))
   }
 
   test("ivf:auto resolves the smallest nprobe meeting the fitted recall target") {
@@ -60,6 +77,13 @@ class CliInteractiveSpec extends AnyFunSuite {
     assert(Cli.resolveAutoNprobe(idx, (3, 0)) == (3, 0))
     assert(Cli.resolveAutoNprobe(idx, (0, 0)) == (0, 0))
     assert(Cli.resolveAutoNprobe(idx, (Cli.AutoNprobe, 20)) == (2, 20))
+  }
+
+  test("compact --if-pending skips below threshold, folds at or above it") {
+    assert(Cli.compactSkipNote(2, Some(4)).isDefined)  // 2 < 4: skip
+    assert(Cli.compactSkipNote(4, Some(4)).isEmpty)    // at threshold: fold
+    assert(Cli.compactSkipNote(7, Some(4)).isEmpty)    // above: fold
+    assert(Cli.compactSkipNote(0, None).isEmpty)       // no flag: always fold
   }
 
   test("annVerifyNote reports live recall; silent when exact found nothing") {

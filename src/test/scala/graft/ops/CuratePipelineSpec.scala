@@ -260,6 +260,59 @@ class CuratePipelineSpec extends AnyFunSuite {
     assert(keptIds.union(repIds) == allIds)
   }
 
+  test("a doc whose ONLY container is sampled out survives containment " +
+      "(sampling-first changes the kept set by design — round-12 ADVICE)") {
+    // 16 disjoint (A_i ⊂ B_i) pairs with pair-unique tokens: without
+    // sampling every A_i drops as contained_in=B_i; with sampling, any B_i
+    // the deterministic draw removes is GONE before containment candidates
+    // form, so its A_i — whose content is no longer redundant — must
+    // survive. The draw is row-local (quality + unit hash of the doc's own
+    // row), so the outcome is deterministic for this fixture; the spec
+    // selects the pairs where B_i sampled out and A_i did not.
+    //
+    // The container must be BUILT to sample out sometimes: quality feeds
+    // keep_p, so B is stopword-heavy — A's 22 unique tokens plus 7 filler
+    // groups (uniq, the, a, of) land quality ≈ 0.54 (keep_p 0.54, ~46%
+    // draw-out, yet above the stage-1 gate's 0.5) while holding shingle
+    // jaccard(A,B) = 20/44 ≈ 0.45 under the 0.5 near-dup threshold (A must
+    // reach containment, not drop as near_dup), containment(A⊂B) = 1.0
+    // (A is a verbatim prefix), and rep_ratio ≈ 0.08 under the 0.2 gate.
+    val pairs = (0 until 16).map { i =>
+      val aToks = (1 to 22).map(j => f"ca$i%02dw$j%02d")
+      val bToks = aToks ++ (1 to 7).flatMap(j => Seq(f"cb$i%02dw$j%02d", "the", "a", "of"))
+      ((9300L + 2 * i, aToks.mkString(" ")), (9301L + 2 * i, bToks.mkString(" ")))
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    val augmented = docs.unionByName(
+      pairs.flatMap(p => Seq(p._1, p._2)).toDF("doc_id", "text"))
+    val (_, repPlain) = CuratePipeline.run(augmented,
+      CuratePipeline.Opts(containmentMin = 0.85))
+    val droppedPlain = repPlain.filter(col("stage") === "contained").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // the containment CANDIDATE machinery is banded LSH (not all-pairs), so
+    // an individual A_i⊂B_i pair can legitimately miss its band — the
+    // property is asserted over the pairs the bands did catch (typically
+    // ~2/3 of 16; require enough to make the with-sampling half meaningful)
+    val caught = pairs.filter { case ((aId, _), (bId, _)) =>
+      droppedPlain.get(aId).contains(s"contained_in=$bId") }
+    assert(caught.size >= 6,
+      s"fixture needs banded containment drops; got ${caught.map(_._1._1)}")
+    val (kept, report) = CuratePipeline.run(augmented,
+      CuratePipeline.Opts(containmentMin = 0.85, sample = true))
+    val sampledOut = report.filter(col("stage") === "sampled_out")
+      .collect().map(_.getLong(0)).toSet
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val qualifying = caught.filter { case ((aId, _), (bId, _)) =>
+      sampledOut.contains(bId) && !sampledOut.contains(aId) }
+    assert(qualifying.nonEmpty,
+      s"fixture produced no sampled-out container with a surviving A; sampledOut=$sampledOut")
+    qualifying.foreach { case ((aId, _), (bId, _)) =>
+      assert(keptIds.contains(aId),
+        s"$aId's only container $bId was sampled out — $aId must survive containment")
+    }
+  }
+
   test("sampling stage drops only sampled_out rows and stays deterministic") {
     val (kept, report) = CuratePipeline.run(docs, CuratePipeline.Opts(sample = true))
     val (kept2, _) = CuratePipeline.run(docs, CuratePipeline.Opts(sample = true))

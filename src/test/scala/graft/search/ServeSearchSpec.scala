@@ -125,6 +125,37 @@ class ServeSearchSpec extends AnyFunSuite {
       opts = HybridSearch.Options(annNprobe = 1, annPqShortlist = 3))
   }
 
+  test("a NaN reranker score is kept and sorted FIRST in both paths " +
+      "(Spark double semantics: NaN > any double — round-12 ADVICE)") {
+    // content-keyed (not position-keyed) so the score is independent of
+    // batch boundaries, per the Reranker contract
+    val nanRr = new graft.rerank.Reranker {
+      override def name = "nan-on-d1"
+      override def score(query: String, texts: Seq[String]): Seq[Double] =
+        texts.map(t => if (t.contains("spark runs fast")) Double.NaN else 0.5)
+    }
+    val opts = HybridSearch.Options()
+    // assertParity's Seq == cannot compare NaN cells (Scala unboxes and
+    // NaN != NaN numerically) — normalize NaN to a sentinel first
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq.map {
+        case d: java.lang.Double if d.isNaN => "NaN"
+        case x => x
+      })
+    val dag = rows(HybridSearch.search(idx, "spark joins tables",
+      WhitespaceAnalyzer, Some(he), Some(nanRr), opts))
+    val serve = rows(ServeSearch.search(idx, "spark joins tables",
+      WhitespaceAnalyzer, Some(he), Some(nanRr), opts))
+    assert(dag == serve, s"nan-rerank:\n  dag  =$dag\n  serve=$serve")
+    // and the semantics themselves: the NaN-scored doc survives the
+    // threshold filter and leads the sort in the serve path
+    val srv = ServeSearch.search(idx, "spark joins tables", WhitespaceAnalyzer,
+      Some(he), Some(nanRr), opts).collect()
+    assert(srv.nonEmpty && srv.head.getString(0) == "d1" &&
+      srv.head.getDouble(6).isNaN,
+      s"NaN-scored d1 must lead: ${srv.map(r => (r.getString(0), r.getDouble(6))).toSeq}")
+  }
+
   test("high threshold and small k are bit-identical") {
     assertParity("threshold", "spark joins tables",
       opts = HybridSearch.Options(scoreThreshold = 0.5))
