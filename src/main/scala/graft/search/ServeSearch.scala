@@ -324,10 +324,14 @@ object ServeSearch {
       scored
     })
 
-  /** Drop the cached impact-scored frame for an index (serving teardown). */
-  private[graft] def releaseScored(index: IndexData): Unit = {
+  /** Drop the cached impact-scored frame for an index (serving teardown).
+    * `blocking = true` when another artifact is loaded right after in the
+    * same session: async eviction races the next scored build's cache
+    * materialization and thrashes storage memory (measured 5-10× on the
+    * reload trials of StartupProbe at 500k docs). */
+  private[graft] def releaseScored(index: IndexData, blocking: Boolean = false): Unit = {
     val f = scoredPostingsCache.remove(index.postings)
-    if (f != null) f.unpersist(false)
+    if (f != null) f.unpersist(blocking)
   }
 
   /** Corpus stats are STATIC per index artifact: collect once per serving

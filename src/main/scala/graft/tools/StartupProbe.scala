@@ -56,7 +56,6 @@ object StartupProbe {
     println(s"[startup] corpus=$sfDir docs=$nDocs artifact=$dir")
 
     (1 to 3).foreach { trial =>
-      spark.catalog.clearCache() // every trial rebuilds caches from parquet
       val t0 = System.nanoTime()
       val idx = graft.index.IndexData.load(spark, dir).cached()
       idx.stats.count(); idx.documents.count(); idx.postings.count()
@@ -68,7 +67,19 @@ object StartupProbe {
       val total = (System.nanoTime() - t0) / 1e6
       println(f"[startup] trial#$trial total=$total%8.1fms  " +
         f"caches=$tCaches%8.1fms  scored=${total - tCaches}%8.1fms")
-      graft.search.ServeSearch.releaseScored(idx)
+      // BLOCKING teardown between trials. An async clearCache() here made
+      // trial 2 systematically 5-10× slower at 500k docs: the previous
+      // trial's blocks evict lazily WHILE the next trial materializes its
+      // caches, and the storage-memory thrash (evict/spill races) lands in
+      // the measured span. Real reload paths should tear down the same way
+      // (ServeSearch.scoredPostings scaladoc: releaseScored is the
+      // lifecycle contract; weak keys alone never free the blocks).
+      graft.search.ServeSearch.releaseScored(idx, blocking = true)
+      Seq(idx.documents, idx.postings, idx.termdf, idx.doclen, idx.stats,
+        idx.settings).foreach(_.unpersist(true))
+      idx.ann.foreach { a => a.centroids.unpersist(true); a.postings.unpersist(true) }
+      idx.pq.foreach { p => p.codes.unpersist(true); p.codebooks.unpersist(true) }
+      spark.catalog.clearCache()
     }
 
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))

@@ -142,6 +142,24 @@ class AppendMergeSpec extends AnyFunSuite {
     assert(hits(compacted) == liveHits)
   }
 
+  test("compact --if-pending: below threshold the artifact is untouched, " +
+      "at threshold it folds (scheduled-compaction posture)") {
+    // the fixture leaves 2 pending segments; replicate compactCmd's decision
+    // flow (skip-note gate, then IndexJob.compact) against the real artifact
+    val (_, idx) = appendFixture()
+    val pending = IndexData.segments(spark, idx).size
+    assert(pending == 2)
+    // --if-pending 4: 2 < 4, cron-run is a no-op — seg/ stays, live view intact
+    assert(graft.Cli.compactSkipNote(pending, Some(4)).isDefined)
+    assert(new java.io.File(s"$idx/seg").exists())
+    assert(IndexData.load(spark, idx).pendingSegments == 2)
+    // --if-pending 2: at threshold, the gate opens and the fold runs
+    assert(graft.Cli.compactSkipNote(pending, Some(2)).isEmpty)
+    val compacted = IndexJob.compact(spark, idx)
+    assert(compacted.pendingSegments == 0)
+    assert(!new java.io.File(s"$idx/seg").exists())
+  }
+
   test("segment ANN delta: --ann search sees appended docs without compaction") {
     val docs = Files.createTempDirectory("appnd-ann-docs").toString
     val idx = Files.createTempDirectory("appnd-ann-idx").toString + "/idx"
