@@ -422,15 +422,22 @@ object Cli {
       case c => c.toString
     } + "\""
 
-  private def hitsJson(hits: Array[org.apache.spark.sql.Row]): String =
+  /** JSON number or `null` — bare `NaN`/`Infinity` is invalid JSON, and a
+    * custom reranker returning NaN reaches every serving output path
+    * (one-shot, interactive, MCP) now that ServeSearch preserves NaN
+    * scores instead of dropping them. */
+  private def jsonNum(d: Double): String =
+    if (java.lang.Double.isFinite(d)) d.toString else "null"
+
+  private[graft] def hitsJson(hits: Array[org.apache.spark.sql.Row]): String =
     hits.map { r =>
-      val opt = (n: String) => if (r.isNullAt(r.fieldIndex(n))) "null" else r.getAs[Double](n).toString
+      val opt = (n: String) => if (r.isNullAt(r.fieldIndex(n))) "null" else jsonNum(r.getAs[Double](n))
       s"""{"doc_id":${jsonStr(r.getAs[String]("doc_id"))},""" +
         s""""file_path":${jsonStr(r.getAs[String]("file_path"))},""" +
         s""""header_path":${jsonStr(Option(r.getAs[String]("header_path")).getOrElse(""))},""" +
         s""""line_start":${r.getAs[Int]("line_start")},"line_end":${r.getAs[Int]("line_end")},""" +
         s""""content":${jsonStr(r.getAs[String]("content"))},""" +
-        s""""score":${r.getAs[Double]("score")},""" +
+        s""""score":${jsonNum(r.getAs[Double]("score"))},""" +
         s""""fts_score":${opt("fts_score")},"vss_score":${opt("vss_score")}}"""
     }.mkString("[", ",", "]")
 
@@ -488,6 +495,12 @@ object Cli {
   private[graft] def parseAnn(v: Option[String]): (Int, Int) = v match {
     case None => (0, 0)
     case Some(s) =>
+      // `exact` is a whole-mode override, not a combinable leg: silently
+      // reducing `exact+ivf:4` to the probed path would contradict the
+      // "exact forces the exact scan" contract
+      if (s.contains("+") && s.split("\\+").contains("exact"))
+        sys.error(s"--ann '$s': 'exact' cannot be combined with other legs " +
+          "(it forces the exact scan — drop it or drop the other legs)")
       s.split("\\+").map(_.split(":", 2) match {
         case Array("exact")       => (0, 0) // explicit exact-scan override
         case Array("ivf")         => (2, 0)
@@ -539,7 +552,15 @@ object Cli {
   private[graft] def serveDefaultsToAuto(hasAnn: Boolean,
       curveSetting: Option[String], target: Double = 0.9): Boolean =
     hasAnn && {
-      val curve = curveSetting.map(graft.index.AnnIndex.decodeCurve).getOrElse(Seq.empty)
+      // the no-flag default path must never crash serve startup on a
+      // malformed persisted curve (hand-edited settings, partial write):
+      // fall back to the exact scan with a note instead of a MatchError
+      val curve = curveSetting.map(s =>
+        scala.util.Try(graft.index.AnnIndex.decodeCurve(s)).getOrElse {
+          System.err.println(s"[graft] malformed recall_curve setting '$s' " +
+            "— ignoring it; serving keeps the exact scan")
+          Seq.empty[(Int, Double)]
+        }).getOrElse(Seq.empty)
       curve.find(_._2 >= target).exists(_._1 < curve.last._1)
     }
 

@@ -96,7 +96,21 @@ final case class IndexData(
     * the stats tables from the written parquet instead of re-running the
     * upstream lineage per dataset. */
   def save(dir: String): Unit = {
-    documents.write.mode("overwrite").parquet(s"$dir/documents")
+    // doc_id-clustered documents files (same rationale as the postings
+    // layout below, for the doc-keyed scans): doc_ids are content-addressed
+    // — uniform-random — so an unclustered write gives every file/row-group
+    // full-range doc_id min/max stats and the serving candidate fetch's
+    // pushed `In(doc_id, …)` ([[graft.search.ServeSearch]]) prunes NOTHING:
+    // each request scans the corpus. Range-clustered + sorted, the fetch
+    // touches only the row groups holding its ≤k·legs candidate ids —
+    // corpus-size-flat once files exceed one parquet block. (The reference
+    // gets this for free: its ULIDs are time-ordered, `src/indexer.py:
+    // 105-107`, so DuckDB zonemaps prune the IN fetch.) save()'s documents
+    // are cheap to recompute per its contract, so the range sampling pass
+    // is fine here; expensive lineages go through [[IndexData.write]],
+    // which stages raw first.
+    documents.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$dir/documents")
     // Partition postings by term hash AND sort within files by term: the
     // clustering co-locates a term's rows in one file, and the sort gives
     // every parquet row group tight term min/max stats — so the serving
@@ -131,9 +145,30 @@ object IndexData {
     * instead of once per derived dataset. The stats rows carry `file_path`
     * (when documents has it) so later append-merge segments can mask
     * replaced rows without a join back to documents. */
-  def write(documents: DataFrame, settings: DataFrame, dir: String): IndexData = {
+  def write(documents: DataFrame, settings: DataFrame, dir: String,
+      clusterById: Boolean = true): IndexData = {
     val spark = documents.sparkSession
-    documents.write.mode("overwrite").parquet(s"$dir/documents")
+    if (clusterById) {
+      // doc_id-clustered files (see [[IndexData.save]] for the full why:
+      // content-addressed ids are uniform-random, so without this layout
+      // the serving fetch's pushed `In(doc_id, …)` reads the whole corpus
+      // per request). Staged: the expensive chunk+embed lineage executes
+      // exactly ONCE into the raw dir; the clustering pass — and
+      // repartitionByRange's range-bounds sampling job — reads the staged
+      // parquet, never the lineage.
+      val raw = s"$dir/$DocsRawDir"
+      documents.write.mode("overwrite").parquet(raw)
+      spark.read.parquet(raw)
+        .repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(s"$dir/documents")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(raw), true)
+    } else {
+      // caller-provided layout (e.g. a space-filling-curve clustering on
+      // (file_path, line_start)) — preserve it as written
+      documents.write.mode("overwrite").parquet(s"$dir/documents")
+    }
     val docsOnDisk = spark.read.parquet(s"$dir/documents")
     val carry = if (docsOnDisk.columns.contains("file_path")) Seq("file_path") else Nil
     val doclen = Bm25.docLengths(docsOnDisk, carry = carry)
@@ -168,6 +203,13 @@ object IndexData {
   }
 
   val SegDir = "seg"
+
+  /** Staging dir for [[write]]'s one-pass-lineage documents write; a
+    * leftover from a crash is never read by [[load]] (which opens named
+    * table dirs only) and is overwritten then deleted by the next write.
+    * Deliberately NOT underscore-prefixed: Spark's file index treats
+    * `_`/`.`-prefixed paths as metadata and warns/ignores them on read. */
+  val DocsRawDir = "documents_raw"
 
   val CompactStagingDir = "_compact"
   val CompactCommitMarker = "_COMMIT"

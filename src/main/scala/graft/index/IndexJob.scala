@@ -317,8 +317,11 @@ object IndexJob {
       if (!incremental) settings
       else IndexData.upsertSettings(
         spark.read.parquet(s"$indexDir/settings"), settings).localCheckpoint(true)
-    // write-then-derive: the chunk+embed lineage executes exactly once
-    val written = IndexData.write(laidOut, mergedSettings, indexDir)
+    // write-then-derive: the chunk+embed lineage executes exactly once.
+    // Default layout is doc_id-range-clustered (the serving fetch's pruning
+    // unit); an explicit --layout keeps its space-filling-curve clustering.
+    val written = IndexData.write(laidOut, mergedSettings, indexDir,
+      clusterById = layout == "none")
     // a rewrite merge folded any pending segments into the base just written
     fs.delete(new org.apache.hadoop.fs.Path(indexDir, IndexData.SegDir), true)
     withPq(withAnn(written, indexDir, annClusters, annIters, refit = annRefit),
@@ -359,8 +362,19 @@ object IndexJob {
     val segN = IndexData.segments(spark, indexDir).lastOption.map(_._1 + 1).getOrElse(1)
     val segDir = s"$indexDir/${IndexData.SegDir}/$segN"
     // segment documents first: the expensive chunk+embed lineage executes
-    // exactly once, and everything below derives from the written parquet
-    fresh.write.mode("overwrite").parquet(s"$segDir/documents")
+    // exactly once (into the raw staging dir), and everything below derives
+    // from the written parquet. The segment is then rewritten doc_id-
+    // clustered — the serving fetch reads the LIVE view (base ∪ segments),
+    // so the pruning invariant of the base layout ([[IndexData.write]])
+    // must hold for segment files too; O(delta)-cheap.
+    val rawSeg = s"$segDir/${IndexData.DocsRawDir}"
+    fresh.write.mode("overwrite").parquet(rawSeg)
+    spark.read.parquet(rawSeg)
+      .repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$segDir/documents")
+    val fsSeg = new org.apache.hadoop.fs.Path(segDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsSeg.delete(new org.apache.hadoop.fs.Path(rawSeg), true)
     val segDocs = spark.read.parquet(s"$segDir/documents")
     // pre-merge live view — segments() can't see this segment yet (its
     // tombstones, the commit marker, don't exist until the end)
@@ -479,7 +493,8 @@ object IndexJob {
     // live lineage reads base + segments; it writes into the staging dir,
     // so there is no read-before-overwrite hazard and no corpus-sized
     // driver materialization
-    val staged = IndexData.write(docs, live.settings.localCheckpoint(true), staging)
+    val staged = IndexData.write(docs, live.settings.localCheckpoint(true), staging,
+      clusterById = layout == "none")
     // sidecars are staged too, rebuilt over the folded corpus under the
     // FROZEN models (the standard incremental contract — compact is a
     // merge, not a re-fit), so the whole artifact swaps behind one marker:

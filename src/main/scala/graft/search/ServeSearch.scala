@@ -44,7 +44,14 @@ import graft.rerank.Reranker
   * [[AnnIndex.round6]]). At 100 TB the shape is unchanged: the legs are the
   * corpus-sized work and stay distributed; the driver tail touches only the
   * candidate set, the same rows the reference materializes into Python per
-  * query (`src/searcher.py:112-180`).
+  * query (`src/searcher.py:112-180`). The fetch leg (job 3) prunes at that
+  * scale because the documents files are doc_id-range-clustered and sorted
+  * at write ([[graft.index.IndexData.write]]): content-addressed ids are
+  * uniform-random, so without that layout every file's min/max spanned the
+  * full id space and the pushed IN read the whole corpus per request
+  * (round-13 finding; DocFetchPruneSpec pins rows-read). The reference
+  * relies on the same property via time-ordered ULIDs + DuckDB zonemaps
+  * (`src/indexer.py:105-107`).
   *
   * Contract: the reranker must score each (query, text) pair independently
   * of its batch (every engine reranker does; the trait's scaladoc already
@@ -385,8 +392,9 @@ object ServeSearch {
     if (cold.nonEmpty) {
       val found = termdf.filter(col("term").isin(cold: _*)).collect()
         .map(r => r.getAs[String]("term") -> r).toMap
-      if (cache.size() < TermDfCacheMax)
-        cold.foreach(t => cache.put(t, found.get(t)))
+      // per-put bound check: a single before-the-loop check would let one
+      // query overshoot the cap by |its cold terms|−1
+      cold.foreach(t => if (cache.size() < TermDfCacheMax) cache.put(t, found.get(t)))
       val rows = distinct.flatMap(t =>
         Option(cache.get(t)).getOrElse(found.get(t)))
       termdf.sparkSession.createDataFrame(

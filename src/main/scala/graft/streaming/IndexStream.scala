@@ -487,7 +487,8 @@ object IndexStream {
       if (opts.layout == "none") embedded
       else graft.ops.Layout.cluster(embedded, opts.layout, "file_path", "line_start", opts.layoutFiles)
     val written = graft.index.IndexData.write(laidOut,
-      IndexJob.settingsOf(spark, modelName, dim, analyzerName), indexDir)
+      IndexJob.settingsOf(spark, modelName, dim, analyzerName), indexDir,
+      clusterById = opts.layout == "none")
     IndexJob.withPq(IndexJob.withAnn(written, indexDir, annK, opts.annIters),
       indexDir, pqK, opts.pqIters)
   }

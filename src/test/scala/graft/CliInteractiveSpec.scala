@@ -36,6 +36,10 @@ class CliInteractiveSpec extends AnyFunSuite {
     // explicit exact: the serving-default override (round-12 directive 2)
     assert(Cli.parseAnn(Some("exact")) == (0, 0))
     intercept[RuntimeException](Cli.parseAnn(Some("hnsw")))
+    // `exact` is a whole-mode override — combining it with probed legs is a
+    // contradiction, not a combo to silently reduce (round-13 ADVICE)
+    intercept[RuntimeException](Cli.parseAnn(Some("exact+ivf:4")))
+    intercept[RuntimeException](Cli.parseAnn(Some("pq:50+exact")))
   }
 
   test("serving defaults to ivf:auto only for a sidecar whose fitted curve " +
@@ -51,6 +55,12 @@ class CliInteractiveSpec extends AnyFunSuite {
     // curve meeting the target only at its LAST step (nprobe=K ≡ probe
     // everything): no pruning win — exact
     assert(!Cli.serveDefaultsToAuto(hasAnn = true, Some("1:0.40,2:0.60,4:0.95")))
+    // malformed persisted curve (hand-edited settings): the FLAGLESS default
+    // path must fall back to the exact scan, never crash serve startup
+    // (round-13 ADVICE)
+    assert(!Cli.serveDefaultsToAuto(hasAnn = true, Some("garbage")))
+    assert(!Cli.serveDefaultsToAuto(hasAnn = true, Some("1:0.40,oops,4:1.00")))
+    assert(!Cli.serveDefaultsToAuto(hasAnn = true, Some("")))
   }
 
   test("ivf:auto resolves the smallest nprobe meeting the fitted recall target") {
@@ -210,6 +220,30 @@ class CliInteractiveSpec extends AnyFunSuite {
     // exact search never warns; no segments never warns
     assert(Cli.segmentsWarning(idx(2, covered = false), (0, 0)).isEmpty)
     assert(Cli.segmentsWarning(idx(0, covered = true), (2, 0)).isEmpty)
+  }
+
+  test("hitsJson serializes non-finite scores as null — bare NaN is invalid " +
+      "JSON, and a custom reranker's NaN now reaches serving output") {
+    import spark.implicits._
+    val hits = Seq(
+      ("d1", "docs/d1", "", 1, 2, "text one", Double.NaN, Some(0.5), None: Option[Double]),
+      ("d2", "docs/d2", "", 3, 4, "text two", Double.PositiveInfinity, None: Option[Double], Some(0.25)),
+      ("d3", "docs/d3", "", 5, 6, "text three", 0.75, Some(Double.NaN), Some(0.1)))
+      .toDF("doc_id", "file_path", "header_path", "line_start", "line_end",
+        "content", "score", "fts_score", "vss_score")
+      .collect()
+    val json = Cli.hitsJson(hits)
+    // parses as strict JSON (jackson ships with Spark; strict mode rejects
+    // bare NaN/Infinity tokens, which is exactly the regression pinned here)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = mapper.readTree(json)
+    assert(tree.isArray && tree.size() == 3)
+    assert(tree.get(0).get("score").isNull)
+    assert(tree.get(0).get("fts_score").asDouble() == 0.5)
+    assert(tree.get(1).get("score").isNull)
+    assert(tree.get(1).get("fts_score").isNull)
+    assert(tree.get(2).get("score").asDouble() == 0.75)
+    assert(tree.get(2).get("fts_score").isNull) // NaN cell, not absent column
   }
 
   test("interactive search loop honors an explicit --threshold") {
