@@ -531,7 +531,7 @@ object Cli {
     if (ann._1 != AutoNprobe) ann
     else {
       val np = index.setting(graft.index.AnnIndex.RecallCurveKey)
-        .map(graft.index.AnnIndex.decodeCurve)
+        .flatMap(graft.index.AnnIndex.decodeCurveOpt) // malformed ⇒ ivf default
         .flatMap(c => c.find(_._2 >= target).orElse(c.lastOption).map(_._1))
         .getOrElse(2)
       System.err.println(
@@ -554,13 +554,9 @@ object Cli {
     hasAnn && {
       // the no-flag default path must never crash serve startup on a
       // malformed persisted curve (hand-edited settings, partial write):
-      // fall back to the exact scan with a note instead of a MatchError
-      val curve = curveSetting.map(s =>
-        scala.util.Try(graft.index.AnnIndex.decodeCurve(s)).getOrElse {
-          System.err.println(s"[graft] malformed recall_curve setting '$s' " +
-            "— ignoring it; serving keeps the exact scan")
-          Seq.empty[(Int, Double)]
-        }).getOrElse(Seq.empty)
+      // fall back to the exact scan instead of a MatchError
+      val curve = curveSetting
+        .flatMap(graft.index.AnnIndex.decodeCurveOpt).getOrElse(Seq.empty)
       curve.find(_._2 >= target).exists(_._1 < curve.last._1)
     }
 
@@ -667,7 +663,7 @@ object Cli {
   private[graft] def recallWarning(index: IndexData, ann: (Int, Int)): Option[String] =
     if (ann._1 <= 0) None
     else index.setting(graft.index.AnnIndex.RecallCurveKey).flatMap { s =>
-      graft.index.AnnIndex.decodeCurve(s)
+      graft.index.AnnIndex.decodeCurveOpt(s).getOrElse(Seq.empty)
         .filter(_._1 <= ann._1).lastOption
         .filter(_._2 < graft.index.AnnIndex.RecallWarnThreshold)
         .map { case (np, r) =>

@@ -202,6 +202,17 @@ object AnnIndex {
       (np.toInt, r.toDouble)
     }
 
+  /** [[decodeCurve]] that answers None (with a stderr note) on a malformed
+    * persisted curve — the settings table is hand-editable, and every
+    * consumer of the curve is advisory (serve defaults, auto-nprobe,
+    * recall warnings): none of them should crash on a corrupt setting. */
+  def decodeCurveOpt(s: String): Option[Seq[(Int, Double)]] =
+    scala.util.Try(decodeCurve(s)).toOption.orElse {
+      System.err.println(
+        s"[graft] malformed $RecallCurveKey setting '$s' — ignoring it")
+      None
+    }
+
   /** Relative drift of the current mean assignment distance vs the
     * fit-time baseline. The denominator is floored at 1e-6 so a
     * near-perfect fit (tiny corpus the model reconstructs exactly) still

@@ -110,7 +110,8 @@ final case class IndexData(
     // is fine here; expensive lineages go through [[IndexData.write]],
     // which stages raw first.
     documents.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
-      .write.mode("overwrite").parquet(s"$dir/documents")
+      .write.option("parquet.block.size", IndexData.DocRowGroupBytes.toString)
+      .mode("overwrite").parquet(s"$dir/documents")
     // Partition postings by term hash AND sort within files by term: the
     // clustering co-locates a term's rows in one file, and the sort gives
     // every parquet row group tight term min/max stats — so the serving
@@ -155,14 +156,22 @@ object IndexData {
       // per request). Staged: the expensive chunk+embed lineage executes
       // exactly ONCE into the raw dir; the clustering pass — and
       // repartitionByRange's range-bounds sampling job — reads the staged
-      // parquet, never the lineage.
+      // parquet, never the lineage. The partition count is sized from the
+      // STAGED BYTES (floored at the session's shuffle parallelism), not
+      // left to the ambient shuffle.partitions: at 100 TB a fixed count
+      // would mean corpus/count-sized files regardless of config, and a
+      // bounded row-group size caps what one candidate id costs to fetch.
       val raw = s"$dir/$DocsRawDir"
       documents.write.mode("overwrite").parquet(raw)
-      spark.read.parquet(raw)
-        .repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
-        .write.mode("overwrite").parquet(s"$dir/documents")
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val rawBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(raw)).getLength
+      val parts = math.max(spark.sessionState.conf.numShufflePartitions,
+        math.ceil(rawBytes.toDouble / DocTargetFileBytes).toInt)
+      spark.read.parquet(raw)
+        .repartitionByRange(parts, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.option("parquet.block.size", DocRowGroupBytes.toString)
+        .mode("overwrite").parquet(s"$dir/documents")
       fs.delete(new org.apache.hadoop.fs.Path(raw), true)
     } else {
       // caller-provided layout (e.g. a space-filling-curve clustering on
@@ -210,6 +219,20 @@ object IndexData {
     * Deliberately NOT underscore-prefixed: Spark's file index treats
     * `_`/`.`-prefixed paths as metadata and warns/ignores them on read. */
   val DocsRawDir = "documents_raw"
+
+  /** Parquet row-group size for documents files — the serving fetch's
+    * pruning unit. The pushed `In(doc_id, …)` scan reads one row group per
+    * matched candidate id, so a request costs ≤ k·legs × this many bytes
+    * REGARDLESS of corpus size; Spark's default 128 MB would make each
+    * matched id 8× more expensive while gaining little for the full-table
+    * analytics scans (16 MB row groups are still large enough for
+    * efficient sequential reads and page-compressed encoding). */
+  val DocRowGroupBytes: Long = 16L * 1024 * 1024
+
+  /** Target documents file size for [[write]]'s size-based partition count
+    * — keeps file count ∝ corpus bytes (metadata-light at small corpora,
+    * never corpus/shuffle.partitions-sized giants at 100 TB). */
+  val DocTargetFileBytes: Long = 256L * 1024 * 1024
 
   val CompactStagingDir = "_compact"
   val CompactCommitMarker = "_COMMIT"

@@ -369,11 +369,18 @@ object IndexJob {
     // must hold for segment files too; O(delta)-cheap.
     val rawSeg = s"$segDir/${IndexData.DocsRawDir}"
     fresh.write.mode("overwrite").parquet(rawSeg)
-    spark.read.parquet(rawSeg)
-      .repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
-      .write.mode("overwrite").parquet(s"$segDir/documents")
     val fsSeg = new org.apache.hadoop.fs.Path(segDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // size-based partition count WITHOUT the base write's parallelism floor:
+    // segments accumulate between compactions, so a tiny delta must not
+    // fragment into shuffle.partitions near-empty files each
+    val segBytes = fsSeg.getContentSummary(new org.apache.hadoop.fs.Path(rawSeg)).getLength
+    val segParts = math.max(1,
+      math.ceil(segBytes.toDouble / IndexData.DocTargetFileBytes).toInt)
+    spark.read.parquet(rawSeg)
+      .repartitionByRange(segParts, col("doc_id")).sortWithinPartitions("doc_id")
+      .write.option("parquet.block.size", IndexData.DocRowGroupBytes.toString)
+      .mode("overwrite").parquet(s"$segDir/documents")
     fsSeg.delete(new org.apache.hadoop.fs.Path(rawSeg), true)
     val segDocs = spark.read.parquet(s"$segDir/documents")
     // pre-merge live view — segments() can't see this segment yet (its
