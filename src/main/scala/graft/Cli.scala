@@ -758,15 +758,14 @@ object Cli {
       case None =>
         // Interactive mode (reference `src/cli.py:345-379`: `search` without
         // a query loops on prompted input): one query per stdin line, blanks
-        // skipped, EOF exits. The index datasets stay cached across queries.
+        // skipped, EOF exits. The index datasets stay cached across queries
+        // when the artifact fits the serving cache budget ([[serveReady]]).
         disableAqeForOnline(spark)
-        val index = IndexData.load(spark, db).cached()
+        val index = serveReady(spark, db, cacheFlagOf(a))
         val annR = resolveAutoNprobe(index, defaultServeAnn(index, annArg))
         driftWarning(index, annR).foreach(System.err.println)
         segmentsWarning(index, annR).foreach(System.err.println)
         recallWarning(index, annR).foreach(System.err.println)
-        index.stats.count() // materialize caches before the first prompt
-        graft.search.ServeSearch.scoredPostings(index) // impact postings too
         System.err.println(s"[graft] interactive search on $db; one query per line, EOF exits")
         interactiveLoop(index, db, scala.io.Source.stdin.getLines(), System.out,
           k, rerank, removeP, addP, annR, fusion, threshold, phrase)
@@ -806,6 +805,64 @@ object Cli {
     * defaults matching `server.py:22-23`) over MCP stdio (default) or the
     * single-response mode of streamable-http (`--transport http`, `--port`,
     * `--path`). `--protocol jsonl` keeps the legacy one-JSON-per-line shape. */
+  /** Conservative parquet→in-memory-columnar inflation for the serving
+    * cache gate: cached batches (decompressed, with batch stats) run ~2-4×
+    * the snappy parquet bytes for this engine's string-heavy tables. */
+  private[graft] val ServeCacheInflation = 3L
+
+  /** The serving cache decision, pure for the spec: pin the corpus-sized
+    * caches iff the artifact's estimated in-memory footprint fits the
+    * session's budget — an explicit `--cache`/`--no-cache` always wins.
+    * Above budget, serving stays DISK-BACKED: every per-request leg is a
+    * pruned parquet scan (term-clustered postings + termdf, doc_id-
+    * clustered documents, cluster-partitioned ann/pq sidecars, dl
+    * denormalized so no doclen join) — the 100 TB posture, where caching
+    * the corpus is not an option and blindly calling cached() would OOM
+    * the executors at startup. */
+  private[graft] def shouldCacheForServing(artifactBytes: Long, budgetBytes: Long,
+      flag: Option[Boolean]): Boolean =
+    flag.getOrElse(artifactBytes * ServeCacheInflation <= budgetBytes)
+
+  private def artifactBytes(spark: SparkSession, db: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(db)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).getContentSummary(p).getLength
+  }
+
+  /** Budget for the serving caches: `spark.graft.serve.cacheMaxBytes`, or
+    * half the driver heap (local mode: driver ≡ executor storage). */
+  private def serveCacheBudget(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.serve.cacheMaxBytes").map(_.toLong)
+      .getOrElse(Runtime.getRuntime.maxMemory / 2)
+
+  private def cacheFlagOf(a: Array[String]): Option[Boolean] =
+    if (flag(a, "--no-cache")) Some(false)
+    else if (flag(a, "--cache")) Some(true)
+    else None
+
+  /** Load an artifact serving-ready under the cache gate: within budget,
+    * pin every dataset + the impact-scored postings frame (the warm-path
+    * startup `graft serve` always ran); above it, serve off the pruned
+    * parquet layouts with only the driver-local term-df/stats caches. */
+  private def serveReady(spark: SparkSession, db: String,
+      cacheFlag: Option[Boolean]): IndexData = {
+    val loaded = IndexData.load(spark, db)
+    val bytes = artifactBytes(spark, db)
+    val budget = serveCacheBudget(spark)
+    if (shouldCacheForServing(bytes, budget, cacheFlag)) {
+      val index = loaded.cached()
+      index.stats.count() // materialize caches before the first request
+      graft.search.ServeSearch.scoredPostings(index) // impact postings too
+      index
+    } else {
+      System.err.println(
+        f"[graft] artifact is ${bytes / 1e9}%.2f GB on disk (×$ServeCacheInflation " +
+          f"cached ≈ ${bytes * ServeCacheInflation / 1e9}%.2f GB > budget " +
+          f"${budget / 1e9}%.2f GB; spark.graft.serve.cacheMaxBytes) — serving " +
+          "disk-backed off the pruned parquet layouts; pass --cache to force pinning")
+      loaded
+    }
+  }
+
   private def serveCmd(a: Array[String]): Unit = {
     val db = arg(a, "--db").getOrElse(sys.error("--db required"))
     val defaultK = arg(a, "--top-k").map(_.toInt).getOrElse(5)
@@ -817,12 +874,10 @@ object Cli {
     thresholdWarning(threshold, fusion, defaultK).foreach(System.err.println)
     val spark = session()
     disableAqeForOnline(spark)
-    val index = IndexData.load(spark, db).cached()
+    val index = serveReady(spark, db, cacheFlagOf(a))
     val annR = resolveAutoNprobe(index, defaultServeAnn(index, annArg))
     driftWarning(index, annR).foreach(System.err.println)
     segmentsWarning(index, annR).foreach(System.err.println)
-    index.stats.count() // materialize caches before serving
-    graft.search.ServeSearch.scoredPostings(index) // impact postings too
 
     def answer(query: String, k: Int): String = {
       val hits = runSearch(index, db, query, k, rerank = true, removeP, addP, annR, fusion, threshold)

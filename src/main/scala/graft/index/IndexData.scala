@@ -120,7 +120,9 @@ final case class IndexData(
     // scanning the corpus-proportional table.
     postings.repartition(col("term")).sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(s"$dir/postings")
-    termdf.write.mode("overwrite").parquet(s"$dir/termdf")
+    // term-clustered termdf: cold-term df lookups prune (see [[write]])
+    termdf.repartitionByRange(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$dir/termdf")
     doclen.write.mode("overwrite").parquet(s"$dir/doclen")
     stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
     settings.coalesce(1).write.mode("overwrite").parquet(s"$dir/settings")
@@ -181,12 +183,20 @@ object IndexData {
     val docsOnDisk = spark.read.parquet(s"$dir/documents")
     val carry = if (docsOnDisk.columns.contains("file_path")) Seq("file_path") else Nil
     val doclen = Bm25.docLengths(docsOnDisk, carry = carry)
-    val postings = Bm25.postings(docsOnDisk, carry = carry)
+    // dl denormalized into the artifact's postings (withDl): the serving
+    // FTS leg then needs no doclen join — see [[Bm25.postings]]
+    val postings = Bm25.postings(docsOnDisk, carry = carry, withDl = true)
     // term-clustered + term-sorted files: see [[IndexData.save]] — this is
     // what lets the pushed In(term, …) probe prune row groups at serve time
     postings.repartition(col("term")).sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(s"$dir/postings")
-    Bm25.docFreq(postings).write.mode("overwrite").parquet(s"$dir/termdf")
+    // termdf range-clustered + sorted by term: the serving session's
+    // cold-term df lookups are a pushed In(term, …) filter too
+    // ([[graft.search.ServeSearch.localTermdf]]) — unclustered, every
+    // lookup scanned the vocabulary-sized table
+    Bm25.docFreq(postings)
+      .repartitionByRange(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$dir/termdf")
     doclen.write.mode("overwrite").parquet(s"$dir/doclen")
     Bm25.corpusStats(doclen).coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
     settings.coalesce(1).write.mode("overwrite").parquet(s"$dir/settings")
@@ -292,9 +302,16 @@ object IndexData {
       sys.error(s"no index at $dir (missing $dir/settings — run `graft index --db $dir` first)")
     val segs = segments(spark, dir)
     val settings = spark.read.parquet(s"$dir/settings")
+    // the canonical serving projection of a postings frame: (doc_id, term,
+    // tf) plus the denormalized dl when the artifact carries it (every
+    // artifact written since the dl layout; legacy ones fall back to the
+    // doclen join inside Bm25.scores)
+    def postingsView(df: DataFrame): DataFrame =
+      df.select(("doc_id" +: "term" +: "tf" +:
+        (if (df.columns.contains("dl")) Seq("dl") else Nil)).map(col): _*)
     if (segs.isEmpty) IndexData(
       documents = spark.read.parquet(s"$dir/documents"),
-      postings = spark.read.parquet(s"$dir/postings").select("doc_id", "term", "tf"),
+      postings = postingsView(spark.read.parquet(s"$dir/postings")),
       termdf = spark.read.parquet(s"$dir/termdf"),
       doclen = spark.read.parquet(s"$dir/doclen").select("doc_id", "dl"),
       stats = spark.read.parquet(s"$dir/stats"),
@@ -364,7 +381,7 @@ object IndexData {
         segs.forall { case (_, p) => segHas(p, PqIndex.CodesDir) }
       IndexData(
         documents = live("documents"),
-        postings = live("postings").select("doc_id", "term", "tf"),
+        postings = postingsView(live("postings")),
         termdf = termdf,
         doclen = doclenLive.select("doc_id", "dl"),
         stats = Bm25.corpusStats(doclenLive),
@@ -388,7 +405,9 @@ object IndexData {
     * (SURVEY.md §2.4). */
   def fromDocuments(documents: DataFrame, settings: DataFrame): IndexData = {
     val doclen = Bm25.docLengths(documents)
-    val posting = Bm25.postings(documents)
+    // withDl: in-memory artifacts carry the same dl-denormalized postings
+    // shape as written ones, so every serving path exercises one layout
+    val posting = Bm25.postings(documents, withDl = true)
     IndexData(
       documents = documents,
       postings = posting,

@@ -359,6 +359,12 @@ object IndexJob {
       s"append merge needs a base whose stats rows carry file_path; " +
         s"this artifact predates that layout — run a one-time compaction " +
         s"(graft compact --db $indexDir) first")
+    // same migration gate for the dl-denormalized postings layout: base and
+    // segment postings must agree on schema (the live view unions them)
+    require(basePostings.columns.contains("dl"),
+      s"append merge needs a base whose postings carry the denormalized dl " +
+        s"column; this artifact predates that layout — run a one-time " +
+        s"compaction (graft compact --db $indexDir) first")
     val segN = IndexData.segments(spark, indexDir).lastOption.map(_._1 + 1).getOrElse(1)
     val segDir = s"$indexDir/${IndexData.SegDir}/$segN"
     // segment documents first: the expensive chunk+embed lineage executes
@@ -396,8 +402,10 @@ object IndexJob {
       .write.mode("overwrite").parquet(s"$segDir/doclen")
     // segment postings are O(delta)-small but share the serving probe with
     // the base: sort within files by term so the pushed In(term, …) filter
-    // prunes their row groups too (base layout: IndexData.save)
-    Bm25.postings(segDocs, carry = carry)
+    // prunes their row groups too (base layout: IndexData.save). withDl —
+    // the live view unions base and segment postings, so the schemas must
+    // agree (gated above for legacy bases)
+    Bm25.postings(segDocs, carry = carry, withDl = true)
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(s"$segDir/postings")
     val plus = Bm25.docFreq(spark.read.parquet(s"$segDir/postings"))
@@ -407,6 +415,9 @@ object IndexJob {
     plus.unionByName(minus)
       .groupBy("term").agg(sum("df").cast("long").as("df"))
       .filter(col("df") =!= 0)
+      // term-sorted within the (tiny) delta files: the assembled termdf's
+      // pushed In(term, …) lookups prune segment row groups like the base's
+      .sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$segDir/termdf")
     // the doc_ids the tombstones mask — the sidecar-side mask key (sidecar
     // rows carry no file_path; [[IndexData.load]] masks them by dead id

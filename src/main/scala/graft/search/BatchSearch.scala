@@ -61,10 +61,13 @@ object BatchSearch {
     // restrict termdf to the query terms BEFORE broadcasting — the full
     // vocabulary df table is corpus-sized
     val qtermDf = index.termdf.join(broadcast(qterms.select("term").distinct()), "term")
-    val perTerm = index.postings
+    val perTermProbe = index.postings
       .join(broadcast(qterms), "term")
       .join(broadcast(qtermDf), "term")
-      .join(index.doclen, "doc_id")
+    // dl-carrying postings (artifacts since the denormalized layout) skip
+    // the corpus-sized doclen join, same as Bm25.scores
+    val perTerm = (if (index.postings.columns.contains("dl")) perTermProbe
+      else perTermProbe.join(index.doclen, "doc_id"))
       .crossJoin(broadcast(index.stats))
     val ftsScores = perTerm
       .groupBy("qid", "doc_id")

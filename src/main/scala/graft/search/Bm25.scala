@@ -45,15 +45,30 @@ object Bm25 {
   /** F2: term frequencies — the postings list. One shuffle (hash aggregate
     * with map-side partial combine). `carry` columns are functionally
     * determined by doc_id, so `first` under the (doc_id, term) group is
-    * deterministic in value. */
+    * deterministic in value.
+    *
+    * `withDl = true` DENORMALIZES the document length into every posting
+    * row (same `size(tokens)` expression as [[docLengths]], so the values
+    * are bit-identical to a doclen join). A doc's dl never changes for the
+    * life of its doc_id — content-addressed ids make (doc_id → dl) static
+    * — so the column is append-safe under the segment/tombstone rules and
+    * lets [[scores]] skip the per-request join against the corpus-sized
+    * doclen table entirely: at 100 TB that join was the FTS leg's last
+    * corpus-sized operation per request (the pushed-In postings probe is
+    * row-group-pruned, but a join side cannot be). Costs ~one
+    * dictionary-coded long per posting on disk. Artifact writes opt in;
+    * the ad-hoc query surface keeps the lean (doc_id, term, tf) shape. */
   def postings(docs: DataFrame, idCol: String = "doc_id", tokensCol: String = "tokens",
-      carry: Seq[String] = Nil): DataFrame =
+      carry: Seq[String] = Nil, withDl: Boolean = false): DataFrame = {
+    val dlIn = if (withDl) Seq(size(col(tokensCol)).cast("long").as("dl")) else Nil
+    val dlOut = if (withDl) Seq(first(col("dl")).as("dl")) else Nil
     docs
       .select(col(idCol).as("doc_id") +: explode(col(tokensCol)).as("term") +:
-        carry.map(col): _*)
+        (dlIn ++ carry.map(col)): _*)
       .groupBy("doc_id", "term")
       .agg(count("*").cast("long").as("tf"),
-        carry.map(c => first(col(c)).as(c)): _*)
+        dlOut ++ carry.map(c => first(col(c)).as(c)): _*)
+  }
 
   /** F3: document frequency per term. `postings` is already distinct per
     * (doc_id, term), so a plain count suffices — no countDistinct shuffle. */
@@ -92,10 +107,18 @@ object Bm25 {
     val spark = postings.sparkSession
     import spark.implicits._
     val terms = queryTerms.distinct
-    postings
+    val probe = postings
       .filter(col("term").isin(terms: _*))
       .join(broadcast(termdf.filter(col("term").isin(terms: _*))), "term")
-      .join(doclen, "doc_id")
+    // dl-carrying postings ([[postings]] withDl — every artifact since the
+    // denormalized layout): no doclen join at all. The probe + broadcasts
+    // is then the leg's ONLY distributed work — row-group-pruned to the
+    // query's terms, corpus-flat. Legacy artifacts join doclen as before
+    // (bit-identical values either way; pinned in SearchSpec).
+    val withDl =
+      if (postings.columns.contains("dl")) probe
+      else probe.join(doclen, "doc_id")
+    withDl
       .crossJoin(broadcast(stats))
       .groupBy("doc_id")
       .agg(sum(termScore($"tf", $"df", $"dl", $"n_docs", $"avgdl")).as("score"))

@@ -318,10 +318,14 @@ object ServeSearch {
       // no broadcast hints on the corpus-scaled sides (termdf is
       // vocab-sized, doclen corpus-sized): this build runs ONCE per loaded
       // artifact, so letting the optimizer pick broadcast-vs-shuffle by its
-      // own size estimates is the correct posture at every scale
-      val scored = index.postings
-        .join(index.termdf, "term")
-        .join(index.doclen, "doc_id")
+      // own size estimates is the correct posture at every scale.
+      // dl-carrying postings (every artifact since the denormalized
+      // layout) skip the corpus-sized doclen join — the startup build is
+      // then one vocab join over the term-clustered postings, shuffle-free
+      // on the doc axis.
+      val base = index.postings.join(index.termdf, "term")
+      val scored = (if (index.postings.columns.contains("dl")) base
+        else base.join(index.doclen, "doc_id"))
         .crossJoin(broadcast(index.stats))
         .select(col("term"), col("doc_id"),
           Bm25.termScore(col("tf"), col("df"), col("dl"),

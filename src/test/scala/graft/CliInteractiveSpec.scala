@@ -222,6 +222,18 @@ class CliInteractiveSpec extends AnyFunSuite {
     assert(Cli.segmentsWarning(idx(0, covered = true), (2, 0)).isEmpty)
   }
 
+  test("serving cache gate: pin within budget, disk-backed above it, " +
+      "explicit flag always wins") {
+    val budget = 1000L
+    // fits (×3 inflation): cache
+    assert(Cli.shouldCacheForServing(333, budget, None))
+    // exceeds: disk-backed serving
+    assert(!Cli.shouldCacheForServing(334, budget, None))
+    // explicit flags override the estimate both ways
+    assert(Cli.shouldCacheForServing(10_000_000, budget, Some(true)))
+    assert(!Cli.shouldCacheForServing(1, budget, Some(false)))
+  }
+
   test("hitsJson serializes non-finite scores as null — bare NaN is invalid " +
       "JSON, and a custom reranker's NaN now reaches serving output") {
     import spark.implicits._

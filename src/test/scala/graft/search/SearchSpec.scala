@@ -38,6 +38,28 @@ class SearchSpec extends AnyFunSuite {
     assert(!scored.contains("d2") && !scored.contains("d4"))
   }
 
+  test("dl-carrying postings score bit-identically to the doclen join, " +
+      "and skip the join in the plan") {
+    // the denormalized-dl layout (Bm25.postings withDl) must be a pure
+    // physical change: same expression over the same size(tokens) source,
+    // so every score double is bit-equal to the legacy three-table join
+    val withDl = Bm25.scores(Seq("spark", "fast"), index.postings,
+      index.termdf, index.doclen, index.stats)
+    val legacyPostings = index.postings.drop("dl")
+    val legacy = Bm25.scores(Seq("spark", "fast"), legacyPostings,
+      index.termdf, index.doclen, index.stats)
+    val a = withDl.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = legacy.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a == b, s"withDl=$a legacy=$b")
+    assert(a.keySet == Set("d1", "d3"))
+    // and the dl path genuinely dropped the doclen join: exactly one join
+    // (the broadcast termdf attach) vs the legacy plan's two
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      "Join".r.findAllIn(df.queryExecution.optimizedPlan.toString).size
+    assert(joins(withDl) < joins(legacy),
+      s"dl path joins=${joins(withDl)} legacy=${joins(legacy)}")
+  }
+
   test("FTS probe pushes In(term) to the postings parquet scan") {
     // the serving path's inverted-index probe semantics (reference
     // `src/db.py:143-150`): a query reads only its own terms' posting
