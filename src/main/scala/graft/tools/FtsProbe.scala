@@ -27,7 +27,10 @@ object FtsProbe {
     val spark = postings.sparkSession
     import spark.implicits._
     val q = terms.distinct.toDF("term")
-    postings
+    // the control models the legacy three-table formulation: dl comes from
+    // the doclen join, so drop the denormalized column modern artifacts
+    // carry (it would be ambiguous after the join)
+    postings.drop("dl")
       .join(broadcast(q), "term")
       .join(broadcast(termdf.join(broadcast(q), "term")), "term")
       .join(doclen, "doc_id")

@@ -59,11 +59,23 @@ object ServeProbe {
     graft.index.IndexData.write(built.documents, built.settings, dir)
     graft.index.IndexJob.withAnn(graft.index.IndexData.load(spark, dir),
       dir, annClusters = 16, annIters = 3)
-    val idx = graft.index.IndexData.load(spark, dir).cached()
-    idx.stats.count(); idx.documents.count(); idx.postings.count()
-    idx.termdf.count(); idx.doclen.count()
-    idx.ann.foreach { a => a.centroids.count(); a.postings.count() }
-    graft.search.ServeSearch.scoredPostings(idx) // warm serving posture
+    // GRAFT_SERVE_PROBE_DISK=1: the above-cache-budget serving posture
+    // (Cli.serveReady past spark.graft.serve.cacheMaxBytes) — NO corpus-
+    // sized caches, no impact-scored frame; every request leg is a pruned
+    // parquet scan (term-clustered postings/termdf, doc_id-clustered
+    // documents, dl denormalized so the FTS leg joins nothing corpus-sized)
+    val diskBacked = sys.env.get("GRAFT_SERVE_PROBE_DISK").contains("1")
+    val idx =
+      if (diskBacked) graft.index.IndexData.load(spark, dir)
+      else {
+        val i = graft.index.IndexData.load(spark, dir).cached()
+        i.stats.count(); i.documents.count(); i.postings.count()
+        i.termdf.count(); i.doclen.count()
+        i.ann.foreach { a => a.centroids.count(); a.postings.count() }
+        graft.search.ServeSearch.scoredPostings(i) // warm serving posture
+        i
+      }
+    if (diskBacked) println("[probe] DISK-BACKED serving posture (no corpus-sized caches)")
 
     val qvecs = embAll.orderBy(col("vec_id")).limit(10)
       .select(col("embedding")).as[Array[Float]].collect()
