@@ -37,12 +37,16 @@ import graft.search.HybridSearch
   *                    [--threshold T]   (min score; defaults 0.01 mean / 0.001 rrf)
   *                    [--phrase]   (candidates must contain the query as an adjacent run)
   *                    [--ann-verify]   (also run the exact legs; live recall on stderr)
+  *                    [--cache | --no-cache]   (interactive mode: force/skip pinning the
+  *                     serving caches; default pins iff the artifact fits
+  *                     spark.graft.serve.cacheMaxBytes — else serves disk-backed)
   *   graft.Cli serve  --db DIR [--top-k K] [--tool-name N] [--tool-description D]
   *                    [--transport stdio|http] [--host H] [--port P] [--path /mcp]
   *                    [--trim-prefix P] [--add-prefix P] [--protocol jsonl]
   *                    [--ann exact|ivf[:nprobe|:auto]|...]   (defaults to ivf:auto when the
   *                     IVF sidecar exists and its fitted recall curve meets the 0.9
   *                     target below nprobe=K; --ann exact forces the exact scan)
+  *                    [--cache | --no-cache]   (force/skip the serving cache pins; see search)
   *   graft.Cli compact --db DIR [--layout zorder|hilbert [--layout-files N]]
   *                    [--if-pending N]   (no-op unless >= N append segments pending)
   *   graft.Cli stats  --db DIR   (read-only index health JSON)
@@ -805,10 +809,13 @@ object Cli {
     * defaults matching `server.py:22-23`) over MCP stdio (default) or the
     * single-response mode of streamable-http (`--transport http`, `--port`,
     * `--path`). `--protocol jsonl` keeps the legacy one-JSON-per-line shape. */
-  /** Conservative parquet→in-memory-columnar inflation for the serving
-    * cache gate: cached batches (decompressed, with batch stats) run ~2-4×
-    * the snappy parquet bytes for this engine's string-heavy tables. */
-  private[graft] val ServeCacheInflation = 3L
+  /** Conservative parquet→in-memory inflation for the serving cache gate:
+    * cached columnar batches (decompressed, with batch stats) run ~2-4×
+    * the snappy parquet bytes for this engine's string-heavy tables, and
+    * the warm path ADDITIONALLY caches the impact-scored postings frame
+    * (another postings-sized table) on top of the pinned artifact — the
+    * extra unit covers it. */
+  private[graft] val ServeCacheInflation = 4L
 
   /** The serving cache decision, pure for the spec: pin the corpus-sized
     * caches iff the artifact's estimated in-memory footprint fits the
@@ -829,10 +836,19 @@ object Cli {
   }
 
   /** Budget for the serving caches: `spark.graft.serve.cacheMaxBytes`, or
-    * half the driver heap (local mode: driver ≡ executor storage). */
-  private def serveCacheBudget(spark: SparkSession): Long =
-    spark.conf.getOption("spark.graft.serve.cacheMaxBytes").map(_.toLong)
-      .getOrElse(Runtime.getRuntime.maxMemory / 2)
+    * half the driver heap (local mode: driver ≡ executor storage). A
+    * malformed value falls back to the default with a note — startup must
+    * not crash on a bad conf (same contract as the recall-curve decode). */
+  private def serveCacheBudget(spark: SparkSession): Long = {
+    val default = Runtime.getRuntime.maxMemory / 2
+    spark.conf.getOption("spark.graft.serve.cacheMaxBytes").map { v =>
+      scala.util.Try(v.trim.toLong).getOrElse {
+        System.err.println(s"[graft] malformed spark.graft.serve.cacheMaxBytes " +
+          s"'$v' (want plain bytes) — using the default ($default)")
+        default
+      }
+    }.getOrElse(default)
+  }
 
   private def cacheFlagOf(a: Array[String]): Option[Boolean] =
     if (flag(a, "--no-cache")) Some(false)
@@ -846,21 +862,28 @@ object Cli {
   private def serveReady(spark: SparkSession, db: String,
       cacheFlag: Option[Boolean]): IndexData = {
     val loaded = IndexData.load(spark, db)
-    val bytes = artifactBytes(spark, db)
-    val budget = serveCacheBudget(spark)
-    if (shouldCacheForServing(bytes, budget, cacheFlag)) {
+    // an explicit flag decides outright — never pay the recursive artifact
+    // listing (millions of objects on a 100 TB store) for an estimate the
+    // flag would ignore, and never print a size claim the flag overrode
+    val doCache = cacheFlag match {
+      case Some(c) => c
+      case None =>
+        val bytes = artifactBytes(spark, db)
+        val budget = serveCacheBudget(spark)
+        val cache = shouldCacheForServing(bytes, budget, cacheFlag)
+        if (!cache) System.err.println(
+          f"[graft] artifact is ${bytes / 1e9}%.2f GB on disk (×$ServeCacheInflation " +
+            f"cached ≈ ${bytes * ServeCacheInflation / 1e9}%.2f GB > budget " +
+            f"${budget / 1e9}%.2f GB; spark.graft.serve.cacheMaxBytes) — serving " +
+            "disk-backed off the pruned parquet layouts; pass --cache to force pinning")
+        cache
+    }
+    if (doCache) {
       val index = loaded.cached()
       index.stats.count() // materialize caches before the first request
       graft.search.ServeSearch.scoredPostings(index) // impact postings too
       index
-    } else {
-      System.err.println(
-        f"[graft] artifact is ${bytes / 1e9}%.2f GB on disk (×$ServeCacheInflation " +
-          f"cached ≈ ${bytes * ServeCacheInflation / 1e9}%.2f GB > budget " +
-          f"${budget / 1e9}%.2f GB; spark.graft.serve.cacheMaxBytes) — serving " +
-          "disk-backed off the pruned parquet layouts; pass --cache to force pinning")
-      loaded
-    }
+    } else loaded
   }
 
   private def serveCmd(a: Array[String]): Unit = {

@@ -109,9 +109,7 @@ final case class IndexData(
     // are cheap to recompute per its contract, so the range sampling pass
     // is fine here; expensive lineages go through [[IndexData.write]],
     // which stages raw first.
-    documents.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
-      .write.option("parquet.block.size", IndexData.DocRowGroupBytes.toString)
-      .mode("overwrite").parquet(s"$dir/documents")
+    IndexData.writeDocsClustered(documents, s"$dir/documents")
     // Partition postings by term hash AND sort within files by term: the
     // clustering co-locates a term's rows in one file, and the sort gives
     // every parquet row group tight term min/max stats — so the serving
@@ -170,10 +168,7 @@ object IndexData {
       val rawBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(raw)).getLength
       val parts = math.max(spark.sessionState.conf.numShufflePartitions,
         math.ceil(rawBytes.toDouble / DocTargetFileBytes).toInt)
-      spark.read.parquet(raw)
-        .repartitionByRange(parts, col("doc_id")).sortWithinPartitions("doc_id")
-        .write.option("parquet.block.size", DocRowGroupBytes.toString)
-        .mode("overwrite").parquet(s"$dir/documents")
+      writeDocsClustered(spark.read.parquet(raw), s"$dir/documents", Some(parts))
       fs.delete(new org.apache.hadoop.fs.Path(raw), true)
     } else {
       // caller-provided layout (e.g. a space-filling-curve clustering on
@@ -243,6 +238,23 @@ object IndexData {
     * — keeps file count ∝ corpus bytes (metadata-light at small corpora,
     * never corpus/shuffle.partitions-sized giants at 100 TB). */
   val DocTargetFileBytes: Long = 256L * 1024 * 1024
+
+  /** THE doc_id-clustered documents write — range-clustered, sorted within
+    * files, bounded row groups. This is the layout invariant the serving
+    * fetch's pruning depends on (DocFetchPruneSpec), so every documents
+    * writer (base [[write]], [[IndexData.save]], append segments) routes
+    * through this one definition. `parts = None` leaves the partition
+    * count to the session (small cheap-lineage artifacts). */
+  private[graft] def writeDocsClustered(df: DataFrame, dest: String,
+      parts: Option[Int] = None): Unit = {
+    val ranged = parts match {
+      case Some(n) => df.repartitionByRange(n, col("doc_id"))
+      case None => df.repartitionByRange(col("doc_id"))
+    }
+    ranged.sortWithinPartitions("doc_id")
+      .write.option("parquet.block.size", DocRowGroupBytes.toString)
+      .mode("overwrite").parquet(dest)
+  }
 
   val CompactStagingDir = "_compact"
   val CompactCommitMarker = "_COMMIT"

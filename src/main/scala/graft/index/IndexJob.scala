@@ -383,10 +383,8 @@ object IndexJob {
     val segBytes = fsSeg.getContentSummary(new org.apache.hadoop.fs.Path(rawSeg)).getLength
     val segParts = math.max(1,
       math.ceil(segBytes.toDouble / IndexData.DocTargetFileBytes).toInt)
-    spark.read.parquet(rawSeg)
-      .repartitionByRange(segParts, col("doc_id")).sortWithinPartitions("doc_id")
-      .write.option("parquet.block.size", IndexData.DocRowGroupBytes.toString)
-      .mode("overwrite").parquet(s"$segDir/documents")
+    IndexData.writeDocsClustered(spark.read.parquet(rawSeg),
+      s"$segDir/documents", Some(segParts))
     fsSeg.delete(new org.apache.hadoop.fs.Path(rawSeg), true)
     val segDocs = spark.read.parquet(s"$segDir/documents")
     // pre-merge live view — segments() can't see this segment yet (its

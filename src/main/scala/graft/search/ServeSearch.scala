@@ -113,7 +113,12 @@ object ServeSearch {
             .groupBy("doc_id").agg(sum(col("s")).as("score"))
           case None => Bm25.scores(terms, index.postings,
             localTermdf(index.termdf, terms),
-            localIfBroadcastable(index.doclen), localStats(index.stats))
+            // dl-carrying postings: scores never reads doclen, so don't
+            // pay the replica probe (plan-stats walk + possible collect
+            // into the session replica cache) for a table the path ignores
+            if (index.postings.columns.contains("dl")) index.doclen
+            else localIfBroadcastable(index.doclen),
+            localStats(index.stats))
         }
         Bm25.topK(leg, opts.k)
           .select(col("doc_id"), col("score"))

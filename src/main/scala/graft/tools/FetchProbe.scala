@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -61,29 +60,16 @@ object FetchProbe {
       .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq
 
     def measured(d: DataFrame, ids: Seq[String]): (Long, Double) = {
-      var read = 0L
-      val listener = new SparkListener {
-        override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
-          read += te.taskMetrics.inputMetrics.recordsRead
-      }
-      spark.sparkContext.addSparkListener(listener)
-      try {
+      val ((n, ms), read) = graft.util.InputMetrics.rowsRead(spark) {
         val t0 = System.nanoTime()
         val n = d.filter(col("doc_id").isin(ids: _*))
           .select("doc_id", "file_path", "header_path", "line_start",
             "line_end", "content", "tokens")
           .collect().length
-        val ms = (System.nanoTime() - t0) / 1e6
-        require(n == ids.size, s"fetch returned $n of ${ids.size}")
-        val deadline = System.nanoTime() + 10e9.toLong
-        var last = -1L; var stable = 0
-        while (stable < 4 && System.nanoTime() < deadline) {
-          Thread.sleep(50)
-          if (read > 0 && read == last) stable += 1 else stable = 0
-          last = read
-        }
-        (read, ms)
-      } finally spark.sparkContext.removeSparkListener(listener)
+        (n, (System.nanoTime() - t0) / 1e6)
+      }
+      require(n == ids.size, s"fetch returned $n of ${ids.size}")
+      (read, ms)
     }
 
     Seq(5, 40, 500).foreach { k =>

@@ -225,10 +225,11 @@ class CliInteractiveSpec extends AnyFunSuite {
   test("serving cache gate: pin within budget, disk-backed above it, " +
       "explicit flag always wins") {
     val budget = 1000L
-    // fits (×3 inflation): cache
-    assert(Cli.shouldCacheForServing(333, budget, None))
+    val fits = budget / Cli.ServeCacheInflation
+    // fits (×inflation, covering columnar batches + the scored frame): cache
+    assert(Cli.shouldCacheForServing(fits, budget, None))
     // exceeds: disk-backed serving
-    assert(!Cli.shouldCacheForServing(334, budget, None))
+    assert(!Cli.shouldCacheForServing(fits + 1, budget, None))
     // explicit flags override the estimate both ways
     assert(Cli.shouldCacheForServing(10_000_000, budget, Some(true)))
     assert(!Cli.shouldCacheForServing(1, budget, Some(false)))

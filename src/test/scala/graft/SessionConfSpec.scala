@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -45,34 +44,15 @@ class SessionConfSpec extends AnyFunSuite {
   private def rowsRead(thr: String): Long = {
     val key = "spark.sql.parquet.pushdown.inFilterThreshold"
     val was = spark.conf.get(key)
-    var read = 0L
-    val listener = new SparkListener {
-      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
-        read += te.taskMetrics.inputMetrics.recordsRead
-    }
-    spark.sparkContext.addSparkListener(listener)
     try {
       spark.conf.set(key, thr)
-      val n = spark.read.parquet(dir)
-        .filter(col("term").isin(twelve: _*)).count()
-      assert(n == twelve.size) // both predicate shapes agree on the ANSWER
-      // the listener bus drains asynchronously and the scan may split
-      // across several tasks — wait until the counter has been BOTH
-      // nonzero and stable for a few polls (not merely past a partial
-      // target), bounded by a deadline
-      val deadline = System.nanoTime() + 10e9.toLong
-      var last = -1L
-      var stable = 0
-      while (stable < 4 && System.nanoTime() < deadline) {
-        Thread.sleep(50)
-        if (read > 0 && read == last) stable += 1 else stable = 0
-        last = read
+      val (n, read) = graft.util.InputMetrics.rowsRead(spark) {
+        spark.read.parquet(dir)
+          .filter(col("term").isin(twelve: _*)).count()
       }
+      assert(n == twelve.size) // both predicate shapes agree on the ANSWER
       read
-    } finally {
-      spark.sparkContext.removeSparkListener(listener)
-      spark.conf.set(key, was)
-    }
+    } finally spark.conf.set(key, was)
   }
 
   test("12-term In prunes row groups at the serving threshold — and loses " +

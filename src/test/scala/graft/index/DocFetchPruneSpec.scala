@@ -1,6 +1,5 @@
 package graft.index
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
@@ -69,30 +68,14 @@ class DocFetchPruneSpec extends AnyFunSuite {
   /** Rows actually read off parquet (post row-group pruning) for a k-id
     * candidate fetch in the serving shape. */
   private def rowsRead(dir: String, ids: Seq[String]): Long = {
-    var read = 0L
-    val listener = new SparkListener {
-      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
-        read += te.taskMetrics.inputMetrics.recordsRead
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      val n = spark.read.parquet(s"$dir/documents")
+    val (n, read) = graft.util.InputMetrics.rowsRead(spark) {
+      spark.read.parquet(s"$dir/documents")
         .filter(col("doc_id").isin(ids: _*))
         .select("doc_id", "file_path", "content")
         .collect().length
-      assert(n == ids.size) // both layouts agree on the ANSWER
-      // listener bus drains asynchronously (same protocol as
-      // SessionConfSpec): wait until nonzero and stable, bounded
-      val deadline = System.nanoTime() + 10e9.toLong
-      var last = -1L
-      var stable = 0
-      while (stable < 4 && System.nanoTime() < deadline) {
-        Thread.sleep(50)
-        if (read > 0 && read == last) stable += 1 else stable = 0
-        last = read
-      }
-      read
-    } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    assert(n == ids.size) // both layouts agree on the ANSWER
+    read
   }
 
   private val probeIds = Seq(3, 1111, 4096, 6000, 8191).map(idOf)
