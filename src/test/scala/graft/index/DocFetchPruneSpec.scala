@@ -95,6 +95,40 @@ class DocFetchPruneSpec extends AnyFunSuite {
       s"clustered=$clustered unclustered=$unclustered — expected ≥3× fewer rows")
   }
 
+  test("fetch In(doc_id) pushes through the segmented live view's union " +
+      "into base AND segment scans") {
+    // after an append-merge the documents live view is base ∪ segment with
+    // a broadcast tombstone mask — the serving fetch's doc_id IN-list must
+    // push below the mask join into EVERY parquet scan, or segment (or
+    // base) reads stay unpruned per request
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("fetchprune-seg").toString
+    def doc(id: String) =
+      (id, s"docs/$id", "", 1, 1, s"content $id", Seq("content", id))
+    val base = Seq(doc("a1"), doc("b2"), doc("c3"))
+      .toDF("doc_id", "file_path", "header_path", "line_start", "line_end",
+        "content", "tokens")
+    val settings = Seq(graft.core.Schemas.Setting("embedding_model", "none")).toDF()
+    IndexData.write(base, settings, d)
+    val delta = Seq(doc("d4"))
+      .toDF("doc_id", "file_path", "header_path", "line_start", "line_end",
+        "content", "tokens")
+    graft.index.IndexJob.appendMerge(spark, delta, settings, d)
+    val live = IndexData.load(spark, d)
+    assert(live.pendingSegments == 1)
+    val fetch = live.documents
+      .filter(col("doc_id").isin("a1", "d4"))
+      .select("doc_id", "file_path", "content")
+    val plan = fetch.queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[[^\\]]*".r.findAllIn(plan).toSeq
+      .filter(_.contains("In(doc_id"))
+    assert(pushed.size >= 2,
+      s"expected the In(doc_id) push on base AND segment documents scans, " +
+        s"got ${pushed.size}:\n${plan.take(2000)}")
+    // and the masked union still answers correctly across generations
+    assert(fetch.collect().map(_.getString(0)).sorted.toSeq == Seq("a1", "d4"))
+  }
+
   test("clustered write preserves the corpus: same rows, doc_id-sorted files " +
       "with disjoint ranges") {
     val onDisk = spark.read.parquet(s"$clusteredDir/documents")
