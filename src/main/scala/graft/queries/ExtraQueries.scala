@@ -360,6 +360,34 @@ object ExtraQueries {
       Some("SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact, " +
         "true AS within_rtol FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
 
+    // Quantile sketch, oracle-checked by CONTRACT (the q_approx_distinct
+    // pattern): approx_percentile is the single-pass mergeable-partials
+    // quantile path — at 100 TB the exact interpolating percentile
+    // (q_percentile_median) needs a per-group sort/collect, the sketch
+    // needs one pass and a bounded state merge. Raw estimates are
+    // engine-specific, so the compared columns are the EXACT quantiles and
+    // the bound check itself; accuracy 10000 → rank error ≤ 1e-4, far
+    // inside the 5% value rtol on these distributions.
+    Q("q_approx_quantiles",
+      (s, d) => {
+        val qs = "array(0.25D, 0.5D, 0.95D)"
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(expr(s"approx_percentile(l_extendedprice, $qs, 10000)").as("est"),
+            expr(s"percentile(l_extendedprice, $qs)").as("ex"))
+          .select(Seq(col("l_returnflag")) ++ Seq(1, 2, 3).zip(Seq("p25", "p50", "p95"))
+            .flatMap { case (i, n) => Seq(
+              Q.r4(element_at(col("ex"), i)).as(s"${n}_exact"),
+              (abs(element_at(col("est"), i) / element_at(col("ex"), i) - 1.0)
+                <= 0.05).as(s"${n}_ok")) }: _*)
+          .orderBy("l_returnflag")
+      },
+      Some("SELECT l_returnflag, " +
+        Seq("0.25" -> "p25", "0.5" -> "p50", "0.95" -> "p95").map { case (q, n) =>
+          s"${Q.r4Sql(s"quantile_cont(l_extendedprice, $q)")} AS ${n}_exact, true AS ${n}_ok"
+        }.mkString(", ") +
+        " FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
     // Exact distinct counts per group
     Q("q_distinct_count",
       (s, d) => t(s, d, "lineitem")
