@@ -78,7 +78,8 @@ object ServingLane {
       * per-request latency is made of). A fully-cached list scan runs one
       * task per cache partition regardless of the probe. */
     def buildArtifact(docs: DataFrame, emb: DataFrame, annClusters: Int,
-        pqCodes: Int, annPostingsOnDisk: Boolean = false): (graft.index.IndexData, Double) = {
+        pqCodes: Int, annPostingsOnDisk: Boolean = false)
+        : (graft.index.IndexData, Double, String) = {
       val d = newDir()
       val built = graft.index.IndexJob.fromTable(docs, "doc_id", "text",
         df => split(df("text"), " "), embeddings = Some(emb))
@@ -118,7 +119,7 @@ object ServingLane {
       // lane measures the path `graft serve` actually runs after startup
       graft.search.ServeSearch.scoredPostings(cached)
       val startupMs = (System.nanoTime() - t0) / 1e6
-      (cached, startupMs)
+      (cached, startupMs, d)
     }
 
     /** p50/p95 of 20 requests over `texts` through `searchFn`; returns the
@@ -143,7 +144,7 @@ object ServingLane {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val embAll = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val emb = embAll.select(col("vec_id").cast("string").as("doc_id"), col("embedding"))
-      val (idx, startupMs) = buildArtifact(docs, emb, annClusters = 16, pqCodes = 16)
+      val (idx, startupMs, idxDir) = buildArtifact(docs, emb, annClusters = 16, pqCodes = 16)
 
       // query vectors: the first 10 embeddings ACTUALLY PRESENT (by vec_id
       // order — not an assumed 0..9 id range; round-11 ADVICE), texts in
@@ -187,7 +188,24 @@ object ServingLane {
           serveRun(idx, lookup)(autoNprobe, 0)),
         mode("pq", """"shortlist":50,""", Texts, serveRun(idx, lookup)(0, 50)),
         mode("ivf_pq", s""""nprobe":$autoNprobe,"shortlist":50,""", Texts,
-          serveRun(idx, lookup)(autoNprobe, 50))) :+
+          serveRun(idx, lookup)(autoNprobe, 50)),
+        // DISK-BACKED posture (Cli.serveReady above the cache budget): a
+        // FRESH load of the same artifact — new frames, so none of the
+        // session's cache pins or the weak-keyed scored frame apply, and
+        // every request leg is a pruned parquet scan (doc_id-clustered
+        // fetch, term-clustered postings with denormalized dl, clustered
+        // termdf). Tracked cross-round so a regression in the pruned
+        // layouts (the 100 TB serving path) fires here even while the
+        // cached cells stay healthy.
+        {
+          val diskIdx = graft.index.IndexData.load(spark, idxDir)
+          mode("disk_exact", "", Texts, serveRun(diskIdx, lookup)(0, 0))
+        },
+        {
+          val diskIdx = graft.index.IndexData.load(spark, idxDir)
+          mode("disk_ivf_auto", s""""nprobe":$autoNprobe,""", Texts,
+            serveRun(diskIdx, lookup)(autoNprobe, 0))
+        }) :+
         // in-run regression guard, immune to host noise (both paths measured
         // this run over the same warm artifact): the production ServeSearch
         // path must not fall behind the DAG formulation it replaced — a
@@ -209,7 +227,7 @@ object ServingLane {
           col("text"))
       }.reduce(_ unionByName _)
       val cEmb = cDocs.select(col("doc_id"), clusteredEmbedding(col("doc_id")).as("embedding"))
-      val (cIdx, cStartupMs) = buildArtifact(cDocs, cEmb, annClusters = 16, pqCodes = 0,
+      val (cIdx, cStartupMs, _) = buildArtifact(cDocs, cEmb, annClusters = 16, pqCodes = 0,
         annPostingsOnDisk = true)
       val (cAutoNprobe, _) = Cli.resolveAutoNprobe(cIdx, (Cli.AutoNprobe, 0))
       // fitted recall at the resolved nprobe, from the persisted fit-time
