@@ -142,13 +142,28 @@ object Cli {
       spark.stop()
       return
     }
+    val compactLayout = arg(a, "--layout").map(_.toLowerCase).getOrElse("none")
+    layoutTradeoffNote(compactLayout).foreach(System.err.println)
     val compacted = IndexJob.compact(spark, db,
-      layout = arg(a, "--layout").map(_.toLowerCase).getOrElse("none"),
+      layout = compactLayout,
       layoutFiles = arg(a, "--layout-files").map(_.toInt).getOrElse(8))
     println(s"compact: folded $before segment(s), " +
       s"${compacted.documents.count()} live docs -> $db")
     spark.stop()
   }
+
+  /** `--layout zorder|hilbert` is an explicit trade: documents files get
+    * (file_path, line_start) space-filling-curve locality INSTEAD of the
+    * default doc_id clustering — so the serving fetch's pushed
+    * `doc_id IN (…)` cannot prune this artifact and reads it whole per
+    * request at large corpus sizes. Say so at write time, not at the first
+    * slow query. */
+  private[graft] def layoutTradeoffNote(layout: String): Option[String] =
+    Option(layout).filter(l => l != "none").map(l =>
+      s"[graft] note: --layout $l clusters documents by (file_path, line_start) " +
+        "INSTEAD of doc_id — the serving fetch's IN-pruning does not apply to " +
+        "this artifact (fine for path-predicate analytics; drop --layout if " +
+        "low-latency serving is the priority)")
 
   /** The `compact --if-pending N` decision: Some(skip message) when fewer
     * than N append segments are pending (the fold would buy nothing worth
@@ -180,6 +195,11 @@ object Cli {
         s""""avgdl": $avgdl, "vocab_terms": $vocab, """ +
         s""""pending_segments": ${index.pendingSegments}, """ +
         s""""sidecars_cover_segments": ${index.sidecarsCoverSegments}, """ +
+        // layout health: whether this artifact carries the round-14 serving
+        // layouts — false on either means a pre-layout artifact that wants
+        // a one-time `graft compact` (appendMerge requires dl anyway, and
+        // the serving fetch cannot prune an unclustered documents table)
+        s""""postings_carry_dl": ${index.postings.columns.contains("dl")}, """ +
         s""""ann": ${index.ann.isDefined}, "pq": ${index.pq.isDefined}, """ +
         // drift keys hold the NUMERIC relative quantization-error growth
         // ("0.0" right after a fit); the warn flag applies the same
@@ -333,6 +353,7 @@ object Cli {
       mergeMode = arg(a, "--merge").map(_.toLowerCase).getOrElse("rewrite"),
       // `--compact-every N`: watch-mode LSM fold cadence for append merges
       compactEvery = arg(a, "--compact-every").map(_.toInt).getOrElse(0))
+    layoutTradeoffNote(opts.layout).foreach(System.err.println)
     val dim = arg(a, "--embedding-dim").map(_.toInt).getOrElse(64)
     if (flag(a, "--watch")) {
       // incremental streaming mode: keep folding NEW files from the first

@@ -222,6 +222,12 @@ class CliInteractiveSpec extends AnyFunSuite {
     assert(Cli.segmentsWarning(idx(0, covered = true), (2, 0)).isEmpty)
   }
 
+  test("layout tradeoff note fires only for SFC layouts") {
+    assert(Cli.layoutTradeoffNote("none").isEmpty)
+    assert(Cli.layoutTradeoffNote("zorder").exists(_.contains("doc_id")))
+    assert(Cli.layoutTradeoffNote("hilbert").isDefined)
+  }
+
   test("serving cache gate: pin within budget, disk-backed above it, " +
       "explicit flag always wins") {
     val budget = 1000L
