@@ -95,7 +95,7 @@ final case class IndexData(
     * use [[IndexData.write]] — it materializes documents ONCE and derives
     * the stats tables from the written parquet instead of re-running the
     * upstream lineage per dataset. */
-  def save(dir: String): Unit = {
+  def save(dir: String, clusterById: Boolean = true): Unit = {
     // doc_id-clustered documents files (same rationale as the postings
     // layout below, for the doc-keyed scans): doc_ids are content-addressed
     // — uniform-random — so an unclustered write gives every file/row-group
@@ -108,8 +108,11 @@ final case class IndexData(
     // 105-107`, so DuckDB zonemaps prune the IN fetch.) save()'s documents
     // are cheap to recompute per its contract, so the range sampling pass
     // is fine here; expensive lineages go through [[IndexData.write]],
-    // which stages raw first.
-    IndexData.writeDocsClustered(documents, s"$dir/documents")
+    // which stages raw first. `clusterById = false` preserves a caller-
+    // provided layout (e.g. an SFC clustering) — the same escape hatch
+    // [[IndexData.write]] has, so the two writers agree on the invariant.
+    if (clusterById) IndexData.writeDocsClustered(documents, s"$dir/documents")
+    else documents.write.mode("overwrite").parquet(s"$dir/documents")
     // Partition postings by term hash AND sort within files by term: the
     // clustering co-locates a term's rows in one file, and the sort gives
     // every parquet row group tight term min/max stats — so the serving
@@ -188,8 +191,11 @@ object IndexData {
     // termdf range-clustered + sorted by term: the serving session's
     // cold-term df lookups are a pushed In(term, …) filter too
     // ([[graft.search.ServeSearch.localTermdf]]) — unclustered, every
-    // lookup scanned the vocabulary-sized table
-    Bm25.docFreq(postings)
+    // lookup scanned the vocabulary-sized table. Derived from the WRITTEN
+    // postings parquet, not the lineage — the lineage would re-run the
+    // corpus-wide explode+aggregate a second time (appendMerge reads its
+    // segment postings back the same way).
+    Bm25.docFreq(spark.read.parquet(s"$dir/postings"))
       .repartitionByRange(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$dir/termdf")
     doclen.write.mode("overwrite").parquet(s"$dir/doclen")

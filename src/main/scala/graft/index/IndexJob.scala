@@ -317,13 +317,22 @@ object IndexJob {
       if (!incremental) settings
       else IndexData.upsertSettings(
         spark.read.parquet(s"$indexDir/settings"), settings).localCheckpoint(true)
+    // A rewrite merge folds any pending segments into the base it is about
+    // to write, so seg/ must go BEFORE IndexData.write — the write's
+    // trailing load() otherwise assembles "new base ∪ old segments": the
+    // folded-in docs appear twice (base gen 0 plus their segment), stale
+    // tombstones mask fresh base rows, the returned frames reference
+    // segment files deleted the moment write returns, and a pre-dl legacy
+    // segment makes the postings union throw mid-merge and brick the
+    // artifact (every subsequent load hits the same schema split). The
+    // live view was checkpointed into `docs` above, so nothing still reads
+    // the segment files. (Same ordering IndexStream.refitRewrite uses.)
+    fs.delete(new org.apache.hadoop.fs.Path(indexDir, IndexData.SegDir), true)
     // write-then-derive: the chunk+embed lineage executes exactly once.
     // Default layout is doc_id-range-clustered (the serving fetch's pruning
     // unit); an explicit --layout keeps its space-filling-curve clustering.
     val written = IndexData.write(laidOut, mergedSettings, indexDir,
       clusterById = layout == "none")
-    // a rewrite merge folded any pending segments into the base just written
-    fs.delete(new org.apache.hadoop.fs.Path(indexDir, IndexData.SegDir), true)
     withPq(withAnn(written, indexDir, annClusters, annIters, refit = annRefit),
       indexDir, pqCodes, pqIters, refit = pqRefit)
   }

@@ -261,6 +261,33 @@ class AppendMergeSpec extends AnyFunSuite {
     assert(viaPq == exact)
   }
 
+  test("REWRITE merge over pending segments folds them once: no duplicate " +
+      "docs, seg/ gone, artifact reloads clean") {
+    // round-14 review finding: the rewrite path deleted seg/ only AFTER
+    // IndexData.write, whose trailing load() assembled "new base ∪ old
+    // segments" — duplicated appended docs, stale tombstone masking, and
+    // returned frames referencing the just-deleted segment files
+    val (docs, idx) = appendFixture()
+    assert(IndexData.load(spark, idx).pendingSegments == 2)
+    // one more batch through the DEFAULT rewrite mode folds everything
+    write(docs, "e.md", "# Epsilon\n\nrewrite merge folds the pending segments\n")
+    val extra = Files.createTempDirectory("appnd-extra").toString
+    write(extra, "e.md", Files.readString(Paths.get(docs, "e.md")))
+    val merged = IndexJob.run(spark, Seq(extra), idx, embedder,
+      opts = IndexJob.Options(clear = false, mergeMode = "rewrite",
+        trimPathPrefix = Some(s"file:$extra")))
+    // the returned artifact is usable immediately (frames must not point at
+    // deleted segment files) and counts each doc exactly once
+    val paths = merged.documents.select("file_path").collect().map(_.getString(0))
+    assert(paths.length == paths.distinct.length,
+      s"duplicated docs after rewrite merge: ${paths.mkString(",")}")
+    assert(paths.toSet == Set("a.md", "b.md", "c.md", "d.md", "e.md"))
+    // seg/ is gone and a fresh load agrees with a from-scratch rebuild
+    val reloaded = IndexData.load(spark, idx)
+    assert(reloaded.pendingSegments == 0)
+    assert(canonDocs(reloaded.documents) == canonDocs(rebuild(docs).documents))
+  }
+
   test("torn compaction swap heals at load") {
     val (docs, idx) = appendFixture()
     val live = IndexData.load(spark, idx)
