@@ -53,7 +53,13 @@ object ApproxKnn {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, bucketLength: Double = 1.0, numHashTables: Int = 4,
-      maxL2: Double = 2.0): DataFrame = {
+      maxL2: Double = 2.0, excludeSelf: Boolean = false): DataFrame = {
+    // distinct output names are load-bearing: with qidCol == idCol the
+    // final select would emit two same-named columns and the window's
+    // partitionBy/orderBy would fail on ambiguous references
+    require(qidCol != idCol,
+      s"qidCol and idCol must differ (both '$qidCol'); alias one side — " +
+        "for corpus-as-queries self-join shapes pass e.g. qidCol = \"qid\"")
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     val prepared = corpus
       .select(col(idCol).as("_cid"), toVec(col(vecCol)).as("_mlvec"))
@@ -67,9 +73,14 @@ object ApproxKnn {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(qidCol))
       .orderBy(round(col("dist"), 6).asc, col(idCol).asc)
-    model.approxSimilarityJoin(qprep, prepared, maxL2, "_l2dist").toDF()
+    val pairs = model.approxSimilarityJoin(qprep, prepared, maxL2, "_l2dist").toDF()
       .select(col("datasetA._qid").as(qidCol), col("datasetB._cid").as(idCol),
         (col("_l2dist") * col("_l2dist") / 2.0).as("dist")) // = 1 − cos on unit vectors
+    // excludeSelf: the near-dup shape draws queries FROM the corpus — the
+    // self-pair is always distance 0 and would eat rank 1 of every query
+    // (every sibling top-k here — bruteForceTopK, knnJoin, ivfSearch —
+    // offers the same knob)
+    (if (excludeSelf) pairs.filter(col(qidCol) =!= col(idCol)) else pairs)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }

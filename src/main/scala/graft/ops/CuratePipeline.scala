@@ -24,6 +24,24 @@ import org.apache.spark.sql.functions._
   */
 object CuratePipeline {
 
+  /** THE 8-token window-hash kernel shared by the oracle-checked
+    * `q_boilerplate_windows` query and the curate pipeline's boilerplate
+    * stage — one definition so the gated surface cannot drift from the
+    * oracle (the same convention as `minhashVerifiedPairsOf`). Input needs
+    * (doc_id, tokens); output: one row per (doc_id, window hash `wh`) with
+    * the window's corpus-wide occurrence count `wf`. One shuffle keyed on
+    * the 32-byte hash, map-side combined — linear in corpus tokens. */
+  private[graft] def windowHashFreq(docs: DataFrame): DataFrame = {
+    val win = docs.filter(size(col("tokens")) >= 1)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0),
+            ceil(size(col("tokens")).cast("double") / 8).cast("int") - 1),
+          i => md5(concat_ws(" ", slice(col("tokens"), i * 8 + 1, lit(8))))))
+          .as("wh"))
+    win.join(win.groupBy("wh").agg(count(lit(1)).as("wf")), Seq("wh"))
+  }
+
   final case class Opts(
       jaccardThreshold: Double = 0.5,
       sample: Boolean = false,
@@ -119,15 +137,7 @@ object CuratePipeline {
       if (opts.boilerplateMax < 0) (kept1, kept1.limit(0)
         .select(col("doc_id"), lit("").as("stage"), lit("").as("detail")))
       else {
-        val win = kept1.filter(size(col("tokens")) >= 1)
-          .select(col("doc_id"),
-            explode(transform(
-              sequence(lit(0),
-                ceil(size(col("tokens")).cast("double") / 8).cast("int") - 1),
-              i => md5(concat_ws(" ", slice(col("tokens"), i * 8 + 1, lit(8))))))
-              .as("wh"))
-        val freq = win.groupBy("wh").agg(count(lit(1)).as("wf"))
-        val ratio = win.join(freq, Seq("wh"))
+        val ratio = CuratePipeline.windowHashFreq(kept1)
           .groupBy("doc_id")
           .agg((sum(when(col("wf") > 1, 1.0).otherwise(0.0)) / count(lit(1)))
             .as("boiler_ratio"))

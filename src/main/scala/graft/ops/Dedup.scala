@@ -21,7 +21,9 @@ object Dedup {
 
   /** Modulus for MinHash permutations (prime). */
   val P = 1000003L
-  /** Bucket-combining prime for band hashes. */
+  /** MinHash signature width — the number of (a·x+b mod P) permutations.
+    * With [[RowsPerBand]] this sets the LSH S-curve: 8 hashes / 4 rows per
+    * band ⇒ 2 bands, collision probability s⁴·(2 − s⁴) at Jaccard s. */
   val NumHashes = 8
   val RowsPerBand = 4 // ⇒ 2 bands
 

@@ -35,14 +35,22 @@ object EventsLayout {
     * (day, bucket) is still listing-friendly. Rows are sorted by ts within
     * partitions so row-group min/max stats stay tight for intra-day
     * slicing. */
-  /** ns → UTC day, in EXACT integer arithmetic. `/` on two longs is DOUBLE
-    * division in Spark, and at 2024-era epoch-ns the double ulp is 256 —
-    * a row 100 ns before midnight would round UP into the next day's
-    * directory while [[readBetween]]'s exact `Math.floorDiv` bounds exclude
-    * that directory: the row silently vanishes from slices. pmod-floor
-    * keeps negative (pre-1970) ts on the correct day too. */
+  /** ns → UTC day, in EXACT integer arithmetic AND independent of the
+    * session time zone. `/` on two longs is DOUBLE division in Spark, and
+    * at 2024-era epoch-ns the double ulp is 256 — a row 100 ns before
+    * midnight would round UP into the next day's directory while
+    * [[readBetween]]'s exact `Math.floorDiv` bounds exclude that directory:
+    * the row silently vanishes from slices. pmod-floor keeps negative
+    * (pre-1970) ts on the correct day too. The day number is floor(ts/day)
+    * added to the 1970-01-01 DATE rather than `to_date(timestamp_…)`:
+    * to_date interprets a timestamp in the SESSION zone, so in a non-UTC
+    * session (this is a library surface; only graft's own entry points pin
+    * UTC) a near-midnight row would land in a directory the UTC
+    * floorDiv-bounded [[readBetween]] prunes away — the same silent-vanish
+    * failure, through the zone instead of the ulp. */
   private def eventDateCol =
-    to_date(timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+    date_add(to_date(lit("1970-01-01")),
+      expr(s"cast((ts - pmod(ts, ${DayNs}L)) div ${DayNs}L as int)"))
 
   def writePartitioned(events: DataFrame, path: String): Unit =
     events
@@ -66,6 +74,12 @@ object EventsLayout {
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     events
       .withColumn("event_date", eventDateCol)
+      // same day-clustering as [[writePartitioned]] (legal in append mode):
+      // without it every input task holds rows of every day and each
+      // micro-batch commits tasks × days small files — a backlogged first
+      // trigger over months fragments into thousands of files and creates
+      // the listing problem compactPartitioned exists to fix
+      .repartition(col("event_date"))
       .writeStream
       .format("parquet")
       .option("path", path)

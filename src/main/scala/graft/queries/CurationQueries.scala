@@ -131,15 +131,7 @@ object CurationQueries {
     // pairwise anything, so the pass is linear in corpus tokens at 100 TB.
     Q("q_boilerplate_windows",
       (s, d) => {
-        val win = docs(s, d).filter(size(col("tokens")) >= 1)
-          .select(col("doc_id"),
-            explode(transform(
-              sequence(lit(0),
-                ceil(size(col("tokens")).cast("double") / 8).cast("int") - 1),
-              i => md5(concat_ws(" ", slice(col("tokens"), i * 8 + 1, lit(8))))))
-              .as("wh"))
-        val freq = win.groupBy("wh").agg(count(lit(1)).as("wf"))
-        win.join(freq, Seq("wh"))
+        graft.ops.CuratePipeline.windowHashFreq(docs(s, d))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_windows"),
             sum(when(col("wf") > 1, 1L).otherwise(0L)).as("n_boiler"))

@@ -82,6 +82,30 @@ object IndexStream {
   private def tfidfDirty(spark: SparkSession, indexDir: String): Boolean =
     modelDirty(spark, indexDir, TfIdfDirtyKey)
 
+  /** THE per-micro-batch merge tail, shared by every watch surface (files,
+    * rows, tfidf, word2vec): one [[IndexJob.mergeAndWrite]] with the full
+    * option forwarding, then the LSM fold cadence (`--compact-every N` —
+    * a long-lived append-mode watch otherwise accumulates segments without
+    * bound and every query pays base ∪ all segments; segment count, not
+    * batchId, drives the trigger so empty batches never fold). One
+    * definition so a forwarded option or the compaction tail cannot be
+    * missed in some copies — startTfIdf/startWord2Vec had exactly that
+    * drift (their --compact-every was silently dropped). */
+  private def mergeBatch(sp: SparkSession, fresh: org.apache.spark.sql.DataFrame,
+      settings: org.apache.spark.sql.DataFrame, indexDir: String,
+      opts: IndexJob.Options): Unit = {
+    IndexJob.mergeAndWrite(sp, fresh, settings, indexDir,
+      clear = false, annClusters = opts.annClusters, annIters = opts.annIters,
+      pqCodes = opts.pqCodes, pqIters = opts.pqIters,
+      layout = opts.layout, layoutFiles = opts.layoutFiles,
+      mergeMode = opts.mergeMode)
+    if (opts.mergeMode == "append" && opts.compactEvery > 0 &&
+        graft.index.IndexData.segments(sp, indexDir).size >= opts.compactEvery) {
+      IndexJob.compact(sp, indexDir, opts.layout, opts.layoutFiles)
+      ()
+    }
+  }
+
   /** Watch `docsDir` and fold every new markdown file into the index at
     * `indexDir`. Blockable via the returned query (`processAllAvailable`
     * to drain in tests/one-shot use). */
@@ -114,22 +138,7 @@ object IndexStream {
           // merged corpus under frozen centroids/codebooks (the
           // IndexJob.withAnn/withPq incremental contract — `--ann` search
           // over a watched index never misses newly streamed docs).
-          IndexJob.mergeAndWrite(batch.sparkSession, fresh, settings, indexDir,
-            clear = false, annClusters = opts.annClusters, annIters = opts.annIters,
-            pqCodes = opts.pqCodes, pqIters = opts.pqIters,
-            layout = opts.layout, layoutFiles = opts.layoutFiles,
-            mergeMode = opts.mergeMode)
-          // LSM fold cadence (`--compact-every N`): a long-lived append-mode
-          // watch otherwise accumulates segments without bound, and every
-          // query pays the union of base + all segments. Segment count (not
-          // batchId) drives the trigger so empty batches never fold.
-          if (opts.mergeMode == "append" && opts.compactEvery > 0 &&
-              graft.index.IndexData.segments(batch.sparkSession, indexDir).size
-                >= opts.compactEvery) {
-            IndexJob.compact(batch.sparkSession, indexDir,
-              opts.layout, opts.layoutFiles)
-            ()
-          }
+          mergeBatch(batch.sparkSession, fresh, settings, indexDir, opts)
           ()
         }
       }
@@ -210,18 +219,7 @@ object IndexStream {
               col("r.lang").as("lang"), col("source"))
           val fresh = IndexJob.embedChunks(
             IndexJob.rowChunks(latest, analyzer), embedder, opts)
-          IndexJob.mergeAndWrite(batch.sparkSession, fresh, settings, indexDir,
-            clear = false, annClusters = opts.annClusters, annIters = opts.annIters,
-            pqCodes = opts.pqCodes, pqIters = opts.pqIters,
-            layout = opts.layout, layoutFiles = opts.layoutFiles,
-            mergeMode = opts.mergeMode)
-          if (opts.mergeMode == "append" && opts.compactEvery > 0 &&
-              graft.index.IndexData.segments(batch.sparkSession, indexDir).size
-                >= opts.compactEvery) {
-            IndexJob.compact(batch.sparkSession, indexDir,
-              opts.layout, opts.layoutFiles)
-            ()
-          }
+          mergeBatch(batch.sparkSession, fresh, settings, indexDir, opts)
           ()
         }
       }
@@ -279,13 +277,9 @@ object IndexStream {
             val (embedded, model) =
               graft.embed.TfIdfEmbed.fitTransform(chunks.toDF(), "tokens", dim)
             model.save(sp, modelPath)
-            IndexJob.mergeAndWrite(sp, IndexJob.chunksToDocs(embedded, opts),
+            mergeBatch(sp, IndexJob.chunksToDocs(embedded, opts),
               IndexJob.settingsOf(sp, model.name, dim,
-                graft.analyze.Analyzers.nameOf(analyzer)), indexDir, clear = false,
-              annClusters = opts.annClusters, annIters = opts.annIters,
-              pqCodes = opts.pqCodes, pqIters = opts.pqIters,
-              layout = opts.layout, layoutFiles = opts.layoutFiles,
-              mergeMode = opts.mergeMode)
+                graft.analyze.Analyzers.nameOf(analyzer)), indexDir, opts)
           } else {
             // frozen-model embedding of the delta (per-row reproduction of
             // the fitted pipeline — same hash buckets, idf, L2 norm); the
@@ -293,15 +287,11 @@ object IndexStream {
             val model = graft.embed.TfIdfEmbed.load(sp, modelPath)
             val fresh = IndexJob.embedChunks(
               chunks, model.embedder(analyzer.tokenize), opts)
-            IndexJob.mergeAndWrite(sp, fresh,
+            mergeBatch(sp, fresh,
               IndexJob.settingsOf(sp, model.name, dim,
                   graft.analyze.Analyzers.nameOf(analyzer))
                 .unionByName(Seq((TfIdfDirtyKey, "true")).toDF("key", "value")),
-              indexDir, clear = false,
-              annClusters = opts.annClusters, annIters = opts.annIters,
-              pqCodes = opts.pqCodes, pqIters = opts.pqIters,
-              layout = opts.layout, layoutFiles = opts.layoutFiles,
-              mergeMode = opts.mergeMode)
+              indexDir, opts)
           }
           ()
         }
@@ -363,13 +353,9 @@ object IndexStream {
             val (embedded, model) = graft.embed.Word2VecEmbed.fitTransform(
               chunks.toDF(), "tokens", dim, sortCols = Seq("filePath", "lineStart"))
             model.save(sp, modelPath)
-            IndexJob.mergeAndWrite(sp, IndexJob.chunksToDocs(embedded, opts),
+            mergeBatch(sp, IndexJob.chunksToDocs(embedded, opts),
               IndexJob.settingsOf(sp, model.name, dim,
-                graft.analyze.Analyzers.nameOf(analyzer)), indexDir, clear = false,
-              annClusters = opts.annClusters, annIters = opts.annIters,
-              pqCodes = opts.pqCodes, pqIters = opts.pqIters,
-              layout = opts.layout, layoutFiles = opts.layoutFiles,
-              mergeMode = opts.mergeMode)
+                graft.analyze.Analyzers.nameOf(analyzer)), indexDir, opts)
           } else {
             // frozen-model embedding of the delta; the merge marks the
             // artifact dirty-for-refit
@@ -377,15 +363,11 @@ object IndexStream {
               expectedDim = Some(dim))
             val fresh = IndexJob.embedChunks(
               chunks, model.embedder(analyzer.tokenize), opts)
-            IndexJob.mergeAndWrite(sp, fresh,
+            mergeBatch(sp, fresh,
               IndexJob.settingsOf(sp, model.name, dim,
                   graft.analyze.Analyzers.nameOf(analyzer))
                 .unionByName(Seq((W2vDirtyKey, "true")).toDF("key", "value")),
-              indexDir, clear = false,
-              annClusters = opts.annClusters, annIters = opts.annIters,
-              pqCodes = opts.pqCodes, pqIters = opts.pqIters,
-              layout = opts.layout, layoutFiles = opts.layoutFiles,
-              mergeMode = opts.mergeMode)
+              indexDir, opts)
           }
           ()
         }

@@ -51,7 +51,13 @@ object NearDupStream {
       portable: Boolean = true): Dataset[BandedDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Dedup.withMinhashSignature(docs, tokensCol, portable)
+    // the shingle window needs ≥3 tokens (same guard every batch consumer
+    // applies before withMinhashSignature) — WITHOUT it a 1-2-token doc is
+    // a poison pill: sequence(1, size-2) walks through 0, element_at(_, 0)
+    // throws, the micro-batch fails, and every restart replays the same
+    // committed file and fails again. Short docs simply don't band.
+    val guarded = docs.filter(size(col(tokensCol)) >= 3)
+    Dedup.withMinhashSignature(guarded, tokensCol, portable)
       .select(col("doc_id"), explode(array(
         struct(lit(0).as("band"), col("band0").as("bucket")),
         struct(lit(1).as("band"), col("band1").as("bucket")))).as("bb"))

@@ -47,7 +47,15 @@ object SessionizeStream {
     var cur = state.getOption
     sorted.foreach { e =>
       cur match {
-        case Some(st) if e.ts - st.lastTs <= gapNs =>
+        // merge iff the event is gap-adjacent to the OPEN INTERVAL: after
+        // it (within gap of lastTs) or inside/within-gap-before it. A bare
+        // `e.ts - st.lastTs <= gapNs` is trivially true for ANY earlier
+        // event — a cross-batch straggler hours BEFORE the session would
+        // silently fold in and stretch startTs across a gap the policy
+        // says must split (the batch sessionizer, globally ts-sorted,
+        // closes such an event as its own session).
+        case Some(st) if e.ts - st.lastTs <= gapNs &&
+            st.startTs - e.ts <= gapNs =>
           // min/max guards against cross-batch disorder: a late event must
           // not roll lastTs backwards (wrong gap decisions, negative
           // durations) or leave startTs after an earlier arrival
@@ -56,6 +64,12 @@ object SessionizeStream {
             lastTs = math.max(st.lastTs, e.ts),
             nEvents = st.nEvents + 1,
             firstEvent = math.min(st.firstEvent, e.event_id)))
+        case Some(st) if st.startTs - e.ts > gapNs =>
+          // gap-separated BEFORE the open session (a very late straggler):
+          // emit it as its own closed singleton session and KEEP the open
+          // one — closing the newer session instead would mis-order the
+          // stream's session timeline
+          closed += toSession(userId, SessionState(e.ts, e.ts, 1L, e.event_id))
         case Some(st) =>
           closed += toSession(userId, st)
           cur = Some(SessionState(e.ts, e.ts, 1L, e.event_id))

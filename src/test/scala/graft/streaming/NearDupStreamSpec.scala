@@ -51,6 +51,23 @@ class NearDupStreamSpec extends AnyFunSuite {
     assert(batchPairs.nonEmpty)
   }
 
+  test("a 1-2-token doc is filtered, not a poison pill: the banding guard " +
+      "lives in the operator, not the caller") {
+    import spark.implicits._
+    // pre-fix, the 2-token doc crashed bandedDocs at runtime
+    // (sequence(1, size-2) through 0 → element_at INVALID_INDEX_OF_ZERO)
+    // and in a stream the failed micro-batch replayed forever
+    val docs = Seq(
+      (1L, Seq("just", "two")),
+      (2L, Seq("one")),
+      (3L, Seq.empty[String]),
+      (4L, Seq("enough", "tokens", "to", "shingle")))
+      .toDF("doc_id", "tokens")
+    val banded = NearDupStream.bandedDocs(docs, "tokens").collect()
+    assert(banded.nonEmpty)                      // the long doc bands
+    assert(banded.map(_.doc_id).toSet == Set(4L)) // short docs simply don't
+  }
+
   test("production-hash streaming candidates equal the production-hash batch pairs") {
     // the portable=false domain (what a production stream should run,
     // matching graft curate) keeps the same stream ≡ batch contract
