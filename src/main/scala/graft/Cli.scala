@@ -481,7 +481,8 @@ object Cli {
     val tokenize = analyzerFor(index).tokenize _
     index.setting("embedding_model") match {
       case Some(m) if m.startsWith("tfidf-") =>
-        graft.embed.TfIdfEmbed.load(index.documents.sparkSession, s"$db/tfidf_model")
+        graft.embed.TfIdfEmbed.load(index.documents.sparkSession, s"$db/tfidf_model",
+            expectedDim = Some(dim))
           .embedder(tokenize)
       case Some(m) if m.startsWith("w2v-") =>
         graft.embed.Word2VecEmbed.load(index.documents.sparkSession,

@@ -37,19 +37,19 @@ final class MarkdownChunker(
 
     val lines = text.split("\n", -1)
 
-    // A section: lines between headers, under a header-path stack.
-    final case class Section(headerPath: String, startLine: Int, lines: Vector[(Int, String)])
+    // A section: lines between headers, under a header-path stack. Line
+    // numbers ride each line (chunk bounds derive from body.head/last).
+    final case class Section(headerPath: String, lines: Vector[(Int, String)])
 
     val sections = Vector.newBuilder[Section]
     var stack = List.empty[(Int, String)] // (level, title), innermost first
-    var curStart = 0
     var cur = Vector.newBuilder[(Int, String)]
     var curNonEmpty = false
 
     def headerPath: String = stack.reverse.map(_._2).mkString("/")
     def closeSection(): Unit = {
       val ls = cur.result()
-      if (curNonEmpty) sections += Section(headerPath, curStart, ls)
+      if (curNonEmpty) sections += Section(headerPath, ls)
       cur = Vector.newBuilder[(Int, String)]
       curNonEmpty = false
     }
@@ -61,7 +61,6 @@ final class MarkdownChunker(
           closeSection()
           val level = hashes.length
           stack = (level, title) :: stack.dropWhile(_._1 >= level)
-          curStart = i
           cur += ((i, lines(i)))
           curNonEmpty = true // a header alone still yields a chunk of its line
         case line =>

@@ -35,7 +35,11 @@ final class RecursiveChunker(
     analyzer: Analyzer = DefaultAnalyzer)
   extends Chunker {
 
-  private val HeaderLine = "^#{1,6}([ \t].*)?$".r
+  // optional trailing \r: line extraction strips only the \n, so a CRLF
+  // document's lines all end in \r — without the tolerance no header is
+  // ever detected on Windows-edited files (MarkdownChunker's header regex
+  // ends in \s*$ and already accepts it)
+  private val HeaderLine = "^#{1,6}([ \t].*?)?\r?$".r
 
   def chunk(filePath: String, rawText: String): Seq[Chunk] = {
     val skipped = FrontMatter.strippedLineCount(rawText)
@@ -183,13 +187,17 @@ final class RecursiveChunker(
         i += 1
       }
       pts.result()
-    case 1 => // after each blank-line run
+    case 1 => // after each blank-line run (a CRLF blank line is "\r\n" — a
+      // line containing only \r is blank too, or paragraph splits never
+      // fire on Windows-edited files)
+      def blankAfterNewline(j: Int): Boolean =
+        text(j) == '\n' || (text(j) == '\r' && j + 1 < e && text(j + 1) == '\n')
       val pts = Seq.newBuilder[Int]
       var i = s
       while (i < e - 1) {
-        if (text(i) == '\n' && text(i + 1) == '\n') {
+        if (text(i) == '\n' && blankAfterNewline(i + 1)) {
           var j = i + 1
-          while (j < e && text(j) == '\n') j += 1
+          while (j < e && (text(j) == '\n' || text(j) == '\r')) j += 1
           if (j < e) pts += j
           i = j
         } else i += 1

@@ -36,9 +36,22 @@ object TfIdfEmbed {
       new TfIdfQueryEmbedder(this, tokenize)
   }
 
-  def load(spark: SparkSession, path: String): TfIdfModel = {
-    val r = spark.read.parquet(path).head()
-    TfIdfModel(r.getAs[Int]("dim"), r.getAs[Seq[Double]]("idf").toArray)
+  /** Load a persisted model; fails LOUDLY on an empty/truncated model file
+    * and on a dim drift from the artifact's `embedding_dim` setting (the
+    * same guards Word2VecEmbed.load has) — a silently accepted mismatch
+    * makes every query vector the wrong length and vector search returns
+    * zero results with no error. */
+  def load(spark: SparkSession, path: String,
+      expectedDim: Option[Int] = None): TfIdfModel = {
+    val rows = spark.read.parquet(path).collect()
+    require(rows.nonEmpty,
+      s"empty tfidf model at $path — re-index with --embedder tfidf to re-fit")
+    val r = rows.head
+    val m = TfIdfModel(r.getAs[Int]("dim"), r.getAs[Seq[Double]]("idf").toArray)
+    expectedDim.foreach(d => require(m.dim == d,
+      s"tfidf model at $path has dim ${m.dim} but the index settings say " +
+        s"embedding_dim=$d — model and artifact are out of sync; re-index"))
+    m
   }
 
   /** Fit IDF over the corpus and add an `embedding: array<float>` column. */

@@ -38,12 +38,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[TopKDesc].getName, "topk_desc"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          TopKDesc(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+          TopKDesc(exprs(0), GraftExtensions.topkK(exprs(1)))
             .toAggregateExpression()))
   }
 }
 
 object GraftExtensions {
+  /** Resolve `topk_desc`'s k argument: must be a foldable non-null integer
+    * — checked HERE so misuse surfaces as one clear error naming the
+    * requirement, instead of an internal Unevaluable (column k),
+    * ClassCastException (string k), or NPE (NULL k) from a raw eval. */
+  private[functions] def topkK(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+    require(e.foldable,
+      s"topk_desc(expr, k): k must be an integer literal, got expression ${e.sql}")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"topk_desc(expr, k): k must be an integer literal, got " +
+          (if (other == null) "NULL" else s"'$other'"))
+    }
+  }
+
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -52,8 +68,7 @@ object GraftExtensions {
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_desc",
-      exprs => TopKDesc(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
-        .toAggregateExpression(),
+      exprs => TopKDesc(exprs(0), topkK(exprs(1))).toAggregateExpression(),
       "built-in")
   }
 }

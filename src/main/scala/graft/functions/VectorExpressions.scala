@@ -17,6 +17,13 @@ import org.apache.spark.sql.types._
   *
   * Null semantics match the HOF version: null input array → null; length
   * mismatch → null (zip_with pads with null and the sum collapses).
+  * Caveat, stated for honesty: a null ELEMENT inside an array (legal under
+  * parquet's containsNull=true schemas, never produced by this engine's
+  * embedders) reads as 0.0f here, where the HOF formulation would propagate
+  * null — per-element null checks in the hot loop would cost exactly the
+  * branch these expressions exist to remove, so the engine contract is
+  * "embedding arrays have no null elements" (enforced at index time: the
+  * embedders emit dense float arrays).
   */
 abstract class FloatVectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType

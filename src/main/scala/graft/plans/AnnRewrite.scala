@@ -71,8 +71,19 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
 
   val ConfKey = "spark.graft.ann.rewrite"
 
+  /** Kill-switch parse, hardened like the maxQueryRows key below: a
+    * malformed value must not abort planning of every query on the session
+    * — the opposite of an emergency lever. Common off-spellings disable;
+    * anything unrecognized ALSO disables (the user reached for the switch;
+    * failing open would ignore them). Absent key = enabled. */
+  private def rewriteEnabled: Boolean =
+    conf.getConfString(ConfKey, "true").trim.toLowerCase match {
+      case "true" | "1" | "on" | "yes" | "enabled" => true
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!conf.getConfString(ConfKey, "true").toBoolean) plan
+    if (!rewriteEnabled) plan
     else plan.transformDown {
       case lim @ GlobalLimit(gl @ IntegerLiteral(k), LocalLimit(IntegerLiteral(k2), inner))
           if k == k2 && k > 0 =>

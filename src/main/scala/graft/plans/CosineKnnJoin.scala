@@ -139,20 +139,34 @@ case class CosineKnnJoinExec(left: SparkPlan, right: SparkPlan, k: Int,
           }
           val arr = row.getArray(1)
           val n = arr.numElements()
+          // copy the row vector and compute its self dot product ONCE per
+          // row: they are query-independent, and the per-query loop
+          // otherwise re-reads every element through the ArrayData
+          // accessor and re-accumulates na for each of the Q queries —
+          // ~1/3 of the inner-loop FLOPs plus all the virtual calls, in
+          // the exec's own declared hot path. Accumulation order per
+          // accumulator is unchanged, so distances stay bit-identical.
+          val vec = new Array[Float](n)
+          var na = 0.0
+          var j = 0
+          while (j < n) {
+            val x = arr.getFloat(j)
+            vec(j) = x
+            na += x.toDouble * x.toDouble
+            j += 1
+          }
+          val rowNorm = math.sqrt(na)
           var qi = 0
           while (qi < qs.length) {
             val (_, qv, qnorm) = qs(qi)
             if (qv.length == n) {
               var dot = 0.0
-              var na = 0.0
               var i = 0
               while (i < n) {
-                val x = arr.getFloat(i).toDouble
-                dot += x * qv(i)
-                na += x * x
+                dot += vec(i).toDouble * qv(i)
                 i += 1
               }
-              val dist = 1.0 - dot / (math.sqrt(na) * qnorm)
+              val dist = 1.0 - dot / (rowNorm * qnorm)
               // NaN (zero-norm side) would key() to 0 — the BEST distKey —
               // and evict genuine neighbors; a NaN distance can never be a
               // nearest neighbor, so drop it here (brute force sorts NaN

@@ -99,7 +99,7 @@ object CoreQueries {
       (s, d) => t(s, d, "documents").filter(col("doc_id") < 50)
         .select(col("doc_id"),
           substring(regexp_replace(col("text"),
-            "(?s)^---\\s*\\n.*?\\n---\\s*\\n", ""), 1, 60).as("stripped"))
+            graft.analyze.FrontMatter.regex, ""), 1, 60).as("stripped"))
         .orderBy("doc_id"),
       Some("SELECT doc_id, substr(regexp_replace(text, '(?s)^---\\s*\\n.*?\\n---\\s*\\n', ''), 1, 60) AS stripped " +
         "FROM documents WHERE doc_id < 50 ORDER BY doc_id")),

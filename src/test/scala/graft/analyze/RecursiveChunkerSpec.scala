@@ -50,6 +50,22 @@ class RecursiveChunkerSpec extends AnyFunSuite {
     assert(ws.length == 3 && ws.map(_.tokens.size) == Seq(3, 3, 1), ws)
   }
 
+  test("CRLF document: headers detected and paragraph splits fire (lines " +
+      "carry a trailing \\r after the \\n-only line extraction)") {
+    val md = "# A\r\n\r\none two three four\r\n\r\n## B\r\n\r\nfive six seven eight"
+    val cs = new RecursiveChunker(chunkSize = 5).chunk("f.md", md)
+    // pre-fix the header regex rejected '\r'-terminated lines — no header
+    // was ever detected and header paths were empty everywhere
+    assert(cs.length == 2, cs)
+    assert(cs(1).headerPath == "A", cs(1))
+    // and blank-line splitting works on \r\n\r\n: an oversize headerless
+    // CRLF body must split between paragraphs, not fall to per-line splits
+    val body = "one two three\r\n\r\nfour five six"
+    val ps = new RecursiveChunker(chunkSize = 3).chunk("g.md", body)
+    assert(ps.length == 2, ps)
+    assert(ps(0).content.contains("one") && ps(1).content.contains("four"))
+  }
+
   test("front matter stripped but line numbers refer to the original file") {
     val md = "---\ntitle: x\n---\n# H\n\nbody text here"
     val cs = new RecursiveChunker(chunkSize = 100).chunk("f.md", md)
