@@ -45,8 +45,33 @@ object SessionizeStream {
     val sorted = events.toSeq.sortBy(e => (e.ts, e.event_id))
     val closed = Seq.newBuilder[Session]
     var cur = state.getOption
+    // pending run of gap-adjacent stragglers BEFORE the open session: a
+    // burst of late events must fold into ONE session the way the batch
+    // sessionizer (globally ts-sorted) would merge them — emitting one
+    // singleton per event diverged from the stream-equals-batch contract
+    // (round-14 ADVICE). The run stays pending while consecutive events
+    // remain gap-adjacent to it and closes the moment an event is not
+    // (events are sorted ascending, so a non-adjacent event ends the run
+    // for good), or at batch end.
+    var pre = Option.empty[SessionState]
+    def flushPre(): Unit = {
+      pre.foreach(p => closed += toSession(userId, p))
+      pre = None
+    }
+    def single(e: Event) = SessionState(e.ts, e.ts, 1L, e.event_id)
     sorted.foreach { e =>
+      val preAdjacent = pre.exists(p => e.ts - p.lastTs <= gapNs)
       cur match {
+        case Some(st) if st.startTs - e.ts > gapNs =>
+          // gap-separated BEFORE the open session (a very late straggler):
+          // accumulate into the pending pre-session run (merging while
+          // gap-adjacent) and KEEP the open one — closing the newer session
+          // instead would mis-order the stream's session timeline
+          if (preAdjacent) pre = pre.map(p => p.copy(
+            lastTs = math.max(p.lastTs, e.ts),
+            nEvents = p.nEvents + 1,
+            firstEvent = math.min(p.firstEvent, e.event_id)))
+          else { flushPre(); pre = Some(single(e)) }
         // merge iff the event is gap-adjacent to the OPEN INTERVAL: after
         // it (within gap of lastTs) or inside/within-gap-before it. A bare
         // `e.ts - st.lastTs <= gapNs` is trivially true for ANY earlier
@@ -59,24 +84,36 @@ object SessionizeStream {
           // min/max guards against cross-batch disorder: a late event must
           // not roll lastTs backwards (wrong gap decisions, negative
           // durations) or leave startTs after an earlier arrival
-          cur = Some(st.copy(
+          val merged = st.copy(
             startTs = math.min(st.startTs, e.ts),
             lastTs = math.max(st.lastTs, e.ts),
             nEvents = st.nEvents + 1,
-            firstEvent = math.min(st.firstEvent, e.event_id)))
-        case Some(st) if st.startTs - e.ts > gapNs =>
-          // gap-separated BEFORE the open session (a very late straggler):
-          // emit it as its own closed singleton session and KEEP the open
-          // one — closing the newer session instead would mis-order the
-          // stream's session timeline
-          closed += toSession(userId, SessionState(e.ts, e.ts, 1L, e.event_id))
+            firstEvent = math.min(st.firstEvent, e.event_id))
+          // e may BRIDGE the pending straggler run and the open session
+          // (adjacent to both): the batch sessionizer would see one
+          // connected chain — fold the run in instead of closing it
+          cur = pre match {
+            case Some(p) if preAdjacent =>
+              pre = None
+              Some(merged.copy(
+                startTs = math.min(p.startTs, merged.startTs),
+                nEvents = merged.nEvents + p.nEvents,
+                firstEvent = math.min(merged.firstEvent, p.firstEvent)))
+            case _ => flushPre(); Some(merged)
+          }
         case Some(st) =>
+          flushPre()
           closed += toSession(userId, st)
-          cur = Some(SessionState(e.ts, e.ts, 1L, e.event_id))
+          cur = Some(single(e))
         case None =>
-          cur = Some(SessionState(e.ts, e.ts, 1L, e.event_id))
+          cur = Some(single(e))
       }
     }
+    // a run still pending at batch end closes as one session (it cannot
+    // persist — state holds exactly the open session); a straggler burst
+    // SPLIT ACROSS micro-batches still closes per batch, the documented
+    // residual of single-open-session state
+    flushPre()
     cur match {
       case Some(st) =>
         state.update(st)

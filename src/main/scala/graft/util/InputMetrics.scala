@@ -12,17 +12,20 @@ import org.apache.spark.sql.SparkSession
   * the drain heuristic can't drift between them. */
 object InputMetrics {
 
-  /** Runs `work`, then returns (result, records read by every task that
-    * ended during the window). The listener bus drains ASYNCHRONOUSLY and a
-    * scan may split across several tasks, so the read-out waits until the
-    * counter has been BOTH nonzero and stable for a few polls — not merely
-    * past a partial target — bounded by a deadline. Callers must not run
+  /** Runs `work`, folding a per-task metric across every task that ended
+    * during the window. The listener bus drains ASYNCHRONOUSLY and a scan
+    * may split across several tasks, so the read-out waits until the
+    * accumulated value has been BOTH nonzero and stable for a few polls —
+    * not merely past a partial target — bounded by a deadline. A value
+    * stable AT ZERO exits after a longer poll count (~1 s) instead of
+    * spinning the whole deadline: a fully pruned scan or an empty relation
+    * legitimately reads zero (round-14 ADVICE). Callers must not run
     * concurrent jobs on the session during the window. */
-  def rowsRead[T](spark: SparkSession)(work: => T): (T, Long) = {
-    @volatile var read = 0L
+  private def folded[T](spark: SparkSession,
+      fold: (Long, SparkListenerTaskEnd) => Long)(work: => T): (T, Long) = {
+    @volatile var acc = 0L
     val listener = new SparkListener {
-      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
-        read += te.taskMetrics.inputMetrics.recordsRead
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = acc = fold(acc, te)
     }
     spark.sparkContext.addSparkListener(listener)
     try {
@@ -30,12 +33,29 @@ object InputMetrics {
       val deadline = System.nanoTime() + 10e9.toLong
       var last = -1L
       var stable = 0
-      while (stable < 4 && System.nanoTime() < deadline) {
+      var zeroStable = 0
+      while (stable < 4 && zeroStable < 20 && System.nanoTime() < deadline) {
         Thread.sleep(50)
-        if (read > 0 && read == last) stable += 1 else stable = 0
-        last = read
+        if (acc > 0 && acc == last) stable += 1
+        else if (acc == 0 && last == 0) zeroStable += 1
+        else { stable = 0; zeroStable = 0 }
+        last = acc
       }
-      (r, read)
+      (r, acc)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  /** (result, total records read off storage by tasks in the window). */
+  def rowsRead[T](spark: SparkSession)(work: => T): (T, Long) =
+    folded(spark, (acc, te) => acc + te.taskMetrics.inputMetrics.recordsRead)(work)
+
+  /** (result, MAX shuffle-read records of any single task in the window) —
+    * the deterministic per-reducer hot-key concentration measure. RECORD
+    * counts, not bytes or wall time: they depend only on the data and the
+    * plan, so a guard on them cannot be failed by host load (the round-14
+    * `skew_guard` false alarm) yet still fails when a de-skew plan
+    * degenerates back to piling the hot key onto one reducer. */
+  def maxShuffleRead[T](spark: SparkSession)(work: => T): (T, Long) =
+    folded(spark, (acc, te) =>
+      math.max(acc, te.taskMetrics.shuffleReadMetrics.recordsRead))(work)
 }

@@ -60,6 +60,66 @@ class SessionizeStreamSpec extends AnyFunSuite {
     assert(state.updated.exists(_.nEvents == 2L))
   }
 
+  test("mutually gap-adjacent stragglers before the open session merge into " +
+      "ONE closed session, like the batch sessionizer") {
+    val gap = SessionizeStream.DefaultGapNs
+    val hour = 3600L * 1000 * 1000 * 1000
+    val min = 60L * 1000 * 1000 * 1000
+    val state = new TestGroupState(Some(SessionizeStream.SessionState(
+      10 * hour, 10 * hour + 5 * min, 2L, 100L)))
+    // three stragglers at 8h00/8h10/8h20 — each within the 30-min gap of the
+    // previous; pre-fix each closed as its own singleton, but the batch
+    // sessionizer (globally ts-sorted) merges them into one 3-event session
+    val out = SessionizeStream.updateState(gap, armTimeout = false)(
+      7L, Iterator(
+        SessionizeStream.Event(901L, 8 * hour, 7L, 1.0),
+        SessionizeStream.Event(902L, 8 * hour + 10 * min, 7L, 1.0),
+        SessionizeStream.Event(903L, 8 * hour + 20 * min, 7L, 1.0)), state)
+      .toSeq
+    assert(out == Seq(SessionizeStream.Session(7L, 901L, 3L, 1200L)),
+      s"straggler run must close as one merged session, got $out")
+    assert(state.updated.exists(st => st.startTs == 10 * hour && st.nEvents == 2L))
+  }
+
+  test("a pre-session straggler run split by a gap closes as two sessions") {
+    val gap = SessionizeStream.DefaultGapNs
+    val hour = 3600L * 1000 * 1000 * 1000
+    val min = 60L * 1000 * 1000 * 1000
+    val state = new TestGroupState(Some(SessionizeStream.SessionState(
+      12 * hour, 12 * hour + 5 * min, 2L, 100L)))
+    // 6h00 + 6h10 merge; 8h00 is >30min after 6h10 → its own session
+    val out = SessionizeStream.updateState(gap, armTimeout = false)(
+      7L, Iterator(
+        SessionizeStream.Event(901L, 6 * hour, 7L, 1.0),
+        SessionizeStream.Event(902L, 6 * hour + 10 * min, 7L, 1.0),
+        SessionizeStream.Event(903L, 8 * hour, 7L, 1.0)), state)
+      .toSeq
+    assert(out == Seq(
+      SessionizeStream.Session(7L, 901L, 2L, 600L),
+      SessionizeStream.Session(7L, 903L, 1L, 0L)), s"got $out")
+  }
+
+  test("a bridging event folds the straggler run INTO the open session") {
+    val gap = SessionizeStream.DefaultGapNs
+    val hour = 3600L * 1000 * 1000 * 1000
+    val min = 60L * 1000 * 1000 * 1000
+    // open session [10h, 10h05]; stragglers at 9h10 and 9h25 (gap-separated
+    // from 10h start), then 9h45 — adjacent to BOTH the run (20 min) and the
+    // open session (15 min before start): one connected chain in batch order
+    val state = new TestGroupState(Some(SessionizeStream.SessionState(
+      10 * hour, 10 * hour + 5 * min, 2L, 100L)))
+    val out = SessionizeStream.updateState(gap, armTimeout = false)(
+      7L, Iterator(
+        SessionizeStream.Event(901L, 9 * hour + 10 * min, 7L, 1.0),
+        SessionizeStream.Event(902L, 9 * hour + 25 * min, 7L, 1.0),
+        SessionizeStream.Event(903L, 9 * hour + 45 * min, 7L, 1.0)), state)
+      .toSeq
+    assert(out.isEmpty, s"bridged chain must stay open, got $out")
+    assert(state.updated.contains(SessionizeStream.SessionState(
+      9 * hour + 10 * min, 10 * hour + 5 * min, 5L, 100L)),
+      s"state=${state.updated}")
+  }
+
   /** Minimal GroupState stand-in for driving updateState directly. */
   private class TestGroupState(initial: Option[SessionizeStream.SessionState])
       extends org.apache.spark.sql.streaming.GroupState[SessionizeStream.SessionState] {
