@@ -47,6 +47,12 @@ import graft.search.HybridSearch
   *                     IVF sidecar exists and its fitted recall curve meets the 0.9
   *                     target below nprobe=K; --ann exact forces the exact scan)
   *                    [--cache | --no-cache]   (force/skip the serving cache pins; see search)
+  *                    (long-lived serving auto-detects committed on-disk index
+  *                     changes — appends/compactions/rewrites — via a throttled
+  *                     fingerprint check (spark.graft.serve.reloadCheckIntervalMs,
+  *                     default 10s; negative disables) and reloads in place; the
+  *                     MCP surface also exposes a `reload_index` tool that forces
+  *                     the check immediately)
   *   graft.Cli compact --db DIR [--layout zorder|hilbert [--layout-files N]]
   *                    [--if-pending N]   (no-op unless >= N append segments pending)
   *   graft.Cli stats  --db DIR   (read-only index health JSON)
@@ -785,32 +791,61 @@ object Cli {
         // Interactive mode (reference `src/cli.py:345-379`: `search` without
         // a query loops on prompted input): one query per stdin line, blanks
         // skipped, EOF exits. The index datasets stay cached across queries
-        // when the artifact fits the serving cache budget ([[serveReady]]).
+        // when the artifact fits the serving cache budget ([[serveReady]]);
+        // the ServingIndex handle re-checks the artifact's on-disk
+        // fingerprint between requests so concurrent append merges /
+        // compactions become visible without a restart.
         disableAqeForOnline(spark)
-        val index = serveReady(spark, db, cacheFlagOf(a))
-        val annR = resolveAutoNprobe(index, defaultServeAnn(index, annArg))
-        driftWarning(index, annR).foreach(System.err.println)
-        segmentsWarning(index, annR).foreach(System.err.println)
-        recallWarning(index, annR).foreach(System.err.println)
+        val (holder, annRef) = openServing(spark, db, cacheFlagOf(a), annArg)
         System.err.println(s"[graft] interactive search on $db; one query per line, EOF exits")
-        interactiveLoop(index, db, scala.io.Source.stdin.getLines(), System.out,
-          k, rerank, removeP, addP, annR, fusion, threshold, phrase)
+        servingLoop(() => { holder.maybeReload(); (holder.current, annRef.get()) },
+          db, scala.io.Source.stdin.getLines(), System.out,
+          k, rerank, removeP, addP, fusion, threshold, phrase)
     }
     spark.stop()
   }
 
+  /** Open the long-lived serving handle: loads serving-ready under the cache
+    * gate, resolves the `--ann` mode (with its warnings), and re-resolves it
+    * on every reload — an appended/refit artifact may carry a new recall
+    * curve, drift numbers, or sidecars. Returns the handle plus the
+    * always-current resolved ann mode. */
+  private def openServing(spark: SparkSession, db: String,
+      cacheFlag: Option[Boolean], annArg: Option[String])
+      : (graft.serve.ServingIndex, java.util.concurrent.atomic.AtomicReference[(Int, Int)]) = {
+    val annRef = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+    def resolve(index: IndexData): Unit = {
+      val r = resolveAutoNprobe(index, defaultServeAnn(index, annArg))
+      driftWarning(index, r).foreach(System.err.println)
+      segmentsWarning(index, r).foreach(System.err.println)
+      recallWarning(index, r).foreach(System.err.println)
+      annRef.set(r)
+    }
+    val holder = graft.serve.ServingIndex.open(spark, db,
+      () => serveReady(spark, db, cacheFlag),
+      onSwap = idx => {
+        System.err.println(s"[graft] index at $db changed on disk — reloaded")
+        resolve(idx)
+      },
+      checkIntervalMs = graft.serve.ServingIndex.checkIntervalOf(spark))
+    resolve(holder.current)
+    (holder, annRef)
+  }
+
   /** The interactive `search` session body, parameterized over input/output
-    * so a spec can script it without forking a JVM. */
-  private[graft] def interactiveLoop(
-      index: IndexData, db: String, lines: Iterator[String],
+    * so a spec can script it without forking a JVM. `current` resolves the
+    * (index, resolved ann) PER REQUEST — the live-reload seam. */
+  private[graft] def servingLoop(
+      current: () => (IndexData, (Int, Int)), db: String, lines: Iterator[String],
       out: java.io.PrintStream, k: Int, rerank: Boolean,
-      removeP: Option[String], addP: Option[String], ann: (Int, Int) = (0, 0),
+      removeP: Option[String], addP: Option[String],
       fusion: String = "mean", threshold: Option[Double] = None,
       phrase: Boolean = false): Unit =
     lines.foreach { line =>
       val query = line.trim
       if (query.nonEmpty) {
         try {
+          val (index, ann) = current()
           val hits = runSearch(index, db, query, k, rerank, removeP, addP, ann, fusion, threshold, phrase)
           out.println(s"""{"results":${hitsJson(hits)}}""")
         } catch {
@@ -820,6 +855,16 @@ object Cli {
         out.flush()
       }
     }
+
+  /** Fixed-index convenience over [[servingLoop]] (spec surface). */
+  private[graft] def interactiveLoop(
+      index: IndexData, db: String, lines: Iterator[String],
+      out: java.io.PrintStream, k: Int, rerank: Boolean,
+      removeP: Option[String], addP: Option[String], ann: (Int, Int) = (0, 0),
+      fusion: String = "mean", threshold: Option[Double] = None,
+      phrase: Boolean = false): Unit =
+    servingLoop(() => (index, ann), db, lines, out, k, rerank, removeP, addP,
+      fusion, threshold, phrase)
 
   /** Minimal JSON-line request parser for `{"query": "...", "top_k": N}` —
     * the legacy pre-MCP protocol, kept under `--protocol jsonl`. */
@@ -919,13 +964,12 @@ object Cli {
     thresholdWarning(threshold, fusion, defaultK).foreach(System.err.println)
     val spark = session()
     disableAqeForOnline(spark)
-    val index = serveReady(spark, db, cacheFlagOf(a))
-    val annR = resolveAutoNprobe(index, defaultServeAnn(index, annArg))
-    driftWarning(index, annR).foreach(System.err.println)
-    segmentsWarning(index, annR).foreach(System.err.println)
+    val (holder, annRef) = openServing(spark, db, cacheFlagOf(a), annArg)
 
     def answer(query: String, k: Int): String = {
-      val hits = runSearch(index, db, query, k, rerank = true, removeP, addP, annR, fusion, threshold)
+      holder.maybeReload()
+      val hits = runSearch(holder.current, db, query, k, rerank = true,
+        removeP, addP, annRef.get(), fusion, threshold)
       s"""{"results":${hitsJson(hits)}}"""
     }
 
@@ -951,7 +995,13 @@ object Cli {
           toolName = arg(a, "--tool-name").getOrElse("search_documents"),
           toolDescription = arg(a, "--tool-description").getOrElse("Search for local documents"),
           searchFn = answer,
-          defaultTopK = defaultK)
+          defaultTopK = defaultK,
+          // second tool: force the artifact reload check NOW (the throttled
+          // per-request check covers the steady state; this covers "I just
+          // appended, pick it up" — reference parity with the single-process
+          // server that always sees its own writes, src/server.py:15-103)
+          reloadFn = Some(() =>
+            s"""{"reloaded":${holder.checkAndReload()},"db":${jsonStr(db)}}"""))
         arg(a, "--transport") match {
           case Some("http") | Some("streamable-http") =>
             val port = arg(a, "--port").map(_.toInt).getOrElse(8765)

@@ -70,6 +70,20 @@ final case class IndexData(
     ann = ann.map(_.cached()),
     pq = pq.map(_.cached()))
 
+  /** Drop every cache pin [[cached]] registered (serving teardown / reload).
+    * Unpersisting is by canonicalized plan, so this releases the executor
+    * storage blocks even though [[cached]] returned copies of the frames.
+    * `blocking = true` when another artifact loads right after in the same
+    * session (the [[graft.serve.ServingIndex]] reload path): async eviction
+    * races the next generation's cache materialization and thrashes storage
+    * memory — measured 5-10× on StartupProbe reload trials at 500k docs. */
+  def uncacheAll(blocking: Boolean = false): Unit = {
+    Seq(documents, postings, termdf, doclen, stats, settings)
+      .foreach(_.unpersist(blocking))
+    ann.foreach { a => a.centroids.unpersist(blocking); a.postings.unpersist(blocking) }
+    pq.foreach { p => p.codes.unpersist(blocking); p.codebooks.unpersist(blocking) }
+  }
+
   /** S6-style point lookup (reference `src/db.py:181-196`). */
   def setting(key: String): Option[String] =
     settings.filter(col("key") === key).select("value")
@@ -260,6 +274,36 @@ object IndexData {
     ranged.sortWithinPartitions("doc_id")
       .write.option("parquet.block.size", DocRowGroupBytes.toString)
       .mode("overwrite").parquet(dest)
+  }
+
+  /** Cheap on-disk fingerprint of an artifact's committed state, for the
+    * long-lived serving reload check ([[graft.serve.ServingIndex]]): the
+    * `_SUCCESS` commit-marker mtimes of every canonical table and sidecar,
+    * plus the committed segment list with each segment's tombstone-commit
+    * mtime. Any way the artifact can legally change — a base rewrite
+    * (markers rewritten), an append merge (new committed segment), a
+    * compaction (segments gone, base markers rewritten), a settings upsert —
+    * moves the fingerprint; an uncommitted/crashed write (no `_SUCCESS`, no
+    * tombstones) does not, matching [[load]]'s own commit rules. Cost is a
+    * handful of file stats — O(tables + segments), never corpus-sized — so
+    * a per-request-batch check is affordable even on an object store. */
+  def artifactVersion(spark: SparkSession, dir: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stamp(rel: String): String = {
+      val p = new org.apache.hadoop.fs.Path(dir, s"$rel/_SUCCESS")
+      try s"$rel:${fs.getFileStatus(p).getModificationTime}"
+      catch { case _: java.io.FileNotFoundException => s"$rel:-" }
+    }
+    val base = Seq("documents", "postings", "termdf", "doclen", "stats", "settings",
+      AnnIndex.CentroidsDir, AnnIndex.PostingsDir,
+      PqIndex.CodebooksDir, PqIndex.CodesDir).map(stamp)
+    val segs = segments(spark, dir).map { case (n, p) =>
+      val st = fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(p, "tombstones/_SUCCESS"))
+      s"$SegDir/$n:${st.getModificationTime}"
+    }
+    (base ++ segs).mkString(";")
   }
 
   val CompactStagingDir = "_compact"

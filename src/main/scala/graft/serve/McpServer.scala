@@ -31,7 +31,12 @@ final class McpServer(
     searchFn: (String, Int) => String,
     serverName: String = "graft-hybrid-doc-search",
     serverVersion: String = "0.2.0",
-    defaultTopK: Int = 5) {
+    defaultTopK: Int = 5,
+    // optional second tool: force the serving session's artifact-reload
+    // check (live index visibility for long-lived servers); None = tool
+    // absent, wire shape unchanged
+    reloadFn: Option[() => String] = None,
+    reloadToolName: String = "reload_index") {
 
   private val mapper = new ObjectMapper()
   private val f = JsonNodeFactory.instance
@@ -68,6 +73,19 @@ final class McpServer(
     k.put("description", "Number of results to return")
     k.put("default", defaultTopK)
     schema.putArray("required").add("query")
+    t
+  }
+
+  private def reloadToolSpec: ObjectNode = {
+    val t = f.objectNode()
+    t.put("name", reloadToolName)
+    t.put("description",
+      "Re-check the index directory for committed changes (appended " +
+        "segments, compaction, rewrite) and reload the serving session if " +
+        "it moved; returns whether a reload happened")
+    val schema = t.putObject("inputSchema")
+    schema.put("type", "object")
+    schema.putObject("properties")
     t
   }
 
@@ -111,13 +129,32 @@ final class McpServer(
 
       case "tools/list" =>
         val o = resp(id)
-        o.putObject("result").putArray("tools").add(toolSpec)
+        val tools = o.putObject("result").putArray("tools")
+        tools.add(toolSpec)
+        if (reloadFn.isDefined) tools.add(reloadToolSpec)
         Some(mapper.writeValueAsString(o))
 
       case "tools/call" =>
         val params = Option(msg.get("params")).getOrElse(f.objectNode())
         val name = Option(params.get("name")).map(_.asText()).getOrElse("")
-        if (name != toolName)
+        if (name == reloadToolName && reloadFn.isDefined) {
+          val o = resp(id)
+          val r = o.putObject("result")
+          val content = r.putArray("content")
+          try {
+            val c = content.addObject()
+            c.put("type", "text")
+            c.put("text", reloadFn.get())
+            r.put("isError", false)
+          } catch {
+            case e: Throwable =>
+              val c = content.addObject()
+              c.put("type", "text")
+              c.put("text", String.valueOf(e.getMessage))
+              r.put("isError", true)
+          }
+          Some(mapper.writeValueAsString(o))
+        } else if (name != toolName)
           Some(error(id, -32602, s"unknown tool: $name"))
         else {
           val args = Option(params.get("arguments")).getOrElse(f.objectNode())
