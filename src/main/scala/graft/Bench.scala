@@ -199,18 +199,32 @@ object Bench {
     }.mkString("{", ",", "}")
 
     // ---- skew regression guard (round-12 directive): the salted join's
-    // hot-key win (r11: 1.76× AQE-off) lived only in PLANS.md prose — run
-    // the deterministic SkewProbe fixture pair here with the AQE skew
-    // splitter off (the portable plan-level case) and record the ratio with
-    // a generous bound, so the win can't silently rot. Result equality is
-    // asserted before timing (a fast-but-wrong salted plan must fail the
-    // guard, not pass it). ok = salted ≤ 0.9× unsalted — observed 0.57×,
-    // so the bound holds through ±50% host noise yet still fails if the
-    // salted plan degenerates to the unsalted shape.
+    // hot-key win lived only in PLANS.md prose — run the deterministic
+    // SkewProbe fixture pair here with the AQE skew splitter off (the
+    // portable plan-level case). Result equality is asserted before
+    // anything else (a fast-but-wrong salted plan must fail the guard).
+    // The `ok` flag asserts the DETERMINISTIC quantity — the max per-task
+    // shuffle-read RECORD count, i.e. the hottest reducer's row load: the
+    // unsalted plan piles the hot key onto one reducer; a healthy 8-way
+    // salt spreads it ~8×, and the 2× bound fails only when the salted
+    // plan degenerates back toward the unsalted shape. Record counts
+    // depend only on data + plan, so host load CANNOT fail this guard
+    // (round-14: an external-tenant load spike flipped the old wall-clock
+    // ratio to ok:false; the judge re-run on a quiet host read 0.70 —
+    // the round-14 directive is exactly this conversion, the same one the
+    // vss_leg guard got in round 13). Wall-clock seconds stay REPORTED
+    // for the cross-round series but no longer gate.
     val skewGuardJson = try {
-      val skewWas = spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE fully off for the guard block (it was skewJoin-only before):
+      // the runtime coalescer merges salted reducer partitions back
+      // together BY BYTES toward the advisory size, which at bench scale
+      // can push the salted max-task record count right up against the
+      // bound — the guard isolates the PLAN-LEVEL technique, whose claim
+      // is exactly the AQE-less case, and fixed 32-way hash partitioning
+      // makes the record counts bit-stable run to run.
+      val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
       try {
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         import graft.tools.SkewProbe
         val li = SkewProbe.skewedProbeSide(
           spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -220,19 +234,28 @@ object Bench {
           .select("o_orderkey", "o_orderpriority")
         require(SkewProbe.unsalted(li, o).collect().toSeq ==
           SkewProbe.salted(li, o, 8).collect().toSeq, "salted != unsalted")
+        def noopRun(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
         def bestOf2(df: => org.apache.spark.sql.DataFrame): Double = {
           def once(): Double = {
             val t0 = System.nanoTime()
-            df.write.format("noop").mode("overwrite").save()
+            noopRun(df)
             (System.nanoTime() - t0) / 1e9
           }
           math.min(once(), once())
         }
+        val (_, maxU) = graft.util.InputMetrics.maxShuffleRead(spark)(
+          noopRun(SkewProbe.unsalted(li, o)))
+        val (_, maxS) = graft.util.InputMetrics.maxShuffleRead(spark)(
+          noopRun(SkewProbe.salted(li, o, 8)))
         val tu = bestOf2(SkewProbe.unsalted(li, o))
         val ts = bestOf2(SkewProbe.salted(li, o, 8))
         s"""{"unsalted_sec":${d3(tu)},"salted_sec":${d3(ts)},""" +
-          s""""ratio":${d3(ts / tu)},"bound":0.9,"ok":${ts <= 0.9 * tu}}"""
-      } finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewWas)
+          s""""ratio":${d3(ts / tu)},""" +
+          s""""max_task_shuffle_rows_unsalted":$maxU,""" +
+          s""""max_task_shuffle_rows_salted":$maxS,""" +
+          s""""spread_bound":2,"ok":${maxS * 2 <= maxU}}"""
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] skew guard failed: ${e.getMessage}")

@@ -34,6 +34,37 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(counts.getLong(1) > total / 3, s"hot key holds ${counts.getLong(1)}/$total")
   }
 
+  test("deterministic spread guard: salting cuts the hottest reducer's " +
+      "shuffle-read records ≥2×, and the measure is bit-stable across runs") {
+    // the bench skew guard's quantity (round-14 directive: record counts,
+    // not wall-clock — host load cannot fail it, a de-salted plan still
+    // does). AQE off: fixed hash partitioning makes the counts exact.
+    // Partitions pinned to the Bench session's 32: at TestSpark's tiny 4,
+    // the salted BUILD-side 8× replication (shuffle-read counts both join
+    // sides) swamps the hot-key spread and the ratio is unrepresentative
+    // of the serving config the guard actually runs under.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsWas = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      def maxTask(df: => org.apache.spark.sql.DataFrame): Long =
+        graft.util.InputMetrics.maxShuffleRead(spark) {
+          df.write.format("noop").mode("overwrite").save()
+        }._2
+      val maxU = maxTask(SkewProbe.unsalted(li, o))
+      val maxS = maxTask(SkewProbe.salted(li, o, 8))
+      assert(maxU > 0 && maxS > 0)
+      assert(maxS * 2 <= maxU, s"salted max-task $maxS vs unsalted $maxU")
+      // determinism: the exact property that makes this guard noise-proof
+      assert(maxTask(SkewProbe.unsalted(li, o)) == maxU)
+      assert(maxTask(SkewProbe.salted(li, o, 8)) == maxS)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", partsWas)
+    }
+  }
+
   test("plan shapes: unsalted funnels the bare key; salted shuffle keys carry the salt") {
     val pu = SkewProbe.unsalted(li, o).queryExecution.executedPlan.toString
     val smjU = "SortMergeJoin [^\n]*".r.findFirstIn(pu).getOrElse("")
