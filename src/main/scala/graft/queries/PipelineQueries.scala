@@ -1275,18 +1275,59 @@ object PipelineQueries {
     // scale path, in its BATCH shape: three query vectors resolved in ONE
     // `approxSimilarityJoin` job (queries hash once, candidates only form
     // in colliding buckets) instead of one driver-side
-    // `approxNearestNeighbors` job per query. Approximate results are
-    // engine-specific, so rows-only gate; per-query recall vs brute force
-    // is asserted in EmbedSpec.
+    // `approxNearestNeighbors` job per query. Oracle-checked by CONTRACT
+    // (the q_approx_distinct / q_approx_quantiles pattern, round-13/14
+    // directive): the LSH candidate set is engine-specific (MLlib hash
+    // internals, seed 42), but the contract is cross-engine — every approx
+    // neighbor is a corpus member, and recall@10 against the exact top-10
+    // meets the bound. Compared columns are the EXACT top-10 per query
+    // (full rank/dist parity — the same brute-force window SQL as
+    // q_sim_knn_join) plus the two per-query bound checks, computed
+    // Spark-side and hardcoded `true` in the oracle. The 100 TB production
+    // path is the LSH join alone (candidates form only inside colliding
+    // buckets); the exact side exists to EXPRESS the check, exactly like
+    // q_approx_distinct's countDistinct.
     Q("q_sim_approx_lsh",
       (s, d) => {
         val e = t(s, d, "embeddings")
         val qs = e.filter(col("vec_id") < 3)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        graft.ops.ApproxKnn.approxTopKBatch(e, "vec_id", "embedding",
-          qs, "qid", "qvec", k = 10, bucketLength = 2.0, numHashTables = 8)
+        // excludeSelf on BOTH sides: queries are corpus members, and the
+        // exact side (knnJoin) excludes the self-pair too
+        val approx = graft.ops.ApproxKnn.approxTopKBatch(e, "vec_id", "embedding",
+          qs, "qid", "qvec", k = 10, bucketLength = 2.0, numHashTables = 8,
+          excludeSelf = true)
+        val exact = Similarity.knnJoin(e, "vec_id", "embedding", qs, "qid", "qvec", 10)
+          .select(col("qid"), col("id").as("vec_id"), col("rank"),
+            Q.r6(col("dist")).as("dist"))
+        val checks = approx.select("qid", "vec_id")
+          .join(e.select(col("vec_id")).distinct().withColumn("_inc", lit(1)),
+            Seq("vec_id"), "left")
+          .join(exact.select(col("qid"), col("vec_id")).withColumn("_hit", lit(1)),
+            Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(count(lit(1)).as("n_approx"),
+            sum(coalesce(col("_inc"), lit(0))).as("n_in_corpus"),
+            sum(coalesce(col("_hit"), lit(0))).as("n_recalled"))
+          .select(col("qid"),
+            (col("n_approx") === col("n_in_corpus")).as("in_corpus_ok"),
+            // 8 hash tables at bucketLength 2.0 recall the exact top-10
+            // in full on the test corpora; ≥9/10 leaves one tie-boundary
+            // miss of headroom without weakening the contract
+            (col("n_recalled") >= 9).as("recall_ok"))
+        exact.join(checks, "qid")
+          .select(col("qid"), col("vec_id"), col("rank"), col("dist"),
+            col("in_corpus_ok"), col("recall_ok"))
+          .orderBy("qid", "rank")
       },
-      None),
+      Some("WITH qs AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3), " +
+        s"dd AS (SELECT qid, vec_id, ${Q.cosineDistSql("embedding", "qvec")} AS dist " +
+        "FROM embeddings CROSS JOIN qs WHERE vec_id != qid), " +
+        "rr AS (SELECT qid, vec_id, dist, CAST(row_number() OVER " +
+        "(PARTITION BY qid ORDER BY round(dist, 6), vec_id) AS BIGINT) AS rank FROM dd) " +
+        s"SELECT qid, vec_id, rank, ${Q.r6Sql("dist")} AS dist, " +
+        "true AS in_corpus_ok, true AS recall_ok " +
+        "FROM rr WHERE rank <= 10 ORDER BY qid, rank")),
 
     // X9: id generation — inherently non-deterministic, rows-only check
     // (SURVEY.md §2.8 X9)
