@@ -82,6 +82,31 @@ object StartupProbe {
       spark.catalog.clearCache()
     }
 
+    // DISK-BACKED time-to-first-query (round-13 directive #2, closed in
+    // round 15): at corpus sizes the cache gate refuses to pin
+    // (Cli.serveReady over budget — the production posture for any 100 TB
+    // artifact), the cached cold-start above never happens; what a user
+    // feels is load (no pins, no scored-frame build) + the FIRST request
+    // off the pruned parquet layouts. Query = the corpus's highest-df
+    // terms (the most expensive honest FTS probe) + the fetch tail.
+    {
+      import org.apache.spark.sql.functions.{desc, length}
+      val terms = spark.read.parquet(s"$dir/termdf")
+        .filter(length(col("term")) > 1).orderBy(desc("df")).limit(3)
+        .select("term").as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().toSeq
+      (1 to 3).foreach { trial =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val idx = graft.index.IndexData.load(spark, dir)
+        val n = graft.search.ServeSearch.search(idx, terms.mkString(" "),
+          analyzer = graft.analyze.WhitespaceAnalyzer).collect().length
+        val ms = (System.nanoTime() - t0) / 1e6
+        println(f"[startup] disk-backed trial#$trial ttfq=$ms%8.1fms hits=$n " +
+          s"(terms=${terms.mkString(",")})")
+      }
+    }
+
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     spark.stop()
   }
