@@ -159,7 +159,22 @@ object BatchSearch {
     val candidates = fusedCandidates(index, queries, analyzer, embedder, opts)
       .withColumnRenamed("score", "original_score")
       .localCheckpoint(true)
-    val withText = candidates.join(index.documents.select($"doc_id", $"content"), Seq("doc_id"))
+    // THE fat-batch candidate fetch (FatBatchFetchSpec pins this shape):
+    // BROADCAST the candidate set — bounded at |queries| × (2k + shortlist)
+    // (qid, doc_id, scores) rows BY CONSTRUCTION (each leg is top-k-cut
+    // before fusion) — and STREAM the documents scan once for the whole
+    // batch. The hint is load-bearing at scale: the checkpointed candidate
+    // RDD carries no size stats, so past the auto-broadcast threshold the
+    // planner chose a sort-merge join that SHUFFLES THE CORPUS-SIZED
+    // documents table to fetch ≤2k rows per query (invisible at spec scale,
+    // where documents itself sits under the threshold and broadcasts). The
+    // serving path's pushed-In fetch is wrong here too: past ~200 ids the
+    // In degrades to a range filter, and FetchProbe measured a k=500 fetch
+    // touching 84.9% of a 5M-doc corpus's row groups — a fat batch reads
+    // the corpus about once either way, and the broadcast join does it in
+    // ONE clean pass with no shuffle.
+    val withText = broadcast(candidates)
+      .join(index.documents.select($"doc_id", $"content"), Seq("doc_id"))
     val rrScores = withText
       .select($"qid", $"doc_id", substring($"content", 1, rerankTruncate).as("t"))
       .as[(String, String, String)]
