@@ -38,6 +38,12 @@ final class McpServer(
     reloadFn: Option[() => String] = None,
     reloadToolName: String = "reload_index") {
 
+  // a `--tool-name reload_index` collision would silently shadow the search
+  // tool with the reload behavior (the reload branch dispatches first)
+  require(reloadFn.isEmpty || toolName != reloadToolName,
+    s"search tool name '$toolName' collides with the reload tool; " +
+      "rename one of them")
+
   private val mapper = new ObjectMapper()
   private val f = JsonNodeFactory.instance
 

@@ -73,10 +73,16 @@ final class ServingIndex private (
       val old = cur
       graft.search.ServeSearch.releaseScored(old, blocking = true)
       old.uncacheAll(blocking = true)
-      // version BEFORE load: a write committing inside the load window is
-      // picked up by the NEXT check instead of being missed forever
-      version = v
+      // a throwing load (e.g. a concurrent REWRITE caught mid-overwrite —
+      // unlike append/compact, a plain rewrite replaces table dirs
+      // non-atomically) leaves `version` unchanged, so the NEXT check
+      // retries instead of wedging on the released old generation; the
+      // request that triggered the check surfaces the error and the
+      // session heals once the writer commits. `v` was stamped BEFORE the
+      // load, so a write committing inside the load window is also caught
+      // by the next check rather than missed forever.
       cur = loadFn()
+      version = v
       onSwap(cur)
       true
     }

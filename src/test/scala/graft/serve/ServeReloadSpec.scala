@@ -144,6 +144,32 @@ class ServeReloadSpec extends AnyFunSuite {
     assert(disabled.checkAndReload())
   }
 
+  test("a failed reload (e.g. a rewrite caught mid-overwrite) retries on " +
+      "the next check instead of wedging on the released generation") {
+    val dir = Files.createTempDirectory("reload-retry").toString
+    IndexData.write(docsDf(Seq("d1" -> "spark runs fast")),
+      Seq(Setting("embedding_model", "test")).toDF(), dir)
+    var failNext = false
+    val holder = ServingIndex.open(spark, dir, () => {
+      if (failNext) { failNext = false; sys.error("torn artifact") }
+      IndexData.load(spark, dir)
+    })
+    Thread.sleep(5)
+    IndexData.write(docsDf(Seq("d1" -> "spark runs fast", "d2" -> "comet tail dust")),
+      Seq(Setting("embedding_model", "test")).toDF(), dir)
+    failNext = true
+    intercept[RuntimeException](holder.checkAndReload())
+    assert(holder.checkAndReload(), "version must not advance past a failed load")
+    assert(hits(holder.current, "comet").nonEmpty)
+  }
+
+  test("MCP server rejects a search tool named like the reload tool") {
+    intercept[IllegalArgumentException] {
+      new McpServer("reload_index", "d", (_, _) => "{}",
+        reloadFn = Some(() => "{}"))
+    }
+  }
+
   test("MCP server exposes reload_index and the tool reports the swap") {
     var calls = 0
     val mcp = new McpServer("search_documents", "d", (_, _) => """{"results":[]}""",
