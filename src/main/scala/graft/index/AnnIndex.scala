@@ -97,21 +97,39 @@ final case class AnnIndex(centroids: DataFrame, postings: DataFrame) {
     * [[graft.search.HybridSearch.vssTopKIvf]] (which driver-probes and
     * partition-prunes for a single query). Output:
     * (qidCol, doc_id, dist, rank), rank ≤ k per query, deterministic
-    * (rounded-dist, doc_id) order. */
+    * (rounded-dist, doc_id) order.
+    *
+    * The probed-cluster set — bounded at |queries| × nprobe ints BY
+    * CONSTRUCTION — is collected and pushed as a STATIC
+    * `cluster IN (…)` partition filter on the lists scan. This is
+    * load-bearing at scale (round-15 finding, rows-read-verified): the
+    * broadcast equi-join ALONE prunes nothing — dynamic partition
+    * pruning does not fire on a windowed-subquery build side, so the
+    * "probed-lists join" silently scanned 100% of the corpus-sized lists
+    * at any nprobe; with the static filter it reads only the probed
+    * directories, the same pruning the single-query path gets.
+    * BatchSearchSpec pins rows-read. */
   def probeSearchBatch(queries: DataFrame, qidCol: String, qvecCol: String,
       nprobe: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(qidCol).as("_qid"), col(qvecCol).as("_qvec"))
     val wProbe = Window.partitionBy(col("_qid"))
       .orderBy(round(col("_qcd"), 6).asc, col("cid").asc)
+    // eager checkpoint: bounded rows, and the frame feeds BOTH the probed-
+    // cluster collect and the join — without it the crossJoin + window
+    // replays once per consumer
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("_qcd", VectorOps.cosineDist(col("_qvec"), col("cvec")))
       .withColumn("_pr", row_number().over(wProbe))
       .filter(col("_pr") <= nprobe)
       .select(col("_qid"), col("_qvec"), col("cid").as("cluster"))
+      .localCheckpoint(true)
+    val probedClusters = probes.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSeq
     val wRank = Window.partitionBy(col("_qid"))
       .orderBy(round(col("dist"), 6).asc, col("doc_id").asc)
-    postings.join(broadcast(probes), Seq("cluster"))
+    postings.filter(col("cluster").isin(probedClusters: _*))
+      .join(broadcast(probes), Seq("cluster"))
       .withColumn("dist", VectorOps.cosineDist(col("embedding"), col("_qvec")))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)

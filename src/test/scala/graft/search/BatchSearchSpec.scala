@@ -113,4 +113,30 @@ class BatchSearchSpec extends AnyFunSuite {
       assert(fromBatch == single, s"rerank parity mismatch for $qid")
     }
   }
+
+  test("probeSearchBatch prunes the persisted lists scan to the probed " +
+      "clusters (rows-read)") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select($"vec_id".cast("string").as("doc_id"), $"embedding")
+    val d = java.nio.file.Files.createTempDirectory("batchann").toString
+    val ann = graft.index.AnnIndex.buildAndWrite(emb, "doc_id", "embedding", d,
+      k = 8, iters = 3)
+    val total = ann.postings.count()
+    val qs = emb.limit(3).select($"doc_id".as("qid"), $"embedding".as("qvec"))
+      .localCheckpoint(true)
+    val (res, read) = graft.util.InputMetrics.rowsRead(spark) {
+      ann.probeSearchBatch(qs, "qid", "qvec", nprobe = 1, k = 5).collect()
+    }
+    assert(res.nonEmpty)
+    // 3 queries × nprobe=1 probe ≤3 of the 8 cluster directories — the scan
+    // must read well under the whole lists table. Pre-round-15 this read
+    // 100% at ANY nprobe: the broadcast cluster join alone never pruned the
+    // partitioned scan (DPP does not fire on a windowed-subquery build
+    // side); the static pushed `cluster IN (…)` from the collected probed
+    // set is what prunes — the quantity that keeps the batch ANN leg from
+    // scanning the full corpus-sized lists at scale.
+    assert(read <= (total * 7) / 10, s"read $read of $total lists rows")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+  }
 }
