@@ -218,6 +218,39 @@ object IndexData {
     load(spark, dir)
   }
 
+  /** [[write]] with compaction-grade atomicity, for REWRITES of an
+    * artifact that may be live (round-15): the full table set stages under
+    * [[CompactStagingDir]], commits via [[CompactCommitMarker]], and swaps
+    * through the same idempotent [[finishCompactSwap]] every reader already
+    * heals. Pre-round-15 the rewrite path overwrote each table dir in
+    * place AND deleted `seg/` before the new base existed — a crash
+    * mid-write tore the artifact (new documents + old termdf) and
+    * permanently LOST the pending segments the rewrite was folding in.
+    * Staged: a crash before the marker leaves the artifact untouched
+    * (dead staging files the next writer clears); from the marker on, any
+    * reader completes the swap — which also retires `seg/`, atomically
+    * with the base that folded it. Sidecar dirs are untouched (none are
+    * staged here): rewrite callers rebuild them after the swap, and a
+    * crash in that window degrades `--ann` to the exact scan or to
+    * frozen-model lists — acceleration staleness, never corruption. */
+  def writeStagedSwap(documents: DataFrame, settings: DataFrame,
+      indexDir: String, clusterById: Boolean = true): IndexData = {
+    val spark = documents.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = s"$indexDir/$CompactStagingDir"
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    // the trailing load() inside write() sees the STAGING dir — segment-
+    // free by construction, so the old "delete seg/ before write or the
+    // load assembles new base ∪ old segments" ordering hazard is gone
+    // structurally, not by ordering discipline
+    write(documents, settings, staging, clusterById)
+    fs.create(new org.apache.hadoop.fs.Path(
+      staging, CompactCommitMarker), true).close()
+    finishCompactSwap(spark, indexDir)
+    load(spark, indexDir)
+  }
+
   /** Committed append-merge segments of an artifact, ascending by number.
     * A segment commits by its `tombstones` dataset (written LAST by
     * `IndexJob.appendMerge`): a crash mid-append leaves a segment without

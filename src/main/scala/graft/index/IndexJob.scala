@@ -283,10 +283,12 @@ object IndexJob {
     if (!incremental) {
       // a full (re)build must not inherit a previous build's sidecars (the
       // frozen-model incremental contract below would otherwise re-assign
-      // the new corpus under OLD centroids/codebooks) — nor its append
-      // segments, which describe a corpus that no longer exists
+      // the new corpus under OLD centroids/codebooks). Its append segments
+      // are obsolete too, but those are retired by the staged swap BELOW,
+      // atomically with the new base — deleting them here would lose the
+      // appended docs if the build crashed before the base existed.
       (Seq(AnnIndex.CentroidsDir, AnnIndex.PostingsDir,
-        PqIndex.CodebooksDir, PqIndex.CodesDir, IndexData.SegDir)).foreach { d =>
+        PqIndex.CodebooksDir, PqIndex.CodesDir)).foreach { d =>
         fs.delete(new org.apache.hadoop.fs.Path(indexDir, d), true)
       }
     }
@@ -317,21 +319,21 @@ object IndexJob {
       if (!incremental) settings
       else IndexData.upsertSettings(
         spark.read.parquet(s"$indexDir/settings"), settings).localCheckpoint(true)
-    // A rewrite merge folds any pending segments into the base it is about
-    // to write, so seg/ must go BEFORE IndexData.write — the write's
-    // trailing load() otherwise assembles "new base ∪ old segments": the
-    // folded-in docs appear twice (base gen 0 plus their segment), stale
-    // tombstones mask fresh base rows, the returned frames reference
-    // segment files deleted the moment write returns, and a pre-dl legacy
-    // segment makes the postings union throw mid-merge and brick the
-    // artifact (every subsequent load hits the same schema split). The
-    // live view was checkpointed into `docs` above, so nothing still reads
-    // the segment files. (Same ordering IndexStream.refitRewrite uses.)
-    fs.delete(new org.apache.hadoop.fs.Path(indexDir, IndexData.SegDir), true)
-    // write-then-derive: the chunk+embed lineage executes exactly once.
-    // Default layout is doc_id-range-clustered (the serving fetch's pruning
-    // unit); an explicit --layout keeps its space-filling-curve clustering.
-    val written = IndexData.write(laidOut, mergedSettings, indexDir,
+    // STAGED ATOMIC REWRITE (round-15, [[IndexData.writeStagedSwap]]):
+    // write-then-derive into the compaction staging dir, commit by marker,
+    // swap. This retires TWO hazards the old in-place overwrite carried:
+    // (a) the round-14 ordering bug class — the trailing load() now reads
+    // the segment-free STAGING dir, so "new base ∪ old segments" cannot
+    // be assembled by construction (the old fix deleted seg/ first, which
+    // traded the brick for hazard b); (b) crash durability — deleting
+    // seg/ before the base that folds it exists LOSES the appended docs
+    // on a crash mid-write, and the in-place per-table overwrites could
+    // tear the artifact (new documents + old termdf). Staged, a crash
+    // before the marker leaves the live artifact byte-untouched, and the
+    // committed swap retires seg/ atomically with the new base.
+    // Default layout is doc_id-range-clustered (the serving fetch's
+    // pruning unit); an explicit --layout keeps its SFC clustering.
+    val written = IndexData.writeStagedSwap(laidOut, mergedSettings, indexDir,
       clusterById = layout == "none")
     withPq(withAnn(written, indexDir, annClusters, annIters, refit = annRefit),
       indexDir, pqCodes, pqIters, refit = pqRefit)

@@ -73,12 +73,13 @@ final class ServingIndex private (
       val old = cur
       graft.search.ServeSearch.releaseScored(old, blocking = true)
       old.uncacheAll(blocking = true)
-      // a throwing load (e.g. a concurrent REWRITE caught mid-overwrite —
-      // unlike append/compact, a plain rewrite replaces table dirs
-      // non-atomically) leaves `version` unchanged, so the NEXT check
+      // a throwing load leaves `version` unchanged, so the NEXT check
       // retries instead of wedging on the released old generation; the
       // request that triggered the check surfaces the error and the
-      // session heals once the writer commits. `v` was stamped BEFORE the
+      // session heals once the writer commits. (Engine writers — append,
+      // compact, and since round 15 the rewrite merge too — commit
+      // atomically by marker, but a direct IndexData.write/save to a live
+      // dir, or an object store's weaker rename, can still tear a read.) `v` was stamped BEFORE the
       // load, so a write committing inside the load window is also caught
       // by the next check rather than missed forever.
       cur = loadFn()

@@ -462,13 +462,15 @@ object IndexStream {
       PqIndex.CodebooksDir, PqIndex.CodesDir).foreach { d =>
       fs.delete(new org.apache.hadoop.fs.Path(indexDir, d), true)
     }
-    // the full re-embed below folds any pending append segments into the
-    // rewritten base (docs was the live view) — drop the now-stale segments
-    fs.delete(new org.apache.hadoop.fs.Path(indexDir, graft.index.IndexData.SegDir), true)
+    // staged atomic rewrite ([[graft.index.IndexData.writeStagedSwap]]):
+    // the full re-embed folds any pending append segments into the
+    // rewritten base (docs was the live view); the committed swap retires
+    // seg/ atomically with that base — a crash mid-refit leaves the live
+    // artifact (segments included) untouched instead of losing them
     val laidOut =
       if (opts.layout == "none") embedded
       else graft.ops.Layout.cluster(embedded, opts.layout, "file_path", "line_start", opts.layoutFiles)
-    val written = graft.index.IndexData.write(laidOut,
+    val written = graft.index.IndexData.writeStagedSwap(laidOut,
       IndexJob.settingsOf(spark, modelName, dim, analyzerName), indexDir,
       clusterById = opts.layout == "none")
     IndexJob.withPq(IndexJob.withAnn(written, indexDir, annK, opts.annIters),

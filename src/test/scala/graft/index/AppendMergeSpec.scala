@@ -288,6 +288,41 @@ class AppendMergeSpec extends AnyFunSuite {
     assert(canonDocs(reloaded.documents) == canonDocs(rebuild(docs).documents))
   }
 
+  test("a rewrite crash BEFORE the commit marker leaves the live artifact " +
+      "untouched — pending segments included") {
+    // round-15: the rewrite path stages under _compact and swaps by marker
+    // (IndexData.writeStagedSwap). Pre-fix it deleted seg/ and overwrote
+    // table dirs in place, so a crash mid-write tore the artifact AND
+    // permanently lost the appended segments. Any crash during the staged
+    // write ≡ a complete-or-partial staging with NO marker — which must be
+    // invisible to readers and cleared by the next writer.
+    val (docs, idx) = appendFixture()
+    val before = IndexData.load(spark, idx)
+    assert(before.pendingSegments == 2)
+    val beforeDocs = canonDocs(before.documents)
+    // simulate the crash: a fully staged rewrite that never reached the marker
+    import spark.implicits._
+    val staging = s"$idx/${IndexData.CompactStagingDir}"
+    val bogus = Seq(("zz", "docs/zz", "", 1, 1, "crashed rewrite content",
+        Seq("crashed", "rewrite", "content")))
+      .toDF("doc_id", "file_path", "header_path", "line_start", "line_end",
+        "content", "tokens")
+    IndexData.write(bogus, before.settings.localCheckpoint(true), staging)
+    // readers: unchanged live view, segments still pending
+    val after = IndexData.load(spark, idx)
+    assert(after.pendingSegments == 2, "uncommitted staging must be invisible")
+    assert(canonDocs(after.documents) == beforeDocs)
+    // the next real rewrite clears the leftover staging and succeeds
+    val merged = IndexJob.run(spark, Seq(docs), idx, embedder,
+      opts = IndexJob.Options(clear = false, mergeMode = "rewrite",
+        trimPathPrefix = Some(s"file:$docs")))
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(staging)))
+    assert(IndexData.load(spark, idx).pendingSegments == 0)
+    assert(!merged.documents.select("doc_id").as[String].collect().contains("zz"))
+  }
+
   test("torn compaction swap heals at load") {
     val (docs, idx) = appendFixture()
     val live = IndexData.load(spark, idx)
