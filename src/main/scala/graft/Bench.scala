@@ -244,17 +244,21 @@ object Bench {
           }
           math.min(once(), once())
         }
-        val (_, maxU) = graft.util.InputMetrics.maxShuffleRead(spark)(
-          noopRun(SkewProbe.unsalted(li, o)))
-        val (_, maxS) = graft.util.InputMetrics.maxShuffleRead(spark)(
-          noopRun(SkewProbe.salted(li, o, 8)))
+        // expectNonZero: both joins DO shuffle — a slow listener bus
+        // handing back 0 would make `maxS * 2 <= maxU` a false green
+        // (0*2 <= 0; round-15 ADVICE), so the read-out must wait for the
+        // real counts, and the `ok` below also refuses a zero unsalted max
+        val (_, maxU) = graft.util.InputMetrics.maxShuffleRead(spark,
+          expectNonZero = true)(noopRun(SkewProbe.unsalted(li, o)))
+        val (_, maxS) = graft.util.InputMetrics.maxShuffleRead(spark,
+          expectNonZero = true)(noopRun(SkewProbe.salted(li, o, 8)))
         val tu = bestOf2(SkewProbe.unsalted(li, o))
         val ts = bestOf2(SkewProbe.salted(li, o, 8))
         s"""{"unsalted_sec":${d3(tu)},"salted_sec":${d3(ts)},""" +
           s""""ratio":${d3(ts / tu)},""" +
           s""""max_task_shuffle_rows_unsalted":$maxU,""" +
           s""""max_task_shuffle_rows_salted":$maxS,""" +
-          s""""spread_bound":2,"ok":${maxS * 2 <= maxU}}"""
+          s""""spread_bound":2,"ok":${maxU > 0 && maxS * 2 <= maxU}}"""
       } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     } catch {
       case e: Throwable =>

@@ -110,6 +110,23 @@ final case class IndexData(
     * the stats tables from the written parquet instead of re-running the
     * upstream lineage per dataset. */
   def save(dir: String, clusterById: Boolean = true): Unit = {
+    // a LIVE destination (committed artifact already present) routes
+    // through the same staged swap as [[IndexData.write]] — see there for
+    // the torn-read rationale (round-15 directive: library misuse made safe)
+    val spark = settings.sparkSession
+    if (IndexData.isCommittedArtifact(spark, dir)) {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staging = s"$dir/${IndexData.CompactStagingDir}"
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      saveInto(staging, clusterById)
+      fs.create(new org.apache.hadoop.fs.Path(
+        staging, IndexData.CompactCommitMarker), true).close()
+      IndexData.finishCompactSwap(spark, dir)
+    } else saveInto(dir, clusterById)
+  }
+
+  private def saveInto(dir: String, clusterById: Boolean): Unit = {
     // doc_id-clustered documents files (same rationale as the postings
     // layout below, for the doc-keyed scans): doc_ids are content-addressed
     // — uniform-random — so an unclustered write gives every file/row-group
@@ -166,6 +183,16 @@ object IndexData {
   def write(documents: DataFrame, settings: DataFrame, dir: String,
       clusterById: Boolean = true): IndexData = {
     val spark = documents.sparkSession
+    // a LIVE destination — the dir already holds a COMMITTED artifact —
+    // routes through the staged swap (round-15 directive #4): the in-place
+    // path overwrites table dirs one at a time, so a concurrent reader (or
+    // a crash mid-write) could pair new documents with old termdf — a torn
+    // table set. Engine writers (compact, rewrite merges) already stage;
+    // this closes the last surface, direct library calls onto a live dir.
+    // No recursion: writeStagedSwap deletes the staging dir before writing
+    // into it, so the inner write never sees a committed artifact there.
+    if (isCommittedArtifact(spark, dir))
+      return writeStagedSwap(documents, settings, dir, clusterById)
     if (clusterById) {
       // doc_id-clustered files (see [[IndexData.save]] for the full why:
       // content-addressed ids are uniform-random, so without this layout
@@ -251,6 +278,14 @@ object IndexData {
     load(spark, indexDir)
   }
 
+  /** Whether `dir` already holds a COMMITTED artifact (settings `_SUCCESS`
+    * present — the same liveness rule [[load]] enforces). Gates the
+    * write-on-live staged-swap routing in [[write]]/[[IndexData.save]]. */
+  private[graft] def isCommittedArtifact(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, "settings/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Committed append-merge segments of an artifact, ascending by number.
     * A segment commits by its `tombstones` dataset (written LAST by
     * `IndexJob.appendMerge`): a crash mid-append leaves a segment without
@@ -331,12 +366,30 @@ object IndexData {
     val base = Seq("documents", "postings", "termdf", "doclen", "stats", "settings",
       AnnIndex.CentroidsDir, AnnIndex.PostingsDir,
       PqIndex.CodebooksDir, PqIndex.CodesDir).map(stamp)
-    val segs = segments(spark, dir).map { case (n, p) =>
-      val st = fs.getFileStatus(
-        new org.apache.hadoop.fs.Path(p, "tombstones/_SUCCESS"))
-      s"$SegDir/$n:${st.getModificationTime}"
+    // the staged-swap _COMMIT marker too: a writer that crashed after
+    // committing the marker but before the first table rename has CHANGED
+    // the artifact (any load() heals the swap) without moving a single
+    // table `_SUCCESS` stamp — without this line the fingerprint never
+    // moves, loadFn is never called, and the committed change stays
+    // invisible to a serving session forever (round-15 ADVICE)
+    val marker = {
+      val p = new org.apache.hadoop.fs.Path(
+        dir, s"$CompactStagingDir/$CompactCommitMarker")
+      try s"commit:${fs.getFileStatus(p).getModificationTime}"
+      catch { case _: java.io.FileNotFoundException => "commit:-" }
     }
-    (base ++ segs).mkString(";")
+    val segs = segments(spark, dir).map { case (n, p) =>
+      // same FileNotFound guard as stamp(): a concurrent compaction can
+      // retire seg/<n> between segments()'s existence check and this stat
+      // (TOCTOU, round-15 ADVICE) — a vanished segment IS a moved
+      // fingerprint (`-`), never an exception up the serving request path
+      try {
+        val st = fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(p, "tombstones/_SUCCESS"))
+        s"$SegDir/$n:${st.getModificationTime}"
+      } catch { case _: java.io.FileNotFoundException => s"$SegDir/$n:-" }
+    }
+    (base ++ (marker +: segs)).mkString(";")
   }
 
   val CompactStagingDir = "_compact"

@@ -9,11 +9,16 @@ import org.apache.spark.sql.functions._
   * — the Scala analog of `mapInPandas` (batch in, batch out, schema fixed up
   * front).
   *
-  * The actual media decode is STUBBED (this container ships no image/audio
-  * libs): [[StubDecoder]] derives deterministic pseudo-metadata from the raw
-  * bytes. The Spark-side plumbing — binary schema, partition batching,
-  * decode-function signature, metadata struct — is real and oracle-tested
-  * (`q_mm_decode_stub`).
+  * Two decoders behind the pluggable seam:
+  *  - [[HeaderParseDecoder]] — a REAL image decode (round-15 directive #1):
+  *    PNG / JPEG / GIF dimensions parsed from the raw container bytes in
+  *    pure Scala (the format headers are public specs; no external codec
+  *    jars needed for metadata). Unknown/corrupt payloads yield nulls,
+  *    never throw — a 100 TB crawl corpus always carries malformed bytes.
+  *  - [[StubDecoder]] — the original deterministic fake, kept for the
+  *    plumbing oracle (`q_mm_decode_stub`) and for media kinds whose
+  *    decode genuinely needs codec libs this container lacks (audio/video
+  *    frames).
   */
 object Multimodal {
 

@@ -24,6 +24,13 @@ import graft.ops.Similarity
   */
 object BatchSearch {
 
+  /** Max candidate rows (|queries| × 2k, the constructive bound) the
+    * fat-batch fetch will broadcast; above it the fetch falls back to the
+    * planner's shuffle join. 4M (qid, doc_id, 3×double) rows ≈ low hundreds
+    * of MB broadcast-serialized — safely inside default driver/executor
+    * budgets, far above any interactive batch. */
+  val BroadcastCandidateRowCutoff: Long = 4000000L
+
   /** `rankRounding`: when ≥ 0, rank on scores rounded to that many decimals
     * (with id tiebreak) — reproducible eval-set ordering across runs and
     * engines; −1 ranks on raw scores. Note the VSS leg always ranks on
@@ -173,7 +180,20 @@ object BatchSearch {
     // touching 84.9% of a 5M-doc corpus's row groups — a fat batch reads
     // the corpus about once either way, and the broadcast join does it in
     // ONE clean pass with no shuffle.
-    val withText = broadcast(candidates)
+    //
+    // The hint is GATED on the constructive bound (round-15 ADVICE): an
+    // eval set of hundreds of thousands of queries at large k exceeds
+    // executor/driver broadcast memory, where the shuffle join degrades
+    // gracefully instead of failing the job — past
+    // [[BatchSearch.BroadcastCandidateRowCutoff]] candidate rows the plan
+    // falls back to the planner's join (the corpus shuffles once for the
+    // WHOLE batch — amortized across that many queries it is no longer the
+    // pathology the hint exists to prevent).
+    val estCandidateRows = queries.size.toLong * 2L * opts.k
+    val candSide =
+      if (estCandidateRows <= BroadcastCandidateRowCutoff) broadcast(candidates)
+      else candidates
+    val withText = candSide
       .join(index.documents.select($"doc_id", $"content"), Seq("doc_id"))
     val rrScores = withText
       .select($"qid", $"doc_id", substring($"content", 1, rerankTruncate).as("t"))

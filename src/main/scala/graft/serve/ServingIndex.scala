@@ -78,11 +78,17 @@ final class ServingIndex private (
       // request that triggered the check surfaces the error and the
       // session heals once the writer commits. (Engine writers — append,
       // compact, and since round 15 the rewrite merge too — commit
-      // atomically by marker, but a direct IndexData.write/save to a live
-      // dir, or an object store's weaker rename, can still tear a read.) `v` was stamped BEFORE the
+      // atomically by marker, but an object store's weaker rename can
+      // still tear a read.) `v` was stamped BEFORE the
       // load, so a write committing inside the load window is also caught
       // by the next check rather than missed forever.
-      cur = loadFn()
+      // On failure, DROP the throttle (round-15 ADVICE): the old
+      // generation's caches are already released, so every request until
+      // the next check is served degraded — the next request must retry
+      // the load immediately, not wait out checkIntervalMs.
+      cur =
+        try loadFn()
+        catch { case e: Throwable => lastCheckNs = Long.MinValue / 2; throw e }
       version = v
       onSwap(cur)
       true

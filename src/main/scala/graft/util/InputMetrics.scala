@@ -21,7 +21,7 @@ object InputMetrics {
     * spinning the whole deadline: a fully pruned scan or an empty relation
     * legitimately reads zero (round-14 ADVICE). Callers must not run
     * concurrent jobs on the session during the window. */
-  private def folded[T](spark: SparkSession,
+  private def folded[T](spark: SparkSession, expectNonZero: Boolean,
       fold: (Long, SparkListenerTaskEnd) => Long)(work: => T): (T, Long) = {
     @volatile var acc = 0L
     val listener = new SparkListener {
@@ -34,7 +34,8 @@ object InputMetrics {
       var last = -1L
       var stable = 0
       var zeroStable = 0
-      while (stable < 4 && zeroStable < 20 && System.nanoTime() < deadline) {
+      while (stable < 4 && (expectNonZero || zeroStable < 20) &&
+          System.nanoTime() < deadline) {
         Thread.sleep(50)
         if (acc > 0 && acc == last) stable += 1
         else if (acc == 0 && last == 0) zeroStable += 1
@@ -45,17 +46,29 @@ object InputMetrics {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
-  /** (result, total records read off storage by tasks in the window). */
-  def rowsRead[T](spark: SparkSession)(work: => T): (T, Long) =
-    folded(spark, (acc, te) => acc + te.taskMetrics.inputMetrics.recordsRead)(work)
+  /** (result, total records read off storage by tasks in the window).
+    *
+    * `expectNonZero`: guards whose claim is "this plan reads SOMETHING and
+    * the amount is bounded" must pass true — the ~1 s zero-stable early
+    * exit exists for legitimately-zero windows (a fully pruned scan, an
+    * empty relation), but a listener bus that drains slower than ~1 s
+    * after a heavy job would hand such a guard 0 and a `read ≤ bound`
+    * assertion passes VACUOUSLY (round-15 ADVICE); with the flag, a zero
+    * keeps polling to the full 10 s deadline instead. */
+  def rowsRead[T](spark: SparkSession, expectNonZero: Boolean = false)(
+      work: => T): (T, Long) =
+    folded(spark, expectNonZero,
+      (acc, te) => acc + te.taskMetrics.inputMetrics.recordsRead)(work)
 
   /** (result, MAX shuffle-read records of any single task in the window) —
     * the deterministic per-reducer hot-key concentration measure. RECORD
     * counts, not bytes or wall time: they depend only on the data and the
     * plan, so a guard on them cannot be failed by host load (the round-14
     * `skew_guard` false alarm) yet still fails when a de-skew plan
-    * degenerates back to piling the hot key onto one reducer. */
-  def maxShuffleRead[T](spark: SparkSession)(work: => T): (T, Long) =
-    folded(spark, (acc, te) =>
+    * degenerates back to piling the hot key onto one reducer.
+    * `expectNonZero` as in [[rowsRead]]. */
+  def maxShuffleRead[T](spark: SparkSession, expectNonZero: Boolean = false)(
+      work: => T): (T, Long) =
+    folded(spark, expectNonZero, (acc, te) =>
       math.max(acc, te.taskMetrics.shuffleReadMetrics.recordsRead))(work)
 }

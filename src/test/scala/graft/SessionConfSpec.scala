@@ -46,7 +46,9 @@ class SessionConfSpec extends AnyFunSuite {
     val was = spark.conf.get(key)
     try {
       spark.conf.set(key, thr)
-      val (n, read) = graft.util.InputMetrics.rowsRead(spark) {
+      // expectNonZero: the 12 matching rows are always read — a slow-bus 0
+      // would fail the `servingRead == twelve.size` check spuriously
+      val (n, read) = graft.util.InputMetrics.rowsRead(spark, expectNonZero = true) {
         spark.read.parquet(dir)
           .filter(col("term").isin(twelve: _*)).count()
       }

@@ -68,13 +68,16 @@ class DocFetchPruneSpec extends AnyFunSuite {
   /** Rows actually read off parquet (post row-group pruning) for a k-id
     * candidate fetch in the serving shape. */
   private def rowsRead(dir: String, ids: Seq[String]): Long = {
-    val (n, read) = graft.util.InputMetrics.rowsRead(spark) {
+    // expectNonZero: the clustered bound is `read ≤ N/8` — vacuous at a
+    // slow-bus 0 (round-15 ADVICE)
+    val (n, read) = graft.util.InputMetrics.rowsRead(spark, expectNonZero = true) {
       spark.read.parquet(s"$dir/documents")
         .filter(col("doc_id").isin(ids: _*))
         .select("doc_id", "file_path", "content")
         .collect().length
     }
     assert(n == ids.size) // both layouts agree on the ANSWER
+    assert(read > 0, "rows-read pin needs a real read-out, got 0")
     read
   }
 

@@ -49,7 +49,9 @@ class SkewJoinSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.shuffle.partitions", "32")
       def maxTask(df: => org.apache.spark.sql.DataFrame): Long =
-        graft.util.InputMetrics.maxShuffleRead(spark) {
+        // expectNonZero: both plans shuffle; without it a slow listener
+        // bus can hand back 0 and fail the maxU > 0 assert spuriously
+        graft.util.InputMetrics.maxShuffleRead(spark, expectNonZero = true) {
           df.write.format("noop").mode("overwrite").save()
         }._2
       val maxU = maxTask(SkewProbe.unsalted(li, o))

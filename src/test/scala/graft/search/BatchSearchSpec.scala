@@ -125,10 +125,13 @@ class BatchSearchSpec extends AnyFunSuite {
     val total = ann.postings.count()
     val qs = emb.limit(3).select($"doc_id".as("qid"), $"embedding".as("qvec"))
       .localCheckpoint(true)
-    val (res, read) = graft.util.InputMetrics.rowsRead(spark) {
+    // expectNonZero: the bound below is `read ≤ 70% of total` — a slow
+    // listener bus returning 0 would pass it vacuously (round-15 ADVICE)
+    val (res, read) = graft.util.InputMetrics.rowsRead(spark, expectNonZero = true) {
       ann.probeSearchBatch(qs, "qid", "qvec", nprobe = 1, k = 5).collect()
     }
     assert(res.nonEmpty)
+    assert(read > 0, "rows-read pin needs a real read-out, got 0")
     // 3 queries × nprobe=1 probe ≤3 of the 8 cluster directories — the scan
     // must read well under the whole lists table. Pre-round-15 this read
     // 100% at ANY nprobe: the broadcast cluster join alone never pruned the

@@ -117,12 +117,16 @@ class FatBatchFetchSpec extends AnyFunSuite {
   test("rows read off storage are FLAT in the query count — one corpus " +
       "pass per batch, not one per query") {
     def reads(n: Int): (Int, Long) = {
-      val (c, r) = graft.util.InputMetrics.rowsRead(spark)(batch(n).collect().length)
+      // expectNonZero: `r20 ≤ 2·r2` is vacuous if the listener bus hands
+      // back 0 for both (round-15 ADVICE)
+      val (c, r) = graft.util.InputMetrics.rowsRead(spark,
+        expectNonZero = true)(batch(n).collect().length)
       (c, r)
     }
     val (c2, r2) = reads(2)
     val (c20, r20) = reads(20)
     assert(c2 > 0 && c20 > 0)
+    assert(r2 > 0, "rows-read pin needs a real read-out, got 0")
     // 10× the queries must not approach 10× the reads: the corpus-sized
     // tables are scanned once per batch (the small per-query extras are
     // candidate/termdf rows, far under one corpus pass)

@@ -163,6 +163,62 @@ class ServeReloadSpec extends AnyFunSuite {
     assert(hits(holder.current, "comet").nonEmpty)
   }
 
+  test("a failed reload drops the throttle: the NEXT maybeReload retries " +
+      "immediately instead of serving degraded for the whole interval") {
+    val dir = Files.createTempDirectory("reload-throttledrop").toString
+    IndexData.write(docsDf(Seq("d1" -> "spark runs fast")),
+      Seq(Setting("embedding_model", "test")).toDF(), dir)
+    var failNext = false
+    // huge interval: without the throttle drop, maybeReload after the
+    // failure would be a no-op for an hour — on the RELEASED old generation
+    val holder = ServingIndex.open(spark, dir, () => {
+      if (failNext) { failNext = false; sys.error("torn artifact") }
+      IndexData.load(spark, dir)
+    }, checkIntervalMs = 3600000L)
+    Thread.sleep(5)
+    IndexData.write(docsDf(Seq("d1" -> "spark runs fast", "d2" -> "comet tail dust")),
+      Seq(Setting("embedding_model", "test")).toDF(), dir)
+    failNext = true
+    intercept[RuntimeException](holder.checkAndReload())
+    assert(holder.maybeReload(), "failed load must drop the throttle so the " +
+      "next request-path check retries the load")
+    assert(hits(holder.current, "comet").nonEmpty)
+    assert(!holder.maybeReload(), "healed: throttle applies again")
+  }
+
+  test("a staged swap committed but not yet swapped (crash after _COMMIT, " +
+      "before the renames) moves the fingerprint and reload heals it") {
+    val dir = Files.createTempDirectory("reload-stagedcommit").toString
+    IndexData.write(docsDf(Seq("d1" -> "spark runs fast")),
+      Seq(Setting("embedding_model", "test")).toDF(), dir)
+    val holder = ServingIndex.open(spark, dir, () => warmLoad(dir))
+    assert(hits(holder.current, "nebula").isEmpty)
+    // simulate writeStagedSwap crashing right after the marker commit: the
+    // full staged table set exists under _compact/ with _COMMIT, but no
+    // table rename ran — so no table `_SUCCESS` stamp has moved, and only
+    // the marker's own stamp can carry the change into the fingerprint
+    Thread.sleep(5)
+    IndexData.write(docsDf(Seq(
+        "d1" -> "spark runs fast", "d2" -> "nebula dust collapses")),
+      Seq(Setting("embedding_model", "test")).toDF(),
+      s"$dir/${IndexData.CompactStagingDir}")
+    Files.createFile(Paths.get(dir, IndexData.CompactStagingDir,
+      IndexData.CompactCommitMarker))
+    assert(holder.checkAndReload(),
+      "committed-but-unswapped staging must move the fingerprint")
+    assert(hits(holder.current, "nebula") == Seq("d2"),
+      "the healing reload must complete the swap and serve the new base")
+    // the heal itself moved the table stamps AFTER `v` was taken (version
+    // stamps pre-load by design — changes inside the load window re-check
+    // rather than go missing), so at most ONE settling reload follows,
+    // then the fingerprint is stable
+    holder.checkAndReload()
+    assert(!holder.checkAndReload(), "post-heal: fingerprint stable " +
+      "(marker gone, table stamps settled)")
+    assert(hits(holder.current, "nebula") == Seq("d2"))
+    holder.current.uncacheAll(); ServeSearch.releaseScored(holder.current)
+  }
+
   test("MCP server rejects a search tool named like the reload tool") {
     intercept[IllegalArgumentException] {
       new McpServer("reload_index", "d", (_, _) => "{}",
