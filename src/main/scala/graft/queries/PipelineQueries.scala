@@ -1133,6 +1133,32 @@ object PipelineQueries {
         "1 + CAST(octet_length(encode(text)) AS BIGINT) % 4 AS channels " +
         "FROM documents ORDER BY doc_id")),
 
+    // REAL image decode (round-15 directive #1): deterministic PNG / JPEG /
+    // GIF fixture payloads with closed-form dimensions, parsed back by the
+    // pure-Scala header parsers ([[Multimodal.HeaderParseDecoder]] — actual
+    // container bytes in, actual IHDR/SOFn/screen-descriptor fields out;
+    // garbage payloads → nulls). The oracle restates the fixtures'
+    // closed-form metadata in SQL, so a parser reading the wrong offset,
+    // endianness, or segment is a hash mismatch — not a vacuous pass.
+    Q("q_mm_decode_real",
+      (s, d) => {
+        import s.implicits._
+        val gen = t(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+          .map(id => (id, Multimodal.ImageFixtures.payload(id)))
+          .toDF("doc_id", "payload")
+        Multimodal.decodeImageMeta(gen, "doc_id", "payload")
+          .toDF().orderBy("doc_id")
+      },
+      Some("SELECT doc_id, " +
+        "CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 41 WHEN 2 THEN 14 " +
+        "ELSE 16 END AS BIGINT) AS n_bytes, " +
+        "CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif' " +
+        "ELSE NULL END AS format, " +
+        "CASE WHEN doc_id % 4 = 3 THEN NULL ELSE 1 + (doc_id * 7) % 640 END AS width, " +
+        "CASE WHEN doc_id % 4 = 3 THEN NULL ELSE 1 + (doc_id * 13) % 480 END AS height, " +
+        "CASE WHEN doc_id % 4 = 3 THEN NULL ELSE 3 END AS channels " +
+        "FROM documents ORDER BY doc_id")),
+
     // Frame sampling: one row per sampled frame with deterministic stride —
     // the one-to-many media op (explode of a generated index range)
     Q("q_mm_frame_sample",
