@@ -49,6 +49,13 @@ final case class IndexData(
     ann: Option[AnnIndex] = None,
     // PQ sidecar: codes-only ADC shortlist + exact rerank (`--ann pq`)
     pq: Option[PqIndex] = None,
+    // positional postings sidecar (doc_id, term, pos — `positions/`,
+    // term-clustered like postings): the phrase-search index path
+    // ([[graft.search.PhraseSearch]]). None on artifacts written before
+    // the layout or whose pending segments lack position deltas — the
+    // serving `--phrase` filter then falls back to the candidate token
+    // scan (same results, per-candidate cost instead of a pruned probe)
+    positions: Option[DataFrame] = None,
     // number of uncompacted append-merge segments the live view spans
     pendingSegments: Int = 0,
     // whether every pending segment carries its frozen-model sidecar deltas
@@ -68,7 +75,11 @@ final case class IndexData(
     stats = stats.cache(),
     settings = settings.cache(),
     ann = ann.map(_.cached()),
-    pq = pq.map(_.cached()))
+    pq = pq.map(_.cached()),
+    // positions stay UNCACHED by design: the phrase probe's value is the
+    // row-group-pruned parquet scan (df-proportional reads), and pinning a
+    // Σdl-sized table for an opt-in filter would double serving memory
+    positions = positions)
 
   /** Drop every cache pin [[cached]] registered (serving teardown / reload).
     * Unpersisting is by canonicalized plan, so this releases the executor
@@ -82,6 +93,7 @@ final case class IndexData(
       .foreach(_.unpersist(blocking))
     ann.foreach { a => a.centroids.unpersist(blocking); a.postings.unpersist(blocking) }
     pq.foreach { p => p.codes.unpersist(blocking); p.codebooks.unpersist(blocking) }
+    positions.foreach(_.unpersist(blocking))
   }
 
   /** S6-style point lookup (reference `src/db.py:181-196`). */
@@ -158,6 +170,17 @@ final case class IndexData(
     doclen.write.mode("overwrite").parquet(s"$dir/doclen")
     stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
     settings.coalesce(1).write.mode("overwrite").parquet(s"$dir/settings")
+    // positional sidecar, when the instance carries one — same
+    // term-clustered layout as postings so phrase probes prune
+    positions.foreach { pos =>
+      // EXPLICIT partition count: without it AQE coalesces the tiny-range
+      // shuffle to one near-full-range file and term pruning has nothing
+      // to prune (same rule as writeDocsClustered's explicit parts)
+      val n = pos.sparkSession.sessionState.conf.numShufflePartitions
+      pos.repartitionByRange(n, col("term"))
+        .sortWithinPartitions("term", "doc_id", "pos")
+        .write.mode("overwrite").parquet(s"$dir/${IndexData.PositionsDir}")
+    }
   }
 }
 
@@ -239,6 +262,20 @@ object IndexData {
     Bm25.docFreq(spark.read.parquet(s"$dir/postings"))
       .repartitionByRange(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$dir/termdf")
+    // positional sidecar (round-15 directive #3): per-occurrence
+    // (doc_id, term, pos) rows, term-clustered + term-sorted like postings
+    // so a phrase probe's pushed `term = 'x'` predicates prune row groups
+    // — the index path that makes serving `--phrase` and batch phrase
+    // queries df-proportional instead of a corpus token scan. Derived from
+    // the written parquet like every other stats table (the lineage runs
+    // once). Costs ~Σ dl rows of (id, dict-coded term, delta-coded int).
+    Bm25.positionalPostings(docsOnDisk, carry = carry)
+      // explicit N: AQE would otherwise coalesce a small artifact's range
+      // shuffle into one full-range file, losing the per-file term stats
+      // the phrase probe prunes on
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions, col("term"))
+      .sortWithinPartitions("term", "doc_id", "pos")
+      .write.mode("overwrite").parquet(s"$dir/$PositionsDir")
     doclen.write.mode("overwrite").parquet(s"$dir/doclen")
     Bm25.corpusStats(doclen).coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
     settings.coalesce(1).write.mode("overwrite").parquet(s"$dir/settings")
@@ -306,6 +343,11 @@ object IndexData {
 
   val SegDir = "seg"
 
+  /** Positional postings sidecar dir — (doc_id, term, pos) per occurrence,
+    * the phrase-search index path. Optional like the ann/pq sidecars:
+    * absent → `--phrase` degrades to the candidate token filter. */
+  val PositionsDir = "positions"
+
   /** Staging dir for [[write]]'s one-pass-lineage documents write; a
     * leftover from a crash is never read by [[load]] (which opens named
     * table dirs only) and is overwritten then deleted by the next write.
@@ -364,7 +406,7 @@ object IndexData {
       catch { case _: java.io.FileNotFoundException => s"$rel:-" }
     }
     val base = Seq("documents", "postings", "termdf", "doclen", "stats", "settings",
-      AnnIndex.CentroidsDir, AnnIndex.PostingsDir,
+      PositionsDir, AnnIndex.CentroidsDir, AnnIndex.PostingsDir,
       PqIndex.CodebooksDir, PqIndex.CodesDir).map(stamp)
     // the staged-swap _COMMIT marker too: a writer that crashed after
     // committing the marker but before the first table rename has CHANGED
@@ -412,7 +454,7 @@ object IndexData {
     // one marker — a torn swap can never pair the folded base (segments
     // gone) with sidecars that only covered the old base
     Seq("documents", "postings", "termdf", "doclen", "stats", "settings",
-        AnnIndex.CentroidsDir, AnnIndex.PostingsDir,
+        PositionsDir, AnnIndex.CentroidsDir, AnnIndex.PostingsDir,
         PqIndex.CodebooksDir, PqIndex.CodesDir)
       .foreach { d =>
         val src = new org.apache.hadoop.fs.Path(staging, d)
@@ -457,6 +499,9 @@ object IndexData {
     def postingsView(df: DataFrame): DataFrame =
       df.select(("doc_id" +: "term" +: "tf" +:
         (if (df.columns.contains("dl")) Seq("dl") else Nil)).map(col): _*)
+    val fsRoot = settingsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def hasPositions(root: String): Boolean =
+      fsRoot.exists(new org.apache.hadoop.fs.Path(root, s"$PositionsDir/_SUCCESS"))
     if (segs.isEmpty) IndexData(
       documents = spark.read.parquet(s"$dir/documents"),
       postings = postingsView(spark.read.parquet(s"$dir/postings")),
@@ -465,7 +510,12 @@ object IndexData {
       stats = spark.read.parquet(s"$dir/stats"),
       settings = settings,
       ann = AnnIndex.load(spark, dir),
-      pq = PqIndex.load(spark, dir))
+      pq = PqIndex.load(spark, dir),
+      positions =
+        if (hasPositions(dir))
+          Some(spark.read.parquet(s"$dir/$PositionsDir")
+            .select("doc_id", "term", "pos"))
+        else None)
     else {
       // latest replacing generation per replaced path — the one mask frame
       val tombMax = segs.map { case (n, p) =>
@@ -542,6 +592,15 @@ object IndexData {
           if (pqCovered)
             basePq.map(q => q.copy(codes = liveById(q.codes, PqIndex.CodesDir)))
           else basePq,
+        // positions assemble through the SAME tombstone mask as the other
+        // file_path-carrying tables — but only when every pending segment
+        // wrote its position delta; a partial view would silently drop
+        // phrase matches from segment docs, so coverage gaps degrade to
+        // None (the token-filter fallback is always correct)
+        positions =
+          if (hasPositions(dir) && segs.forall { case (_, p) => hasPositions(p) })
+            Some(live(PositionsDir).select("doc_id", "term", "pos"))
+          else None,
         pendingSegments = segs.size,
         sidecarsCoverSegments =
           (baseAnn.isEmpty || annCovered) && (basePq.isEmpty || pqCovered))

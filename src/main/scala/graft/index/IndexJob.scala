@@ -417,6 +417,16 @@ object IndexJob {
     Bm25.postings(segDocs, carry = carry, withDl = true)
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(s"$segDir/postings")
+    // positional sidecar delta: when the base carries positions/, each
+    // segment must too, or [[IndexData.load]] degrades the assembled view
+    // to None (a partial positional index would silently drop phrase
+    // matches from segment docs). O(delta) like the other per-segment
+    // tables; term-sorted so phrase probes prune segment files as well.
+    if (fsSeg.exists(new org.apache.hadoop.fs.Path(
+        indexDir, s"${IndexData.PositionsDir}/_SUCCESS")))
+      Bm25.positionalPostings(segDocs, carry = carry)
+        .sortWithinPartitions("term", "doc_id", "pos")
+        .write.mode("overwrite").parquet(s"$segDir/${IndexData.PositionsDir}")
     val plus = Bm25.docFreq(spark.read.parquet(s"$segDir/postings"))
     val deadDocs = pre.documents.join(broadcast(replaced), Seq("file_path"))
     val minus = Bm25.docFreq(Bm25.postings(deadDocs))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
 import graft.queries.Q.t
-import graft.search.{Bm25, HybridSearch}
+import graft.search.{Bm25, HybridSearch, PhraseSearch}
 
 /** The search-engine surface over the testdata corpus: BM25 statistics
   * (F1–F4), vector distance + top-k (V1/V2), candidate union (U1), score
@@ -110,6 +110,26 @@ object SearchQueries {
         "i -> toks[i] = 'table' AND toks[i + 1] = 'value')) AS BIGINT) AS n_matches " +
         "FROM toks WHERE len(toks) >= 2) " +
         "SELECT doc_id, n_matches FROM m WHERE n_matches > 0 ORDER BY doc_id")),
+
+    // The SAME phrase via positional postings (round-15 directive #3): the
+    // index path — per-occurrence (doc_id, term, pos) rows, adjacency as a
+    // self-join on (doc_id, pos+1) restricted to the phrase's terms. On an
+    // artifact the positions table is persisted term-clustered and each
+    // leg's pushed `term = 'x'` prunes to that term's occurrence list
+    // (df-proportional reads — PhrasePostingsSpec pins rows-read); the
+    // token-scan formulation above stays as the batch pre-filter. Results
+    // must be IDENTICAL to q_phrase_match (same oracle output shape).
+    Q("q_phrase_postings",
+      (s, d) => PhraseSearch.phraseMatches(
+          Bm25.positionalPostings(docs(s, d)), Seq("table", "value"))
+        .orderBy("doc_id"),
+      Some(s"WITH ${Q.toksCte}, " +
+        "p AS (SELECT doc_id, unnest(toks) AS term, " +
+        "unnest(generate_series(1, len(toks))) AS pos FROM toks), " +
+        "m AS (SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_matches " +
+        "FROM p p0 JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1 " +
+        "WHERE p0.term = 'table' AND p1.term = 'value' GROUP BY p0.doc_id) " +
+        "SELECT doc_id, n_matches FROM m ORDER BY doc_id")),
 
     // F1: document lengths
     Q("q_f1_doclen",

@@ -70,6 +70,22 @@ object Bm25 {
         dlOut ++ carry.map(c => first(col(c)).as(c)): _*)
   }
 
+  /** F2-positional: one row per token OCCURRENCE — (doc_id, term, pos),
+    * pos 1-indexed (the engine's X3 convention). The same explode pipeline
+    * as [[postings]] without the aggregate; written term-clustered +
+    * term-sorted it is the positional index ("Lucene .prx" role) that turns
+    * phrase adjacency into a pruned self-join instead of a corpus token
+    * scan ([[PhraseSearch]]). Row count = Σ dl — bigger than postings by
+    * the mean tf (~1–2× on natural text), the classic positional-index
+    * price. `carry` as in [[postings]] (file_path for segment masking). */
+  def positionalPostings(docs: DataFrame, idCol: String = "doc_id",
+      tokensCol: String = "tokens", carry: Seq[String] = Nil): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id") +: posexplode(col(tokensCol)).as(Seq("_p", "term")) +:
+        carry.map(col): _*)
+      .select(col("doc_id") +: col("term") +: (col("_p") + 1).cast("int").as("pos") +:
+        carry.map(col): _*)
+
   /** F3: document frequency per term. `postings` is already distinct per
     * (doc_id, term), so a plain count suffices — no countDistinct shuffle. */
   def docFreq(postings: DataFrame): DataFrame =

@@ -1,0 +1,44 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Phrase (adjacency) search over a POSITIONAL postings table — the index
+  * path that replaces the per-query corpus token scan (round-15 directive
+  * #3). The positions table ([[Bm25.positionalPostings]]; artifact sidecar
+  * `positions/`, term-clustered + term-sorted like the postings layout)
+  * makes a phrase query a chain of PRUNED equality probes joined on
+  * (doc_id, aligned pos): each leg's `term = 'x'` predicate pushes to the
+  * parquet scan and row-group min/max stats cut the read to that term's
+  * occurrence list, so the whole query reads Σ df(tᵢ)-proportional rows —
+  * corpus-flat, where the token-scan formulation (`q_phrase_match`) reads
+  * every tokens array per query. PhrasePostingsSpec pins both the result
+  * parity and the rows-read bound.
+  */
+object PhraseSearch {
+
+  /** Documents containing `terms` as an ADJACENT run, with occurrence
+    * counts: (doc_id, n_matches). The classic positional self-join — leg i
+    * probes `term = terms(i)` and aligns on `pos − i`, so a surviving
+    * (doc_id, pos) pair marks a full phrase occurrence starting at pos.
+    * A 1-term "phrase" degenerates to (doc_id, tf) — consistent.
+    *
+    * Join shape at scale: every leg is a pruned probe of the positions
+    * table (df-proportional, NOT corpus-proportional), and the n−1 joins
+    * key on (doc_id, pos) — shuffles of probe-sized inputs only. Duplicate
+    * phrase terms ("to be to") work: each leg filters by VALUE, and the
+    * position alignment keeps occurrences distinct. */
+  def phraseMatches(positions: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "phraseMatches needs a non-empty phrase")
+    val leg0 = positions.filter(col("term") === terms.head)
+      .select(col("doc_id"), col("pos"))
+    terms.zipWithIndex.drop(1).foldLeft(leg0) { case (acc, (t, i)) =>
+        acc.join(
+          positions.filter(col("term") === t)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+      }
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_matches"))
+  }
+}

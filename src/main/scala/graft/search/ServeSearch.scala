@@ -238,7 +238,23 @@ object ServeSearch {
       }
     }
     if (opts.phraseOnly && terms.nonEmpty)
-      hits = hits.filter(h => phraseLocal(h.tokens, terms))
+      hits = index.positions match {
+        // index path (round-15 directive #3): adjacency via the positional
+        // postings self-join, restricted to the ≤2k candidate ids — each
+        // phrase-term leg is a pruned probe of the term-clustered
+        // positions sidecar (pushed equality + row-group stats), never a
+        // token-array scan. Results are IDENTICAL to the token filter
+        // (PhrasePostingsSpec pins parity); artifacts without the sidecar
+        // keep the driver-local candidate token scan.
+        case Some(pos) if hits.nonEmpty =>
+          val candIds = hits.map(_.docId)
+          val allowed = PhraseSearch.phraseMatches(
+              pos.filter(col("doc_id").isin(candIds: _*)), terms)
+            .select("doc_id").collect()
+            .map(r => String.valueOf(r.get(0))).toSet
+          hits.filter(h => allowed.contains(h.docId))
+        case _ => hits.filter(h => phraseLocal(h.tokens, terms))
+      }
 
     val reranked = reranker match {
       case Some(rr) if opts.rerank =>

@@ -1,0 +1,122 @@
+package graft.search
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.core.Schemas.Setting
+import graft.index.IndexData
+
+/** Positional-postings phrase search (round-15 directive #3): adjacency as
+  * a pruned self-join over the `positions/` sidecar instead of a per-query
+  * corpus token scan. Pins (a) result parity with the token-scan
+  * formulation on adversarial token streams, (b) the ROWS-READ bound on a
+  * persisted artifact — the index path reads the phrase terms' occurrence
+  * lists, not the corpus, and (c) the serving `--phrase` filter producing
+  * identical results through the index path and the token-filter fallback. */
+class PhrasePostingsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Driver-local reference count of adjacent runs (overlap-counting, same
+    * as the q_phrase_match HOF). */
+  private def localMatches(tokens: Seq[String], phrase: Seq[String]): Int =
+    if (tokens.length < phrase.length) 0
+    else (0 to tokens.length - phrase.length)
+      .count(i => phrase.indices.forall(j => tokens(i + j) == phrase(j)))
+
+  test("parity: the positional self-join counts exactly the adjacent runs " +
+      "the token scan counts — repeats, overlaps, duplicate phrase terms") {
+    val docs = Seq(
+      1L -> Seq("table", "value", "x", "table", "value"), // 2 matches
+      2L -> Seq("value", "table", "x"),                   // wrong order: 0
+      3L -> Seq("table", "x", "value"),                   // gap: 0
+      4L -> Seq("table", "value"),                        // exact: 1
+      5L -> Seq("a", "a", "a"),                           // self-overlap fixture
+      6L -> Seq("to", "be", "to", "be", "to"),            // duplicate terms
+      7L -> Seq("table"),                                 // too short
+      8L -> Seq.empty[String]
+    ).toDF("doc_id", "tokens")
+    val pos = Bm25.positionalPostings(docs)
+
+    def check(phrase: Seq[String]): Unit = {
+      val got = PhraseSearch.phraseMatches(pos, phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = docs.collect()
+        .map(r => r.getLong(0) -> localMatches(r.getSeq[String](1), phrase).toLong)
+        .filter(_._2 > 0).toMap
+      assert(got == want, s"phrase=$phrase")
+    }
+    check(Seq("table", "value"))
+    check(Seq("a", "a"))          // overlapping runs: doc 5 has 2
+    check(Seq("to", "be", "to"))  // duplicate phrase terms: doc 6 has 2
+    check(Seq("table"))           // 1-term phrase ≡ tf
+    check(Seq("absent", "term"))  // empty result
+  }
+
+  // an artifact whose corpus is dominated by filler terms lexically AROUND
+  // the phrase terms — the positions probe must read only the phrase
+  // terms' occurrence lists (row-group stats on the term-sorted layout)
+  private lazy val artifactDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("phrasepost").toString
+    val n = 4096
+    val docs = (0 until n).map { i =>
+      val toks =
+        if (i % 64 == 0) Seq("table", "value", s"zfill$i")
+        else Seq(s"afill$i", s"mfill$i", s"zfill$i", s"qfill$i")
+      (i.toString, toks.mkString(" "), toks)
+    }.toDF("doc_id", "content", "tokens")
+      .withColumn("embedding", lit(null).cast("array<float>"))
+      .withColumn("file_path", concat(lit("docs/"), col("doc_id")))
+      .withColumn("header_path", lit(""))
+      .withColumn("line_start", lit(1)).withColumn("line_end", lit(1))
+    // scale-representative file granularity: positions/ range-clusters by
+    // term into shuffle.partitions files — at TestSpark's tiny default the
+    // whole fixture is one near-full-range file and row-group pruning has
+    // nothing to prune (a 100 TB artifact has thousands of term-ranged
+    // files; DocFetchPruneSpec takes the same approach for doc_id)
+    val partsWas = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      IndexData.write(docs, Seq(Setting("embedding_model", "test")).toDF(), d)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", partsWas)
+    d
+  }
+
+  test("artifact phrase probe reads the phrase terms' lists, not the " +
+      "corpus (rows-read on the persisted positions sidecar)") {
+    val index = IndexData.load(spark, artifactDir)
+    val pos = index.positions.getOrElse(fail("artifact must carry positions/"))
+    val total = pos.count()
+    val (rows, read) = graft.util.InputMetrics.rowsRead(spark, expectNonZero = true) {
+      PhraseSearch.phraseMatches(pos, Seq("table", "value")).collect()
+    }
+    assert(rows.length == 4096 / 64)
+    assert(rows.forall(_.getLong(1) == 1L))
+    assert(read > 0, "rows-read pin needs a real read-out")
+    // 64 phrase docs × 2 phrase tokens among ~16k total occurrences: the
+    // pruned probe must read well under the corpus-sized table (each leg
+    // reads its term's row groups; generous 25% bound absorbs row-group
+    // granularity on a small fixture)
+    assert(read <= total / 4, s"phrase probe read $read of $total position rows")
+  }
+
+  test("serving --phrase: the positions index path and the token-filter " +
+      "fallback return identical results") {
+    val index = IndexData.load(spark, artifactDir)
+    assert(index.positions.isDefined)
+    def ids(i: IndexData): Seq[String] =
+      ServeSearch.search(i, "table value",
+        analyzer = graft.analyze.WhitespaceAnalyzer,
+        opts = HybridSearch.Options(k = 10, phraseOnly = true))
+        .select("doc_id").as[String].collect().toSeq
+    val viaIndex = ids(index)
+    val viaTokens = ids(index.copy(positions = None))
+    assert(viaIndex == viaTokens, s"index=$viaIndex tokens=$viaTokens")
+    assert(viaIndex.nonEmpty, "phrase docs exist and score for the query")
+    // and the filter really bites: without phraseOnly more docs return
+    val unfiltered = ServeSearch.search(index, "table value",
+      analyzer = graft.analyze.WhitespaceAnalyzer,
+      opts = HybridSearch.Options(k = 10, phraseOnly = false)).count()
+    assert(unfiltered >= viaIndex.length)
+  }
+}
