@@ -110,9 +110,14 @@ object SessionizeStream {
       }
     }
     // a run still pending at batch end closes as one session (it cannot
-    // persist — state holds exactly the open session); a straggler burst
-    // SPLIT ACROSS micro-batches still closes per batch, the documented
-    // residual of single-open-session state
+    // persist — state holds exactly the open session). A straggler burst
+    // SPLIT ACROSS micro-batches therefore closes per batch — and that
+    // over-split is the ONLY divergence from the batch sessionizer, a
+    // bound PINNED as the refinement property in SessionizeProperties:
+    // under arbitrary cross-batch disorder the streamed sessions always
+    // partition each batch session's event set exactly (never a merge
+    // across two batch sessions, never a leaked count, never a span past
+    // the chain's own)
     flushPre()
     cur match {
       case Some(st) =>

@@ -102,6 +102,55 @@ object SessionizeProperties extends Properties("sessionize") {
       }
     }
 
+  /** The batch sessionizer's chains as MEMBER LISTS (the partition the
+    * refinement property compares against). */
+  private def batchChains(evts: Seq[Event]): List[List[Event]] = {
+    val sorted = evts.sortBy(e => (e.ts, e.event_id))
+    if (sorted.isEmpty) return Nil
+    sorted.tail.foldLeft(List(List(sorted.head))) { (acc, e) =>
+      if (e.ts - acc.head.head.ts <= Gap) (e :: acc.head) :: acc.tail
+      else List(e) :: acc
+    }.map(_.reverse).reverse
+  }
+
+  /** THE divergence bound (round-15 directive #5 — replaces the
+    * "straggler runs split across micro-batches close per batch" residual
+    * comment with a pinned contract): under ARBITRARY cross-batch disorder
+    * the streamed sessions are a REFINEMENT of the batch partition —
+    * every streamed session's events lie inside exactly one batch session,
+    * and the streamed sessions anchored in a batch session partition it
+    * exactly. Over-splitting (a straggler run closing per batch) is the
+    * ONLY permitted divergence; merging events across two batch sessions,
+    * leaking counts between chains, or stretching a session past its
+    * chain's span can never happen. */
+  property("cross-batch disorder only ever over-splits: streamed sessions " +
+      "refine the batch session partition") =
+    forAll(eventsGen, Gen.long) { (evts, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val shuffled = rnd.shuffle(evts)
+      forAll(cutsGen(shuffled.size)) { cuts =>
+        val (closed, open) = drain(splitAt(shuffled, cuts))
+        val chains = batchChains(evts)
+        val chainOf = chains.zipWithIndex
+          .flatMap { case (c, i) => c.map(e => e.event_id -> i) }.toMap
+        // streamed sessions as (anchor member, n, duration) — open included
+        val streamed = closed.map(s => (s.first_event, s.n_events, s.duration_s)) ++
+          open.map(s => (s.firstEvent, s.nEvents, (s.lastTs - s.startTs) / Sec)).toSeq
+        val byChain = streamed.groupBy { case (anchor, _, _) => chainOf(anchor) }
+        chains.zipWithIndex.forall { case (chain, i) =>
+          val pieces = byChain.getOrElse(i, Nil)
+          // exact cover: the pieces anchored here hold exactly this chain's
+          // events (a cross-chain merge leaks counts between chains and
+          // breaks this sum on both sides)
+          pieces.map(_._2).sum == chain.size.toLong &&
+          // no piece outlives its chain's span, and the earliest anchor is
+          // the chain's own first event
+          pieces.forall(_._3 <= (chain.last.ts - chain.head.ts) / Sec) &&
+          (pieces.isEmpty || pieces.map(_._1).min == chain.map(_.event_id).min)
+        } :| s"closed=$closed open=$open chains=${chains.map(_.map(_.event_id))}"
+      }
+    }
+
   property("arbitrary (cross-batch-disordered) delivery conserves events and " +
       "never emits a negative duration or an event-free session") =
     forAll(eventsGen, Gen.long) { (evts, seed) =>
