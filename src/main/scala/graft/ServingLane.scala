@@ -206,9 +206,33 @@ object ServingLane {
           org.apache.commons.io.FileUtils.copyDirectory(
             new java.io.File(idxDir), new java.io.File(diskDir))
           val diskIdx = graft.index.IndexData.load(spark, diskDir)
+          // deterministic READ-AMPLIFICATION guard for the cold path
+          // (round-15 directive #2, adjudicated in PLANS.md round-16): the
+          // pre-fix ann_postings layout carried up to shuffle.partitions
+          // files PER CLUSTER (506 on this artifact), and each file costs
+          // a parquet footer round-trip on a cold probe — the driver-run
+          // disk_ivf_auto p50 inverted the pruning win (992 ms vs
+          // disk_exact 144). The clustered write bounds files at
+          // ~N_shuffle + K total; this guard is pure layout (no timing),
+          // so host noise cannot flip it while a layout regression must.
+          val fpc = {
+            val root = new java.io.File(
+              s"$diskDir/${graft.index.AnnIndex.PostingsDir}")
+            Option(root.listFiles()).getOrElse(Array.empty)
+              .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+              .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+          }
+          val annFiles = fpc.sum
+          val filesBound =
+            spark.sessionState.conf.numShufflePartitions + fpc.length
           mode("disk_exact", "", Texts, serveRun(diskIdx, lookup)(0, 0)) + "," +
             mode("disk_ivf_auto", s""""nprobe":$autoNprobe,""", Texts,
-              serveRun(diskIdx, lookup)(autoNprobe, 0))
+              serveRun(diskIdx, lookup)(autoNprobe, 0)) + "," +
+            s""""disk_ivf_guard":{"ann_files":$annFiles,""" +
+            s""""clusters":${fpc.length},""" +
+            s""""max_files_per_cluster":${if (fpc.isEmpty) 0 else fpc.max},""" +
+            s""""files_bound":$filesBound,""" +
+            s""""ok":${fpc.nonEmpty && annFiles <= filesBound}}"""
         }) :+
         // in-run regression guard, immune to host noise (both paths measured
         // this run over the same warm artifact): the production ServeSearch

@@ -345,6 +345,28 @@ object AnnIndex {
       .select(col("cid").as("cluster"), col("doc_id"), col("embedding"),
         col("centroid_dist").as("assign_dist"))
 
+  /** THE cluster-partitioned sidecar write (ann lists, cluster-carrying pq
+    * codes): range-cluster on (cluster, doc_id) with an EXPLICIT partition
+    * count before `partitionBy("cluster")`, so each write task holds whole
+    * (cluster, id-range) slabs and a cluster dir gets ~⌈N/K⌉ files instead
+    * of one per (shuffle partition × cluster). The raw `partitionBy` write
+    * produced up to 32 files PER CLUSTER at local[32] (506 files on the
+    * sf0.1 bench artifact) — on a cold disk-backed probe each file costs a
+    * parquet footer round-trip, the read amplification behind the round-15
+    * `disk_ivf_auto` spread (992 ms driver-run p50 vs 278 pinned; see
+    * PLANS.md round-16 adjudication). `parts = Some(1)` for O(delta)
+    * append segments (≤1 file per non-empty cluster); default sizes to the
+    * session's shuffle parallelism, which also keeps the build
+    * write-parallel at 100 TB where a one-task-per-cluster shape would
+    * serialize corpus/K bytes through single writers. */
+  private[graft] def writeClusterPartitioned(df: DataFrame, dest: String,
+      parts: Option[Int] = None): Unit = {
+    val n = parts.getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions)
+    df.repartitionByRange(n, col("cluster"), col("doc_id"))
+      .sortWithinPartitions("cluster", "doc_id")
+      .write.mode("overwrite").partitionBy("cluster").parquet(dest)
+  }
+
   /** Fit + assign + persist into an existing index artifact directory. */
   def buildAndWrite(
       docs: DataFrame, idCol: String, vecCol: String,
@@ -354,8 +376,8 @@ object AnnIndex {
       // tiny (K rows) but read by every query — one file, materialized once
       .coalesce(1).localCheckpoint(true)
     centroids.write.mode("overwrite").parquet(s"$dir/$CentroidsDir")
-    buildPostings(docs, idCol, vecCol, centroids)
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/$PostingsDir")
+    writeClusterPartitioned(
+      buildPostings(docs, idCol, vecCol, centroids), s"$dir/$PostingsDir")
     load(spark, dir).getOrElse(sys.error(s"AnnIndex write to $dir not readable back"))
   }
 

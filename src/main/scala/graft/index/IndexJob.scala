@@ -447,23 +447,24 @@ object IndexJob {
     // so the --ann paths cover segment docs without waiting for compaction
     val segAnnAssign = pre.ann.map { ann =>
       val centroids = ann.centroids.localCheckpoint(true)
-      AnnIndex.buildPostings(segDocs, "doc_id", "embedding", centroids)
-        .write.mode("overwrite").partitionBy("cluster")
-        .parquet(s"$segDir/${AnnIndex.PostingsDir}")
+      AnnIndex.writeClusterPartitioned(
+        AnnIndex.buildPostings(segDocs, "doc_id", "embedding", centroids),
+        s"$segDir/${AnnIndex.PostingsDir}", parts = Some(1))
       spark.read.parquet(s"$segDir/${AnnIndex.PostingsDir}")
     }
     pre.pq.foreach { pq =>
       val books = pq.codebooks.localCheckpoint(true)
       val codes = PqIndex.encode(segDocs, "doc_id", "embedding", books)
-      (if (pq.codes.columns.contains("cluster")) segAnnAssign match {
+      ((if (pq.codes.columns.contains("cluster")) segAnnAssign else None) match {
         // composed ivf×pq base: segment codes keep the cluster partitioning
         // so the probe-pruned ADC path prunes segment files too
         case Some(assign) =>
-          codes.join(assign.select(col("cluster"), col("doc_id")), Seq("doc_id"))
-            .write.partitionBy("cluster")
-        case None => codes.write
-      } else codes.write)
-        .mode("overwrite").parquet(s"$segDir/${PqIndex.CodesDir}")
+          AnnIndex.writeClusterPartitioned(
+            codes.join(assign.select(col("cluster"), col("doc_id")), Seq("doc_id")),
+            s"$segDir/${PqIndex.CodesDir}", parts = Some(1))
+        case None =>
+          codes.write.mode("overwrite").parquet(s"$segDir/${PqIndex.CodesDir}")
+      })
     }
     upsertSettingsOnDisk(spark, indexDir,
       settings.collect().map(r => r.getString(0) -> r.getString(1)).toSeq)
@@ -541,9 +542,9 @@ object IndexJob {
       val centroids = ann.centroids.localCheckpoint(true)
       centroids.coalesce(1).write.mode("overwrite")
         .parquet(s"$staging/${AnnIndex.CentroidsDir}")
-      AnnIndex.buildPostings(staged.documents, "doc_id", "embedding", centroids)
-        .write.mode("overwrite").partitionBy("cluster")
-        .parquet(s"$staging/${AnnIndex.PostingsDir}")
+      AnnIndex.writeClusterPartitioned(
+        AnnIndex.buildPostings(staged.documents, "doc_id", "embedding", centroids),
+        s"$staging/${AnnIndex.PostingsDir}")
     }
     live.pq.foreach { pq =>
       val books = pq.codebooks.localCheckpoint(true)
@@ -551,11 +552,11 @@ object IndexJob {
         .parquet(s"$staging/${PqIndex.CodebooksDir}")
       val codes = PqIndex.encode(staged.documents, "doc_id", "embedding", books)
       (if (live.ann.isDefined)
-        codes.join(spark.read.parquet(s"$staging/${AnnIndex.PostingsDir}")
-            .select(col("cluster"), col("doc_id")), Seq("doc_id"))
-          .write.partitionBy("cluster")
-      else codes.write)
-        .mode("overwrite").parquet(s"$staging/${PqIndex.CodesDir}")
+        AnnIndex.writeClusterPartitioned(
+          codes.join(spark.read.parquet(s"$staging/${AnnIndex.PostingsDir}")
+            .select(col("cluster"), col("doc_id")), Seq("doc_id")),
+          s"$staging/${PqIndex.CodesDir}")
+      else codes.write.mode("overwrite").parquet(s"$staging/${PqIndex.CodesDir}"))
     }
     // commit point: the swap tears the artifact if interrupted, so it only
     // begins once the marker exists — from here any reader that finds the
@@ -598,9 +599,9 @@ object IndexJob {
         val codes = PqIndex.encode(written.documents, "doc_id", "embedding", books)
         written.ann.map(_.postings) match {
           case Some(assign) =>
-            codes.join(assign.select(col("cluster"), col("doc_id")), Seq("doc_id"))
-              .write.mode("overwrite").partitionBy("cluster")
-              .parquet(s"$indexDir/${PqIndex.CodesDir}")
+            AnnIndex.writeClusterPartitioned(
+              codes.join(assign.select(col("cluster"), col("doc_id")), Seq("doc_id")),
+              s"$indexDir/${PqIndex.CodesDir}")
           case None =>
             codes.write.mode("overwrite").parquet(s"$indexDir/${PqIndex.CodesDir}")
         }
@@ -682,9 +683,9 @@ object IndexJob {
       case Some(existing) =>
         // frozen centroids: re-assign the merged corpus into the lists
         val centroids = existing.centroids.localCheckpoint(true)
-        AnnIndex.buildPostings(written.documents, "doc_id", "embedding", centroids)
-          .write.mode("overwrite").partitionBy("cluster")
-          .parquet(s"$indexDir/${AnnIndex.PostingsDir}")
+        AnnIndex.writeClusterPartitioned(
+          AnnIndex.buildPostings(written.documents, "doc_id", "embedding", centroids),
+          s"$indexDir/${AnnIndex.PostingsDir}")
         val ann = AnnIndex.load(spark, indexDir)
         val cur = ann.map(_.meanAssignDist).getOrElse(0.0)
         // fit-time baseline; artifacts from before the drift contract have

@@ -252,8 +252,9 @@ object PqIndex {
     val codes = encode(docs, idCol, vecCol, books)
     clusterOf match {
       case Some(assign) =>
-        codes.join(assign.select(col("cluster"), col("doc_id")), Seq("doc_id"))
-          .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/$CodesDir")
+        AnnIndex.writeClusterPartitioned(
+          codes.join(assign.select(col("cluster"), col("doc_id")), Seq("doc_id")),
+          s"$dir/$CodesDir")
       case None =>
         codes.write.mode("overwrite").parquet(s"$dir/$CodesDir")
     }

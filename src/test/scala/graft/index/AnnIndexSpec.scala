@@ -81,6 +81,16 @@ class AnnIndexSpec extends AnyFunSuite {
     // every embedded document is in exactly one inverted list
     assert(ann.postings.count() == index.documents.filter(col("embedding").isNotNull).count())
     assert(ann.postings.select("doc_id").distinct().count() == ann.postings.count())
+    // FILE-COUNT bound (round-16, the disk_ivf_auto adjudication): the
+    // clustered write keeps total list files ≤ shuffle.partitions + K —
+    // the raw partitionBy write scattered up to one file per (shuffle
+    // partition × cluster) and a cold probe paid a footer round-trip per
+    // file (506 files on the sf0.1 bench artifact; see PLANS.md round-16)
+    val files = new java.io.File(s"$artifactDir/${AnnIndex.PostingsDir}")
+      .listFiles().filter(_.getName.startsWith("cluster="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(files.sum <= spark.sessionState.conf.numShufflePartitions + files.length,
+      s"ann_postings carries ${files.sum} files over ${files.length} clusters")
   }
 
   test("nprobe = numClusters reproduces the exact search result (fusion unchanged)") {
