@@ -311,7 +311,8 @@ object Bench {
     "q_decontaminate", "q_dedup_components", "q_dedup_embed_lsh_knn",
     "q_dedup_exact", "q_dedup_minhash_pairs", "q_f4_bm25_topk",
     "q_embed_pq", "q_mm_frame_sample", "q_o1_topk_desc", "q_pack_sequences",
-    "q_percentile_median", "q_search_e2e_ann", "q_search_e2e_norerank", "q_sessionize",
+    "q_percentile_median", "q_phrase_postings",
+    "q_search_e2e_ann", "q_search_e2e_norerank", "q_sessionize",
     "q_sim_knn_join", "q_sim_pq_adc", "q_skew_salted_agg",
     "q_stream_tumbling_hourly", "q_t2_chunker", "q_text_bigram_logprob",
     "q_text_quality",

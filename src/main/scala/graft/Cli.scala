@@ -899,7 +899,14 @@ object Cli {
 
   private def artifactBytes(spark: SparkSession, db: String): Long = {
     val p = new org.apache.hadoop.fs.Path(db)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).getContentSummary(p).getLength
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.getContentSummary(p).getLength
+    // the positional sidecar is never cache-pinned ([[IndexData.cached]] —
+    // phrase probes want the pruned parquet scan), so it must not count
+    // against the CACHED-size estimate the ×inflation models
+    val posPath = new org.apache.hadoop.fs.Path(p, graft.index.IndexData.PositionsDir)
+    val pos = if (fs.exists(posPath)) fs.getContentSummary(posPath).getLength else 0L
+    total - pos
   }
 
   /** Budget for the serving caches: `spark.graft.serve.cacheMaxBytes`, or

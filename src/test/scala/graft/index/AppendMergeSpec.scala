@@ -78,6 +78,19 @@ class AppendMergeSpec extends AnyFunSuite {
       .select("content").collect().map(_.getString(0))
     assert(aContents.nonEmpty && aContents.forall(_.contains("replaced body")),
       aContents.mkString("; "))
+    // positional sidecar assembles through the same mask: every segment
+    // wrote its delta, the live view equals the rebuild's positions, and
+    // the replaced path's OLD occurrences are masked (round-16: the phrase
+    // index path must see exactly the live corpus)
+    val livePos = live.positions.getOrElse(fail("live view must carry positions"))
+    val rebuiltPos = rebuilt.positions.getOrElse(fail("rebuild must carry positions"))
+    assert(canon(livePos) == canon(rebuiltPos))
+    val phraseLive = graft.search.PhraseSearch
+      .phraseMatches(livePos, Seq("hash", "joins")).collect()
+    assert(phraseLive.length == 1, phraseLive.mkString(";"))
+    assert(graft.search.PhraseSearch
+      .phraseMatches(livePos, Seq("sorted", "runs")).collect().isEmpty,
+      "replaced a.md's old occurrences must be masked from the phrase index")
   }
 
   test("append merge is O(delta): base files untouched, work lands in seg/") {
