@@ -16,6 +16,8 @@ import graft.search.Bm25
   *   <dir>/doclen/      doc_id, dl[, file_path]
   *   <dir>/stats/       n_docs, avgdl            (single row)
   *   <dir>/settings/    key, value               (embedding_model/_dim, …)
+  *   <dir>/positions/   doc_id, term, pos[, file_path]  (per occurrence,
+  *                      term-range-clustered — the phrase-search index)
   *   <dir>/seg/<n>/     append-merge segments (same canonical layouts,
   *                      termdf rows SIGNED, + dead_ids/ = masked doc_ids,
   *                      + tombstones/ = replaced paths, + per-segment
