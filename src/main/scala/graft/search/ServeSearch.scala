@@ -215,12 +215,20 @@ object ServeSearch {
     }
 
     // ---- J1 candidate fetch: ONE pushed-IN scan of the cached documents ----
+    // `tokens` rides along ONLY when the token-filter phrase fallback will
+    // read it (phraseOnly on an artifact without the positions sidecar):
+    // the column is content-sized per row — roughly doubling the fetch
+    // bytes of every request — and nothing else in the tail consumes it
+    // (round-16 self-hunt). Column pruning reaches the parquet scan on
+    // disk-backed artifacts and trims cache deserialization on pinned ones.
+    val needTokens = opts.phraseOnly && terms.nonEmpty && index.positions.isEmpty
+    val fetchCols = Seq("doc_id", "file_path", "header_path", "line_start",
+      "line_end", "content") ++ (if (needTokens) Seq("tokens") else Nil)
     val fetched: Map[String, Row] =
       if (ids.isEmpty) Map.empty
       else index.documents
         .filter(col("doc_id").isin(ids: _*))
-        .select("doc_id", "file_path", "header_path", "line_start", "line_end",
-          "content", "tokens")
+        .select(fetchCols.map(col): _*)
         .collect().map(r => r.getString(0) -> r).toMap
     mark("fetch")
 
@@ -234,7 +242,8 @@ object ServeSearch {
         Hit(c.docId,
           rewritePathLocal(r.getString(1), opts.removePathPrefix, opts.addPathPrefix),
           r.getString(2), r.getInt(3), r.getInt(4), r.getString(5),
-          r.getSeq[String](6), c.fts, c.vss, c.score)
+          if (needTokens) r.getSeq[String](6) else Nil,
+          c.fts, c.vss, c.score)
       }
     }
     if (opts.phraseOnly && terms.nonEmpty)
