@@ -172,17 +172,28 @@ final case class IndexData(
     doclen.write.mode("overwrite").parquet(s"$dir/doclen")
     stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
     settings.coalesce(1).write.mode("overwrite").parquet(s"$dir/settings")
-    // positional sidecar, when the instance carries one — same
-    // term-clustered layout as postings so phrase probes prune
-    positions.foreach { pos =>
-      // EXPLICIT partition count: without it AQE coalesces the tiny-range
-      // shuffle to one near-full-range file and term pruning has nothing
-      // to prune (same rule as writeDocsClustered's explicit parts)
-      val n = pos.sparkSession.sessionState.conf.numShufflePartitions
-      pos.repartitionByRange(n, col("term"))
-        .sortWithinPartitions("term", "doc_id", "pos")
-        .write.mode("overwrite").parquet(s"$dir/${IndexData.PositionsDir}")
+    // positional sidecar — ALWAYS written (derived from documents when the
+    // instance carries none), for the same reason [[IndexData.write]]
+    // always writes it: positions are DERIVED from documents, so a staged
+    // swap whose staging lacked them would leave the PREVIOUS base's
+    // positions in place — stale phrase results against the new corpus.
+    // (The swap itself cannot delete-when-missing: after a crash between
+    // the positions rename and the staging cleanup, "missing from staging"
+    // is indistinguishable from "already swapped", and the idempotent
+    // replay would delete the just-renamed table.) Same term-clustered
+    // layout as postings so phrase probes prune.
+    val pos = positions.getOrElse {
+      val carry =
+        if (documents.columns.contains("file_path")) Seq("file_path") else Nil
+      Bm25.positionalPostings(documents, carry = carry)
     }
+    // EXPLICIT partition count: without it AQE coalesces the tiny-range
+    // shuffle to one near-full-range file and term pruning has nothing
+    // to prune (same rule as writeDocsClustered's explicit parts)
+    val n = pos.sparkSession.sessionState.conf.numShufflePartitions
+    pos.repartitionByRange(n, col("term"))
+      .sortWithinPartitions("term", "doc_id", "pos")
+      .write.mode("overwrite").parquet(s"$dir/${IndexData.PositionsDir}")
   }
 }
 

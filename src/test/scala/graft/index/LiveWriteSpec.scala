@@ -73,11 +73,22 @@ class LiveWriteSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, IndexData.CompactStagingDir)),
       "staging must be retired by the swap")
 
-    // instance save() routes the same way
+    // instance save() routes the same way — and with positions STRIPPED
+    // from the instance: save must re-derive and stage them (a swap whose
+    // staging lacked positions would leave the old base's sidecar serving
+    // stale phrase results against the new corpus)
     val idx = IndexData.load(spark, dir)
-    idx.copy(documents = idx.documents.filter(col("doc_id") === "d2"))
+    assert(idx.positions.isDefined)
+    idx.copy(documents = idx.documents.filter(col("doc_id") === "d2"),
+        positions = None)
       .save(dir)
     assert(contents(dir) == Set("d2"))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, IndexData.CompactStagingDir)))
+    val reloaded = IndexData.load(spark, dir)
+    val pos = reloaded.positions.getOrElse(fail("save must re-derive positions"))
+    assert(graft.search.PhraseSearch.phraseMatches(pos, Seq("iterator", "tree"))
+      .collect().isEmpty, "stale positions from the d3 base survived the swap")
+    assert(graft.search.PhraseSearch.phraseMatches(pos, Seq("volcano", "model"))
+      .collect().map(_.getString(0)).toSeq == Seq("d2"))
   }
 }
