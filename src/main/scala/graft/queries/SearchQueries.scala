@@ -131,6 +131,35 @@ object SearchQueries {
         "WHERE p0.term = 'table' AND p1.term = 'value' GROUP BY p0.doc_id) " +
         "SELECT doc_id, n_matches FROM m ORDER BY doc_id")),
 
+    // Phrase-RANKED retrieval: the capability the positional index unlocks
+    // — phrase matching as a RETRIEVAL predicate (corpus-wide, via the
+    // pruned positions probe) composed with BM25 ranking over the phrase's
+    // terms, top-10. Neither the reference (bag-of-words FTS) nor the
+    // scan-filter formulation expresses this as an index path: here both
+    // legs are df-proportional probes, so the whole query is corpus-flat.
+    Q("q_phrase_ranked",
+      (s, d) => {
+        val dd = docs(s, d)
+        val phrase = Seq("table", "value")
+        val doclen = Bm25.docLengths(dd)
+        val scored = Bm25.scoresSelfContained(
+          phrase, Bm25.postings(dd), doclen, Bm25.corpusStats(doclen))
+        PhraseSearch.phraseMatches(Bm25.positionalPostings(dd), phrase)
+          .join(scored, Seq("doc_id"))
+          .select(col("doc_id"), col("n_matches"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(10)
+      },
+      Some(s"WITH ${Q.bm25Ctes}, ${Q.bm25ScoresCte("['table', 'value']")}, " +
+        "p AS (SELECT doc_id, unnest(toks) AS term, " +
+        "unnest(generate_series(1, len(toks))) AS pos FROM toks), " +
+        "m AS (SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_matches " +
+        "FROM p p0 JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1 " +
+        "WHERE p0.term = 'table' AND p1.term = 'value' GROUP BY p0.doc_id) " +
+        "SELECT m.doc_id, m.n_matches, round(scores.score, 6) AS score " +
+        "FROM m JOIN scores ON m.doc_id = scores.doc_id " +
+        "ORDER BY round(scores.score, 6) DESC, m.doc_id LIMIT 10")),
+
     // F1: document lengths
     Q("q_f1_doclen",
       (s, d) => Bm25.docLengths(docs(s, d)).orderBy("doc_id"),
