@@ -165,6 +165,89 @@ object Multimodal {
     }
   }
 
+  /** Decoded AUDIO metadata (nullable like [[ImageMeta]] — any bytes may
+    * arrive). `n_samples` = data-chunk frames (duration = n_samples /
+    * sample_rate). */
+  final case class AudioMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      format: Option[String],
+      sample_rate: Option[Long],
+      channels: Option[Long],
+      bits: Option[Long],
+      n_samples: Option[Long])
+
+  /** REAL audio metadata decode: WAV/RIFF chunk scan in pure Scala (the
+    * RIFF container is a public spec; PCM metadata needs no codec). Total:
+    * unknown/truncated/corrupt bytes → nulls, never throws. Compressed
+    * codecs (mp3/ogg) stay out of scope — those genuinely need decoder
+    * libs this container lacks; the WAV path retires the "no audio libs"
+    * premise for the metadata layer the pipeline actually filters on. */
+  object WavParser extends Serializable {
+
+    /** (sample_rate, channels, bits, n_samples) for a RIFF/WAVE payload
+      * whose fmt chunk precedes data — scanning chunks properly (a LIST or
+      * fact chunk between them is skipped, odd chunk sizes padded per the
+      * RIFF rule). */
+    def parseWav(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+      try {
+        def u8(i: Int) = b(i) & 0xff
+        def le16(i: Int): Long = (u8(i) | u8(i + 1) << 8).toLong
+        def le32(i: Int): Long =
+          u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+        def tag(i: Int): String =
+          if (i + 4 <= b.length) new String(b, i, 4, "US-ASCII") else ""
+        if (b.length < 36 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+        var i = 12
+        var fmt = Option.empty[(Long, Long, Long)] // (rate, channels, bits→blockAlign)
+        var blockAlign = 0L
+        while (i + 8 <= b.length) {
+          val id = tag(i)
+          val size = le32(i + 4)
+          if (size < 0 || i + 8 + size > b.length) return None
+          if (id == "fmt ") {
+            if (size < 16) return None
+            val channels = le16(i + 10)
+            val rate = le32(i + 12)
+            blockAlign = le16(i + 20)
+            val bits = le16(i + 22)
+            if (channels <= 0 || rate <= 0 || bits <= 0 || blockAlign <= 0) return None
+            fmt = Some((rate, channels, bits))
+          } else if (id == "data") {
+            return fmt.map { case (rate, ch, bits) =>
+              (rate, ch, bits, size / blockAlign)
+            }
+          }
+          i += 8 + size.toInt + (size.toInt & 1) // RIFF pads odd chunks
+        }
+        None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    def decode(batch: Seq[(Long, Array[Byte])]): Seq[AudioMeta] =
+      batch.map { case (id, bytes) =>
+        parseWav(bytes) match {
+          case Some((rate, ch, bits, n)) =>
+            AudioMeta(id, bytes.length.toLong, Some("wav"),
+              Some(rate), Some(ch), Some(bits), Some(n))
+          case None =>
+            AudioMeta(id, bytes.length.toLong, None, None, None, None, None)
+        }
+      }
+  }
+
+  /** Batched audio decode — same mapPartitions plumbing as
+    * [[decodeImageMeta]]. */
+  def decodeAudioMeta(
+      df: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): Dataset[AudioMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(g => WavParser.decode(g)))
+  }
+
   /** Minimal VALID container fixtures with known dimensions — the
     * deterministic corpus the decode oracle runs on (and what a unit test
     * feeds the parsers). Each is a real header a strict reader accepts for
@@ -215,6 +298,29 @@ object Multimodal {
     /** 16 bytes that parse as NO known container. */
     def garbage(id: Long): Array[Byte] =
       s"garbage-payload-$id".getBytes("UTF-8").take(16)
+
+    /** Canonical WAV header (44 bytes + `nSamples·blockAlign` zero data,
+      * capped so fixtures stay tiny) with a LIST chunk spliced between
+      * fmt and data so the chunk scan does real work. PCM 16-bit. */
+    def wav(sampleRate: Int, channels: Int, nSamples: Int): Array[Byte] = {
+      val bits = 16
+      val blockAlign = channels * bits / 8
+      val dataSize = nSamples * blockAlign
+      val listBody = 4 // "INFO"
+      val riffSize = 4 + (8 + 16) + (8 + listBody) + (8 + dataSize)
+      val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      out.put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      out.putShort(1.toShort).putShort(channels.toShort) // PCM
+      out.putInt(sampleRate).putInt(sampleRate * blockAlign)
+      out.putShort(blockAlign.toShort).putShort(bits.toShort)
+      out.put("LIST".getBytes("US-ASCII")).putInt(listBody)
+      out.put("INFO".getBytes("US-ASCII"))
+      out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      out.array() // zero PCM frames follow the data header
+    }
 
     /** Deterministic per-id fixture: format cycles on id % 4 (3 = garbage),
       * dims are closed-form in id — the oracle restates these in SQL. */

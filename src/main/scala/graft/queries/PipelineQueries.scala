@@ -1159,6 +1159,38 @@ object PipelineQueries {
         "CASE WHEN doc_id % 4 = 3 THEN NULL ELSE 3 END AS channels " +
         "FROM documents ORDER BY doc_id")),
 
+    // REAL audio metadata decode: RIFF/WAVE chunk scan (fmt + data, with a
+    // LIST chunk spliced between so the scan skips a real foreign chunk) —
+    // the audio face of q_mm_decode_real, same closed-form-oracle rigor.
+    // Every 5th payload is garbage → nulls, pinning the total contract
+    // cross-engine.
+    Q("q_mm_decode_wav",
+      (s, d) => {
+        import s.implicits._
+        val gen = t(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+          .map { id =>
+            val payload =
+              if (id % 5 == 4) Multimodal.ImageFixtures.garbage(id)
+              else Multimodal.ImageFixtures.wav(
+                (8000L + (id * 7) % 36000).toInt,
+                (1L + id % 2).toInt,
+                (1L + (id * 13) % 97).toInt)
+            (id, payload)
+          }
+          .toDF("doc_id", "payload")
+        Multimodal.decodeAudioMeta(gen, "doc_id", "payload")
+          .toDF().orderBy("doc_id")
+      },
+      Some("SELECT doc_id, " +
+        "CAST(CASE WHEN doc_id % 5 = 4 THEN 16 " +
+        "ELSE 56 + (1 + (doc_id * 13) % 97) * (1 + doc_id % 2) * 2 END AS BIGINT) AS n_bytes, " +
+        "CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 'wav' END AS format, " +
+        "CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 8000 + (doc_id * 7) % 36000 END AS sample_rate, " +
+        "CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 1 + doc_id % 2 END AS channels, " +
+        "CASE WHEN doc_id % 5 = 4 THEN NULL ELSE CAST(16 AS BIGINT) END AS bits, " +
+        "CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 1 + (doc_id * 13) % 97 END AS n_samples " +
+        "FROM documents ORDER BY doc_id")),
+
     // Frame sampling: one row per sampled frame with deterministic stride —
     // the one-to-many media op (explode of a generated index range)
     Q("q_mm_frame_sample",

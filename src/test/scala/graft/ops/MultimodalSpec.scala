@@ -83,6 +83,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(D.parseJpeg(eoiOnly).isEmpty)
   }
 
+  test("WAV parser: fixtures round-trip, REAL javax.sound.sampled encoder " +
+      "output parses, truncations/corruptions never throw") {
+    import graft.ops.Multimodal.WavParser
+    assert(WavParser.parseWav(F.wav(44100, 2, 97)) == Some((44100L, 2L, 16L, 97L)))
+    assert(WavParser.parseWav(F.wav(8000, 1, 1)) == Some((8000L, 1L, 16L, 1L)))
+    assert(WavParser.parseWav(F.garbage(7L)).isEmpty)
+    assert(WavParser.parseWav(F.png(4, 4)).isEmpty)
+    // a REAL encoder's bytes: the JDK's own WAV writer
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val pcm = new Array[Byte](2 * 321) // 321 16-bit mono frames
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 321L)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val real = WavParser.parseWav(out.toByteArray)
+    assert(real == Some((16000L, 1L, 16L, 321L)), real)
+    // totality
+    val full = F.wav(22050, 2, 13)
+    (0 to full.length).foreach(n => WavParser.parseWav(full.take(n)))
+    full.indices.foreach { i =>
+      val c = full.clone(); c(i) = (c(i) ^ 0x5a).toByte; WavParser.parseWav(c)
+    }
+  }
+
   test("distributed decode plumbing: batched mapPartitions over a binary " +
       "column yields one ImageMeta row per payload") {
     val spark = TestSpark.spark
