@@ -1119,7 +1119,10 @@ object PipelineQueries {
     // ---- Multimodal plumbing ----
 
     // Binary payload + batched stub decode via mapPartitions (the
-    // mapInPandas-shaped plumbing; decode itself is a deterministic fake)
+    // mapInPandas-shaped plumbing oracle; the REAL decodes live in
+    // q_mm_decode_real / q_mm_decode_wav — the stub remains the seam for
+    // media kinds whose decode genuinely needs codec libs this container
+    // lacks: video frames, compressed audio)
     Q("q_mm_decode_stub",
       (s, d) => {
         val payload = t(s, d, "documents")
