@@ -131,6 +131,25 @@ object SearchQueries {
         "WHERE p0.term = 'table' AND p1.term = 'value' GROUP BY p0.doc_id) " +
         "SELECT doc_id, n_matches FROM m ORDER BY doc_id")),
 
+    // Ordered PROXIMITY (sloppy phrase): "table … value" within 4 token
+    // positions, pair counts — the co-occurrence-window operator training
+    // pipelines mine for collocations. Same pruned positional probes as
+    // the phrase; the range condition runs as a bucketed equi-join (hash
+    // join on (doc_id, window bucket) + residual), never a per-document
+    // all-pairs or a broadcast-nested-loop range join.
+    Q("q_proximity_match",
+      (s, d) => PhraseSearch.proximityMatches(
+          Bm25.positionalPostings(docs(s, d)), "table", "value", window = 4)
+        .orderBy("doc_id"),
+      Some(s"WITH ${Q.toksCte}, " +
+        "p AS (SELECT doc_id, unnest(toks) AS term, " +
+        "unnest(generate_series(1, len(toks))) AS pos FROM toks), " +
+        "m AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_pairs " +
+        "FROM p a JOIN p b ON b.doc_id = a.doc_id " +
+        "AND b.pos > a.pos AND b.pos - a.pos <= 4 " +
+        "WHERE a.term = 'table' AND b.term = 'value' GROUP BY a.doc_id) " +
+        "SELECT doc_id, n_pairs FROM m ORDER BY doc_id")),
+
     // Phrase-RANKED retrieval: the capability the positional index unlocks
     // — phrase matching as a RETRIEVAL predicate (corpus-wide, via the
     // pruned positions probe) composed with BM25 ranking over the phrase's

@@ -41,4 +41,33 @@ object PhraseSearch {
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_matches"))
   }
+
+  /** Ordered PROXIMITY match (the sloppy-phrase / co-occurrence-window
+    * operator): documents where `first` is followed by `second` within
+    * `window` token positions, with the PAIR count. Same pruned two-probe
+    * shape as [[phraseMatches]] — the join condition widens from pos+1 to a
+    * pos range, expressed as an equi-join on a derived BUCKET key plus a
+    * range residual so the planner gets a hash join (probe-sized inputs),
+    * never a broadcast-nested-loop over the full range predicate: a second
+    * occurrence at pos p matches first occurrences in (p−window, p), which
+    * spans at most two window-sized buckets — each second-leg row emits its
+    * own bucket and the previous one, and the residual keeps exactness.
+    * `window = 1` degenerates to the 2-term adjacency of [[phraseMatches]].
+    * At 100 TB: reads are df-proportional (pruned term probes), the join
+    * keys on (doc_id, bucket) — never all-pairs within a document. */
+  def proximityMatches(positions: DataFrame, first: String, second: String,
+      window: Int): DataFrame = {
+    require(window >= 1, s"proximity window must be ≥ 1, got $window")
+    val a = positions.filter(col("term") === first)
+      .select(col("doc_id"), col("pos").as("_pa"),
+        floor(col("pos") / window).as("_bucket"))
+    val b = positions.filter(col("term") === second)
+      .select(col("doc_id"), col("pos").as("_pb"),
+        explode(array(floor(col("pos") / window),
+          floor(col("pos") / window) - 1)).as("_bucket"))
+    a.join(b, Seq("doc_id", "_bucket"))
+      .filter(col("_pb") > col("_pa") && col("_pb") - col("_pa") <= window)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+  }
 }

@@ -53,6 +53,36 @@ class PhrasePostingsSpec extends AnyFunSuite {
     check(Seq("absent", "term"))  // empty result
   }
 
+  test("proximity: bucketed range join counts exactly the in-window ordered " +
+      "pairs; window=1 degenerates to 2-term adjacency") {
+    val docs = Seq(
+      1L -> Seq("table", "x", "y", "value", "value"), // gaps 3 and 4
+      2L -> Seq("value", "x", "table"),               // wrong order
+      3L -> Seq("table", "value", "table", "z", "value"), // mixed
+      4L -> Seq("table", "a", "b", "c", "d", "value")     // gap 5: outside w=4
+    ).toDF("doc_id", "tokens")
+    val pos = Bm25.positionalPostings(docs)
+    def localPairs(tokens: Seq[String], w: Int): Long =
+      (for {
+        (a, i) <- tokens.zipWithIndex if a == "table"
+        (b, j) <- tokens.zipWithIndex if b == "value" && j > i && j - i <= w
+      } yield 1).size.toLong
+    for (w <- Seq(1, 2, 3, 4, 7)) {
+      val got = PhraseSearch.proximityMatches(pos, "table", "value", w)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = docs.collect()
+        .map(r => r.getLong(0) -> localPairs(r.getSeq[String](1), w))
+        .filter(_._2 > 0).toMap
+      assert(got == want, s"window=$w")
+    }
+    // window=1 ≡ adjacency for the 2-term phrase
+    val adj = PhraseSearch.phraseMatches(pos, Seq("table", "value"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prox1 = PhraseSearch.proximityMatches(pos, "table", "value", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(adj == prox1)
+  }
+
   // an artifact whose corpus is dominated by filler terms lexically AROUND
   // the phrase terms — the positions probe must read only the phrase
   // terms' occurrence lists (row-group stats on the term-sorted layout)
