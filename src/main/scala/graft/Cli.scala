@@ -22,6 +22,8 @@ import graft.search.HybridSearch
   *                    [--layout zorder|hilbert [--layout-files N]]   (cluster files)
   *                    [--merge append]   (O(delta) segment merges; see compact)
   *                    [--compact-every N]   (append mode: fold segments every N)
+  *                    [--positions on|off]   (off: skip the Σdl-row phrase sidecar;
+  *                     --phrase then uses the token-filter fallback)
   *                    [--watch]   (stream NEW files into the index until killed)
   *                    [--watch --format jsonl]   (watch a dir of JSONL row drops;
   *                     re-shipped doc_ids upsert)
@@ -358,7 +360,16 @@ object Cli {
       // (fold back with `graft compact`); default rewrite
       mergeMode = arg(a, "--merge").map(_.toLowerCase).getOrElse("rewrite"),
       // `--compact-every N`: watch-mode LSM fold cadence for append merges
-      compactEvery = arg(a, "--compact-every").map(_.toInt).getOrElse(0))
+      compactEvery = arg(a, "--compact-every").map(_.toInt).getOrElse(0),
+      // `--positions off`: skip the Σdl-row positional sidecar (phrase
+      // queries fall back to the token filter); persisted as the explicit
+      // `positions=off` settings marker, inherited across merges
+      positions = arg(a, "--positions").map(_.toLowerCase) match {
+        case Some("off") => Some(false)
+        case Some("on")  => Some(true)
+        case Some(other) => sys.error(s"--positions expects on|off (got $other)")
+        case None        => None
+      })
     layoutTradeoffNote(opts.layout).foreach(System.err.println)
     val dim = arg(a, "--embedding-dim").map(_.toInt).getOrElse(64)
     if (flag(a, "--watch")) {

@@ -220,7 +220,10 @@ object ServingLane {
               s"$diskDir/${graft.index.AnnIndex.PostingsDir}")
             Option(root.listFiles()).getOrElse(Array.empty)
               .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
-              .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+              // same null guard as the root listing: a cluster dir removed
+              // or unreadable mid-scan is 0 files, not an NPE in the lane
+              .map(d => Option(d.listFiles()).getOrElse(Array.empty)
+                .count(_.getName.endsWith(".parquet")))
           }
           val annFiles = fpc.sum
           val filesBound =

@@ -134,9 +134,16 @@ final case class IndexData(
       val staging = s"$dir/${IndexData.CompactStagingDir}"
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)
       saveInto(staging, clusterById)
-      fs.create(new org.apache.hadoop.fs.Path(
-        staging, IndexData.CompactCommitMarker), true).close()
-      IndexData.finishCompactSwap(spark, dir)
+      // ann/pq are DERIVED from documents like positions, so a swap that
+      // left the live dir's sidecars in place would pair them with the new
+      // base — stale/dead doc_ids silently served by `--ann` (round-16
+      // ADVICE). Refresh them into staging under the frozen models (the
+      // same incremental contract compact uses); when that is impossible
+      // (no embedding column, dim drift) the commit records the omission
+      // and the swap retires them — `--ann` then degrades loudly to the
+      // exact scan instead of answering from a dead corpus.
+      IndexData.stageFrozenSidecars(spark, dir, staging)
+      IndexData.commitStagedSwap(spark, dir)
     } else saveInto(dir, clusterById)
   }
 
@@ -158,42 +165,58 @@ final case class IndexData(
     // [[IndexData.write]] has, so the two writers agree on the invariant.
     if (clusterById) IndexData.writeDocsClustered(documents, s"$dir/documents")
     else documents.write.mode("overwrite").parquet(s"$dir/documents")
+    // Carried stats frames must hold every carry column documents provides:
+    // load() strips postings/doclen/positions to their serving projections
+    // (no file_path), so persisting a LOADED instance's frames verbatim
+    // would write a base whose stats rows cannot be tombstone-masked — the
+    // next append merge refuses (doclen/postings) or the next load throws
+    // on the segment union (positions; round-16 ADVICE). Re-derive from
+    // documents whenever the carry is incomplete — same cheap-to-recompute
+    // contract as the rest of save().
+    val carry =
+      if (documents.columns.contains("file_path")) Seq("file_path") else Nil
+    def carryComplete(df: DataFrame): Boolean = carry.forall(df.columns.contains)
+    val postingsOut =
+      if (carryComplete(postings)) postings
+      else Bm25.postings(documents, carry = carry, withDl = true)
+    val doclenOut =
+      if (carryComplete(doclen)) doclen
+      else Bm25.docLengths(documents, carry = carry)
     // Partition postings by term hash AND sort within files by term: the
     // clustering co-locates a term's rows in one file, and the sort gives
     // every parquet row group tight term min/max stats — so the serving
     // path's pushed `In(term, …)` filter ([[graft.search.Bm25.scores]])
     // prunes the read to just the query's posting lists instead of
     // scanning the corpus-proportional table.
-    postings.repartition(col("term")).sortWithinPartitions("term", "doc_id")
+    postingsOut.repartition(col("term")).sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(s"$dir/postings")
     // term-clustered termdf: cold-term df lookups prune (see [[write]])
     termdf.repartitionByRange(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$dir/termdf")
-    doclen.write.mode("overwrite").parquet(s"$dir/doclen")
+    doclenOut.write.mode("overwrite").parquet(s"$dir/doclen")
     stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
     settings.coalesce(1).write.mode("overwrite").parquet(s"$dir/settings")
-    // positional sidecar — ALWAYS written (derived from documents when the
-    // instance carries none), for the same reason [[IndexData.write]]
-    // always writes it: positions are DERIVED from documents, so a staged
-    // swap whose staging lacked them would leave the PREVIOUS base's
-    // positions in place — stale phrase results against the new corpus.
-    // (The swap itself cannot delete-when-missing: after a crash between
-    // the positions rename and the staging cleanup, "missing from staging"
-    // is indistinguishable from "already swapped", and the idempotent
-    // replay would delete the just-renamed table.) Same term-clustered
-    // layout as postings so phrase probes prune.
-    val pos = positions.getOrElse {
-      val carry =
-        if (documents.columns.contains("file_path")) Seq("file_path") else Nil
-      Bm25.positionalPostings(documents, carry = carry)
+    // positional sidecar — written unless the artifact opts out (settings
+    // `positions=off`, [[IndexData.positionsEnabled]]): positions are
+    // DERIVED from documents, so a staged swap whose staging lacked them
+    // would leave the PREVIOUS base's positions in place — stale phrase
+    // results against the new corpus. Opt-out absence is safe because the
+    // committer records the intentional omission in the `_COMMIT` marker
+    // and the swap retires the old sidecar ([[commitStagedSwap]]); a bare
+    // delete-when-missing could not distinguish "absent by choice" from
+    // "already swapped mid-crash-replay". Same term-clustered layout as
+    // postings so phrase probes prune.
+    if (IndexData.positionsEnabled(settings)) {
+      val pos = positions.filter(carryComplete)
+        .getOrElse(Bm25.positionalPostings(documents, carry = carry))
+      // EXPLICIT partition count: without it AQE coalesces the tiny-range
+      // shuffle to one near-full-range file and term pruning has nothing
+      // to prune (same rule as writeDocsClustered's explicit parts)
+      val n = pos.sparkSession.sessionState.conf.numShufflePartitions
+      pos.repartitionByRange(n, col("term"))
+        .sortWithinPartitions("term", "doc_id", "pos")
+        .write.mode("overwrite").parquet(s"$dir/${IndexData.PositionsDir}")
     }
-    // EXPLICIT partition count: without it AQE coalesces the tiny-range
-    // shuffle to one near-full-range file and term pruning has nothing
-    // to prune (same rule as writeDocsClustered's explicit parts)
-    val n = pos.sparkSession.sessionState.conf.numShufflePartitions
-    pos.repartitionByRange(n, col("term"))
-      .sortWithinPartitions("term", "doc_id", "pos")
-      .write.mode("overwrite").parquet(s"$dir/${IndexData.PositionsDir}")
   }
 }
 
@@ -228,7 +251,12 @@ object IndexData {
     // No recursion: writeStagedSwap deletes the staging dir before writing
     // into it, so the inner write never sees a committed artifact there.
     if (isCommittedArtifact(spark, dir))
-      return writeStagedSwap(documents, settings, dir, clusterById)
+      // refreshSidecars: a direct write-on-live has no post-swap sidecar
+      // rebuild step (unlike the engine's rewrite merges), so stale ann/pq
+      // rows from the old corpus must be refreshed or retired by the swap
+      // itself (round-16 ADVICE)
+      return writeStagedSwap(documents, settings, dir, clusterById,
+        refreshSidecars = true)
     if (clusterById) {
       // doc_id-clustered files (see [[IndexData.save]] for the full why:
       // content-addressed ids are uniform-random, so without this layout
@@ -281,14 +309,19 @@ object IndexData {
     // — the index path that makes serving `--phrase` and batch phrase
     // queries df-proportional instead of a corpus token scan. Derived from
     // the written parquet like every other stats table (the lineage runs
-    // once). Costs ~Σ dl rows of (id, dict-coded term, delta-coded int).
-    Bm25.positionalPostings(docsOnDisk, carry = carry)
-      // explicit N: AQE would otherwise coalesce a small artifact's range
-      // shuffle into one full-range file, losing the per-file term stats
-      // the phrase probe prunes on
-      .repartitionByRange(spark.sessionState.conf.numShufflePartitions, col("term"))
-      .sortWithinPartitions("term", "doc_id", "pos")
-      .write.mode("overwrite").parquet(s"$dir/$PositionsDir")
+    // once). Costs ~Σ dl rows of (id, dict-coded term, delta-coded int) —
+    // roughly the corpus token count, which is why an artifact that will
+    // never issue a phrase query can opt out (`--positions off`, settings
+    // `positions=off`): serving `--phrase` then falls back to the
+    // candidate token filter, which stays correct (round-16 directive #1).
+    if (positionsEnabled(settings))
+      Bm25.positionalPostings(docsOnDisk, carry = carry)
+        // explicit N: AQE would otherwise coalesce a small artifact's range
+        // shuffle into one near-full-range file, losing the per-file term
+        // stats the phrase probe prunes on
+        .repartitionByRange(spark.sessionState.conf.numShufflePartitions, col("term"))
+        .sortWithinPartitions("term", "doc_id", "pos")
+        .write.mode("overwrite").parquet(s"$dir/$PositionsDir")
     doclen.write.mode("overwrite").parquet(s"$dir/doclen")
     Bm25.corpusStats(doclen).coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
     settings.coalesce(1).write.mode("overwrite").parquet(s"$dir/settings")
@@ -307,11 +340,17 @@ object IndexData {
     * (dead staging files the next writer clears); from the marker on, any
     * reader completes the swap — which also retires `seg/`, atomically
     * with the base that folded it. Sidecar dirs are untouched (none are
-    * staged here): rewrite callers rebuild them after the swap, and a
-    * crash in that window degrades `--ann` to the exact scan or to
-    * frozen-model lists — acceleration staleness, never corruption. */
+    * staged here by default): rewrite callers rebuild them after the swap,
+    * and a crash in that window degrades `--ann` to the exact scan or to
+    * frozen-model lists — acceleration staleness, never corruption.
+    * `refreshSidecars = true` (the direct write-on-live routing, which has
+    * NO post-swap rebuild step) instead stages a frozen-model sidecar
+    * refresh over the new documents ([[stageFrozenSidecars]]); when the
+    * refresh is impossible the commit records the omission and the swap
+    * retires the stale dirs (round-16 ADVICE). */
   def writeStagedSwap(documents: DataFrame, settings: DataFrame,
-      indexDir: String, clusterById: Boolean = true): IndexData = {
+      indexDir: String, clusterById: Boolean = true,
+      refreshSidecars: Boolean = false): IndexData = {
     val spark = documents.sparkSession
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -322,10 +361,123 @@ object IndexData {
     // load assembles new base ∪ old segments" ordering hazard is gone
     // structurally, not by ordering discipline
     write(documents, settings, staging, clusterById)
-    fs.create(new org.apache.hadoop.fs.Path(
-      staging, CompactCommitMarker), true).close()
-    finishCompactSwap(spark, indexDir)
+    if (refreshSidecars) stageFrozenSidecars(spark, indexDir, staging)
+    commitStagedSwap(spark, indexDir,
+      // without a refresh the live sidecars are the CALLER's to rebuild
+      // post-swap (the frozen centroids/codebooks must survive the swap
+      // for that rebuild to stay a merge, not a silent re-fit) — keep them
+      keep = if (refreshSidecars) Set.empty else SidecarDirs.toSet)
     load(spark, indexDir)
+  }
+
+  /** The sidecar dirs derived from documents + a frozen model (everything
+    * swap-managed except the six canonical tables and positions). */
+  private[graft] val SidecarDirs: Seq[String] = Seq(
+    AnnIndex.CentroidsDir, AnnIndex.PostingsDir,
+    PqIndex.CodebooksDir, PqIndex.CodesDir)
+
+  /** Every directory [[finishCompactSwap]] manages (rename-from-staging,
+    * or retire-when-recorded-omitted). Lazy: `PositionsDir` is declared
+    * further down this object, so an eager val would capture null. */
+  private[graft] lazy val SwapManagedDirs: Seq[String] =
+    Seq("documents", "postings", "termdf", "doclen", "stats", "settings",
+      PositionsDir) ++ SidecarDirs
+
+  /** Whether the artifact's settings opt OUT of the positional sidecar
+    * (`positions=off` — the `--positions off` build flag). Absent key or
+    * any other value = enabled. Settings are a handful of rows. */
+  private[graft] def positionsEnabled(settings: DataFrame): Boolean =
+    settings.filter(col("key") === PositionsKey).select("value")
+      .collect().headOption.forall(_.getString(0) != PositionsOff)
+
+  val PositionsKey = "positions"
+  val PositionsOff = "off"
+
+  /** Stage a FROZEN-MODEL sidecar refresh for an in-flight staged swap:
+    * copy the live artifact's centroids/codebooks (staging is a
+    * merge-shaped write, never a re-fit — the same incremental contract as
+    * `IndexJob.compact`) and re-derive the doc-keyed tables (ann_postings /
+    * ann_pq_codes) over the STAGED documents, so the committed swap
+    * replaces the WHOLE artifact and stale sidecar rows (doc_ids of the
+    * previous corpus) can never pair with the new base. A refresh that
+    * cannot run — documents without an embedding column, a dimension that
+    * drifted from the frozen model — cleans its partial staging dirs and
+    * leaves the sidecars unstaged; [[commitStagedSwap]] then records the
+    * omission so the swap retires the stale live dirs instead. */
+  private[graft] def stageFrozenSidecars(spark: SparkSession,
+      liveDir: String, staging: String): Unit = {
+    val liveAnn = AnnIndex.load(spark, liveDir)
+    val livePq = PqIndex.load(spark, liveDir)
+    if (liveAnn.isEmpty && livePq.isEmpty) return
+    val stagedDocs = spark.read.parquet(s"$staging/documents")
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def attempt(dirs: Seq[String])(body: => Unit): Unit =
+      if (stagedDocs.columns.contains("embedding"))
+        try body
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            // e.g. embedding dim drifted from the frozen model: retire the
+            // sidecar (recorded at commit) rather than fail the whole swap
+            // or — worse — leave the stale one serving dead ids
+            dirs.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(staging, d), true))
+            System.err.println(
+              s"[graft] sidecar refresh skipped (${e.getMessage}); retiring ${dirs.mkString(", ")}")
+        }
+    liveAnn.foreach { ann =>
+      attempt(Seq(AnnIndex.CentroidsDir, AnnIndex.PostingsDir)) {
+        val centroids = ann.centroids.localCheckpoint(true)
+        centroids.coalesce(1).write.mode("overwrite")
+          .parquet(s"$staging/${AnnIndex.CentroidsDir}")
+        AnnIndex.writeClusterPartitioned(
+          AnnIndex.buildPostings(stagedDocs, "doc_id", "embedding", centroids),
+          s"$staging/${AnnIndex.PostingsDir}")
+      }
+    }
+    livePq.foreach { pq =>
+      attempt(Seq(PqIndex.CodebooksDir, PqIndex.CodesDir)) {
+        val books = pq.codebooks.localCheckpoint(true)
+        books.coalesce(1).write.mode("overwrite")
+          .parquet(s"$staging/${PqIndex.CodebooksDir}")
+        val codes = PqIndex.encode(stagedDocs, "doc_id", "embedding", books)
+        val annStaged = fs.exists(new org.apache.hadoop.fs.Path(
+          staging, s"${AnnIndex.PostingsDir}/_SUCCESS"))
+        if (pq.codes.columns.contains("cluster") && annStaged)
+          // composed ivf×pq: keep the cluster partitioning so the
+          // probe-pruned ADC path prunes the refreshed files too
+          AnnIndex.writeClusterPartitioned(
+            codes.join(spark.read.parquet(s"$staging/${AnnIndex.PostingsDir}")
+              .select(col("cluster"), col("doc_id")), Seq("doc_id")),
+            s"$staging/${PqIndex.CodesDir}")
+        else codes.write.mode("overwrite").parquet(s"$staging/${PqIndex.CodesDir}")
+      }
+    }
+  }
+
+  /** Commit an already-written staged swap: record in the `_COMMIT` marker
+    * which swap-managed dirs the staging DELIBERATELY omitted while the
+    * live root still carries them — derived data the swap must RETIRE (a
+    * positions sidecar the new settings opt out of, ann/pq a direct write
+    * could not refresh) — then complete the idempotent swap. Intent lives
+    * IN the marker so crash replay can distinguish "absent by choice →
+    * delete the live dir" from "absent because already swapped": a bare
+    * delete-when-missing would delete a just-renamed table on replay.
+    * `keep` names dirs the caller rebuilds AFTER the swap (the rewrite
+    * merges' ann/pq) — never recorded as drops. */
+  private[graft] def commitStagedSwap(spark: SparkSession, dir: String,
+      keep: Set[String] = Set.empty): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(dir, CompactStagingDir)
+    val drops = SwapManagedDirs.filter { d =>
+      !keep(d) &&
+        fs.exists(new org.apache.hadoop.fs.Path(dir, d)) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(staging, d))
+    }
+    val out = fs.create(new org.apache.hadoop.fs.Path(staging, CompactCommitMarker), true)
+    out.write(drops.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    finishCompactSwap(spark, dir)
   }
 
   /** Whether `dir` already holds a COMMITTED artifact (settings `_SUCCESS`
@@ -461,21 +613,34 @@ object IndexData {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(dir, CompactStagingDir)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(staging, CompactCommitMarker))) return
+    val markerPath = new org.apache.hadoop.fs.Path(staging, CompactCommitMarker)
+    if (!fs.exists(markerPath)) return
+    // dirs the committer recorded as DELIBERATELY omitted from staging
+    // ([[commitStagedSwap]]) — the swap retires them from the live root.
+    // Restricted to the swap-managed set so a corrupted marker can never
+    // name seg/ or an arbitrary path; a legacy empty marker drops nothing.
+    val drops = {
+      val in = fs.open(markerPath)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.split('\n').map(_.trim).filter(_.nonEmpty).toSet
+        .intersect(SwapManagedDirs.toSet)
+    }
     // tables AND sidecars: compact stages the frozen-model sidecar rebuild
     // alongside the folded tables, so the whole artifact swaps behind the
     // one marker — a torn swap can never pair the folded base (segments
     // gone) with sidecars that only covered the old base
-    Seq("documents", "postings", "termdf", "doclen", "stats", "settings",
-        PositionsDir, AnnIndex.CentroidsDir, AnnIndex.PostingsDir,
-        PqIndex.CodebooksDir, PqIndex.CodesDir)
-      .foreach { d =>
-        val src = new org.apache.hadoop.fs.Path(staging, d)
-        if (fs.exists(src)) {
-          fs.delete(new org.apache.hadoop.fs.Path(dir, d), true)
-          fs.rename(src, new org.apache.hadoop.fs.Path(dir, d))
-        }
+    SwapManagedDirs.foreach { d =>
+      val src = new org.apache.hadoop.fs.Path(staging, d)
+      if (fs.exists(src)) {
+        fs.delete(new org.apache.hadoop.fs.Path(dir, d), true)
+        fs.rename(src, new org.apache.hadoop.fs.Path(dir, d))
       }
+    }
+    // retire the recorded omissions AFTER the renames: re-running this on
+    // crash replay re-deletes (a no-op) — never a just-renamed table
+    drops.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(dir, d), true))
     // the staged base folded every segment in; marker removal (with the
     // staging dir) is the swap's own completion point
     fs.delete(new org.apache.hadoop.fs.Path(dir, SegDir), true)

@@ -71,7 +71,34 @@ object IndexJob {
       // bounding the live view's read amplification (every query unions
       // base + segments). 0 = never (compact explicitly via `graft
       // compact`). Only meaningful with mergeMode = "append".
-      compactEvery: Int = 0)
+      compactEvery: Int = 0,
+      // positional-sidecar policy (`--positions on|off`, round-16
+      // directive #1): the positions/ table is Σdl rows — roughly the
+      // corpus TOKEN COUNT — so a corpus that never issues a phrase query
+      // should not build and store it. Some(false) persists the explicit
+      // settings marker `positions=off` (so staged swaps can distinguish
+      // "absent by choice" from "missing mid-swap", and serving `--phrase`
+      // knowingly uses the token-filter fallback); Some(true) re-enables a
+      // previously opted-out artifact; None inherits — on for fresh
+      // builds, the artifact's prior choice across incremental merges
+      // (the settings upsert keeps the stored marker).
+      positions: Option[Boolean] = None)
+
+  /** Fold an Options-level positions policy into a settings frame as the
+    * persisted `positions=on|off` marker row ([[IndexData.PositionsKey]]).
+    * None adds no row — fresh builds default on, incremental merges keep
+    * the artifact's stored choice (the settings upsert only replaces keys
+    * the fresh frame carries). */
+  private[graft] def withPositionsSetting(settings: DataFrame,
+      positions: Option[Boolean]): DataFrame = positions match {
+    case None => settings
+    case Some(on) =>
+      val spark = settings.sparkSession
+      import spark.implicits._
+      IndexData.upsertSettings(settings,
+        Seq(Setting(IndexData.PositionsKey,
+          if (on) "on" else IndexData.PositionsOff)).toDF())
+  }
 
   /** The `--splitter` factory (reference `src/splitter.py:621-651`). */
   def chunkerFor(opts: Options, analyzer: Analyzer): Chunker = opts.splitter match {
@@ -187,7 +214,9 @@ object IndexJob {
     val chunker = chunkerFor(opts, analyzer)
     val files = scanMarkdown(spark, dirs)
     val fresh = embedChunks(chunkFiles(files, chunker), embedder, opts)
-    mergeAndWrite(spark, fresh, settingsFor(spark, embedder, analyzer), indexDir,
+    mergeAndWrite(spark, fresh,
+      withPositionsSetting(settingsFor(spark, embedder, analyzer), opts.positions),
+      indexDir,
       clear = opts.clear, annClusters = opts.annClusters, annIters = opts.annIters,
       annRefit = opts.annRefit, pqCodes = opts.pqCodes, pqIters = opts.pqIters,
       pqRefit = opts.pqRefit, layout = opts.layout, layoutFiles = opts.layoutFiles,
@@ -238,7 +267,9 @@ object IndexJob {
       analyzer: Analyzer = DefaultAnalyzer,
       opts: Options = Options()): IndexData = {
     val fresh = embedChunks(rowChunks(rows, analyzer), embedder, opts)
-    mergeAndWrite(spark, fresh, settingsFor(spark, embedder, analyzer), indexDir,
+    mergeAndWrite(spark, fresh,
+      withPositionsSetting(settingsFor(spark, embedder, analyzer), opts.positions),
+      indexDir,
       clear = opts.clear, annClusters = opts.annClusters, annIters = opts.annIters,
       annRefit = opts.annRefit, pqCodes = opts.pqCodes, pqIters = opts.pqIters,
       pqRefit = opts.pqRefit, layout = opts.layout, layoutFiles = opts.layoutFiles,
@@ -420,11 +451,17 @@ object IndexJob {
     // positional sidecar delta: when the base carries positions/, each
     // segment must too, or [[IndexData.load]] degrades the assembled view
     // to None (a partial positional index would silently drop phrase
-    // matches from segment docs). O(delta) like the other per-segment
-    // tables; term-sorted so phrase probes prune segment files as well.
+    // matches from segment docs). An opt-out base (`--positions off`) has
+    // no positions/ dir, so segments stay opt-out for free. O(delta) like
+    // the other per-segment tables; coalesced to ONE term-sorted file
+    // (the parts=Some(1) treatment the ann deltas get) — without the
+    // coalesce the delta keeps the source docs' partitioning, every file
+    // spans the full term range, and a phrase probe's per-file term stats
+    // prune nothing in the segments (round-16 ADVICE).
     if (fsSeg.exists(new org.apache.hadoop.fs.Path(
         indexDir, s"${IndexData.PositionsDir}/_SUCCESS")))
       Bm25.positionalPostings(segDocs, carry = carry)
+        .coalesce(1)
         .sortWithinPartitions("term", "doc_id", "pos")
         .write.mode("overwrite").parquet(s"$segDir/${IndexData.PositionsDir}")
     val plus = Bm25.docFreq(spark.read.parquet(s"$segDir/postings"))
@@ -531,40 +568,24 @@ object IndexJob {
     // live lineage reads base + segments; it writes into the staging dir,
     // so there is no read-before-overwrite hazard and no corpus-sized
     // driver materialization
-    val staged = IndexData.write(docs, live.settings.localCheckpoint(true), staging,
+    IndexData.write(docs, live.settings.localCheckpoint(true), staging,
       clusterById = layout == "none")
     // sidecars are staged too, rebuilt over the folded corpus under the
     // FROZEN models (the standard incremental contract — compact is a
     // merge, not a re-fit), so the whole artifact swaps behind one marker:
     // a crash can never pair the folded base with sidecars that covered
-    // only the old base
-    live.ann.foreach { ann =>
-      val centroids = ann.centroids.localCheckpoint(true)
-      centroids.coalesce(1).write.mode("overwrite")
-        .parquet(s"$staging/${AnnIndex.CentroidsDir}")
-      AnnIndex.writeClusterPartitioned(
-        AnnIndex.buildPostings(staged.documents, "doc_id", "embedding", centroids),
-        s"$staging/${AnnIndex.PostingsDir}")
-    }
-    live.pq.foreach { pq =>
-      val books = pq.codebooks.localCheckpoint(true)
-      books.coalesce(1).write.mode("overwrite")
-        .parquet(s"$staging/${PqIndex.CodebooksDir}")
-      val codes = PqIndex.encode(staged.documents, "doc_id", "embedding", books)
-      (if (live.ann.isDefined)
-        AnnIndex.writeClusterPartitioned(
-          codes.join(spark.read.parquet(s"$staging/${AnnIndex.PostingsDir}")
-            .select(col("cluster"), col("doc_id")), Seq("doc_id")),
-          s"$staging/${PqIndex.CodesDir}")
-      else codes.write.mode("overwrite").parquet(s"$staging/${PqIndex.CodesDir}"))
-    }
+    // only the old base. Shared with the direct write-on-live routing
+    // ([[IndexData.stageFrozenSidecars]]).
+    IndexData.stageFrozenSidecars(spark, indexDir, staging)
     // commit point: the swap tears the artifact if interrupted, so it only
     // begins once the marker exists — from here any reader that finds the
     // marker completes the SAME idempotent swap
     // ([[IndexData.finishCompactSwap]], run by [[IndexData.load]]) before
     // reading. Before the marker a crash just leaves dead staging files.
-    fs.create(new org.apache.hadoop.fs.Path(staging, IndexData.CompactCommitMarker), true).close()
-    IndexData.finishCompactSwap(spark, indexDir)
+    // The marker also records any swap-managed dir staging deliberately
+    // omitted (e.g. positions on an opt-out artifact) so the swap retires
+    // a stale live copy instead of resurrecting it.
+    IndexData.commitStagedSwap(spark, indexDir)
     // staleness bookkeeping over the compacted corpus (post-swap; a crash
     // before this leaves the metrics one fold stale — advisory only)
     updateDriftSettings(spark, indexDir, IndexData.load(spark, indexDir))

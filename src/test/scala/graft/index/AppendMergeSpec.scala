@@ -377,4 +377,58 @@ class AppendMergeSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("compact"), e.getMessage)
   }
+
+  test("positions opt-out survives append + compact: no resurrection at any " +
+      "stage (round-16 directive #1)") {
+    val docs = Files.createTempDirectory("posoff-docs").toString
+    val idx = Files.createTempDirectory("posoff-idx").toString + "/idx"
+    def opts(scanDir: String, clear: Boolean) = IndexJob.Options(
+      clear = clear, mergeMode = "append",
+      trimPathPrefix = Some(s"file:$scanDir"),
+      positions = if (clear) Some(false) else None)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def positionsAnywhere: Boolean = {
+      val base = fs.exists(new org.apache.hadoop.fs.Path(idx, IndexData.PositionsDir))
+      val segs = IndexData.segments(spark, idx).exists { case (_, p) =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, IndexData.PositionsDir)) }
+      base || segs
+    }
+
+    write(docs, "a.md", "# Alpha\n\nspark merges sorted runs fast\n")
+    IndexJob.run(spark, Seq(docs), idx, embedder, opts = opts(docs, clear = true))
+    assert(!positionsAnywhere, "opt-out build wrote a positions sidecar")
+    val loaded = IndexData.load(spark, idx)
+    assert(loaded.positions.isEmpty)
+    assert(loaded.setting(IndexData.PositionsKey).contains(IndexData.PositionsOff),
+      "the opt-out must persist as an explicit settings marker")
+
+    // O(delta) append inherits the opt-out (no per-segment delta either)
+    val just = Files.createTempDirectory("posoff-just").toString
+    write(just, "b.md", "plain text body with no headers at all\n")
+    IndexJob.run(spark, Seq(just), idx, embedder, opts = opts(just, clear = false))
+    assert(!positionsAnywhere, "append segment resurrected positions")
+    val live = IndexData.load(spark, idx)
+    assert(live.pendingSegments == 1 && live.positions.isEmpty)
+    // the marker survives the incremental settings upsert
+    assert(live.setting(IndexData.PositionsKey).contains(IndexData.PositionsOff))
+
+    // compaction rewrites the base through IndexData.write — the opt-out
+    // must hold through the staged swap too
+    val compacted = IndexJob.compact(spark, idx)
+    assert(compacted.pendingSegments == 0)
+    assert(!positionsAnywhere, "compact resurrected positions")
+    assert(compacted.positions.isEmpty)
+    assert(compacted.setting(IndexData.PositionsKey).contains(IndexData.PositionsOff))
+
+    // flip back ON via an incremental rewrite merge: the sidecar appears
+    val second = Files.createTempDirectory("posoff-on").toString
+    write(second, "c.md", "# Gamma\n\nhybrid ranking fuses lexical and dense\n")
+    IndexJob.run(spark, Seq(second), idx, embedder,
+      opts = IndexJob.Options(clear = false, trimPathPrefix = Some(s"file:$second"),
+        positions = Some(true)))
+    val reon = IndexData.load(spark, idx)
+    assert(reon.positions.isDefined, "--positions on must rebuild the sidecar")
+    assert(reon.setting(IndexData.PositionsKey).contains("on"))
+  }
 }

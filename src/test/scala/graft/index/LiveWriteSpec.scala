@@ -91,4 +91,114 @@ class LiveWriteSpec extends AnyFunSuite {
     assert(graft.search.PhraseSearch.phraseMatches(pos, Seq("volcano", "model"))
       .collect().map(_.getString(0)).toSeq == Seq("d2"))
   }
+
+  test("save of a LOADED artifact re-derives the positions carry columns: " +
+      "a later append segment still assembles (round-16 ADVICE)") {
+    val dir = Files.createTempDirectory("livewrite-carry").toString + "/idx"
+    IndexData.write(docsDf(Seq("d1" -> "spark runs fast")), settingsDf, dir)
+    // load() strips positions to (doc_id, term, pos); pre-fix, save()
+    // persisted that frame verbatim — a file_path-less positions base that
+    // the next segment's file_path-carrying delta could not union with
+    IndexData.load(spark, dir).save(dir)
+    // ALL carried stats tables, not just positions: a save that dropped the
+    // doclen/postings carry would downgrade the artifact below the
+    // append-merge layout (its require() refuses the next O(delta) merge)
+    Seq(IndexData.PositionsDir, "doclen", "postings").foreach { t =>
+      assert(spark.read.parquet(s"$dir/$t").columns.contains("file_path"),
+        s"saved $t must carry file_path for the segment tombstone mask")
+    }
+    // an O(delta) append on top must leave the artifact loadable with an
+    // ASSEMBLED positional view (pre-fix: AnalysisException at load)
+    IndexJob.mergeAndWrite(spark, docsDf(Seq("d9" -> "volcano iterator model")),
+      settingsDf, dir, clear = false, mergeMode = "append")
+    val live = IndexData.load(spark, dir)
+    assert(live.pendingSegments == 1)
+    val pos = live.positions.getOrElse(fail("assembled view lost positions"))
+    assert(graft.search.PhraseSearch.phraseMatches(pos, Seq("iterator", "model"))
+      .collect().map(_.getString(0)).toSeq == Seq("d9"))
+  }
+
+  private def embDocsDf(rows: Seq[(String, String, Seq[Float])]) = {
+    val base = rows.map { case (id, text, _) => (id, text, text.split(" ").toSeq) }
+      .toDF("doc_id", "content", "tokens")
+      .withColumn("file_path", concat(lit("docs/"), col("doc_id")))
+      .withColumn("header_path", lit(""))
+      .withColumn("line_start", lit(1)).withColumn("line_end", lit(1))
+    val emb = rows.map { case (id, _, v) => (id, v) }.toDF("doc_id", "emb")
+    base.join(emb, Seq("doc_id")).withColumn("embedding", col("emb").cast("array<float>"))
+      .drop("emb")
+  }
+
+  test("write onto a live artifact REFRESHES the ann/pq sidecars under the " +
+      "frozen centroids — never serves the old corpus's doc_ids (round-16 ADVICE)") {
+    val dir = Files.createTempDirectory("livewrite-ann").toString + "/idx"
+    IndexData.write(embDocsDf(Seq(
+      ("a1", "left cluster doc", Seq(1f, 0f)),
+      ("a2", "right cluster doc", Seq(0f, 1f)))), settingsDf, dir)
+    AnnIndex.buildAndWrite(IndexData.load(spark, dir).documents,
+      "doc_id", "embedding", dir, k = 2, iters = 2)
+    assert(IndexData.load(spark, dir).ann.isDefined)
+
+    // direct write of a NEW corpus onto the live artifact: pre-fix the
+    // swap left ann_postings keyed by a1/a2 next to the b1/b2 documents
+    IndexData.write(embDocsDf(Seq(
+      ("b1", "fresh left doc", Seq(0.9f, 0.1f)),
+      ("b2", "fresh right doc", Seq(0.1f, 0.9f)))), settingsDf, dir)
+    val after = IndexData.load(spark, dir)
+    val ann = after.ann.getOrElse(fail("refresh must keep the sidecar present"))
+    val ids = ann.postings.select("doc_id").as[String].collect().toSet
+    assert(ids == Set("b1", "b2"),
+      s"ann postings must cover exactly the new corpus, got $ids")
+  }
+
+  test("write onto a live ann-carrying artifact WITHOUT an embedding column " +
+      "retires the sidecar via the commit record instead of leaving it stale") {
+    val dir = Files.createTempDirectory("livewrite-annoff").toString + "/idx"
+    IndexData.write(embDocsDf(Seq(
+      ("a1", "left cluster doc", Seq(1f, 0f)),
+      ("a2", "right cluster doc", Seq(0f, 1f)))), settingsDf, dir)
+    AnnIndex.buildAndWrite(IndexData.load(spark, dir).documents,
+      "doc_id", "embedding", dir, k = 2, iters = 2)
+
+    IndexData.write(docsDf(Seq("c1" -> "no embeddings here"))
+      .drop("embedding"), settingsDf, dir)
+    val after = IndexData.load(spark, dir)
+    assert(after.ann.isEmpty,
+      "a sidecar that cannot be refreshed must be retired, not served stale")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, AnnIndex.PostingsDir)))
+    assert(contents(dir) == Set("c1"))
+  }
+
+  test("positions=off settings marker: write skips the sidecar, save stays " +
+      "opt-out, and opting out a positions-carrying artifact retires it") {
+    val dir = Files.createTempDirectory("livewrite-posoff").toString + "/idx"
+    val offSettings = settingsDf.unionByName(
+      Seq(Setting(IndexData.PositionsKey, IndexData.PositionsOff)).toDF())
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasPositions = fs.exists(new org.apache.hadoop.fs.Path(dir, IndexData.PositionsDir))
+
+    IndexData.write(docsDf(Seq("d1" -> "spark runs fast")), offSettings, dir)
+    assert(!hasPositions, "opt-out build must not materialize positions")
+    assert(IndexData.load(spark, dir).positions.isEmpty)
+
+    // save onto the live opt-out artifact: the marker persists through the
+    // loaded settings, so the staged swap stays opt-out
+    IndexData.load(spark, dir).save(dir)
+    assert(!hasPositions, "save onto an opt-out artifact resurrected positions")
+
+    // flip ON: the staged swap writes the sidecar
+    IndexData.write(docsDf(Seq("d2" -> "volcano model")), settingsDf, dir)
+    assert(hasPositions)
+
+    // flip OFF on the positions-carrying artifact: the commit records the
+    // deliberate omission and the swap retires the old sidecar (pre-fix it
+    // survived — stale phrase results against the new corpus)
+    IndexData.write(docsDf(Seq("d3" -> "hash join probe")), offSettings, dir)
+    assert(!hasPositions, "opting out must retire the previous sidecar")
+    assert(IndexData.load(spark, dir).positions.isEmpty)
+    assert(contents(dir) == Set("d3"))
+  }
 }
