@@ -38,6 +38,8 @@ import graft.search.HybridSearch
   *                    [--fusion mean|rrf]   (score-average A4 or reciprocal-rank)
   *                    [--threshold T]   (min score; defaults 0.01 mean / 0.001 rrf)
   *                    [--phrase]   (candidates must contain the query as an adjacent run)
+  *                    [--phrase-rank]   (phrase-FIRST retrieval: BM25 ranks the
+  *                     corpus-wide phrase-matching docs via the positions sidecar)
   *                    [--ann-verify]   (also run the exact legs; live recall on stderr)
   *                    [--cache | --no-cache]   (interactive mode: force/skip pinning the
   *                     serving caches; default pins iff the artifact fits
@@ -627,7 +629,7 @@ object Cli {
   private def runSearch(index: IndexData, db: String, query: String, k: Int, rerank: Boolean,
       removeP: Option[String], addP: Option[String], ann: (Int, Int) = (0, 0),
       fusion: String = "mean", threshold: Option[Double] = None,
-      phrase: Boolean = false) = {
+      phrase: Boolean = false, phraseRank: Boolean = false) = {
     val analyzer = analyzerFor(index)
     // the serving surface (interactive loop, one-shot search, MCP) runs the
     // low-latency ServeSearch formulation — bit-identical to the DataFrame
@@ -646,7 +648,7 @@ object Cli {
       HybridSearch.Options(k = k, rerank = rerank,
         removePathPrefix = removeP, addPathPrefix = addP,
         annNprobe = ann._1, annPqShortlist = ann._2, fusion = fusion,
-        phraseOnly = phrase,
+        phraseOnly = phrase, phraseRank = phraseRank,
         // RRF scores live in (0, 2/61]; the reference's 0.01 threshold would
         // cut real hits once k > 40 — scale the DEFAULT to the rank domain
         // (an explicit --threshold wins, with [[thresholdWarning]] if it
@@ -774,6 +776,10 @@ object Cli {
     // `--phrase`: candidates must contain the query terms as an adjacent
     // in-order run (positional filter over the fused candidate set)
     val phrase = flag(a, "--phrase")
+    // `--phrase-rank`: phrase-FIRST retrieval — the BM25 leg ranks the
+    // corpus-wide phrase-matching docs (positions-sidecar probe) instead
+    // of filtering whatever made the global top-k; see HybridSearch.Options
+    val phraseRank = flag(a, "--phrase-rank")
     // `--ann-verify`: also run the exact legs for THIS query and report the
     // live overlap on stderr — the per-query spot-check companion to the
     // corpus-level q_ann_recall measurement (costs one extra exact search;
@@ -789,10 +795,10 @@ object Cli {
         driftWarning(index, annR).foreach(System.err.println)
         segmentsWarning(index, annR).foreach(System.err.println)
         recallWarning(index, annR).foreach(System.err.println)
-        val hits = runSearch(index, db, query, k, rerank, removeP, addP, annR, fusion, threshold, phrase)
+        val hits = runSearch(index, db, query, k, rerank, removeP, addP, annR, fusion, threshold, phrase, phraseRank)
         if (annVerify && (annR._1 > 0 || annR._2 > 0)) {
           val exact = runSearch(
-            index, db, query, k, rerank, removeP, addP, (0, 0), fusion, threshold, phrase)
+            index, db, query, k, rerank, removeP, addP, (0, 0), fusion, threshold, phrase, phraseRank)
           annVerifyNote(hits.map(_.getAs[String]("doc_id")).toSeq,
             exact.map(_.getAs[String]("doc_id")).toSeq)
             .foreach(System.err.println)
@@ -811,7 +817,7 @@ object Cli {
         System.err.println(s"[graft] interactive search on $db; one query per line, EOF exits")
         servingLoop(() => { holder.maybeReload(); (holder.current, annRef.get()) },
           db, scala.io.Source.stdin.getLines(), System.out,
-          k, rerank, removeP, addP, fusion, threshold, phrase)
+          k, rerank, removeP, addP, fusion, threshold, phrase, phraseRank)
     }
     spark.stop()
   }
@@ -851,13 +857,13 @@ object Cli {
       out: java.io.PrintStream, k: Int, rerank: Boolean,
       removeP: Option[String], addP: Option[String],
       fusion: String = "mean", threshold: Option[Double] = None,
-      phrase: Boolean = false): Unit =
+      phrase: Boolean = false, phraseRank: Boolean = false): Unit =
     lines.foreach { line =>
       val query = line.trim
       if (query.nonEmpty) {
         try {
           val (index, ann) = current()
-          val hits = runSearch(index, db, query, k, rerank, removeP, addP, ann, fusion, threshold, phrase)
+          val hits = runSearch(index, db, query, k, rerank, removeP, addP, ann, fusion, threshold, phrase, phraseRank)
           out.println(s"""{"results":${hitsJson(hits)}}""")
         } catch {
           case e: Throwable =>
@@ -873,9 +879,9 @@ object Cli {
       out: java.io.PrintStream, k: Int, rerank: Boolean,
       removeP: Option[String], addP: Option[String], ann: (Int, Int) = (0, 0),
       fusion: String = "mean", threshold: Option[Double] = None,
-      phrase: Boolean = false): Unit =
+      phrase: Boolean = false, phraseRank: Boolean = false): Unit =
     servingLoop(() => (index, ann), db, lines, out, k, rerank, removeP, addP,
-      fusion, threshold, phrase)
+      fusion, threshold, phrase, phraseRank)
 
   /** Minimal JSON-line request parser for `{"query": "...", "top_k": N}` —
     * the legacy pre-MCP protocol, kept under `--protocol jsonl`. */
@@ -979,6 +985,8 @@ object Cli {
     val annArg = arg(a, "--ann")
     val fusion = arg(a, "--fusion").getOrElse("mean")
     val threshold = arg(a, "--threshold").map(_.toDouble)
+    val phrase = flag(a, "--phrase")
+    val phraseRank = flag(a, "--phrase-rank")
     thresholdWarning(threshold, fusion, defaultK).foreach(System.err.println)
     val spark = session()
     disableAqeForOnline(spark)
@@ -987,7 +995,7 @@ object Cli {
     def answer(query: String, k: Int): String = {
       holder.maybeReload()
       val hits = runSearch(holder.current, db, query, k, rerank = true,
-        removeP, addP, annRef.get(), fusion, threshold)
+        removeP, addP, annRef.get(), fusion, threshold, phrase, phraseRank)
       s"""{"results":${hitsJson(hits)}}"""
     }
 

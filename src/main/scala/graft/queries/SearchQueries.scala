@@ -150,6 +150,43 @@ object SearchQueries {
         "WHERE a.term = 'table' AND b.term = 'value' GROUP BY a.doc_id) " +
         "SELECT doc_id, n_pairs FROM m ORDER BY doc_id")),
 
+    // UNORDERED proximity (round-16 directive #3): co-occurrence-window
+    // mining — the skip-gram/PMI input shape of a training pipeline. Same
+    // bucketed equi-join discipline (each right-leg row emits 3 window
+    // buckets, residual |Δpos| ≤ w); reads stay pruned term probes.
+    Q("q_proximity_unordered",
+      (s, d) => PhraseSearch.proximityMatchesUnordered(
+          Bm25.positionalPostings(docs(s, d)), "table", "value", window = 3)
+        .orderBy("doc_id"),
+      Some(s"WITH ${Q.toksCte}, " +
+        "p AS (SELECT doc_id, unnest(toks) AS term, " +
+        "unnest(generate_series(1, len(toks))) AS pos FROM toks), " +
+        "m AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_pairs " +
+        "FROM p a JOIN p b ON b.doc_id = a.doc_id " +
+        "AND abs(b.pos - a.pos) <= 3 " +
+        "WHERE a.term = 'table' AND b.term = 'value' GROUP BY a.doc_id) " +
+        "SELECT doc_id, n_pairs FROM m ORDER BY doc_id")),
+
+    // N-term SLOPPY PHRASE (round-16 directive #3): all three terms in
+    // order inside a ≤6-position span (the Lucene slop shape). Chained
+    // bucketed probes — every leg joins on (doc_id, anchor bucket), the
+    // in-order + span residuals prune at each hop; never per-doc
+    // all-pairs, never a nested-loop range join.
+    Q("q_proximity_nterm",
+      (s, d) => PhraseSearch.sloppyPhraseMatches(
+          Bm25.positionalPostings(docs(s, d)), Seq("key", "row", "scan"), window = 6)
+        .orderBy("doc_id"),
+      Some(s"WITH ${Q.toksCte}, " +
+        "p AS (SELECT doc_id, unnest(toks) AS term, " +
+        "unnest(generate_series(1, len(toks))) AS pos FROM toks), " +
+        "m AS (SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_matches " +
+        "FROM p p0 JOIN p p1 ON p1.doc_id = p0.doc_id " +
+        "JOIN p p2 ON p2.doc_id = p0.doc_id " +
+        "WHERE p0.term = 'key' AND p1.term = 'row' AND p2.term = 'scan' " +
+        "AND p1.pos > p0.pos AND p2.pos > p1.pos AND p2.pos - p0.pos <= 6 " +
+        "GROUP BY p0.doc_id) " +
+        "SELECT doc_id, n_matches FROM m ORDER BY doc_id")),
+
     // Phrase-RANKED retrieval: the capability the positional index unlocks
     // — phrase matching as a RETRIEVAL predicate (corpus-wide, via the
     // pruned positions probe) composed with BM25 ranking over the phrase's

@@ -51,7 +51,19 @@ object HybridSearch {
       // bag-of-words BM25 can't express). Applied to the fused candidate
       // set (≤2k rows) as a pure codegen HOF over the stored tokens —
       // bounded work, no corpus pass beyond what the legs already do.
-      phraseOnly: Boolean = false)
+      phraseOnly: Boolean = false,
+      // `--phrase-rank`: phrase-FIRST retrieval (round-16 directive #2).
+      // `--phrase` only FILTERS the fused candidate set — a document that
+      // contains the phrase but sits outside both top-k legs is
+      // unreachable. With the positional sidecar present, this mode
+      // instead restricts the BM25 leg to the corpus-wide phrase-matching
+      // doc set ([[PhraseSearch.phraseMatches]] — a pruned, df-proportional
+      // probe) BEFORE the top-k cut, so the leg ranks exactly the documents
+      // that contain the phrase. The VSS leg fuses as usual and the
+      // candidate phrase filter still applies to it. Artifacts without the
+      // sidecar degrade to the `--phrase` filter semantics (with a warning
+      // in serving) — the corpus token scan is not a serving-shape cost.
+      phraseRank: Boolean = false)
 
   /** A4 — the hybrid score fusion rule (reference `src/searcher.py:218-241`):
     * both present → mean; exactly one → 0.8·that; neither → 0.
@@ -276,8 +288,19 @@ object HybridSearch {
     import spark.implicits._
 
     val terms = analyzer.tokenize(query)
-    val fts = Bm25.topK(
-      Bm25.scores(terms, index.postings, index.termdf, index.doclen, index.stats), opts.k)
+    // phrase-first retrieval: restrict the BM25 leg to the corpus-wide
+    // phrase-matching docs BEFORE the top-k cut (both sides of the semi
+    // join are df-proportional — the scores frame reads only the query
+    // terms' posting lists, the phrase probe only their occurrence lists)
+    val phraseRanked = opts.phraseRank && terms.nonEmpty && index.positions.isDefined
+    val scoresLeg = {
+      val base = Bm25.scores(terms, index.postings, index.termdf, index.doclen, index.stats)
+      if (phraseRanked)
+        base.join(PhraseSearch.phraseMatches(index.positions.get, terms)
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+      else base
+    }
+    val fts = Bm25.topK(scoresLeg, opts.k)
       .withColumnRenamed("score", "fts_score")
 
     // J2 + A4: fuse the two top-k lists — fusion re-ranks the union of the
@@ -358,7 +381,10 @@ object HybridSearch {
         rewritePath(col("file_path"), opts.removePathPrefix, opts.addPathPrefix))
       .select("doc_id", "file_path", "header_path", "line_start", "line_end",
         "content", "tokens", "score", "fts_score", "vss_score")
-    val hits = (if (opts.phraseOnly && terms.nonEmpty)
+    // the candidate phrase filter applies to BOTH phrase modes: under
+    // phraseRank the fts leg is phrase-pure by construction, but the vss
+    // leg can still surface non-phrase docs into the fused set
+    val hits = (if ((opts.phraseOnly || opts.phraseRank) && terms.nonEmpty)
       fetched.filter(phrasePredicate(col("tokens"), terms))
     else fetched).drop("tokens")
 

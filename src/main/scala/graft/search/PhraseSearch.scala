@@ -70,4 +70,77 @@ object PhraseSearch {
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_pairs"))
   }
+
+  /** UNORDERED proximity: documents where `first` and `second` co-occur
+    * within `window` positions in either order, with the pair count. Same
+    * bucketed-equi-join shape as [[proximityMatches]], with the residual
+    * widened to |pb − pa| ≤ window — pa now falls in [pb−w, pb+w], which
+    * spans at most THREE window-sized buckets, so each second-leg row
+    * emits its own bucket and both neighbours. Each (pa, pb) combination
+    * counts once (one row per leg per occurrence); `first` and `second`
+    * must be distinct terms — a term never shares a position with itself,
+    * but a symmetric self-pair would double-count, so it is rejected.
+    * Training-pipeline shape: co-occurrence window mining (skip-gram
+    * windows, PMI inputs) is unordered by definition. */
+  def proximityMatchesUnordered(positions: DataFrame, first: String,
+      second: String, window: Int): DataFrame = {
+    require(window >= 1, s"proximity window must be ≥ 1, got $window")
+    require(first != second,
+      "unordered proximity needs two distinct terms (a self-pair would double-count)")
+    val a = positions.filter(col("term") === first)
+      .select(col("doc_id"), col("pos").as("_pa"),
+        floor(col("pos") / window).as("_bucket"))
+    val b = positions.filter(col("term") === second)
+      .select(col("doc_id"), col("pos").as("_pb"),
+        explode(array(floor(col("pos") / window) - 1,
+          floor(col("pos") / window),
+          floor(col("pos") / window) + 1)).as("_bucket"))
+    a.join(b, Seq("doc_id", "_bucket"))
+      .filter(abs(col("_pb") - col("_pa")) <= window)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+  }
+
+  /** N-term SLOPPY PHRASE (the Lucene `slop` shape): documents containing
+    * every term of `terms` (distinct values, in order) inside a span of at
+    * most `window` positions, with the match-tuple count. Generalizes the
+    * two-term [[proximityMatches]] by CHAINING the bucketed probes: leg 0
+    * anchors, every later leg joins on (doc_id, anchor-bucket) — a leg-i
+    * occurrence within `window` of the anchor lies in one of the anchor's
+    * three window-sized buckets, so each leg-i row emits 3 bucket keys and
+    * the join stays a hash join on probe-sized inputs (never a per-doc
+    * all-pairs or a nested-loop range join). Residuals keep exactness:
+    * each leg must sit AFTER its predecessor (ordered), and the final span
+    * check is last(pos) − anchor(pos) ≤ window (with ascending positions
+    * that IS max − min). Reads stay df-proportional: every leg is a pushed
+    * `term = 'x'` probe of the term-clustered positions sidecar.
+    * `terms.size == 2` reproduces [[proximityMatches]] exactly;
+    * `window = terms.size − 1` degenerates to strict adjacency. */
+  def sloppyPhraseMatches(positions: DataFrame, terms: Seq[String],
+      window: Int): DataFrame = {
+    require(terms.size >= 2, s"sloppy phrase needs ≥ 2 terms, got ${terms.size}")
+    require(terms.distinct.size == terms.size,
+      "sloppy phrase terms must be distinct (duplicate terms would pair a position with itself)")
+    require(window >= terms.size - 1,
+      s"window $window cannot hold ${terms.size} ordered terms (needs ≥ ${terms.size - 1})")
+    val anchor = positions.filter(col("term") === terms.head)
+      .select(col("doc_id"), col("pos").as("_p0"),
+        floor(col("pos") / window).as("_bucket"))
+    val joined = terms.zipWithIndex.drop(1).foldLeft(anchor) { case (acc, (t, i)) =>
+      val leg = positions.filter(col("term") === t)
+        .select(col("doc_id"), col("pos").as(s"_p$i"),
+          explode(array(floor(col("pos") / window) - 1,
+            floor(col("pos") / window),
+            floor(col("pos") / window) + 1)).as("_bucket"))
+      acc.join(leg, Seq("doc_id", "_bucket"))
+        // in-order + within the anchor's window: prunes the tuple space at
+        // every hop, so intermediate cardinality never exceeds the final
+        // match count times the per-doc occurrence fan-in of one term
+        .filter(col(s"_p$i") > col(s"_p${i - 1}") &&
+          col(s"_p$i") - col("_p0") <= window)
+    }
+    joined
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_matches"))
+  }
 }

@@ -84,6 +84,19 @@ object ServeSearch {
 
     val terms = analyzer.tokenize(query)
 
+    // phrase-first retrieval (round-16 directive #2): with the positional
+    // sidecar present, the BM25 leg ranks exactly the corpus-wide
+    // phrase-matching docs (semi join of two df-proportional frames)
+    // instead of filtering whatever made the global top-k. Without the
+    // sidecar the mode degrades to the `--phrase` candidate filter — warn,
+    // because the caller asked for retrieval semantics the artifact layout
+    // cannot serve (rebuild without `--positions off` to get them).
+    val phraseRanked = opts.phraseRank && terms.nonEmpty && index.positions.isDefined
+    if (opts.phraseRank && terms.nonEmpty && index.positions.isEmpty)
+      System.err.println("[graft] --phrase-rank needs the positions sidecar; " +
+        "degrading to the --phrase candidate filter (phrase docs outside the " +
+        "top-k legs stay unreachable)")
+
     // ---- the two corpus-sized legs, as concurrent bounded collects ----
     val ftsF: Future[Seq[(String, Double)]] =
       if (terms.isEmpty) Future.successful(Seq.empty) // isin() over no terms matches nothing
@@ -107,7 +120,7 @@ object ServeSearch {
         // table where the pushed-In probe reads only the query's row
         // groups off disk.
         val scored = Option(scoredPostingsCache.get(index.postings))
-        val leg = scored match {
+        val leg0 = scored match {
           case Some(sp) => sp
             .filter(col("term").isin(terms.distinct: _*))
             .groupBy("doc_id").agg(sum(col("s")).as("score"))
@@ -120,6 +133,14 @@ object ServeSearch {
             else localIfBroadcastable(index.doclen),
             localStats(index.stats))
         }
+        // phrase-first: cut top-k over the phrase-matching docs only —
+        // the same semi join the DAG path plans (ServeSearchSpec pins
+        // bit-parity); both sides are probe-sized, never corpus-sized
+        val leg =
+          if (phraseRanked)
+            leg0.join(PhraseSearch.phraseMatches(index.positions.get, terms)
+              .select("doc_id"), Seq("doc_id"), "left_semi")
+          else leg0
         Bm25.topK(leg, opts.k)
           .select(col("doc_id"), col("score"))
           .as[(String, Double)].collect().toSeq
@@ -221,7 +242,8 @@ object ServeSearch {
     // bytes of every request — and nothing else in the tail consumes it
     // (round-16 self-hunt). Column pruning reaches the parquet scan on
     // disk-backed artifacts and trims cache deserialization on pinned ones.
-    val needTokens = opts.phraseOnly && terms.nonEmpty && index.positions.isEmpty
+    val phraseFilter = (opts.phraseOnly || opts.phraseRank) && terms.nonEmpty
+    val needTokens = phraseFilter && index.positions.isEmpty
     val fetchCols = Seq("doc_id", "file_path", "header_path", "line_start",
       "line_end", "content") ++ (if (needTokens) Seq("tokens") else Nil)
     val fetched: Map[String, Row] =
@@ -246,7 +268,10 @@ object ServeSearch {
           c.fts, c.vss, c.score)
       }
     }
-    if (opts.phraseOnly && terms.nonEmpty)
+    // under phraseRank the fts leg is phrase-pure by construction, but the
+    // vss leg can still surface non-phrase docs into the fused set — the
+    // candidate filter applies to both phrase modes
+    if (phraseFilter)
       hits = index.positions match {
         // index path (round-15 directive #3): adjacency via the positional
         // postings self-join, restricted to the ≤2k candidate ids — each

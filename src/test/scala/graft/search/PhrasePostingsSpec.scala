@@ -83,6 +83,85 @@ class PhrasePostingsSpec extends AnyFunSuite {
     assert(adj == prox1)
   }
 
+  test("unordered proximity: counts in-window pairs in EITHER order; " +
+      "3-bucket emission never double-counts; self-pair rejected") {
+    val docs = Seq(
+      1L -> Seq("value", "x", "table"),                   // reverse order: in
+      2L -> Seq("table", "x", "y", "z", "value"),         // gap 4
+      3L -> Seq("table", "value", "value", "x", "table"), // mixed multiplicity
+      4L -> Seq("table", "a", "b", "c", "d", "e", "value") // gap 6
+    ).toDF("doc_id", "tokens")
+    val pos = Bm25.positionalPostings(docs)
+    def localPairs(tokens: Seq[String], w: Int): Long =
+      (for {
+        (a, i) <- tokens.zipWithIndex if a == "table"
+        (b, j) <- tokens.zipWithIndex if b == "value" && math.abs(j - i) <= w
+      } yield 1).size.toLong
+    for (w <- Seq(1, 2, 4, 6, 9)) {
+      val got = PhraseSearch.proximityMatchesUnordered(pos, "table", "value", w)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = docs.collect()
+        .map(r => r.getLong(0) -> localPairs(r.getSeq[String](1), w))
+        .filter(_._2 > 0).toMap
+      assert(got == want, s"window=$w")
+    }
+    intercept[IllegalArgumentException] {
+      PhraseSearch.proximityMatchesUnordered(pos, "table", "table", 3)
+    }
+  }
+
+  test("N-term sloppy phrase: chained bucketed probes count exactly the " +
+      "in-order within-span tuples; 2-term case ≡ proximityMatches") {
+    val docs = Seq(
+      1L -> Seq("key", "x", "row", "y", "scan"),          // span 4
+      2L -> Seq("key", "row", "scan"),                    // span 2
+      3L -> Seq("scan", "row", "key"),                    // reverse: 0
+      4L -> Seq("key", "row", "x", "x", "x", "x", "scan"), // span 6
+      5L -> Seq("key", "key", "row", "scan"),             // anchor multiplicity
+      6L -> Seq("key", "row")                             // missing term
+    ).toDF("doc_id", "tokens")
+    val pos = Bm25.positionalPostings(docs)
+    def localTuples(tokens: Seq[String], terms: Seq[String], w: Int): Long = {
+      def occ(t: String) = tokens.zipWithIndex.filter(_._1 == t).map(_._2)
+      def rec(rem: Seq[String], prev: Int, first: Int): Long = rem match {
+        case Nil => 1L
+        case t +: rest => occ(t).filter(p => p > prev && p - first <= w)
+          .map(p => rec(rest, p, first)).sum
+      }
+      occ(terms.head).map(p0 => rec(terms.tail, p0, p0)).sum
+    }
+    for (w <- Seq(2, 4, 6, 8)) {
+      val got = PhraseSearch.sloppyPhraseMatches(pos, Seq("key", "row", "scan"), w)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = docs.collect()
+        .map(r => r.getLong(0) -> localTuples(r.getSeq[String](1), Seq("key", "row", "scan"), w))
+        .filter(_._2 > 0).toMap
+      assert(got == want, s"window=$w")
+    }
+    // 2-term sloppy ≡ the dedicated ordered-pair operator
+    val viaSloppy = PhraseSearch.sloppyPhraseMatches(pos, Seq("key", "scan"), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPair = PhraseSearch.proximityMatches(pos, "key", "scan", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSloppy == viaPair)
+    // a window too small for the term count is a usage error, not silence
+    intercept[IllegalArgumentException] {
+      PhraseSearch.sloppyPhraseMatches(pos, Seq("key", "row", "scan"), 1)
+    }
+  }
+
+  test("sloppy-phrase probe on the persisted artifact reads the terms' " +
+      "occurrence lists, not the corpus") {
+    val index = IndexData.load(spark, artifactDir)
+    val pos = index.positions.getOrElse(fail("artifact must carry positions/"))
+    val total = pos.count()
+    val (rows, read) = graft.util.InputMetrics.rowsRead(spark, expectNonZero = true) {
+      PhraseSearch.sloppyPhraseMatches(pos, Seq("table", "zfill0"), window = 3).collect()
+    }
+    assert(rows.nonEmpty)
+    assert(read <= total / 4, s"sloppy probe read $read of $total position rows")
+  }
+
   // an artifact whose corpus is dominated by filler terms lexically AROUND
   // the phrase terms — the positions probe must read only the phrase
   // terms' occurrence lists (row-group stats on the term-sorted layout)
