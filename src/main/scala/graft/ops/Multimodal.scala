@@ -236,6 +236,199 @@ object Multimodal {
       }
   }
 
+  /** REAL compressed-audio metadata decode: MPEG-1 Layer III (MP3) frame
+    * headers (round-16 directive #5). The frame header is a public spec —
+    * bitrate/sample-rate tables, frame-length arithmetic, ID3v2 container
+    * skip — and parses without any codec: only the PCM payload needs a
+    * decoder, the metadata the pipeline filters on does not. Total:
+    * unknown/truncated/corrupt bytes → None, never throws.
+    *
+    * Scope: MPEG-1 Layer III streams (the overwhelmingly common case).
+    * Strict: every frame must parse with a consistent sample rate / channel
+    * mode and the frames must tile the payload exactly — a desynchronized
+    * or truncated stream is rejected rather than half-read, which keeps the
+    * closed-form oracle honest. */
+  object Mp3Parser extends Serializable {
+
+    /** MPEG-1 Layer III bitrate table (kbps), indexed by the header's
+      * 4-bit bitrate field; 0 = free-format, 15 = reserved (both rejected). */
+    private val BitrateKbps =
+      Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+    /** MPEG-1 sample-rate table, indexed by the 2-bit field; 3 = reserved. */
+    private val SampleRate = Array(44100L, 48000L, 32000L, -1L)
+    /** Samples per MPEG-1 Layer III frame. */
+    val SamplesPerFrame = 1152L
+
+    /** (sample_rate, channels, first_frame_bitrate_kbps, n_samples) for an
+      * MPEG-1 Layer III payload, optionally prefixed by an ID3v2 tag. */
+    def parseMp3(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+      try {
+        def u8(i: Int) = b(i) & 0xff
+        var i = 0L
+        // ID3v2 prefix: "ID3" + version(2) + flags(1) + syncsafe u28 size
+        if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+          val size = ((u8(6) & 0x7f).toLong << 21) | ((u8(7) & 0x7f) << 14) |
+            ((u8(8) & 0x7f) << 7) | (u8(9) & 0x7f)
+          i = 10L + size
+        }
+        var rate = -1L; var ch = -1L; var firstBr = -1L; var frames = 0L
+        while (i < b.length) {
+          if (i + 4 > b.length) return None
+          val j = i.toInt
+          // 11-bit sync, then version(2)/layer(2)/protection(1)
+          if (u8(j) != 0xff || (u8(j + 1) & 0xe0) != 0xe0) return None
+          val version = (u8(j + 1) >> 3) & 0x3 // 3 = MPEG-1
+          val layer = (u8(j + 1) >> 1) & 0x3 // 1 = Layer III
+          if (version != 3 || layer != 1) return None
+          val br = BitrateKbps((u8(j + 2) >> 4) & 0xf)
+          val sr = SampleRate((u8(j + 2) >> 2) & 0x3)
+          val padding = (u8(j + 2) >> 1) & 0x1
+          val mode = (u8(j + 3) >> 6) & 0x3 // 3 = mono
+          if (br <= 0 || sr <= 0) return None
+          val c = if (mode == 3) 1L else 2L
+          if (frames == 0L) { rate = sr; ch = c; firstBr = br.toLong }
+          else if (sr != rate || c != ch) return None
+          // Layer III frame length: floor(144 · bitrate / sample_rate) + pad
+          val frameLen = 144000L * br / sr + padding
+          if (frameLen <= 4L) return None
+          i += frameLen
+          frames += 1L
+        }
+        if (frames == 0L || i != b.length) return None
+        Some((rate, ch, firstBr, frames * SamplesPerFrame))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    def decode(batch: Seq[(Long, Array[Byte])]): Seq[AudioMeta] =
+      batch.map { case (id, bytes) =>
+        parseMp3(bytes) match {
+          case Some((rate, ch, _, n)) =>
+            // bits-per-sample is a PCM notion; null for a compressed codec
+            AudioMeta(id, bytes.length.toLong, Some("mp3"),
+              Some(rate), Some(ch), None, Some(n))
+          case None =>
+            AudioMeta(id, bytes.length.toLong, None, None, None, None, None)
+        }
+      }
+  }
+
+  /** Decoded VIDEO-container metadata (nullable like [[ImageMeta]]).
+    * `duration` is in `timescale` ticks (seconds = duration / timescale) —
+    * kept separate rather than pre-divided so downstream filters stay
+    * exact-integer. */
+  final case class VideoMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      format: Option[String],
+      width: Option[Long],
+      height: Option[Long],
+      timescale: Option[Long],
+      duration: Option[Long])
+
+  /** REAL video-container metadata decode: ISO-BMFF (MP4/MOV) box walk
+    * (round-16 directive #5). The box structure is a public spec — length-
+    * prefixed 4cc boxes, `moov/mvhd` for timescale+duration, the first
+    * `moov/trak/tkhd` for the presentation width/height (16.16 fixed
+    * point) — and none of it needs a codec. Handles 64-bit `largesize`
+    * boxes, version-1 (64-bit time) mvhd/tkhd, and size-0 ("to end of
+    * file") top-level boxes. Total: anything malformed → None. */
+  object Mp4Parser extends Serializable {
+
+    def parseMp4(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+      try {
+        def u8(i: Int) = b(i) & 0xff
+        def be32(i: Int): Long =
+          (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+        def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+        def tag(i: Int): String =
+          if (i + 4 <= b.length) new String(b, i, 4, "US-ASCII") else ""
+        // first box of `name` inside [start, end) → payload span
+        def findBox(start: Long, end: Long, name: String): Option[(Long, Long)] = {
+          var i = start
+          while (i + 8 <= end) {
+            val sz0 = be32(i.toInt)
+            var hdr = 8L
+            val sz =
+              if (sz0 == 1L) { // largesize
+                if (i + 16 > end) return None
+                hdr = 16L; be64(i.toInt + 8)
+              } else if (sz0 == 0L) end - i // box extends to end of span
+              else sz0
+            if (sz < hdr || i + sz > end) return None
+            if (tag(i.toInt + 4) == name) return Some((i + hdr, i + sz))
+            i += sz
+          }
+          None
+        }
+        if (b.length < 16) return None
+        // sanity: a real file leads with ftyp (or a bare moov)
+        val lead = tag(4)
+        if (lead != "ftyp" && lead != "moov") return None
+        val (moovS, moovE) = findBox(0L, b.length.toLong, "moov") match {
+          case Some(x) => x; case None => return None
+        }
+        val (mvhdS, mvhdE) = findBox(moovS, moovE, "mvhd") match {
+          case Some(x) => x; case None => return None
+        }
+        val m = mvhdS.toInt
+        if (mvhdE - mvhdS < 20) return None
+        val (timescale, duration) = u8(m) match {
+          case 0 => (be32(m + 12), be32(m + 16)) // v0: u32 times
+          case 1 => if (mvhdE - mvhdS < 32) return None
+            (be32(m + 20), be64(m + 24)) // v1: u64 creation/modification
+          case _ => return None
+        }
+        val (trakS, trakE) = findBox(moovS, moovE, "trak") match {
+          case Some(x) => x; case None => return None
+        }
+        val (tkhdS, tkhdE) = findBox(trakS, trakE, "tkhd") match {
+          case Some(x) => x; case None => return None
+        }
+        // width/height: the final 8 bytes of tkhd, 16.16 fixed point
+        if (tkhdE - tkhdS < 12) return None
+        val w = be32((tkhdE - 8).toInt) >> 16
+        val h = be32((tkhdE - 4).toInt) >> 16
+        if (w <= 0 || h <= 0 || timescale <= 0 || duration < 0) None
+        else Some((w, h, timescale, duration))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    def decode(batch: Seq[(Long, Array[Byte])]): Seq[VideoMeta] =
+      batch.map { case (id, bytes) =>
+        parseMp4(bytes) match {
+          case Some((w, h, ts, dur)) =>
+            VideoMeta(id, bytes.length.toLong, Some("mp4"),
+              Some(w), Some(h), Some(ts), Some(dur))
+          case None =>
+            VideoMeta(id, bytes.length.toLong, None, None, None, None, None)
+        }
+      }
+  }
+
+  /** Batched MP3 decode — same mapPartitions plumbing as
+    * [[decodeImageMeta]]. */
+  def decodeMp3Meta(
+      df: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): Dataset[AudioMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(g => Mp3Parser.decode(g)))
+  }
+
+  /** Batched MP4 decode — same mapPartitions plumbing as
+    * [[decodeImageMeta]]. */
+  def decodeVideoMeta(
+      df: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): Dataset[VideoMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(g => Mp4Parser.decode(g)))
+  }
+
   /** Batched audio decode — same mapPartitions plumbing as
     * [[decodeImageMeta]]. */
   def decodeAudioMeta(
@@ -320,6 +513,68 @@ object Multimodal {
       out.put("INFO".getBytes("US-ASCII"))
       out.put("data".getBytes("US-ASCII")).putInt(dataSize)
       out.array() // zero PCM frames follow the data header
+    }
+
+    /** MPEG-1 Layer III stream: an ID3v2 tag of `id3Body` bytes, then
+      * `nFrames` identical zero-payload frames at the given bitrate /
+      * sample-rate table indices. Frame length is the spec's
+      * floor(144·bitrate/rate) (padding bit 0), so total size is closed-form:
+      * 10 + id3Body + nFrames·(144000·kbps ∕ rate). */
+    def mp3(srIdx: Int, brIdx: Int, nFrames: Int, id3Body: Int,
+        mono: Boolean): Array[Byte] = {
+      val sr = Array(44100, 48000, 32000)(srIdx)
+      val kbps = Array(96, 128, 192, 256)(brIdx)
+      val brField = Array(7, 9, 11, 13)(brIdx) // table index of each kbps
+      val frameLen = 144000 * kbps / sr
+      val out = java.nio.ByteBuffer.allocate(10 + id3Body + nFrames * frameLen)
+      out.put("ID3".getBytes("US-ASCII")).put(4.toByte).put(0.toByte) // v2.4
+      out.put(0.toByte) // flags
+      // syncsafe size (id3Body < 128 in fixtures, so only the low byte)
+      out.put(0.toByte).put(0.toByte).put((id3Body >> 7).toByte)
+        .put((id3Body & 0x7f).toByte)
+      out.position(out.position() + id3Body) // zero tag body
+      val hdr = Array[Byte](0xff.toByte, 0xfb.toByte, // MPEG-1 L3, no CRC
+        ((brField << 4) | (srIdx << 2)).toByte, // padding 0
+        (if (mono) 0xc0 else 0x00).toByte) // mode 3 = mono, 0 = stereo
+      (0 until nFrames).foreach { f =>
+        out.position(10 + id3Body + f * frameLen)
+        out.put(hdr)
+      }
+      out.array()
+    }
+
+    /** ISO-BMFF fixture: `ftyp` (16 B) + `moov` holding a v0 `mvhd`
+      * (timescale, duration) and one `trak`/`tkhd` (16.16 width/height) —
+      * 232 bytes total, every field at its spec offset. */
+    def mp4(w: Int, h: Int, timescale: Int, duration: Int): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(232)
+      out.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      out.put("isom".getBytes("US-ASCII")).putInt(0)
+      out.putInt(216).put("moov".getBytes("US-ASCII"))
+      // mvhd v0: ver/flags, creation, modification, timescale, duration,
+      // rate(1.0), volume(1.0)+reserved, reserved×2, matrix(9), predef(6),
+      // next_track_id
+      out.putInt(108).put("mvhd".getBytes("US-ASCII"))
+      out.putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(duration)
+      out.putInt(0x00010000).putShort(0x0100.toShort).putShort(0.toShort)
+      out.putInt(0).putInt(0)
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(out.putInt)
+      (0 until 6).foreach(_ => out.putInt(0))
+      out.putInt(2)
+      // trak > tkhd v0: ver/flags, creation, modification, track_id,
+      // reserved, duration, reserved×2, layer, alt_group, volume, reserved,
+      // matrix(9), width 16.16, height 16.16
+      out.putInt(100).put("trak".getBytes("US-ASCII"))
+      out.putInt(92).put("tkhd".getBytes("US-ASCII"))
+      out.putInt(0x00000007).putInt(0).putInt(0).putInt(1).putInt(0)
+      out.putInt(duration).putInt(0).putInt(0)
+      out.putShort(0.toShort).putShort(0.toShort)
+      out.putShort(0.toShort).putShort(0.toShort)
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(out.putInt)
+      out.putInt(w << 16).putInt(h << 16)
+      out.array()
     }
 
     /** Deterministic per-id fixture: format cycles on id % 4 (3 = garbage),

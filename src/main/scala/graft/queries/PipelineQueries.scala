@@ -1194,6 +1194,72 @@ object PipelineQueries {
         "CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 1 + (doc_id * 13) % 97 END AS n_samples " +
         "FROM documents ORDER BY doc_id")),
 
+    // REAL compressed-audio metadata decode (round-16 directive #5): MPEG-1
+    // Layer III frame headers — ID3v2 skip, bitrate/sample-rate table
+    // lookups, the spec's frame-length arithmetic tiling the payload
+    // exactly. The oracle restates the fixture stream's closed-form size
+    // and metadata in SQL, so a wrong table entry, a wrong frame-length
+    // formula, or a broken ID3 skip is a hash mismatch. Every 5th payload
+    // is garbage → nulls (the total-decode contract, cross-engine).
+    Q("q_mm_decode_mp3",
+      (s, d) => {
+        import s.implicits._
+        val gen = t(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+          .map { id =>
+            val payload =
+              if (id % 5 == 4) Multimodal.ImageFixtures.garbage(id)
+              else Multimodal.ImageFixtures.mp3(
+                (id % 3).toInt, (id % 4).toInt,
+                (1 + id % 7).toInt, (id % 17).toInt, mono = id % 2 == 0)
+            (id, payload)
+          }
+          .toDF("doc_id", "payload")
+        Multimodal.decodeMp3Meta(gen, "doc_id", "payload")
+          .toDF().orderBy("doc_id")
+      },
+      Some("WITH f AS (SELECT doc_id, " +
+        "CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr, " +
+        "CASE doc_id % 4 WHEN 0 THEN 96 WHEN 1 THEN 128 WHEN 2 THEN 192 ELSE 256 END AS br, " +
+        "1 + doc_id % 7 AS nf FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(CASE WHEN doc_id % 5 = 4 THEN 16 " +
+        "ELSE 10 + doc_id % 17 + nf * ((144000 * br) // sr) END AS BIGINT) AS n_bytes, " +
+        "CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 'mp3' END AS format, " +
+        "CASE WHEN doc_id % 5 = 4 THEN NULL ELSE sr END AS sample_rate, " +
+        "CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 1 + doc_id % 2 END AS channels, " +
+        "CAST(NULL AS BIGINT) AS bits, " +
+        "CASE WHEN doc_id % 5 = 4 THEN NULL ELSE nf * 1152 END AS n_samples " +
+        "FROM f ORDER BY doc_id")),
+
+    // REAL video-container metadata decode (round-16 directive #5):
+    // ISO-BMFF box walk — ftyp sanity, moov/mvhd timescale+duration,
+    // moov/trak/tkhd 16.16 width/height. Same closed-form-oracle rigor;
+    // every 5th payload garbage → nulls.
+    Q("q_mm_decode_mp4",
+      (s, d) => {
+        import s.implicits._
+        val gen = t(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+          .map { id =>
+            val payload =
+              if (id % 5 == 4) Multimodal.ImageFixtures.garbage(id)
+              else Multimodal.ImageFixtures.mp4(
+                (1 + (id * 7) % 1920).toInt, (1 + (id * 13) % 1080).toInt,
+                (600 * (1 + id % 4)).toInt, (1 + (id * 11) % 100000).toInt)
+            (id, payload)
+          }
+          .toDF("doc_id", "payload")
+        Multimodal.decodeVideoMeta(gen, "doc_id", "payload")
+          .toDF().orderBy("doc_id")
+      },
+      Some("SELECT doc_id, " +
+        "CAST(CASE WHEN doc_id % 5 = 4 THEN 16 ELSE 232 END AS BIGINT) AS n_bytes, " +
+        "CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 'mp4' END AS format, " +
+        "CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 1 + (doc_id * 7) % 1920 END AS width, " +
+        "CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 1 + (doc_id * 13) % 1080 END AS height, " +
+        "CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 600 * (1 + doc_id % 4) END AS timescale, " +
+        "CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 1 + (doc_id * 11) % 100000 END AS duration " +
+        "FROM documents ORDER BY doc_id")),
+
     // Frame sampling: one row per sampled frame with deterministic stride —
     // the one-to-many media op (explode of a generated index range)
     Q("q_mm_frame_sample",

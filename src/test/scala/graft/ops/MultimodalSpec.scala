@@ -108,6 +108,70 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("MP3 parser: fixture streams round-trip (tables, frame tiling, ID3 " +
+      "skip, channel mode), truncations/corruptions never throw") {
+    import graft.ops.Multimodal.Mp3Parser
+    // srIdx 0 = 44100, brIdx 1 = 128 kbps, 3 frames, 5-byte ID3 body, mono
+    val m = Mp3Parser.parseMp3(F.mp3(0, 1, 3, 5, mono = true))
+    assert(m == Some((44100L, 1L, 128L, 3L * 1152L)), m)
+    // stereo at 32 kHz / 256 kbps, no ID3 body
+    val st = Mp3Parser.parseMp3(F.mp3(2, 3, 1, 0, mono = false))
+    assert(st == Some((32000L, 2L, 256L, 1152L)), st)
+    // the fixture's closed-form byte size the oracle states in SQL
+    assert(F.mp3(1, 2, 4, 9, mono = true).length ==
+      10 + 9 + 4 * (144000 * 192 / 48000))
+    // strictness: trailing garbage / desync rejected, not half-read
+    // (parse the clean stream FIRST so the rejection assert isn't vacuous)
+    val full = F.mp3(0, 0, 2, 0, mono = true)
+    assert(Mp3Parser.parseMp3(full) == Some((44100L, 1L, 96L, 2L * 1152L)))
+    assert(Mp3Parser.parseMp3(full ++ Array[Byte](0x41)).isEmpty)
+    assert(Mp3Parser.parseMp3(F.garbage(3L)).isEmpty)
+    assert(Mp3Parser.parseMp3(F.wav(8000, 1, 4)).isEmpty)
+    // totality sweeps
+    (0 to full.length).foreach(n => Mp3Parser.parseMp3(full.take(n)))
+    full.indices.foreach { i =>
+      val c = full.clone(); c(i) = (c(i) ^ 0x5a).toByte; Mp3Parser.parseMp3(c)
+    }
+  }
+
+  test("MP4 parser: fixture boxes round-trip (mvhd timescale/duration, tkhd " +
+      "16.16 dims), largesize + v1 handled, truncations/corruptions never " +
+      "throw") {
+    import graft.ops.Multimodal.Mp4Parser
+    val m = Mp4Parser.parseMp4(F.mp4(1920, 1080, 600, 90000))
+    assert(m == Some((1920L, 1080L, 600L, 90000L)), m)
+    assert(F.mp4(64, 64, 1000, 1).length == 232)
+    // rewrite moov as a largesize box: size=1 + 64-bit size, payload shifted
+    val base = F.mp4(320, 240, 1000, 5000)
+    val moovPayload = base.slice(24, 232) // after the 8-byte moov header
+    val big = java.nio.ByteBuffer.allocate(16 + 16 + moovPayload.length)
+    big.put(base.take(16)) // ftyp
+    big.putInt(1).put("moov".getBytes("US-ASCII"))
+    big.putLong(16L + moovPayload.length).put(moovPayload)
+    assert(Mp4Parser.parseMp4(big.array()) == Some((320L, 240L, 1000L, 5000L)))
+    // v1 mvhd: u64 creation/modification times, u32 timescale at +20,
+    // u64 duration at +24 — rebuild moov with a v1 mvhd + the base trak
+    val trak = base.slice(132, 232) // the 100-byte trak box
+    val v1mvhd = java.nio.ByteBuffer.allocate(40)
+    v1mvhd.putInt(40).put("mvhd".getBytes("US-ASCII"))
+    v1mvhd.putInt(0x01000000) // version 1
+    v1mvhd.putLong(0L).putLong(0L) // creation, modification (u64)
+    v1mvhd.putInt(90000).putLong(123456789L)
+    val v1 = java.nio.ByteBuffer.allocate(16 + 8 + 40 + trak.length)
+    v1.put(base.take(16))
+    v1.putInt(8 + 40 + trak.length).put("moov".getBytes("US-ASCII"))
+    v1.put(v1mvhd.array()).put(trak)
+    assert(Mp4Parser.parseMp4(v1.array()) ==
+      Some((320L, 240L, 90000L, 123456789L)))
+    assert(Mp4Parser.parseMp4(F.garbage(11L)).isEmpty)
+    assert(Mp4Parser.parseMp4(F.png(4, 4)).isEmpty)
+    assert(Mp4Parser.parseMp4(F.mp3(0, 0, 1, 0, mono = true)).isEmpty)
+    (0 to base.length).foreach(n => Mp4Parser.parseMp4(base.take(n)))
+    base.indices.foreach { i =>
+      val c = base.clone(); c(i) = (c(i) ^ 0x5a).toByte; Mp4Parser.parseMp4(c)
+    }
+  }
+
   test("distributed decode plumbing: batched mapPartitions over a binary " +
       "column yields one ImageMeta row per payload") {
     val spark = TestSpark.spark
