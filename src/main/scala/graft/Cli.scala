@@ -974,7 +974,23 @@ object Cli {
       index.stats.count() // materialize caches before the first request
       graft.search.ServeSearch.scoredPostings(index) // impact postings too
       index
-    } else loaded
+    } else {
+      // disk-backed: prewarm parquet footers of the BOUNDED dirs (sidecars,
+      // stats, termdf, segment deltas — anything ≤ the file cap) so the
+      // first request per term mix doesn't pay cold footer round-trips on
+      // top of its data reads (round-16 directive #4: the driver-run p95
+      // tails on the disk lanes were first-touch costs the per-mode warmup
+      // couldn't reach because postings/termdf pruning is query-specific).
+      // Corpus-sized dirs self-exclude via the cap — the prewarm is O(files
+      // prewarmed), never O(corpus).
+      val t0 = System.nanoTime()
+      val warmed = IndexData.prewarmFooters(spark, db)
+      System.err.println(
+        f"[graft] disk-backed serving: prewarmed parquet footers of " +
+          f"${warmed.size} dirs / ${warmed.map(_._2).sum} files in " +
+          f"${(System.nanoTime() - t0) / 1e6}%.0f ms")
+      loaded
+    }
   }
 
   private def serveCmd(a: Array[String]): Unit = {

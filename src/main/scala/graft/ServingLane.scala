@@ -139,6 +139,34 @@ object ServingLane {
         searchFn: String => Array[_]): String =
       modeT(name, extra, texts, searchFn)._1
 
+    /** Per-request DETERMINISTIC read profile (round-16 directive #4): rows
+      * read off storage/cache + tasks ended (the files/splits-opened proxy)
+      * for one pass over the texts — run OUTSIDE the latency loops so the
+      * listener drain cannot pollute the walls. The recurring driver-run
+      * cold p95 tails bounded by nothing were unexplainable because no
+      * metric said what a tail request actually touched; these two are
+      * data+plan functions, so: flat rows/tasks + a wall tail = host-side
+      * (scheduling/page-cache/JIT), while a tail request reading ≫ the
+      * median = a pruning regression. `ok` asserts nonzero reads and
+      * bounded max-vs-median amplification (≤3×: per-term df variation
+      * across the 10 queries rides on top of a corpus-proportional leg
+      * that dominates every request). */
+    def readProfile(texts: Seq[String],
+        searchFn: String => Array[_]): String = {
+      val prof = texts.map { q =>
+        val (_, rows, tasks) = graft.util.InputMetrics.readProfile(
+          spark, expectNonZero = true)(searchFn(q))
+        (rows.toDouble, tasks.toDouble)
+      }
+      val rows = prof.map(_._1).sorted
+      val tasks = prof.map(_._2).sorted
+      val ok = rows.head > 0 &&
+        rows.last <= 3 * pct(rows, 0.5) && tasks.last <= 3 * pct(tasks, 0.5)
+      s"""{"rows_p50":${pct(rows, 0.5).toLong},"rows_max":${rows.last.toLong},""" +
+        s""""tasks_p50":${pct(tasks, 0.5).toLong},"tasks_max":${tasks.last.toLong},""" +
+        s""""ok":$ok}"""
+    }
+
     try {
       // ---- uniform corpus: the SF tables, as every round since r11 ----
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -206,6 +234,15 @@ object ServingLane {
           org.apache.commons.io.FileUtils.copyDirectory(
             new java.io.File(idxDir), new java.io.File(diskDir))
           val diskIdx = graft.index.IndexData.load(spark, diskDir)
+          // bounded footer prewarm, exactly what `graft serve` now runs on
+          // its disk-backed branch (round-16 directive #4): first-touch
+          // footer reads were the unbounded part of the cold tails — the
+          // per-mode warmup can't reach them because postings/termdf
+          // pruning is query-specific, so queries 3..10 hit cold footers
+          // INSIDE the timed loop
+          val pw0 = System.nanoTime()
+          val warmed = graft.index.IndexData.prewarmFooters(spark, diskDir)
+          val prewarmMs = (System.nanoTime() - pw0) / 1e6
           // deterministic READ-AMPLIFICATION guard for the cold path
           // (round-15 directive #2, adjudicated in PLANS.md round-16): the
           // pre-fix ann_postings layout carried up to shuffle.partitions
@@ -231,6 +268,12 @@ object ServingLane {
           mode("disk_exact", "", Texts, serveRun(diskIdx, lookup)(0, 0)) + "," +
             mode("disk_ivf_auto", s""""nprobe":$autoNprobe,""", Texts,
               serveRun(diskIdx, lookup)(autoNprobe, 0)) + "," +
+            s""""disk_prewarm":{"ms":${ms1(prewarmMs)},""" +
+            s""""dirs":${warmed.size},"files":${warmed.map(_._2).sum}},""" +
+            s""""disk_read_profile":{""" +
+            s""""exact":${readProfile(Texts, serveRun(diskIdx, lookup)(0, 0))},""" +
+            s""""ivf_auto":${
+              readProfile(Texts, serveRun(diskIdx, lookup)(autoNprobe, 0))}},""" +
             s""""disk_ivf_guard":{"ann_files":$annFiles,""" +
             s""""clusters":${fpc.length},""" +
             s""""max_files_per_cluster":${if (fpc.isEmpty) 0 else fpc.max},""" +
@@ -338,6 +381,14 @@ object ServingLane {
         s""""n_docs":${nDocs * factor}""",
         s""""startup_ms":${ms1(cStartupMs)}""",
         mode("exact", "", cTexts, serveRun(cIdx, cLookup)(0, 0)),
+        // read profile for the cells with recurring driver-run wall tails
+        // (round-16 directive #4): rows/tasks are deterministic, so a tail
+        // round with a flat profile is adjudicated host-side, while a real
+        // read regression flips the profile's ok
+        s""""read_profile":{""" +
+          s""""exact":${readProfile(cTexts, serveRun(cIdx, cLookup)(0, 0))},""" +
+          s""""ivf_auto":${
+            readProfile(cTexts, serveRun(cIdx, cLookup)(cAutoNprobe, 0))}}""",
         // `ok` asserts BOTH recalls (round-13 directive #4): the fitted
         // curve at the resolved nprobe must meet the serving target 0.9,
         // AND the sampled live overlap against the exact path must agree —

@@ -22,27 +22,31 @@ object InputMetrics {
     * legitimately reads zero (round-14 ADVICE). Callers must not run
     * concurrent jobs on the session during the window. */
   private def folded[T](spark: SparkSession, expectNonZero: Boolean,
-      fold: (Long, SparkListenerTaskEnd) => Long)(work: => T): (T, Long) = {
+      fold: (Long, SparkListenerTaskEnd) => Long)(work: => T): (T, Long, Long) = {
     @volatile var acc = 0L
+    @volatile var tasks = 0L
     val listener = new SparkListener {
-      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = acc = fold(acc, te)
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        acc = fold(acc, te); tasks += 1
+      }
     }
     spark.sparkContext.addSparkListener(listener)
     try {
       val r = work
       val deadline = System.nanoTime() + 10e9.toLong
-      var last = -1L
+      var last = (-1L, -1L)
       var stable = 0
       var zeroStable = 0
       while (stable < 4 && (expectNonZero || zeroStable < 20) &&
           System.nanoTime() < deadline) {
         Thread.sleep(50)
-        if (acc > 0 && acc == last) stable += 1
-        else if (acc == 0 && last == 0) zeroStable += 1
+        val now = (acc, tasks)
+        if (acc > 0 && now == last) stable += 1
+        else if (acc == 0 && last._1 == 0 && now == last) zeroStable += 1
         else { stable = 0; zeroStable = 0 }
-        last = acc
+        last = now
       }
-      (r, acc)
+      (r, acc, tasks)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
@@ -56,7 +60,23 @@ object InputMetrics {
     * assertion passes VACUOUSLY (round-15 ADVICE); with the flag, a zero
     * keeps polling to the full 10 s deadline instead. */
   def rowsRead[T](spark: SparkSession, expectNonZero: Boolean = false)(
-      work: => T): (T, Long) =
+      work: => T): (T, Long) = {
+    val (r, acc, _) = folded(spark, expectNonZero,
+      (acc, te) => acc + te.taskMetrics.inputMetrics.recordsRead)(work)
+    (r, acc)
+  }
+
+  /** (result, rows read off storage, tasks ended) — the per-REQUEST read
+    * profile for the serving lanes (round-16 directive #4): rows say how
+    * much data a request touched, the task count is the deterministic
+    * proxy for files/splits opened (each scan task opens at least one
+    * file split, and a cold parquet footer read is paid per file). Both
+    * depend only on data + plan, so a cold-tail wall-time outlier can be
+    * adjudicated against them: flat rows/tasks across requests means the
+    * tail is NOT read amplification (scheduling/JIT/page-cache), while a
+    * tail request with 10× the tasks is a pruning regression. */
+  def readProfile[T](spark: SparkSession, expectNonZero: Boolean = false)(
+      work: => T): (T, Long, Long) =
     folded(spark, expectNonZero,
       (acc, te) => acc + te.taskMetrics.inputMetrics.recordsRead)(work)
 
@@ -68,7 +88,9 @@ object InputMetrics {
     * degenerates back to piling the hot key onto one reducer.
     * `expectNonZero` as in [[rowsRead]]. */
   def maxShuffleRead[T](spark: SparkSession, expectNonZero: Boolean = false)(
-      work: => T): (T, Long) =
-    folded(spark, expectNonZero, (acc, te) =>
+      work: => T): (T, Long) = {
+    val (r, acc, _) = folded(spark, expectNonZero, (acc, te) =>
       math.max(acc, te.taskMetrics.shuffleReadMetrics.recordsRead))(work)
+    (r, acc)
+  }
 }

@@ -33,6 +33,26 @@ class LiveWriteSpec extends AnyFunSuite {
     IndexData.load(spark, dir).documents
       .select("doc_id").as[String].collect().toSet
 
+  test("prewarmFooters: the bounded metadata-only prewarm covers the " +
+      "artifact's table dirs, respects the file cap, and is a no-op on a " +
+      "non-artifact dir") {
+    val dir = Files.createTempDirectory("prewarm").toString
+    IndexData.write(
+      docsDf(Seq("d1" -> "spark runs fast", "d2" -> "merge join scan")),
+      settingsDf, dir)
+    val warmed = IndexData.prewarmFooters(spark, dir)
+    val names = warmed.map(_._1).toSet
+    assert(Set("documents", "postings", "termdf", "doclen", "stats")
+      .subsetOf(names), names)
+    assert(warmed.forall(_._2 > 0), warmed)
+    // cap 0 excludes everything — the posture under which corpus-sized
+    // dirs self-exclude at scale (the prewarm is O(files), never O(data))
+    assert(IndexData.prewarmFooters(spark, dir, maxFilesPerDir = 0).isEmpty)
+    // best-effort on a dir that is not an artifact: empty, never a throw
+    val empty = Files.createTempDirectory("prewarm-empty").toString
+    assert(IndexData.prewarmFooters(spark, empty).isEmpty)
+  }
+
   test("write onto a live artifact: a FAILING lineage leaves the original " +
       "table set fully intact and loadable (no torn read, no marker)") {
     val dir = Files.createTempDirectory("livewrite-fail").toString
