@@ -187,6 +187,34 @@ object SearchQueries {
         "GROUP BY p0.doc_id) " +
         "SELECT doc_id, n_matches FROM m ORDER BY doc_id")),
 
+    // CORPUS-WIDE collocation mining with PMI (round-17): ordered pairs
+    // within a 2-token window counted over the whole corpus, count ≥ 5,
+    // pmi = ln(n_ab·T/(n_a·n_b)). Pair formation is one equi-join on
+    // (doc_id, pos) over an O(Σdl·window) explode — never per-doc
+    // all-pairs; the count floor cuts the tail before the dictionary
+    // joins. The skip-gram/PMI statistic of a feature pipeline, as a
+    // first-class operator over the positions sidecar.
+    Q("q_colloc_pmi",
+      (s, d) => PhraseSearch.collocations(
+          Bm25.positionalPostings(docs(s, d)), window = 2, minCount = 5)
+        .select(col("term_a"), col("term_b"), col("n_ab"),
+          Q.r6(col("pmi")).as("pmi"))
+        .orderBy("term_a", "term_b"),
+      Some(s"WITH ${Q.toksCte}, " +
+        "p AS (SELECT doc_id, unnest(toks) AS term, " +
+        "unnest(generate_series(1, len(toks))) AS pos FROM toks), " +
+        "pairs AS (SELECT a.term AS term_a, b.term AS term_b, " +
+        "CAST(count(*) AS BIGINT) AS n_ab FROM p a JOIN p b " +
+        "ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 2 " +
+        "GROUP BY 1, 2 HAVING count(*) >= 5), " +
+        "uni AS (SELECT term, CAST(count(*) AS DOUBLE) AS n FROM p GROUP BY 1), " +
+        "tot AS (SELECT sum(n) AS t FROM uni) " +
+        "SELECT term_a, term_b, n_ab, " +
+        s"${Q.r6Sql("ln(n_ab * t / (ua.n * ub.n))")} AS pmi " +
+        "FROM pairs JOIN uni ua ON ua.term = pairs.term_a " +
+        "JOIN uni ub ON ub.term = pairs.term_b CROSS JOIN tot " +
+        "ORDER BY term_a, term_b")),
+
     // Phrase-RANKED retrieval: the capability the positional index unlocks
     // — phrase matching as a RETRIEVAL predicate (corpus-wide, via the
     // pruned positions probe) composed with BM25 ranking over the phrase's

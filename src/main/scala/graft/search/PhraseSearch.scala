@@ -143,4 +143,43 @@ object PhraseSearch {
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_matches"))
   }
+
+  /** CORPUS-WIDE collocation mining (the statistic a training pipeline
+    * derives before skip-gram / co-occurrence features, and the classic
+    * "find multi-word expressions" pass): every ORDERED term pair whose
+    * second member follows the first within `window` positions, counted
+    * over the whole corpus and scored by pointwise mutual information
+    * pmi = ln(n_ab · T ∕ (n_a · n_b)), where n_a/n_b are corpus occurrence
+    * counts and T the total token count. High PMI + high count = a
+    * collocation ("new york"); PMI near 0 = independent co-occurrence.
+    *
+    * Scale shape: pair formation is ONE equi-join on (doc_id, pos) — each
+    * left occurrence explodes into its `window` partner positions, so the
+    * join input is O(Σdl · window) rows and never per-doc all-pairs; the
+    * per-pair count is a map-side-combinable groupBy; the `minCount`
+    * threshold cuts the long tail BEFORE the dictionary joins (pairs
+    * surviving a corpus-level count floor are few, so AQE broadcasts
+    * them); T is a one-row broadcast. No stage touches documents — only
+    * the positions sidecar. */
+  def collocations(positions: DataFrame, window: Int,
+      minCount: Long): DataFrame = {
+    require(window >= 1, s"collocation window must be ≥ 1, got $window")
+    val a = positions.select(col("doc_id"), col("term").as("term_a"),
+      explode(sequence(col("pos") + 1, col("pos") + window)).as("_pb"))
+    val b = positions.select(col("doc_id"), col("term").as("term_b"),
+      col("pos").as("_pb"))
+    val pairs = a.join(b, Seq("doc_id", "_pb"))
+      .groupBy("term_a", "term_b")
+      .agg(count(lit(1)).cast("long").as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val uni = positions.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("n"))
+    val total = uni.agg(sum(col("n")).as("_t"))
+    pairs
+      .join(uni.select(col("term").as("term_a"), col("n").as("_na")), "term_a")
+      .join(uni.select(col("term").as("term_b"), col("n").as("_nb")), "term_b")
+      .crossJoin(broadcast(total))
+      .select(col("term_a"), col("term_b"), col("n_ab"),
+        log(col("n_ab") * col("_t") / (col("_na") * col("_nb"))).as("pmi"))
+  }
 }

@@ -209,6 +209,29 @@ class PhrasePostingsSpec extends AnyFunSuite {
     assert(read <= total / 4, s"phrase probe read $read of $total position rows")
   }
 
+  test("collocations: windowed ordered pair counts + PMI match a " +
+      "hand-computed corpus (window semantics, count floor, self-pairs)") {
+    val docs = Seq(
+      1L -> Seq("a", "b", "a", "b"),
+      2L -> Seq("a", "b", "c")
+    ).toDF("doc_id", "tokens")
+    val pos = Bm25.positionalPostings(docs)
+    // window 1 (adjacent), floor 2: only (a,b) survives — 3 occurrences;
+    // unigrams a=3 b=3 c=1, T=7 → pmi = ln(3·7/(3·3))
+    val w1 = PhraseSearch.collocations(pos, window = 1, minCount = 2).collect()
+    assert(w1.length == 1, w1.mkString(";"))
+    val r = w1.head
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getLong(2) == 3L)
+    assert(math.abs(r.getDouble(3) - math.log(3.0 * 7 / (3 * 3))) < 1e-12)
+    // window 2, no floor: all ordered pairs within 2 positions, including
+    // the same-term-different-positions self-pair (a,a)
+    val w2 = PhraseSearch.collocations(pos, window = 2, minCount = 1)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(w2 == Map(("a", "b") -> 3L, ("a", "a") -> 1L, ("b", "a") -> 1L,
+      ("b", "b") -> 1L, ("a", "c") -> 1L, ("b", "c") -> 1L), w2)
+  }
+
   test("serving --phrase: the positions index path and the token-filter " +
       "fallback return identical results") {
     val index = IndexData.load(spark, artifactDir)
