@@ -217,6 +217,27 @@ object ServingLane {
         mode("pq", """"shortlist":50,""", Texts, serveRun(idx, lookup)(0, 50)),
         mode("ivf_pq", s""""nprobe":$autoNprobe,"shortlist":50,""", Texts,
           serveRun(idx, lookup)(autoNprobe, 50)),
+        // phrase serving modes (round-16 directive #2 landed `--phrase-rank`;
+        // this prices both): `phrase_filter` = hybrid top-k candidates
+        // filtered by the phrase predicate, `phrase_rank` = corpus-wide
+        // phrase retrieval (pruned positions probe ⋈ BM25). Queries are
+        // REAL adjacent runs — the first two tokens of the corpus's first
+        // five docs — so both legs do real matching work every request.
+        {
+          val phraseTexts = docs.orderBy("doc_id").limit(5)
+            .select(col("text")).as[String].collect()
+            .map(_.split(" ").filter(_.nonEmpty).take(2).mkString(" "))
+            .filter(_.split(" ").length == 2).distinct.toSeq
+          def phraseRun(rank: Boolean)(q: String): Array[_] =
+            graft.search.ServeSearch.search(idx, q,
+              analyzer = graft.analyze.WhitespaceAnalyzer,
+              embedder = None, reranker = None,
+              opts = graft.search.HybridSearch.Options(k = 5,
+                phraseOnly = !rank, phraseRank = rank)).collect()
+          mode("phrase_filter", "", phraseTexts, phraseRun(rank = false)) +
+            "," +
+            mode("phrase_rank", "", phraseTexts, phraseRun(rank = true))
+        },
         // DISK-BACKED posture (Cli.serveReady above the cache budget):
         // loaded from a COPY of the artifact directory. A re-load from the
         // SAME path is NOT disk-backed in this session — Spark's
