@@ -127,9 +127,51 @@ object Cli {
     case Some("curate")  => curateCmd(args.tail)
     case Some("compact") => compactCmd(args.tail)
     case Some("stats")   => statsCmd(args.tail)
+    case Some("colloc")  => collocCmd(args.tail)
     case _ =>
-      System.err.println("usage: graft.Cli index|search|serve|curate|compact|stats [options]")
+      System.err.println("usage: graft.Cli index|search|serve|curate|compact|stats|colloc [options]")
       sys.exit(2)
+  }
+
+  /** Mine top collocations from an index: ordered within-window pair
+    * counts + PMI ([[graft.search.PhraseSearch.collocations]]) over the
+    * artifact's positional sidecar — the sidecar-consuming path, no corpus
+    * re-tokenization. An opt-out artifact (`--positions off`, or one built
+    * before the sidecar existed) falls back to deriving positions from the
+    * stored tokens column, corpus-scan-priced but identical results.
+    * `--term X` restricts the REPORT to pairs involving X; it deliberately
+    * does NOT restrict the mining — PMI needs corpus-wide unigram totals
+    * either way, and a report filter can't bias the statistics. */
+  private def collocCmd(a: Array[String]): Unit = {
+    val db = arg(a, "--db").getOrElse(sys.error("--db required"))
+    val window = arg(a, "--window").map(_.toInt).getOrElse(2)
+    val minCount = arg(a, "--min-count").map(_.toLong).getOrElse(5L)
+    val top = arg(a, "--top").map(_.toInt).getOrElse(20)
+    val termFilter = arg(a, "--term")
+    val spark = session()
+    val index = IndexData.load(spark, db)
+    val positions = index.positions.getOrElse {
+      System.err.println(s"[graft] no positions/ sidecar at $db — deriving " +
+        "positions from the stored tokens (corpus-scan-priced)")
+      graft.search.Bm25.positionalPostings(index.documents)
+    }
+    val scored = graft.search.PhraseSearch.collocations(positions, window, minCount)
+    val reported = termFilter.fold(scored)(t =>
+      scored.filter(scored("term_a") === t || scored("term_b") === t))
+    val rows = reported
+      .orderBy(reported("pmi").desc, reported("term_a"), reported("term_b"))
+      .limit(top).collect()
+    def j(s: String) = graft.util.Json.str(s)
+    rows.foreach { r =>
+      val pmi = "%.4f".formatLocal(java.util.Locale.ROOT, r.getAs[Double]("pmi"))
+      println(s"""{"term_a": ${j(r.getAs[String]("term_a"))}, """ +
+        s""""term_b": ${j(r.getAs[String]("term_b"))}, """ +
+        s""""n_ab": ${r.getAs[Long]("n_ab")}, "pmi": $pmi}""")
+    }
+    if (rows.isEmpty) System.err.println(
+      s"[graft] no pairs with count ≥ $minCount in window $window" +
+        termFilter.fold("")(t => s" involving '$t'"))
+    spark.stop()
   }
 
   /** Fold append-merge segments back into the canonical base and refresh

@@ -228,6 +228,8 @@ object ServingLane {
             .select(col("text")).as[String].collect()
             .map(_.split(" ").filter(_.nonEmpty).take(2).mkString(" "))
             .filter(_.split(" ").length == 2).distinct.toSeq
+          require(phraseTexts.nonEmpty,
+            "phrase lane needs at least one 2-token doc prefix in the corpus")
           def phraseRun(rank: Boolean)(q: String): Array[_] =
             graft.search.ServeSearch.search(idx, q,
               analyzer = graft.analyze.WhitespaceAnalyzer,
