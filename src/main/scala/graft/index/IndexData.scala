@@ -474,9 +474,20 @@ object IndexData {
         fs.exists(new org.apache.hadoop.fs.Path(dir, d)) &&
         !fs.exists(new org.apache.hadoop.fs.Path(staging, d))
     }
-    val out = fs.create(new org.apache.hadoop.fs.Path(staging, CompactCommitMarker), true)
+    // the marker's CONTENT is now load-bearing (drop records), so it must
+    // appear atomically: create+write+close exposes a visible EMPTY marker
+    // mid-write, and a crash (or a concurrent reader's heal) in that window
+    // would complete the swap with no drops — resurrecting exactly the
+    // stale sidecars the commit meant to retire. Write-to-temp + rename
+    // restores the all-or-nothing commit point the content-free marker had.
+    val marker = new org.apache.hadoop.fs.Path(staging, CompactCommitMarker)
+    val tmp = new org.apache.hadoop.fs.Path(staging, s"$CompactCommitMarker.tmp")
+    val out = fs.create(tmp, true)
     out.write(drops.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
+    if (fs.exists(marker)) fs.delete(marker, false) // a crashed prior commit
+    if (!fs.rename(tmp, marker))
+      sys.error(s"could not commit staged swap: rename $tmp -> $marker failed")
     finishCompactSwap(spark, dir)
   }
 

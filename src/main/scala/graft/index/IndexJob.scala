@@ -407,6 +407,27 @@ object IndexJob {
       s"append merge needs a base whose postings carry the denormalized dl " +
         s"column; this artifact predates that layout — run a one-time " +
         s"compaction (graft compact --db $indexDir) first")
+    // positions policy vs layout: an O(delta) append can only EXTEND an
+    // existing positions sidecar (the delta gate below keys on the base
+    // dir) — it cannot create the O(corpus) base sidecar. An explicit
+    // `--positions on` against an opted-out base would otherwise flip the
+    // settings marker while building nothing: readers see positions=on,
+    // find no sidecar, and `--phrase-rank` tells the user to rebuild —
+    // with settings already claiming it's on. Fail fast with the remedy
+    // instead. (The reverse flip — `off` on a positions-carrying base —
+    // is safe: the marker wins at load, and the next compact retires the
+    // now-unread sidecar.)
+    val fsIdx = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseHasPositions = fsIdx.exists(new org.apache.hadoop.fs.Path(
+      indexDir, s"${IndexData.PositionsDir}/_SUCCESS"))
+    if (IndexData.positionsEnabled(settings) && !baseHasPositions &&
+        settings.filter(col("key") === IndexData.PositionsKey).count() > 0)
+      sys.error(s"--positions on cannot materialize the base positions/ " +
+        s"sidecar through an O(delta) append merge (the artifact at " +
+        s"$indexDir is opted out); run a rewrite merge or " +
+        s"`graft compact --db $indexDir` after flipping, or drop " +
+        s"--positions on from the append")
     val segN = IndexData.segments(spark, indexDir).lastOption.map(_._1 + 1).getOrElse(1)
     val segDir = s"$indexDir/${IndexData.SegDir}/$segN"
     // segment documents first: the expensive chunk+embed lineage executes
@@ -453,15 +474,18 @@ object IndexJob {
     // to None (a partial positional index would silently drop phrase
     // matches from segment docs). An opt-out base (`--positions off`) has
     // no positions/ dir, so segments stay opt-out for free. O(delta) like
-    // the other per-segment tables; coalesced to ONE term-sorted file
-    // (the parts=Some(1) treatment the ann deltas get) — without the
-    // coalesce the delta keeps the source docs' partitioning, every file
-    // spans the full term range, and a phrase probe's per-file term stats
-    // prune nothing in the segments (round-16 ADVICE).
-    if (fsSeg.exists(new org.apache.hadoop.fs.Path(
-        indexDir, s"${IndexData.PositionsDir}/_SUCCESS")))
+    // the other per-segment tables. Layout: term-RANGE partitioned at the
+    // segment's size-based part count, term-sorted within files — small
+    // deltas still land in one file, but a large drop (watch-mode JSONL
+    // batches) is NOT funneled through a single task: the positions delta
+    // is the segment's biggest table (Σdl rows ≈ the batch token count),
+    // and a flat coalesce(1) made it a one-task sort+write bottleneck.
+    // Range-on-term keeps per-file term ranges disjoint, so a phrase
+    // probe's per-file stats prune segment files exactly as before
+    // (round-16 ADVICE intent, without the single-file cap).
+    if (baseHasPositions)
       Bm25.positionalPostings(segDocs, carry = carry)
-        .coalesce(1)
+        .repartitionByRange(segParts, col("term"), col("doc_id"))
         .sortWithinPartitions("term", "doc_id", "pos")
         .write.mode("overwrite").parquet(s"$segDir/${IndexData.PositionsDir}")
     val plus = Bm25.docFreq(spark.read.parquet(s"$segDir/postings"))

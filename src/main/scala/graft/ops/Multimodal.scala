@@ -378,18 +378,34 @@ object Multimodal {
             (be32(m + 20), be64(m + 24)) // v1: u64 creation/modification
           case _ => return None
         }
-        val (trakS, trakE) = findBox(moovS, moovE, "trak") match {
-          case Some(x) => x; case None => return None
+        // dimensions: scan ALL traks for the first with nonzero 16.16
+        // width/height (the final 8 bytes of its tkhd) — real muxers often
+        // put the audio trak (dims 0×0) before the video trak, and taking
+        // only the first trak would null out a well-formed video file. An
+        // audio-only container (m4a) has no dimensioned trak → None (this
+        // is the VIDEO metadata decode; WAV/MP3 cover the audio face).
+        var searchFrom = moovS
+        var dims = Option.empty[(Long, Long)]
+        var more = true
+        while (dims.isEmpty && more) {
+          findBox(searchFrom, moovE, "trak") match {
+            case None => more = false
+            case Some((trakS, trakE)) =>
+              searchFrom = trakE
+              findBox(trakS, trakE, "tkhd").foreach { case (tkhdS, tkhdE) =>
+                if (tkhdE - tkhdS >= 12) {
+                  val w = be32((tkhdE - 8).toInt) >> 16
+                  val h = be32((tkhdE - 4).toInt) >> 16
+                  if (w > 0 && h > 0) dims = Some((w, h))
+                }
+              }
+          }
         }
-        val (tkhdS, tkhdE) = findBox(trakS, trakE, "tkhd") match {
-          case Some(x) => x; case None => return None
+        dims match {
+          case Some((w, h)) if timescale > 0 && duration >= 0 =>
+            Some((w, h, timescale, duration))
+          case _ => None
         }
-        // width/height: the final 8 bytes of tkhd, 16.16 fixed point
-        if (tkhdE - tkhdS < 12) return None
-        val w = be32((tkhdE - 8).toInt) >> 16
-        val h = be32((tkhdE - 4).toInt) >> 16
-        if (w <= 0 || h <= 0 || timescale <= 0 || duration < 0) None
-        else Some((w, h, timescale, duration))
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 

@@ -171,11 +171,23 @@ object PhraseSearch {
     val pairs = a.join(b, Seq("doc_id", "_pb"))
       .groupBy("term_a", "term_b")
       .agg(count(lit(1)).cast("long").as("n_ab"))
-      .filter(col("n_ab") >= minCount)
     val uni = positions.groupBy("term")
-      .agg(count(lit(1)).cast("double").as("n"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    pmiOver(pairs, uni, minCount)
+  }
+
+  /** PMI scoring over a pair-count table `(term_a, term_b, n_ab)` and a
+    * unigram-count table `(term, n)`: pmi = ln(n_ab · T ∕ (n_a · n_b)),
+    * T = Σn. THE one scoring implementation — [[collocations]] feeds it
+    * the positional-join counts, [[graft.streaming.CollocStream]] feeds it
+    * snapshots of its incrementally-maintained streaming aggregations; a
+    * formula change lands in both by construction. The `minCount` floor
+    * cuts the pair long-tail BEFORE the dictionary joins. */
+  def pmiOver(pairCounts: DataFrame, termCounts: DataFrame,
+      minCount: Long): DataFrame = {
+    val uni = termCounts.select(col("term"), col("n").cast("double").as("n"))
     val total = uni.agg(sum(col("n")).as("_t"))
-    pairs
+    pairCounts.filter(col("n_ab") >= minCount)
       .join(uni.select(col("term").as("term_a"), col("n").as("_na")), "term_a")
       .join(uni.select(col("term").as("term_b"), col("n").as("_nb")), "term_b")
       .crossJoin(broadcast(total))

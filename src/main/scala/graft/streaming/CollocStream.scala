@@ -63,18 +63,11 @@ object CollocStream {
       .agg(count(lit(1)).cast("long").as("n"))
 
   /** PMI over SNAPSHOTS of the two count tables (e.g. the memory-sink
-    * state of the two streaming aggregations, or their batch equivalents):
-    * pmi = ln(n_ab · T ∕ (n_a · n_b)). Matches
-    * [[graft.search.PhraseSearch.collocations]]'s scoring exactly. */
+    * state of the two streaming aggregations, or their batch equivalents).
+    * Delegates to the ONE scoring implementation
+    * ([[graft.search.PhraseSearch.pmiOver]]) — batch and stream cannot
+    * diverge on the formula by construction. */
   def pmiOver(pairCounts: DataFrame, termCounts: DataFrame,
-      minCount: Long): DataFrame = {
-    val uni = termCounts.select(col("term"), col("n").cast("double").as("n"))
-    val total = uni.agg(sum(col("n")).as("_t"))
-    pairCounts.filter(col("n_ab") >= minCount)
-      .join(uni.select(col("term").as("term_a"), col("n").as("_na")), "term_a")
-      .join(uni.select(col("term").as("term_b"), col("n").as("_nb")), "term_b")
-      .crossJoin(broadcast(total))
-      .select(col("term_a"), col("term_b"), col("n_ab"),
-        log(col("n_ab") * col("_t") / (col("_na") * col("_nb"))).as("pmi"))
-  }
+      minCount: Long): DataFrame =
+    graft.search.PhraseSearch.pmiOver(pairCounts, termCounts, minCount)
 }

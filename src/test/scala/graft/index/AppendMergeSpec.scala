@@ -421,6 +421,23 @@ class AppendMergeSpec extends AnyFunSuite {
     assert(compacted.positions.isEmpty)
     assert(compacted.setting(IndexData.PositionsKey).contains(IndexData.PositionsOff))
 
+    // flipping ON through an O(delta) append is REJECTED with the remedy:
+    // a segment delta cannot materialize the O(corpus) base sidecar, and
+    // silently flipping the marker would claim an index that isn't there
+    val tryOn = Files.createTempDirectory("posoff-tryon").toString
+    write(tryOn, "d.md", "body text that must not land in a segment\n")
+    val err = intercept[RuntimeException] {
+      IndexJob.run(spark, Seq(tryOn), idx, embedder,
+        opts = IndexJob.Options(clear = false, mergeMode = "append",
+          trimPathPrefix = Some(s"file:$tryOn"), positions = Some(true)))
+    }
+    assert(err.getMessage.contains("--positions on"), err.getMessage)
+    assert(!positionsAnywhere)
+    val unflipped = IndexData.load(spark, idx)
+    assert(unflipped.setting(IndexData.PositionsKey)
+      .contains(IndexData.PositionsOff), "the failed append must not flip the marker")
+    assert(unflipped.pendingSegments == 0, "the rejected append left a segment")
+
     // flip back ON via an incremental rewrite merge: the sidecar appears
     val second = Files.createTempDirectory("posoff-on").toString
     write(second, "c.md", "# Gamma\n\nhybrid ranking fuses lexical and dense\n")

@@ -163,6 +163,24 @@ class MultimodalSpec extends AnyFunSuite {
     v1.put(v1mvhd.array()).put(trak)
     assert(Mp4Parser.parseMp4(v1.array()) ==
       Some((320L, 240L, 90000L, 123456789L)))
+    // audio-trak-first: a 0×0-dims trak BEFORE the video trak (the common
+    // soun-then-vide muxer order) must not null out the decode — the scan
+    // takes the first trak with nonzero dimensions
+    val vidTrak = base.slice(132, 232)
+    val audTrak = vidTrak.clone()
+    java.util.Arrays.fill(audTrak, 92, 100, 0.toByte) // zero the 16.16 dims
+    val multi = java.nio.ByteBuffer.allocate(16 + 8 + 108 + 200)
+    multi.put(base.take(16))
+    multi.putInt(8 + 108 + 200).put("moov".getBytes("US-ASCII"))
+    multi.put(base.slice(24, 132)) // the 108-byte mvhd
+    multi.put(audTrak).put(vidTrak)
+    assert(Mp4Parser.parseMp4(multi.array()) == Some((320L, 240L, 1000L, 5000L)))
+    // audio-only (no dimensioned trak at all): None — this is the VIDEO face
+    val audioOnly = java.nio.ByteBuffer.allocate(16 + 8 + 108 + 100)
+    audioOnly.put(base.take(16))
+    audioOnly.putInt(8 + 108 + 100).put("moov".getBytes("US-ASCII"))
+    audioOnly.put(base.slice(24, 132)).put(audTrak)
+    assert(Mp4Parser.parseMp4(audioOnly.array()).isEmpty)
     assert(Mp4Parser.parseMp4(F.garbage(11L)).isEmpty)
     assert(Mp4Parser.parseMp4(F.png(4, 4)).isEmpty)
     assert(Mp4Parser.parseMp4(F.mp3(0, 0, 1, 0, mono = true)).isEmpty)
