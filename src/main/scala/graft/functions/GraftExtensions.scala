@@ -40,6 +40,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           TopKDesc(exprs(0), GraftExtensions.topkK(exprs(1)))
             .toAggregateExpression()))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("unicode_normalize"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[UnicodeNormalize].getName, "unicode_normalize"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          UnicodeNormalize(exprs(0), GraftExtensions.normForm(exprs))))
   }
 }
 
@@ -60,6 +66,24 @@ object GraftExtensions {
     }
   }
 
+  /** Resolve `unicode_normalize`'s optional form argument (2nd, default
+    * NFKC): must be a foldable non-null string — same clear-error contract
+    * as [[topkK]]. */
+  private[functions] def normForm(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): String =
+    if (exprs.lengthCompare(2) < 0) "NFKC"
+    else {
+      val e = exprs(1)
+      require(e.foldable,
+        s"unicode_normalize(s, form): form must be a string literal, got ${e.sql}")
+      e.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => throw new IllegalArgumentException(
+          s"unicode_normalize(s, form): form must be a string literal, got " +
+            (if (other == null) "NULL" else s"'$other'"))
+      }
+    }
+
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -70,5 +94,8 @@ object GraftExtensions {
       "topk_desc",
       exprs => TopKDesc(exprs(0), topkK(exprs(1))).toAggregateExpression(),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "unicode_normalize",
+      exprs => UnicodeNormalize(exprs(0), normForm(exprs)), "built-in")
   }
 }

@@ -804,6 +804,34 @@ object CurationQueries {
         s"${Q.r6Sql("CAST(sum(hq) AS DOUBLE) / 1e6")} AS entropy " +
         "FROM hc GROUP BY doc_id ORDER BY doc_id")),
 
+    // Unicode normalization via the native codegen expression
+    // ([[graft.functions.UnicodeNormalize]]) — the first pass of any
+    // text-cleaning pipeline (crawl corpora mix NFC/NFD/compatibility
+    // encodings of the same grapheme). The corpus is ASCII, so each doc
+    // gets a deterministic non-NFC tail appended (an NFD e+combining-acute
+    // that NFC must COMPOSE, and a U+FB01 ligature that NFC must NOT
+    // touch) — the normalization genuinely fires on every row, and the
+    // md5 pins byte-identical rewrites cross-engine against DuckDB's
+    // nfc_normalize. Map-only, stays inside whole-stage codegen.
+    Q("q_text_normalize",
+      (s, d) => {
+        val raw = concat(substring(col("text"), 1, 40),
+          lit(" e\u0301clair \ufb01n"))
+        t(s, d, "documents")
+          .select(col("doc_id"), raw.as("raw"))
+          .select(col("doc_id"),
+            graft.functions.TextOps.normalizeUnicode(col("raw"), "NFC").as("nfc"),
+            length(col("raw")).cast("long").as("len_raw"))
+          .select(col("doc_id"), md5(col("nfc")).as("nfc_md5"),
+            length(col("nfc")).cast("long").as("len_nfc"), col("len_raw"))
+          .orderBy("doc_id")
+      },
+      Some("WITH raw AS (SELECT doc_id, substr(text, 1, 40) || ' e' || " +
+        "chr(769) || 'clair ' || chr(64257) || 'n' AS r FROM documents) " +
+        "SELECT doc_id, md5(nfc_normalize(r)) AS nfc_md5, " +
+        "CAST(length(nfc_normalize(r)) AS BIGINT) AS len_nfc, " +
+        "CAST(length(r) AS BIGINT) AS len_raw FROM raw ORDER BY doc_id")),
+
     // ---- PII redaction / URL handling ----
 
     // Regex PII redaction + URL/domain extraction. The corpus is synthetic
