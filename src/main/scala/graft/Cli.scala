@@ -290,7 +290,11 @@ object Cli {
       boilerplateMax = arg(a, "--boilerplate-max").map(_.toDouble).getOrElse(-1.0),
       // `--containment T`: drop docs >= T contained in a larger kept doc
       // (sub-document dups jaccard clustering cannot see)
-      containmentMin = arg(a, "--containment").map(_.toDouble).getOrElse(-1.0))
+      containmentMin = arg(a, "--containment").map(_.toDouble).getOrElse(-1.0),
+      // `--normalize NFC|NFD|NFKC|NFKD`: Unicode-normalize the text before
+      // tokenization so byte-distinct encodings of the same grapheme can't
+      // evade the dedup/boilerplate hashes
+      normalize = arg(a, "--normalize").map(_.toUpperCase))
     val spark = session()
     // `--format parquet|jsonl|csv|tsv` (default: by extension) — JSONL/CSV
     // corpora read through DocSources with pinned schemas (no inference scan)

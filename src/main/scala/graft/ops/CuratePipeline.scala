@@ -82,13 +82,32 @@ object CuratePipeline {
         * as a stage). Negative = skip. Unlike the benchmark screen this is
         * corpus-self-referential: one hash-keyed shuffle to count window
         * frequencies, one join back — the exact-dedup cost class. */
-      boilerplateMax: Double = -1.0)
+      boilerplateMax: Double = -1.0,
+      /** Unicode-normalize the text BEFORE tokenization (`--normalize
+        * NFC|NFD|NFKC|NFKD`): crawl corpora mix encodings of the same
+        * grapheme ("é" composed vs e+U+0301, ligatures, width variants),
+        * and every downstream stage — tokens, shingles, window hashes,
+        * dedup — treats byte-distinct encodings as distinct content, so
+        * two visually identical boilerplate pages in different encodings
+        * would evade exact AND near dedup. Map-only codegen'd rewrite
+        * ([[graft.functions.UnicodeNormalize]], already-normalized rows
+        * pass through allocation-free). None = skip. */
+      normalize: Option[String] = None)
 
   /** Run the chain over (doc_id, text) rows. Returns (kept, report) where
     * `kept` is the surviving (doc_id, text) corpus and `report` is
     * (doc_id, stage, detail) for every dropped doc. */
   def run(docsDf: DataFrame, opts: Opts = Opts()): (DataFrame, DataFrame) = {
-    val tok = docsDf.select(col("doc_id"), col("text"),
+    // 0. (optional) Unicode normalization — a pure text rewrite, never a
+    //    drop, so it contributes no report rows; `kept` carries the
+    //    NORMALIZED text (the whole point: downstream consumers must see
+    //    one encoding per grapheme)
+    val src = opts.normalize match {
+      case Some(form) => docsDf.withColumn("text",
+        graft.functions.TextOps.normalizeUnicode(col("text"), form))
+      case None => docsDf
+    }
+    val tok = src.select(col("doc_id"), col("text"),
       split(col("text"), " ").as("tokens"))
 
     // 1. quality gate (map-only; graft.queries.PipelineQueries.qualityGate

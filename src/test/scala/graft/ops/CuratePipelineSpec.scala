@@ -322,4 +322,42 @@ class CuratePipelineSpec extends AnyFunSuite {
     val (keptNoSample, _) = CuratePipeline.run(docs)
     assert(kept.count() < keptNoSample.count())
   }
+
+  test("--normalize NFKC: byte-distinct encodings of the same text merge " +
+      "into one exact-dup cluster; kept text is normalized") {
+    import spark.implicits._
+    // the same 24-token document in three encodings (gate needs >= 20
+    // tokens; indexed words keep every shingle distinct so rep_ratio = 0):
+    // composed e-acute, decomposed e + U+0301, and a ligature variant.
+    // Without normalization the variants share no shingles (every 3-gram
+    // contains at least one byte-distinct token) — no exact OR near dedup
+    // is possible; under NFKC all three become byte-identical.
+    def doc(cafe: String, eclair: String, fin: String): String =
+      (0 until 8).flatMap(i => Seq(s"$cafe$i", s"$eclair$i", s"$fin$i"))
+        .mkString(" ")
+    val composed = doc("caf\u00e9", "\u00e9clair", "fin")
+    val decomposed = doc("cafe\u0301", "e\u0301clair", "fin")
+    val compat = doc("caf\u00e9", "\u00e9clair", "\ufb01n")
+    val fixture = Seq(
+      (1L, composed), (2L, decomposed), (3L, compat),
+      (4L, (0 until 24).map(i => s"unrelated$i").mkString(" "))
+    ).toDF("doc_id", "text")
+
+    // without normalization: three distinct texts, nothing exact-dups
+    val (keptRaw, _) = CuratePipeline.run(fixture)
+    assert(keptRaw.count() == 4)
+
+    // with NFKC: 2 and 3 fold into 1 (exact dup drops name the min id)
+    val (kept, report) = CuratePipeline.run(fixture,
+      CuratePipeline.Opts(normalize = Some("NFKC")))
+    val keptRows = kept.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keptRows.keySet == Set(1L, 4L), keptRows.keySet)
+    // kept text is the NORMALIZED form
+    assert(keptRows(1L) == java.text.Normalizer.normalize(
+      composed, java.text.Normalizer.Form.NFKC))
+    val drops = report.collect().filter(_.getString(1) == "exact_dup")
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(drops.keySet == Set(2L, 3L), drops)
+    drops.values.foreach(d => assert(d.endsWith("=1"), d))
+  }
 }
