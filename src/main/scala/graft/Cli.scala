@@ -153,7 +153,13 @@ object Cli {
     val positions = index.positions.getOrElse {
       System.err.println(s"[graft] no positions/ sidecar at $db — deriving " +
         "positions from the stored tokens (corpus-scan-priced)")
+      // materialize the derived frame once: collocations reads positions
+      // THREE times (both pair-join legs + unigram counts) — re-deriving
+      // the corpus posexplode per read would triple the promised price.
+      // DISK_ONLY: the frame is Σdl rows (an ad-hoc positions sidecar),
+      // deliberately not held in executor memory
       graft.search.Bm25.positionalPostings(index.documents)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     }
     val scored = graft.search.PhraseSearch.collocations(positions, window, minCount)
     val reported = termFilter.fold(scored)(t =>

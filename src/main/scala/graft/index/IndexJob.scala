@@ -421,13 +421,16 @@ object IndexJob {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val baseHasPositions = fsIdx.exists(new org.apache.hadoop.fs.Path(
       indexDir, s"${IndexData.PositionsDir}/_SUCCESS"))
-    if (IndexData.positionsEnabled(settings) && !baseHasPositions &&
-        settings.filter(col("key") === IndexData.PositionsKey).count() > 0)
+    // one collect answers both "explicit flag present" and "value is on"
+    val explicitPositions = settings
+      .filter(col("key") === IndexData.PositionsKey).select("value")
+      .collect().headOption.map(_.getString(0))
+    if (explicitPositions.exists(_ != IndexData.PositionsOff) && !baseHasPositions)
       sys.error(s"--positions on cannot materialize the base positions/ " +
         s"sidecar through an O(delta) append merge (the artifact at " +
-        s"$indexDir is opted out); run a rewrite merge or " +
-        s"`graft compact --db $indexDir` after flipping, or drop " +
-        s"--positions on from the append")
+        s"$indexDir is opted out); run a rewrite merge with --positions on " +
+        s"(graft index without --merge append), or drop --positions on " +
+        s"from the append")
     val segN = IndexData.segments(spark, indexDir).lastOption.map(_._1 + 1).getOrElse(1)
     val segDir = s"$indexDir/${IndexData.SegDir}/$segN"
     // segment documents first: the expensive chunk+embed lineage executes

@@ -134,8 +134,17 @@ object CuratePipeline {
       case None => (kept1g, kept1g.limit(0)
         .select(col("doc_id"), lit("").as("stage"), lit("").as("detail")))
       case Some(benchDocs) =>
+        // the benchmark gets the SAME normalization as the corpus (stage 0):
+        // the screen compares shingle hashes, so normalizing only one side
+        // would make encoding-variant contamination invisible — the exact
+        // byte-distinct-encoding evasion --normalize exists to close
+        val benchSrc = opts.normalize match {
+          case Some(form) => benchDocs.withColumn("text",
+            graft.functions.TextOps.normalizeUnicode(col("text"), form))
+          case None => benchDocs
+        }
         val (bloom, bench) = Decontam.benchSet(
-          benchDocs.select(col("doc_id"), split(col("text"), " ").as("tokens")))
+          benchSrc.select(col("doc_id"), split(col("text"), " ").as("tokens")))
         val screened = Decontam.screen(
             kept1g.select(col("doc_id"), col("tokens")), bloom, bench)
           .select(col("doc_id"), col("contamination"))

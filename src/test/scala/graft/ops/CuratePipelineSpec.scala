@@ -360,4 +360,33 @@ class CuratePipelineSpec extends AnyFunSuite {
     assert(drops.keySet == Set(2L, 3L), drops)
     drops.values.foreach(d => assert(d.endsWith("=1"), d))
   }
+
+  test("--normalize also folds the --decontaminate benchmark: " +
+      "encoding-variant contamination is caught with the flag and " +
+      "(structurally) missed without it") {
+    import spark.implicits._
+    def doc(cafe: String, eclair: String, fin: String): String =
+      (0 until 8).flatMap(i => Seq(s"$cafe$i", s"$eclair$i", s"$fin$i"))
+        .mkString(" ")
+    val corpus = Seq(
+      (1L, doc("cafe\u0301", "e\u0301clair", "fin")), // decomposed
+      (2L, (0 until 24).map(i => s"unrelated$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val bench = Seq( // the SAME doc, composed — byte-distinct shingles
+      (100L, doc("caf\u00e9", "\u00e9clair", "fin"))
+    ).toDF("doc_id", "text")
+
+    // without normalization the screen structurally cannot see it
+    val (k0, _) = CuratePipeline.run(corpus,
+      CuratePipeline.Opts(decontaminate = Some(bench)))
+    assert(k0.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+
+    // with NFC on BOTH sides, doc 1 is fully contaminated and drops
+    val (k1, r1) = CuratePipeline.run(corpus,
+      CuratePipeline.Opts(normalize = Some("NFC"), decontaminate = Some(bench)))
+    assert(k1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
+    val drop = r1.collect().filter(_.getLong(0) == 1L)
+    assert(drop.length == 1 && drop.head.getString(1) == "contaminated",
+      drop.mkString(";"))
+  }
 }
