@@ -150,6 +150,11 @@ object Cli {
     val termFilter = arg(a, "--term")
     val spark = session()
     val index = IndexData.load(spark, db)
+    // Some(frame) when the no-sidecar fallback persisted a derived frame
+    // that must be unpersisted after the collect — spark.stop() would free
+    // it today, but the pattern should stay safe if the command grows
+    // (ADVICE r17)
+    var derived = Option.empty[org.apache.spark.sql.DataFrame]
     val positions = index.positions.getOrElse {
       System.err.println(s"[graft] no positions/ sidecar at $db — deriving " +
         "positions from the stored tokens (corpus-scan-priced)")
@@ -158,25 +163,29 @@ object Cli {
       // the corpus posexplode per read would triple the promised price.
       // DISK_ONLY: the frame is Σdl rows (an ad-hoc positions sidecar),
       // deliberately not held in executor memory
-      graft.search.Bm25.positionalPostings(index.documents)
+      val f = graft.search.Bm25.positionalPostings(index.documents)
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      derived = Some(f)
+      f
     }
-    val scored = graft.search.PhraseSearch.collocations(positions, window, minCount)
-    val reported = termFilter.fold(scored)(t =>
-      scored.filter(scored("term_a") === t || scored("term_b") === t))
-    val rows = reported
-      .orderBy(reported("pmi").desc, reported("term_a"), reported("term_b"))
-      .limit(top).collect()
-    def j(s: String) = graft.util.Json.str(s)
-    rows.foreach { r =>
-      val pmi = "%.4f".formatLocal(java.util.Locale.ROOT, r.getAs[Double]("pmi"))
-      println(s"""{"term_a": ${j(r.getAs[String]("term_a"))}, """ +
-        s""""term_b": ${j(r.getAs[String]("term_b"))}, """ +
-        s""""n_ab": ${r.getAs[Long]("n_ab")}, "pmi": $pmi}""")
-    }
-    if (rows.isEmpty) System.err.println(
-      s"[graft] no pairs with count ≥ $minCount in window $window" +
-        termFilter.fold("")(t => s" involving '$t'"))
+    try {
+      val scored = graft.search.PhraseSearch.collocations(positions, window, minCount)
+      val reported = termFilter.fold(scored)(t =>
+        scored.filter(scored("term_a") === t || scored("term_b") === t))
+      val rows = reported
+        .orderBy(reported("pmi").desc, reported("term_a"), reported("term_b"))
+        .limit(top).collect()
+      def j(s: String) = graft.util.Json.str(s)
+      rows.foreach { r =>
+        val pmi = "%.4f".formatLocal(java.util.Locale.ROOT, r.getAs[Double]("pmi"))
+        println(s"""{"term_a": ${j(r.getAs[String]("term_a"))}, """ +
+          s""""term_b": ${j(r.getAs[String]("term_b"))}, """ +
+          s""""n_ab": ${r.getAs[Long]("n_ab")}, "pmi": $pmi}""")
+      }
+      if (rows.isEmpty) System.err.println(
+        s"[graft] no pairs with count ≥ $minCount in window $window" +
+          termFilter.fold("")(t => s" involving '$t'"))
+    } finally derived.foreach(_.unpersist())
     spark.stop()
   }
 

@@ -70,7 +70,9 @@ object GraftExtensions {
     * NFKC): must be a foldable non-null string — same clear-error contract
     * as [[topkK]]. */
   private[functions] def normForm(
-      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): String =
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): String = {
+    require(exprs.lengthCompare(2) <= 0,
+      s"unicode_normalize(s[, form]) takes 1 or 2 arguments, got ${exprs.length}")
     if (exprs.lengthCompare(2) < 0) "NFKC"
     else {
       val e = exprs(1)
@@ -83,6 +85,7 @@ object GraftExtensions {
             (if (other == null) "NULL" else s"'$other'"))
       }
     }
+  }
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit = {

@@ -236,66 +236,127 @@ object Multimodal {
       }
   }
 
-  /** REAL compressed-audio metadata decode: MPEG-1 Layer III (MP3) frame
-    * headers (round-16 directive #5). The frame header is a public spec —
+  /** REAL compressed-audio metadata decode: MPEG Layer III (MP3) frame
+    * headers (round-16 directive #5; extended to MPEG-2/2.5 and VBR in
+    * round 18). The frame header is a public spec — version-indexed
     * bitrate/sample-rate tables, frame-length arithmetic, ID3v2 container
-    * skip — and parses without any codec: only the PCM payload needs a
-    * decoder, the metadata the pipeline filters on does not. Total:
-    * unknown/truncated/corrupt bytes → None, never throws.
+    * skip (footer-flag aware), Xing/Info and VBRI VBR headers — and parses
+    * without any codec: only the PCM payload needs a decoder, the metadata
+    * the pipeline filters on does not. Total: unknown/truncated/corrupt
+    * bytes → None, never throws.
     *
-    * Scope: MPEG-1 Layer III streams (the overwhelmingly common case).
-    * Strict: every frame must parse with a consistent sample rate / channel
-    * mode and the frames must tile the payload exactly — a desynchronized
-    * or truncated stream is rejected rather than half-read, which keeps the
-    * closed-form oracle honest. */
+    * Scope: MPEG-1, MPEG-2, and MPEG-2.5 Layer III streams, CBR or VBR.
+    * Strict per version: every frame must parse with a consistent version /
+    * sample rate / channel mode (per-frame BITRATE and padding vary — that
+    * is what VBR is) and the frames must tile the payload exactly — a
+    * desynchronized or truncated stream is rejected rather than half-read,
+    * which keeps the closed-form oracle honest. A Xing/Info/VBRI header in
+    * the first frame is cross-checked against the walk: its frames field
+    * counts the AUDIO frames following the (audio-free) header frame, so a
+    * count that disagrees with the tiling is rejected too. */
   object Mp3Parser extends Serializable {
 
-    /** MPEG-1 Layer III bitrate table (kbps), indexed by the header's
-      * 4-bit bitrate field; 0 = free-format, 15 = reserved (both rejected). */
-    private val BitrateKbps =
+    /** Layer III bitrate tables (kbps), indexed by the header's 4-bit
+      * bitrate field; 0 = free-format, 15 = reserved (both rejected).
+      * MPEG-2 and MPEG-2.5 share the low-rate table. */
+    private val BitrateV1 =
       Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
-    /** MPEG-1 sample-rate table, indexed by the 2-bit field; 3 = reserved. */
-    private val SampleRate = Array(44100L, 48000L, 32000L, -1L)
-    /** Samples per MPEG-1 Layer III frame. */
+    private val BitrateV2 =
+      Array(-1, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, -1)
+    /** Sample-rate tables, indexed by the 2-bit field; 3 = reserved.
+      * MPEG-2 halves and MPEG-2.5 quarters the MPEG-1 rates. */
+    private val SampleRateV1 = Array(44100L, 48000L, 32000L, -1L)
+    private val SampleRateV2 = Array(22050L, 24000L, 16000L, -1L)
+    private val SampleRateV25 = Array(11025L, 12000L, 8000L, -1L)
+    /** Samples per Layer III frame: 1152 (MPEG-1), 576 (MPEG-2/2.5). */
     val SamplesPerFrame = 1152L
+    val SamplesPerFrameV2 = 576L
 
-    /** (sample_rate, channels, first_frame_bitrate_kbps, n_samples) for an
-      * MPEG-1 Layer III payload, optionally prefixed by an ID3v2 tag. */
+    /** (sample_rate, channels, first_frame_bitrate_kbps, n_samples) for a
+      * Layer III payload, optionally prefixed by an ID3v2 tag. */
     def parseMp3(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
       try {
         def u8(i: Int) = b(i) & 0xff
+        def be32(i: Int): Long =
+          (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
         var i = 0L
-        // ID3v2 prefix: "ID3" + version(2) + flags(1) + syncsafe u28 size
+        // ID3v2 prefix: "ID3" + version(2) + flags(1) + syncsafe u28 size;
+        // the footer flag (0x10) adds a 10-byte footer AFTER the tag body
+        // that the size field does not count (ADVICE r17: without this a
+        // footered tag desyncs the frame walk and nulls a valid file)
         if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
           val size = ((u8(6) & 0x7f).toLong << 21) | ((u8(7) & 0x7f) << 14) |
             ((u8(8) & 0x7f) << 7) | (u8(9) & 0x7f)
-          i = 10L + size
+          i = 10L + size + (if ((u8(5) & 0x10) != 0) 10L else 0L)
         }
-        var rate = -1L; var ch = -1L; var firstBr = -1L; var frames = 0L
+        var ver = -1; var rate = -1L; var ch = -1L; var firstBr = -1L
+        var frames = 0L
+        var vbrFrames = Option.empty[Long]
         while (i < b.length) {
           if (i + 4 > b.length) return None
           val j = i.toInt
           // 11-bit sync, then version(2)/layer(2)/protection(1)
           if (u8(j) != 0xff || (u8(j + 1) & 0xe0) != 0xe0) return None
-          val version = (u8(j + 1) >> 3) & 0x3 // 3 = MPEG-1
+          val version = (u8(j + 1) >> 3) & 0x3 // 0 = MPEG-2.5, 2 = MPEG-2, 3 = MPEG-1
           val layer = (u8(j + 1) >> 1) & 0x3 // 1 = Layer III
-          if (version != 3 || layer != 1) return None
-          val br = BitrateKbps((u8(j + 2) >> 4) & 0xf)
-          val sr = SampleRate((u8(j + 2) >> 2) & 0x3)
+          if (version == 1 || layer != 1) return None // 1 = reserved version
+          val br = (if (version == 3) BitrateV1 else BitrateV2)(
+            (u8(j + 2) >> 4) & 0xf)
+          val sr = (version match {
+            case 3 => SampleRateV1
+            case 2 => SampleRateV2
+            case _ => SampleRateV25
+          })((u8(j + 2) >> 2) & 0x3)
           val padding = (u8(j + 2) >> 1) & 0x1
           val mode = (u8(j + 3) >> 6) & 0x3 // 3 = mono
           if (br <= 0 || sr <= 0) return None
           val c = if (mode == 3) 1L else 2L
-          if (frames == 0L) { rate = sr; ch = c; firstBr = br.toLong }
-          else if (sr != rate || c != ch) return None
-          // Layer III frame length: floor(144 · bitrate / sample_rate) + pad
-          val frameLen = 144000L * br / sr + padding
+          if (frames == 0L) { ver = version; rate = sr; ch = c; firstBr = br.toLong }
+          else if (version != ver || sr != rate || c != ch) return None
+          // Layer III frame length: floor(coef · bitrate / sample_rate) + pad;
+          // coef = 144 for MPEG-1, 72 for MPEG-2/2.5 (samples-per-frame halves)
+          val coef = if (version == 3) 144000L else 72000L
+          val frameLen = coef * br / sr + padding
           if (frameLen <= 4L) return None
+          if (frames == 0L) {
+            // VBR header detect, first frame only: Xing/Info sits right
+            // after the side info (MPEG-1: 17 mono / 32 stereo bytes;
+            // MPEG-2/2.5: 9 / 17), VBRI at a fixed 32 bytes past the
+            // header. Both carry a frames field counting the audio frames
+            // that follow this (audio-free) header frame.
+            val side =
+              if (version == 3) { if (mode == 3) 17 else 32 }
+              else { if (mode == 3) 9 else 17 }
+            val xat = j + 4 + side
+            val vat = j + 4 + 32
+            def tagIs(at: Int, t: String): Boolean =
+              at + 4 <= b.length && i + (at - j) + 4 <= i + frameLen &&
+                b(at) == t(0).toByte && b(at + 1) == t(1).toByte &&
+                b(at + 2) == t(2).toByte && b(at + 3) == t(3).toByte
+            if (tagIs(xat, "Xing") || tagIs(xat, "Info")) {
+              // "Xing" + u32 flags [+ u32 frames if flags bit 0]
+              if (xat + 8 <= b.length && (be32(xat + 4) & 0x1L) != 0 &&
+                  xat + 12 <= b.length)
+                vbrFrames = Some(be32(xat + 8))
+            } else if (tagIs(vat, "VBRI")) {
+              // "VBRI" + ver(2) delay(2) quality(2) bytes(4) frames(4)
+              if (vat + 18 <= b.length) vbrFrames = Some(be32(vat + 14))
+            }
+          }
           i += frameLen
           frames += 1L
         }
         if (frames == 0L || i != b.length) return None
-        Some((rate, ch, firstBr, frames * SamplesPerFrame))
+        val spf = if (ver == 3) SamplesPerFrame else SamplesPerFrameV2
+        vbrFrames match {
+          case Some(n) =>
+            // strictness: the declared audio-frame count must match the
+            // tiling (total walked minus the header frame) — a VBR header
+            // that disagrees with the stream is a desync, not metadata
+            if (n != frames - 1L) None
+            else Some((rate, ch, firstBr, n * spf))
+          case None => Some((rate, ch, firstBr, frames * spf))
+        }
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
@@ -342,8 +403,13 @@ object Multimodal {
         def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
         def tag(i: Int): String =
           if (i + 4 <= b.length) new String(b, i, 4, "US-ASCII") else ""
-        // first box of `name` inside [start, end) → payload span
+        // first box of `name` inside [start, end) → payload span. ISO-BMFF
+        // permits size 0 ("extends to end of file") only for the LAST
+        // TOP-LEVEL box — honoring it in a nested span would let one
+        // malformed child silently swallow the rest of its parent (ADVICE
+        // r17), so it is accepted only when the span IS the whole file.
         def findBox(start: Long, end: Long, name: String): Option[(Long, Long)] = {
+          val topLevel = start == 0L && end == b.length.toLong
           var i = start
           while (i + 8 <= end) {
             val sz0 = be32(i.toInt)
@@ -352,8 +418,10 @@ object Multimodal {
               if (sz0 == 1L) { // largesize
                 if (i + 16 > end) return None
                 hdr = 16L; be64(i.toInt + 8)
-              } else if (sz0 == 0L) end - i // box extends to end of span
-              else sz0
+              } else if (sz0 == 0L) {
+                if (!topLevel) return None
+                end - i // last top-level box extends to end of file
+              } else sz0
             if (sz < hdr || i + sz > end) return None
             if (tag(i.toInt + 4) == name) return Some((i + hdr, i + sz))
             i += sz
@@ -531,30 +599,59 @@ object Multimodal {
       out.array() // zero PCM frames follow the data header
     }
 
-    /** MPEG-1 Layer III stream: an ID3v2 tag of `id3Body` bytes, then
-      * `nFrames` identical zero-payload frames at the given bitrate /
-      * sample-rate table indices. Frame length is the spec's
-      * floor(144·bitrate/rate) (padding bit 0), so total size is closed-form:
-      * 10 + id3Body + nFrames·(144000·kbps ∕ rate). */
+    /** MPEG Layer III stream: an ID3v2 tag of `id3Body` bytes, then
+      * `nFrames` audio frames (zero payload) at the given bitrate /
+      * sample-rate table indices. `version`: 0 = MPEG-1, 1 = MPEG-2,
+      * 2 = MPEG-2.5 — MPEG-2/2.5 use the low-rate tables (half the v1
+      * kbps, half/quarter the v1 rates) and 576-sample frames. Frame
+      * length is the spec's floor(coef·bitrate/rate) (padding 0, coef
+      * 144000 v1 / 72000 v2+), so total size is closed-form:
+      * 10 + id3Body [+10 footer] + totalFrames·frameLen, where
+      * totalFrames = nFrames + 1 when `vbr` (a leading audio-free frame
+      * carrying a Xing header whose frames field = nFrames).
+      * `footer` sets the ID3v2 footer flag and appends the 10-byte
+      * footer the size field does not count. */
     def mp3(srIdx: Int, brIdx: Int, nFrames: Int, id3Body: Int,
-        mono: Boolean): Array[Byte] = {
-      val sr = Array(44100, 48000, 32000)(srIdx)
-      val kbps = Array(96, 128, 192, 256)(brIdx)
-      val brField = Array(7, 9, 11, 13)(brIdx) // table index of each kbps
-      val frameLen = 144000 * kbps / sr
-      val out = java.nio.ByteBuffer.allocate(10 + id3Body + nFrames * frameLen)
+        mono: Boolean, version: Int = 0, vbr: Boolean = false,
+        footer: Boolean = false): Array[Byte] = {
+      val srV1 = Array(44100, 48000, 32000)(srIdx)
+      val sr = srV1 / (version match { case 0 => 1; case 1 => 2; case _ => 4 })
+      val kbpsV1 = Array(96, 128, 192, 256)(brIdx)
+      val kbps = if (version == 0) kbpsV1 else kbpsV1 / 2
+      // table index of each kbps per version's bitrate table
+      val brField =
+        if (version == 0) Array(7, 9, 11, 13)(brIdx)
+        else Array(6, 8, 10, 12)(brIdx) // 48/64/96/128 in the low-rate table
+      val coef = if (version == 0) 144000 else 72000
+      val frameLen = coef * kbps / sr
+      val verBits = version match { case 0 => 3; case 1 => 2; case _ => 0 }
+      val totalFrames = if (vbr) nFrames + 1 else nFrames
+      val foot = if (footer) 10 else 0
+      val out = java.nio.ByteBuffer.allocate(
+        10 + id3Body + foot + totalFrames * frameLen)
       out.put("ID3".getBytes("US-ASCII")).put(4.toByte).put(0.toByte) // v2.4
-      out.put(0.toByte) // flags
+      out.put((if (footer) 0x10 else 0).toByte) // flags (0x10 = footer)
       // syncsafe size (id3Body < 128 in fixtures, so only the low byte)
       out.put(0.toByte).put(0.toByte).put((id3Body >> 7).toByte)
         .put((id3Body & 0x7f).toByte)
-      out.position(out.position() + id3Body) // zero tag body
-      val hdr = Array[Byte](0xff.toByte, 0xfb.toByte, // MPEG-1 L3, no CRC
+      out.position(out.position() + id3Body + foot) // zero tag body + footer
+      val hdr = Array[Byte](0xff.toByte,
+        (0xe0 | (verBits << 3) | (1 << 1) | 1).toByte, // L3, no CRC
         ((brField << 4) | (srIdx << 2)).toByte, // padding 0
         (if (mono) 0xc0 else 0x00).toByte) // mode 3 = mono, 0 = stereo
-      (0 until nFrames).foreach { f =>
-        out.position(10 + id3Body + f * frameLen)
+      val base = 10 + id3Body + foot
+      (0 until totalFrames).foreach { f =>
+        out.position(base + f * frameLen)
         out.put(hdr)
+      }
+      if (vbr) {
+        // Xing header in the first (audio-free) frame: right after the
+        // side info, flags bit 0 set, frames = the nFrames audio frames
+        val side =
+          if (version == 0) { if (mono) 17 else 32 }
+          else { if (mono) 9 else 17 }
+        out.position(base + 4 + side)
+        out.put("Xing".getBytes("US-ASCII")).putInt(1).putInt(nFrames)
       }
       out.array()
     }

@@ -1194,13 +1194,17 @@ object PipelineQueries {
         "CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 1 + (doc_id * 13) % 97 END AS n_samples " +
         "FROM documents ORDER BY doc_id")),
 
-    // REAL compressed-audio metadata decode (round-16 directive #5): MPEG-1
-    // Layer III frame headers — ID3v2 skip, bitrate/sample-rate table
-    // lookups, the spec's frame-length arithmetic tiling the payload
-    // exactly. The oracle restates the fixture stream's closed-form size
-    // and metadata in SQL, so a wrong table entry, a wrong frame-length
-    // formula, or a broken ID3 skip is a hash mismatch. Every 5th payload
-    // is garbage → nulls (the total-decode contract, cross-engine).
+    // REAL compressed-audio metadata decode (round-16 directive #5,
+    // extended round 18): MPEG-1/2/2.5 Layer III frame headers — ID3v2
+    // skip, version-indexed bitrate/sample-rate table lookups, the spec's
+    // per-version frame-length arithmetic tiling the payload exactly, and
+    // a Xing VBR header lane (doc_id % 7 = 3: a leading audio-free header
+    // frame whose frames field the parser cross-checks against the walk).
+    // The oracle restates the fixture stream's closed-form size and
+    // metadata in SQL, so a wrong table entry, a wrong per-version
+    // coefficient, a broken ID3 skip, or a miscounted VBR header frame is
+    // a hash mismatch. Every 5th payload is garbage → nulls (the
+    // total-decode contract, cross-engine).
     Q("q_mm_decode_mp3",
       (s, d) => {
         import s.implicits._
@@ -1210,26 +1214,33 @@ object PipelineQueries {
               if (id % 5 == 4) Multimodal.ImageFixtures.garbage(id)
               else Multimodal.ImageFixtures.mp3(
                 (id % 3).toInt, (id % 4).toInt,
-                (1 + id % 7).toInt, (id % 17).toInt, mono = id % 2 == 0)
+                (1 + id % 7).toInt, (id % 17).toInt, mono = id % 2 == 0,
+                version = ((id / 5) % 3).toInt, vbr = id % 7 == 3)
             (id, payload)
           }
           .toDF("doc_id", "payload")
         Multimodal.decodeMp3Meta(gen, "doc_id", "payload")
           .toDF().orderBy("doc_id")
       },
-      Some("WITH f AS (SELECT doc_id, " +
-        "CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr, " +
-        "CASE doc_id % 4 WHEN 0 THEN 96 WHEN 1 THEN 128 WHEN 2 THEN 192 ELSE 256 END AS br, " +
-        "1 + doc_id % 7 AS nf FROM documents) " +
+      Some("WITH f AS (SELECT doc_id, (doc_id // 5) % 3 AS vi, " +
+        "CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr1, " +
+        "CASE doc_id % 4 WHEN 0 THEN 96 WHEN 1 THEN 128 WHEN 2 THEN 192 ELSE 256 END AS br1, " +
+        "1 + doc_id % 7 AS nf FROM documents), " +
+        "g AS (SELECT doc_id, nf, " +
+        "sr1 // (CASE vi WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END) AS sr, " +
+        "br1 // (CASE vi WHEN 0 THEN 1 ELSE 2 END) AS br, " +
+        "CASE vi WHEN 0 THEN 144000 ELSE 72000 END AS coef, " +
+        "CASE vi WHEN 0 THEN 1152 ELSE 576 END AS spf, " +
+        "nf + CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END AS tot FROM f) " +
         "SELECT doc_id, " +
         "CAST(CASE WHEN doc_id % 5 = 4 THEN 16 " +
-        "ELSE 10 + doc_id % 17 + nf * ((144000 * br) // sr) END AS BIGINT) AS n_bytes, " +
+        "ELSE 10 + doc_id % 17 + tot * ((coef * br) // sr) END AS BIGINT) AS n_bytes, " +
         "CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 'mp3' END AS format, " +
         "CASE WHEN doc_id % 5 = 4 THEN NULL ELSE sr END AS sample_rate, " +
         "CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 1 + doc_id % 2 END AS channels, " +
         "CAST(NULL AS BIGINT) AS bits, " +
-        "CASE WHEN doc_id % 5 = 4 THEN NULL ELSE nf * 1152 END AS n_samples " +
-        "FROM f ORDER BY doc_id")),
+        "CASE WHEN doc_id % 5 = 4 THEN NULL ELSE nf * spf END AS n_samples " +
+        "FROM g ORDER BY doc_id")),
 
     // REAL video-container metadata decode (round-16 directive #5):
     // ISO-BMFF box walk — ftyp sanity, moov/mvhd timescale+duration,

@@ -62,8 +62,12 @@ object CollocStream {
       .groupBy("term")
       .agg(count(lit(1)).cast("long").as("n"))
 
-  /** PMI over SNAPSHOTS of the two count tables (e.g. the memory-sink
-    * state of the two streaming aggregations, or their batch equivalents).
+  /** PMI over SNAPSHOTS of the two count tables — COMPLETE-mode memory-sink
+    * state of the two streaming aggregations (one row per key), or their
+    * batch equivalents. An UPDATE-mode sink is NOT a valid input: it
+    * appends per-batch delta rows, so a pair key can appear multiple times
+    * and the PMI join would double-count it; dedup to the latest row per
+    * key first if update mode is all you have (ADVICE r17).
     * Delegates to the ONE scoring implementation
     * ([[graft.search.PhraseSearch.pmiOver]]) — batch and stream cannot
     * diverge on the formula by construction. */

@@ -134,6 +134,66 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("MP3 parser: MPEG-2/2.5 tables (576-sample frames, 72000 coefficient)," +
+      " Xing VBR cross-check, ID3v2 footer flag — round-18 directive #5") {
+    import graft.ops.Multimodal.Mp3Parser
+    // MPEG-2: halved rates/kbps, 576 samples/frame. srIdx 0 → 22050,
+    // brIdx 1 → 64 kbps, 3 frames
+    val v2 = Mp3Parser.parseMp3(F.mp3(0, 1, 3, 5, mono = true, version = 1))
+    assert(v2 == Some((22050L, 1L, 64L, 3L * 576L)), v2)
+    // MPEG-2.5: quartered rates. srIdx 2 → 8000, brIdx 3 → 128 kbps, stereo
+    val v25 = Mp3Parser.parseMp3(F.mp3(2, 3, 2, 0, mono = false, version = 2))
+    assert(v25 == Some((8000L, 2L, 128L, 2L * 576L)), v25)
+    // per-version closed-form byte size (what the oracle states in SQL)
+    assert(F.mp3(1, 2, 4, 9, mono = true, version = 1).length ==
+      10 + 9 + 4 * (72000 * 96 / 24000))
+    // Xing VBR: a leading audio-free header frame; n_samples comes from the
+    // declared audio-frame count, which must match the tiling
+    val vbr = F.mp3(0, 1, 3, 5, mono = true, vbr = true)
+    assert(Mp3Parser.parseMp3(vbr) == Some((44100L, 1L, 128L, 3L * 1152L)))
+    // VBR on an MPEG-2 stream (different side-info offset: 9 bytes mono)
+    val vbr2 = Mp3Parser.parseMp3(F.mp3(1, 0, 4, 0, mono = true, version = 1, vbr = true))
+    assert(vbr2 == Some((24000L, 1L, 48L, 4L * 576L)), vbr2)
+    // stereo side-info offset (32 bytes for MPEG-1)
+    val vbrSt = Mp3Parser.parseMp3(F.mp3(2, 2, 2, 3, mono = false, vbr = true))
+    assert(vbrSt == Some((32000L, 2L, 192L, 2L * 1152L)), vbrSt)
+    // a LYING Xing frame count (≠ walked frames − 1) is a desync → None
+    val lying = F.mp3(0, 1, 3, 5, mono = true, vbr = true).clone()
+    // frames field sits at 10+5 (id3) + 4 + 17 (mono v1 side) + 8, big-endian
+    val fAt = 10 + 5 + 4 + 17 + 8
+    lying(fAt + 3) = (lying(fAt + 3) + 1).toByte
+    assert(Mp3Parser.parseMp3(lying).isEmpty)
+    // ID3v2 footer flag: 10 extra bytes after the tag body (ADVICE r17)
+    val footered = F.mp3(0, 0, 2, 7, mono = true, footer = true)
+    assert(Mp3Parser.parseMp3(footered) == Some((44100L, 1L, 96L, 2L * 1152L)))
+    assert(footered.length == 10 + 7 + 10 + 2 * (144000 * 96 / 44100))
+    // mixed versions across frames = desync → None
+    val mixed = F.mp3(0, 1, 2, 0, mono = true) ++
+      F.mp3(0, 1, 1, 0, mono = true, version = 1).drop(10)
+    assert(Mp3Parser.parseMp3(mixed).isEmpty)
+    // totality sweeps over the new shapes
+    for (s <- Seq(vbr, footered, F.mp3(1, 1, 2, 0, mono = false, version = 2))) {
+      (0 to s.length).foreach(n => Mp3Parser.parseMp3(s.take(n)))
+      s.indices.foreach { i =>
+        val c = s.clone(); c(i) = (c(i) ^ 0x5a).toByte; Mp3Parser.parseMp3(c)
+      }
+    }
+  }
+
+  test("MP4 parser: nested size-0 box rejected (size 0 is last-top-level-" +
+      "box-only per spec — ADVICE r17), top-level size-0 still honored") {
+    import graft.ops.Multimodal.Mp4Parser
+    val base = F.mp4(320, 240, 1000, 5000)
+    // top-level size-0 moov (extends to end of file): still parses
+    val top = base.clone()
+    java.nio.ByteBuffer.wrap(top).putInt(16, 0) // moov size → 0
+    assert(Mp4Parser.parseMp4(top) == Some((320L, 240L, 1000L, 5000L)))
+    // NESTED size-0 (the trak inside moov): must reject, not swallow the span
+    val nested = base.clone()
+    java.nio.ByteBuffer.wrap(nested).putInt(132, 0) // trak size → 0
+    assert(Mp4Parser.parseMp4(nested).isEmpty)
+  }
+
   test("MP4 parser: fixture boxes round-trip (mvhd timescale/duration, tkhd " +
       "16.16 dims), largesize + v1 handled, truncations/corruptions never " +
       "throw") {
