@@ -16,6 +16,8 @@ import graft.search.HybridSearch
   *                    [--chunk-size N] [--overlap N] [--embedding-dim N]
   *                    [--analyzer default|bigram|whitespace]
   *                    [--dict FILE]   (CJK dictionary longest-match; wordlist persists in settings)
+  *                    [--normalize NFC|NFD|NFKC|NFKD]   (Unicode-fold before tokenization;
+  *                     persists inside the analyzer settings name, search folds queries identically)
   *                    [--ann-clusters K [--ann-iters N]]   (persist the IVF sidecar)
   *                    [--refit-ann] [--refit-pq]   (re-fit frozen sidecars after drift)
   *                    [--pq-codes K [--pq-iters N]]         (persist the PQ sidecar)
@@ -382,7 +384,7 @@ object Cli {
     // `--dict FILE` (one word per line, UTF-8) upgrades the CJK handling to
     // dictionary longest-match with bigram fallback; the wordlist persists
     // inside the settings name, so search needs no extra flag.
-    val analyzer = arg(a, "--dict") match {
+    val baseAnalyzer = arg(a, "--dict") match {
       case Some(f) =>
         require(arg(a, "--analyzer").forall(_.equalsIgnoreCase("dict")),
           "--dict implies --analyzer dict; drop the conflicting --analyzer")
@@ -394,6 +396,17 @@ object Cli {
       case None => graft.analyze.Analyzers.byName(
         arg(a, "--analyzer").map(_.toLowerCase)
           .getOrElse(graft.analyze.Analyzers.DefaultName))
+    }
+    // `--normalize NFC|NFD|NFKC|NFKD`: Unicode-fold the text BEFORE
+    // tokenization (what Lindera and every modern tokenizer do internally),
+    // so full-width ASCII / ligatures / decomposed accents index and query
+    // as the same terms. The form persists inside the analyzer settings
+    // name (norm:<FORM>:<inner>), so search folds the query identically
+    // with no extra flag — index-time and query-time forms cannot pair
+    // stale by construction.
+    val analyzer = arg(a, "--normalize") match {
+      case Some(f) => graft.analyze.NormalizingAnalyzer(f.toUpperCase, baseAnalyzer)
+      case None    => baseAnalyzer
     }
     val spark = session()
     val opts = IndexJob.Options(

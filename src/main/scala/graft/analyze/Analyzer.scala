@@ -44,12 +44,14 @@ object WhitespaceAnalyzer extends Analyzer {
 object Analyzers {
   val DefaultName = "default"
   private val DictPrefix = "dict:"
+  private val NormPrefix = "norm:"
 
   def nameOf(a: Analyzer): String = a match {
     case WhitespaceAnalyzer     => "whitespace"
     case CjkBigramAnalyzer      => "bigram"
     case DefaultAnalyzer        => DefaultName
     case d: DictionaryAnalyzer  => DictPrefix + d.encodedWords
+    case n: NormalizingAnalyzer => NormPrefix + n.form + ":" + nameOf(n.inner)
     case other => sys.error(
       s"analyzer ${other.getClass.getName} is not registered in Analyzers — " +
         "an unregistered name would persist in settings and make the index " +
@@ -63,10 +65,50 @@ object Analyzers {
     case DefaultName  => DefaultAnalyzer
     case n if n.startsWith(DictPrefix) =>
       DictionaryAnalyzer.fromEncoded(n.stripPrefix(DictPrefix))
+    case n if n.startsWith(NormPrefix) =>
+      // norm:<FORM>:<inner name> — the form never contains ':', the inner
+      // name may (dict:<base64>), so split on the FIRST colon after the form
+      val rest = n.stripPrefix(NormPrefix)
+      val cut = rest.indexOf(':')
+      if (cut <= 0) sys.error(s"malformed analyzer name '$n' " +
+        "(expected norm:<NFC|NFD|NFKC|NFKD>:<inner analyzer>)")
+      NormalizingAnalyzer(rest.substring(0, cut), byName(rest.substring(cut + 1)))
     case other => sys.error(
       s"unknown analyzer '$other' (expected default, bigram, whitespace, " +
-        "or dict:<base64 wordlist>)")
+        "dict:<base64 wordlist>, or norm:<form>:<inner>)")
   }
+}
+
+/** Unicode-normalizing layer over any registered analyzer — the analyzer-
+  * path face of the engine's `unicode_normalize` expression (round-17
+  * directive #1): real tokenizers (Lindera among them, reference
+  * `src/splitter.py:39-47`) fold character width and compatibility forms
+  * BEFORE segmentation, so full-width ASCII, ligatures, and decomposed
+  * accents index and query as the same terms. The fold runs as a
+  * pre-tokenize rewrite of the text (content stays raw — normalization is
+  * a token-space concern, like lower-casing); the already-normalized fast
+  * path skips the re-encode exactly like [[graft.functions.UnicodeNormalize]].
+  *
+  * The form persists INSIDE the registry name (`norm:<FORM>:<inner>`), not
+  * as a second settings key: the index's `analyzer` setting is then one
+  * atomic (form, tokenizer) pairing — search re-resolves it byName and
+  * folds the query identically, and a stale index-form/query-form pairing
+  * is impossible by construction (two keys could tear; one name cannot).
+  */
+final case class NormalizingAnalyzer(form: String, inner: Analyzer)
+  extends Analyzer {
+  require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
+    s"normalize form must be NFC|NFD|NFKC|NFKD, got '$form'")
+  require(!inner.isInstanceOf[NormalizingAnalyzer],
+    "nested NormalizingAnalyzer — normalization is idempotent per form, " +
+      "compose at most one fold over the tokenizer")
+
+  @transient private lazy val f = java.text.Normalizer.Form.valueOf(form)
+
+  def tokenize(text: String): Seq[String] =
+    inner.tokenize(
+      if (java.text.Normalizer.isNormalized(text, f)) text
+      else java.text.Normalizer.normalize(text, f))
 }
 
 /** Dictionary-free CJK bigram analyzer — one step closer to the reference's

@@ -309,6 +309,7 @@ object IndexJob {
     val docsPath = new org.apache.hadoop.fs.Path(indexDir, "documents")
     val fs = docsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val incremental = !clear && fs.exists(docsPath)
+    if (incremental) requireAnalyzerConsistent(spark, indexDir, settings)
     if (incremental && mergeMode == "append")
       return appendMerge(spark, fresh, settings, indexDir)
     if (!incremental) {
@@ -391,11 +392,39 @@ object IndexJob {
     * the batch. The drift metrics update after the commit from the
     * assembled view's persisted byproduct columns (`assign_dist` /
     * `err_sum`) — a narrow column scan, never a re-assignment pass. */
+  /** Incremental-merge analyzer guard: the artifact's tokens were produced
+    * by ONE analyzer (the `analyzer` settings row — including any
+    * `norm:<form>:` normalization layer), and a merge that tokenized its
+    * batch with a DIFFERENT one would mix token spaces silently: df
+    * statistics disagree across documents and no single query tokenization
+    * matches both halves. Fail fast with the remedy instead — the same
+    * posture as the append flip-on guard. Artifacts predating the analyzer
+    * key (or merges whose settings carry no analyzer row) pass through. */
+  private def requireAnalyzerConsistent(spark: SparkSession, indexDir: String,
+      freshSettings: DataFrame): Unit = {
+    val freshName = freshSettings.filter(col("key") === "analyzer")
+      .select("value").collect().headOption.map(_.getString(0))
+    val storedName = scala.util.Try(
+      spark.read.parquet(s"$indexDir/settings")
+        .filter(col("key") === "analyzer").select("value")
+        .collect().headOption.map(_.getString(0))).toOption.flatten
+    (freshName, storedName) match {
+      case (Some(f), Some(s)) if f != s => sys.error(
+        s"incremental merge tokenized with analyzer '$f' against an " +
+          s"artifact indexed with '$s' — merging would mix token spaces " +
+          "(df statistics and query tokenization cannot agree across " +
+          "documents); re-run with --clear to rebuild under the new " +
+          "analyzer, or drop the conflicting --analyzer/--dict/--normalize")
+      case _ => ()
+    }
+  }
+
   def appendMerge(
       spark: SparkSession,
       fresh: DataFrame,
       settings: DataFrame,
       indexDir: String): IndexData = {
+    requireAnalyzerConsistent(spark, indexDir, settings)
     val basePostings = spark.read.parquet(s"$indexDir/postings")
     require(basePostings.columns.contains("file_path"),
       s"append merge needs a base whose stats rows carry file_path; " +
