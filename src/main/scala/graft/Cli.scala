@@ -1062,7 +1062,8 @@ object Cli {
       System.err.println(
         f"[graft] disk-backed serving: prewarmed parquet footers of " +
           f"${warmed.size} dirs / ${warmed.map(_._2).sum} files in " +
-          f"${(System.nanoTime() - t0) / 1e6}%.0f ms")
+          f"${(System.nanoTime() - t0) / 1e6}%.0f ms " +
+          f"(${IndexData.PrewarmConcurrency} parallel jobs)")
       loaded
     }
   }

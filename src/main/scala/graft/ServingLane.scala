@@ -292,7 +292,8 @@ object ServingLane {
             mode("disk_ivf_auto", s""""nprobe":$autoNprobe,""", Texts,
               serveRun(diskIdx, lookup)(autoNprobe, 0)) + "," +
             s""""disk_prewarm":{"ms":${ms1(prewarmMs)},""" +
-            s""""dirs":${warmed.size},"files":${warmed.map(_._2).sum}},""" +
+            s""""dirs":${warmed.size},"files":${warmed.map(_._2).sum},""" +
+            s""""concurrency":${graft.index.IndexData.PrewarmConcurrency}},""" +
             s""""disk_read_profile":{""" +
             s""""exact":${readProfile(Texts, serveRun(diskIdx, lookup)(0, 0))},""" +
             s""""ivf_auto":${

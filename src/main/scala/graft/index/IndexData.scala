@@ -537,9 +537,19 @@ object IndexData {
     * bounded layouts — sidecars, stats, termdf, segment deltas — whose
     * footers dominate first-touch tails). Best-effort: a dir that fails
     * to read is skipped, never a startup crash. Returns (relative dir,
-    * file count) for each dir prewarmed. */
+    * file count) for each dir prewarmed.
+    *
+    * The dirs are INDEPENDENT, so their metadata counts run as
+    * `concurrency` parallel Spark jobs (round-17 directive #2: the serial
+    * per-dir loop tripled disk-backed serve startup — each count is
+    * latency-bound on footer round-trips, not CPU, so overlapping them
+    * reclaims most of that wall without touching what gets warmed). Result
+    * order stays deterministic (input dir order, not completion order). */
+  val PrewarmConcurrency = 8
+
   def prewarmFooters(spark: SparkSession, dir: String,
-      maxFilesPerDir: Int = 256): Seq[(String, Int)] = {
+      maxFilesPerDir: Int = 256,
+      concurrency: Int = PrewarmConcurrency): Seq[(String, Int)] = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val segTables = Seq("documents", "postings", "termdf", "doclen",
@@ -552,7 +562,7 @@ object IndexData {
         segments(spark, dir).flatMap { case (n, _) =>
           segTables.map(t => s"$SegDir/$n/$t")
         }
-    rels.flatMap { rel =>
+    def warmOne(rel: String): Option[(String, Int)] = {
       val p = new org.apache.hadoop.fs.Path(root, rel)
       val files = scala.util.Try {
         if (!fs.exists(p)) 0
@@ -569,6 +579,18 @@ object IndexData {
           scala.util.Try(spark.read.parquet(p.toString).count()).isSuccess)
         Some(rel -> files)
       else None
+    }
+    val par = math.max(1, math.min(concurrency, rels.size))
+    if (par == 1) rels.flatMap(warmOne)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          rels.map(rel => scala.concurrent.Future(warmOne(rel)))),
+        scala.concurrent.duration.Duration.Inf).flatten
+      finally pool.shutdown()
     }
   }
 

@@ -45,6 +45,10 @@ class LiveWriteSpec extends AnyFunSuite {
     assert(Set("documents", "postings", "termdf", "doclen", "stats")
       .subsetOf(names), names)
     assert(warmed.forall(_._2 > 0), warmed)
+    // parallel (default) and serial runs return the SAME dirs in the SAME
+    // deterministic order — concurrency must not change what gets warmed
+    // (round-18: the per-dir counts now run as parallel Spark jobs)
+    assert(IndexData.prewarmFooters(spark, dir, concurrency = 1) == warmed)
     // cap 0 excludes everything — the posture under which corpus-sized
     // dirs self-exclude at scale (the prewarm is O(files), never O(data))
     assert(IndexData.prewarmFooters(spark, dir, maxFilesPerDir = 0).isEmpty)
