@@ -42,6 +42,10 @@ import graft.search.HybridSearch
   *                    [--phrase]   (candidates must contain the query as an adjacent run)
   *                    [--phrase-rank]   (phrase-FIRST retrieval: BM25 ranks the
   *                     corpus-wide phrase-matching docs via the positions sidecar)
+  *                    [--near a,b[,c] --window w]   (proximity-FIRST retrieval:
+  *                     docs where the terms appear in order within w positions —
+  *                     the Lucene slop shape; any serving query line also accepts
+  *                     the inline form `"a b"~w`)
   *                    [--ann-verify]   (also run the exact legs; live recall on stderr)
   *                    [--cache | --no-cache]   (interactive mode: force/skip pinning the
   *                     serving caches; default pins iff the artifact fits
@@ -700,11 +704,39 @@ object Cli {
         } else (0, 0)
     }
 
+  /** Lucene-style slop query syntax: `"table value"~4` → proximity search
+    * with window 4 over the quoted terms. Parsed PER REQUEST, so the
+    * serve/interactive surfaces accept it on any query line (round-17
+    * directive #3) — an explicit `--near` flag wins over it. */
+  private[graft] val SlopQueryRe = """^\s*"(.+)"~(\d+)\s*$""".r
+
+  /** Resolve the proximity restriction for one request: the `--near`
+    * flag's comma list (tokenized through the INDEX analyzer, so
+    * normalization/bigram folding applies to the near terms exactly as to
+    * the query), or the query's own slop syntax. Returns the effective
+    * BM25 query text plus (terms, window) — Nil when no near mode. */
+  private[graft] def resolveNear(query: String, nearRaw: Option[String],
+      window: Option[Int], tokenize: String => Seq[String])
+      : (String, Seq[String], Int) = nearRaw match {
+    case Some(raw) =>
+      val ts = raw.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        .flatMap(tokenize)
+      (query, ts, window.getOrElse(sys.error(
+        "--near requires --window W (max span, in token positions)")))
+    case None => query match {
+      case SlopQueryRe(inner, w) => (inner, tokenize(inner), w.toInt)
+      case _ => (query, Nil, 0)
+    }
+  }
+
   private def runSearch(index: IndexData, db: String, query: String, k: Int, rerank: Boolean,
       removeP: Option[String], addP: Option[String], ann: (Int, Int) = (0, 0),
       fusion: String = "mean", threshold: Option[Double] = None,
-      phrase: Boolean = false, phraseRank: Boolean = false) = {
+      phrase: Boolean = false, phraseRank: Boolean = false,
+      nearRaw: Option[String] = None, nearWindow: Option[Int] = None) = {
     val analyzer = analyzerFor(index)
+    val (bm25Query, nearTerms, nw) =
+      resolveNear(query, nearRaw, nearWindow, analyzer.tokenize)
     // the serving surface (interactive loop, one-shot search, MCP) runs the
     // low-latency ServeSearch formulation — bit-identical to the DataFrame
     // DAG path (ServeSearchSpec) at roughly half the per-request latency
@@ -714,7 +746,7 @@ object Cli {
         Option[graft.rerank.Reranker], HybridSearch.Options) => org.apache.spark.sql.DataFrame =
       if (sys.env.get("GRAFT_SEARCH_ENGINE").contains("dag")) HybridSearch.search
       else graft.search.ServeSearch.search
-    engine(index, query, analyzer,
+    engine(index, bm25Query, analyzer,
       Some(embedderFor(index, db)),
       // the rerank leg must score in the SAME token space as the index
       // (bigram index + unigram rerank would resurrect single-char overlap)
@@ -723,6 +755,7 @@ object Cli {
         removePathPrefix = removeP, addPathPrefix = addP,
         annNprobe = ann._1, annPqShortlist = ann._2, fusion = fusion,
         phraseOnly = phrase, phraseRank = phraseRank,
+        nearTerms = nearTerms, nearWindow = nw,
         // RRF scores live in (0, 2/61]; the reference's 0.01 threshold would
         // cut real hits once k > 40 — scale the DEFAULT to the rank domain
         // (an explicit --threshold wins, with [[thresholdWarning]] if it
@@ -854,6 +887,11 @@ object Cli {
     // corpus-wide phrase-matching docs (positions-sidecar probe) instead
     // of filtering whatever made the global top-k; see HybridSearch.Options
     val phraseRank = flag(a, "--phrase-rank")
+    // `--near a,b[,c] --window w`: proximity-FIRST retrieval — the N-term
+    // sloppy-phrase restriction (Lucene slop shape). Queries can also carry
+    // the restriction inline as `"a b"~w` on any serving surface.
+    val nearRaw = arg(a, "--near")
+    val nearWindow = arg(a, "--window").map(_.toInt)
     // `--ann-verify`: also run the exact legs for THIS query and report the
     // live overlap on stderr — the per-query spot-check companion to the
     // corpus-level q_ann_recall measurement (costs one extra exact search;
@@ -869,10 +907,12 @@ object Cli {
         driftWarning(index, annR).foreach(System.err.println)
         segmentsWarning(index, annR).foreach(System.err.println)
         recallWarning(index, annR).foreach(System.err.println)
-        val hits = runSearch(index, db, query, k, rerank, removeP, addP, annR, fusion, threshold, phrase, phraseRank)
+        val hits = runSearch(index, db, query, k, rerank, removeP, addP, annR,
+          fusion, threshold, phrase, phraseRank, nearRaw, nearWindow)
         if (annVerify && (annR._1 > 0 || annR._2 > 0)) {
           val exact = runSearch(
-            index, db, query, k, rerank, removeP, addP, (0, 0), fusion, threshold, phrase, phraseRank)
+            index, db, query, k, rerank, removeP, addP, (0, 0),
+            fusion, threshold, phrase, phraseRank, nearRaw, nearWindow)
           annVerifyNote(hits.map(_.getAs[String]("doc_id")).toSeq,
             exact.map(_.getAs[String]("doc_id")).toSeq)
             .foreach(System.err.println)
@@ -891,7 +931,8 @@ object Cli {
         System.err.println(s"[graft] interactive search on $db; one query per line, EOF exits")
         servingLoop(() => { holder.maybeReload(); (holder.current, annRef.get()) },
           db, scala.io.Source.stdin.getLines(), System.out,
-          k, rerank, removeP, addP, fusion, threshold, phrase, phraseRank)
+          k, rerank, removeP, addP, fusion, threshold, phrase, phraseRank,
+          nearRaw, nearWindow)
     }
     spark.stop()
   }
@@ -931,13 +972,15 @@ object Cli {
       out: java.io.PrintStream, k: Int, rerank: Boolean,
       removeP: Option[String], addP: Option[String],
       fusion: String = "mean", threshold: Option[Double] = None,
-      phrase: Boolean = false, phraseRank: Boolean = false): Unit =
+      phrase: Boolean = false, phraseRank: Boolean = false,
+      nearRaw: Option[String] = None, nearWindow: Option[Int] = None): Unit =
     lines.foreach { line =>
       val query = line.trim
       if (query.nonEmpty) {
         try {
           val (index, ann) = current()
-          val hits = runSearch(index, db, query, k, rerank, removeP, addP, ann, fusion, threshold, phrase, phraseRank)
+          val hits = runSearch(index, db, query, k, rerank, removeP, addP, ann,
+            fusion, threshold, phrase, phraseRank, nearRaw, nearWindow)
           out.println(s"""{"results":${hitsJson(hits)}}""")
         } catch {
           case e: Throwable =>
@@ -953,9 +996,10 @@ object Cli {
       out: java.io.PrintStream, k: Int, rerank: Boolean,
       removeP: Option[String], addP: Option[String], ann: (Int, Int) = (0, 0),
       fusion: String = "mean", threshold: Option[Double] = None,
-      phrase: Boolean = false, phraseRank: Boolean = false): Unit =
+      phrase: Boolean = false, phraseRank: Boolean = false,
+      nearRaw: Option[String] = None, nearWindow: Option[Int] = None): Unit =
     servingLoop(() => (index, ann), db, lines, out, k, rerank, removeP, addP,
-      fusion, threshold, phrase, phraseRank)
+      fusion, threshold, phrase, phraseRank, nearRaw, nearWindow)
 
   /** Minimal JSON-line request parser for `{"query": "...", "top_k": N}` —
     * the legacy pre-MCP protocol, kept under `--protocol jsonl`. */
@@ -1078,6 +1122,8 @@ object Cli {
     val threshold = arg(a, "--threshold").map(_.toDouble)
     val phrase = flag(a, "--phrase")
     val phraseRank = flag(a, "--phrase-rank")
+    val nearRaw = arg(a, "--near")
+    val nearWindow = arg(a, "--window").map(_.toInt)
     thresholdWarning(threshold, fusion, defaultK).foreach(System.err.println)
     val spark = session()
     disableAqeForOnline(spark)
@@ -1086,7 +1132,8 @@ object Cli {
     def answer(query: String, k: Int): String = {
       holder.maybeReload()
       val hits = runSearch(holder.current, db, query, k, rerank = true,
-        removeP, addP, annRef.get(), fusion, threshold, phrase, phraseRank)
+        removeP, addP, annRef.get(), fusion, threshold, phrase, phraseRank,
+        nearRaw, nearWindow)
       s"""{"results":${hitsJson(hits)}}"""
     }
 

@@ -236,9 +236,27 @@ object ServingLane {
               embedder = None, reranker = None,
               opts = graft.search.HybridSearch.Options(k = 5,
                 phraseOnly = !rank, phraseRank = rank)).collect()
+          // `near` = proximity-FIRST retrieval (round-17 directive #3):
+          // the same two-token queries as sloppy pairs at window 4 —
+          // corpus-wide sloppyPhraseMatches restriction on the BM25 leg
+          def nearRun(q: String): Array[_] = {
+            val ts = q.split(" ").toSeq
+            graft.search.ServeSearch.search(idx, q,
+              analyzer = graft.analyze.WhitespaceAnalyzer,
+              embedder = None, reranker = None,
+              opts = graft.search.HybridSearch.Options(k = 5,
+                nearTerms = ts, nearWindow = 4)).collect()
+          }
+          // near terms must be distinct ("x x"~4 is rejected by contract)
+          val nearTexts = phraseTexts.filter(q =>
+            { val t = q.split(" "); t.distinct.length == t.length })
+          require(nearTexts.nonEmpty,
+            "near lane needs at least one distinct-2-token doc prefix")
           mode("phrase_filter", "", phraseTexts, phraseRun(rank = false)) +
             "," +
-            mode("phrase_rank", "", phraseTexts, phraseRun(rank = true))
+            mode("phrase_rank", "", phraseTexts, phraseRun(rank = true)) +
+            "," +
+            mode("near_rank", """"window":4,""", nearTexts, nearRun)
         },
         // DISK-BACKED posture (Cli.serveReady above the cache budget):
         // loaded from a COPY of the artifact directory. A re-load from the

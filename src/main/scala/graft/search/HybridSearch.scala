@@ -63,7 +63,19 @@ object HybridSearch {
       // candidate phrase filter still applies to it. Artifacts without the
       // sidecar degrade to the `--phrase` filter semantics (with a warning
       // in serving) — the corpus token scan is not a serving-shape cost.
-      phraseRank: Boolean = false)
+      phraseRank: Boolean = false,
+      // `--near a,b[,c] --window w` (or the `"a b"~w` slop query syntax):
+      // proximity-FIRST retrieval — the N-term sloppy-phrase face of
+      // phraseRank (round-17 directive #3). With the positional sidecar,
+      // the BM25 leg is restricted to the corpus-wide docs where the
+      // near-terms appear in order within a `nearWindow`-position span
+      // ([[PhraseSearch.sloppyPhraseMatches]] — chained pruned probes,
+      // df-proportional) BEFORE the top-k cut; the vss leg fuses as usual
+      // and the candidate near filter applies to both. Without the sidecar
+      // the mode degrades to the candidate filter (serving warns). Terms
+      // must be ≥2, distinct, already analyzer-tokenized; window ≥ n−1.
+      nearTerms: Seq[String] = Nil,
+      nearWindow: Int = 0)
 
   /** A4 — the hybrid score fusion rule (reference `src/searcher.py:218-241`):
     * both present → mean; exactly one → 0.8·that; neither → 0.
@@ -276,6 +288,49 @@ object HybridSearch {
           element_at(tokens, i + j) === t }.reduce(_ && _)))
   }
 
+  /** True when `tokens` contains every term of `terms` IN ORDER inside a
+    * span of at most `window` positions — the candidate-set face of
+    * [[PhraseSearch.sloppyPhraseMatches]] (same ordered-chain + span
+    * semantics), as a pure column HOF over the stored tokens. Nested
+    * exists over window-bounded position ranges: expression size is
+    * O(n·window) per term chain, bounded by the serving contract (2-3
+    * terms, small windows); each guard keeps the generated sequence
+    * ascending. Applied only to the ≤2k fused candidates, never a corpus
+    * scan. */
+  private[graft] def sloppyPredicate(tokens: org.apache.spark.sql.Column,
+      terms: Seq[String], window: Int): org.apache.spark.sql.Column = {
+    def chain(j: Int, anchor: org.apache.spark.sql.Column,
+        prev: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (j == terms.length) lit(true)
+      else {
+        val hi = least(anchor + window, size(tokens))
+        when(prev + 1 > hi, lit(false)).otherwise(
+          exists(sequence(prev + 1, hi),
+            p => element_at(tokens, p) === terms(j) && chain(j + 1, anchor, p)))
+      }
+    when(size(tokens) < terms.length, lit(false)).otherwise(
+      exists(sequence(lit(1), size(tokens) - (terms.length - 1)),
+        i => element_at(tokens, i) === terms.head && chain(1, i, i)))
+  }
+
+  /** Shared validation of the near options (both engines, fail fast before
+    * any job): the restrictions [[PhraseSearch.sloppyPhraseMatches]] would
+    * enforce mid-plan, surfaced uniformly — including on the no-sidecar
+    * fallback path, which never reaches that operator. */
+  private[search] def requireNearCoherent(opts: Options): Unit =
+    if (opts.nearTerms.nonEmpty) {
+      require(opts.nearTerms.size >= 2,
+        s"--near needs ≥ 2 terms, got ${opts.nearTerms.mkString(",")}")
+      require(opts.nearTerms.distinct.size == opts.nearTerms.size,
+        s"--near terms must be distinct, got ${opts.nearTerms.mkString(",")}")
+      require(opts.nearWindow >= opts.nearTerms.size - 1,
+        s"--window ${opts.nearWindow} cannot hold ${opts.nearTerms.size} " +
+          s"ordered terms (needs ≥ ${opts.nearTerms.size - 1})")
+      require(!opts.phraseOnly && !opts.phraseRank,
+        "--near cannot combine with --phrase/--phrase-rank (proximity and " +
+          "exact-adjacency restrictions would intersect confusingly; pick one)")
+    }
+
   def search(
       index: IndexData,
       query: String,
@@ -287,16 +342,23 @@ object HybridSearch {
     val spark = index.documents.sparkSession
     import spark.implicits._
 
+    requireNearCoherent(opts)
     val terms = analyzer.tokenize(query)
-    // phrase-first retrieval: restrict the BM25 leg to the corpus-wide
-    // phrase-matching docs BEFORE the top-k cut (both sides of the semi
-    // join are df-proportional — the scores frame reads only the query
-    // terms' posting lists, the phrase probe only their occurrence lists)
+    // phrase-/proximity-first retrieval: restrict the BM25 leg to the
+    // corpus-wide matching docs BEFORE the top-k cut (both sides of the
+    // semi join are df-proportional — the scores frame reads only the query
+    // terms' posting lists, the phrase/near probe only their occurrence
+    // lists)
     val phraseRanked = opts.phraseRank && terms.nonEmpty && index.positions.isDefined
+    val nearRanked = opts.nearTerms.nonEmpty && index.positions.isDefined
     val scoresLeg = {
       val base = Bm25.scores(terms, index.postings, index.termdf, index.doclen, index.stats)
       if (phraseRanked)
         base.join(PhraseSearch.phraseMatches(index.positions.get, terms)
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+      else if (nearRanked)
+        base.join(PhraseSearch.sloppyPhraseMatches(
+            index.positions.get, opts.nearTerms, opts.nearWindow)
           .select("doc_id"), Seq("doc_id"), "left_semi")
       else base
     }
@@ -381,11 +443,14 @@ object HybridSearch {
         rewritePath(col("file_path"), opts.removePathPrefix, opts.addPathPrefix))
       .select("doc_id", "file_path", "header_path", "line_start", "line_end",
         "content", "tokens", "score", "fts_score", "vss_score")
-    // the candidate phrase filter applies to BOTH phrase modes: under
-    // phraseRank the fts leg is phrase-pure by construction, but the vss
-    // leg can still surface non-phrase docs into the fused set
+    // the candidate phrase/near filter applies to BOTH restriction modes:
+    // under phraseRank/nearRank the fts leg is restriction-pure by
+    // construction, but the vss leg can still surface non-matching docs
+    // into the fused set
     val hits = (if ((opts.phraseOnly || opts.phraseRank) && terms.nonEmpty)
       fetched.filter(phrasePredicate(col("tokens"), terms))
+    else if (opts.nearTerms.nonEmpty)
+      fetched.filter(sloppyPredicate(col("tokens"), opts.nearTerms, opts.nearWindow))
     else fetched).drop("tokens")
 
     val reranked = reranker match {

@@ -82,6 +82,7 @@ object ServeSearch {
       t0 = t1
     }
 
+    HybridSearch.requireNearCoherent(opts)
     val terms = analyzer.tokenize(query)
 
     // phrase-first retrieval (round-16 directive #2): with the positional
@@ -96,6 +97,15 @@ object ServeSearch {
       System.err.println("[graft] --phrase-rank needs the positions sidecar; " +
         "degrading to the --phrase candidate filter (phrase docs outside the " +
         "top-k legs stay unreachable)")
+    // proximity-first retrieval (round-17 directive #3): the sloppy-phrase
+    // generalization — same restriction shape, the probe is the chained
+    // bucketed sloppyPhraseMatches instead of exact adjacency
+    val nearMode = opts.nearTerms.nonEmpty
+    val nearRanked = nearMode && index.positions.isDefined
+    if (nearMode && index.positions.isEmpty)
+      System.err.println("[graft] --near needs the positions sidecar for " +
+        "proximity-FIRST retrieval; degrading to the candidate near filter " +
+        "(near docs outside the top-k legs stay unreachable)")
 
     // ---- the two corpus-sized legs, as concurrent bounded collects ----
     val ftsF: Future[Seq[(String, Double)]] =
@@ -133,12 +143,16 @@ object ServeSearch {
             else localIfBroadcastable(index.doclen),
             localStats(index.stats))
         }
-        // phrase-first: cut top-k over the phrase-matching docs only —
-        // the same semi join the DAG path plans (ServeSearchSpec pins
-        // bit-parity); both sides are probe-sized, never corpus-sized
+        // phrase-/near-first: cut top-k over the matching docs only — the
+        // same semi join the DAG path plans (ServeSearchSpec/NearRankSpec
+        // pin bit-parity); both sides are probe-sized, never corpus-sized
         val leg =
           if (phraseRanked)
             leg0.join(PhraseSearch.phraseMatches(index.positions.get, terms)
+              .select("doc_id"), Seq("doc_id"), "left_semi")
+          else if (nearRanked)
+            leg0.join(PhraseSearch.sloppyPhraseMatches(
+                index.positions.get, opts.nearTerms, opts.nearWindow)
               .select("doc_id"), Seq("doc_id"), "left_semi")
           else leg0
         Bm25.topK(leg, opts.k)
@@ -243,7 +257,7 @@ object ServeSearch {
     // (round-16 self-hunt). Column pruning reaches the parquet scan on
     // disk-backed artifacts and trims cache deserialization on pinned ones.
     val phraseFilter = (opts.phraseOnly || opts.phraseRank) && terms.nonEmpty
-    val needTokens = phraseFilter && index.positions.isEmpty
+    val needTokens = (phraseFilter || nearMode) && index.positions.isEmpty
     val fetchCols = Seq("doc_id", "file_path", "header_path", "line_start",
       "line_end", "content") ++ (if (needTokens) Seq("tokens") else Nil)
     val fetched: Map[String, Row] =
@@ -288,6 +302,21 @@ object ServeSearch {
             .map(r => String.valueOf(r.get(0))).toSet
           hits.filter(h => allowed.contains(h.docId))
         case _ => hits.filter(h => phraseLocal(h.tokens, terms))
+      }
+    // candidate near filter — same two-path shape as the phrase filter:
+    // pruned sloppy probe over the ≤2k candidate ids with the sidecar,
+    // driver-local ordered-chain scan over the fetched tokens without it
+    if (nearMode)
+      hits = index.positions match {
+        case Some(pos) if hits.nonEmpty =>
+          val candIds = hits.map(_.docId)
+          val allowed = PhraseSearch.sloppyPhraseMatches(
+              pos.filter(col("doc_id").isin(candIds: _*)),
+              opts.nearTerms, opts.nearWindow)
+            .select("doc_id").collect()
+            .map(r => String.valueOf(r.get(0))).toSet
+          hits.filter(h => allowed.contains(h.docId))
+        case _ => hits.filter(h => sloppyLocal(h.tokens, opts.nearTerms, opts.nearWindow))
       }
 
     val reranked = reranker match {
@@ -484,6 +513,25 @@ object ServeSearch {
     * `tokens` as an adjacent in-order run. */
   private[search] def phraseLocal(tokens: Seq[String], terms: Seq[String]): Boolean =
     tokens.sliding(terms.length).exists(_ == terms)
+
+  /** Driver replica of [[HybridSearch.sloppyPredicate]] /
+    * [[PhraseSearch.sloppyPhraseMatches]]: every term of `terms` appears IN
+    * ORDER inside a span of at most `window` positions. Ordered-chain DFS
+    * over the per-term occurrence lists — terms are 2-3 and the lists are
+    * one candidate document's, so the search is trivially bounded. */
+  private[search] def sloppyLocal(tokens: Seq[String], terms: Seq[String],
+      window: Int): Boolean = {
+    val occ = terms.map(t =>
+      tokens.iterator.zipWithIndex.collect { case (`t`, i) => i }.toArray)
+    if (occ.exists(_.isEmpty)) false
+    else {
+      def chain(j: Int, anchor: Int, prev: Int): Boolean =
+        j == terms.length ||
+          occ(j).exists(p => p > prev && p - anchor <= window &&
+            chain(j + 1, anchor, p))
+      occ(0).exists(a => chain(1, a, a))
+    }
+  }
 
   /** Driver replica of Spark's `substring(content, 1, n)` — UTF8String
     * substring counts CODE POINTS, not UTF-16 units (only differs on
