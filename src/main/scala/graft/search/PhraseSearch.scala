@@ -171,8 +171,15 @@ object PhraseSearch {
     val pairs = a.join(b, Seq("doc_id", "_pb"))
       .groupBy("term_a", "term_b")
       .agg(count(lit(1)).cast("long").as("n_ab"))
+    // materialize the vocab-sized unigram counts ONCE: pmiOver consumes
+    // this frame three times (term_a join, term_b join, the T total), and
+    // Spark does not share scan subtrees across join sides — lazily, each
+    // use re-scanned the Σdl-row positions table (CollocProbe measured 4×
+    // positions reads per mining pass; with the checkpoint it is the
+    // irreducible 3: the two pair-join legs + this one unigram pass)
     val uni = positions.groupBy("term")
       .agg(count(lit(1)).cast("long").as("n"))
+      .localCheckpoint(true)
     pmiOver(pairs, uni, minCount)
   }
 
