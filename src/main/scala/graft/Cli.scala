@@ -721,10 +721,25 @@ object Cli {
     case Some(raw) =>
       val ts = raw.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
         .flatMap(tokenize)
+      // all-empty tokenization (punctuation-only terms, a lone separator)
+      // must ERROR, not silently disable the restriction the user asked
+      // for and return unrestricted results
+      if (ts.isEmpty) sys.error(
+        s"--near '$raw' tokenized to no terms under the index analyzer — " +
+          "nothing to restrict on; fix the term list")
       (query, ts, window.getOrElse(sys.error(
         "--near requires --window W (max span, in token positions)")))
     case None => query match {
-      case SlopQueryRe(inner, w) => (inner, tokenize(inner), w.toInt)
+      case SlopQueryRe(inner, w) =>
+        val ts = tokenize(inner)
+        if (ts.isEmpty) sys.error(
+          s"""slop query "$inner"~$w tokenized to no terms under the """ +
+            "index analyzer — nothing to restrict on")
+        // \d+ is unbounded — an 11+-digit window must get the contract
+        // error, not a raw NumberFormatException stack trace
+        val win = scala.util.Try(w.toInt).getOrElse(sys.error(
+          s"slop window '$w' is not a valid integer"))
+        (inner, ts, win)
       case _ => (query, Nil, 0)
     }
   }

@@ -309,9 +309,12 @@ object IndexJob {
     val docsPath = new org.apache.hadoop.fs.Path(indexDir, "documents")
     val fs = docsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val incremental = !clear && fs.exists(docsPath)
-    if (incremental) requireAnalyzerConsistent(spark, indexDir, settings)
+    // the append route guards inside appendMerge (it has direct callers);
+    // guarding here too would run the settings read twice per O(delta)
+    // ingest — the duplicated-settings-job class round 17 removed
     if (incremental && mergeMode == "append")
       return appendMerge(spark, fresh, settings, indexDir)
+    if (incremental) requireAnalyzerConsistent(spark, indexDir, settings)
     if (!incremental) {
       // a full (re)build must not inherit a previous build's sidecars (the
       // frozen-model incremental contract below would otherwise re-assign

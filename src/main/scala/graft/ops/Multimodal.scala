@@ -291,7 +291,8 @@ object Multimodal {
         }
         var ver = -1; var rate = -1L; var ch = -1L; var firstBr = -1L
         var frames = 0L
-        var vbrFrames = Option.empty[Long]
+        var vbrHeader = false // first frame carries a Xing/Info/VBRI tag
+        var vbrFrames = Option.empty[Long] // its frames field, when present
         while (i < b.length) {
           if (i + 4 > b.length) return None
           val j = i.toInt
@@ -334,12 +335,17 @@ object Multimodal {
                 b(at) == t(0).toByte && b(at + 1) == t(1).toByte &&
                 b(at + 2) == t(2).toByte && b(at + 3) == t(3).toByte
             if (tagIs(xat, "Xing") || tagIs(xat, "Info")) {
-              // "Xing" + u32 flags [+ u32 frames if flags bit 0]
+              // "Xing" + u32 flags [+ u32 frames if flags bit 0]. The tag
+              // marks the frame as audio-free even when the frames field
+              // is ABSENT (flags bit 0 clear — a TOC-only header): the
+              // header frame must not contribute phantom samples either way
+              vbrHeader = true
               if (xat + 8 <= b.length && (be32(xat + 4) & 0x1L) != 0 &&
                   xat + 12 <= b.length)
                 vbrFrames = Some(be32(xat + 8))
             } else if (tagIs(vat, "VBRI")) {
               // "VBRI" + ver(2) delay(2) quality(2) bytes(4) frames(4)
+              vbrHeader = true
               if (vat + 18 <= b.length) vbrFrames = Some(be32(vat + 14))
             }
           }
@@ -348,14 +354,17 @@ object Multimodal {
         }
         if (frames == 0L || i != b.length) return None
         val spf = if (ver == 3) SamplesPerFrame else SamplesPerFrameV2
+        // audio frames = walked frames minus the audio-free header frame
+        // (when one was detected, with or without a frames field)
+        val audioFrames = if (vbrHeader) frames - 1L else frames
         vbrFrames match {
           case Some(n) =>
             // strictness: the declared audio-frame count must match the
             // tiling (total walked minus the header frame) — a VBR header
             // that disagrees with the stream is a desync, not metadata
-            if (n != frames - 1L) None
+            if (n != audioFrames) None
             else Some((rate, ch, firstBr, n * spf))
-          case None => Some((rate, ch, firstBr, frames * spf))
+          case None => Some((rate, ch, firstBr, audioFrames * spf))
         }
       } catch { case scala.util.control.NonFatal(_) => None }
     }

@@ -173,13 +173,18 @@ object PhraseSearch {
       .agg(count(lit(1)).cast("long").as("n_ab"))
     // materialize the vocab-sized unigram counts ONCE: pmiOver consumes
     // this frame three times (term_a join, term_b join, the T total), and
-    // Spark does not share scan subtrees across join sides — lazily, each
-    // use re-scanned the Σdl-row positions table (CollocProbe measured 4×
-    // positions reads per mining pass; with the checkpoint it is the
-    // irreducible 3: the two pair-join legs + this one unigram pass)
+    // Spark does not share scan subtrees across join sides — without the
+    // checkpoint, each use re-scanned the Σdl-row positions table
+    // (CollocProbe measured 4× positions reads per mining pass; with it,
+    // the irreducible 3: the two pair-join legs + this one unigram pass).
+    // LAZY (eager = false): constructing the frame must not run a job —
+    // the checkpoint materializes with the caller's first action and the
+    // three consumers share it from then on; the vocab-sized blocks are
+    // reclaimed by the ContextCleaner when the frame goes unreferenced,
+    // like every other persist in the engine.
     val uni = positions.groupBy("term")
       .agg(count(lit(1)).cast("long").as("n"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     pmiOver(pairs, uni, minCount)
   }
 

@@ -282,42 +282,34 @@ object ServeSearch {
           c.fts, c.vss, c.score)
       }
     }
-    // under phraseRank the fts leg is phrase-pure by construction, but the
-    // vss leg can still surface non-phrase docs into the fused set — the
-    // candidate filter applies to both phrase modes
+    // under phraseRank/nearRank the fts leg is restriction-pure by
+    // construction, but the vss leg can still surface non-matching docs
+    // into the fused set — the candidate filter applies to both modes.
+    // ONE restriction shape for both (round-18 review: the two blocks had
+    // drifted into 12-line near-copies): with the sidecar, the probe runs
+    // over the positional postings restricted to the ≤2k candidate ids —
+    // each term leg a pruned probe of the term-clustered sidecar (pushed
+    // equality + row-group stats), never a token-array scan, identical
+    // results to the token filter (PhrasePostingsSpec/NearRankSpec pin
+    // parity); without it, the driver-local candidate token scan.
+    def restrictCandidates(cur: Seq[Hit],
+        probe: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        localMatch: Hit => Boolean): Seq[Hit] = index.positions match {
+      case Some(pos) if cur.nonEmpty =>
+        val allowed = probe(pos.filter(col("doc_id").isin(cur.map(_.docId): _*)))
+          .select("doc_id").collect()
+          .map(r => String.valueOf(r.get(0))).toSet
+        cur.filter(h => allowed.contains(h.docId))
+      case _ => cur.filter(localMatch)
+    }
     if (phraseFilter)
-      hits = index.positions match {
-        // index path (round-15 directive #3): adjacency via the positional
-        // postings self-join, restricted to the ≤2k candidate ids — each
-        // phrase-term leg is a pruned probe of the term-clustered
-        // positions sidecar (pushed equality + row-group stats), never a
-        // token-array scan. Results are IDENTICAL to the token filter
-        // (PhrasePostingsSpec pins parity); artifacts without the sidecar
-        // keep the driver-local candidate token scan.
-        case Some(pos) if hits.nonEmpty =>
-          val candIds = hits.map(_.docId)
-          val allowed = PhraseSearch.phraseMatches(
-              pos.filter(col("doc_id").isin(candIds: _*)), terms)
-            .select("doc_id").collect()
-            .map(r => String.valueOf(r.get(0))).toSet
-          hits.filter(h => allowed.contains(h.docId))
-        case _ => hits.filter(h => phraseLocal(h.tokens, terms))
-      }
-    // candidate near filter — same two-path shape as the phrase filter:
-    // pruned sloppy probe over the ≤2k candidate ids with the sidecar,
-    // driver-local ordered-chain scan over the fetched tokens without it
+      hits = restrictCandidates(hits,
+        PhraseSearch.phraseMatches(_, terms),
+        h => phraseLocal(h.tokens, terms))
     if (nearMode)
-      hits = index.positions match {
-        case Some(pos) if hits.nonEmpty =>
-          val candIds = hits.map(_.docId)
-          val allowed = PhraseSearch.sloppyPhraseMatches(
-              pos.filter(col("doc_id").isin(candIds: _*)),
-              opts.nearTerms, opts.nearWindow)
-            .select("doc_id").collect()
-            .map(r => String.valueOf(r.get(0))).toSet
-          hits.filter(h => allowed.contains(h.docId))
-        case _ => hits.filter(h => sloppyLocal(h.tokens, opts.nearTerms, opts.nearWindow))
-      }
+      hits = restrictCandidates(hits,
+        PhraseSearch.sloppyPhraseMatches(_, opts.nearTerms, opts.nearWindow),
+        h => sloppyLocal(h.tokens, opts.nearTerms, opts.nearWindow))
 
     val reranked = reranker match {
       case Some(rr) if opts.rerank =>

@@ -163,6 +163,14 @@ class MultimodalSpec extends AnyFunSuite {
     val fAt = 10 + 5 + 4 + 17 + 8
     lying(fAt + 3) = (lying(fAt + 3) + 1).toByte
     assert(Mp3Parser.parseMp3(lying).isEmpty)
+    // a frames-field-LESS Xing/Info header (flags bit 0 clear — TOC-only,
+    // the common CBR "Info" shape): the header frame is still audio-free,
+    // so n_samples counts the walked frames MINUS it (round-18 review: the
+    // detected-but-ignored tag used to add a phantom frame of samples)
+    val tocOnly = F.mp3(0, 1, 3, 5, mono = true, vbr = true).clone()
+    val flagsAt = 10 + 5 + 4 + 17 + 4 // tag at id3+4+side, flags 4 in
+    java.util.Arrays.fill(tocOnly, flagsAt, flagsAt + 8, 0.toByte) // flags+frames → 0
+    assert(Mp3Parser.parseMp3(tocOnly) == Some((44100L, 1L, 128L, 3L * 1152L)))
     // ID3v2 footer flag: 10 extra bytes after the tag body (ADVICE r17)
     val footered = F.mp3(0, 0, 2, 7, mono = true, footer = true)
     assert(Mp3Parser.parseMp3(footered) == Some((44100L, 1L, 96L, 2L * 1152L)))

@@ -184,5 +184,16 @@ class NearRankSpec extends AnyFunSuite {
     // an explicit --near wins over inline slop syntax (query left intact)
     assert(graft.Cli.resolveNear("\"x y\"~9", Some("a,b"), Some(3), tok) ==
       (("\"x y\"~9", Seq("a", "b"), 3)))
+    // terms that tokenize to NOTHING must error, not silently drop the
+    // restriction the user asked for (round-18 review)
+    intercept[RuntimeException](
+      graft.Cli.resolveNear("q", Some("！，？"), Some(4), tok))
+    intercept[RuntimeException](
+      graft.Cli.resolveNear("\"！\"~4", None, None, tok))
+    // an overflow-sized slop window gets the contract error, not a raw
+    // NumberFormatException
+    val e = intercept[RuntimeException](
+      graft.Cli.resolveNear("\"a b\"~99999999999", None, None, tok))
+    assert(e.getMessage.contains("not a valid integer"), e.getMessage)
   }
 }
