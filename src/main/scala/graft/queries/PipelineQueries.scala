@@ -1306,6 +1306,42 @@ object PipelineQueries {
         "i -> CAST(f[i] AS DOUBLE) * CAST(f[i] AS DOUBLE)))), 6) AS fnorm " +
         "FROM ft ORDER BY doc_id")),
 
+    // Multimodal CURATION GATE (round 18): keep corpus rows BY decoded
+    // metadata — the media face of the text quality gate (a real training
+    // pipeline drops undecodable payloads and below-minimum media before
+    // any expensive feature pass). Shape at 100 TB: the decode is a
+    // map-only mapPartitions over the payload column; the gate is a
+    // doc_id semi join of the passing meta back into the source rows —
+    // no shuffle beyond the join, the filter prunes BEFORE downstream
+    // work. The oracle restates the fixtures' closed-form pass/fail
+    // arithmetic in SQL, so a wrong decode OR a wrong gate bound is a
+    // hash mismatch (garbage payloads fail format IS NOT NULL).
+    Q("q_mm_quality_gate",
+      (s, d) => {
+        import s.implicits._
+        val gen = t(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+          .map(id => (id, Multimodal.ImageFixtures.payload(id)))
+          .toDF("doc_id", "payload")
+        val meta = Multimodal.decodeImageMeta(gen, "doc_id", "payload").toDF()
+        val passing = meta.filter(
+          col("format").isNotNull &&
+            col("width") >= 64 && col("height") >= 64 &&
+            col("channels") === 3)
+          .select(col("doc_id"), col("format"), col("width"), col("height"))
+        // the GATE: original payload rows surviving by meta verdict
+        gen.join(passing, Seq("doc_id"))
+          .select(col("doc_id"), col("format"), col("width"), col("height"),
+            length(col("payload")).cast("long").as("n_bytes"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, " +
+        "CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format, " +
+        "1 + (doc_id * 7) % 640 AS width, 1 + (doc_id * 13) % 480 AS height, " +
+        "CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 41 ELSE 14 END AS BIGINT) AS n_bytes " +
+        "FROM documents WHERE doc_id % 4 <> 3 " +
+        "AND 1 + (doc_id * 7) % 640 >= 64 AND 1 + (doc_id * 13) % 480 >= 64 " +
+        "ORDER BY doc_id")),
+
     // ---- Event / windowed analytics ----
 
     // Running aggregates per key (ordered by unique event_id; ns timestamps
