@@ -885,12 +885,22 @@ object Cli {
   private def disableAqeForOnline(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.adaptive.enabled", "false")
 
+  /** The reference's add-prefix DEFAULT (`src/cli.py:187-189`, `320-322`):
+    * when `--add-path-prefix` is absent, results are prefixed with the
+    * db's parent directory — with os.path.join semantics, so an index
+    * whose stored paths were trimmed relative to the artifact comes back
+    * resolvable from the caller's cwd, while absolute/URI stored paths
+    * pass through untouched. dirname of a bare name is "" (falsy in the
+    * reference) → no default. */
+  private[graft] def defaultAddPrefix(db: String): Option[String] =
+    Option(new java.io.File(db).getParent).filter(_.nonEmpty)
+
   private def searchCmd(a: Array[String]): Unit = {
     val db = arg(a, "--db").getOrElse(sys.error("--db required"))
     val k = arg(a, "--top-k").map(_.toInt).getOrElse(5)
     val rerank = !flag(a, "--no-rerank")
     val removeP = arg(a, "--remove-path-prefix")
-    val addP = arg(a, "--add-path-prefix")
+    val addP = arg(a, "--add-path-prefix").orElse(defaultAddPrefix(db))
     val annArg = arg(a, "--ann")
     val ann = parseAnn(annArg)
     val fusion = arg(a, "--fusion").getOrElse("mean")
@@ -1131,7 +1141,8 @@ object Cli {
     val db = arg(a, "--db").getOrElse(sys.error("--db required"))
     val defaultK = arg(a, "--top-k").map(_.toInt).getOrElse(5)
     val removeP = arg(a, "--trim-prefix")
-    val addP = arg(a, "--add-prefix")
+    // same add-prefix default as search (reference src/cli.py:187-189)
+    val addP = arg(a, "--add-prefix").orElse(defaultAddPrefix(db))
     val annArg = arg(a, "--ann")
     val fusion = arg(a, "--fusion").getOrElse("mean")
     val threshold = arg(a, "--threshold").map(_.toDouble)

@@ -118,7 +118,17 @@ object HybridSearch {
   }
 
   /** X6 — query-time path rewrite: remove prefix, then add prefix
-    * (remove BEFORE add, reference `src/searcher.py:191-216`). */
+    * (remove BEFORE add, reference `src/searcher.py:191-216`). The add leg
+    * keeps `os.path.join` semantics (round-18 parity fix, reference
+    * `src/searcher.py:211-213`): an ABSOLUTE remaining path passes through
+    * unchanged (join discards the prefix), an empty prefix is a no-op
+    * (falsy in the reference) — unconditional concatenation would mangle
+    * exactly the paths the reference leaves alone. One deliberate
+    * extension: a URI-schemed path (`file:/…`, `s3a://…` — shapes the
+    * reference never stores but binaryFile scans do) counts as absolute
+    * too, so the dirname(db) serving default can't prefix it into junk. */
+  private[search] val AbsoluteOrUriRe = "^(/|[A-Za-z][A-Za-z0-9+.-]*:)"
+
   def rewritePath(path: Column, remove: Option[String], add: Option[String]): Column = {
     val removed = remove match {
       case Some(p) =>
@@ -130,8 +140,10 @@ object HybridSearch {
       case None => path
     }
     add match {
-      case Some(p) => concat(lit(p.stripSuffix("/") + "/"), removed)
-      case None    => removed
+      case Some(p) if p.nonEmpty =>
+        when(regexp_like(removed, lit(AbsoluteOrUriRe)), removed)
+          .otherwise(concat(lit(p.stripSuffix("/") + "/"), removed))
+      case _ => removed
     }
   }
 

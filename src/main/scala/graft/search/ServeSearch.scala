@@ -486,8 +486,12 @@ object ServeSearch {
     }
   }
 
-  /** Driver replica of [[HybridSearch.rewritePath]] (same Java regex the
-    * codegen'd regexp_replace compiles). */
+  /** Driver replica of [[HybridSearch.rewritePath]] (same Java regexes the
+    * codegen'd expressions compile, incl. the os.path.join add semantics —
+    * absolute/URI-schemed paths pass through, empty prefix is a no-op). */
+  private val AbsoluteOrUriPattern =
+    java.util.regex.Pattern.compile(HybridSearch.AbsoluteOrUriRe)
+
   private[search] def rewritePathLocal(path: String, remove: Option[String],
       add: Option[String]): String = {
     val removed = remove match {
@@ -496,8 +500,10 @@ object ServeSearch {
       case None => path
     }
     add match {
-      case Some(p) => p.stripSuffix("/") + "/" + removed
-      case None    => removed
+      case Some(p) if p.nonEmpty =>
+        if (AbsoluteOrUriPattern.matcher(removed).find()) removed
+        else p.stripSuffix("/") + "/" + removed
+      case _ => removed
     }
   }
 

@@ -186,7 +186,10 @@ class SearchSpec extends AnyFunSuite {
       .toDF("p")
       .select(HybridSearch.rewritePath($"p", Some("/data/docs"), Some("x")).as("r"))
       .as[String].collect().toSeq
-    assert(out == Seq("x/a.md", "x/b.md", "x//other/c.md"))
+    // the UNMATCHED absolute path passes through the add leg unchanged
+    // (os.path.join semantics, round 18) — the old pin "x//other/c.md"
+    // was the mangled concat the reference never produces
+    assert(out == Seq("x/a.md", "x/b.md", "/other/c.md"))
   }
 
   test("search degrades to FTS-only without an embedder (reference VSS fallback)") {
@@ -292,6 +295,33 @@ class SearchSpec extends AnyFunSuite {
       val vi = r.fieldIndex("vss_score")
       assert(r.isNullAt(vi) || !r.getDouble(vi).isNaN, "NaN vss_score leaked")
     }
+  }
+
+  test("X6 add-prefix keeps os.path.join semantics (reference " +
+      "src/searcher.py:211-213): absolute and URI-schemed paths pass " +
+      "through, empty prefix is a no-op — on BOTH engines; dirname(db) " +
+      "is the CLI default (src/cli.py:187-189)") {
+    val sp = spark
+    import sp.implicits._
+    def both(path: String, remove: Option[String], add: Option[String]): (String, String) = {
+      val c = Seq(Tuple1(path)).toDF("p")
+        .select(HybridSearch.rewritePath(col("p"), remove, add).as("r"))
+        .collect().head.getString(0)
+      (c, ServeSearch.rewritePathLocal(path, remove, add))
+    }
+    val cases = Seq(
+      (("a/b.md", None, Some("new")), "new/a/b.md"),
+      (("/abs/b.md", None, Some("new")), "/abs/b.md"), // join discards prefix
+      (("file:/tmp/x.md", None, Some("/tmp")), "file:/tmp/x.md"), // URI = absolute
+      (("s3a://bucket/x.md", None, Some("p")), "s3a://bucket/x.md"),
+      (("a/b.md", None, Some("")), "a/b.md"), // falsy prefix = no-op
+      (("docs/d1", Some("docs"), Some("new")), "new/d1")) // remove THEN add
+    for (((p, r, a), want) <- cases) {
+      val (c, l) = both(p, r, a)
+      assert(c == want && l == want, s"'$p' -> col='$c' local='$l' want='$want'")
+    }
+    assert(graft.Cli.defaultAddPrefix("/tmp/sub/idx").contains("/tmp/sub"))
+    assert(graft.Cli.defaultAddPrefix("idx").isEmpty) // dirname("") is falsy
   }
 
   test("P5: a query matching no document returns empty, not an error") {
