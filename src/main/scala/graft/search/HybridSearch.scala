@@ -458,10 +458,17 @@ object HybridSearch {
     // the candidate phrase/near filter applies to BOTH restriction modes:
     // under phraseRank/nearRank the fts leg is restriction-pure by
     // construction, but the vss leg can still surface non-matching docs
-    // into the fused set
-    val hits = (if ((opts.phraseOnly || opts.phraseRank) && terms.nonEmpty)
+    // into the fused set. When the vss leg is STRUCTURALLY absent (no
+    // embedder, or a zero-norm query vector — the two cases above that
+    // skip the join entirely), the fused set is the restricted fts leg
+    // alone and the filter is a no-op: skip it (round-18; the serving
+    // path skips on the runtime vss.isEmpty too — a no-op filter removed
+    // on either side cannot break bit-parity).
+    val vssAbsent = queryVec.forall(q => !q.exists(_ != 0.0f))
+    val hits = (if ((opts.phraseOnly ||
+        (opts.phraseRank && (!phraseRanked || !vssAbsent))) && terms.nonEmpty)
       fetched.filter(phrasePredicate(col("tokens"), terms))
-    else if (opts.nearTerms.nonEmpty)
+    else if (opts.nearTerms.nonEmpty && (!nearRanked || !vssAbsent))
       fetched.filter(sloppyPredicate(col("tokens"), opts.nearTerms, opts.nearWindow))
     else fetched).drop("tokens")
 

@@ -256,8 +256,19 @@ object ServeSearch {
     // bytes of every request — and nothing else in the tail consumes it
     // (round-16 self-hunt). Column pruning reaches the parquet scan on
     // disk-backed artifacts and trims cache deserialization on pinned ones.
-    val phraseFilter = (opts.phraseOnly || opts.phraseRank) && terms.nonEmpty
-    val needTokens = (phraseFilter || nearMode) && index.positions.isEmpty
+    // the candidate restriction exists for docs the UNRESTRICTED legs can
+    // surface: under phraseRank/nearRank the fts leg is restriction-pure
+    // by construction, so when the vss leg contributed NOTHING (no
+    // embedder, zero-norm query, or an empty leg) the filter is a no-op —
+    // skip its per-request probe job instead of paying it (round-18; the
+    // lane's phrase_rank/near_rank modes run embedder-less, so this is
+    // one whole Spark job off each of those requests). phraseOnly and the
+    // degraded no-sidecar fallbacks keep the filter unconditionally — the
+    // fts leg is unrestricted there.
+    val phraseFilter = (opts.phraseOnly ||
+      (opts.phraseRank && (vss.nonEmpty || !phraseRanked))) && terms.nonEmpty
+    val nearFilter = nearMode && (vss.nonEmpty || !nearRanked)
+    val needTokens = (phraseFilter || nearFilter) && index.positions.isEmpty
     val fetchCols = Seq("doc_id", "file_path", "header_path", "line_start",
       "line_end", "content") ++ (if (needTokens) Seq("tokens") else Nil)
     val fetched: Map[String, Row] =
@@ -306,7 +317,7 @@ object ServeSearch {
       hits = restrictCandidates(hits,
         PhraseSearch.phraseMatches(_, terms),
         h => phraseLocal(h.tokens, terms))
-    if (nearMode)
+    if (nearFilter)
       hits = restrictCandidates(hits,
         PhraseSearch.sloppyPhraseMatches(_, opts.nearTerms, opts.nearWindow),
         h => sloppyLocal(h.tokens, opts.nearTerms, opts.nearWindow))
