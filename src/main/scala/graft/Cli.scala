@@ -891,9 +891,23 @@ object Cli {
     * whose stored paths were trimmed relative to the artifact comes back
     * resolvable from the caller's cwd, while absolute/URI stored paths
     * pass through untouched. dirname of a bare name is "" (falsy in the
-    * reference) → no default. */
-  private[graft] def defaultAddPrefix(db: String): Option[String] =
-    Option(new java.io.File(db).getParent).filter(_.nonEmpty)
+    * reference) → no default.
+    *
+    * Faithful posixpath.dirname, NOT java.io.File.getParent (round-18
+    * second review): dirname('/tmp/idx/') is '/tmp/idx' — the artifact
+    * dir itself, the shell tab-completion shape — while getParent climbs
+    * to '/tmp'; dirname('/idx') keeps the root '/'. */
+  private[graft] def defaultAddPrefix(db: String): Option[String] = {
+    val i = db.lastIndexOf('/')
+    if (i < 0) None // dirname("idx") = "" — falsy, no default
+    else {
+      val head = db.substring(0, i + 1)
+      val d =
+        if (head.forall(_ == '/')) head // dirname("/idx") = "/"
+        else head.reverse.dropWhile(_ == '/').reverse
+      Some(d).filter(_.nonEmpty)
+    }
+  }
 
   private def searchCmd(a: Array[String]): Unit = {
     val db = arg(a, "--db").getOrElse(sys.error("--db required"))

@@ -126,8 +126,12 @@ object HybridSearch {
     * exactly the paths the reference leaves alone. One deliberate
     * extension: a URI-schemed path (`file:/…`, `s3a://…` — shapes the
     * reference never stores but binaryFile scans do) counts as absolute
-    * too, so the dirname(db) serving default can't prefix it into junk. */
-  private[search] val AbsoluteOrUriRe = "^(/|[A-Za-z][A-Za-z0-9+.-]*:)"
+    * too, so the dirname(db) serving default can't prefix it into junk.
+    * The scheme must be followed by `/` — a RELATIVE filename that merely
+    * contains a colon (`draft:v2.md`, legal on POSIX) is not a URI and
+    * must keep the reference's join-prefixes-it behavior (round-18 second
+    * review: the broader `scheme:` match passed those through). */
+  private[search] val AbsoluteOrUriRe = "^(/|[A-Za-z][A-Za-z0-9+.-]*:/)"
 
   def rewritePath(path: Column, remove: Option[String], add: Option[String]): Column = {
     val removed = remove match {
@@ -385,6 +389,10 @@ object HybridSearch {
     // serving-path work and let a nondeterministic model disagree with the
     // vector actually scored
     val queryVec = embedder.map(e => e.embed(Seq(query)).head)
+    // the ONE definition of "the vss leg is structurally absent" — shared
+    // by the fused-branch guard below and the restriction-filter skip
+    // further down, so the two can never drift (round-18 second review)
+    val vssAbsent = queryVec.forall(q => !q.exists(_ != 0.0f))
     val fused = queryVec match {
       // Zero-norm query embedding (every query token OOV for the model —
       // TfIdf with all-idf-0 terms, Word2Vec with an unseen vocabulary):
@@ -393,7 +401,7 @@ object HybridSearch {
       // gate and sort to the top. The vector leg carries no signal here by
       // definition — drop it and degrade to BM25-only, the same contract as
       // "vss leg found nothing".
-      case Some(q) if !q.exists(_ != 0.0f) =>
+      case Some(_) if vssAbsent =>
         fts.withColumn("vss_score", lit(null).cast("double"))
       case Some(qvec) =>
         val vss =
@@ -463,8 +471,8 @@ object HybridSearch {
     // skip the join entirely), the fused set is the restricted fts leg
     // alone and the filter is a no-op: skip it (round-18; the serving
     // path skips on the runtime vss.isEmpty too — a no-op filter removed
-    // on either side cannot break bit-parity).
-    val vssAbsent = queryVec.forall(q => !q.exists(_ != 0.0f))
+    // on either side cannot break bit-parity). `vssAbsent` is the same
+    // val the fused branch above switched on — one definition, no drift.
     val hits = (if ((opts.phraseOnly ||
         (opts.phraseRank && (!phraseRanked || !vssAbsent))) && terms.nonEmpty)
       fetched.filter(phrasePredicate(col("tokens"), terms))

@@ -314,6 +314,9 @@ class SearchSpec extends AnyFunSuite {
       (("/abs/b.md", None, Some("new")), "/abs/b.md"), // join discards prefix
       (("file:/tmp/x.md", None, Some("/tmp")), "file:/tmp/x.md"), // URI = absolute
       (("s3a://bucket/x.md", None, Some("p")), "s3a://bucket/x.md"),
+      // a colon INSIDE a relative filename is not a URI scheme — the
+      // reference's join prefixes it (round-18 second review)
+      (("draft:v2.md", None, Some("new")), "new/draft:v2.md"),
       (("a/b.md", None, Some("")), "a/b.md"), // falsy prefix = no-op
       (("docs/d1", Some("docs"), Some("new")), "new/d1")) // remove THEN add
     for (((p, r, a), want) <- cases) {
@@ -322,6 +325,13 @@ class SearchSpec extends AnyFunSuite {
     }
     assert(graft.Cli.defaultAddPrefix("/tmp/sub/idx").contains("/tmp/sub"))
     assert(graft.Cli.defaultAddPrefix("idx").isEmpty) // dirname("") is falsy
+    // posixpath.dirname semantics, NOT File.getParent: a trailing slash
+    // names the artifact dir itself (shell tab completion), and the root
+    // slash survives (round-18 second review — getParent climbed a level)
+    assert(graft.Cli.defaultAddPrefix("/tmp/sub/idx/").contains("/tmp/sub/idx"))
+    assert(graft.Cli.defaultAddPrefix("idx/").contains("idx"))
+    assert(graft.Cli.defaultAddPrefix("/idx").contains("/"))
+    assert(graft.Cli.defaultAddPrefix("/tmp//idx").contains("/tmp"))
   }
 
   test("P5: a query matching no document returns empty, not an error") {
