@@ -72,6 +72,19 @@ object PhraseProbe {
     println(f"[phrase] docs=$nDocs%9d positions=$totalPos%11d hits=$probeHits%6d | " +
       f"probe read=$probeRead%10d (${probeRead * 100.0 / totalPos}%5.2f%% of pos) " +
       f"${probeSec}%5.2fs | control read=$ctrlRead%9d doc rows ${ctrlSec}%5.2fs")
+    // the SLOPPY (proximity) probe — the `--near` serving restriction's
+    // operator over the same persisted layout: same df-proportional claim,
+    // the join keys on (doc_id, bucket) with 3-key fanout instead of
+    // aligned positions (round-18: the serving mode's scale evidence)
+    graft.search.PhraseSearch.sloppyPhraseMatches(positions, phrase, 4).collect()
+    val ((nearHits, nearSec), nearRead) =
+      graft.util.InputMetrics.rowsRead(spark, expectNonZero = true) {
+        timed(graft.search.PhraseSearch.sloppyPhraseMatches(positions, phrase, 4)
+          .collect().length)
+      }
+    println(f"[near]   docs=$nDocs%9d positions=$totalPos%11d hits=$nearHits%6d | " +
+      f"probe read=$nearRead%10d (${nearRead * 100.0 / totalPos}%5.2f%% of pos) " +
+      f"${nearSec}%5.2fs  (window=4, ordered)")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     spark.stop()
   }
