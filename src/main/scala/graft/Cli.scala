@@ -11,6 +11,8 @@ import graft.search.HybridSearch
   *
   * {{{
   *   graft.Cli index  --db DIR --docs D1 [D2 ...] [--clear] [--trim-path-prefix P]
+  *                    [--workers N]   (session parallelism, any command; reference -w —
+  *                     its process-pool width maps to local executor threads + shuffle width)
   *                    (--docs may also be ONE .jsonl/.csv FILE: a pre-curated
   *                     row corpus — one row = one chunk, no splitter)
   *                    [--chunk-size N] [--overlap N] [--embedding-dim N]
@@ -103,8 +105,14 @@ object Cli {
     * both sides of the cliff). */
   val ServingInFilterThreshold = "1000"
 
-  private def session(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+  /** Session parallelism: `--workers N` (the reference's `-w`,
+    * `src/cli.py:52-59` — its ProcessPoolExecutor width maps to local
+    * executor threads here) > `SPARK_GRAFT_CPUS` > all cores. Also sets
+    * `spark.sql.shuffle.partitions` so shuffle width follows. */
+  private def session(workers: Option[Int] = None): SparkSession = {
+    workers.foreach(w => require(w >= 1, s"--workers must be >= 1, got $w"))
+    val cpus = workers.map(_.toString).getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString))
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft")
@@ -154,7 +162,7 @@ object Cli {
     val minCount = arg(a, "--min-count").map(_.toLong).getOrElse(5L)
     val top = arg(a, "--top").map(_.toInt).getOrElse(20)
     val termFilter = arg(a, "--term")
-    val spark = session()
+    val spark = session(arg(a, "--workers").map(_.toInt))
     val index = IndexData.load(spark, db)
     // Some(frame) when the no-sidecar fallback persisted a derived frame
     // that must be unpersisted after the collect — spark.stop() would free
@@ -208,7 +216,7 @@ object Cli {
     // `compact --if-pending 4` unconditionally; below threshold it is a
     // cheap no-op that leaves the artifact untouched.
     val ifPending = arg(a, "--if-pending").map(_.toInt)
-    val spark = session()
+    val spark = session(arg(a, "--workers").map(_.toInt))
     val before = IndexData.segments(spark, db).size
     compactSkipNote(before, ifPending).foreach { note =>
       println(note)
@@ -251,7 +259,7 @@ object Cli {
     * against a live artifact — nothing is written. */
   private def statsCmd(a: Array[String]): Unit = {
     val db = arg(a, "--db").getOrElse(sys.error("--db required"))
-    val spark = session()
+    val spark = session(arg(a, "--workers").map(_.toInt))
     val index = IndexData.load(spark, db)
     val st = index.stats.collect().head
     val vocab = index.termdf.count()
@@ -316,7 +324,7 @@ object Cli {
       // tokenization so byte-distinct encodings of the same grapheme can't
       // evade the dedup/boilerplate hashes
       normalize = arg(a, "--normalize").map(_.toUpperCase))
-    val spark = session()
+    val spark = session(arg(a, "--workers").map(_.toInt))
     // `--format parquet|jsonl|csv|tsv` (default: by extension) — JSONL/CSV
     // corpora read through DocSources with pinned schemas (no inference scan)
     val docs = graft.sources.DocSources.read(spark, in, arg(a, "--format"),
@@ -412,7 +420,7 @@ object Cli {
       case Some(f) => graft.analyze.NormalizingAnalyzer(f.toUpperCase, baseAnalyzer)
       case None    => baseAnalyzer
     }
-    val spark = session()
+    val spark = session(arg(a, "--workers").map(_.toInt))
     val opts = IndexJob.Options(
       chunkSize = arg(a, "--chunk-size").map(_.toInt).getOrElse(512),
       overlap = arg(a, "--overlap").map(_.toInt).getOrElse(50),
@@ -938,7 +946,7 @@ object Cli {
     val annVerify = flag(a, "--ann-verify")
     thresholdWarning(threshold, fusion, k).foreach(System.err.println)
     shortlistWarning(ann, k).foreach(System.err.println)
-    val spark = session()
+    val spark = session(arg(a, "--workers").map(_.toInt))
     arg(a, "--query") match {
       case Some(query) =>
         val index = IndexData.load(spark, db)
@@ -1165,7 +1173,7 @@ object Cli {
     val nearRaw = arg(a, "--near")
     val nearWindow = arg(a, "--window").map(_.toInt)
     thresholdWarning(threshold, fusion, defaultK).foreach(System.err.println)
-    val spark = session()
+    val spark = session(arg(a, "--workers").map(_.toInt))
     disableAqeForOnline(spark)
     val (holder, annRef) = openServing(spark, db, cacheFlagOf(a), annArg)
 
