@@ -153,6 +153,40 @@ class NearRankSpec extends AnyFunSuite {
     assert(hof3)
   }
 
+  test("fuzz parity: seeded-random token arrays agree across sloppyLocal, " +
+      "sloppyPredicate, and the positions-join operator for 2- and 3-term " +
+      "shapes at every window 1..5") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(18) // deterministic
+    val alphabet = Vector("a", "b", "c", "d")
+    val cases: Seq[(Long, Seq[String])] = (0L until 120L).map { id =>
+      id -> Seq.fill(rnd.nextInt(13))(alphabet(rnd.nextInt(alphabet.size)))
+    }
+    val termSets = Seq(Seq("a", "b"), Seq("a", "b", "c"))
+    for (terms <- termSets; window <- math.max(1, terms.size - 1) to 5) {
+      val local = cases.map { case (id, toks) =>
+        id -> ServeSearch.sloppyLocal(toks, terms, window)
+      }.toMap
+      // one DF evaluation for ALL cases of this (terms, window) group
+      val hof = cases.toDF("id", "tokens")
+        .select(col("id"),
+          HybridSearch.sloppyPredicate(col("tokens"), terms, window).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val pos = cases.toDF("id", "tokens")
+        .select(col("id").cast("string").as("doc_id"),
+          posexplode(col("tokens")).as(Seq("pos", "term")))
+      val joined = PhraseSearch.sloppyPhraseMatches(pos, terms, window)
+        .select("doc_id").as[String].collect().map(_.toLong).toSet
+      for ((id, want) <- local) {
+        assert(hof(id) == want,
+          s"HOF mismatch id=$id terms=$terms w=$window toks=${cases(id.toInt)._2}")
+        assert(joined.contains(id) == want,
+          s"join mismatch id=$id terms=$terms w=$window toks=${cases(id.toInt)._2}")
+      }
+    }
+  }
+
   test("near options validate coherently on BOTH engines: < 2 terms, " +
       "duplicate terms, window too small, phrase-mode combination") {
     val index = IndexData.load(spark, artifactDir)
