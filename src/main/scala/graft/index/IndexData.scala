@@ -583,16 +583,40 @@ object IndexData {
     val par = math.max(1, math.min(concurrency, rels.size))
     if (par == 1) rels.flatMap(warmOne)
     else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      // DAEMON threads + a bounded await: prewarm is best-effort by
+      // contract, so one hung filesystem metadata call (slow remote FS)
+      // must neither block serve startup forever nor pin the JVM at exit.
+      // On timeout the completed dirs' results are kept (input order) and
+      // the stragglers are logged as skipped — they warm nothing, which is
+      // exactly what best-effort means.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-prewarm"); t.setDaemon(true); t
+        })
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futs = rels.map(rel => scala.concurrent.Future(warmOne(rel)))
       try scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(
-          rels.map(rel => scala.concurrent.Future(warmOne(rel)))),
-        scala.concurrent.duration.Duration.Inf).flatten
-      finally pool.shutdown()
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration(PrewarmTimeoutSec,
+          java.util.concurrent.TimeUnit.SECONDS)).flatten
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          val done = futs.collect {
+            case f if f.isCompleted => f.value.flatMap(_.toOption)
+          }.flatten.flatten
+          System.err.println(s"[graft] prewarm timed out after " +
+            s"${PrewarmTimeoutSec}s; skipped ${futs.count(!_.isCompleted)} " +
+            s"of ${rels.size} dirs (best-effort — serving proceeds unwarmed)")
+          done
+      } finally pool.shutdown()
     }
   }
+
+  /** Bound on the whole parallel prewarm wave ([[prewarmFooters]]) — far
+    * above the pinned sub-second local runs, low enough that a hung remote
+    * filesystem cannot hold disk-backed serve startup hostage. */
+  val PrewarmTimeoutSec = 60L
 
   /** Staging dir for [[write]]'s one-pass-lineage documents write; a
     * leftover from a crash is never read by [[load]] (which opens named

@@ -334,19 +334,24 @@ object Multimodal {
               at + 4 <= b.length && i + (at - j) + 4 <= i + frameLen &&
                 b(at) == t(0).toByte && b(at + 1) == t(1).toByte &&
                 b(at + 2) == t(2).toByte && b(at + 3) == t(3).toByte
+            // payload reads bounded by the buffer AND the first frame's
+            // extent, as tagIs already does for the tag itself: at minimum
+            // MPEG-2.5 frame sizes the flags/frames fields would otherwise
+            // read the NEXT frame's bytes and silently mis-parse the header
+            def fits(at: Int, len: Int): Boolean =
+              at + len <= b.length && (at - j) + len <= frameLen
             if (tagIs(xat, "Xing") || tagIs(xat, "Info")) {
               // "Xing" + u32 flags [+ u32 frames if flags bit 0]. The tag
               // marks the frame as audio-free even when the frames field
               // is ABSENT (flags bit 0 clear — a TOC-only header): the
               // header frame must not contribute phantom samples either way
               vbrHeader = true
-              if (xat + 8 <= b.length && (be32(xat + 4) & 0x1L) != 0 &&
-                  xat + 12 <= b.length)
+              if (fits(xat, 8) && (be32(xat + 4) & 0x1L) != 0 && fits(xat, 12))
                 vbrFrames = Some(be32(xat + 8))
             } else if (tagIs(vat, "VBRI")) {
               // "VBRI" + ver(2) delay(2) quality(2) bytes(4) frames(4)
               vbrHeader = true
-              if (vat + 18 <= b.length) vbrFrames = Some(be32(vat + 14))
+              if (fits(vat, 18)) vbrFrames = Some(be32(vat + 14))
             }
           }
           i += frameLen
@@ -359,11 +364,16 @@ object Multimodal {
         val audioFrames = if (vbrHeader) frames - 1L else frames
         vbrFrames match {
           case Some(n) =>
-            // strictness: the declared audio-frame count must match the
-            // tiling (total walked minus the header frame) — a VBR header
-            // that disagrees with the stream is a desync, not metadata
-            if (n != audioFrames) None
-            else Some((rate, ch, firstBr, n * spf))
+            // strictness: the declared frame count must match the tiling —
+            // a VBR header that disagrees with the stream is a desync, not
+            // metadata. In-the-wild encoders disagree on whether the field
+            // counts the header frame itself, so BOTH conventions are
+            // consistent: n = audio frames (exclude-header) or n = total
+            // walked frames (include-header). Samples always come from the
+            // tiling-derived audio-frame count — the header frame is
+            // audio-free under either convention.
+            if (n != audioFrames && n != frames) None
+            else Some((rate, ch, firstBr, audioFrames * spf))
           case None => Some((rate, ch, firstBr, audioFrames * spf))
         }
       } catch { case scala.util.control.NonFatal(_) => None }

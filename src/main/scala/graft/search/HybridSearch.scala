@@ -333,10 +333,21 @@ object HybridSearch {
     * any job): the restrictions [[PhraseSearch.sloppyPhraseMatches]] would
     * enforce mid-plan, surfaced uniformly — including on the no-sidecar
     * fallback path, which never reaches that operator. */
+  /** Upper bound on proximity terms: [[sloppyPredicate]] nests one exists()
+    * per term, so expression depth — and codegen size on the candidate-
+    * filter path — grows with the term count. The serving contract is 2-3
+    * terms; 8 leaves headroom for analyzer expansion (CJK bigram folding
+    * of a --near list) while keeping the generated code bounded. */
+  private[graft] val MaxNearTerms = 8
+
   private[search] def requireNearCoherent(opts: Options): Unit =
     if (opts.nearTerms.nonEmpty) {
       require(opts.nearTerms.size >= 2,
         s"--near needs ≥ 2 terms, got ${opts.nearTerms.mkString(",")}")
+      require(opts.nearTerms.size <= MaxNearTerms,
+        s"--near supports at most $MaxNearTerms terms after analysis, got " +
+          s"${opts.nearTerms.size} (${opts.nearTerms.mkString(",")}) — " +
+          "proximity over long term chains is not a serving-shaped query")
       require(opts.nearTerms.distinct.size == opts.nearTerms.size,
         s"--near terms must be distinct, got ${opts.nearTerms.mkString(",")}")
       require(opts.nearWindow >= opts.nearTerms.size - 1,

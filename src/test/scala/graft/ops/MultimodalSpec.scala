@@ -157,12 +157,19 @@ class MultimodalSpec extends AnyFunSuite {
     // stereo side-info offset (32 bytes for MPEG-1)
     val vbrSt = Mp3Parser.parseMp3(F.mp3(2, 2, 2, 3, mono = false, vbr = true))
     assert(vbrSt == Some((32000L, 2L, 192L, 2L * 1152L)), vbrSt)
-    // a LYING Xing frame count (≠ walked frames − 1) is a desync → None
+    // a LYING Xing frame count (matching NEITHER the exclude-header nor the
+    // include-header convention) is a desync → None
     val lying = F.mp3(0, 1, 3, 5, mono = true, vbr = true).clone()
     // frames field sits at 10+5 (id3) + 4 + 17 (mono v1 side) + 8, big-endian
     val fAt = 10 + 5 + 4 + 17 + 8
-    lying(fAt + 3) = (lying(fAt + 3) + 1).toByte
+    lying(fAt + 3) = (lying(fAt + 3) + 2).toByte
     assert(Mp3Parser.parseMp3(lying).isEmpty)
+    // include-header convention (round-18 ADVICE): an encoder that writes
+    // TOTAL walked frames (audio + the Xing frame itself) is still
+    // consistent; samples stay tiling-derived (3 audio frames)
+    val inclHdr = F.mp3(0, 1, 3, 5, mono = true, vbr = true).clone()
+    inclHdr(fAt + 3) = (inclHdr(fAt + 3) + 1).toByte // 3 → 4 = total walked
+    assert(Mp3Parser.parseMp3(inclHdr) == Some((44100L, 1L, 128L, 3L * 1152L)))
     // a frames-field-LESS Xing/Info header (flags bit 0 clear — TOC-only,
     // the common CBR "Info" shape): the header frame is still audio-free,
     // so n_samples counts the walked frames MINUS it (round-18 review: the
@@ -186,6 +193,35 @@ class MultimodalSpec extends AnyFunSuite {
         val c = s.clone(); c(i) = (c(i) ^ 0x5a).toByte; Mp3Parser.parseMp3(c)
       }
     }
+  }
+
+  test("MP3 parser: Xing payload reads are bounded by the FIRST FRAME, not " +
+      "just the buffer (round-18 ADVICE) — a frames field that spills into " +
+      "frame 2 is ignored (TOC-only), never read from the next frame's bytes") {
+    import graft.ops.Multimodal.Mp3Parser
+    // The smallest real Layer III frame: MPEG-2 mono, 8 kbps @ 24 kHz →
+    // frameLen = 72000·8/24000 = 24 bytes. Side info = 9, so the Xing tag
+    // sits at offset 13..17, flags at 17..21 (fits), and the frames field
+    // at 21..25 CROSSES the frame boundary at 24. Hand-built: the fixture
+    // builder's bitrate menu has no 8 kbps entry.
+    val frameLen = 24
+    val hdr = Array[Byte](0xff.toByte,
+      (0xe0 | (2 << 3) | (1 << 1) | 1).toByte, // MPEG-2 (verBits 2), L3
+      ((1 << 4) | (1 << 2)).toByte, // brIdx 1 = 8 kbps, srIdx 1 = 24000
+      0xc0.toByte) // mono
+    val b = new Array[Byte](3 * frameLen) // header frame + 2 audio frames
+    Seq(0, 1, 2).foreach(f => hdr.copyToArray(b, f * frameLen))
+    "Xing".getBytes("US-ASCII").copyToArray(b, 13)
+    b(20) = 1 // flags = 1 (frames-field-present bit), big-endian at 17..21
+    // bytes 21..23 stay 0; byte 24 is frame 2's 0xff sync — an unbounded
+    // read would decode frames = 0x000000ff = 255 and reject a valid file
+    val got = Mp3Parser.parseMp3(b)
+    assert(got == Some((24000L, 1L, 8L, 2L * 576L)), got)
+    // same stream with the tag (not just its payload) past the frame end is
+    // not a VBR header at all: tagIs already bounds the 4 tag bytes
+    val noTag = b.clone()
+    java.util.Arrays.fill(noTag, 13, 21, 0.toByte)
+    assert(Mp3Parser.parseMp3(noTag) == Some((24000L, 1L, 8L, 3L * 576L)))
   }
 
   test("MP4 parser: nested size-0 box rejected (size 0 is last-top-level-" +

@@ -201,6 +201,16 @@ class NearRankSpec extends AnyFunSuite {
     bad(HybridSearch.Options(nearTerms = Seq("a", "b", "c"), nearWindow = 1))
     bad(HybridSearch.Options(nearTerms = Seq("a", "b"), nearWindow = 2,
       phraseRank = true))
+    // term-count cap (round-18 ADVICE): sloppyPredicate nests one exists()
+    // per term, so an unbounded --near list (analyzer expansion included)
+    // would generate arbitrarily deep codegen on the candidate-filter path
+    bad(HybridSearch.Options(
+      nearTerms = (1 to HybridSearch.MaxNearTerms + 1).map(i => s"t$i"),
+      nearWindow = 99))
+    // the cap itself is still servable: exactly MaxNearTerms validates
+    HybridSearch.requireNearCoherent(HybridSearch.Options(
+      nearTerms = (1 to HybridSearch.MaxNearTerms).map(i => s"t$i"),
+      nearWindow = 99))
   }
 
   test("CLI query-shape resolution: --near comma list tokenizes through " +
