@@ -33,11 +33,16 @@ import graft.search.HybridSearch
   *                     re-shipped doc_ids upsert)
   *                    [--multiline]   (row-corpus CSV/TSV whose quoted text holds raw newlines)
   *   graft.Cli search --db DIR --query Q [--top-k K] [--no-rerank]
+  *                    [--queries FILE [--out DIR]]   (bulk evaluation: one query per
+  *                     line, `qid<TAB>text` or bare text; ONE postings scan + ONE
+  *                     kNN/probe pass for the whole set. --out writes parquet
+  *                     (qid, rank, doc_id, score); without it, one JSON line per qid)
   *                    [--remove-path-prefix P] [--add-path-prefix P]
-  *                    [--ann exact | ivf[:nprobe|:auto] | pq[:shortlist] | ivf[:np]+pq[:sl]]
-  *                        (:auto = smallest nprobe meeting the fitted recall curve's 0.9 target;
-  *                         INTERACTIVE search defaults to ivf:auto when the sidecar
-  *                         exists and its fitted curve meets the target — --ann exact
+  *                    [--ann exact | ivf[:nprobe|:auto] | pq[:shortlist|:auto] | ivf[:np]+pq[:sl]]
+  *                        (:auto = smallest nprobe/shortlist meeting the fitted recall
+  *                         curve's 0.9 target, per leg; INTERACTIVE search defaults to
+  *                         ivf:auto when the sidecar exists and its fitted curve meets
+  *                         the target, else pq:auto on a pq-only artifact — --ann exact
   *                         forces the exact scan; one-shot --query stays exact)
   *                    [--fusion mean|rrf]   (score-average A4 or reciprocal-rank)
   *                    [--threshold T]   (min score; defaults 0.01 mean / 0.001 rrf)
@@ -49,6 +54,9 @@ import graft.search.HybridSearch
   *                     the Lucene slop shape; any serving query line also accepts
   *                     the inline form `"a b"~w`)
   *                    [--ann-verify]   (also run the exact legs; live recall on stderr)
+  *                    [--snippets]   (append term/off/snippet/highlighted per hit —
+  *                     the q_search_snippets kernel over the ≤k hit rows; also
+  *                     accepted by serve)
   *                    [--cache | --no-cache]   (interactive mode: force/skip pinning the
   *                     serving caches; default pins iff the artifact fits
   *                     spark.graft.serve.cacheMaxBytes — else serves disk-backed)
@@ -562,13 +570,25 @@ object Cli {
   private[graft] def hitsJson(hits: Array[org.apache.spark.sql.Row]): String =
     hits.map { r =>
       val opt = (n: String) => if (r.isNullAt(r.fieldIndex(n))) "null" else jsonNum(r.getAs[Double](n))
+      val optStr = (n: String) =>
+        if (r.isNullAt(r.fieldIndex(n))) "null" else jsonStr(r.getAs[String](n))
+      // present only under --snippets: the q_search_snippets kernel's four
+      // columns, nulls preserved (a hit whose text contains no query term
+      // verbatim has term/off/highlighted null)
+      val snip =
+        if (!r.schema.fieldNames.contains("snippet")) ""
+        else s""","term":${optStr("term")},""" +
+          s""""off":${if (r.isNullAt(r.fieldIndex("off"))) "null"
+            else r.getAs[Long]("off").toString},""" +
+          s""""snippet":${optStr("snippet")},""" +
+          s""""highlighted":${optStr("highlighted")}"""
       s"""{"doc_id":${jsonStr(r.getAs[String]("doc_id"))},""" +
         s""""file_path":${jsonStr(r.getAs[String]("file_path"))},""" +
         s""""header_path":${jsonStr(Option(r.getAs[String]("header_path")).getOrElse(""))},""" +
         s""""line_start":${r.getAs[Int]("line_start")},"line_end":${r.getAs[Int]("line_end")},""" +
         s""""content":${jsonStr(r.getAs[String]("content"))},""" +
         s""""score":${jsonNum(r.getAs[Double]("score"))},""" +
-        s""""fts_score":${opt("fts_score")},"vss_score":${opt("vss_score")}}"""
+        s""""fts_score":${opt("fts_score")},"vss_score":${opt("vss_score")}$snip}"""
     }.mkString("[", ",", "]")
 
   /** Query-time analyzer must match the index-time tokenization — resolved
@@ -620,9 +640,16 @@ object Cli {
     * recall curve by [[resolveAutoNprobe]] once the index is loaded. */
   private[graft] val AutoNprobe = -1
 
-  /** Parse `--ann ivf[:nprobe|:auto] | pq[:shortlist] | ivf[:np]+pq[:sl]`
-    * into (ivf nprobe, pq shortlist); (0,0) = exact. Both nonzero = the
-    * composed path (partition-prune code files by probe, then ADC). */
+  /** Sentinel shortlist for `--ann pq:auto` — resolved against the fitted
+    * shortlist→recall curve by [[resolveAutoShortlist]] once the index is
+    * loaded. Symmetric with [[AutoNprobe]]; in `ivf:auto+pq:auto` each leg
+    * resolves independently against its own curve. */
+  private[graft] val AutoShortlist = -1
+
+  /** Parse `--ann ivf[:nprobe|:auto] | pq[:shortlist|:auto] |
+    * ivf[:np]+pq[:sl]` into (ivf nprobe, pq shortlist); (0,0) = exact.
+    * Both nonzero = the composed path (partition-prune code files by
+    * probe, then ADC). */
   private[graft] def parseAnn(v: Option[String]): (Int, Int) = v match {
     case None => (0, 0)
     case Some(s) =>
@@ -637,17 +664,19 @@ object Cli {
         case Array("ivf")         => (2, 0)
         case Array("ivf", "auto") => (AutoNprobe, 0)
         case Array("ivf", np)     => (np.toInt, 0)
-        case Array("pq")          => (0, 50)
+        case Array("pq")          => (0, graft.index.PqIndex.DefaultShortlist)
+        case Array("pq", "auto")  => (0, AutoShortlist)
         case Array("pq", sl)      => (0, sl.toInt)
         case _ => sys.error(s"unknown --ann '$s' " +
-          "(expected exact, ivf[:<nprobe>|:auto], pq[:<shortlist>], or ivf[:np]+pq[:sl])")
+          "(expected exact, ivf[:<nprobe>|:auto], pq[:<shortlist>|:auto], " +
+          "or ivf[:np]+pq[:sl])")
       }).reduce { (a, b) =>
-        // the AutoNprobe sentinel is -1: a plain max would let the pq leg's
-        // nprobe=0 erase it and silently drop the IVF leg from
-        // `--ann ivf:auto+pq:sl` — auto must survive the combine
-        def nc(x: Int, y: Int) =
-          if (x == AutoNprobe || y == AutoNprobe) AutoNprobe else math.max(x, y)
-        (nc(a._1, b._1), math.max(a._2, b._2))
+        // the Auto* sentinels are -1: a plain max would let the other leg's
+        // 0 erase them and silently drop a leg from `--ann ivf:auto+pq:sl`
+        // (or ivf:np+pq:auto) — auto must survive the combine
+        def keep(auto: Int)(x: Int, y: Int) =
+          if (x == auto || y == auto) auto else math.max(x, y)
+        (keep(AutoNprobe)(a._1, b._1), keep(AutoShortlist)(a._2, b._2))
       }
   }
 
@@ -671,6 +700,36 @@ object Cli {
             graft.index.AnnIndex.RecallCurveKey).getOrElse("absent — default 2")}%s)")
       (np, ann._2)
     }
+
+  /** `--ann pq:auto`: pick the SMALLEST reranked shortlist whose fit-time
+    * sample recall meets `target` (recall is monotone in the shortlist —
+    * ADC shortlists nest and the exact rerank keeps every true member); a
+    * curve that never reaches the target takes its last measured point
+    * (the code-row count ≡ exact); a pre-curve artifact falls back to the
+    * pq default. The exact mirror of [[resolveAutoNprobe]] over the
+    * [[graft.index.PqIndex.RecallCurveKey]] curve. */
+  private[graft] def resolveAutoShortlist(index: IndexData, ann: (Int, Int),
+      target: Double = 0.9): (Int, Int) =
+    if (ann._2 != AutoShortlist) ann
+    else {
+      val sl = index.setting(graft.index.PqIndex.RecallCurveKey)
+        .flatMap(graft.index.AnnIndex.decodeCurveOpt) // malformed ⇒ pq default
+        .flatMap(c => c.find(_._2 >= target).orElse(c.lastOption).map(_._1))
+        .getOrElse(graft.index.PqIndex.DefaultShortlist)
+      System.err.println(
+        f"[graft] --ann pq:auto resolved to shortlist=$sl (fitted sample " +
+          f"recall target $target%.2f; curve ${index.setting(
+            graft.index.PqIndex.RecallCurveKey).getOrElse(
+            s"absent — default ${graft.index.PqIndex.DefaultShortlist}")}%s)")
+      (ann._1, sl)
+    }
+
+  /** Resolve BOTH auto sentinels of a parsed `--ann` mode against the
+    * loaded index's persisted curves — each leg independently: nprobe from
+    * the IVF curve, shortlist from the PQ curve. */
+  private[graft] def resolveAutoAnn(index: IndexData, ann: (Int, Int),
+      target: Double = 0.9): (Int, Int) =
+    resolveAutoShortlist(index, resolveAutoNprobe(index, ann, target), target)
 
   /** The serving-default decision rule (round-12 directive 2), pure for the
     * spec: `graft serve` and the interactive loop default to `ivf:auto`
@@ -709,6 +768,18 @@ object Cli {
             "(IVF sidecar present, fitted recall curve meets the 0.9 target " +
             "below nprobe=K); pass --ann exact to force the exact scan")
           (AutoNprobe, 0)
+        } else if (serveDefaultsToAuto(
+            index.pq.isDefined && index.ann.isEmpty,
+            index.setting(graft.index.PqIndex.RecallCurveKey))) {
+          // pq-only artifact, same decision rule over the PQ curve: the
+          // smallest target-meeting shortlist must genuinely prune (sit
+          // strictly below the curve's last point = the code-row count ≡
+          // exact). An IVF sidecar takes precedence above — its probe
+          // prunes the SCAN, not just the rerank.
+          System.err.println("[graft] serving defaults to --ann pq:auto " +
+            "(PQ sidecar present, fitted recall curve meets the 0.9 target " +
+            "below shortlist=corpus); pass --ann exact to force the exact scan")
+          (0, AutoShortlist)
         } else (0, 0)
     }
 
@@ -752,11 +823,12 @@ object Cli {
     }
   }
 
-  private def runSearch(index: IndexData, db: String, query: String, k: Int, rerank: Boolean,
+  private[graft] def runSearch(index: IndexData, db: String, query: String, k: Int, rerank: Boolean,
       removeP: Option[String], addP: Option[String], ann: (Int, Int) = (0, 0),
       fusion: String = "mean", threshold: Option[Double] = None,
       phrase: Boolean = false, phraseRank: Boolean = false,
-      nearRaw: Option[String] = None, nearWindow: Option[Int] = None) = {
+      nearRaw: Option[String] = None, nearWindow: Option[Int] = None,
+      snippets: Boolean = false) = {
     val analyzer = analyzerFor(index)
     val (bm25Query, nearTerms, nw) =
       resolveNear(query, nearRaw, nearWindow, analyzer.tokenize)
@@ -769,7 +841,7 @@ object Cli {
         Option[graft.rerank.Reranker], HybridSearch.Options) => org.apache.spark.sql.DataFrame =
       if (sys.env.get("GRAFT_SEARCH_ENGINE").contains("dag")) HybridSearch.search
       else graft.search.ServeSearch.search
-    engine(index, bm25Query, analyzer,
+    val res = engine(index, bm25Query, analyzer,
       Some(embedderFor(index, db)),
       // the rerank leg must score in the SAME token space as the index
       // (bigram index + unigram rerank would resurrect single-char overlap)
@@ -783,7 +855,65 @@ object Cli {
         // cut real hits once k > 40 — scale the DEFAULT to the rank domain
         // (an explicit --threshold wins, with [[thresholdWarning]] if it
         // looks mean-domain-sized)
-        scoreThreshold = threshold.getOrElse(if (fusion == "rrf") 0.001 else 0.01))).collect()
+        scoreThreshold = threshold.getOrElse(if (fusion == "rrf") 0.001 else 0.01)))
+    // `--snippets`: the oracle-checked q_search_snippets kernel as a
+    // projection over the ≤k hit rows — term matching runs over the same
+    // analyzer tokens the BM25 leg searched (round-18 directive #3)
+    (if (snippets)
+      graft.search.Snippets.project(res, res("content"),
+        analyzer.tokenize(bm25Query))
+    else res).collect()
+  }
+
+  /** Parse a `--queries` file: one query per line, either `qid<TAB>text`
+    * or bare text (qid = the 1-based line number). Blank lines skip; a
+    * duplicate qid is a contract error (it would silently merge two
+    * queries' candidate sets in the batch join). */
+  private[graft] def parseQueriesFile(lines: Iterator[String]): Seq[(String, String)] = {
+    val qs = lines.zipWithIndex.flatMap { case (line, i) =>
+      val t = line.trim
+      if (t.isEmpty) None
+      else t.split("\t", 2) match {
+        case Array(qid, text) => Some(qid.trim -> text.trim)
+        case _                => Some((i + 1).toString -> t)
+      }
+    }.toSeq
+    val dup = qs.groupBy(_._1).collect { case (q, g) if g.size > 1 => q }
+    if (dup.nonEmpty) sys.error(
+      s"--queries file has duplicate qids: ${dup.mkString(", ")} — qids must be unique")
+    if (qs.isEmpty) sys.error("--queries file has no queries")
+    qs
+  }
+
+  /** `graft search --queries FILE` core — bulk query evaluation through
+    * [[graft.search.BatchSearch]]: ONE postings scan + ONE kNN (or probed)
+    * pass for the whole query set, instead of N per-request sessions
+    * (round-18 directive #4). Same analyzer/embedder/reranker resolution
+    * as [[runSearch]], so a batch row set per query matches the
+    * single-query surface (BatchSearchSpec parity, CLI face pinned in
+    * CliInteractiveSpec). Returns (qid, rank, doc_id, score). */
+  private[graft] def batchSearchFrame(index: IndexData, db: String,
+      queries: Seq[(String, String)], k: Int, rerank: Boolean,
+      ann: (Int, Int) = (0, 0), fusion: String = "mean",
+      threshold: Option[Double] = None): org.apache.spark.sql.DataFrame = {
+    // contract errors, not silent degradations: the batch engine fuses by
+    // the mean rule and accelerates through the IVF probe only
+    if (fusion != "mean") sys.error(
+      s"--queries supports --fusion mean only (got $fusion); rrf is a " +
+        "per-request serving mode")
+    if (ann._2 > 0) sys.error(
+      "--queries supports --ann exact or ivf[:nprobe|:auto] (got a pq " +
+        "shortlist); the ADC rerank is a per-request serving mode")
+    val analyzer = analyzerFor(index)
+    val opts = graft.search.BatchSearch.Options(k = k,
+      scoreThreshold = threshold.getOrElse(0.01), annNprobe = ann._1)
+    val res =
+      if (rerank) graft.search.BatchSearch.searchBatchReranked(
+        index, queries, new TokenOverlapReranker(analyzer.tokenize),
+        analyzer, Some(embedderFor(index, db)), opts)
+      else graft.search.BatchSearch.searchBatch(
+        index, queries, analyzer, Some(embedderFor(index, db)), opts)
+    res.select("qid", "rank", "doc_id", "score")
   }
 
   /** The `--threshold` / `--fusion rrf` domain-mismatch check: RRF scores
@@ -835,19 +965,28 @@ object Cli {
     * [[graft.index.AnnIndex.RecallWarnThreshold]], say so before the user
     * wonders where their documents went. Returns the stderr note, or
     * None. */
-  private[graft] def recallWarning(index: IndexData, ann: (Int, Int)): Option[String] =
-    if (ann._1 <= 0) None
-    else index.setting(graft.index.AnnIndex.RecallCurveKey).flatMap { s =>
-      graft.index.AnnIndex.decodeCurveOpt(s).getOrElse(Seq.empty)
-        .filter(_._1 <= ann._1).lastOption
-        .filter(_._2 < graft.index.AnnIndex.RecallWarnThreshold)
-        .map { case (np, r) =>
-          f"[graft] note: fit-time sample recall@10 at nprobe=$np is $r%.2f " +
-            f"(< ${graft.index.AnnIndex.RecallWarnThreshold}%.1f) — expect " +
-            s"missing neighbors at --ann ivf:${ann._1}; the measured curve " +
-            s"is [$s], pick a larger nprobe or --refit-ann."
-        }
-    }
+  private[graft] def recallWarning(index: IndexData, ann: (Int, Int)): Option[String] = {
+    def legNote(active: Boolean, curveKey: String, leg: String, dial: String,
+        requested: Int, fix: String): Option[String] =
+      if (!active) None
+      else index.setting(curveKey).flatMap { s =>
+        graft.index.AnnIndex.decodeCurveOpt(s).getOrElse(Seq.empty)
+          .filter(_._1 <= requested).lastOption
+          .filter(_._2 < graft.index.AnnIndex.RecallWarnThreshold)
+          .map { case (step, r) =>
+            f"[graft] note: fit-time sample recall@10 at $dial=$step is $r%.2f " +
+              f"(< ${graft.index.AnnIndex.RecallWarnThreshold}%.1f) — expect " +
+              s"missing neighbors at --ann $leg:$requested; the measured " +
+              s"curve is [$s], pick a larger $dial or $fix."
+          }
+      }
+    val msgs =
+      legNote(ann._1 > 0, graft.index.AnnIndex.RecallCurveKey, "ivf",
+        "nprobe", ann._1, "--refit-ann") ++
+        legNote(ann._2 > 0, graft.index.PqIndex.RecallCurveKey, "pq",
+          "shortlist", ann._2, "--refit-pq")
+    if (msgs.isEmpty) None else Some(msgs.mkString("\n"))
+  }
 
   /** The sidecar-staleness check (IndexJob.withAnn/withPq drift contract):
     * when an `--ann` search runs against an artifact whose measured drift
@@ -944,18 +1083,70 @@ object Cli {
     // corpus-level q_ann_recall measurement (costs one extra exact search;
     // a diagnostic, not a serving mode)
     val annVerify = flag(a, "--ann-verify")
+    // `--snippets`: append the q_search_snippets kernel's (term, off,
+    // snippet, highlighted) to every hit — the reference's content preview
+    // (X10), term-anchored (round-18 directive #3)
+    val snippets = flag(a, "--snippets")
     thresholdWarning(threshold, fusion, k).foreach(System.err.println)
     shortlistWarning(ann, k).foreach(System.err.println)
     val spark = session(arg(a, "--workers").map(_.toInt))
+    arg(a, "--queries") match {
+      case Some(file) =>
+        // bulk evaluation: one composed job wave for the whole query file
+        // (round-18 directive #4) — per-request modes don't compose with it
+        if (arg(a, "--query").isDefined)
+          sys.error("--queries and --query are mutually exclusive")
+        Seq("--phrase" -> phrase, "--phrase-rank" -> phraseRank,
+          "--near" -> nearRaw.isDefined, "--ann-verify" -> annVerify,
+          "--snippets" -> snippets).foreach { case (f, on) =>
+            if (on) sys.error(s"$f is a per-request serving mode — it does " +
+              "not combine with --queries batch evaluation")
+          }
+        val src = scala.io.Source.fromFile(file, "UTF-8")
+        val queries = try parseQueriesFile(src.getLines()) finally src.close()
+        val index = IndexData.load(spark, db)
+        val annR = resolveAutoAnn(index, ann)
+        driftWarning(index, annR).foreach(System.err.println)
+        segmentsWarning(index, annR).foreach(System.err.println)
+        recallWarning(index, annR).foreach(System.err.println)
+        val out = batchSearchFrame(index, db, queries, k, rerank, annR,
+          fusion, threshold)
+        arg(a, "--out") match {
+          case Some(dir) =>
+            out.orderBy("qid", "rank").write.mode("overwrite").parquet(dir)
+            val n = spark.read.parquet(dir).count()
+            println(s"""{"queries":${queries.size},"rows":$n,"out":${jsonStr(dir)}}""")
+          case None =>
+            // stdout face: one JSON line per qid, rank order
+            val byQid = out.collect()
+              .groupBy(_.getAs[String]("qid")).view
+              .mapValues(_.sortBy(_.getAs[Long]("rank"))).toMap
+            queries.foreach { case (qid, _) =>
+              val hits = byQid.getOrElse(qid, Array.empty).map { r =>
+                s"""{"rank":${r.getAs[Long]("rank")},""" +
+                  s""""doc_id":${jsonStr(r.getAs[String]("doc_id"))},""" +
+                  s""""score":${jsonNum(r.getAs[Double]("score"))}}"""
+              }.mkString("[", ",", "]")
+              println(s"""{"qid":${jsonStr(qid)},"results":$hits}""")
+            }
+        }
+        spark.stop()
+        return
+      case None => ()
+    }
     arg(a, "--query") match {
       case Some(query) =>
         val index = IndexData.load(spark, db)
-        val annR = resolveAutoNprobe(index, ann)
+        val annR = resolveAutoAnn(index, ann)
+        // the pre-load warning can't see an auto shortlist; re-check the
+        // resolved one against --top-k
+        if (ann._2 == AutoShortlist)
+          shortlistWarning(annR, k).foreach(System.err.println)
         driftWarning(index, annR).foreach(System.err.println)
         segmentsWarning(index, annR).foreach(System.err.println)
         recallWarning(index, annR).foreach(System.err.println)
         val hits = runSearch(index, db, query, k, rerank, removeP, addP, annR,
-          fusion, threshold, phrase, phraseRank, nearRaw, nearWindow)
+          fusion, threshold, phrase, phraseRank, nearRaw, nearWindow, snippets)
         if (annVerify && (annR._1 > 0 || annR._2 > 0)) {
           val exact = runSearch(
             index, db, query, k, rerank, removeP, addP, (0, 0),
@@ -979,7 +1170,7 @@ object Cli {
         servingLoop(() => { holder.maybeReload(); (holder.current, annRef.get()) },
           db, scala.io.Source.stdin.getLines(), System.out,
           k, rerank, removeP, addP, fusion, threshold, phrase, phraseRank,
-          nearRaw, nearWindow)
+          nearRaw, nearWindow, snippets)
     }
     spark.stop()
   }
@@ -994,7 +1185,7 @@ object Cli {
       : (graft.serve.ServingIndex, java.util.concurrent.atomic.AtomicReference[(Int, Int)]) = {
     val annRef = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
     def resolve(index: IndexData): Unit = {
-      val r = resolveAutoNprobe(index, defaultServeAnn(index, annArg))
+      val r = resolveAutoAnn(index, defaultServeAnn(index, annArg))
       driftWarning(index, r).foreach(System.err.println)
       segmentsWarning(index, r).foreach(System.err.println)
       recallWarning(index, r).foreach(System.err.println)
@@ -1020,14 +1211,15 @@ object Cli {
       removeP: Option[String], addP: Option[String],
       fusion: String = "mean", threshold: Option[Double] = None,
       phrase: Boolean = false, phraseRank: Boolean = false,
-      nearRaw: Option[String] = None, nearWindow: Option[Int] = None): Unit =
+      nearRaw: Option[String] = None, nearWindow: Option[Int] = None,
+      snippets: Boolean = false): Unit =
     lines.foreach { line =>
       val query = line.trim
       if (query.nonEmpty) {
         try {
           val (index, ann) = current()
           val hits = runSearch(index, db, query, k, rerank, removeP, addP, ann,
-            fusion, threshold, phrase, phraseRank, nearRaw, nearWindow)
+            fusion, threshold, phrase, phraseRank, nearRaw, nearWindow, snippets)
           out.println(s"""{"results":${hitsJson(hits)}}""")
         } catch {
           case e: Throwable =>
@@ -1044,9 +1236,10 @@ object Cli {
       removeP: Option[String], addP: Option[String], ann: (Int, Int) = (0, 0),
       fusion: String = "mean", threshold: Option[Double] = None,
       phrase: Boolean = false, phraseRank: Boolean = false,
-      nearRaw: Option[String] = None, nearWindow: Option[Int] = None): Unit =
+      nearRaw: Option[String] = None, nearWindow: Option[Int] = None,
+      snippets: Boolean = false): Unit =
     servingLoop(() => (index, ann), db, lines, out, k, rerank, removeP, addP,
-      fusion, threshold, phrase, phraseRank, nearRaw, nearWindow)
+      fusion, threshold, phrase, phraseRank, nearRaw, nearWindow, snippets)
 
   /** Minimal JSON-line request parser for `{"query": "...", "top_k": N}` —
     * the legacy pre-MCP protocol, kept under `--protocol jsonl`. */
@@ -1172,6 +1365,7 @@ object Cli {
     val phraseRank = flag(a, "--phrase-rank")
     val nearRaw = arg(a, "--near")
     val nearWindow = arg(a, "--window").map(_.toInt)
+    val snippets = flag(a, "--snippets")
     thresholdWarning(threshold, fusion, defaultK).foreach(System.err.println)
     val spark = session(arg(a, "--workers").map(_.toInt))
     disableAqeForOnline(spark)
@@ -1181,7 +1375,7 @@ object Cli {
       holder.maybeReload()
       val hits = runSearch(holder.current, db, query, k, rerank = true,
         removeP, addP, annRef.get(), fusion, threshold, phrase, phraseRank,
-        nearRaw, nearWindow)
+        nearRaw, nearWindow, snippets)
       s"""{"results":${hitsJson(hits)}}"""
     }
 

@@ -200,9 +200,12 @@ object ServingLane {
           opts = graft.search.HybridSearch.Options(k = 5,
             annNprobe = nprobe, annPqShortlist = pqShortlist)).collect()
 
-      // `--ann ivf:auto`, resolved the way the CLI resolves it: smallest
-      // nprobe meeting the fit-time recall curve's 0.9 target
-      val (autoNprobe, _) = Cli.resolveAutoNprobe(idx, (Cli.AutoNprobe, 0))
+      // `--ann ivf:auto` / `pq:auto`, resolved the way the CLI resolves
+      // them: smallest nprobe / shortlist meeting each leg's fit-time
+      // recall curve at the 0.9 target (the lane REPORTS the resolution —
+      // round-18 directive #1)
+      val (autoNprobe, autoShortlist) =
+        Cli.resolveAutoAnn(idx, (Cli.AutoNprobe, Cli.AutoShortlist))
 
       val (exact, dagExactP50) = modeT("exact", "", Texts, dagRun(idx, lookup)(0, 0))
       val auto = mode("ivf_auto", s""""nprobe":$autoNprobe,""", Texts,
@@ -214,9 +217,12 @@ object ServingLane {
         serveExact,
         mode("ivf_auto", s""""nprobe":$autoNprobe,""", Texts,
           serveRun(idx, lookup)(autoNprobe, 0)),
-        mode("pq", """"shortlist":50,""", Texts, serveRun(idx, lookup)(0, 50)),
-        mode("ivf_pq", s""""nprobe":$autoNprobe,"shortlist":50,""", Texts,
-          serveRun(idx, lookup)(autoNprobe, 50)),
+        mode("pq", s""""shortlist":$autoShortlist,"shortlist_mode":"auto",""",
+          Texts, serveRun(idx, lookup)(0, autoShortlist)),
+        mode("ivf_pq",
+          s""""nprobe":$autoNprobe,"shortlist":$autoShortlist,""" +
+            s""""shortlist_mode":"auto",""",
+          Texts, serveRun(idx, lookup)(autoNprobe, autoShortlist)),
         // phrase serving modes (round-16 directive #2 landed `--phrase-rank`;
         // this prices both): `phrase_filter` = hybrid top-k candidates
         // filtered by the phrase predicate, `phrase_rank` = corpus-wide
@@ -257,6 +263,26 @@ object ServingLane {
             mode("phrase_rank", "", phraseTexts, phraseRun(rank = true)) +
             "," +
             mode("near_rank", """"window":4,""", nearTexts, nearRun)
+        },
+        // batch face (round-18 directive #4): the whole query set through
+        // BatchSearch in ONE composed job wave — prices the amortization
+        // `graft search --queries FILE` buys over N per-request sessions
+        // (one postings scan + one kNN pass for the set). Median-of-3.
+        {
+          val queries = Texts.zipWithIndex.map { case (t, i) => (s"q$i", t) }
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            graft.search.BatchSearch.searchBatchReranked(idx, queries,
+              new graft.rerank.TokenOverlapReranker(),
+              analyzer = graft.analyze.WhitespaceAnalyzer,
+              embedder = Some(lookup),
+              opts = graft.search.BatchSearch.Options(k = 5)).collect()
+            (System.nanoTime() - t0) / 1e6
+          }
+          once() // codegen/JIT warmup
+          val med = Seq(once(), once(), once()).sorted.apply(1)
+          s""""batch_search":{"queries":${queries.size},""" +
+            s""""total_ms":${ms1(med)},"per_query_ms":${ms1(med / queries.size)}}"""
         },
         // DISK-BACKED posture (Cli.serveReady above the cache budget):
         // loaded from a COPY of the artifact directory. A re-load from the

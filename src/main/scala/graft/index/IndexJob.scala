@@ -710,17 +710,22 @@ object IndexJob {
     }
   }
 
-  /** Persist the fit-time PQ drift baseline: fit = current, drift = 0.
-    * Reads the error off the just-written codes (`err_sum` column scan);
-    * recomputes only for pre-column artifacts. */
+  /** Persist the fit-time PQ drift baseline: fit = current, drift = 0 —
+    * plus the measured shortlist→recall curve ([[PqIndex.recallCurve]]),
+    * so every fitted PQ sidecar ships its own `pq:auto` dial in settings,
+    * symmetric with the IVF curve ([[persistFitBaseline]]). Reads the
+    * error off the just-written codes (`err_sum` column scan); recomputes
+    * only for pre-column artifacts. */
   private def persistPqBaseline(spark: SparkSession, indexDir: String,
       pq: PqIndex, documents: DataFrame): DataFrame = {
     val fit = PqIndex.meanCodesError(pq.codes).getOrElse(
       PqIndex.meanAssignError(documents, "doc_id", "embedding", pq.codebooks))
+    val curve = PqIndex.recallCurve(pq, documents, "doc_id", "embedding")
     upsertSettingsOnDisk(spark, indexDir, Seq(
       PqIndex.FitMeanErrKey -> fit.toString,
       PqIndex.MeanErrKey -> fit.toString,
-      PqIndex.DriftKey -> "0.0"))
+      PqIndex.DriftKey -> "0.0",
+      PqIndex.RecallCurveKey -> AnnIndex.encodeCurve(curve)))
   }
 
   /** Fit + persist the IVF sidecar over an already-written artifact. The fit

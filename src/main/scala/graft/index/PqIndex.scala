@@ -72,6 +72,22 @@ final case class PqIndex(codebooks: DataFrame, codes: DataFrame) {
     rows.toDF("j", "cid", "lq")
   }
 
+  /** ADC approximate distance of every row of the given codes scan:
+    * (doc_id, adist). The per-query LUT is a dense m×K literal matrix
+    * ([[lutLongs]] — scalar-sized), and the distance is `Σ_j lut(j)(
+    * codes(j))` as a codegen'd zip_with/aggregate over each row's own
+    * codes array — MAP-ONLY, no join, no exchange. The single source of
+    * the ADC formula: the serving shortlist cut
+    * ([[graft.search.HybridSearch]]) and the fit-time recall curve
+    * ([[PqIndex.recallCurve]]) both rank by exactly this column. */
+  def adistOf(codesScan: DataFrame, queryVec: Array[Float]): DataFrame = {
+    val lut = typedlit(lutLongs(queryVec))
+    codesScan.select(col("doc_id"),
+      (aggregate(
+        zip_with(col("codes"), lut, (c, l) => element_at(l, c + 1)),
+        lit(0L), (acc, x) => acc + x).cast("double") / 1e6).as("adist"))
+  }
+
   def cached(): PqIndex =
     copy(codebooks = codebooks.cache(), codes = codes.cache())
 }
@@ -89,6 +105,79 @@ object PqIndex {
   val FitMeanErrKey = "pq_fit_meanerr"
   val MeanErrKey = "pq_meanerr"
   val DriftKey = "pq_drift"
+
+  /** Settings key for the fit-time shortlist→recall curve:
+    * `"10:0.60,20:0.85,40:1.00"` — recall@k of the two-stage PQ search
+    * (ADC shortlist + exact rerank) at each shortlist step, measured on a
+    * deterministic corpus sample when the codebooks were fit. The PQ face
+    * of [[AnnIndex.RecallCurveKey]]: what `--ann pq:auto` resolves
+    * against, symmetric with `ivf:auto`. */
+  val RecallCurveKey = "pq_recall_curve"
+
+  /** Default shortlist for `--ann pq` with no size and no persisted curve
+    * (pre-curve artifact). */
+  val DefaultShortlist = 50
+
+  /** Measure the fitted sidecar's shortlist→recall@k curve on a
+    * deterministic corpus sample — the same sample rule as
+    * [[AnnIndex.recallCurve]] (first `sample` vectors in md5-of-id order).
+    *
+    * One adist scan per sample query, NOT one search per (query, step):
+    * a doc in the exact top-k appears in the two-stage result at shortlist
+    * S iff its ADC rank is < S — it survives the cut, and inside any
+    * shortlist containing it at most k−1 docs beat it on exact cosine
+    * (everything that beats it is itself in the exact top-k), so the final
+    * rerank always keeps it. The whole curve therefore reduces to the ADC
+    * rank of each exact-top-k doc, computed as k conditional counts over a
+    * single map-only adist scan (strictly-before in the serving cut's
+    * (round(adist,6), doc_id) total order). Steps are k·2^i up to the
+    * code-row count n, plus n itself — recall at n is exactly 1.0 by
+    * construction (`shortlist ≥ corpus` ≡ exact, PqIndexSpec). Cost:
+    * `sample` exact top-k jobs + `sample` adist scans at FIT time only. */
+  def recallCurve(pq: PqIndex, docs: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10, sample: Int = 8): Seq[(Int, Double)] = {
+    val corpus = docs.filter(col(vecCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).as("_did"), col(vecCol).as("_dvec"))
+    val n = pq.codes.count()
+    if (n == 0L) return Seq.empty
+    val qs = corpus.orderBy(md5(col("_did").cast("string")), col("_did"))
+      .limit(sample)
+      .select(col("_dvec")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val steps: Seq[Int] = (Iterator.iterate(k.toLong)(_ * 2)
+      .takeWhile(_ < n).map(_.toInt).toSeq :+
+        math.min(n, Int.MaxValue.toLong).toInt).distinct
+    // per query: minimal shortlist (= ADC rank + 1) of each exact-top-k doc
+    val minShortlists: Seq[Seq[Long]] = qs.toSeq.map { qvec =>
+      val qv = typedlit(qvec.toSeq)
+      val exactK = corpus
+        .select(col("_did"),
+          graft.functions.VectorOps.cosineDist(col("_dvec"), qv).as("_d"))
+        .orderBy(round(col("_d"), 6).asc, col("_did").asc)
+        .limit(k).select(col("_did")).collect().toSeq.map(_.get(0))
+      val adist = pq.adistOf(pq.codes, qvec)
+        .select(col("doc_id"), round(col("adist"), 6).as("_a6"))
+        .localCheckpoint(true) // one scan: k thresholds + k rank counts below
+      val thresholds = adist
+        .filter(col("doc_id").isin(exactK: _*))
+        .collect().toSeq.map(r => (r.get(0), r.getDouble(1)))
+      if (thresholds.isEmpty) Seq.empty
+      else {
+        val exprs = thresholds.zipWithIndex.map { case ((tid, ta6), i) =>
+          count(when(col("_a6") < ta6 ||
+            (col("_a6") === ta6 && col("doc_id") < lit(tid)), 1)).as(s"_r$i")
+        }
+        val cnts = adist.agg(exprs.head, exprs.tail: _*).head()
+        thresholds.indices.map(i => cnts.getLong(i) + 1L)
+      }
+    }
+    steps.map { s =>
+      val recalls = minShortlists.collect { case ms if ms.nonEmpty =>
+        ms.count(_ <= s).toDouble / ms.size
+      }
+      s -> (if (recalls.isEmpty) 1.0 else recalls.sum / recalls.size)
+    }
+  }
 
   /** Slice an embedding column into 8-dim double subvectors:
     * (idCol, j, sv). Subspace count is ceil(dim/8), so a dim that is not a

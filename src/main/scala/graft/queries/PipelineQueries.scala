@@ -1342,6 +1342,67 @@ object PipelineQueries {
         "AND 1 + (doc_id * 7) % 640 >= 64 AND 1 + (doc_id * 13) % 480 >= 64 " +
         "ORDER BY doc_id")),
 
+    // The audio/video face of the curation gate (round-18 directive #5):
+    // each training sample carries BOTH an audio clip and a video clip
+    // (the multimodal-pair shape), and the gate keeps a sample only when
+    // BOTH modalities decode and pass their floors — sample-rate ≥ 16 kHz
+    // and ≥ 24 samples for the audio; ≥ 640×360 and ≥ 10 s for the video
+    // (duration_s = mvhd duration / timescale). Garbage stripes differ per
+    // modality (audio id%5=4, video id%3=2) so the intersection is doing
+    // real work. Plan shape mirrors q_mm_quality_gate: two map-only
+    // decodes → predicates → one key join of the two pruned verdict sets —
+    // at 100 TB this is a per-modality scan plus a join of the tiny
+    // survivor sets, never a corpus-wide shuffle of payload bytes.
+    Q("q_mm_quality_gate_av",
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+        // multipliers chosen to SPREAD across each floor within the
+        // testdata id range (the decode queries' ×7/×13 stay below the
+        // 16 kHz floor for every id < 1144 — a gate over them would pass
+        // vacuously on 0 rows at every test SF)
+        val aud = ids.map { id =>
+            val payload =
+              if (id % 5 == 4) Multimodal.ImageFixtures.garbage(id)
+              else Multimodal.ImageFixtures.wav(
+                (8000L + (id * 97) % 36000).toInt,
+                (1L + id % 2).toInt,
+                (1L + (id * 13) % 97).toInt)
+            (id, payload)
+          }.toDF("doc_id", "payload")
+        val vid = ids.map { id =>
+            val payload =
+              if (id % 3 == 2) Multimodal.ImageFixtures.garbage(id)
+              else Multimodal.ImageFixtures.mp4(
+                (1 + (id * 17) % 1920).toInt, (1 + (id * 29) % 1080).toInt,
+                (600 * (1 + id % 4)).toInt, (1 + (id * 331) % 100000).toInt)
+            (id, payload)
+          }.toDF("doc_id", "payload")
+        val audPass = Multimodal.decodeAudioMeta(aud, "doc_id", "payload").toDF()
+          .filter(col("format").isNotNull &&
+            col("sample_rate") >= 16000 && col("n_samples") >= 24)
+          .select(col("doc_id"), col("sample_rate"), col("n_samples"))
+        val vidPass = Multimodal.decodeVideoMeta(vid, "doc_id", "payload").toDF()
+          .filter(col("format").isNotNull &&
+            col("width") >= 640 && col("height") >= 360 &&
+            col("duration").cast("double") / col("timescale") >= 10.0)
+          .select(col("doc_id"), col("width"), col("height"),
+            Q.r6(col("duration").cast("double") / col("timescale")).as("duration_s"))
+        audPass.join(vidPass, Seq("doc_id")).orderBy("doc_id")
+      },
+      Some("WITH a AS (SELECT doc_id, 8000 + (doc_id * 97) % 36000 AS sample_rate, " +
+        "1 + (doc_id * 13) % 97 AS n_samples FROM documents " +
+        "WHERE doc_id % 5 <> 4 AND 8000 + (doc_id * 97) % 36000 >= 16000 " +
+        "AND 1 + (doc_id * 13) % 97 >= 24), " +
+        "v AS (SELECT doc_id, 1 + (doc_id * 17) % 1920 AS width, " +
+        "1 + (doc_id * 29) % 1080 AS height, " +
+        s"${Q.r6Sql("CAST(1 + (doc_id * 331) % 100000 AS DOUBLE) / (600 * (1 + doc_id % 4))")} AS duration_s " +
+        "FROM documents WHERE doc_id % 3 <> 2 " +
+        "AND 1 + (doc_id * 17) % 1920 >= 640 AND 1 + (doc_id * 29) % 1080 >= 360 " +
+        "AND CAST(1 + (doc_id * 331) % 100000 AS DOUBLE) / (600 * (1 + doc_id % 4)) >= 10.0) " +
+        "SELECT doc_id, sample_rate, n_samples, width, height, duration_s " +
+        "FROM a JOIN v USING (doc_id) ORDER BY doc_id")),
+
     // ---- Event / windowed analytics ----
 
     // Running aggregates per key (ordered by unique event_id; ns timestamps

@@ -394,19 +394,14 @@ object SearchQueries {
     // engines.
     Q("q_search_snippets",
       (s, d) => {
-        val text = col("text")
-        val term = queryTerms.foldRight(lit(null).cast("string")) { (t, acc) =>
-          when(instr(text, t) > 0, lit(t)).otherwise(acc)
-        }
-        t(s, d, "documents").select(col("doc_id"), text)
-          .join(broadcast(ftsLeg(s, d).select("doc_id")), Seq("doc_id"))
-          .withColumn("term", term)
-          .withColumn("off", instr(text, col("term")).cast("long"))
-          .withColumn("snippet", substring(
-            text, greatest(lit(1), col("off") - 40).cast("int"), lit(100)))
-          .withColumn("highlighted",
-            regexp_replace(col("snippet"), col("term"),
-              concat(lit("["), col("term"), lit("]"))))
+        // the kernel itself lives in graft.search.Snippets — the serving
+        // surfaces' --snippets projection runs the SAME expressions over
+        // their ≤k hit rows (round-18 directive #3), so this oracle check
+        // covers both
+        graft.search.Snippets.project(
+            t(s, d, "documents").select(col("doc_id"), col("text"))
+              .join(broadcast(ftsLeg(s, d).select("doc_id")), Seq("doc_id")),
+            col("text"), queryTerms)
           .select("doc_id", "term", "off", "snippet", "highlighted")
           .orderBy("doc_id")
       },

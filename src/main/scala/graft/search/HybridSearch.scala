@@ -259,16 +259,10 @@ object HybridSearch {
     * bounded-job serving shape; same rows either way, pinned in
     * ServeSearchSpec). */
   private[search] def adcShortlist(codes: DataFrame, pq: graft.index.PqIndex,
-      queryVec: Array[Float], shortlist: Int): DataFrame = {
-    val lut = typedlit(pq.lutLongs(queryVec))
-    codes
-      .select(col("doc_id"),
-        (aggregate(
-          zip_with(col("codes"), lut, (c, l) => element_at(l, c + 1)),
-          lit(0L), (acc, x) => acc + x).cast("double") / 1e6).as("adist"))
+      queryVec: Array[Float], shortlist: Int): DataFrame =
+    pq.adistOf(codes, queryVec)
       .orderBy(round(col("adist"), 6).asc, col("doc_id").asc)
       .limit(shortlist)
-  }
 
   /** Stage 2 of the PQ tail for the serving path: exact cosine over ONLY the
     * already-collected shortlist ids, fetched through the same pushed

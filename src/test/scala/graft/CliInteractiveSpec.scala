@@ -33,6 +33,13 @@ class CliInteractiveSpec extends AnyFunSuite {
     // the pq leg's nprobe=0 erase it and silently drop the IVF probe
     assert(Cli.parseAnn(Some("ivf:auto+pq:100")) == (Cli.AutoNprobe, 100))
     assert(Cli.parseAnn(Some("pq:100+ivf:auto")) == (Cli.AutoNprobe, 100))
+    // pq:auto (round-18 directive #1) — and the shortlist sentinel must
+    // survive the combine exactly like the nprobe one
+    assert(Cli.parseAnn(Some("pq:auto")) == (0, Cli.AutoShortlist))
+    assert(Cli.parseAnn(Some("ivf:3+pq:auto")) == (3, Cli.AutoShortlist))
+    assert(Cli.parseAnn(Some("pq:auto+ivf:3")) == (3, Cli.AutoShortlist))
+    assert(Cli.parseAnn(Some("ivf:auto+pq:auto")) ==
+      (Cli.AutoNprobe, Cli.AutoShortlist))
     // explicit exact: the serving-default override (round-12 directive 2)
     assert(Cli.parseAnn(Some("exact")) == (0, 0))
     intercept[RuntimeException](Cli.parseAnn(Some("hnsw")))
@@ -87,6 +94,79 @@ class CliInteractiveSpec extends AnyFunSuite {
     assert(Cli.resolveAutoNprobe(idx, (3, 0)) == (3, 0))
     assert(Cli.resolveAutoNprobe(idx, (0, 0)) == (0, 0))
     assert(Cli.resolveAutoNprobe(idx, (Cli.AutoNprobe, 20)) == (2, 20))
+  }
+
+  test("pq:auto resolves the smallest shortlist meeting the fitted recall " +
+      "target, symmetric with ivf:auto (round-18 directive #1)") {
+    import spark.implicits._
+    def idxWith(curve: Option[String]): IndexData = {
+      val settings = curve match {
+        case Some(c) => Seq(Setting(graft.index.PqIndex.RecallCurveKey, c)).toDF()
+        case None    => Seq.empty[Setting].toDF()
+      }
+      IndexData.fromDocuments(
+        Seq(("d1", "a b")).toDF("doc_id", "content")
+          .withColumn("tokens", split(col("content"), " ")),
+        settings)
+    }
+    val idx = idxWith(Some("10:0.60,20:0.95,40:1.00"))
+    // smallest step meeting 0.9 is shortlist=20
+    assert(Cli.resolveAutoShortlist(idx, (0, Cli.AutoShortlist)) == (0, 20))
+    // a curve never reaching the target reranks everything (its last step)
+    val low = idxWith(Some("10:0.10,20:0.30,40:0.50"))
+    assert(Cli.resolveAutoShortlist(low, (0, Cli.AutoShortlist)) == (0, 40))
+    // pre-curve artifact: the pq default
+    assert(Cli.resolveAutoShortlist(idxWith(None), (0, Cli.AutoShortlist)) ==
+      (0, graft.index.PqIndex.DefaultShortlist))
+    // non-auto requests pass through untouched (incl. exact and composed)
+    assert(Cli.resolveAutoShortlist(idx, (0, 35)) == (0, 35))
+    assert(Cli.resolveAutoShortlist(idx, (0, 0)) == (0, 0))
+    assert(Cli.resolveAutoShortlist(idx, (4, Cli.AutoShortlist)) == (4, 20))
+    // resolveAutoAnn resolves BOTH legs independently: nprobe from the IVF
+    // curve, shortlist from the PQ curve
+    val both = {
+      val settings = Seq(
+        Setting(graft.index.AnnIndex.RecallCurveKey, "1:0.40,2:0.95,4:1.00"),
+        Setting(graft.index.PqIndex.RecallCurveKey, "10:0.60,20:0.95,40:1.00")
+      ).toDF()
+      IndexData.fromDocuments(
+        Seq(("d1", "a b")).toDF("doc_id", "content")
+          .withColumn("tokens", split(col("content"), " ")),
+        settings)
+    }
+    assert(Cli.resolveAutoAnn(both, (Cli.AutoNprobe, Cli.AutoShortlist)) ==
+      (2, 20))
+    assert(Cli.resolveAutoAnn(both, (Cli.AutoNprobe, 0)) == (2, 0))
+    assert(Cli.resolveAutoAnn(both, (0, Cli.AutoShortlist)) == (0, 20))
+    assert(Cli.resolveAutoAnn(both, (0, 0)) == (0, 0))
+  }
+
+  test("a pq-only artifact with a healthy fitted curve serves pq:auto by " +
+      "default; ivf takes precedence; an unhealthy/absent pq curve stays exact") {
+    import spark.implicits._
+    def idxOf(kvs: (String, String)*): IndexData = IndexData.fromDocuments(
+      Seq(("d1", "a b")).toDF("doc_id", "content")
+        .withColumn("tokens", split(col("content"), " ")),
+      kvs.map { case (k, v) => Setting(k, v) }.toDF())
+    val pqStub = graft.index.PqIndex(
+      Seq.empty[(Long, Int, Seq[Float])].toDF("j", "cid", "cv"),
+      Seq.empty[(String, Seq[Int], Double)].toDF("doc_id", "codes", "err_sum"))
+    val healthy = graft.index.PqIndex.RecallCurveKey -> "10:0.60,20:0.95,40:1.00"
+    // pq-only + healthy curve → pq:auto
+    assert(Cli.defaultServeAnn(
+      idxOf(healthy).copy(pq = Some(pqStub)), None) == (0, Cli.AutoShortlist))
+    // explicit flag always wins
+    assert(Cli.defaultServeAnn(
+      idxOf(healthy).copy(pq = Some(pqStub)), Some("exact")) == (0, 0))
+    // no pq sidecar: leftover curve setting alone never triggers auto
+    assert(Cli.defaultServeAnn(idxOf(healthy), None) == (0, 0))
+    // curve meeting the target only at its LAST step (shortlist = corpus ≡
+    // exact): no pruning win — exact
+    assert(Cli.defaultServeAnn(
+      idxOf(graft.index.PqIndex.RecallCurveKey -> "10:0.40,40:0.95")
+        .copy(pq = Some(pqStub)), None) == (0, 0))
+    // pre-curve pq artifact: exact (never guess an unmeasured shortlist)
+    assert(Cli.defaultServeAnn(idxOf().copy(pq = Some(pqStub)), None) == (0, 0))
   }
 
   test("compact --if-pending skips below threshold, folds at or above it") {
@@ -306,5 +386,64 @@ class CliInteractiveSpec extends AnyFunSuite {
     assert(outLines.forall(_.startsWith("""{"results":""")), outLines)
     assert(outLines.head.contains("\"doc_id\":\"d1\""), outLines.head)
     assert(outLines(1).contains("\"doc_id\":\"d2\""), outLines(1))
+    // without --snippets the hit JSON carries NO snippet fields
+    assert(!outLines.head.contains("\"snippet\""), outLines.head)
+
+    // --snippets (round-18 directive #3): the same loop appends the
+    // q_search_snippets kernel's four fields to every hit
+    val bs = new ByteArrayOutputStream()
+    Cli.interactiveLoop(index, "unused-db", Iterator("spark"),
+      new PrintStream(bs, true, "UTF-8"), k = 3, rerank = false,
+      removeP = None, addP = None, snippets = true)
+    val line = bs.toString("UTF-8").trim
+    assert(line.contains("\"term\":\"spark\""), line)
+    assert(line.contains("\"off\":1"), line)
+    assert(line.contains("\"snippet\":\"spark runs fast\""), line)
+    assert(line.contains("\"highlighted\":\"[spark] runs fast\""), line)
+  }
+
+  test("--queries batch CLI face: rows bit-match N single searches through " +
+      "the SAME analyzer/embedder/reranker resolution (round-18 directive #4)") {
+    import spark.implicits._
+    // on-disk artifact (IndexJob-style e2e): the CLI resolves analyzer and
+    // embedder from its settings, both per-request and batch
+    val dir = java.nio.file.Files.createTempDirectory("graft-batchcli").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").cast("string").as("doc_id"), col("embedding"))
+    val built = graft.index.IndexJob.fromTable(docs, "doc_id", "text",
+      df => split(df("text"), " "), embeddings = Some(emb))
+    IndexData.write(built.documents, built.settings, dir)
+    val idx = IndexData.load(spark, dir)
+
+    val queries = Seq("q0" -> "spark join merge",
+      "q1" -> "window batch stream", "q2" -> "customer order value")
+    for (rerank <- Seq(false, true)) {
+      val batch = Cli.batchSearchFrame(idx, dir, queries, 5, rerank)
+        .collect()
+        .groupBy(_.getAs[String]("qid")).view
+        .mapValues(_.sortBy(_.getAs[Long]("rank")).toSeq
+          .map(r => (r.getAs[String]("doc_id"),
+            math.rint(r.getAs[Double]("score") * 1e9)))).toMap
+      queries.foreach { case (qid, text) =>
+        val single = Cli.runSearch(idx, dir, text, 5, rerank, None, None).toSeq
+          .map(r => (r.getAs[String]("doc_id"),
+            math.rint(r.getAs[Double]("score") * 1e9)))
+        assert(batch(qid) == single, s"qid=$qid rerank=$rerank:\n" +
+          s"  batch =${batch(qid)}\n  single=$single")
+      }
+    }
+
+    // queries-file forms: qid<TAB>text, bare text (qid = 1-based line no),
+    // blank skip, duplicate-qid contract error
+    assert(Cli.parseQueriesFile(Iterator("a\tspark joins", "", "plain text")) ==
+      Seq("a" -> "spark joins", "3" -> "plain text"))
+    intercept[RuntimeException](Cli.parseQueriesFile(Iterator("a\tx", "a\ty")))
+    intercept[RuntimeException](Cli.parseQueriesFile(Iterator("", "   ")))
+    // per-request-only modes are contract errors, not silent degradations
+    intercept[RuntimeException](
+      Cli.batchSearchFrame(idx, dir, queries, 5, rerank = false, fusion = "rrf"))
+    intercept[RuntimeException](
+      Cli.batchSearchFrame(idx, dir, queries, 5, rerank = false, ann = (0, 50)))
   }
 }

@@ -72,6 +72,44 @@ class PqIndexSpec extends AnyFunSuite {
     assert(viaPq == exact)
   }
 
+  test("fit persists the shortlist→recall curve (pq:auto dial, round-18 " +
+      "directive #1): monotone, ends at the corpus size with recall exactly " +
+      "1.0, and the rank-derived values match the actually-run two-stage " +
+      "search at every step") {
+    val pq = index.pq.get
+    // persisted by withPq at fit time, decodable, laws hold
+    val persisted = AnnIndex.decodeCurve(
+      index.setting(PqIndex.RecallCurveKey)
+        .getOrElse(fail("no pq_recall_curve after withPq fit")))
+    val n = pq.codes.count().toInt
+    assert(persisted.nonEmpty && persisted.last._1 == n)
+    assert(persisted.map(_._1) == persisted.map(_._1).sorted.distinct)
+    assert(persisted.zip(persisted.tail).forall { case ((_, a), (_, b)) => b >= a },
+      s"recall must be monotone in the shortlist: $persisted")
+    assert(persisted.last._2 == 1.0,
+      s"shortlist = corpus ≡ exact must measure recall exactly 1.0: $persisted")
+    // the closed-form reduction (recall@k(S) = |{d ∈ exact-top-k :
+    // adcRank(d) < S}| / k) must equal what ACTUALLY RUNNING the two-stage
+    // search at each step measures — same sample rule, 3 queries
+    val k = 10
+    val curve = PqIndex.recallCurve(pq, index.documents, "doc_id", "embedding",
+      k = k, sample = 3)
+    val qs = index.documents.filter(col("embedding").isNotNull)
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(3).select("embedding").as[Array[Float]].collect()
+    curve.foreach { case (s, rankDerived) =>
+      val measured = qs.map { qvec =>
+        val exact = HybridSearch.vssTopK(index.documents, qvec, k)
+          .select("doc_id").as[String].collect().toSet
+        val got = HybridSearch.vssTopKPq(pq, index.documents, qvec, k, s)
+          .select("doc_id").as[String].collect().toSet
+        got.intersect(exact).size.toDouble / exact.size
+      }.sum / qs.length
+      assert(math.abs(measured - rankDerived) < 1e-9,
+        s"step $s: rank-derived $rankDerived != search-measured $measured")
+    }
+  }
+
   test("ADC stage is map-only: no exchange (shuffle) anywhere in the PQ leg plan") {
     // the serving-path guarantee of the literal-LUT formulation (round 12):
     // the shortlist cut is a TakeOrdered over the codes scan — Σ_j

@@ -308,4 +308,45 @@ class MultimodalSpec extends AnyFunSuite {
       assert(m.width.contains(1L + math.floorMod(m.doc_id * 7L, 640L)))
     }
   }
+
+  test("audio/video quality gate over truncated and corrupt payloads " +
+      "(round-18 directive #5): never throws, corrupt rows never survive, " +
+      "a clean passing pair does") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // id 0: clean pair passing all floors (44.1 kHz / 100 samples;
+    // 1280×720, 12000/600 = 20 s). ids 1..40: every truncation of the
+    // clean payloads. ids 41..60: single-byte corruptions. id 61: clean
+    // decodes that FAIL the floors (8 kHz audio, 320×200 2 s video).
+    val wavOk = F.wav(44100, 1, 100)
+    val mp4Ok = F.mp4(1280, 720, 600, 12000)
+    def stripe(base: Array[Byte], i: Int): Array[Byte] =
+      if (i <= 40) base.take(math.max(0, base.length * (i - 1) / 40 - 1))
+      else { val c = base.clone(); val p = (i * 31) % c.length
+        c(p) = (c(p) ^ 0x5a).toByte; c }
+    val rows = ((0L, wavOk, mp4Ok) +:
+      (1 to 60).map(i => (i.toLong, stripe(wavOk, i), stripe(mp4Ok, i)))) :+
+      ((61L, F.wav(8000, 1, 100), F.mp4(320, 200, 600, 1200)))
+    val df = rows.toDF("doc_id", "aud", "vid")
+    val audPass = Multimodal.decodeAudioMeta(df, "doc_id", "aud").toDF()
+      .filter(col("format").isNotNull &&
+        col("sample_rate") >= 16000 && col("n_samples") >= 24)
+      .select("doc_id")
+    val vidPass = Multimodal.decodeVideoMeta(df, "doc_id", "vid").toDF()
+      .filter(col("format").isNotNull &&
+        col("width") >= 640 && col("height") >= 360 &&
+        col("duration").cast("double") / col("timescale") >= 10.0)
+      .select("doc_id")
+    val survivors = audPass.join(vidPass, Seq("doc_id"))
+      .as[Long].collect().sorted.toSeq
+    // the clean passing pair survives; nothing truncated/corrupt may —
+    // a corruption that happens to leave both decodes AND floors intact
+    // would be caught here as a fixture bug, not waved through
+    assert(survivors.head == 0L, survivors)
+    assert(!survivors.contains(61L), "floor-failing pair must be gated out")
+    survivors.filter(id => id >= 1 && id <= 40).foreach { id =>
+      fail(s"truncated payload pair $id survived the gate")
+    }
+  }
 }

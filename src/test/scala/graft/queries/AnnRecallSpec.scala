@@ -83,4 +83,46 @@ class AnnRecallSpec extends AnyFunSuite {
     }
     assert(recalls.last._2 == 1.0, s"nprobe=K recall != 1.0: ${recalls.last}")
   }
+
+  test("pq:auto resolves from the persisted fit-time curve to the smallest " +
+      "target-meeting shortlist, and its LIVE recall on fresh queries holds " +
+      "the floor (round-18 directive #1)") {
+    import spark.implicits._
+    import graft.index.{AnnIndex, IndexData, IndexJob, PqIndex}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pqauto").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("string").as("doc_id"), col("embedding"))
+    val built = IndexJob.fromTable(docs, "doc_id", "text",
+      df => split(df("text"), " "), embeddings = Some(emb))
+    IndexData.write(built.documents, built.settings, tmp)
+    IndexJob.withPq(IndexData.load(spark, tmp), tmp, pqCodes = 16, pqIters = 3)
+    val idx = IndexData.load(spark, tmp)
+
+    // resolution contract: smallest measured step meeting the 0.9 target
+    // (or the curve's last = corpus ≡ exact), exactly what the CLI serves
+    val curve = AnnIndex.decodeCurve(
+      idx.setting(PqIndex.RecallCurveKey).getOrElse(fail("no pq curve")))
+    val expected = curve.find(_._2 >= 0.9).getOrElse(curve.last)._1
+    val (np, sl) = graft.Cli.resolveAutoShortlist(idx, (0, graft.Cli.AutoShortlist))
+    assert((np, sl) == ((0, expected)), s"curve=$curve")
+    assert(sl > 0 && sl <= idx.pq.get.codes.count())
+
+    // live recall at the RESOLVED shortlist, on queries the fit-time
+    // sample rule did not hand-pick (vec_id 0/1/2 vs the md5-spread
+    // sample): the auto dial must hold a floor under the 0.9 fit target
+    val qs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id").isin(0, 1, 2))
+      .select(col("embedding")).as[Array[Float]].collect()
+    val live = qs.map { qvec =>
+      val exact = graft.search.HybridSearch.vssTopK(idx.documents, qvec, K)
+        .select("doc_id").as[String].collect().toSet
+      val got = graft.search.HybridSearch.vssTopKPq(
+          idx.pq.get, idx.documents, qvec, K, sl)
+        .select("doc_id").as[String].collect().toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }.sum / qs.length
+    assert(live >= 0.8, s"live recall $live at resolved shortlist $sl " +
+      s"(curve $curve) under the 0.8 floor")
+  }
 }

@@ -156,6 +156,44 @@ class ServeSearchSpec extends AnyFunSuite {
       s"NaN-scored d1 must lead: ${srv.map(r => (r.getString(0), r.getDouble(6))).toSeq}")
   }
 
+  test("--snippets projection over serving hits matches the batch kernel " +
+      "exactly and degrades to nulls for hits with no verbatim term " +
+      "(round-18 directive #3)") {
+    val terms = Seq("spark", "merge")
+    val hits = ServeSearch.search(idx, "spark merge", WhitespaceAnalyzer,
+      Some(he), None, HybridSearch.Options(k = 5, rerank = false))
+    val projected = Snippets.project(hits, hits("content"), terms)
+      .select("doc_id", "content", "term", "off", "snippet", "highlighted")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+          r.getString(4), r.getString(5))).toMap
+    assert(projected.nonEmpty)
+    // independent expectation: the q_search_snippets formulation evaluated
+    // over the SAME (doc_id, text) rows through a fresh DataFrame — the
+    // batch-kernel face of the identical expressions
+    val expected = Snippets.project(
+        idx.documents.select(col("doc_id"), col("content")), col("content"), terms)
+      .filter(col("doc_id").isin(projected.keys.toSeq: _*))
+      .select("doc_id", "term", "off", "snippet", "highlighted")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          r.getString(3), r.getString(4))).toMap
+    assert(projected == expected, s"\n  serving=$projected\n  batch =$expected")
+    // the term-anchored window really anchors: a doc whose first matching
+    // term is "spark" carries a [spark] highlight at the right offset
+    projected.get("d1").foreach { case (term, off, snippet, highlighted) =>
+      assert(term == "spark" && off == 1L)
+      assert(snippet.startsWith("spark runs fast"))
+      assert(highlighted.contains("[spark]"))
+    }
+    assert(projected.contains("d1"))
+    // replace-all parity with the oracle's 'g' flag: d3 ("spark spark
+    // spark ...") highlights every occurrence inside the window
+    projected.get("d3").foreach { case (_, _, _, highlighted) =>
+      assert(highlighted.split("\\[spark\\]").length >= 3, highlighted)
+    }
+  }
+
   test("high threshold and small k are bit-identical") {
     assertParity("threshold", "spark joins tables",
       opts = HybridSearch.Options(scoreThreshold = 0.5))
