@@ -288,34 +288,48 @@ object Bench {
         s""""queries":$allJson,"sf":${jsonStr(sfDir)}}""" + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
+    // The stdout consumer keeps only a ~2KB TAIL and sbt appends its own
+    // "[success] …" epilogue after our line — r17/r18 the full line (fat
+    // serving object + 32-query headline) exceeded the window, so the
+    // driver artifact carried `parsed: null` with the line's HEAD cut off
+    // (round-18 directive #7). The printed line is now a compact summary
+    // (≤ ~900 B): a 12-query cross-section, scalar extracts of the serving
+    // lane, and the guards' verdicts. EVERYTHING full-fidelity — all
+    // queries, the whole serving lane, prodhash, skew — is in the details
+    // file whose path rides `queries_all`.
+    def extract(re: scala.util.matching.Regex): String =
+      re.findFirstMatchIn(servingJson).map(_.group(1)).getOrElse("null")
+    val servingSummary =
+      s"""{"startup_ms":${extract("\"startup_ms\":([0-9.]+)".r)},""" +
+        s""""serve_exact_p50":${extract("\"serve_exact_p50\":([0-9.]+)".r)},""" +
+        s""""vs_dag_ok":${extract("\"vs_dag\":\\{[^}]*\"ok\":(true|false)".r)},""" +
+        s""""clustered_live_recall":${extract("\"live_recall\":([0-9.]+)".r)},""" +
+        s""""vss_leg_ok":${extract("\"vss_leg\":\\{[^}]*\"ok\":(true|false)".r)}}"""
+    val skewOk = "\"ok\":(true|false)".r.findFirstMatchIn(skewGuardJson)
+      .map(_.group(1)).getOrElse("null")
     val headlineSet = Headline.filter(resultMap.contains)
     val head = queryResults.filter(r => headlineSet.contains(r._1))
       .map { case (k, v) => "\"" + k + "\":" + tJson(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$head,""" +
-      s""""training":$trainingJson,"serving":$servingJson,""" +
-      s""""prodhash":$prodhashJson,"skew_guard":$skewGuardJson,""" +
+      s""""training":$trainingJson,"serving_summary":$servingSummary,""" +
+      s""""skew_ok":$skewOk,""" +
       s""""n_queries":${queryResults.size},"failed":$failed,"failed_names":$failedNames,""" +
       s""""queries_all":${jsonStr(detailsPath.toAbsolutePath.toString)},"sf":${jsonStr(sfDir)}}""")
     spark.stop()
   }
 
-  /** Representative subset printed on stdout — one per engine area (search,
+  /** Representative subset printed on stdout — ONE per engine area (search,
     * vectors, dedup, curation, analytics, streaming, text, multimodal) so
-    * the one-line summary stays a complete cross-section while fitting the
-    * consumer's 2KB tail window. Everything runs and everything lands in
+    * the one-line summary stays a cross-section while the whole line fits
+    * the consumer's 2KB tail window WITH sbt's epilogue after it (round-18
+    * directive #7 shrank this from 32 entries — the fat line was the
+    * `parsed: null` cause). Everything runs and everything lands in
     * bench_details.json; only the printed map is subset. */
   private val Headline: Seq[String] = Seq(
-    "q_agg_pricing_summary", "q_asof_join", "q_batch_search", "q_events_time_slice",
-    "q_range_join", "q_join_bucketed",
-    "q_decontaminate", "q_dedup_components", "q_dedup_embed_lsh_knn",
-    "q_dedup_exact", "q_dedup_minhash_pairs", "q_f4_bm25_topk",
-    "q_embed_pq", "q_mm_frame_sample", "q_o1_topk_desc", "q_pack_sequences",
-    "q_percentile_median", "q_phrase_postings",
-    "q_search_e2e_ann", "q_search_e2e_norerank", "q_sessionize",
-    "q_sim_knn_join", "q_sim_pq_adc", "q_skew_salted_agg",
-    "q_stream_tumbling_hourly", "q_t2_chunker", "q_text_bigram_logprob",
-    "q_text_quality",
-    "q_topn_per_group", "q_u1_candidate_union", "q_v2_knn",
-    "q_w1_running_sum")
+    "q_asof_join", "q_batch_search",
+    "q_dedup_components", "q_dedup_minhash_pairs", "q_f4_bm25_topk",
+    "q_mm_frame_sample", "q_pack_sequences",
+    "q_search_e2e_ann", "q_search_e2e_norerank",
+    "q_stream_tumbling_hourly", "q_text_quality", "q_v2_knn")
 }

@@ -659,14 +659,22 @@ object Cli {
       if (s.contains("+") && s.split("\\+").contains("exact"))
         sys.error(s"--ann '$s': 'exact' cannot be combined with other legs " +
           "(it forces the exact scan — drop it or drop the other legs)")
+      // explicit numbers must be positive: 0 would silently mean "exact"
+      // and a negative would collide with the Auto* sentinels (-1), turning
+      // `--ann pq:-1` into an accidental auto request
+      def positive(what: String, v: String): Int = {
+        val n = v.toInt
+        if (n <= 0) sys.error(s"--ann $what must be positive, got $n")
+        n
+      }
       s.split("\\+").map(_.split(":", 2) match {
         case Array("exact")       => (0, 0) // explicit exact-scan override
         case Array("ivf")         => (2, 0)
         case Array("ivf", "auto") => (AutoNprobe, 0)
-        case Array("ivf", np)     => (np.toInt, 0)
+        case Array("ivf", np)     => (positive("ivf nprobe", np), 0)
         case Array("pq")          => (0, graft.index.PqIndex.DefaultShortlist)
         case Array("pq", "auto")  => (0, AutoShortlist)
-        case Array("pq", sl)      => (0, sl.toInt)
+        case Array("pq", sl)      => (0, positive("pq shortlist", sl))
         case _ => sys.error(s"unknown --ann '$s' " +
           "(expected exact, ivf[:<nprobe>|:auto], pq[:<shortlist>|:auto], " +
           "or ivf[:np]+pq[:sl])")

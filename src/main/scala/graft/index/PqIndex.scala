@@ -144,9 +144,12 @@ object PqIndex {
       .limit(sample)
       .select(col("_dvec")).collect()
       .map(_.getSeq[Float](0).toArray)
+    // steps stay within Int (the shortlist API's type): a codes corpus past
+    // 2^31 rows caps the curve's last point at Int.MaxValue instead of
+    // wrapping a doubled step negative
+    val nCap = math.min(n, Int.MaxValue.toLong)
     val steps: Seq[Int] = (Iterator.iterate(k.toLong)(_ * 2)
-      .takeWhile(_ < n).map(_.toInt).toSeq :+
-        math.min(n, Int.MaxValue.toLong).toInt).distinct
+      .takeWhile(s => s < nCap).map(_.toInt).toSeq :+ nCap.toInt).distinct
     // per query: minimal shortlist (= ADC rank + 1) of each exact-top-k doc
     val minShortlists: Seq[Seq[Long]] = qs.toSeq.map { qvec =>
       val qv = typedlit(qvec.toSeq)
@@ -161,15 +164,18 @@ object PqIndex {
       val thresholds = adist
         .filter(col("doc_id").isin(exactK: _*))
         .collect().toSeq.map(r => (r.get(0), r.getDouble(1)))
-      if (thresholds.isEmpty) Seq.empty
-      else {
-        val exprs = thresholds.zipWithIndex.map { case ((tid, ta6), i) =>
-          count(when(col("_a6") < ta6 ||
-            (col("_a6") === ta6 && col("doc_id") < lit(tid)), 1)).as(s"_r$i")
+      val ranks =
+        if (thresholds.isEmpty) Seq.empty[Long]
+        else {
+          val exprs = thresholds.zipWithIndex.map { case ((tid, ta6), i) =>
+            count(when(col("_a6") < ta6 ||
+              (col("_a6") === ta6 && col("doc_id") < lit(tid)), 1)).as(s"_r$i")
+          }
+          val cnts = adist.agg(exprs.head, exprs.tail: _*).head()
+          thresholds.indices.map(i => cnts.getLong(i) + 1L)
         }
-        val cnts = adist.agg(exprs.head, exprs.tail: _*).head()
-        thresholds.indices.map(i => cnts.getLong(i) + 1L)
-      }
+      adist.unpersist(false) // drop the per-query checkpoint eagerly
+      ranks
     }
     steps.map { s =>
       val recalls = minShortlists.collect { case ms if ms.nonEmpty =>

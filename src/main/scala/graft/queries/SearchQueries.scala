@@ -415,8 +415,9 @@ object SearchQueries {
         "o AS (SELECT doc_id, text, term, CAST(instr(text, term) AS BIGINT) AS off FROM m), " +
         "sn AS (SELECT doc_id, term, off, substr(text, CAST(greatest(1, off - 40) AS INT), 100) AS snippet FROM o) " +
         "SELECT doc_id, term, off, snippet, " +
-        // 'g': DuckDB replaces first-only by default; Spark replaces all
-        "regexp_replace(snippet, term, '[' || term || ']', 'g') AS highlighted " +
+        // LITERAL all-occurrence replace, matching the kernel (a regex
+        // pattern would throw on metacharacter terms at serving time)
+        "replace(snippet, term, '[' || term || ']') AS highlighted " +
         "FROM sn ORDER BY doc_id")),
 
     // O6: stable merge order — FTS hits (by BM25 rank) before VSS-only hits

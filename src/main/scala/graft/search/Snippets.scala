@@ -36,10 +36,12 @@ object Snippets {
     *
     * A term-less row degrades to a document-head snippet — `greatest`
     * ignores the null offset, so the window anchors at position 1 — with
-    * `term`/`off`/`highlighted` null (serving emits JSON nulls). The term
-    * rides `regexp_replace` as a pattern exactly like the oracle SQL (its
-    * 'g' flag matches Spark's replace-all): analyzer tokens are plain
-    * word characters by construction. */
+    * `term`/`off`/`highlighted` null (serving emits JSON nulls). The
+    * highlight is a LITERAL all-occurrence replace (both engines'
+    * `replace`), never a regex: on the serving path the term is whatever
+    * the analyzer tokenized out of the user's query, and a token with
+    * regex metacharacters (`c++` under the whitespace analyzer) must
+    * highlight, not throw a pattern-syntax error (round-19 self-review). */
   def project(df: DataFrame, text: Column, terms: Seq[String]): DataFrame =
     df.withColumn("term", firstTerm(text, terms))
       .withColumn("off", instr(text, col("term")).cast("long"))
@@ -47,6 +49,6 @@ object Snippets {
         text, greatest(lit(1), col("off") - ContextChars).cast("int"),
         lit(SnippetLen)))
       .withColumn("highlighted",
-        regexp_replace(col("snippet"), col("term"),
+        replace(col("snippet"), col("term"),
           concat(lit("["), col("term"), lit("]"))))
 }

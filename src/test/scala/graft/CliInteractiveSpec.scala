@@ -43,6 +43,13 @@ class CliInteractiveSpec extends AnyFunSuite {
     // explicit exact: the serving-default override (round-12 directive 2)
     assert(Cli.parseAnn(Some("exact")) == (0, 0))
     intercept[RuntimeException](Cli.parseAnn(Some("hnsw")))
+    // explicit numbers must be positive — 0 would silently mean exact, and
+    // a negative would collide with the Auto* sentinels (-1): `pq:-1` as an
+    // accidental auto request (round-19 self-review)
+    intercept[RuntimeException](Cli.parseAnn(Some("ivf:0")))
+    intercept[RuntimeException](Cli.parseAnn(Some("ivf:-1")))
+    intercept[RuntimeException](Cli.parseAnn(Some("pq:0")))
+    intercept[RuntimeException](Cli.parseAnn(Some("pq:-1")))
     // `exact` is a whole-mode override — combining it with probed legs is a
     // contradiction, not a combo to silently reduce (round-13 ADVICE)
     intercept[RuntimeException](Cli.parseAnn(Some("exact+ivf:4")))

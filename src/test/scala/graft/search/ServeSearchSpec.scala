@@ -187,11 +187,20 @@ class ServeSearchSpec extends AnyFunSuite {
       assert(highlighted.contains("[spark]"))
     }
     assert(projected.contains("d1"))
-    // replace-all parity with the oracle's 'g' flag: d3 ("spark spark
-    // spark ...") highlights every occurrence inside the window
+    // replace-all parity with the oracle: d3 ("spark spark spark ...")
+    // highlights every occurrence inside the window
     projected.get("d3").foreach { case (_, _, _, highlighted) =>
       assert(highlighted.split("\\[spark\\]").length >= 3, highlighted)
     }
+    // regex-metacharacter term (whitespace-analyzer tokens can carry them):
+    // the highlight is a LITERAL replace — "c++" must bracket, not throw a
+    // PatternSyntaxException (round-19 self-review)
+    val meta = Snippets.project(
+        Seq(("m1", "fast c++ kernels beat jits")).toDF("doc_id", "content"),
+        col("content"), Seq("c++"))
+      .select("term", "off", "highlighted").collect().head
+    assert(meta.getString(0) == "c++" && meta.getLong(1) == 6L)
+    assert(meta.getString(2) == "fast [c++] kernels beat jits", meta)
   }
 
   test("high threshold and small k are bit-identical") {
