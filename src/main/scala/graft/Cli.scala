@@ -776,14 +776,16 @@ object Cli {
             "(IVF sidecar present, fitted recall curve meets the 0.9 target " +
             "below nprobe=K); pass --ann exact to force the exact scan")
           (AutoNprobe, 0)
-        } else if (serveDefaultsToAuto(
-            index.pq.isDefined && index.ann.isEmpty,
+        } else if (serveDefaultsToAuto(index.pq.isDefined,
             index.setting(graft.index.PqIndex.RecallCurveKey))) {
-          // pq-only artifact, same decision rule over the PQ curve: the
-          // smallest target-meeting shortlist must genuinely prune (sit
-          // strictly below the curve's last point = the code-row count ≡
-          // exact). An IVF sidecar takes precedence above — its probe
-          // prunes the SCAN, not just the rerank.
+          // same decision rule over the PQ curve: the smallest
+          // target-meeting shortlist must genuinely prune (sit strictly
+          // below the curve's last point = the code-row count ≡ exact).
+          // A HEALTHY IVF curve takes precedence above (its probe prunes
+          // the SCAN, not just the rerank bytes); but when the IVF default
+          // declined — no sidecar OR an honest curve that says probing
+          // costs recall — a healthy PQ curve still beats the exact scan:
+          // ADC reads 1/32 the bytes regardless of clustering quality.
           System.err.println("[graft] serving defaults to --ann pq:auto " +
             "(PQ sidecar present, fitted recall curve meets the 0.9 target " +
             "below shortlist=corpus); pass --ann exact to force the exact scan")
@@ -882,6 +884,9 @@ object Cli {
       val t = line.trim
       if (t.isEmpty) None
       else t.split("\t", 2) match {
+        // empty qid or empty text are unrepresentable here: `t` is the
+        // TRIMMED line, so it starts and ends non-whitespace — a leading
+        // tab folds into the bare-text form and a trailing tab disappears
         case Array(qid, text) => Some(qid.trim -> text.trim)
         case _                => Some((i + 1).toString -> t)
       }

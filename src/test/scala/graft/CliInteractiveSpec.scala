@@ -174,6 +174,16 @@ class CliInteractiveSpec extends AnyFunSuite {
         .copy(pq = Some(pqStub)), None) == (0, 0))
     // pre-curve pq artifact: exact (never guess an unmeasured shortlist)
     assert(Cli.defaultServeAnn(idxOf().copy(pq = Some(pqStub)), None) == (0, 0))
+    // BOTH sidecars, unhealthy ivf curve + healthy pq curve: pq:auto is
+    // the fallback — ADC prunes rerank bytes even when probing would cost
+    // recall (round-19 self-review #2)
+    val annStub = graft.index.AnnIndex(
+      Seq.empty[(Int, Seq[Float])].toDF("cluster", "centroid"),
+      Seq.empty[(Int, String)].toDF("cluster", "doc_id"))
+    assert(Cli.defaultServeAnn(
+      idxOf(graft.index.AnnIndex.RecallCurveKey -> "1:0.10,2:0.30,4:0.50",
+        healthy).copy(ann = Some(annStub), pq = Some(pqStub)),
+      None) == (0, Cli.AutoShortlist))
   }
 
   test("compact --if-pending skips below threshold, folds at or above it") {
@@ -447,6 +457,10 @@ class CliInteractiveSpec extends AnyFunSuite {
       Seq("a" -> "spark joins", "3" -> "plain text"))
     intercept[RuntimeException](Cli.parseQueriesFile(Iterator("a\tx", "a\ty")))
     intercept[RuntimeException](Cli.parseQueriesFile(Iterator("", "   ")))
+    // degenerate tab placements fold into well-formed rows (the line is
+    // trimmed first): trailing tab+spaces vanish, a leading tab is bare text
+    assert(Cli.parseQueriesFile(Iterator("a\t  ", "\tb c")) ==
+      Seq("1" -> "a", "2" -> "b c"))
     // per-request-only modes are contract errors, not silent degradations
     intercept[RuntimeException](
       Cli.batchSearchFrame(idx, dir, queries, 5, rerank = false, fusion = "rrf"))
