@@ -716,6 +716,18 @@ object Cli {
     * (the code-row count ≡ exact); a pre-curve artifact falls back to the
     * pq default. The exact mirror of [[resolveAutoNprobe]] over the
     * [[graft.index.PqIndex.RecallCurveKey]] curve. */
+  /** Above this resolved shortlist the two-stage PQ path stops beating the
+    * exact scan on THIS engine's storage layout: past ~200 scattered ids
+    * the pushed-In rerank fetch degrades to a range filter that reads
+    * ~the whole embeddings column anyway (FetchProbe round-15: a 500-id
+    * fetch touched 84.9% of row groups), so the request pays the codes
+    * scan ON TOP of an effectively-full exact pass — PqServeProbe
+    * round-19 measured pq:auto at 2.2×/4.4× the exact p50 on 20k/200k
+    * incompressible embeddings where the 0.9 target resolves 2560/10240.
+    * The serve DEFAULT declines pq:auto past this bound (an explicit
+    * `--ann pq:auto` is still honored — with the advisory below). */
+  private[graft] val ServeAutoShortlistMax = 256
+
   private[graft] def resolveAutoShortlist(index: IndexData, ann: (Int, Int),
       target: Double = 0.9): (Int, Int) =
     if (ann._2 != AutoShortlist) ann
@@ -729,6 +741,11 @@ object Cli {
           f"recall target $target%.2f; curve ${index.setting(
             graft.index.PqIndex.RecallCurveKey).getOrElse(
             s"absent — default ${graft.index.PqIndex.DefaultShortlist}")}%s)")
+      if (sl > ServeAutoShortlistMax) System.err.println(
+        s"[graft] note: shortlist $sl is past the pruned-fetch regime " +
+          s"(~$ServeAutoShortlistMax ids) — on this corpus the two-stage " +
+          "PQ path may not beat --ann exact (the rerank fetch reads most " +
+          "row groups); consider ivf, a stronger embedder, or --ann exact.")
       (ann._1, sl)
     }
 
@@ -776,21 +793,30 @@ object Cli {
             "(IVF sidecar present, fitted recall curve meets the 0.9 target " +
             "below nprobe=K); pass --ann exact to force the exact scan")
           (AutoNprobe, 0)
-        } else if (serveDefaultsToAuto(index.pq.isDefined,
-            index.setting(graft.index.PqIndex.RecallCurveKey))) {
-          // same decision rule over the PQ curve: the smallest
-          // target-meeting shortlist must genuinely prune (sit strictly
-          // below the curve's last point = the code-row count ≡ exact).
-          // A HEALTHY IVF curve takes precedence above (its probe prunes
-          // the SCAN, not just the rerank bytes); but when the IVF default
-          // declined — no sidecar OR an honest curve that says probing
-          // costs recall — a healthy PQ curve still beats the exact scan:
-          // ADC reads 1/32 the bytes regardless of clustering quality.
-          System.err.println("[graft] serving defaults to --ann pq:auto " +
-            "(PQ sidecar present, fitted recall curve meets the 0.9 target " +
-            "below shortlist=corpus); pass --ann exact to force the exact scan")
-          (0, AutoShortlist)
-        } else (0, 0)
+        } else {
+          // pq face of the honest-curve rule, with one EXTRA requirement
+          // the ivf face doesn't need: the smallest target-meeting
+          // shortlist must sit inside the pruned-fetch regime
+          // ([[ServeAutoShortlistMax]]) — "below shortlist=corpus" alone is
+          // NOT a pruning win here, because past ~200 scattered ids the
+          // rerank fetch reads ~every row group regardless (PqServeProbe:
+          // pq at a 2560/10240-id operating point lost 2.2×/4.4× to the
+          // exact scan). A healthy IVF curve takes precedence above (its
+          // probe prunes the SCAN); this branch catches the no-IVF /
+          // unhealthy-IVF artifact whose embeddings compress well enough
+          // that a SMALL shortlist meets the target.
+          val pqFit = index.setting(graft.index.PqIndex.RecallCurveKey)
+            .flatMap(graft.index.AnnIndex.decodeCurveOpt).getOrElse(Seq.empty)
+          val resolved = pqFit.find(_._2 >= 0.9).map(_._1)
+          if (index.pq.isDefined && pqFit.nonEmpty &&
+              resolved.exists(s => s < pqFit.last._1 && s <= ServeAutoShortlistMax)) {
+            System.err.println("[graft] serving defaults to --ann pq:auto " +
+              "(PQ sidecar present, fitted recall curve meets the 0.9 target " +
+              "inside the pruned-fetch regime); pass --ann exact to force " +
+              "the exact scan")
+            (0, AutoShortlist)
+          } else (0, 0)
+        }
     }
 
   /** Lucene-style slop query syntax: `"table value"~4` → proximity search

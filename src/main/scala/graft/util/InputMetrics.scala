@@ -80,6 +80,19 @@ object InputMetrics {
     folded(spark, expectNonZero,
       (acc, te) => acc + te.taskMetrics.inputMetrics.recordsRead)(work)
 
+  /** (result, BYTES read off storage) — the currency of the PQ serving
+    * story: codes rows ≈ embedding rows in COUNT (one per embedded doc),
+    * so only bytes show the 1/32 ADC scan win. Bytes depend on plan +
+    * data + parquet encoding (not host load), stable enough for ratio
+    * pins; absolute values shift with compression settings, so pin
+    * RATIOS between modes, never raw byte counts. */
+  def bytesRead[T](spark: SparkSession, expectNonZero: Boolean = false)(
+      work: => T): (T, Long) = {
+    val (r, acc, _) = folded(spark, expectNonZero,
+      (acc, te) => acc + te.taskMetrics.inputMetrics.bytesRead)(work)
+    (r, acc)
+  }
+
   /** (result, MAX shuffle-read records of any single task in the window) —
     * the deterministic per-reducer hot-key concentration measure. RECORD
     * counts, not bytes or wall time: they depend only on the data and the

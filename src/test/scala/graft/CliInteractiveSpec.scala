@@ -174,6 +174,18 @@ class CliInteractiveSpec extends AnyFunSuite {
         .copy(pq = Some(pqStub)), None) == (0, 0))
     // pre-curve pq artifact: exact (never guess an unmeasured shortlist)
     assert(Cli.defaultServeAnn(idxOf().copy(pq = Some(pqStub)), None) == (0, 0))
+    // curve meets the target only OUTSIDE the pruned-fetch regime
+    // (resolved 2560 > ServeAutoShortlistMax): the default declines —
+    // past ~200 scattered ids the rerank fetch reads ~every row group, so
+    // the two-stage path loses to exact (PqServeProbe, round-19)
+    assert(Cli.defaultServeAnn(
+      idxOf(graft.index.PqIndex.RecallCurveKey -> "10:0.20,2560:0.95,20000:1.00")
+        .copy(pq = Some(pqStub)), None) == (0, 0))
+    // ... but an EXPLICIT pq:auto is still honored there (with the stderr
+    // advisory), resolving from the same curve
+    assert(Cli.resolveAutoShortlist(
+      idxOf(graft.index.PqIndex.RecallCurveKey -> "10:0.20,2560:0.95,20000:1.00"),
+      (0, Cli.AutoShortlist)) == (0, 2560))
     // BOTH sidecars, unhealthy ivf curve + healthy pq curve: pq:auto is
     // the fallback — ADC prunes rerank bytes even when probing would cost
     // recall (round-19 self-review #2)
