@@ -114,6 +114,15 @@ class ServeSearchSpec extends AnyFunSuite {
     assertParity("unseen-terms", "zzz qqq www")
   }
 
+  test("LARGE pq shortlist (> RerankFetchInMax — the broadcast-join rerank " +
+      "switch) is bit-identical to the DAG path, alone and composed") {
+    assertParity("pq large", "spark merge",
+      HybridSearch.Options(k = 3, annPqShortlist = HybridSearch.RerankFetchInMax + 44))
+    assertParity("ivf+pq large", "spark merge",
+      HybridSearch.Options(k = 3, annNprobe = 2,
+        annPqShortlist = HybridSearch.RerankFetchInMax + 44))
+  }
+
   test("ANN modes (ivf / pq / ivf+pq) are bit-identical") {
     assertParity("ivf-1", "spark joins tables",
       opts = HybridSearch.Options(annNprobe = 1))
