@@ -12,6 +12,10 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 run / connectInput := true // graft.Cli serve reads JSON requests on stdin
+// Pass forked stdout through bare (no "[info] " prefix): the driver
+// tail-parses graft.Bench's single JSON summary line from stdout, and
+// sbt's default logger prefix made it unparseable (BENCH_r16-r19).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

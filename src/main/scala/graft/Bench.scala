@@ -147,12 +147,14 @@ object Bench {
     // a bare null was indistinguishable from a regression when the cause
     // was a fixture assumption) — consumers treat any object without p50
     // keys as "lane did not run"
-    val servingJson =
-      try ServingLane.run(spark, sfDir)
-      catch {
+    val (servingJson, servingScalars) =
+      try {
+        val (json, summary) = ServingLane.run(spark, sfDir)
+        (json, Some(summary))
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] serving lane failed: ${e.getMessage}")
-          s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}"""
+          (s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""", None)
       }
 
     // ---- production-hash lane (round-12 directive): the oracle-parity
@@ -297,14 +299,23 @@ object Bench {
     // lane, and the guards' verdicts. EVERYTHING full-fidelity — all
     // queries, the whole serving lane, prodhash, skew — is in the details
     // file whose path rides `queries_all`.
-    def extract(re: scala.util.matching.Regex): String =
-      re.findFirstMatchIn(servingJson).map(_.group(1)).getOrElse("null")
-    val servingSummary =
-      s"""{"startup_ms":${extract("\"startup_ms\":([0-9.]+)".r)},""" +
-        s""""serve_exact_p50":${extract("\"serve_exact_p50\":([0-9.]+)".r)},""" +
-        s""""vs_dag_ok":${extract("\"vs_dag\":\\{[^}]*\"ok\":(true|false)".r)},""" +
-        s""""clustered_live_recall":${extract("\"live_recall\":([0-9.]+)".r)},""" +
-        s""""vss_leg_ok":${extract("\"vss_leg\":\\{[^}]*\"ok\":(true|false)".r)}}"""
+    // built from the lane's OWN scalar values (ServingLane.Summary), not
+    // regex-scraped from the serialized JSON — reordering or nesting the
+    // lane JSON can no longer silently null the headline (round-19 ADVICE);
+    // a failed lane prints all-null fields, same as before
+    def ms1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    def r2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val servingSummary = servingScalars match {
+      case Some(s) =>
+        s"""{"startup_ms":${ms1(s.startupMs)},""" +
+          s""""serve_exact_p50":${ms1(s.serveExactP50)},""" +
+          s""""vs_dag_ok":${s.vsDagOk},""" +
+          s""""clustered_live_recall":${r2(s.clusteredLiveRecall)},""" +
+          s""""vss_leg_ok":${s.vssLegOk}}"""
+      case None =>
+        """{"startup_ms":null,"serve_exact_p50":null,"vs_dag_ok":null,""" +
+          """"clustered_live_recall":null,"vss_leg_ok":null}"""
+    }
     val skewOk = "\"ok\":(true|false)".r.findFirstMatchIn(skewGuardJson)
       .map(_.group(1)).getOrElse("null")
     val headlineSet = Headline.filter(resultMap.contains)

@@ -17,7 +17,9 @@ import graft.search.HybridSearch
   *                     row corpus — one row = one chunk, no splitter)
   *                    [--chunk-size N] [--overlap N] [--embedding-dim N]
   *                    [--analyzer default|bigram|whitespace]
-  *                    [--dict FILE]   (CJK dictionary longest-match; wordlist persists in settings)
+  *                    [--dict FILE [--analyzer dict|dict-lattice]]   (CJK wordlist segmentation:
+  *                     greedy longest-match (default) or lattice/Viterbi shortest-path;
+  *                     wordlist persists in settings either way)
   *                    [--normalize NFC|NFD|NFKC|NFKD]   (Unicode-fold before tokenization;
   *                     persists inside the analyzer settings name, search folds queries identically)
   *                    [--ann-clusters K [--ann-iters N]]   (persist the IVF sidecar)
@@ -83,6 +85,7 @@ import graft.search.HybridSearch
   *                    [--boilerplate-max F] [--decontaminate BENCH [--contamination-max F]]
   *                    [--sample] [--layout zorder|hilbert [--layout-cols x,y] [--layout-files N]]
   *                    [--shards N]
+  *   graft.Cli version   (engine + Spark/Scala versions; reference `src/cli.py:31-34`)
   * }}}
   *
   * `--db` is the index *directory* (the artifact of SURVEY.md §1.3), not a
@@ -150,10 +153,25 @@ object Cli {
     case Some("compact") => compactCmd(args.tail)
     case Some("stats")   => statsCmd(args.tail)
     case Some("colloc")  => collocCmd(args.tail)
+    case Some("version") => println(versionLine)
     case _ =>
-      System.err.println("usage: graft.Cli index|search|serve|curate|compact|stats|colloc [options]")
+      System.err.println("usage: graft.Cli index|search|serve|curate|compact|stats|colloc|version [options]")
       sys.exit(2)
   }
+
+  /** Engine name + version. The reference's `version` command prints its
+    * package version (reference `src/cli.py:31-34`); this engine's
+    * equivalent adds the Spark/Scala runtime it executes on — the two
+    * version facts a bug report against a Spark library actually needs.
+    * No SparkSession: `version` must answer instantly. */
+  private[graft] def versionLine: String =
+    s"graft $Version (Spark ${org.apache.spark.SPARK_VERSION}, " +
+      s"Scala ${scala.util.Properties.versionNumberString})"
+
+  /** Kept in sync with build.sbt's `ThisBuild / version` (no BuildInfo
+    * codegen available offline; a mismatch is caught by CliInteractiveSpec
+    * reading build.sbt). */
+  private[graft] val Version = "0.1.0"
 
   /** Mine top collocations from an index: ordered within-window pair
     * counts + PMI ([[graft.search.PhraseSearch.collocations]]) over the
@@ -406,16 +424,28 @@ object Cli {
     // inside the settings name, so search needs no extra flag.
     val baseAnalyzer = arg(a, "--dict") match {
       case Some(f) =>
-        require(arg(a, "--analyzer").forall(_.equalsIgnoreCase("dict")),
-          "--dict implies --analyzer dict; drop the conflicting --analyzer")
+        // `--analyzer dict` (greedy longest-match, the default) or
+        // `--analyzer dict-lattice` (Viterbi shortest-path over the same
+        // wordlist — segments ambiguous compounds where greedy strands a
+        // remainder; round-20 directive #3); anything else conflicts
+        val mode = arg(a, "--analyzer").map(_.toLowerCase).getOrElse("dict")
+        require(mode == "dict" || mode == "dict-lattice",
+          "--dict combines with --analyzer dict (greedy longest-match, " +
+            "the default) or dict-lattice (lattice shortest-path); drop " +
+            s"the conflicting --analyzer $mode")
         val words = java.nio.file.Files.readAllLines(
             java.nio.file.Paths.get(f),
             java.nio.charset.StandardCharsets.UTF_8)
           .toArray(Array.empty[String]).map(_.trim).filter(_.nonEmpty).toSet
-        graft.analyze.DictionaryAnalyzer(words)
-      case None => graft.analyze.Analyzers.byName(
-        arg(a, "--analyzer").map(_.toLowerCase)
-          .getOrElse(graft.analyze.Analyzers.DefaultName))
+        if (mode == "dict-lattice") graft.analyze.LatticeDictionaryAnalyzer(words)
+        else graft.analyze.DictionaryAnalyzer(words)
+      case None =>
+        require(!arg(a, "--analyzer").exists(m =>
+            m.equalsIgnoreCase("dict") || m.equalsIgnoreCase("dict-lattice")),
+          "--analyzer dict/dict-lattice requires --dict FILE (the wordlist)")
+        graft.analyze.Analyzers.byName(
+          arg(a, "--analyzer").map(_.toLowerCase)
+            .getOrElse(graft.analyze.Analyzers.DefaultName))
     }
     // `--normalize NFC|NFD|NFKC|NFKD`: Unicode-fold the text BEFORE
     // tokenization (what Lindera and every modern tokenizer do internally),
@@ -688,6 +718,26 @@ object Cli {
       }
   }
 
+  /** The auto-resolution recall target shared by EVERY fit-curve consumer —
+    * ivf/pq `:auto` resolution AND the serve-default decision. One constant
+    * (round-19 ADVICE): the serve default and the later `:auto` resolution
+    * read the same curves, so two hardcoded targets could silently disagree
+    * on the operating point. */
+  private[graft] val DefaultRecallTarget = 0.9
+
+  /** Decoded PQ fit-time recall curve from the index settings — empty when
+    * absent or malformed (callers then fall back per their own contract). */
+  private[graft] def pqFitCurve(index: IndexData): Seq[(Int, Double)] =
+    index.setting(graft.index.PqIndex.RecallCurveKey)
+      .flatMap(graft.index.AnnIndex.decodeCurveOpt).getOrElse(Seq.empty)
+
+  /** Smallest curve point whose fitted recall meets `target`; None when the
+    * curve never reaches it. Shared by [[resolveAutoShortlist]] and
+    * [[defaultServeAnn]] so both resolve the same shortlist. */
+  private[graft] def targetPoint(curve: Seq[(Int, Double)],
+      target: Double = DefaultRecallTarget): Option[Int] =
+    curve.find(_._2 >= target).map(_._1)
+
   /** `--ann ivf:auto`: pick the SMALLEST nprobe whose fit-time sample
     * recall meets `target` (recall is monotone in nprobe, so smallest-
     * sufficient is optimal); an index whose curve never reaches the target
@@ -695,7 +745,7 @@ object Cli {
     * artifact falls back to the ivf default of 2. Non-auto requests pass
     * through untouched. */
   private[graft] def resolveAutoNprobe(index: IndexData, ann: (Int, Int),
-      target: Double = 0.9): (Int, Int) =
+      target: Double = DefaultRecallTarget): (Int, Int) =
     if (ann._1 != AutoNprobe) ann
     else {
       val np = index.setting(graft.index.AnnIndex.RecallCurveKey)
@@ -709,13 +759,6 @@ object Cli {
       (np, ann._2)
     }
 
-  /** `--ann pq:auto`: pick the SMALLEST reranked shortlist whose fit-time
-    * sample recall meets `target` (recall is monotone in the shortlist —
-    * ADC shortlists nest and the exact rerank keeps every true member); a
-    * curve that never reaches the target takes its last measured point
-    * (the code-row count ≡ exact); a pre-curve artifact falls back to the
-    * pq default. The exact mirror of [[resolveAutoNprobe]] over the
-    * [[graft.index.PqIndex.RecallCurveKey]] curve. */
   /** Above this resolved shortlist the two-stage PQ path stops beating the
     * exact scan on THIS engine's storage layout: past ~200 scattered ids
     * the pushed-In rerank fetch degrades to a range filter that reads
@@ -731,13 +774,20 @@ object Cli {
   private[graft] val ServeAutoShortlistMax =
     graft.search.HybridSearch.RerankFetchInMax
 
+  /** `--ann pq:auto`: pick the SMALLEST reranked shortlist whose fit-time
+    * sample recall meets `target` (recall is monotone in the shortlist —
+    * ADC shortlists nest and the exact rerank keeps every true member); a
+    * curve that never reaches the target takes its last measured point
+    * (the code-row count ≡ exact); a pre-curve artifact falls back to the
+    * pq default. The exact mirror of [[resolveAutoNprobe]] over the
+    * [[graft.index.PqIndex.RecallCurveKey]] curve. */
   private[graft] def resolveAutoShortlist(index: IndexData, ann: (Int, Int),
-      target: Double = 0.9): (Int, Int) =
+      target: Double = DefaultRecallTarget): (Int, Int) =
     if (ann._2 != AutoShortlist) ann
     else {
-      val sl = index.setting(graft.index.PqIndex.RecallCurveKey)
-        .flatMap(graft.index.AnnIndex.decodeCurveOpt) // malformed ⇒ pq default
-        .flatMap(c => c.find(_._2 >= target).orElse(c.lastOption).map(_._1))
+      val curve = pqFitCurve(index) // malformed/absent ⇒ empty ⇒ pq default
+      val sl = targetPoint(curve, target)
+        .orElse(curve.lastOption.map(_._1))
         .getOrElse(graft.index.PqIndex.DefaultShortlist)
       System.err.println(
         f"[graft] --ann pq:auto resolved to shortlist=$sl (fitted sample " +
@@ -756,7 +806,7 @@ object Cli {
     * loaded index's persisted curves — each leg independently: nprobe from
     * the IVF curve, shortlist from the PQ curve. */
   private[graft] def resolveAutoAnn(index: IndexData, ann: (Int, Int),
-      target: Double = 0.9): (Int, Int) =
+      target: Double = DefaultRecallTarget): (Int, Int) =
     resolveAutoShortlist(index, resolveAutoNprobe(index, ann, target), target)
 
   /** The serving-default decision rule (round-12 directive 2), pure for the
@@ -768,7 +818,7 @@ object Cli {
     * keeps the exact scan: no sidecar, no persisted curve (pre-curve
     * artifact), or an honest curve that says pruning costs recall. */
   private[graft] def serveDefaultsToAuto(hasAnn: Boolean,
-      curveSetting: Option[String], target: Double = 0.9): Boolean =
+      curveSetting: Option[String], target: Double = DefaultRecallTarget): Boolean =
     hasAnn && {
       // the no-flag default path must never crash serve startup on a
       // malformed persisted curve (hand-edited settings, partial write):
@@ -808,9 +858,8 @@ object Cli {
           // probe prunes the SCAN); this branch catches the no-IVF /
           // unhealthy-IVF artifact whose embeddings compress well enough
           // that a SMALL shortlist meets the target.
-          val pqFit = index.setting(graft.index.PqIndex.RecallCurveKey)
-            .flatMap(graft.index.AnnIndex.decodeCurveOpt).getOrElse(Seq.empty)
-          val resolved = pqFit.find(_._2 >= 0.9).map(_._1)
+          val pqFit = pqFitCurve(index)
+          val resolved = targetPoint(pqFit) // same target + resolution as pq:auto
           if (index.pq.isDefined && pqFit.nonEmpty &&
               resolved.exists(s => s < pqFit.last._1 && s <= ServeAutoShortlistMax)) {
             System.err.println("[graft] serving defaults to --ann pq:auto " +
@@ -1144,6 +1193,16 @@ object Cli {
             if (on) sys.error(s"$f is a per-request serving mode — it does " +
               "not combine with --queries batch evaluation")
           }
+        // same contract-error rule for the path-prefix flags (round-19
+        // ADVICE): batch output carries doc_id only (no file_path column),
+        // so an explicitly-passed prefix rewrite would be silently ignored
+        // — reject it instead (the defaulted add-prefix is fine to drop;
+        // only a user-passed flag is a stated intent the output can't honor)
+        Seq("--remove-path-prefix", "--add-path-prefix").foreach { f =>
+          if (arg(a, f).isDefined) sys.error(s"$f does not apply to " +
+            "--queries batch evaluation — batch output carries doc_id " +
+            "only, not file paths")
+        }
         val src = scala.io.Source.fromFile(file, "UTF-8")
         val queries = try parseQueriesFile(src.getLines()) finally src.close()
         val index = IndexData.load(spark, db)

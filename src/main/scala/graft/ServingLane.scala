@@ -29,6 +29,13 @@ import org.apache.spark.sql.functions._
   */
 object ServingLane {
 
+  /** Scalar extracts for Bench's compact stdout headline — carried as
+    * values alongside the serialized lane JSON, so a reordering or nesting
+    * change in the JSON can never silently desynchronize the headline the
+    * way the old regex extraction could (round-19 ADVICE). */
+  final case class Summary(startupMs: Double, serveExactP50: Double,
+      vsDagOk: Boolean, clusteredLiveRecall: Double, vssLegOk: Boolean)
+
   private def pct(sorted: Seq[Double], p: Double): Double =
     sorted((p * (sorted.length - 1)).round.toInt)
 
@@ -52,9 +59,10 @@ object ServingLane {
         .cast("float"))
   }
 
-  /** Returns the lane's JSON object (latencies in ms). Throws on failure —
-    * the caller degrades to a serving error object. */
-  def run(spark: SparkSession, sfDir: String): String = {
+  /** Returns the lane's JSON object (latencies in ms) plus the [[Summary]]
+    * scalars Bench prints on stdout. Throws on failure — the caller
+    * degrades to a serving error object. */
+  def run(spark: SparkSession, sfDir: String): (String, Summary) = {
     import spark.implicits._
     // match `graft serve`: AQE off for the ≤2k-row cached online plans
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
@@ -445,6 +453,29 @@ object ServingLane {
         onceEach() // warmup
         pct((onceEach() ++ onceEach()).sorted, 0.50)
       }
+      val (vssLegJson, vssLegOk) = {
+        val k = 16 // annClusters of this artifact
+        val listSizes = cIdx.ann.get.postings.groupBy("cluster").count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val exactRows = listSizes.values.sum
+        val probedRows = cQvecs.map(qv =>
+          cIdx.ann.get.probe(qv, cAutoNprobe).map(listSizes.getOrElse(_, 0L)).sum)
+          .sum / cQvecs.length
+        // THE ANN-win guard (round-12 directive 1): at 100k cached rows on
+        // local[32] both legs sit on the job-scheduling floor, so the p50
+        // ordering is noise and cannot guard the pruning — the ROWS are
+        // deterministic and scale-invariant. A healthy probe reads
+        // ~nprobe/K of the lists; `ok` fires when the probed leg reads
+        // more than 2× that share (e.g. collapsed clustering piling the
+        // corpus into the probed lists, or a probe regression scanning
+        // extra lists) — the exact failure mode that at 100 TB turns the
+        // pruned leg back into a full scan.
+        val ok = probedRows * k <= exactRows * cAutoNprobe * 2
+        (s""""vss_leg":{"exact_p50":${ms1(legP50(0))},""" +
+          s""""probed_p50":${ms1(legP50(cAutoNprobe))},"nprobe":$cAutoNprobe,""" +
+          s""""exact_rows":$exactRows,"probed_rows":$probedRows,""" +
+          s""""rows_bound":${exactRows * cAutoNprobe * 2 / k},"ok":$ok}""", ok)
+      }
       val clusteredJson = Seq(
         s""""n_docs":${nDocs * factor}""",
         s""""startup_ms":${ms1(cStartupMs)}""",
@@ -472,33 +503,14 @@ object ServingLane {
             s""""ok":${cRecall >= 0.9 && cLiveRecall >= 0.8},""",
           cTexts,
           serveRun(cIdx, cLookup)(cAutoNprobe, 0)),
-        {
-          val k = 16 // annClusters of this artifact
-          val listSizes = cIdx.ann.get.postings.groupBy("cluster").count()
-            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-          val exactRows = listSizes.values.sum
-          val probedRows = cQvecs.map(qv =>
-            cIdx.ann.get.probe(qv, cAutoNprobe).map(listSizes.getOrElse(_, 0L)).sum)
-            .sum / cQvecs.length
-          // THE ANN-win guard (round-12 directive 1): at 100k cached rows on
-          // local[32] both legs sit on the job-scheduling floor, so the p50
-          // ordering is noise and cannot guard the pruning — the ROWS are
-          // deterministic and scale-invariant. A healthy probe reads
-          // ~nprobe/K of the lists; `ok` fires when the probed leg reads
-          // more than 2× that share (e.g. collapsed clustering piling the
-          // corpus into the probed lists, or a probe regression scanning
-          // extra lists) — the exact failure mode that at 100 TB turns the
-          // pruned leg back into a full scan.
-          val ok = probedRows * k <= exactRows * cAutoNprobe * 2
-          s""""vss_leg":{"exact_p50":${ms1(legP50(0))},""" +
-            s""""probed_p50":${ms1(legP50(cAutoNprobe))},"nprobe":$cAutoNprobe,""" +
-            s""""exact_rows":$exactRows,"probed_rows":$probedRows,""" +
-            s""""rows_bound":${exactRows * cAutoNprobe * 2 / k},"ok":$ok}"""
-        }
+        vssLegJson
       ).mkString("{", ",", "}")
 
-      s"""{"unit":"ms","n":20,$exact,$auto,"serve":$serveJson,""" +
-        s""""clustered":$clusteredJson}"""
+      (s"""{"unit":"ms","n":20,$exact,$auto,"serve":$serveJson,""" +
+        s""""clustered":$clusteredJson}""",
+        Summary(startupMs, serveExactP50,
+          vsDagOk = serveExactP50 <= 1.1 * dagExactP50,
+          clusteredLiveRecall = cLiveRecall, vssLegOk = vssLegOk))
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
       // unpin the cached artifacts (every dataset cached() pinned) and drop

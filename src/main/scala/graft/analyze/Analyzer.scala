@@ -44,13 +44,15 @@ object WhitespaceAnalyzer extends Analyzer {
 object Analyzers {
   val DefaultName = "default"
   private val DictPrefix = "dict:"
+  private val LatticePrefix = "dict-lattice:"
   private val NormPrefix = "norm:"
 
   def nameOf(a: Analyzer): String = a match {
-    case WhitespaceAnalyzer     => "whitespace"
-    case CjkBigramAnalyzer      => "bigram"
-    case DefaultAnalyzer        => DefaultName
-    case d: DictionaryAnalyzer  => DictPrefix + d.encodedWords
+    case WhitespaceAnalyzer            => "whitespace"
+    case CjkBigramAnalyzer             => "bigram"
+    case DefaultAnalyzer               => DefaultName
+    case d: DictionaryAnalyzer         => DictPrefix + d.encodedWords
+    case l: LatticeDictionaryAnalyzer  => LatticePrefix + l.encodedWords
     case n: NormalizingAnalyzer => NormPrefix + n.form + ":" + nameOf(n.inner)
     case other => sys.error(
       s"analyzer ${other.getClass.getName} is not registered in Analyzers — " +
@@ -63,6 +65,12 @@ object Analyzers {
     case "whitespace" => WhitespaceAnalyzer
     case "bigram"     => CjkBigramAnalyzer
     case DefaultName  => DefaultAnalyzer
+    // "dict-lattice:" does not collide with the "dict:" prefix test ('-'
+    // vs ':' at position 4), but keep the longer prefix first anyway so a
+    // future prefix edit cannot silently shadow it
+    case n if n.startsWith(LatticePrefix) =>
+      LatticeDictionaryAnalyzer(
+        DictionaryAnalyzer.decode(n.stripPrefix(LatticePrefix)))
     case n if n.startsWith(DictPrefix) =>
       DictionaryAnalyzer.fromEncoded(n.stripPrefix(DictPrefix))
     case n if n.startsWith(NormPrefix) =>
@@ -75,7 +83,8 @@ object Analyzers {
       NormalizingAnalyzer(rest.substring(0, cut), byName(rest.substring(cut + 1)))
     case other => sys.error(
       s"unknown analyzer '$other' (expected default, bigram, whitespace, " +
-        "dict:<base64 wordlist>, or norm:<form>:<inner>)")
+        "dict:<base64 wordlist>, dict-lattice:<base64 wordlist>, or " +
+        "norm:<form>:<inner>)")
   }
 }
 
@@ -127,6 +136,30 @@ final case class NormalizingAnalyzer(form: String, inner: Analyzer)
   * oracle-checked corpus surface stays on whitespace tokens.
   */
 object CjkBigramAnalyzer extends Analyzer {
+  /** The within-run bigram rule applied to an arbitrary contiguous CJK
+    * span: split at script-class boundaries, then overlapping bigrams per
+    * same-script run (a lone code point emits its unigram). The shared
+    * fallback of both dictionary analyzers for spans no dictionary word
+    * covers. */
+  private[analyze] def bigramizeSpan(span: String,
+      out: scala.collection.mutable.Builder[String, Seq[String]]): Unit = {
+    var i = 0
+    while (i < span.length) {
+      val cls = scriptClass(span.codePointAt(i))
+      var j = i
+      while (j < span.length && scriptClass(span.codePointAt(j)) == cls)
+        j += Character.charCount(span.codePointAt(j))
+      val sub = span.substring(i, j)
+      val cps = sub.codePoints().toArray
+      if (cps.length == 1) out += sub
+      else {
+        var k = 0
+        while (k < cps.length - 1) { out += new String(cps, k, 2); k += 1 }
+      }
+      i = j
+    }
+  }
+
   private[analyze] def scriptClass(cp: Int): Int = {
     val b = Character.UnicodeBlock.of(cp)
     if (b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS ||
@@ -198,74 +231,82 @@ object CjkBigramAnalyzer extends Analyzer {
   * IPADIC-size lexicon belongs in a real morphological analyzer, not a
   * settings string.
   */
-final case class DictionaryAnalyzer(words: Set[String]) extends Analyzer {
+final case class DictionaryAnalyzer(words: Set[String])
+  extends CjkSpanSegmenting {
   private val dict: Set[String] = words.map(_.toLowerCase)
   private val maxLen: Int = if (dict.isEmpty) 0 else dict.map(_.length).max
 
   /** Canonical persistable form: sorted, newline-joined, base64 (URL-safe,
     * no padding — settings values stay shell- and JSON-friendly). */
-  def encodedWords: String =
+  def encodedWords: String = DictionaryAnalyzer.encode(dict)
+
+  protected def segmentSpan(span: String,
+      out: scala.collection.mutable.Builder[String, Seq[String]]): Unit = {
+    var i = 0
+    var unmatchedFrom = -1
+    def flushUnmatched(upTo: Int): Unit =
+      if (unmatchedFrom >= 0) {
+        CjkBigramAnalyzer.bigramizeSpan(span.substring(unmatchedFrom, upTo), out)
+        unmatchedFrom = -1
+      }
+    while (i < span.length) {
+      // greedy longest dictionary match at i
+      var hit = -1
+      var l = math.min(maxLen, span.length - i)
+      while (hit < 0 && l >= 1) {
+        if (dict.contains(span.substring(i, i + l))) hit = l
+        l -= 1
+      }
+      if (hit > 0) {
+        flushUnmatched(i)
+        out += span.substring(i, i + hit)
+        i += hit
+      } else {
+        if (unmatchedFrom < 0) unmatchedFrom = i
+        i += Character.charCount(span.codePointAt(i))
+      }
+    }
+    flushUnmatched(span.length)
+  }
+}
+
+object DictionaryAnalyzer {
+  /** Canonical settings encoding shared by both dictionary analyzers:
+    * sorted, newline-joined, base64 (URL-safe, no padding). */
+  private[analyze] def encode(dict: Set[String]): String =
     java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
       dict.toSeq.sorted.mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-  def tokenize(text: String): Seq[String] = {
+  private[analyze] def decode(encoded: String): Set[String] =
+    new String(
+      java.util.Base64.getUrlDecoder.decode(encoded),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSet.filter(_.nonEmpty)
+
+  def fromEncoded(encoded: String): DictionaryAnalyzer =
+    DictionaryAnalyzer(decode(encoded))
+}
+
+/** Shared outer scan of the dictionary analyzers: walk the text once,
+  * accumulating contiguous CJK spans (lower-cased) and latin/digit runs in
+  * order; each complete CJK span is handed to [[segmentSpan]] — greedy
+  * longest-match in [[DictionaryAnalyzer]], lattice shortest-path in
+  * [[LatticeDictionaryAnalyzer]]. Latin/digit runs tokenize exactly like
+  * [[DefaultAnalyzer]]. */
+private[analyze] trait CjkSpanSegmenting extends Analyzer {
+  /** Segment one contiguous, already lower-cased CJK span into `out`. */
+  protected def segmentSpan(span: String,
+      out: scala.collection.mutable.Builder[String, Seq[String]]): Unit
+
+  final def tokenize(text: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val latin = new StringBuilder
     val run = new StringBuilder // contiguous CJK span, lower-cased
     def flushLatin(): Unit =
       if (latin.nonEmpty) { out += latin.toString; latin.clear() }
-    def bigramize(span: String): Unit = {
-      // CjkBigramAnalyzer's within-run rule, re-applied per script class
-      var i = 0
-      while (i < span.length) {
-        val cls = CjkBigramAnalyzer.scriptClass(span.codePointAt(i))
-        var j = i
-        while (j < span.length &&
-          CjkBigramAnalyzer.scriptClass(span.codePointAt(j)) == cls)
-          j += Character.charCount(span.codePointAt(j))
-        val sub = span.substring(i, j)
-        val cps = sub.codePoints().toArray
-        if (cps.length == 1) out += sub
-        else {
-          var k = 0
-          while (k < cps.length - 1) {
-            out += new String(cps, k, 2); k += 1
-          }
-        }
-        i = j
-      }
-    }
-    def flushRun(): Unit = {
-      if (run.nonEmpty) {
-        val span = run.toString
-        var i = 0
-        var unmatchedFrom = -1
-        def flushUnmatched(upTo: Int): Unit =
-          if (unmatchedFrom >= 0) {
-            bigramize(span.substring(unmatchedFrom, upTo)); unmatchedFrom = -1
-          }
-        while (i < span.length) {
-          // greedy longest dictionary match at i
-          var hit = -1
-          var l = math.min(maxLen, span.length - i)
-          while (hit < 0 && l >= 1) {
-            if (dict.contains(span.substring(i, i + l))) hit = l
-            l -= 1
-          }
-          if (hit > 0) {
-            flushUnmatched(i)
-            out += span.substring(i, i + hit)
-            i += hit
-          } else {
-            if (unmatchedFrom < 0) unmatchedFrom = i
-            i += Character.charCount(span.codePointAt(i))
-          }
-        }
-        flushUnmatched(span.length)
-        run.clear()
-      }
-    }
+    def flushRun(): Unit =
+      if (run.nonEmpty) { segmentSpan(run.toString, out); run.clear() }
     var i = 0
     while (i < text.length) {
       val cp = text.codePointAt(i)
@@ -284,13 +325,113 @@ final case class DictionaryAnalyzer(words: Set[String]) extends Analyzer {
   }
 }
 
-object DictionaryAnalyzer {
-  def fromEncoded(encoded: String): DictionaryAnalyzer = {
-    val decoded = new String(
-      java.util.Base64.getUrlDecoder.decode(encoded),
-      java.nio.charset.StandardCharsets.UTF_8)
-    DictionaryAnalyzer(decoded.split("\n").toSet.filter(_.nonEmpty))
+/** Lattice (Viterbi shortest-path) segmentation over the same user
+  * wordlist contract as [[DictionaryAnalyzer]] — the dictionary face of
+  * what Lindera/MeCab do over IPADIC (reference `src/splitter.py:39-47`,
+  * `src/searcher.py:55-73`), minus the corpus-trained costs: build the
+  * word lattice over each contiguous CJK span (one edge per dictionary
+  * word matching at each position, plus a one-code-point "unknown" edge)
+  * and take the min-cost path by dynamic programming. Where greedy
+  * longest-match commits to a prefix word and strands the remainder
+  * (いしや|き given {いし, いしや, やき}), the lattice picks the
+  * globally-consistent いし|やき — the classic greedy-vs-Viterbi
+  * disagreement class on Japanese compounds (round-20 directive #3).
+  *
+  * Cost model (public-knowledge unigram shape, deterministic, no trained
+  * corpus): every dictionary word costs [[LatticeDictionaryAnalyzer.WordCost]]
+  * regardless of length, so the path with the FEWEST words wins — which
+  * prefers longer dictionary words, the word-cost dominance a trained
+  * morphological analyzer exhibits on covered vocabulary; every unknown
+  * code point costs [[LatticeDictionaryAnalyzer.UnknownCost]] > WordCost,
+  * so dictionary coverage always beats unknown fallback. Equal-cost ties
+  * resolve deterministically: a dictionary edge beats an unknown edge into
+  * the same node, then the longer incoming edge wins. The winning path's
+  * unknown stretches are merged and bigramized by the shared fallback
+  * rule, identical to [[DictionaryAnalyzer]]'s unmatched spans — so on
+  * text the dictionary doesn't cover at all, both analyzers (and the
+  * registry's `bigram`) emit identical tokens.
+  *
+  * Persists as `dict-lattice:<base64 wordlist>` — same atomic
+  * settings-name round-trip as `dict:` (search re-resolves byName, no
+  * sidecar file). Same intended dictionary scale too: user wordlists,
+  * not a full IPADIC lexicon.
+  */
+final case class LatticeDictionaryAnalyzer(words: Set[String])
+  extends CjkSpanSegmenting {
+  import LatticeDictionaryAnalyzer.{UnknownCost, WordCost}
+  private val dict: Set[String] = words.map(_.toLowerCase)
+  private val maxLen: Int = if (dict.isEmpty) 0 else dict.map(_.length).max
+
+  /** Same canonical persistable form as [[DictionaryAnalyzer]]. */
+  def encodedWords: String = DictionaryAnalyzer.encode(dict)
+
+  protected def segmentSpan(span: String,
+      out: scala.collection.mutable.Builder[String, Seq[String]]): Unit = {
+    val n = span.length
+    // Viterbi over char positions 0..n. Edges start only where a previous
+    // edge ended, and every edge ends on a code-point boundary (dictionary
+    // words are whole-code-point strings; the unknown edge advances one
+    // code point), so positions inside a surrogate pair stay at INF and
+    // are never expanded.
+    val INF = Long.MaxValue
+    val cost = Array.fill(n + 1)(INF)
+    val prev = new Array[Int](n + 1) // back-pointer: winning edge's start
+    val viaDict = new Array[Boolean](n + 1)
+    cost(0) = 0L
+    def relax(from: Int, to: Int, c: Long, dictEdge: Boolean): Unit = {
+      val better = c < cost(to) ||
+        (c == cost(to) &&
+          ((dictEdge && !viaDict(to)) ||
+            (dictEdge == viaDict(to) && from < prev(to))))
+      if (better) { cost(to) = c; prev(to) = from; viaDict(to) = dictEdge }
+    }
+    var i = 0
+    while (i < n) {
+      if (cost(i) != INF) {
+        var l = math.min(maxLen, n - i)
+        while (l >= 1) {
+          if (dict.contains(span.substring(i, i + l)))
+            relax(i, i + l, cost(i) + WordCost, dictEdge = true)
+          l -= 1
+        }
+        relax(i, i + Character.charCount(span.codePointAt(i)),
+          cost(i) + UnknownCost, dictEdge = false)
+      }
+      i += 1
+    }
+    // walk the back-pointers from the end, then emit forward, merging
+    // consecutive unknown edges into one span for the bigram fallback
+    val starts = new Array[Int](n + 1) // edge starts, filled back-to-front
+    var m = n + 1
+    var p = n
+    while (p > 0) { m -= 1; starts(m) = prev(p); p = prev(p) }
+    var unkFrom = -1
+    def flushUnknown(upTo: Int): Unit =
+      if (unkFrom >= 0) {
+        CjkBigramAnalyzer.bigramizeSpan(span.substring(unkFrom, upTo), out)
+        unkFrom = -1
+      }
+    while (m <= n) {
+      val from = starts(m)
+      val to = if (m == n) n else starts(m + 1)
+      if (viaDict(to)) { flushUnknown(from); out += span.substring(from, to) }
+      else if (unkFrom < 0) unkFrom = from
+      m += 1
+    }
+    flushUnknown(n)
   }
+}
+
+object LatticeDictionaryAnalyzer {
+  /** Per-dictionary-word path cost — constant regardless of word length,
+    * so min-cost ≡ fewest words over covered text. */
+  private[analyze] val WordCost = 1L
+  /** Per-unknown-code-point path cost; > [[WordCost]] so a single-char
+    * dictionary word still beats the unknown edge over the same char. */
+  private[analyze] val UnknownCost = 2L
+
+  def fromEncoded(encoded: String): LatticeDictionaryAnalyzer =
+    LatticeDictionaryAnalyzer(DictionaryAnalyzer.decode(encoded))
 }
 
 /** Default Unicode/CJK-aware tokenizer: lower-cases, emits runs of

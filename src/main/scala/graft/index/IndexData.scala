@@ -605,8 +605,14 @@ object IndexData {
           val done = futs.collect {
             case f if f.isCompleted => f.value.flatMap(_.toOption)
           }.flatten.flatten
+          // "skipped" = every dir that warmed nothing: never-completed
+          // stragglers AND futures that completed with a Failure (a dir
+          // whose metadata call threw is just as unwarmed as one that hung;
+          // round-19 ADVICE — the old !isCompleted count understated)
+          val skipped = futs.count(f =>
+            !f.isCompleted || f.value.exists(_.isFailure))
           System.err.println(s"[graft] prewarm timed out after " +
-            s"${PrewarmTimeoutSec}s; skipped ${futs.count(!_.isCompleted)} " +
+            s"${PrewarmTimeoutSec}s; skipped $skipped " +
             s"of ${rels.size} dirs (best-effort — serving proceeds unwarmed)")
           done
       } finally pool.shutdown()

@@ -19,7 +19,7 @@ object ServingLaneRun {
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftStrategies.install(spark)
     val t0 = System.nanoTime()
-    println(graft.ServingLane.run(spark, sfDir))
+    println(graft.ServingLane.run(spark, sfDir)._1)
     println(f"[lane] total wall ${(System.nanoTime() - t0) / 1e9}%.1fs")
     spark.stop()
   }

@@ -20,6 +20,22 @@ class CliInteractiveSpec extends AnyFunSuite {
     assert(!new java.io.File("/tmp/never_created_idx").exists())
   }
 
+  test("version prints engine + runtime versions and matches build.sbt") {
+    // reference `src/cli.py:31-34` prints the package version; the engine
+    // face adds the Spark/Scala runtime. No SparkSession is built.
+    val line = Cli.versionLine
+    assert(line.startsWith(s"graft ${Cli.Version} "))
+    assert(line.contains(s"Spark ${org.apache.spark.SPARK_VERSION}"))
+    assert(line.contains(s"Scala ${scala.util.Properties.versionNumberString}"))
+    // Cli.Version is hand-pinned (offline build: no BuildInfo codegen) —
+    // keep it honest against build.sbt's ThisBuild / version
+    val sbt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("build.sbt")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(sbt.contains(s"""ThisBuild / version := "${Cli.Version}""""),
+      s"Cli.Version ${Cli.Version} not found in build.sbt")
+  }
+
   test("parseAnn covers every documented --ann form") {
     assert(Cli.parseAnn(None) == (0, 0))
     assert(Cli.parseAnn(Some("ivf")) == (2, 0))

@@ -115,6 +115,60 @@ class AnalyzeSpec extends AnyFunSuite {
     }
   }
 
+  test("LatticeDictionaryAnalyzer: Viterbi shortest-path segments where " +
+      "greedy longest-match strands a remainder; agrees where greedy is optimal") {
+    val words = Set("いし", "やき", "いしや")
+    val greedy = DictionaryAnalyzer(words)
+    val lattice = LatticeDictionaryAnalyzer(words)
+    // greedy commits to いしや and strands き (unigram fallback)…
+    assert(greedy.tokenize("いしやき") == Seq("いしや", "き"))
+    // …the lattice prefers the 2-word covering path (fewest-words cost)
+    assert(lattice.tokenize("いしやき") == Seq("いし", "やき"))
+    // same class on a kanji compound
+    val w2 = Set("水道水", "水道", "水源")
+    assert(DictionaryAnalyzer(w2).tokenize("水道水源") == Seq("水道水", "源"))
+    assert(LatticeDictionaryAnalyzer(w2).tokenize("水道水源") == Seq("水道", "水源"))
+    // where greedy is already globally optimal the two agree
+    val w3 = Set("全文検索", "検索", "エンジン")
+    assert(LatticeDictionaryAnalyzer(w3).tokenize("全文検索エンジン") ==
+      Seq("全文検索", "エンジン"))
+    // mixed-script compounds match as units across the kanji/kana boundary,
+    // and uncovered trailing text falls back exactly like dict:
+    assert(LatticeDictionaryAnalyzer(Set("消しゴム")).tokenize("消しゴムを買う") ==
+      Seq("消しゴム", "を", "買", "う"))
+    // latin/digit runs interleave like every other CJK analyzer
+    assert(lattice.tokenize("Sparkいしやき2") ==
+      Seq("spark", "いし", "やき", "2"))
+    assert(lattice.tokenize("") == Seq.empty)
+  }
+
+  test("LatticeDictionaryAnalyzer: registry round-trip (dict-lattice: name); " +
+      "distinct from dict:; empty dictionary degenerates to bigrams; " +
+      "norm: wrapper composes over the colon-bearing name") {
+    val a = LatticeDictionaryAnalyzer(Set("いし", "やき"))
+    val name = Analyzers.nameOf(a)
+    assert(name.startsWith("dict-lattice:"))
+    val resolved = Analyzers.byName(name)
+    assert(resolved == a)
+    Seq("いしやき", "DuckDBと全文検索API").foreach { s =>
+      assert(resolved.tokenize(s) == a.tokenize(s), s)
+    }
+    assert(Analyzers.nameOf(resolved) == name)
+    // same wordlist, different algorithm → DIFFERENT persisted name: an
+    // index built greedy is never silently searched lattice or vice versa
+    assert(Analyzers.nameOf(DictionaryAnalyzer(Set("いし", "やき"))) != name)
+    // empty dictionary: the all-unknown path ≡ the bigram rule, like dict:
+    val empty = LatticeDictionaryAnalyzer(Set.empty)
+    Seq("全文検索エンジン", "に関する情報", "DuckDBと全文検索API",
+        "한국어 텍스트", "Hello, World! x2").foreach { s =>
+      assert(empty.tokenize(s) == CjkBigramAnalyzer.tokenize(s), s)
+    }
+    // norm:<form>:dict-lattice:<base64> resolves through the first-colon
+    // split (the inner name itself carries colons)
+    val wrapped = NormalizingAnalyzer("NFKC", a)
+    assert(Analyzers.byName(Analyzers.nameOf(wrapped)) == wrapped)
+  }
+
   test("FrontMatter strips a leading YAML block and counts its lines") {
     val doc = "---\ntitle: x\n---\n# Body\ntext\n"
     assert(FrontMatter.strip(doc) == "# Body\ntext\n")

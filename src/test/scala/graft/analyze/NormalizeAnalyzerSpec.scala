@@ -116,6 +116,60 @@ class NormalizeAnalyzerSpec extends AnyFunSuite {
     check("after compact")
   }
 
+  test("dict-lattice end-to-end: the persisted dict-lattice: name re-resolves " +
+      "at search time, and lattice segmentation recovers a hit the greedy " +
+      "index structurally cannot") {
+    val docs = Files.createTempDirectory("lat-docs").toString
+    // corpus doc: いしやき — greedy over {いし, いしや, やき} tokenizes it
+    // [いしや, き] (commits to the longest prefix), lattice [いし, やき]
+    Files.writeString(Paths.get(docs, "a.md"), "# 屋台\n\nいしやきの店\n")
+    Files.writeString(Paths.get(docs, "b.md"), "# Other\n\nducks on the pond\n")
+    val words = Set("いし", "いしや", "やき")
+    def build(analyzer: Analyzer): IndexData = {
+      val idx = Files.createTempDirectory("lat-idx").toString + "/idx"
+      IndexJob.run(spark, Seq(docs), idx, new HashingEmbedder(16),
+        analyzer = analyzer, opts = IndexJob.Options(clear = true))
+      IndexData.load(spark, idx)
+    }
+    def hits(idx: IndexData): Array[org.apache.spark.sql.Row] = {
+      // re-resolve from settings EXACTLY like the CLI — the round-trip
+      // under test is name → byName → same segmentation on the query
+      val resolved = Analyzers.byName(idx.setting("analyzer").get)
+      HybridSearch.search(idx, "やき", analyzer = resolved,
+        embedder = None, reranker = None,
+        opts = HybridSearch.Options(k = 5, scoreThreshold = 0.0)).collect()
+    }
+    val latticeIdx = build(LatticeDictionaryAnalyzer(words))
+    assert(latticeIdx.setting("analyzer").exists(_.startsWith("dict-lattice:")))
+    val latticeHits = hits(latticeIdx)
+    assert(latticeHits.nonEmpty, "lattice index must match the やき query")
+    assert(latticeHits.head.getAs[String]("file_path").endsWith("a.md"))
+    // the greedy artifact indexed [いしや, き]: the query token やき cannot
+    // match — the recall the lattice upgrade exists to recover
+    val greedyIdx = build(DictionaryAnalyzer(words))
+    assert(greedyIdx.setting("analyzer").exists(_.startsWith("dict:")))
+    assert(hits(greedyIdx).isEmpty,
+      "greedy index must MISS the やき query (いしや|き tokenization)")
+  }
+
+  test("incremental merge greedy → lattice over the SAME wordlist fails " +
+      "fast (different names = different token spaces)") {
+    val docs = Files.createTempDirectory("latg-docs").toString
+    Files.writeString(Paths.get(docs, "a.md"), "# A\n\nいしやきの店\n")
+    val emb = new HashingEmbedder(16)
+    val words = Set("いし", "やき")
+    val idx = Files.createTempDirectory("latg-idx").toString + "/idx"
+    IndexJob.run(spark, Seq(docs), idx, emb,
+      analyzer = DictionaryAnalyzer(words),
+      opts = IndexJob.Options(clear = true))
+    val e = intercept[RuntimeException] {
+      IndexJob.run(spark, Seq(docs), idx, emb,
+        analyzer = LatticeDictionaryAnalyzer(words),
+        opts = IndexJob.Options(clear = false))
+    }
+    assert(e.getMessage.contains("--clear"), e.getMessage)
+  }
+
   test("incremental merge with a DIFFERENT analyzer fails fast with the " +
       "--clear remedy (mixed token spaces unrepresentable), both merge modes") {
     val docs = Files.createTempDirectory("normg-docs").toString
