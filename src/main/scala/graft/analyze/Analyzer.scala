@@ -365,8 +365,12 @@ final case class LatticeDictionaryAnalyzer(words: Set[String])
   /** Same canonical persistable form as [[DictionaryAnalyzer]]. */
   def encodedWords: String = DictionaryAnalyzer.encode(dict)
 
-  protected def segmentSpan(span: String,
-      out: scala.collection.mutable.Builder[String, Seq[String]]): Unit = {
+  /** The winning lattice path as (edgeText, viaDictionary) pairs —
+    * unknown edges as single code points, pre-merge. Exposed as the test
+    * seam that lets the property suite pin path optimality (total cost ==
+    * brute-force minimum over all segmentations) without reverse-
+    * engineering the merged bigram output. */
+  private[analyze] def segmentPath(span: String): Seq[(String, Boolean)] = {
     val n = span.length
     // Viterbi over char positions 0..n. Edges start only where a previous
     // edge ended, and every edge ends on a code-point boundary (dictionary
@@ -399,26 +403,28 @@ final case class LatticeDictionaryAnalyzer(words: Set[String])
       }
       i += 1
     }
-    // walk the back-pointers from the end, then emit forward, merging
-    // consecutive unknown edges into one span for the bigram fallback
-    val starts = new Array[Int](n + 1) // edge starts, filled back-to-front
-    var m = n + 1
+    // walk the back-pointers from the end, emit edges forward
+    var path = List.empty[(String, Boolean)]
     var p = n
-    while (p > 0) { m -= 1; starts(m) = prev(p); p = prev(p) }
-    var unkFrom = -1
-    def flushUnknown(upTo: Int): Unit =
-      if (unkFrom >= 0) {
-        CjkBigramAnalyzer.bigramizeSpan(span.substring(unkFrom, upTo), out)
-        unkFrom = -1
-      }
-    while (m <= n) {
-      val from = starts(m)
-      val to = if (m == n) n else starts(m + 1)
-      if (viaDict(to)) { flushUnknown(from); out += span.substring(from, to) }
-      else if (unkFrom < 0) unkFrom = from
-      m += 1
+    while (p > 0) {
+      path = (span.substring(prev(p), p), viaDict(p)) :: path
+      p = prev(p)
     }
-    flushUnknown(n)
+    path
+  }
+
+  protected def segmentSpan(span: String,
+      out: scala.collection.mutable.Builder[String, Seq[String]]): Unit = {
+    // merge consecutive unknown edges into one span for the bigram fallback
+    val unk = new StringBuilder
+    def flushUnknown(): Unit =
+      if (unk.nonEmpty) {
+        CjkBigramAnalyzer.bigramizeSpan(unk.toString, out); unk.clear()
+      }
+    segmentPath(span).foreach { case (text, isDict) =>
+      if (isDict) { flushUnknown(); out += text } else unk.append(text)
+    }
+    flushUnknown()
   }
 }
 
