@@ -176,6 +176,30 @@ object ServingLane {
         s""""ok":$ok}"""
     }
 
+    /** Live overlap@10 of a probed serving mode vs the exact path — the
+      * `--ann-verify` kernel, ONE calibration for every lane that gates on
+      * it (clustered ivf, pq_tfidf): corpus-drawn query vectors with OOV
+      * text (the FTS leg finds nothing; the fit curves' own query
+      * distribution), threshold off, rerank off, k = 10 (the curves'
+      * operating definition). RNG-free and deterministic, so floors can
+      * gate without noise risk. */
+    def liveOverlap(index: graft.index.IndexData, lookup: graft.embed.Embedder,
+        texts: Seq[String],
+        probed: graft.search.HybridSearch.Options): Double = {
+      def ids(opts: graft.search.HybridSearch.Options)(q: String): Set[String] =
+        graft.search.ServeSearch.search(index, q,
+          analyzer = graft.analyze.WhitespaceAnalyzer,
+          embedder = Some(lookup), reranker = None, opts = opts)
+          .select("doc_id").collect().map(_.getString(0)).toSet
+      val exactOpts =
+        graft.search.HybridSearch.Options(k = 10, scoreThreshold = -1.0)
+      val per = texts.map { q =>
+        val e = ids(exactOpts)(q)
+        if (e.isEmpty) 1.0 else ids(probed)(q).intersect(e).size.toDouble / e.size
+      }
+      per.sum / per.size
+    }
+
     try {
       // ---- uniform corpus: the SF tables, as every round since r11 ----
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -221,6 +245,10 @@ object ServingLane {
         dagRun(idx, lookup)(autoNprobe, 0))
       val (serveExact, serveExactP50) =
         modeT("exact", "", Texts, serveRun(idx, lookup)(0, 0))
+      // ONE predicate for the lane JSON's vs_dag.ok AND the stdout
+      // Summary — a margin edit cannot desynchronize them (the divergence
+      // class the Summary refactor exists to eliminate)
+      val vsDagOk = serveExactP50 <= 1.1 * dagExactP50
       val serveJson = (Seq(
         s""""startup_ms":${ms1(startupMs)}""",
         serveExact,
@@ -368,7 +396,7 @@ object ServingLane {
         // corpus; a real fallback regression is a ≥2× move, far outside it
         s""""vs_dag":{"dag_exact_p50":${ms1(dagExactP50)},""" +
           s""""serve_exact_p50":${ms1(serveExactP50)},""" +
-          s""""ok":${serveExactP50 <= 1.1 * dagExactP50}}""").mkString("{", ",", "}")
+          s""""ok":$vsDagOk}""").mkString("{", ",", "}")
 
       // ---- clustered corpus: genuine centroid structure at ~100k docs ----
       val nDocs = docs.count()
@@ -421,21 +449,9 @@ object ServingLane {
       // present) — the live check exists to catch the curve LYING
       // (collapsed clustering, broken probe: live reads ~0.1-0.5), while
       // the fitted value carries the 0.9 target itself.
-      def serveIds(nprobe: Int)(q: String): Set[String] =
-        graft.search.ServeSearch.search(cIdx, q,
-          analyzer = graft.analyze.WhitespaceAnalyzer,
-          embedder = Some(cLookup),
-          reranker = None,
-          opts = graft.search.HybridSearch.Options(k = 10, annNprobe = nprobe,
-            scoreThreshold = -1.0))
-          .select("doc_id").collect().map(_.getString(0)).toSet
-      val cLiveRecall = {
-        val per = cTexts.map { q =>
-          val e = serveIds(0)(q)
-          if (e.isEmpty) 1.0 else serveIds(cAutoNprobe)(q).intersect(e).size.toDouble / e.size
-        }
-        per.sum / per.size
-      }
+      val cLiveRecall = liveOverlap(cIdx, cLookup, cTexts,
+        graft.search.HybridSearch.Options(k = 10, annNprobe = cAutoNprobe,
+          scoreThreshold = -1.0))
       // leg-isolated p50 AND rows scanned: at local[32] with a ~100k-row
       // in-memory corpus both legs are job-overhead-bound (~40 ms floors),
       // so the latency delta understates the pruning; the rows ratio is the
@@ -540,50 +556,42 @@ object ServingLane {
           modeT("exact", "", Texts, serveRun(tIdx, tEmbedder)(0, 0))
         val (tPq, tPqP50) = modeT("pq_auto", s""""shortlist":$sl,""", Texts,
           serveRun(tIdx, tEmbedder)(0, sl))
-        // live overlap@10 pq:auto vs exact through the full serving path,
-        // calibrated exactly like the clustered live recall: CORPUS-DRAWN
-        // query vectors (the fitted curve's own query distribution — the
-        // check exists to catch the curve lying, not to re-litigate
-        // out-of-distribution generalization: tfidf vectors of the lane
-        // TEXTS live in a sparser region and measured 0.77 against a 0.94
-        // fit before this calibration) with OOV text so the FTS leg finds
-        // nothing; threshold off, rerank off, k=10 (the curve's operating
-        // definition)
+        // live overlap@10 pq:auto vs exact via the shared liveOverlap
+        // kernel (its corpus-drawn-vector calibration matters here: tfidf
+        // vectors of the lane TEXTS live in a sparser region and measured
+        // 0.77 against a 0.94 fit — the check exists to catch the curve
+        // LYING, not to re-litigate out-of-distribution generalization)
         val tLiveTexts = (0 until Texts.length).map(i => s"zzpqtfidfq$i")
         val tQvecs = tEmbAll.orderBy(col("doc_id")).limit(tLiveTexts.length)
           .select(col("embedding")).as[Array[Float]].collect()
-        val tLiveLookup =
-          new graft.embed.LookupEmbedder(tLiveTexts.zip(tQvecs).toMap)
-        def ids(mode: Int)(q: String): Set[String] =
-          graft.search.ServeSearch.search(tIdx, q,
-            analyzer = graft.analyze.WhitespaceAnalyzer,
-            embedder = Some(tLiveLookup), reranker = None,
-            opts = graft.search.HybridSearch.Options(k = 10,
-              annPqShortlist = mode, scoreThreshold = -1.0))
-            .select("doc_id").collect().map(_.getString(0)).toSet
-        val live = {
-          val per = tLiveTexts.map { q =>
-            val e = ids(0)(q)
-            if (e.isEmpty) 1.0
-            else ids(sl)(q).intersect(e).size.toDouble / e.size
-          }
-          per.sum / per.size
-        }
-        val ok = inRegime && defaultsToPq && live >= 0.8 &&
-          tPqP50 <= 2.0 * tExactP50
+        val live = liveOverlap(tIdx,
+          new graft.embed.LookupEmbedder(tLiveTexts.zip(tQvecs).toMap),
+          tLiveTexts,
+          graft.search.HybridSearch.Options(k = 10, annPqShortlist = sl,
+            scoreThreshold = -1.0))
+        // `ok` gates on the DETERMINISTIC terms only (resolution in
+        // regime, serve default, live overlap — all RNG-free data+plan
+        // functions); the wall ratio is REPORTED with a 2× watch flag but
+        // does not gate, per the clustered lane's own finding that small-
+        // corpus p50 ordering is scheduling-floor noise — the loss-regime
+        // signature this watches for reads ≥2.2× on a quiet host
+        val wallRatio = tPqP50 / tExactP50
+        val ok = inRegime && defaultsToPq && live >= 0.8
         (s""""pq_tfidf":{$tExact,$tPq,""" +
           s""""resolved_shortlist":$sl,""" +
           s""""curve_last":${curve.lastOption.map(_._1).getOrElse(-1)},""" +
           s""""regime_max":${Cli.ServeAutoShortlistMax},""" +
           s""""in_regime":$inRegime,"defaults_to_pq":$defaultsToPq,""" +
           s""""live_recall":${"%.2f".formatLocal(java.util.Locale.ROOT, live)},""" +
-          s""""live_floor":0.8,"ok":$ok}""", ok)
+          s""""live_floor":0.8,""" +
+          s""""wall_ratio":${"%.2f".formatLocal(java.util.Locale.ROOT, wallRatio)},""" +
+          s""""wall_within_2x":${wallRatio <= 2.0},"ok":$ok}""", ok)
       }
 
       (s"""{"unit":"ms","n":20,$exact,$auto,"serve":$serveJson,""" +
         s""""clustered":$clusteredJson,$pqTfidfJson}""",
         Summary(startupMs, serveExactP50,
-          vsDagOk = serveExactP50 <= 1.1 * dagExactP50,
+          vsDagOk = vsDagOk,
           clusteredLiveRecall = cLiveRecall, vssLegOk = vssLegOk,
           pqTfidfOk = pqWinOk))
     } finally {

@@ -69,8 +69,7 @@ object Analyzers {
     // vs ':' at position 4), but keep the longer prefix first anyway so a
     // future prefix edit cannot silently shadow it
     case n if n.startsWith(LatticePrefix) =>
-      LatticeDictionaryAnalyzer(
-        DictionaryAnalyzer.decode(n.stripPrefix(LatticePrefix)))
+      LatticeDictionaryAnalyzer.fromEncoded(n.stripPrefix(LatticePrefix))
     case n if n.startsWith(DictPrefix) =>
       DictionaryAnalyzer.fromEncoded(n.stripPrefix(DictPrefix))
     case n if n.startsWith(NormPrefix) =>

@@ -596,25 +596,34 @@ object IndexData {
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
       val futs = rels.map(rel => scala.concurrent.Future(warmOne(rel)))
-      try scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(futs),
-        scala.concurrent.duration.Duration(PrewarmTimeoutSec,
-          java.util.concurrent.TimeUnit.SECONDS)).flatten
-      catch {
-        case _: java.util.concurrent.TimeoutException =>
-          val done = futs.collect {
-            case f if f.isCompleted => f.value.flatMap(_.toOption)
-          }.flatten.flatten
-          // "skipped" = every dir that warmed nothing: never-completed
-          // stragglers AND futures that completed with a Failure (a dir
-          // whose metadata call threw is just as unwarmed as one that hung;
-          // round-19 ADVICE — the old !isCompleted count understated)
-          val skipped = futs.count(f =>
-            !f.isCompleted || f.value.exists(_.isFailure))
-          System.err.println(s"[graft] prewarm timed out after " +
-            s"${PrewarmTimeoutSec}s; skipped $skipped " +
-            s"of ${rels.size} dirs (best-effort — serving proceeds unwarmed)")
-          done
+      try {
+        // ONE shared deadline, awaited per future with Await.ready — NOT
+        // Future.sequence, which FAILS FAST: a single future completing
+        // with a Failure before the deadline would escape a
+        // TimeoutException-only catch and crash "best-effort" prewarm
+        // (round-20 self-review). ready() never rethrows the future's own
+        // failure; f.value pattern-handles it, so a failed dir is counted
+        // skipped exactly like a hung one (round-19 ADVICE).
+        val deadline = System.nanoTime() + PrewarmTimeoutSec * 1000000000L
+        var hung = 0
+        var failed = 0
+        val done = futs.flatMap { f =>
+          val remainNs = math.max(0L, deadline - System.nanoTime())
+          try scala.concurrent.Await.ready(f,
+            scala.concurrent.duration.Duration(remainNs,
+              java.util.concurrent.TimeUnit.NANOSECONDS))
+          catch { case _: java.util.concurrent.TimeoutException => () }
+          f.value match {
+            case Some(scala.util.Success(r)) => r
+            case Some(scala.util.Failure(_)) => failed += 1; None
+            case None                        => hung += 1; None
+          }
+        }
+        if (hung + failed > 0) System.err.println(
+          s"[graft] prewarm skipped ${hung + failed} of ${rels.size} dirs " +
+            s"($hung timed out after ${PrewarmTimeoutSec}s, $failed failed; " +
+            "best-effort — serving proceeds unwarmed)")
+        done
       } finally pool.shutdown()
     }
   }

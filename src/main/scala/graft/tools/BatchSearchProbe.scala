@@ -54,7 +54,9 @@ object BatchSearchProbe {
 
     // deterministic query set: 2-token prefixes of the first maxN docs
     // (vocabulary terms, so the FTS leg does real matching work), query
-    // vectors = the first maxN corpus embeddings keyed by query text
+    // vectors = a deterministic draw of maxN corpus embeddings paired
+    // with the texts POSITIONALLY (the probe measures reads, not recall —
+    // any in-distribution vector works; no doc↔vector match is claimed)
     val maxN = 1000
     val prefixes = docs.orderBy("doc_id").limit(maxN)
       .select(col("text")).as[String].collect()
@@ -62,6 +64,7 @@ object BatchSearchProbe {
     require(prefixes.length >= maxN, s"corpus has <$maxN docs")
     val qvecs = emb.orderBy(col("doc_id")).limit(maxN)
       .select(col("embedding")).as[Array[Float]].collect()
+    require(qvecs.length >= maxN, s"embeddings table has <$maxN rows")
     // the qid key keeps duplicate prefix TEXTS as distinct queries
     val queries = prefixes.zipWithIndex.map { case (t, i) => (s"q$i", t) }.toSeq
     val lookup = new graft.embed.LookupEmbedder(
