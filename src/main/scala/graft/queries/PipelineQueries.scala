@@ -628,6 +628,53 @@ object PipelineQueries {
         s"round(${Dedup.jaccardSql("a.ds", "b.ds")}, 6) AS jaccard " +
         "FROM shc a JOIN shc b ON b.doc_id = a.doc_id + 1 ORDER BY doc_a")),
 
+    // Cross-document repeated n-gram spans — the EXACT-substring dedup
+    // kernel (the published chunk-dedup recipe: hash every 8-token window
+    // stride 1, a window repeated in ≥2 DISTINCT docs marks boilerplate/
+    // verbatim reuse; per-doc duplicate-token fraction is the curation
+    // signal). Spark-native formulation of what suffix-array pipelines
+    // compute: windows ride one map-only explode into a SKINNY
+    // (doc_id, md5) frame, the repeated set is one hash aggregation with
+    // map-side partial countDistinct, and the rollup re-joins on the hash
+    // — no token payload ever shuffles, so the shuffle bytes are
+    // ~32 B/window regardless of token width. At 100 TB this is the same
+    // two-shuffle shape per partition-pruned slice; fixture non-vacuity
+    // checked in DuckDB (sf0.01: 1,015 repeated grams / 2,101 positions /
+    // 47 docs of 500).
+    Q("q_dedup_repeated_ngrams",
+      (s, d) => {
+        val n = 8
+        val grams = docs(s, d).filter(size(col("tokens")) >= n)
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(0), size(col("tokens")) - n),
+            i => md5(concat_ws(" ", slice(col("tokens"), i + 1, lit(n)))))).as("gram"))
+        val rep = grams.groupBy("gram")
+          .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
+          .select(col("gram"), lit(1).as("rep"))
+        // one left join + one rollup (instead of separate total/repeated
+        // aggregations) so the window explode materializes twice, not
+        // three times — at 100 TB that's one fewer full corpus pass
+        grams.join(rep, Seq("gram"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_windows"),
+            count(col("rep")).cast("long").as("n_repeated"))
+          .select(col("doc_id"), col("n_windows"), col("n_repeated"),
+            round(col("n_repeated") / col("n_windows"), 6).as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH ${Q.toksCte}, " +
+        "g AS (SELECT doc_id, unnest(generate_series(0, len(toks) - 8)) AS i, toks " +
+        "FROM toks WHERE len(toks) >= 8), " +
+        "gm AS (SELECT doc_id, md5(array_to_string(toks[i + 1 : i + 8], ' ')) AS gram FROM g), " +
+        "rep AS (SELECT gram FROM gm GROUP BY gram HAVING count(DISTINCT doc_id) >= 2), " +
+        "tot AS (SELECT doc_id, count(*) AS nw FROM gm GROUP BY doc_id), " +
+        "rc AS (SELECT doc_id, count(*) AS nr FROM gm " +
+        "WHERE gram IN (SELECT gram FROM rep) GROUP BY doc_id) " +
+        "SELECT t.doc_id, CAST(t.nw AS BIGINT) AS n_windows, " +
+        "CAST(COALESCE(rc.nr, 0) AS BIGINT) AS n_repeated, " +
+        "round(COALESCE(rc.nr, 0) / t.nw, 6) AS dup_frac " +
+        "FROM tot t LEFT JOIN rc ON rc.doc_id = t.doc_id ORDER BY t.doc_id")),
+
     // Embedding-cosine near-duplicates over a deterministic pairing
     Q("q_dedup_embed_neardup",
       (s, d) => {

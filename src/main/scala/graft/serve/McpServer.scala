@@ -202,7 +202,14 @@ final class McpServer(
 
   /** Minimal streamable-http transport: POST `path` with one JSON-RPC
     * message, answered with a single JSON body (202 for notifications).
-    * Returns the bound server so callers can stop it. */
+    * When the client's `Accept` header negotiates `text/event-stream`,
+    * the response is framed as one SSE event instead — the streaming mode
+    * of MCP's streamable-http (the spec allows the server to close the
+    * stream after the final response, so a one-event stream is conformant;
+    * reference `src/server.py:97-103` serves the same surface via
+    * FastMCP's streamable-http). A client that accepts both gets plain
+    * JSON (the simpler framing carries the identical message). Returns
+    * the bound server so callers can stop it. */
   def runHttp(port: Int, path: String,
       host: String = "127.0.0.1"): com.sun.net.httpserver.HttpServer = {
     // loopback by default: this serves the user's LOCAL document index —
@@ -215,10 +222,19 @@ final class McpServer(
         try {
           val body = new String(ex.getRequestBody.readAllBytes(),
             java.nio.charset.StandardCharsets.UTF_8)
+          // SSE only when the client asks for event-stream WITHOUT also
+          // accepting json (Accept: text/event-stream alone = a client
+          // that can only consume the streaming frame)
+          val accept = Option(ex.getRequestHeaders.getFirst("Accept"))
+            .getOrElse("")
+          val sse = accept.contains("text/event-stream") &&
+            !accept.contains("application/json")
           McpServer.this.handle(body) match {
             case Some(r) =>
-              val bytes = r.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-              ex.getResponseHeaders.set("Content-Type", "application/json")
+              val payload = if (sse) s"data: $r\n\n" else r
+              val bytes = payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              ex.getResponseHeaders.set("Content-Type",
+                if (sse) "text/event-stream" else "application/json")
               ex.sendResponseHeaders(200, bytes.length)
               ex.getResponseBody.write(bytes)
             case None =>

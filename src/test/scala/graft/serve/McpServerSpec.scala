@@ -148,4 +148,37 @@ class McpServerSpec extends AnyFunSuite {
       assert(body.contains(""""name":"search_documents""""), body)
     } finally server.stop(0)
   }
+
+  test("http transport frames the response as SSE for an event-stream-only " +
+      "Accept, and stays plain JSON when the client accepts both") {
+    val server = stub.runHttp(0, "/mcp")
+    try {
+      val port = server.getAddress.getPort
+      val url = java.net.URI.create(s"http://127.0.0.1:$port/mcp").toURL
+      def post(accept: Option[String]): (String, String) = {
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        accept.foreach(conn.setRequestProperty("Accept", _))
+        conn.getOutputStream.write(
+          """{"jsonrpc":"2.0","id":10,"method":"tools/list"}""".getBytes("UTF-8"))
+        assert(conn.getResponseCode == 200)
+        (Option(conn.getContentType).getOrElse(""),
+          new String(conn.getInputStream.readAllBytes(), "UTF-8"))
+      }
+      // streaming-only client: one `data: <json>` event, SSE content type
+      val (sseCt, sseBody) = post(Some("text/event-stream"))
+      assert(sseCt.startsWith("text/event-stream"), sseCt)
+      assert(sseBody.startsWith("data: {"), sseBody)
+      assert(sseBody.endsWith("\n\n"), "SSE event must end with a blank line")
+      assert(sseBody.contains(""""name":"search_documents""""), sseBody)
+      // dual-accept client (the MCP spec's required Accept for POST):
+      // plain JSON carries the identical message in the simpler framing
+      val (jsonCt, jsonBody) = post(Some("application/json, text/event-stream"))
+      assert(jsonCt.startsWith("application/json"), jsonCt)
+      assert(jsonBody.startsWith("{"), jsonBody)
+      assert(jsonBody.trim == sseBody.stripPrefix("data: ").trim,
+        "SSE and JSON framings must carry the identical JSON-RPC message")
+    } finally server.stop(0)
+  }
 }
