@@ -77,15 +77,18 @@ object Dedup {
     s"CAST(ascii(substr($e, 1, 1)) * 961 + ascii(substr($e, 2, 1)) * 31 + " +
       s"ascii(substr($e, 3, 1)) + length($e) * 7919 AS BIGINT)"
 
-  /** Token 3-gram shingles as strings. Requires size(tokens) >= 3. */
-  def shingles(tokens: Column): Column =
-    transform(sequence(lit(1), size(tokens) - 2),
-      i => concat_ws(" ",
-        element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2)))
+  /** Token n-gram shingles as strings (default 3 — the dedup/decontam
+    * shingle width; q_dedup_repeated_ngrams uses 8). Requires
+    * size(tokens) >= n. ONE kernel for every sliding-window-over-tokens
+    * consumer, mirrored exactly in [[shinglesSql]] (round-20 self-review:
+    * the 8-gram query had hand-rolled a second copy). */
+  def shingles(tokens: Column, n: Int = 3): Column =
+    transform(sequence(lit(1), size(tokens) - (n - 1)),
+      i => concat_ws(" ", slice(tokens, i, lit(n))))
 
-  def shinglesSql(toks: String): String =
-    s"list_transform(generate_series(1, len($toks) - 2), " +
-      s"i -> $toks[i] || ' ' || $toks[i + 1] || ' ' || $toks[i + 2])"
+  def shinglesSql(toks: String, n: Int = 3): String =
+    s"list_transform(generate_series(1, len($toks) - ${n - 1}), " +
+      s"i -> array_to_string($toks[i : i + ${n - 1}], ' '))"
 
   /** MinHash permutation parameters (fixed literals, mirrored in SQL). */
   def hashParams(j: Int): (Int, Int) = (2 * j + 3, 97 * j + 11)

@@ -646,8 +646,7 @@ object PipelineQueries {
         val n = 8
         val grams = docs(s, d).filter(size(col("tokens")) >= n)
           .select(col("doc_id"), explode(transform(
-            sequence(lit(0), size(col("tokens")) - n),
-            i => md5(concat_ws(" ", slice(col("tokens"), i + 1, lit(n)))))).as("gram"))
+            Dedup.shingles(col("tokens"), n), sh => md5(sh))).as("gram"))
         val rep = grams.groupBy("gram")
           .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
           .select(col("gram"), lit(1).as("rep"))
@@ -663,9 +662,9 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some(s"WITH ${Q.toksCte}, " +
-        "g AS (SELECT doc_id, unnest(generate_series(0, len(toks) - 8)) AS i, toks " +
+        "gm AS (SELECT doc_id, " +
+        s"unnest(list_transform(${Dedup.shinglesSql("toks", 8)}, s -> md5(s))) AS gram " +
         "FROM toks WHERE len(toks) >= 8), " +
-        "gm AS (SELECT doc_id, md5(array_to_string(toks[i + 1 : i + 8], ' ')) AS gram FROM g), " +
         "rep AS (SELECT gram FROM gm GROUP BY gram HAVING count(DISTINCT doc_id) >= 2), " +
         "tot AS (SELECT doc_id, count(*) AS nw FROM gm GROUP BY doc_id), " +
         "rc AS (SELECT doc_id, count(*) AS nr FROM gm " +

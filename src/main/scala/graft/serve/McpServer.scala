@@ -12,7 +12,10 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * `tools/call`. Tool results carry the reference-shaped
   * `{"results": [...]}` JSON as text content. The HTTP transport accepts a
   * POST with one JSON-RPC message per request and answers with a single
-  * JSON response (the non-streaming mode of MCP's streamable-http).
+  * JSON response, or — when the client's Accept negotiates ONLY
+  * `text/event-stream` — the same message framed as one SSE event (both
+  * modes of MCP's streamable-http; GET/DELETE get 405, this server keeps
+  * no session stream).
   *
   * Transport-agnostic core: [[handle]] maps a request line to an optional
   * response line, so stdio, HTTP, and tests share the same logic.
@@ -220,15 +223,35 @@ final class McpServer(
     server.createContext(path, new com.sun.net.httpserver.HttpHandler {
       def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
         try {
+          // JSON-RPC rides POST only. A spec-conformant client may GET the
+          // path to open the server-notification stream (and DELETE it to
+          // end a session) — this server keeps no session stream, and the
+          // spec's answer for that is 405, NOT a 200 whose body is a
+          // parse-error JSON-RPC message dressed as an SSE event (which a
+          // strict client would ingest as a real id:null error;
+          // round-20 self-review)
+          if (ex.getRequestMethod != "POST") {
+            ex.getResponseHeaders.set("Allow", "POST")
+            ex.sendResponseHeaders(405, -1)
+            return
+          }
           val body = new String(ex.getRequestBody.readAllBytes(),
             java.nio.charset.StandardCharsets.UTF_8)
-          // SSE only when the client asks for event-stream WITHOUT also
-          // accepting json (Accept: text/event-stream alone = a client
-          // that can only consume the streaming frame)
-          val accept = Option(ex.getRequestHeaders.getFirst("Accept"))
-            .getOrElse("")
-          val sse = accept.contains("text/event-stream") &&
-            !accept.contains("application/json")
+          // SSE only when the client's Accept negotiates event-stream and
+          // NOT json. Media ranges are parsed (not substring-matched):
+          // entries with q=0 are explicit rejections, and */* or
+          // application/* accept json — so 'application/json;q=0,
+          // text/event-stream' correctly selects SSE (round-20
+          // self-review: contains() ignored q-values and wildcards).
+          val accepted = Option(ex.getRequestHeaders.getFirst("Accept"))
+            .getOrElse("").toLowerCase.split(",").iterator
+            .map(_.trim).filter(_.nonEmpty)
+            .filterNot(_.replaceAll("\\s", "")
+              .matches(".*;q=0(\\.0{1,3})?(;.*)?$"))
+            .map(_.takeWhile(_ != ';').trim).toSet
+          val sse = accepted.contains("text/event-stream") &&
+            !accepted.exists(a => a == "application/json" ||
+              a == "application/*" || a == "*/*")
           McpServer.this.handle(body) match {
             case Some(r) =>
               val payload = if (sse) s"data: $r\n\n" else r

@@ -179,6 +179,30 @@ class McpServerSpec extends AnyFunSuite {
       assert(jsonBody.startsWith("{"), jsonBody)
       assert(jsonBody.trim == sseBody.stripPrefix("data: ").trim,
         "SSE and JSON framings must carry the identical JSON-RPC message")
+      // q=0 is an explicit REJECTION, not an acceptance: a client that
+      // rules out json while accepting event-stream gets the SSE frame
+      val (q0Ct, _) = post(Some("application/json;q=0, text/event-stream"))
+      assert(q0Ct.startsWith("text/event-stream"), q0Ct)
+      // wildcard accepts json (the simpler framing)
+      val (wildCt, _) = post(Some("*/*"))
+      assert(wildCt.startsWith("application/json"), wildCt)
+    } finally server.stop(0)
+  }
+
+  test("http transport answers non-POST with 405 (no server-notification " +
+      "stream to GET, no session to DELETE) instead of an SSE-framed " +
+      "parse error a strict client would ingest") {
+    val server = stub.runHttp(0, "/mcp")
+    try {
+      val port = server.getAddress.getPort
+      val url = java.net.URI.create(s"http://127.0.0.1:$port/mcp").toURL
+      for (method <- Seq("GET", "DELETE")) {
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod(method)
+        conn.setRequestProperty("Accept", "text/event-stream")
+        assert(conn.getResponseCode == 405, s"$method must be rejected")
+        assert(conn.getHeaderField("Allow") == "POST")
+      }
     } finally server.stop(0)
   }
 }
