@@ -674,6 +674,73 @@ object PipelineQueries {
         "round(COALESCE(rc.nr, 0) / t.nw, 6) AS dup_frac " +
         "FROM tot t LEFT JOIN rc ON rc.doc_id = t.doc_id ORDER BY t.doc_id")),
 
+    // The repeated-span EXCISION transform the detection signal above
+    // feeds (the published chunk-dedup recipe's second half): every
+    // cross-doc-repeated 8-gram window keeps its corpus-wide FIRST
+    // occurrence (min (doc_id, pos) per gram) and the other occurrences'
+    // token spans [pos, pos+7] are excised; the cleaned doc is the
+    // position-ordered remainder. Output stays skinny (token counts + an
+    // md5 of the cleaned token stream, hash-proving the transform
+    // cross-engine). Shapes: windows/positions ride skinny (doc_id, pos,
+    // md5) frames; the only corpus-width shuffle is the final per-doc
+    // reassembly (collect_list of kept tokens — the transform's actual
+    // product). Deterministic: row_number keys on (doc_id, pos), both
+    // unique per gram.
+    Q("q_dedup_excise_spans",
+      (s, d) => {
+        val n = 8
+        val tok = docs(s, d)
+        val grams = tok.filter(size(col("tokens")) >= n)
+          .select(col("doc_id"), posexplode(transform(
+            Dedup.shingles(col("tokens"), n), sh => md5(sh))).as(Seq("p0", "gram")))
+          .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
+        val rep = grams.groupBy("gram")
+          .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
+          .select("gram")
+        val excise = grams.join(rep, Seq("gram"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("gram").orderBy(col("doc_id"), col("pos"))))
+          .filter(col("rn") > 1)
+        val covered = excise.select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos")).distinct()
+        val positions = tok
+          .select(col("doc_id"), posexplode(col("tokens")).as(Seq("p0", "token")))
+          .select(col("doc_id"), (col("p0") + 1).as("pos"), col("token"))
+        val kept = positions.join(covered, Seq("doc_id", "pos"), "left_anti")
+          .groupBy("doc_id").agg(
+            count(lit(1)).cast("long").as("n_kept"),
+            md5(concat_ws(" ", transform(
+              array_sort(collect_list(struct(col("pos"), col("token")))),
+              x => x.getField("token")))).as("cleaned_md5"))
+        tok.select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"))
+          .join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+            coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH ${Q.toksCte}, " +
+        "gm AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS pos, toks " +
+        "FROM toks WHERE len(toks) >= 8), " +
+        "g2 AS (SELECT doc_id, pos, md5(array_to_string(toks[pos : pos + 7], ' ')) AS gram FROM gm), " +
+        "rep AS (SELECT gram FROM g2 GROUP BY gram HAVING count(DISTINCT doc_id) >= 2), " +
+        "exc AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, " +
+        "row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn " +
+        "FROM g2 WHERE gram IN (SELECT gram FROM rep)) WHERE rn > 1), " +
+        "cov AS (SELECT DISTINCT doc_id, p FROM " +
+        "(SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS p FROM exc)), " +
+        "tokp AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS p, toks FROM toks), " +
+        "tp AS (SELECT doc_id, p, toks[p] AS token FROM tokp), " +
+        "kept AS (SELECT t.doc_id, t.p, t.token FROM tp t " +
+        "WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.p = t.p)), " +
+        "ka AS (SELECT doc_id, count(*) AS n_kept, " +
+        "md5(array_to_string(list(token ORDER BY p), ' ')) AS cleaned_md5 " +
+        "FROM kept GROUP BY doc_id) " +
+        "SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens, " +
+        "CAST(len(t.toks) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed, " +
+        "COALESCE(ka.cleaned_md5, md5('')) AS cleaned_md5 " +
+        "FROM toks t LEFT JOIN ka ON ka.doc_id = t.doc_id ORDER BY t.doc_id")),
+
     // Embedding-cosine near-duplicates over a deterministic pairing
     Q("q_dedup_embed_neardup",
       (s, d) => {
