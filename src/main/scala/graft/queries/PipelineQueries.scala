@@ -320,6 +320,33 @@ object PipelineQueries {
       .withColumn("keep", col("drop_reason").isNull)
   }
 
+  /** Shared 8-gram kernel of the chunk-dedup query pair (round-20
+    * self-review: the detection and excision queries had drifted into two
+    * in-file copies): positioned md5'd windows (doc_id, pos 1-based,
+    * gram) over docs with ≥ 8 tokens, plus the cross-document repeated
+    * set (grams in ≥ 2 DISTINCT docs). Both frames are SKINNY — 32 B
+    * hashes and ints, never token payload. */
+  private val RepeatedGramN = 8
+  private def repeatedGramFrames(tok: DataFrame): (DataFrame, DataFrame) = {
+    val grams = tok.filter(size(col("tokens")) >= RepeatedGramN)
+      .select(col("doc_id"), posexplode(transform(
+        Dedup.shingles(col("tokens"), RepeatedGramN), sh => md5(sh))).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
+    val rep = grams.groupBy("gram")
+      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
+      .select("gram")
+    (grams, rep)
+  }
+
+  /** The oracle mirror of [[repeatedGramFrames]]: CTEs `g2` (positioned
+    * md5 grams) and `rep` (cross-document repeated set); assumes the
+    * `toks` CTE ([[Q.toksCte]]) precedes. */
+  private def repeatedGramCtes: String =
+    "gm AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS pos, toks " +
+      "FROM toks WHERE len(toks) >= 8), " +
+      "g2 AS (SELECT doc_id, pos, md5(array_to_string(toks[pos : pos + 7], ' ')) AS gram FROM gm), " +
+      "rep AS (SELECT gram FROM g2 GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)"
+
   val all: Seq[Q] = Seq(
 
     // ---- Deduplication ----
@@ -643,17 +670,11 @@ object PipelineQueries {
     // 47 docs of 500).
     Q("q_dedup_repeated_ngrams",
       (s, d) => {
-        val n = 8
-        val grams = docs(s, d).filter(size(col("tokens")) >= n)
-          .select(col("doc_id"), explode(transform(
-            Dedup.shingles(col("tokens"), n), sh => md5(sh))).as("gram"))
-        val rep = grams.groupBy("gram")
-          .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
-          .select(col("gram"), lit(1).as("rep"))
+        val (grams, rep) = repeatedGramFrames(docs(s, d))
         // one left join + one rollup (instead of separate total/repeated
         // aggregations) so the window explode materializes twice, not
         // three times — at 100 TB that's one fewer full corpus pass
-        grams.join(rep, Seq("gram"), "left")
+        grams.join(rep.withColumn("rep", lit(1)), Seq("gram"), "left")
           .groupBy("doc_id")
           .agg(count(lit(1)).cast("long").as("n_windows"),
             count(col("rep")).cast("long").as("n_repeated"))
@@ -661,13 +682,9 @@ object PipelineQueries {
             round(col("n_repeated") / col("n_windows"), 6).as("dup_frac"))
           .orderBy("doc_id")
       },
-      Some(s"WITH ${Q.toksCte}, " +
-        "gm AS (SELECT doc_id, " +
-        s"unnest(list_transform(${Dedup.shinglesSql("toks", 8)}, s -> md5(s))) AS gram " +
-        "FROM toks WHERE len(toks) >= 8), " +
-        "rep AS (SELECT gram FROM gm GROUP BY gram HAVING count(DISTINCT doc_id) >= 2), " +
-        "tot AS (SELECT doc_id, count(*) AS nw FROM gm GROUP BY doc_id), " +
-        "rc AS (SELECT doc_id, count(*) AS nr FROM gm " +
+      Some(s"WITH ${Q.toksCte}, $repeatedGramCtes, " +
+        "tot AS (SELECT doc_id, count(*) AS nw FROM g2 GROUP BY doc_id), " +
+        "rc AS (SELECT doc_id, count(*) AS nr FROM g2 " +
         "WHERE gram IN (SELECT gram FROM rep) GROUP BY doc_id) " +
         "SELECT t.doc_id, CAST(t.nw AS BIGINT) AS n_windows, " +
         "CAST(COALESCE(rc.nr, 0) AS BIGINT) AS n_repeated, " +
@@ -675,55 +692,51 @@ object PipelineQueries {
         "FROM tot t LEFT JOIN rc ON rc.doc_id = t.doc_id ORDER BY t.doc_id")),
 
     // The repeated-span EXCISION transform the detection signal above
-    // feeds (the published chunk-dedup recipe's second half): every
-    // cross-doc-repeated 8-gram window keeps its corpus-wide FIRST
-    // occurrence (min (doc_id, pos) per gram) and the other occurrences'
-    // token spans [pos, pos+7] are excised; the cleaned doc is the
-    // position-ordered remainder. Output stays skinny (token counts + an
-    // md5 of the cleaned token stream, hash-proving the transform
-    // cross-engine). Shapes: windows/positions ride skinny (doc_id, pos,
-    // md5) frames; the only corpus-width shuffle is the final per-doc
-    // reassembly (collect_list of kept tokens — the transform's actual
-    // product). Deterministic: row_number keys on (doc_id, pos), both
-    // unique per gram.
+    // feeds (the published chunk-dedup recipe's second half): each
+    // cross-doc-repeated 8-gram's corpus-wide FIRST occurrence
+    // (min (doc_id, pos) per gram) is EXEMPT from excision; every other
+    // occurrence's token span [pos, pos+7] is excised, and the cleaned
+    // doc is the position-ordered remainder. Union-of-spans semantics,
+    // as published: an exempt first occurrence can still lose tokens to
+    // a DIFFERENT gram's overlapping excised span, so "one copy always
+    // survives" holds per excision decision, not as a global invariant —
+    // the transform is a lossy cleanup, not a reversible dedup (round-20
+    // self-review #1). Shapes: grams/rep/covered ride skinny
+    // (doc_id, pos, md5) frames; covered positions aggregate to ONE
+    // per-doc int set, and the excision itself is expression-level over
+    // the docs scan (filter the position sequence against the set) —
+    // token strings never shuffle at all (self-review #3 replaced a
+    // token-payload anti-join + reassembly pair with this). Output stays
+    // skinny: counts + an md5 of the cleaned token stream, hash-proving
+    // the transform cross-engine. Deterministic: row_number keys on
+    // (doc_id, pos), both unique per gram.
     Q("q_dedup_excise_spans",
       (s, d) => {
-        val n = 8
+        val n = RepeatedGramN
         val tok = docs(s, d)
-        val grams = tok.filter(size(col("tokens")) >= n)
-          .select(col("doc_id"), posexplode(transform(
-            Dedup.shingles(col("tokens"), n), sh => md5(sh))).as(Seq("p0", "gram")))
-          .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
-        val rep = grams.groupBy("gram")
-          .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
-          .select("gram")
+        val (grams, rep) = repeatedGramFrames(tok)
         val excise = grams.join(rep, Seq("gram"))
           .withColumn("rn", row_number().over(
             Window.partitionBy("gram").orderBy(col("doc_id"), col("pos"))))
           .filter(col("rn") > 1)
         val covered = excise.select(col("doc_id"),
-          explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos")).distinct()
-        val positions = tok
-          .select(col("doc_id"), posexplode(col("tokens")).as(Seq("p0", "token")))
-          .select(col("doc_id"), (col("p0") + 1).as("pos"), col("token"))
-        val kept = positions.join(covered, Seq("doc_id", "pos"), "left_anti")
-          .groupBy("doc_id").agg(
-            count(lit(1)).cast("long").as("n_kept"),
-            md5(concat_ws(" ", transform(
-              array_sort(collect_list(struct(col("pos"), col("token")))),
-              x => x.getField("token")))).as("cleaned_md5"))
-        tok.select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"))
-          .join(kept, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_tokens"),
-            (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-            coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+          explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+          .groupBy("doc_id").agg(collect_set("p").as("cov"))
+        tok.join(covered, Seq("doc_id"), "left")
+          .withColumn("cov", coalesce(col("cov"),
+            array().cast(org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.IntegerType))))
+          // two-arg filter (element, 0-based index) — total on empty
+          // token arrays, where sequence(1, size) would go descending
+          .withColumn("keptToks", filter(col("tokens"),
+            (t, i) => !array_contains(col("cov"), i + 1)))
+          .select(col("doc_id"),
+            size(col("tokens")).cast("long").as("n_tokens"),
+            size(col("cov")).cast("long").as("n_removed"),
+            md5(concat_ws(" ", col("keptToks"))).as("cleaned_md5"))
           .orderBy("doc_id")
       },
-      Some(s"WITH ${Q.toksCte}, " +
-        "gm AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS pos, toks " +
-        "FROM toks WHERE len(toks) >= 8), " +
-        "g2 AS (SELECT doc_id, pos, md5(array_to_string(toks[pos : pos + 7], ' ')) AS gram FROM gm), " +
-        "rep AS (SELECT gram FROM g2 GROUP BY gram HAVING count(DISTINCT doc_id) >= 2), " +
+      Some(s"WITH ${Q.toksCte}, $repeatedGramCtes, " +
         "exc AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, " +
         "row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn " +
         "FROM g2 WHERE gram IN (SELECT gram FROM rep)) WHERE rn > 1), " +
