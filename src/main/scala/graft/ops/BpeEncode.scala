@@ -62,9 +62,23 @@ object BpeEncode {
       s"ELSE acc || '|' || x END)"
 
   /** Encode a word-ROWS frame: adds `outCol` with the '|'-delimited BPE
-    * symbol string of `wordCol`, one projection per merge pass (see the
-    * [[mergePass]] plan-shape contract). */
+    * symbol string of `wordCol`. Round 21: one compiled pass per word via
+    * the native [[graft.functions.BpeEncodeWord]] kernel — the stepwise
+    * HOF fold ([[encodeWordsHof]], kept as the executable spec) re-split
+    * and re-built the symbol string once per merge in interpreted lambdas
+    * (O(|merges|·|word|²) char copying; it dominated q_bpe_encode at
+    * ~1.5 s). Bit-identical output, pinned in KernelExpressionsSpec. */
   def encodeWords(df: org.apache.spark.sql.DataFrame, wordCol: String,
+      outCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    df.withColumn(outCol, ColumnBridge.column(graft.functions.BpeEncodeWord(
+      ColumnBridge.expression(col(wordCol)), Merges)))
+  }
+
+  /** The pre-round-21 expression-algebra fold — the executable
+    * specification [[encodeWords]] is pinned against (and the shape the
+    * DuckDB oracle replays literally via [[encodeWordSql]]). */
+  def encodeWordsHof(df: org.apache.spark.sql.DataFrame, wordCol: String,
       outCol: String): org.apache.spark.sql.DataFrame =
     Merges.foldLeft(
       df.withColumn(outCol, concat_ws("|", split(col(wordCol), "")))) {
@@ -76,8 +90,13 @@ object BpeEncode {
     Merges.foldLeft(chars) { case (s, (a, b)) => mergePassSql(s, a, b) }
   }
 
-  /** Symbol count of an encoded string. */
-  def symbolCount(enc: Column): Column = size(split(enc, "\\|")).cast("long")
+  /** Symbol count of an encoded string: separator count + 1 via codegen'd
+    * `length`/`translate` instead of a regex re-split — symbols never
+    * contain '|' (words with '|' are filtered before encoding), so the
+    * counts are identical, including the empty-string edge
+    * (size(split("")) = 1 = 0 − 0 + 1). */
+  def symbolCount(enc: Column): Column =
+    (length(enc) - length(translate(enc, "|", "")) + 1).cast("long")
 
   def symbolCountSql(encExpr: String): String =
     s"CAST(len(string_split($encExpr, '|')) AS BIGINT)"

@@ -267,15 +267,19 @@ object CuratePipeline {
         .select(col("doc_id"), lit("").as("stage"), lit("").as("detail")))
       else {
         val sh = kept3s.filter(size(col("tokens")) >= 3)
-          .select(col("doc_id"), array_distinct(Dedup.shingles(col("tokens"))).as("ds"))
+          .select(col("doc_id"), Dedup.distinctShingles(col("tokens")).as("ds"))
         val pairs = graft.queries.PipelineQueries
           .containmentBandPairsOf(kept3s, portable = false)
-        val verdicts = Dedup.spreadForKernel(pairs
-            .join(sh.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
-            .join(sh.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b")))
+        // |A∩B| computed ONCE for both directions (|A∩B| = |B∩A| on
+        // distinct arrays), skinny pairs spread BEFORE the array attach —
+        // the round-21 verify-kernel shape (see q_dedup_containment)
+        val verdicts = Dedup.spreadForKernel(pairs)
+          .join(sh.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b"))
+          .withColumn("_i", Dedup.intersectSize(col("dsa"), col("dsb")).cast("double"))
           .select(col("doc_a"), col("doc_b"),
-            Dedup.containment(col("dsa"), col("dsb")).as("cab"),
-            Dedup.containment(col("dsb"), col("dsa")).as("cba"),
+            (col("_i") / size(col("dsa")).cast("double")).as("cab"),
+            (col("_i") / size(col("dsb")).cast("double")).as("cba"),
             size(col("dsa")).as("na"), size(col("dsb")).as("nb"))
           .localCheckpoint()
         // a drops into b iff contained AND b is strictly bigger (ties by

@@ -187,6 +187,35 @@ object Dedup {
     df.withColumn("_sub", floor((row_number().over(w) - 1) / maxPerBucket))
   }
 
+  /** Ordered in-bucket candidate pairs (doc_a < doc_b) from an
+    * already-capped bands frame — the round-21 single-pipeline shape of the
+    * LSH candidate stage. The former formulation self-joined `bands` with
+    * itself on the bucket key, and because Catalyst broadcasts the build
+    * side at fixture scale there was no Exchange to reuse: the WHOLE
+    * signature pipeline (scan → tokenize → shingles → 8 minhashes → cap
+    * window) executed twice per query (measured 1.34 s/pass steady at
+    * sf0.1). This version groups the capped rows by their bucket key —
+    * which reuses the cap window's hash partitioning, so NO new exchange —
+    * into a sorted member array (bounded by the cap, ≤256 elements, so
+    * per-group state is bounded at any corpus size) and explodes the
+    * C(n,2) ordered pairs map-side. Candidate SET is identical: same
+    * bucket membership, all ordered pairs within a bucket, `distinct`
+    * across buckets as before.
+    *
+    * `bands` must already be density-capped (or sub-split): the
+    * collect_list state bound is the cap's promise. */
+  def inBucketPairs(bands: DataFrame, idCol: String,
+      bucketKeys: Seq[String]): DataFrame = {
+    val members = bands.groupBy(bucketKeys.map(col): _*)
+      .agg(sort_array(collect_list(col(idCol))).as("_ms"))
+      .filter(size(col("_ms")) >= 2)
+    members.select(explode(flatten(transform(col("_ms"), (a, i) =>
+        transform(slice(col("_ms"), i + 2, size(col("_ms"))),
+          b => struct(a.as("a"), b.as("b")))))).as("_p"))
+      .select(col("_p.a").as("doc_a"), col("_p.b").as("doc_b"))
+      .distinct()
+  }
+
   /** Re-spread a candidate-pair frame before a CPU-dense verify kernel.
     *
     * AQE sizes shuffle partitions by BYTES, so a candidate-pair frame a few
@@ -215,8 +244,34 @@ object Dedup {
     * Input must have ≥3 tokens per row (filter first). `portable` selects
     * the oracle-parity [[tokHash]] (default — every oracle-checked query)
     * or the saturation-free [[prodTokHash]] (production consumers: the
-    * curate chain; see the tokHash scaladoc for the measured difference). */
+    * curate chain; see the tokHash scaladoc for the measured difference).
+    *
+    * Round 21: the signature math runs through the fused native kernel
+    * ([[graft.functions.ShingleMinhashes]] — one compiled pass per row, no
+    * intermediate shingle/hash arrays) instead of the interpreted
+    * shingles→hash→8×minhash HOF chain, which measured 1.34 s/pass at
+    * sf0.1. Values are bit-identical (KernelExpressionsSpec pins native
+    * vs [[withMinhashSignatureHof]] per corpus row). */
   def withMinhashSignature(df: DataFrame, tokensCol: String,
+      portable: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val withArr = df.withColumn("_mharr", ColumnBridge.column(
+      graft.functions.ShingleMinhashes(
+        ColumnBridge.expression(col(tokensCol)), portable)))
+    val withMh = (0 until NumHashes).foldLeft(withArr) { (acc, j) =>
+      acc.withColumn(s"mh$j", element_at(col("_mharr"), j + 1))
+    }
+    val mh = (0 until NumHashes).map(j => col(s"mh$j"))
+    withMh
+      .withColumn("band0", bandBucket(mh, 0))
+      .withColumn("band1", bandBucket(mh, 1))
+      .drop("_mharr")
+  }
+
+  /** The pre-round-21 pure-HOF formulation of [[withMinhashSignature]] —
+    * kept as the executable specification the native kernel is pinned
+    * against (the [[graft.functions.VectorOps]] native-vs-HOF pattern). */
+  def withMinhashSignatureHof(df: DataFrame, tokensCol: String,
       portable: Boolean = true): DataFrame = {
     val sh = transform(shingles(col(tokensCol)),
       s => if (portable) tokHash(s) else prodTokHash(s))
@@ -259,6 +314,31 @@ object Dedup {
       threshold: Double, maxPerBucket: Int = MaxPerBucket): DataFrame =
     Similarity.nearDupInBuckets(bucketed, idCol, vecCol, bucketCol, maxPerBucket)
       .withColumn("near_dup", round(col("dist"), 6) < threshold)
+
+  /** Sorted distinct 3-gram shingle set — the verify-kernel input: sorting
+    * once per DOCUMENT (≤ ~dl·log dl compares) lets every candidate PAIR
+    * intersect by linear merge ([[intersectSize]]) instead of building a
+    * per-pair hash set over the strings; set semantics (and so every
+    * jaccard/containment value) are unchanged by the order. */
+  def distinctShingles(tokens: Column): Column =
+    sort_array(array_distinct(shingles(tokens)))
+
+  /** |A∩B| of two [[distinctShingles]] columns — the codegen'd linear
+    * merge ([[graft.functions.SortedIntersectSize]]); equals
+    * `size(array_intersect(a, b))` on distinct inputs. */
+  def intersectSize(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.SortedIntersectSize(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Exact Jaccard over two [[distinctShingles]] columns — same quotient
+    * structure as [[jaccard]] (bit-identical doubles), intersection via
+    * the sorted-merge kernel. */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = intersectSize(a, b).cast("double")
+    inter / (size(a).cast("double") + size(b).cast("double") - inter)
+  }
 
   /** Exact Jaccard similarity of two DISTINCT-element array columns. */
   def jaccard(a: Column, b: Column): Column = {

@@ -484,19 +484,24 @@ object CurationQueries {
         def subspaces(df: DataFrame, idAs: String, vecAs: String): DataFrame =
           df.select(col("vec_id").as(idAs),
               size(col("embedding")).cast("long").as("nd"),
+              // cast to double ONCE per vector, not once per subspace slice
+              transform(col("embedding"), x => x.cast("double")).as("_dv"))
+            .select(col(idAs), col("nd"),
               explode(transform(
                 // Column `/` is double division; dims are exact multiples
                 // of 8 so the cast back to int is lossless
-                sequence(lit(0), (size(col("embedding")) / 8).cast("int") - 1),
+                sequence(lit(0), (size(col("_dv")) / 8).cast("int") - 1),
                 j => struct(j.as("j"),
-                  slice(transform(col("embedding"), x => x.cast("double")),
-                    j * 8 + 1, lit(8)).as("sv")))).as("sub"))
+                  slice(col("_dv"), j * 8 + 1, lit(8)).as("sv")))).as("sub"))
             .select(col(idAs), col("nd"), col("sub.j").as("j"), col("sub.sv").as(vecAs))
         val sub = subspaces(e, "vec_id", "sv")
         val code = subspaces(e.filter(col("vec_id") < 16), "cid", "cv").drop("nd")
-        val l2 = aggregate(
-          zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x)
+        // codegen'd Σ(a−b)² — bit-identical to the zip_with/aggregate fold
+        val l2 = {
+          import org.apache.spark.sql.graftbridge.ColumnBridge
+          ColumnBridge.column(graft.functions.SquaredL2(
+            ColumnBridge.expression(col("sv")), ColumnBridge.expression(col("cv"))))
+        }
         // argmin as min(struct(rounded_d, cid, d)) rather than a window:
         // lexicographic struct-min has a map-side partial, so the shuffle
         // carries ≤ one row per (vec, subspace) per partition instead of

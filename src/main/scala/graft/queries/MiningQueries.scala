@@ -20,21 +20,29 @@ object MiningQueries {
   private def events(s: SparkSession, d: String): DataFrame = Q.events(s, d)
 
   /** Explode an embeddings frame into 8-dim subvectors: (id, j, sub).
-    * Subspace count derives from the embedding size (q_embed_pq rule). */
+    * Subspace count derives from the embedding size (q_embed_pq rule).
+    * The float→double cast runs ONCE per vector (`_dv`), not once per
+    * subspace — the inlined `slice(transform(...))` re-cast the whole
+    * 64-dim array for each of its 8 slices (round 21). */
   private def subspaces(df: DataFrame, idAs: String, vecAs: String): DataFrame =
     df.select(col("vec_id").as(idAs),
+        transform(col("embedding"), x => x.cast("double")).as("_dv"))
+      .select(col(idAs),
         explode(transform(
-          sequence(lit(0), (size(col("embedding")) / 8).cast("int") - 1),
+          sequence(lit(0), (size(col("_dv")) / 8).cast("int") - 1),
           j => struct(j.cast("long").as("j"),
-            slice(transform(col("embedding"), x => x.cast("double")),
-              j * 8 + 1, lit(8)).as("sv")))).as("sub"))
+            slice(col("_dv"), j * 8 + 1, lit(8)).as("sv")))).as("sub"))
       .select(col(idAs), col("sub.j").as("j"), col("sub.sv").as(vecAs))
 
-  /** Element-order L2 between two 8-dim double arrays (left fold — the
-    * dot-product determinism rule). */
-  private def l2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+  /** Element-order L2 between two 8-dim double arrays — the codegen'd
+    * [[graft.functions.SquaredL2]] kernel; bit-identical to the
+    * `aggregate(zip_with(...))` left fold it replaces (same IEEE op
+    * order; KernelExpressionsSpec pins it). */
+  private def l2(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.SquaredL2(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   private def l2Sql(a: String, b: String): String = Q.l2Sql8(a, b)
 
@@ -625,9 +633,9 @@ object MiningQueries {
         val txt = t(s, d, "documents")
           .select(col("doc_id"), substring(col("text"), 1, 200).as("t200"))
         graft.ops.Dedup.spreadForKernel(
-          PipelineQueries.minhashCandidatePairs(s, d)
-            .join(txt.select(col("doc_id").as("doc_a"), col("t200").as("ta")), Seq("doc_a"))
-            .join(txt.select(col("doc_id").as("doc_b"), col("t200").as("tb")), Seq("doc_b")))
+            PipelineQueries.minhashCandidatePairs(s, d))
+          .join(txt.select(col("doc_id").as("doc_a"), col("t200").as("ta")), Seq("doc_a"))
+          .join(txt.select(col("doc_id").as("doc_b"), col("t200").as("tb")), Seq("doc_b"))
           .withColumn("lev",
             when(col("ta") === col("tb"), lit(0L))
               .otherwise(levenshtein(col("ta"), col("tb")).cast("long")))

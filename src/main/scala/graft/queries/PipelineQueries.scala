@@ -56,14 +56,14 @@ object PipelineQueries {
     * implementation. */
   private[graft] def minhashPairsOf(tokenized: DataFrame,
       maxPerBucket: Int = Dedup.MaxPerBucket,
-      portable: Boolean = true): DataFrame = {
-    val bands = minhashBands(tokenized, maxPerBucket, portable)
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-  }
+      portable: Boolean = true): DataFrame =
+    // single-pipeline candidate stage (guide §2.4 "remove shuffles
+    // outright"): the old bands self-join executed the signature pipeline
+    // twice (broadcast build side — no exchange reuse); inBucketPairs
+    // derives the same pair set from ONE pipeline, map-side
+    Dedup.inBucketPairs(
+      minhashBands(tokenized, maxPerBucket, portable), "doc_id",
+      Seq("band", "bucket"))
 
   /** [[minhashPairsOf]] verified with exact Jaccard (rounded) over distinct
     * shingle sets. The exact `array_intersect` over two ~L-element shingle
@@ -81,12 +81,19 @@ object PipelineQueries {
       case other => sys.error(s"unknown bucket policy '$other' (expected cap or subsplit)")
     }
     val shingleSets = tokenized.filter(size(col("tokens")) >= 3)
-      .select(col("doc_id"), array_distinct(Dedup.shingles(col("tokens"))).as("ds"))
-    Dedup.spreadForKernel(pairs
-        .join(shingleSets.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
-        .join(shingleSets.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b")))
+      .select(col("doc_id"), Dedup.distinctShingles(col("tokens")).as("ds"))
+    // spread the SKINNY pairs, attach arrays after: the kernel inherits
+    // its parallelism from the pair exchange (if the pairs stream) or from
+    // the spread scan (if they broadcast), and the ds-array-laden frame
+    // never takes an extra exchange — the round-20 attach→spread order
+    // re-shuffled the attached arrays through the kernel repartition
+    // (measured: the dense containment case moved ~300k pairs × two
+    // ~52-element string arrays through that exchange)
+    Dedup.spreadForKernel(pairs)
+      .join(shingleSets.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
+      .join(shingleSets.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(Dedup.jaccard(col("dsa"), col("dsb")), 6).as("jaccard"))
+        round(Dedup.jaccardSorted(col("dsa"), col("dsb")), 6).as("jaccard"))
   }
 
   /** LSH candidate pairs under the SUB-SPLIT oversized-bucket policy
@@ -96,15 +103,14 @@ object PipelineQueries {
     * cap's trade-off inverted; see the policy scaladoc). */
   private[graft] def minhashSubsplitPairsOf(tokenized: DataFrame,
       maxPerBucket: Int = Dedup.MaxPerBucket,
-      portable: Boolean = true): DataFrame = {
-    val sub = Dedup.subSplitBuckets(
-      rawBands(tokenized, portable), "doc_id", Seq("band", "bucket"), maxPerBucket)
-    sub.as("a").join(sub.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a._sub") === col("b._sub") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-  }
+      portable: Boolean = true): DataFrame =
+    // same single-pipeline swap as [[minhashPairsOf]]; the sub-split block
+    // id joins the bucket key, and per-(bucket, sub) membership is ≤ C by
+    // construction, so the collected member arrays stay bounded
+    Dedup.inBucketPairs(
+      Dedup.subSplitBuckets(
+        rawBands(tokenized, portable), "doc_id", Seq("band", "bucket"), maxPerBucket),
+      "doc_id", Seq("band", "bucket", "_sub"))
 
   /** Incremental dedup screen: every doc with id ≥ `newFrom` is screened
     * against the existing corpus (id < `newFrom`) through the shared LSH
@@ -117,21 +123,35 @@ object PipelineQueries {
   private[graft] def incrementalScreen(tokenized: DataFrame, newFrom: Long,
       maxPerBucket: Int = Dedup.MaxPerBucket): DataFrame = {
     val base = tokenized.filter(size(col("tokens")) >= 3)
-    val raw = rawBands(tokenized)
-    val oldBands = Dedup.capBuckets(
-      raw.filter(col("doc_id") < newFrom), "doc_id", Seq("band", "bucket"),
-      maxPerBucket)
-    val pairs = raw.filter(col("doc_id") >= newFrom).withColumnRenamed("doc_id", "new_id")
-      .join(oldBands.withColumnRenamed("doc_id", "old_id"),
-        Seq("band", "bucket"))
-      .select(col("new_id"), col("old_id")).distinct()
+    // ONE banding pipeline for both sides (round 21): the old formulation
+    // derived `oldBands` and the new-side probe from two separate rawBands
+    // subtrees — two full scan+signature passes with only the cap window's
+    // exchange reusable. Both sides now branch off the SAME windowed frame:
+    // old ids sort before `newFrom`, so for an old row the bucket-wide
+    // row_number IS its rank among old rows and `_bn <= cap` reproduces the
+    // old-only cap exactly (the oracle comment's identity). The old side
+    // collapses to a bounded member array per bucket (cap ≤ C) and the new
+    // side stays row-level, so the bucket join explodes ≤ C old candidates
+    // per new-doc row — the same per-new-doc work bound as before, one
+    // pipeline instead of two.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket")).orderBy(col("doc_id").asc)
+    val withRn = rawBands(tokenized).withColumn("_bn", row_number().over(w))
+    val oldArr = withRn
+      .filter(col("doc_id") < newFrom && col("_bn") <= maxPerBucket)
+      .groupBy("band", "bucket")
+      .agg(collect_list(col("doc_id")).as("_olds"))
+    val pairs = withRn.filter(col("doc_id") >= newFrom)
+      .join(oldArr, Seq("band", "bucket"))
+      .select(col("doc_id").as("new_id"), explode(col("_olds")).as("old_id"))
+      .distinct()
     val shingleSets = base
-      .select(col("doc_id"), array_distinct(Dedup.shingles(col("tokens"))).as("ds"))
-    val verified = pairs
+      .select(col("doc_id"), Dedup.distinctShingles(col("tokens")).as("ds"))
+    val verified = Dedup.spreadForKernel(pairs)
       .join(shingleSets.select(col("doc_id").as("new_id"), col("ds").as("dsn")), Seq("new_id"))
       .join(shingleSets.select(col("doc_id").as("old_id"), col("ds").as("dso")), Seq("old_id"))
       .select(col("new_id"), col("old_id"),
-        round(Dedup.jaccard(col("dsn"), col("dso")), 6).as("j"))
+        round(Dedup.jaccardSorted(col("dsn"), col("dso")), 6).as("j"))
       .filter(col("j") >= 0.3)
     val best = verified.groupBy("new_id")
       .agg(count(lit(1)).as("nm"),
@@ -158,13 +178,11 @@ object PipelineQueries {
       portable: Boolean = true): DataFrame = {
     val sig = Dedup.withMinhashSignature(
       tokenized.filter(size(col("tokens")) >= 3), "tokens", portable)
-    val bands = Dedup.capBuckets(
-      Dedup.containmentBands(sig), "doc_id", Seq("band", "bucket"), maxPerBucket)
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    // single-pipeline candidate stage, as [[minhashPairsOf]]
+    Dedup.inBucketPairs(
+      Dedup.capBuckets(
+        Dedup.containmentBands(sig), "doc_id", Seq("band", "bucket"), maxPerBucket),
+      "doc_id", Seq("band", "bucket"))
   }
 
   /** LSH candidate pairs over the documents corpus (query-surface shape). */
@@ -332,9 +350,19 @@ object PipelineQueries {
       .select(col("doc_id"), posexplode(transform(
         Dedup.shingles(col("tokens"), RepeatedGramN), sh => md5(sh))).as(Seq("p0", "gram")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
+    // `first` = the corpus-wide first occurrence (min (doc_id, pos)) rides
+    // the SAME aggregation as the repeated-set filter: the excision query
+    // used to re-derive it with row_number() over Window.partitionBy(gram)
+    // — a second full-gram shuffle whose per-gram sort turns a ubiquitous
+    // boilerplate gram into one hot partition at scale (round-20 ADVICE).
+    // min(struct) is a partial-aggregable scalar — skew-free by
+    // construction. Consumers that only need the set (detection) project
+    // `gram` alone and Catalyst prunes the min away.
     val rep = grams.groupBy("gram")
-      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
-      .select("gram")
+      .agg(countDistinct("doc_id").as("nd"),
+        min(struct(col("doc_id").as("d"), col("pos").as("p"))).as("first"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"), col("first"))
     (grams, rep)
   }
 
@@ -396,12 +424,12 @@ object PipelineQueries {
         val verified = {
           val tokenized = docs(s, d)
           val shingleSets = tokenized.filter(size(col("tokens")) >= 3)
-            .select(col("doc_id"), array_distinct(Dedup.shingles(col("tokens"))).as("ds"))
-          Dedup.spreadForKernel(minhashSubsplitPairsOf(tokenized, 4)
-              .join(shingleSets.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
-              .join(shingleSets.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b")))
+            .select(col("doc_id"), Dedup.distinctShingles(col("tokens")).as("ds"))
+          Dedup.spreadForKernel(minhashSubsplitPairsOf(tokenized, 4))
+            .join(shingleSets.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
+            .join(shingleSets.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b"))
             .select(col("doc_a"), col("doc_b"),
-              round(Dedup.jaccard(col("dsa"), col("dsb")), 6).as("jaccard"))
+              round(Dedup.jaccardSorted(col("dsa"), col("dsb")), 6).as("jaccard"))
         }
         verified.orderBy("doc_a", "doc_b")
       },
@@ -430,13 +458,18 @@ object PipelineQueries {
       (s, d) => {
         val tokenized = docs(s, d)
         val shingleSets = tokenized.filter(size(col("tokens")) >= 3)
-          .select(col("doc_id"), array_distinct(Dedup.shingles(col("tokens"))).as("ds"))
-        Dedup.spreadForKernel(minhashPairsOf(tokenized)
-            .join(shingleSets.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
-            .join(shingleSets.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b")))
+          .select(col("doc_id"), Dedup.distinctShingles(col("tokens")).as("ds"))
+        // |A∩B| = |B∩A| on distinct-element arrays, so ONE intersection
+        // serves both containment directions (the kernel was the measured
+        // dominant cost of this query family — two array_intersect per
+        // pair halved to one, bit-identical quotients)
+        Dedup.spreadForKernel(minhashPairsOf(tokenized))
+          .join(shingleSets.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
+          .join(shingleSets.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b"))
+          .withColumn("_i", Dedup.intersectSize(col("dsa"), col("dsb")).cast("double"))
           .select(col("doc_a"), col("doc_b"),
-            round(Dedup.containment(col("dsa"), col("dsb")), 6).as("cont_ab"),
-            round(Dedup.containment(col("dsb"), col("dsa")), 6).as("cont_ba"))
+            round(col("_i") / size(col("dsa")).cast("double"), 6).as("cont_ab"),
+            round(col("_i") / size(col("dsb")).cast("double"), 6).as("cont_ba"))
           .filter(greatest(col("cont_ab"), col("cont_ba")) >= 0.5)
           .orderBy("doc_a", "doc_b")
       },
@@ -471,13 +504,18 @@ object PipelineQueries {
       (s, d) => {
         val tokenized = docs(s, d)
         val shingleSets = tokenized.filter(size(col("tokens")) >= 3)
-          .select(col("doc_id"), array_distinct(Dedup.shingles(col("tokens"))).as("ds"))
-        Dedup.spreadForKernel(containmentBandPairsOf(tokenized, maxPerBucket = 64)
-            .join(shingleSets.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
-            .join(shingleSets.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b")))
+          .select(col("doc_id"), Dedup.distinctShingles(col("tokens")).as("ds"))
+        // one shared intersection for both directions (see
+        // q_dedup_containment) — this query is the family's dense case
+        // (297k candidate pairs at sf0.1), where the duplicate
+        // intersection was ~40% of the whole runtime
+        Dedup.spreadForKernel(containmentBandPairsOf(tokenized, maxPerBucket = 64))
+          .join(shingleSets.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
+          .join(shingleSets.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b"))
+          .withColumn("_i", Dedup.intersectSize(col("dsa"), col("dsb")).cast("double"))
           .select(col("doc_a"), col("doc_b"),
-            round(Dedup.containment(col("dsa"), col("dsb")), 6).as("cont_ab"),
-            round(Dedup.containment(col("dsb"), col("dsa")), 6).as("cont_ba"))
+            round(col("_i") / size(col("dsa")).cast("double"), 6).as("cont_ab"),
+            round(col("_i") / size(col("dsb")).cast("double"), 6).as("cont_ba"))
           .filter(greatest(col("cont_ab"), col("cont_ba")) >= 0.5)
           .orderBy("doc_a", "doc_b")
       },
@@ -642,11 +680,11 @@ object PipelineQueries {
     Q("q_dedup_ngram_jaccard",
       (s, d) => {
         val ss = docs(s, d).filter(size(col("tokens")) >= 3)
-          .select(col("doc_id"), array_distinct(Dedup.shingles(col("tokens"))).as("ds"))
+          .select(col("doc_id"), Dedup.distinctShingles(col("tokens")).as("ds"))
         ss.select(col("doc_id").as("doc_a"), col("ds").as("dsa"))
           .join(ss.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_a"))
           .select(col("doc_a"), col("doc_b"),
-            round(Dedup.jaccard(col("dsa"), col("dsb")), 6).as("jaccard"))
+            round(Dedup.jaccardSorted(col("dsa"), col("dsb")), 6).as("jaccard"))
           .orderBy("doc_a")
       },
       Some(s"WITH ${Q.toksCte}, " +
@@ -674,7 +712,7 @@ object PipelineQueries {
         // one left join + one rollup (instead of separate total/repeated
         // aggregations) so the window explode materializes twice, not
         // three times — at 100 TB that's one fewer full corpus pass
-        grams.join(rep.withColumn("rep", lit(1)), Seq("gram"), "left")
+        grams.join(rep.select(col("gram"), lit(1).as("rep")), Seq("gram"), "left")
           .groupBy("doc_id")
           .agg(count(lit(1)).cast("long").as("n_windows"),
             count(col("rep")).cast("long").as("n_repeated"))
@@ -715,10 +753,14 @@ object PipelineQueries {
         val n = RepeatedGramN
         val tok = docs(s, d)
         val (grams, rep) = repeatedGramFrames(tok)
+        // exempt-first-occurrence via the aggregation-carried min (doc_id,
+        // pos) instead of row_number() over Window.partitionBy(gram): same
+        // rows excised (rn > 1 ⇔ (doc_id, pos) ≠ the per-gram minimum —
+        // both keys are unique per gram), one full-gram shuffle+sort
+        // removed, and no per-gram hot-partition sort at scale (round-20
+        // ADVICE fix)
         val excise = grams.join(rep, Seq("gram"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("gram").orderBy(col("doc_id"), col("pos"))))
-          .filter(col("rn") > 1)
+          .filter(col("doc_id") =!= col("first.d") || col("pos") =!= col("first.p"))
         val covered = excise.select(col("doc_id"),
           explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
           .groupBy("doc_id").agg(collect_set("p").as("cov"))

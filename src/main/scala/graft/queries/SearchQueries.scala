@@ -99,10 +99,14 @@ object SearchQueries {
     Q("q_phrase_match",
       (s, d) => docs(s, d).filter(size(col("tokens")) >= 2)
         .select(col("doc_id"),
-          size(filter(sequence(lit(1), size(col("tokens")) - 1),
-            i => element_at(col("tokens"), i) === "table" &&
-              element_at(col("tokens"), i + 1) === "value"))
-            .cast("long").as("n_matches"))
+          // round 21: codegen'd adjacency kernel — the
+          // filter-over-sequence HOF evaluated two element_at probes per
+          // position in interpreted lambdas; same counts
+          // (KernelExpressionsSpec pins kernel ≡ HOF per corpus row)
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(
+            graft.functions.AdjacentPairCount(
+              org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("tokens")),
+              "table", "value")).as("n_matches"))
         .filter(col("n_matches") > 0)
         .orderBy("doc_id"),
       Some(s"WITH ${Q.toksCte}, " +
