@@ -186,10 +186,10 @@ object Bench {
       Seq(
         "ph_minhash_verified_pairs" -> (() =>
           PipelineQueries.minhashVerifiedPairsOf(
-            Q.docsTokens(spark, sfDir), portable = false)),
+            Q.docsTokensSpread(spark, sfDir), portable = false)),
         "ph_containment_pairs" -> (() =>
           PipelineQueries.containmentBandPairsOf(
-            Q.docsTokens(spark, sfDir), portable = false)),
+            Q.docsTokensSpread(spark, sfDir), portable = false)),
         // the full production chain (gate → exact → near-dup → containment),
         // kept side only — the composition `graft curate --containment` runs
         "ph_curate_chain" -> (() =>

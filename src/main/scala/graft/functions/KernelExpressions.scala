@@ -164,6 +164,42 @@ object KernelOps {
     mins
   }
 
+  /** xxhash64(seed 42) of every n-token window (stride 1) — the fused
+    * equivalent of `transform(shingles(tokens, n), w ⇒ xxhash64(w))`
+    * without materializing the window strings: bytes are assembled into a
+    * reusable scratch buffer per window and hashed with the same XXH64
+    * Spark's `xxhash64` uses, so the values equal
+    * `xxhash64(concat_ws(" ", slice(tokens, i, n)))` exactly. Null when
+    * fewer than n tokens (callers filter `size ≥ n`). */
+  def shingleHashes64(tokens: ArrayData, n: Int): Array[Long] = {
+    val nt = tokens.numElements()
+    if (nt < n) return null
+    val out = new Array[Long](nt - n + 1)
+    var scratch = new Array[Byte](512)
+    var w = 0
+    while (w <= nt - n) {
+      var len = 0
+      var t = 0
+      while (t < n) {
+        if (t > 0) {
+          if (len + 1 > scratch.length) scratch = grow(scratch, len + 1)
+          scratch(len) = ' '.toByte
+          len += 1
+        }
+        val s = tokens.getUTF8String(w + t)
+        val sb = s.numBytes()
+        if (len + sb > scratch.length) scratch = grow(scratch, len + sb)
+        s.writeToMemory(scratch, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
+        len += sb
+        t += 1
+      }
+      out(w) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        scratch, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      w += 1
+    }
+    out
+  }
+
   private def grow(b: Array[Byte], need: Int): Array[Byte] = {
     val nb = new Array[Byte](math.max(b.length * 2, need))
     System.arraycopy(b, 0, nb, 0, b.length)
@@ -256,6 +292,43 @@ case class ShingleMinhashes(child: Expression, portable: Boolean)
       val r = ctx.freshName("mh")
       s"""
          |long[] $r = graft.functions.KernelOps.shingleMinhashes($a, $portable);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($r);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** See [[KernelOps.shingleHashes64]]. Input `array<string>` tokens; output
+  * `array<long>` of per-window xxhash64 values, null below n tokens. */
+case class ShingleHashes64(child: Expression, n: Int)
+  extends UnaryExpression {
+
+  override def prettyName: String = "shingle_hashes64"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(tokens: Any): Any = {
+    val r = KernelOps.shingleHashes64(tokens.asInstanceOf[ArrayData], n)
+    if (r == null) null
+    else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("sh")
+      s"""
+         |long[] $r = graft.functions.KernelOps.shingleHashes64($a, $n);
          |if ($r == null) {
          |  ${ev.isNull} = true;
          |} else {

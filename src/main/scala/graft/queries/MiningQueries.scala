@@ -17,6 +17,9 @@ object MiningQueries {
 
   private def docs(s: SparkSession, d: String): DataFrame = Q.docsTokens(s, d)
 
+  private def docsSpread(s: SparkSession, d: String): DataFrame =
+    Q.docsTokensSpread(s, d)
+
   private def events(s: SparkSession, d: String): DataFrame = Q.events(s, d)
 
   /** Explode an embeddings frame into 8-dim subvectors: (id, j, sub).
@@ -221,10 +224,13 @@ object MiningQueries {
             qs, "qid", "qvec", e, "vec_id", "embedding", cent, "cid", "cvec",
             nprobe = np, k = k)
           .select(col("qid"), col("vec_id"))
-        // ONE ADC pass serves both PQ legs: the 10-shortlist is by
-        // construction the rank≤10 prefix of the 20-shortlist (same
-        // quantized ranking), so the code-scan runs once, not twice
-        val short20all = adcShortlist(s, d, 20)
+        // ONE ADC pass serves both PQ legs AND the composed IVF×PQ leg:
+        // every shortlist is a rank-prefix filter over the SAME full-rank
+        // ADC frame (adistAll below), so the plan carries one ADC subtree
+        // instead of two (round 21 — the 20-shortlist used to be its own
+        // adcShortlist call)
+        val adistAll = adcShortlist(s, d, Int.MaxValue)
+        val short20all = adistAll.filter(col("rank") <= 20)
         val pqAdc = short20all.filter(col("rank") <= k)
           .select(col("qid"), col("vec_id"))
         val short20 = short20all.select(col("qid"), col("vec_id"))
@@ -243,8 +249,6 @@ object MiningQueries {
         // distances are per-(query, vector) — independent of the pool — so
         // the full-rank frame serves here too (offline audit: one ADC scan
         // total, not one per leg)
-        val adistAll = adcShortlist(s, d, Int.MaxValue)
-          .select(col("qid"), col("vec_id"), col("adist"))
         val assigned = graft.ops.Similarity
           .ivfAssign(e, "vec_id", "embedding", cent, "cid", "cvec")
           .select(col("vec_id"), col("cid"))
@@ -632,10 +636,16 @@ object MiningQueries {
       (s, d) => {
         val txt = t(s, d, "documents")
           .select(col("doc_id"), substring(col("text"), 1, 200).as("t200"))
+        // attach-then-spread HERE (unlike the ds-array verifies): the
+        // attach payload is two 200-char prefixes — re-shuffling it is
+        // cheap — while a pre-spread lets Catalyst broadcast the pairs and
+        // park the O(L²) levenshtein kernel on the single-task documents
+        // scan (round-21 bench: 1.60 → 3.04 s in that shape; this one
+        // restores 32-way kernel execution above the repartition)
         graft.ops.Dedup.spreadForKernel(
-            PipelineQueries.minhashCandidatePairs(s, d))
-          .join(txt.select(col("doc_id").as("doc_a"), col("t200").as("ta")), Seq("doc_a"))
-          .join(txt.select(col("doc_id").as("doc_b"), col("t200").as("tb")), Seq("doc_b"))
+          PipelineQueries.minhashCandidatePairs(s, d)
+            .join(txt.select(col("doc_id").as("doc_a"), col("t200").as("ta")), Seq("doc_a"))
+            .join(txt.select(col("doc_id").as("doc_b"), col("t200").as("tb")), Seq("doc_b")))
           .withColumn("lev",
             when(col("ta") === col("tb"), lit(0L))
               .otherwise(levenshtein(col("ta"), col("tb")).cast("long")))
@@ -882,7 +892,7 @@ object MiningQueries {
       (s, d) => {
         val splits = t(s, d, "documents")
           .select(col("doc_id"), (expr(CurationQueries.nibbleHashSql) % 2).as("sp"))
-        PipelineQueries.minhashVerifiedPairsOf(docs(s, d))
+        PipelineQueries.minhashVerifiedPairsOf(docsSpread(s, d))
           .filter(col("jaccard") >= 0.5)
           .join(splits.select(col("doc_id").as("doc_a"), col("sp").as("split_a")), Seq("doc_a"))
           .join(splits.select(col("doc_id").as("doc_b"), col("sp").as("split_b")), Seq("doc_b"))
@@ -906,7 +916,7 @@ object MiningQueries {
     // 32-byte hash; skew-safe at 100 TB because a viral span still groups
     // to ONE skinny count row (the texts never ride the shuffle).
     Q("q_shared_spans",
-      (s, d) => docs(s, d)
+      (s, d) => docsSpread(s, d)
         .filter(size(col("tokens")) >= 8)
         .select(col("doc_id"), explode(transform(
           sequence(lit(1), size(col("tokens")) - 7),
@@ -934,8 +944,12 @@ object MiningQueries {
     Q("q_bpe_train",
       (s, d) => {
         import s.implicits._
+        // spread-scan input: the trainer re-scans the corpus per merge
+        // round (4 driver-sequential iterations), so the one-task fixture
+        // scan serializes every round's map phase — measured 4.9 s
+        // unspread vs 2.7 s spread in the round-21 full-bench A/B
         val (merges, _) = graft.ops.BpeTrainer.train(
-          docs(s, d).select(col("doc_id"), col("tokens")), "tokens", nMerges = 4)
+          docsSpread(s, d).select(col("doc_id"), col("tokens")), "tokens", nMerges = 4)
         merges.toDF()
           .select(col("rank").cast("long").as("merge_rank"),
             col("left"), col("right"), col("n"))

@@ -15,6 +15,11 @@ object PipelineQueries {
 
   private def docs(s: SparkSession, d: String): DataFrame = Q.docsTokens(s, d)
 
+  /** Spread-scan tokenization for the shingle/minhash/gram pipelines —
+    * call sites chosen by bench measurement (see Q.tSpread scaladoc). */
+  private def docsSpread(s: SparkSession, d: String): DataFrame =
+    Q.docsTokensSpread(s, d)
+
   /** events with ts as epoch-nanos long (Spark has no nanosecond timestamp;
     * the oracle mirrors with `epoch_ns(ts)`). */
   private def events(s: SparkSession, d: String): DataFrame = Q.events(s, d)
@@ -187,10 +192,10 @@ object PipelineQueries {
 
   /** LSH candidate pairs over the documents corpus (query-surface shape). */
   private[queries] def minhashCandidatePairs(s: SparkSession, d: String): DataFrame =
-    minhashPairsOf(docs(s, d))
+    minhashPairsOf(docsSpread(s, d))
 
   private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame =
-    minhashVerifiedPairsOf(docs(s, d))
+    minhashVerifiedPairsOf(docsSpread(s, d))
 
   /** Session-scoped materialize-once of the shared cluster-resolution
     * prefix: verified pairs → jaccard ≥ 0.5 edges → connected components.
@@ -346,9 +351,21 @@ object PipelineQueries {
     * hashes and ints, never token payload. */
   private val RepeatedGramN = 8
   private def repeatedGramFrames(tok: DataFrame): (DataFrame, DataFrame) = {
+    // the gram id is INTERNAL to this query pair (both outputs are per-doc
+    // counts / md5s of the cleaned token stream, never the gram id), so it
+    // rides the fused xxhash64 window kernel: one compiled pass per row
+    // instead of two interpreted transforms (window-string build + md5),
+    // and an 8-byte long through every downstream shuffle/join instead of
+    // a 32-char hex string (guide §2.3 "narrower types"). Equality of the
+    // repeated set vs the string windows holds up to xxhash64 collisions
+    // (~(#windows)²/2⁶⁵ ≈ 1e-8 at sf0.1 — and the oracle parity run
+    // re-proves the results on every fixture).
     val grams = tok.filter(size(col("tokens")) >= RepeatedGramN)
-      .select(col("doc_id"), posexplode(transform(
-        Dedup.shingles(col("tokens"), RepeatedGramN), sh => md5(sh))).as(Seq("p0", "gram")))
+      .select(col("doc_id"), posexplode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.ShingleHashes64(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("tokens")),
+            RepeatedGramN))).as(Seq("p0", "gram")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
     // `first` = the corpus-wide first occurrence (min (doc_id, pos)) rides
     // the SAME aggregation as the repeated-set filter: the excision query
@@ -422,7 +439,7 @@ object PipelineQueries {
     Q("q_dedup_subsplit_pairs",
       (s, d) => {
         val verified = {
-          val tokenized = docs(s, d)
+          val tokenized = docsSpread(s, d)
           val shingleSets = tokenized.filter(size(col("tokens")) >= 3)
             .select(col("doc_id"), Dedup.distinctShingles(col("tokens")).as("ds"))
           Dedup.spreadForKernel(minhashSubsplitPairsOf(tokenized, 4))
@@ -456,7 +473,7 @@ object PipelineQueries {
     // compares ROUNDED values so the cut line is identical cross-engine.
     Q("q_dedup_containment",
       (s, d) => {
-        val tokenized = docs(s, d)
+        val tokenized = docsSpread(s, d)
         val shingleSets = tokenized.filter(size(col("tokens")) >= 3)
           .select(col("doc_id"), Dedup.distinctShingles(col("tokens")).as("ds"))
         // |A∩B| = |B∩A| on distinct-element arrays, so ONE intersection
@@ -502,7 +519,7 @@ object PipelineQueries {
     // min-shingle families.
     Q("q_dedup_containment_lshe",
       (s, d) => {
-        val tokenized = docs(s, d)
+        val tokenized = docsSpread(s, d)
         val shingleSets = tokenized.filter(size(col("tokens")) >= 3)
           .select(col("doc_id"), Dedup.distinctShingles(col("tokens")).as("ds"))
         // one shared intersection for both directions (see
@@ -679,7 +696,7 @@ object PipelineQueries {
     // kernel, driven by a deterministic pairing)
     Q("q_dedup_ngram_jaccard",
       (s, d) => {
-        val ss = docs(s, d).filter(size(col("tokens")) >= 3)
+        val ss = docsSpread(s, d).filter(size(col("tokens")) >= 3)
           .select(col("doc_id"), Dedup.distinctShingles(col("tokens")).as("ds"))
         ss.select(col("doc_id").as("doc_a"), col("ds").as("dsa"))
           .join(ss.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_a"))
@@ -708,7 +725,7 @@ object PipelineQueries {
     // 47 docs of 500).
     Q("q_dedup_repeated_ngrams",
       (s, d) => {
-        val (grams, rep) = repeatedGramFrames(docs(s, d))
+        val (grams, rep) = repeatedGramFrames(docsSpread(s, d))
         // one left join + one rollup (instead of separate total/repeated
         // aggregations) so the window explode materializes twice, not
         // three times — at 100 TB that's one fewer full corpus pass
@@ -751,7 +768,7 @@ object PipelineQueries {
     Q("q_dedup_excise_spans",
       (s, d) => {
         val n = RepeatedGramN
-        val tok = docs(s, d)
+        val tok = docsSpread(s, d)
         val (grams, rep) = repeatedGramFrames(tok)
         // exempt-first-occurrence via the aggregation-carried min (doc_id,
         // pos) instead of row_number() over Window.partitionBy(gram): same
@@ -886,7 +903,7 @@ object PipelineQueries {
     // struct-min. At scale the existing side's signatures/buckets are a
     // precomputed table partitioned by (band, bucket).
     Q("q_dedup_incremental",
-      (s, d) => incrementalScreen(docs(s, d), 400),
+      (s, d) => incrementalScreen(docsSpread(s, d), 400),
       // new side draws from the UNCAPPED bands0 (a screened doc is never
       // capped out); old side from the capped bands — which restricted to
       // doc_id < 400 equals an old-only cap, since old ids sort first.
@@ -1064,7 +1081,7 @@ object PipelineQueries {
     // occurrences that are duplicates — high values flag boilerplate/looped
     // generations. Map-only list arithmetic, no shuffle.
     Q("q_text_repetition",
-      (s, d) => docs(s, d).filter(size(col("tokens")) >= 3)
+      (s, d) => docsSpread(s, d).filter(size(col("tokens")) >= 3)
         .withColumn("sh", Dedup.shingles(col("tokens")))
         .select(col("doc_id"),
           size(col("sh")).cast("long").as("n_ngrams"),
@@ -1087,7 +1104,7 @@ object PipelineQueries {
     // (dedup, embedding) runs. Thresholds compare ROUNDED signals so both
     // engines agree at rule boundaries.
     Q("q_quality_gate",
-      (s, d) => qualityGate(docs(s, d)).orderBy("doc_id"),
+      (s, d) => qualityGate(docsSpread(s, d)).orderBy("doc_id"),
       Some(s"WITH ${Q.toksCte}, " +
         "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
         s"${TextAnalysis.stopwordCountSql("toks")} AS n_stop, " +

@@ -25,6 +25,17 @@ final case class Q(
 
 object Q {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** [[t]] + [[spreadScan]] — for call sites whose downstream MAP work is
+    * heavy enough that the adaptive post-scan spread measurably wins (the
+    * shingle/minhash pipelines). The default read stays unspread: a
+    * round-21 full-bench A/B showed the unconditional spread costs
+    * +0.3–1.5 s per LIGHT query at fixture scale (the exchange turns
+    * 1-task map-only plans into 65-task plans — scheduling overhead, and
+    * REPARTITION_BY_NUM blocks AQE coalescing), while only the
+    * kernel-heavy pipelines gain. */
+  def tSpread(spark: SparkSession, dir: String, name: String): DataFrame =
     spreadScan(spark, spark.read.parquet(s"$dir/$name.parquet"),
       s"$dir/$name.parquet")
 
@@ -157,6 +168,15 @@ object Q {
   def docsTokens(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, split}
     t(spark, dir, "documents").select(col("doc_id"), col("text"),
+      split(col("text"), " ").as("tokens"))
+  }
+
+  /** [[docsTokens]] over a [[tSpread]] scan — for the shingle/minhash/gram
+    * pipelines whose per-row kernels dominate the fixture's single-task
+    * scan (see [[tSpread]] for the measured opt-in rule). */
+  def docsTokensSpread(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, split}
+    tSpread(spark, dir, "documents").select(col("doc_id"), col("text"),
       split(col("text"), " ").as("tokens"))
   }
 

@@ -86,6 +86,17 @@ class KernelExpressionsSpec extends AnyFunSuite {
     counts.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("ShingleHashes64 ≡ xxhash64 over the materialized window strings") {
+    for (df <- Seq(corpus, adversarial)) {
+      val in = df.filter(size(col("tokens")) >= 8)
+      val native = in.select(col("doc_id"), ColumnBridge.column(ShingleHashes64(
+        ColumnBridge.expression(col("tokens")), 8)).as("h"))
+      val hof = in.select(col("doc_id"), transform(
+        Dedup.shingles(col("tokens"), 8), w => xxhash64(w)).as("h"))
+      assertSameRows(native, hof)
+    }
+  }
+
   test("SquaredL2 ≡ zip_with/aggregate fold") {
     val rnd = new scala.util.Random(11)
     val df = (0 until 300).map { i =>
