@@ -276,21 +276,27 @@ object MiningQueries {
           .filter(col("rank") <= k)
           .select(col("qid"), col("vec_id"))
         val qids = qs.select(col("qid"))
-        def legRecall(leg: String, approx: DataFrame): DataFrame = {
-          val hits = approx
-            .join(broadcast(exact), Seq("qid", "vec_id"), "left_semi")
-            .groupBy("qid").agg(count(lit(1)).cast("long").as("hits"))
-          qids.join(broadcast(hits), Seq("qid"), "left")
-            .select(lit(leg).as("leg"), col("qid"),
-              coalesce(col("hits"), lit(0L)).as("hits"),
-              Q.r6(coalesce(col("hits"), lit(0L)).cast("double") / k).as("recall"))
-        }
-        legRecall("exact", exact)
-          .unionAll(legRecall("ivf_np1", ivfLeg(1)))
-          .unionAll(legRecall("ivf_np2", ivfLeg(2)))
-          .unionAll(legRecall("ivfpq", ivfPq))
-          .unionAll(legRecall("pq_adc", pqAdc))
-          .unionAll(legRecall("pq_rerank", pqRerank))
+        // ONE recall pipeline over the UNION of leg-tagged candidate sets
+        // (round 21): the per-leg formulation ran 6 × (semi-join + agg +
+        // attach join) as separate blocking stage chains — same rows, 6×
+        // the scheduling; the leg tag just joins the aggregation key. The
+        // (leg × qid) left frame makes zero-hit legs surface as recall 0,
+        // exactly as the per-leg left joins did.
+        import s.implicits._
+        val legs = Seq(
+          "exact" -> exact, "ivf_np1" -> ivfLeg(1), "ivf_np2" -> ivfLeg(2),
+          "ivfpq" -> ivfPq, "pq_adc" -> pqAdc, "pq_rerank" -> pqRerank)
+        val tagged = legs.map { case (l, df) =>
+          df.select(lit(l).as("leg"), col("qid"), col("vec_id"))
+        }.reduce(_ unionAll _)
+        val hits = tagged
+          .join(broadcast(exact), Seq("qid", "vec_id"), "left_semi")
+          .groupBy("leg", "qid").agg(count(lit(1)).cast("long").as("hits"))
+        qids.crossJoin(legs.map(_._1).toDF("leg"))
+          .join(broadcast(hits), Seq("leg", "qid"), "left")
+          .select(col("leg"), col("qid"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            Q.r6(coalesce(col("hits"), lit(0L)).cast("double") / k).as("recall"))
           .orderBy("leg", "qid")
       },
       Some(s"WITH $adcCtes, " +
