@@ -200,6 +200,43 @@ object KernelOps {
     out
   }
 
+  /** [[shingleHashes64]] with a window STRIDE — the non-overlapping
+    * window-hash shape of the boilerplate kernel: windows start at
+    * 0, stride, 2·stride, … and the LAST window may be short (the
+    * `slice(tokens, i·s+1, n)` tail behavior). ⌈nt/stride⌉ windows for
+    * nt ≥ 1; null for empty arrays (callers filter `size ≥ 1`). */
+  def strideWindowHashes64(tokens: ArrayData, n: Int, stride: Int): Array[Long] = {
+    val nt = tokens.numElements()
+    if (nt < 1) return null
+    val nw = (nt + stride - 1) / stride
+    val out = new Array[Long](nw)
+    var scratch = new Array[Byte](512)
+    var w = 0
+    while (w < nw) {
+      val start = w * stride
+      val end = math.min(start + n, nt)
+      var len = 0
+      var t = start
+      while (t < end) {
+        if (t > start) {
+          if (len + 1 > scratch.length) scratch = grow(scratch, len + 1)
+          scratch(len) = ' '.toByte
+          len += 1
+        }
+        val s = tokens.getUTF8String(t)
+        val sb = s.numBytes()
+        if (len + sb > scratch.length) scratch = grow(scratch, len + sb)
+        s.writeToMemory(scratch, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
+        len += sb
+        t += 1
+      }
+      out(w) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        scratch, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      w += 1
+    }
+    out
+  }
+
   private def grow(b: Array[Byte], need: Int): Array[Byte] = {
     val nb = new Array[Byte](math.max(b.length * 2, need))
     System.arraycopy(b, 0, nb, 0, b.length)
@@ -329,6 +366,43 @@ case class ShingleHashes64(child: Expression, n: Int)
       val r = ctx.freshName("sh")
       s"""
          |long[] $r = graft.functions.KernelOps.shingleHashes64($a, $n);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($r);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** See [[KernelOps.strideWindowHashes64]] — the boilerplate
+  * non-overlapping window-hash kernel. */
+case class StrideWindowHashes64(child: Expression, n: Int, stride: Int)
+  extends UnaryExpression {
+
+  override def prettyName: String = "stride_window_hashes64"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(tokens: Any): Any = {
+    val r = KernelOps.strideWindowHashes64(tokens.asInstanceOf[ArrayData], n, stride)
+    if (r == null) null
+    else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("wh")
+      s"""
+         |long[] $r = graft.functions.KernelOps.strideWindowHashes64($a, $n, $stride);
          |if ($r == null) {
          |  ${ev.isNull} = true;
          |} else {

@@ -32,13 +32,17 @@ object CuratePipeline {
     * the window's corpus-wide occurrence count `wf`. One shuffle keyed on
     * the 32-byte hash, map-side combined — linear in corpus tokens. */
   private[graft] def windowHashFreq(docs: DataFrame): DataFrame = {
+    // round 21: the window id is INTERNAL to both consumers (the query
+    // outputs per-doc counts; the curate stage a boiler ratio), so it
+    // rides the fused xxhash64 stride-window kernel — one compiled pass
+    // per row, an 8-byte shuffle key instead of a 32-char md5 hex string
+    // (same rationale and collision math as repeatedGramFrames)
     val win = docs.filter(size(col("tokens")) >= 1)
-      .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(0),
-            ceil(size(col("tokens")).cast("double") / 8).cast("int") - 1),
-          i => md5(concat_ws(" ", slice(col("tokens"), i * 8 + 1, lit(8))))))
-          .as("wh"))
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.StrideWindowHashes64(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("tokens")),
+            8, 8))).as("wh"))
     win.join(win.groupBy("wh").agg(count(lit(1)).as("wf")), Seq("wh"))
   }
 

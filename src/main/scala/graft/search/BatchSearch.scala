@@ -65,10 +65,29 @@ object BatchSearch {
     val qterms = queries
       .flatMap { case (qid, text) => analyzer.tokenize(text).distinct.map(qid -> _) }
       .toDF("qid", "term")
+    // For bounded term sets, ALSO apply the term restriction as a literal
+    // isin FILTER under the joins (round 21): a broadcast join alone
+    // cannot push a predicate below the postings source — on an artifact
+    // that means scanning every postings byte, and on the ad-hoc path the
+    // full-vocabulary tf aggregation shuffles Σ tokens rows to score a
+    // handful of terms. The pushed In prunes the term-clustered artifact
+    // to the queries' posting lists (the Bm25.scores serving posture) and
+    // sinks below the ad-hoc tf aggregate (term is a grouping column).
+    // Results are unchanged — the joins keep exactly these terms. Gated:
+    // past ~hundreds of literals a pushed In degrades to a range filter
+    // and bloats planning (the ServeSearch large-shortlist lesson), so a
+    // big eval set keeps the join-only shape.
+    val allTerms = queries.flatMap { case (_, t) => analyzer.tokenize(t) }.distinct
+    val MaxPushedTerms = 256
+    def termPruned(df: DataFrame): DataFrame =
+      if (allTerms.nonEmpty && allTerms.size <= MaxPushedTerms)
+        df.filter(col("term").isin(allTerms: _*))
+      else df
     // restrict termdf to the query terms BEFORE broadcasting — the full
     // vocabulary df table is corpus-sized
-    val qtermDf = index.termdf.join(broadcast(qterms.select("term").distinct()), "term")
-    val perTermProbe = index.postings
+    val qtermDf = termPruned(index.termdf)
+      .join(broadcast(qterms.select("term").distinct()), "term")
+    val perTermProbe = termPruned(index.postings)
       .join(broadcast(qterms), "term")
       .join(broadcast(qtermDf), "term")
     // dl-carrying postings (artifacts since the denormalized layout) skip

@@ -249,7 +249,12 @@ final class McpServer(
             .filterNot(_.replaceAll("\\s", "")
               .matches(".*;q=0(\\.0{1,3})?(;.*)?$"))
             .map(_.takeWhile(_ != ';').trim).toSet
-          val sse = accepted.contains("text/event-stream") &&
+          // `text/*` accepts event-stream (round-20 ADVICE: a client
+          // sending only 'Accept: text/*' must not get application/json
+          // back); json wildcards still win the tie, matching the
+          // explicit-type precedence below
+          val sse = (accepted.contains("text/event-stream") ||
+              accepted.contains("text/*")) &&
             !accepted.exists(a => a == "application/json" ||
               a == "application/*" || a == "*/*")
           McpServer.this.handle(body) match {

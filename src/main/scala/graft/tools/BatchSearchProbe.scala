@@ -65,7 +65,13 @@ object BatchSearchProbe {
     val qvecs = emb.orderBy(col("doc_id")).limit(maxN)
       .select(col("embedding")).as[Array[Float]].collect()
     require(qvecs.length >= maxN, s"embeddings table has <$maxN rows")
-    // the qid key keeps duplicate prefix TEXTS as distinct queries
+    // the qid key keeps duplicate prefix TEXTS as distinct queries for the
+    // FTS/fusion machinery; the embedder, being keyed by TEXT, maps all
+    // duplicates of a prefix to ONE vector (the last positional pairing
+    // wins) — intentional here: the probe's claim is rows-read
+    // amortization, not per-query recall, and a shared vector only makes
+    // the kNN leg's work an underestimate-free upper bound of distinct
+    // queries (round-20 ADVICE: stated explicitly instead of implied)
     val queries = prefixes.zipWithIndex.map { case (t, i) => (s"q$i", t) }.toSeq
     val lookup = new graft.embed.LookupEmbedder(
       queries.map(_._2).zip(qvecs).toMap)

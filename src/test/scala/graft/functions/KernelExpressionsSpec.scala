@@ -97,6 +97,18 @@ class KernelExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("StrideWindowHashes64 ≡ xxhash64 over the strided window strings") {
+    for (df <- Seq(corpus, adversarial)) {
+      val in = df.filter(size(col("tokens")) >= 1)
+      val native = in.select(col("doc_id"), ColumnBridge.column(StrideWindowHashes64(
+        ColumnBridge.expression(col("tokens")), 8, 8)).as("h"))
+      val hof = in.select(col("doc_id"), transform(
+        sequence(lit(0), ceil(size(col("tokens")).cast("double") / 8).cast("int") - 1),
+        i => xxhash64(concat_ws(" ", slice(col("tokens"), i * 8 + 1, lit(8))))).as("h"))
+      assertSameRows(native, hof)
+    }
+  }
+
   test("SquaredL2 ≡ zip_with/aggregate fold") {
     val rnd = new scala.util.Random(11)
     val df = (0 until 300).map { i =>
