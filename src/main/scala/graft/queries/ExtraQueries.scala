@@ -556,7 +556,11 @@ object ExtraQueries {
           .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
             datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date")).as("od"))
           .withColumn("bin", expr(s"od div $B"))
-        val iv = t(s, d, "lineitem")
+        // spread ONLY the interval side: its map phase (date math + an
+        // explode that emits ~1.8 bins/row) is the query's CPU bulk and
+        // the fixture scan is one task; the probe side stays a pruned
+        // 1-task scan feeding a broadcast (round-21 targeted A/B)
+        val iv = Q.tSpread(s, d, "lineitem")
           .select(
             datediff(col("l_shipdate").cast("date"), lit("1992-01-01").cast("date")).as("sd"),
             col("l_quantity"))
