@@ -444,6 +444,35 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Optimizer-visibility barrier: evaluates `child` unchanged but REPORTS
+  * nondeterministic, so CollapseProject will not inline the aliased value
+  * into every consumer and PushPredicateThroughNonJoin will not clone it
+  * into a pushed filter (guide §4.4 — the `asNondeterministic` trick for
+  * expensive kernels, as an expression wrapper). The child IS pure — the
+  * flag only stops the optimizer from duplicating its evaluation; task
+  * retries recompute identical values. Used where one expensive kernel
+  * value feeds several projected columns AND a filter (the containment
+  * verdicts: without the barrier the shared `_i` inlines into the pushed
+  * gate and the kernel runs twice per candidate pair). */
+case class EvalOnce(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "eval_once"
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def foldable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** See [[KernelOps.squaredL2]] — codegen'd Σ(aᵢ−bᵢ)² over `array<double>`,
   * null on length mismatch (the zip_with-pads-null collapse). */
 case class SquaredL2(left: Expression, right: Expression)

@@ -280,7 +280,7 @@ object CuratePipeline {
         val verdicts = Dedup.spreadForKernel(pairs)
           .join(sh.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
           .join(sh.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b"))
-          .withColumn("_i", Dedup.intersectSize(col("dsa"), col("dsb")).cast("double"))
+          .withColumn("_i", Dedup.intersectSizeOnce(col("dsa"), col("dsb")).cast("double"))
           .select(col("doc_a"), col("doc_b"),
             (col("_i") / size(col("dsa")).cast("double")).as("cab"),
             (col("_i") / size(col("dsb")).cast("double")).as("cba"),

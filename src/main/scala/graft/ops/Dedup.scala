@@ -332,6 +332,19 @@ object Dedup {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** [[intersectSize]] behind an [[graft.functions.EvalOnce]] barrier — for
+    * the containment verdicts, where the shared `_i` column feeds two
+    * quotient columns AND the ≥T gate: without the barrier CollapseProject
+    * + filter pushdown inline the kernel into every consumer and it runs
+    * ~2× per candidate pair (round-21 plan: 3 `sorted_intersect_size`
+    * occurrences where 1 was intended). Values are identical — the barrier
+    * only pins ONE evaluation per pair. */
+  def intersectSizeOnce(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.EvalOnce(graft.functions.SortedIntersectSize(
+      ColumnBridge.expression(a), ColumnBridge.expression(b))))
+  }
+
   /** Exact Jaccard over two [[distinctShingles]] columns — same quotient
     * structure as [[jaccard]] (bit-identical doubles), intersection via
     * the sorted-merge kernel. */

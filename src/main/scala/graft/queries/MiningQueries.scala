@@ -82,15 +82,21 @@ object MiningQueries {
     * the partial-agg'd sum of 1e-6-quantized LUT longs; ranks are
     * (rounded-adist, id)-deterministic. Returns (qid, vec_id, adist, rank)
     * with rank ≤ k. */
-  private def adcShortlist(s: SparkSession, d: String, k: Int): DataFrame =
-    adcShortlistOver(s, d, t(s, d, "embeddings"), k)
+  private def adcShortlist(s: SparkSession, d: String, k: Int,
+      qids: Seq[Int] = Seq(0, 1, 2)): DataFrame =
+    adcShortlistOver(s, d, t(s, d, "embeddings"), k, qids)
 
   /** [[adcShortlist]] over a RESTRICTED corpus frame (vec_id, embedding) —
     * the codebook, queries and LUT still derive from the full embeddings
     * table so the quantization geometry is identical; only the CANDIDATE
-    * set shrinks (the IVF∘PQ composition point). */
+    * set shrinks (the IVF∘PQ composition point). `qids` restricts the
+    * QUERY side: ADC distances, ranks and shortlists are all per-qid
+    * (independent window partitions), so a caller that keeps one query's
+    * rows gets identical results computing only that query's LUT/agg rows
+    * (round 22 — the e2e single-query paths used to compute all three and
+    * filter). */
   private def adcShortlistOver(s: SparkSession, d: String, corpus: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, qids: Seq[Int] = Seq(0, 1, 2)): DataFrame = {
     val e = t(s, d, "embeddings")
     val sub = subspaces(corpus, "vec_id", "sv")
     val code = subspaces(e.filter(col("vec_id") < 16), "cid", "cv")
@@ -103,7 +109,7 @@ object MiningQueries {
       .select(col("vec_id"), col("j"), col("best.cid").as("cid"))
     // per-query lookup table: exact distance from the query's j-th
     // subvector to every codebook entry of subspace j (3×8×16 rows)
-    val lut = subspaces(e.filter(col("vec_id").isin(0, 1, 2)), "qid", "qv")
+    val lut = subspaces(e.filter(col("vec_id").isin(qids.map(Int.box): _*)), "qid", "qv")
       .join(broadcast(code), Seq("j"))
       .select(col("qid"), col("j"), col("cid"),
         floor(l2(col("qv"), col("cv")) * 1e6 + 0.5).cast("long").as("lq"))
@@ -217,38 +223,23 @@ object MiningQueries {
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val cent = e.filter(col("vec_id") < 4)
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-        val exact = graft.ops.Similarity.bruteForceTopK(
-            qs, "qid", "qvec", e, "vec_id", "embedding", k)
-          .select(col("qid"), col("vec_id"))
-        def ivfLeg(np: Int): DataFrame = graft.ops.Similarity.ivfSearch(
-            qs, "qid", "qvec", e, "vec_id", "embedding", cent, "cid", "cvec",
-            nprobe = np, k = k)
-          .select(col("qid"), col("vec_id"))
-        // ONE ADC pass serves both PQ legs AND the composed IVF×PQ leg:
-        // every shortlist is a rank-prefix filter over the SAME full-rank
-        // ADC frame (adistAll below), so the plan carries one ADC subtree
-        // instead of two (round 21 — the 20-shortlist used to be its own
-        // adcShortlist call)
-        val adistAll = adcShortlist(s, d, Int.MaxValue)
-        val short20all = adistAll.filter(col("rank") <= 20)
-        val pqAdc = short20all.filter(col("rank") <= k)
-          .select(col("qid"), col("vec_id"))
-        val short20 = short20all.select(col("qid"), col("vec_id"))
-        val wR = Window.partitionBy(col("qid"))
-          .orderBy(round(col("dist"), 6).asc, col("vec_id").asc)
-        val pqRerank = e.join(broadcast(short20), Seq("vec_id"))
-          .join(broadcast(qs), Seq("qid"))
-          .withColumn("dist",
-            graft.functions.VectorOps.cosineDist(col("embedding"), col("qvec")))
-          .withColumn("rank", row_number().over(wR))
-          .filter(col("rank") <= k)
-          .select(col("qid"), col("vec_id"))
-        // composed IVF×PQ leg (the q_search_e2e_ivfpq dataflow): restrict
-        // the ADC candidate pool to each query's 2 probed clusters, ADC-
-        // shortlist 20 WITHIN the pool, exact-rerank to top-10. ADC
-        // distances are per-(query, vector) — independent of the pool — so
-        // the full-rank frame serves here too (offline audit: one ADC scan
-        // total, not one per leg)
+        // ROUND 22: every leg is a MARKER over ONE corpus×queries exact-
+        // distance frame. dist is a pure function of (embedding, qvec) —
+        // independent of which leg asks — so leg membership attaches as
+        // broadcast joins (no row loss/duplication: every vector has an
+        // assignment; marker pair sets are unique), each leg's
+        // within-subset rank is a running conditional count over the SAME
+        // (qid / round(dist,6), vec_id) window (for member rows the
+        // running count IS row_number over the filtered subset — identical
+        // ordering, identical ties), and the per-(leg, qid) hit counts are
+        // conditional sums in ONE aggregation. The whole measurement is
+        // one shuffle + one Window operator + one hash aggregation; the
+        // round-21 shape planned 6 separate legs (5 of them with their own
+        // corpus×queries cosine subtree and 3 with their own ivfAssign) +
+        // union + semi-join + crossJoin attach — ~45 blocking stages.
+        // Zero-hit legs still surface as hits = 0: every qid aggregates
+        // (the frame always carries its corpus rows) and the conditional
+        // sum is 0 when no member row hits.
         val assigned = graft.ops.Similarity
           .ivfAssign(e, "vec_id", "embedding", cent, "cid", "cvec")
           .select(col("vec_id"), col("cid"))
@@ -259,44 +250,64 @@ object MiningQueries {
             graft.functions.VectorOps.cosineDist(col("qvec"), col("cvec")))
           .withColumn("pr", row_number().over(wProbe))
           .filter(col("pr") <= 2)
-          .select(col("qid"), col("cid"))
+          .select(col("qid"), col("cid"), col("pr"))
+        // ONE ADC pass serves both PQ legs AND the composed IVF×PQ leg:
+        // every shortlist is a rank-prefix filter over the SAME full-rank
+        // ADC frame (round 21); the composed leg restricts the ADC pool to
+        // each query's 2 probed clusters (the q_search_e2e_ivfpq dataflow)
+        // and re-shortlists 20 within the pool.
+        val adistAll = adcShortlist(s, d, Int.MaxValue)
+        val short20all = adistAll.filter(col("rank") <= 20)
+        val pqAdc = short20all.filter(col("rank") <= k)
+          .select(col("qid"), col("vec_id"))
+        val short20 = short20all.select(col("qid"), col("vec_id"))
         val wIn = Window.partitionBy(col("qid"))
           .orderBy(round(col("adist"), 6).asc, col("vec_id").asc)
         val composedShort = adistAll
           .join(broadcast(assigned), Seq("vec_id"))
-          .join(broadcast(probes), Seq("qid", "cid"))
+          .join(broadcast(probes.select(col("qid"), col("cid"))), Seq("qid", "cid"))
           .withColumn("rn", row_number().over(wIn))
           .filter(col("rn") <= 20)
           .select(col("qid"), col("vec_id"))
-        val ivfPq = e.join(broadcast(composedShort), Seq("vec_id"))
-          .join(broadcast(qs), Seq("qid"))
+        val marked = e.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("qid"))
           .withColumn("dist",
             graft.functions.VectorOps.cosineDist(col("embedding"), col("qvec")))
-          .withColumn("rank", row_number().over(wR))
-          .filter(col("rank") <= k)
-          .select(col("qid"), col("vec_id"))
-        val qids = qs.select(col("qid"))
-        // ONE recall pipeline over the UNION of leg-tagged candidate sets
-        // (round 21): the per-leg formulation ran 6 × (semi-join + agg +
-        // attach join) as separate blocking stage chains — same rows, 6×
-        // the scheduling; the leg tag just joins the aggregation key. The
-        // (leg × qid) left frame makes zero-hit legs surface as recall 0,
-        // exactly as the per-leg left joins did.
-        import s.implicits._
-        val legs = Seq(
-          "exact" -> exact, "ivf_np1" -> ivfLeg(1), "ivf_np2" -> ivfLeg(2),
-          "ivfpq" -> ivfPq, "pq_adc" -> pqAdc, "pq_rerank" -> pqRerank)
-        val tagged = legs.map { case (l, df) =>
-          df.select(lit(l).as("leg"), col("qid"), col("vec_id"))
-        }.reduce(_ unionAll _)
-        val hits = tagged
-          .join(broadcast(exact), Seq("qid", "vec_id"), "left_semi")
-          .groupBy("leg", "qid").agg(count(lit(1)).cast("long").as("hits"))
-        qids.crossJoin(legs.map(_._1).toDF("leg"))
-          .join(broadcast(hits), Seq("leg", "qid"), "left")
-          .select(col("leg"), col("qid"),
-            coalesce(col("hits"), lit(0L)).as("hits"),
-            Q.r6(coalesce(col("hits"), lit(0L)).cast("double") / k).as("recall"))
+          .select(col("qid"), col("vec_id"), col("dist"))
+          .join(broadcast(assigned), Seq("vec_id"))
+          .join(broadcast(probes), Seq("qid", "cid"), "left")
+          .join(broadcast(short20.withColumn("m20", lit(1))), Seq("qid", "vec_id"), "left")
+          .join(broadcast(composedShort.withColumn("mcs", lit(1))), Seq("qid", "vec_id"), "left")
+          .join(broadcast(pqAdc.withColumn("madc", lit(1))), Seq("qid", "vec_id"), "left")
+        val wOrd = Window.partitionBy(col("qid"))
+          .orderBy(round(col("dist"), 6).asc, col("vec_id").asc)
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val flags = marked
+          .withColumn("xrank", row_number().over(wOrd))
+          .withColumn("rc1", sum(when(col("pr") <= 1, 1).otherwise(0)).over(wRun))
+          .withColumn("rc2", sum(when(col("pr") <= 2, 1).otherwise(0)).over(wRun))
+          .withColumn("rc20", sum(when(col("m20") === 1, 1).otherwise(0)).over(wRun))
+          .withColumn("rcs", sum(when(col("mcs") === 1, 1).otherwise(0)).over(wRun))
+          .withColumn("hit", col("xrank") <= k)
+        def hitsOf(member: Column): Column =
+          sum(when(member && col("hit"), 1L).otherwise(0L))
+        val hitsPerQid = flags.groupBy("qid").agg(
+          hitsOf(col("xrank") <= k).as("h_exact"),
+          hitsOf(col("pr") <= 1 && col("rc1") <= k).as("h_ivf1"),
+          hitsOf(col("pr") <= 2 && col("rc2") <= k).as("h_ivf2"),
+          hitsOf(col("mcs") === 1 && col("rcs") <= k).as("h_ivfpq"),
+          hitsOf(col("madc") === 1).as("h_adc"),
+          hitsOf(col("m20") === 1 && col("rc20") <= k).as("h_pqr"))
+        hitsPerQid.select(col("qid"), explode(array(
+            struct(lit("exact").as("leg"), col("h_exact").as("hits")),
+            struct(lit("ivf_np1").as("leg"), col("h_ivf1").as("hits")),
+            struct(lit("ivf_np2").as("leg"), col("h_ivf2").as("hits")),
+            struct(lit("ivfpq").as("leg"), col("h_ivfpq").as("hits")),
+            struct(lit("pq_adc").as("leg"), col("h_adc").as("hits")),
+            struct(lit("pq_rerank").as("leg"), col("h_pqr").as("hits")))).as("lh"))
+          .select(col("lh.leg").as("leg"), col("qid"),
+            col("lh.hits").as("hits"),
+            Q.r6(col("lh.hits").cast("double") / k).as("recall"))
           .orderBy("leg", "qid")
       },
       Some(s"WITH $adcCtes, " +
@@ -366,7 +377,8 @@ object MiningQueries {
     Q("q_search_e2e_pq",
       (s, d) => {
         val e = t(s, d, "embeddings")
-        val short = adcShortlist(s, d, 20).filter(col("qid") === 0).select("vec_id")
+        val short = adcShortlist(s, d, 20, Seq(0))
+          .filter(col("qid") === 0).select("vec_id")
         val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
         val vss = e.join(broadcast(short), Seq("vec_id"))
           .crossJoin(broadcast(qv))
@@ -439,7 +451,7 @@ object MiningQueries {
           .withColumn("_rn", row_number().over(wA)).filter(col("_rn") === 1)
           .join(broadcast(pr), Seq("ccid"))
           .select(col("vec_id"), col("embedding"))
-        val short = adcShortlistOver(s, d, restricted, 20)
+        val short = adcShortlistOver(s, d, restricted, 20, Seq(0))
           .filter(col("qid") === 0).select("vec_id")
         val vss = e.join(broadcast(short), Seq("vec_id"))
           .crossJoin(broadcast(qv))

@@ -483,7 +483,7 @@ object PipelineQueries {
         Dedup.spreadForKernel(minhashPairsOf(tokenized))
           .join(shingleSets.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
           .join(shingleSets.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b"))
-          .withColumn("_i", Dedup.intersectSize(col("dsa"), col("dsb")).cast("double"))
+          .withColumn("_i", Dedup.intersectSizeOnce(col("dsa"), col("dsb")).cast("double"))
           .select(col("doc_a"), col("doc_b"),
             round(col("_i") / size(col("dsa")).cast("double"), 6).as("cont_ab"),
             round(col("_i") / size(col("dsb")).cast("double"), 6).as("cont_ba"))
@@ -529,7 +529,7 @@ object PipelineQueries {
         Dedup.spreadForKernel(containmentBandPairsOf(tokenized, maxPerBucket = 64))
           .join(shingleSets.select(col("doc_id").as("doc_a"), col("ds").as("dsa")), Seq("doc_a"))
           .join(shingleSets.select(col("doc_id").as("doc_b"), col("ds").as("dsb")), Seq("doc_b"))
-          .withColumn("_i", Dedup.intersectSize(col("dsa"), col("dsb")).cast("double"))
+          .withColumn("_i", Dedup.intersectSizeOnce(col("dsa"), col("dsb")).cast("double"))
           .select(col("doc_a"), col("doc_b"),
             round(col("_i") / size(col("dsa")).cast("double"), 6).as("cont_ab"),
             round(col("_i") / size(col("dsb")).cast("double"), 6).as("cont_ba"))

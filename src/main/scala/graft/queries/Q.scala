@@ -59,14 +59,20 @@ object Q {
   private val SpreadFloorBytes = 256L * 1024
   def spreadScan(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
     val cores = spark.sparkContext.defaultParallelism
+    // A stat failure (FS without getContentSummary, permission error) must
+    // degrade to the IDENTITY, never to a spread: bytes = -1 fails the floor
+    // check below. (The old Long.MaxValue sentinel overflowed the ceil
+    // division to splits = 1 and force-spread arbitrarily large tables —
+    // a full-corpus shuffle on exactly the deployments that can least
+    // afford one.)
     val bytes =
       try {
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.getContentSummary(p).getLength
-      } catch { case _: Throwable => Long.MaxValue }
+      } catch { case _: Throwable => -1L }
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    val splits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    val splits = math.max(1L, bytes / maxSplit + (if (bytes % maxSplit == 0) 0 else 1))
     if (bytes >= SpreadFloorBytes && splits < cores) df.repartition(cores)
     else df
   }

@@ -29,7 +29,12 @@ object OptProbe {
         val t0 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
         println(f"===== $n (${(System.nanoTime() - t0) / 1e9}%.2f s) =====")
-        println(df.queryExecution.executedPlan.toString.take(8000))
+        // the noop write runs its OWN QueryExecution; to see the FINAL
+        // adaptive plan (ReusedExchange/QueryStage structure) execute the
+        // dataset's own QE via collect (results are small by contract)
+        df.collect()
+        println(df.queryExecution.executedPlan.toString.take(
+          sys.env.getOrElse("GRAFT_PLAN_CHARS", "8000").toInt))
       }
       spark.stop()
       return
