@@ -747,15 +747,28 @@ object CurationQueries {
             i => struct(element_at(col("tokens"), i).as("w1"),
               element_at(col("tokens"), i + 1).as("w2")))).as("b"))
           .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-        val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-        bi.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+        // ROUND 22: aggregate the occurrence stream to per-(doc, bigram)
+        // counts FIRST, then attach the corpus bigram count as a
+        // sum-over-window on that deduplicated frame. lp is a pure function
+        // of (w1, w2) — identical for every occurrence — so the old
+        // per-occurrence quantize-and-sum equals cd × floor(lp·1e6 + 0.5)
+        // and n_bigrams equals Σcd: the occurrence stream crosses ONE
+        // exchange (the dbc aggregation, partial-agg'd) instead of riding
+        // through the c2 join and the final per-doc aggregation at full
+        // occurrence width, and the standalone `big` pipeline (its own
+        // corpus scan + explode: Spark shares no scan subtrees across join
+        // sides) disappears. Values are bit-identical.
+        val dbc = bi.groupBy("w1", "w2", "doc_id").agg(count(lit(1)).as("cd"))
+        val wB = Window.partitionBy(col("w1"), col("w2"))
+        dbc.withColumn("c2", sum(col("cd")).over(wB))
+          .join(uni, Seq("w1"))
           .crossJoin(broadcast(vocabSize))
           .withColumn("lp",
             log((col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double")))
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            Q.r6(sum(floor(col("lp") * 1e6 + 0.5).cast("long")).cast("double")
-              / (count(lit(1)).cast("double") * lit(1e6))).as("avg_logprob"))
+          .agg(sum(col("cd")).as("n_bigrams"),
+            Q.r6(sum(col("cd") * floor(col("lp") * 1e6 + 0.5).cast("long")).cast("double")
+              / (sum(col("cd")).cast("double") * lit(1e6))).as("avg_logprob"))
           .orderBy("doc_id")
       },
       Some(s"WITH ${Q.toksCte}, " +

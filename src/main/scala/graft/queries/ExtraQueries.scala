@@ -27,6 +27,72 @@ object ExtraQueries {
   private lazy val eventsLayoutBase: String =
     java.nio.file.Files.createTempDirectory("graft_events").toString
 
+  /** Exact interpolating percentiles per group WITHOUT the collect-the-group
+    * ObjectHashAggregate (round 22). Spark's `percentile` funnels every
+    * value of a group into one task's OpenHashMap (interpreted partials,
+    * per-group merge+sort in a single task — the classic few-groups skew);
+    * here the value stream crosses one partial-agg'd (group, value)
+    * exchange and the per-group pass runs over DISTINCT values (bounded by
+    * the value domain, not the corpus row count), as a running-count
+    * window + one conditional-pick aggregation.
+    *
+    * Bit-identical to `PercentileBase.getPercentile` (Spark 4.1.2, verified
+    * against the shipped bytecode): position = p·(N−1) with N = non-null
+    * count; lowerKey = value at the first cumulative count ≥ ⌊position⌋+1,
+    * higherKey at ≥ ⌈position⌉+1; result lowerKey when ⌊⌋ = ⌈⌉ OR the two
+    * keys are equal (the early returns — NOT the algebraically-equal
+    * interpolation, which can differ in the last ulp), else
+    * (higher−position)·lowerKey + (position−lower)·higherKey in exactly
+    * that operand order. Null values are excluded from N and the cut
+    * (percentile's null handling); `_n_rows` carries the count(*) of the
+    * group including them. Output: group column, `_n_rows`, and `_ex$i`
+    * per requested percentile (null when the group has no non-null value,
+    * matching percentile's empty-buffer null). */
+  private[queries] def exactPercentiles(src: DataFrame, group: String,
+      value: String, ps: Seq[Double]): DataFrame = {
+    val vc = src.groupBy(col(group), col(value).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    // nulls sort FIRST under asc, so the running non-null count is
+    // unaffected by their presence; one Window operator hosts all three
+    // frames (same partitioning + ordering)
+    val wOrd = Window.partitionBy(col(group)).orderBy(col("_v").asc)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val nn = when(col("_v").isNotNull, col("_c")).otherwise(lit(0L))
+    // the null-value row (at most one per group) stays IN the frame: its
+    // running contribution is 0, it can never satisfy a pick condition
+    // (its _cum is 0 under nulls-first ordering), and its presence keeps
+    // all-null groups in the output with _n = 0 → null percentile, exactly
+    // percentile's empty-buffer null
+    val cum = vc
+      .withColumn("_cum", sum(nn).over(wRun))
+      .withColumn("_n", sum(nn).over(wAll))
+      .withColumn("_nr", sum(col("_c")).over(wAll))
+    val picks = ps.zipWithIndex.flatMap { case (p, i) =>
+      val pos = lit(p) * (col("_n") - 1L).cast("double")
+      val lo = floor(pos).cast("long")
+      val hi = ceil(pos).cast("long")
+      val prev = col("_cum") - col("_c")
+      Seq(
+        max(when(prev <= lo && lo < col("_cum"), col("_v"))).as(s"_lo$i"),
+        max(when(prev <= hi && hi < col("_cum"), col("_v"))).as(s"_hi$i"))
+    }
+    val aggCols = Seq(first(col("_n")).as("_n"),
+      first(col("_nr")).as("_nnn")) ++ picks
+    val agg = cum.groupBy(col(group)).agg(aggCols.head, aggCols.tail: _*)
+    val exprs = ps.zipWithIndex.map { case (p, i) =>
+      val pos = lit(p) * (col("_n") - 1L).cast("double")
+      val lo = floor(pos).cast("long")
+      val hi = ceil(pos).cast("long")
+      when(col("_n") === 0L, lit(null).cast("double"))
+        .when(hi === lo || col(s"_lo$i") === col(s"_hi$i"), col(s"_lo$i"))
+        .otherwise((hi.cast("double") - pos) * col(s"_lo$i")
+          + (pos - lo.cast("double")) * col(s"_hi$i"))
+        .as(s"_ex$i")
+    }
+    agg.select(Seq(col(group), col("_nnn").as("_n_rows"), col("_n")) ++ exprs: _*)
+  }
+
   val all: Seq[Q] = Seq(
 
     // Multiway join: revenue by region (TPC-H Q5 shape). nation/region
@@ -240,12 +306,16 @@ object ExtraQueries {
         "strftime(max(l_shipdate), '%Y-%m-%d') AS max_shipdate " +
         "FROM lineitem")),
 
-    // Exact median per group (interpolating percentile)
+    // Exact median per group (interpolating percentile) — computed via
+    // [[exactPercentiles]] (distinct-value counts + running window) instead
+    // of the collect-the-group `percentile` aggregate; bit-identical output,
+    // no 3-partition funnel of the full value stream
     Q("q_percentile_median",
-      (s, d) => t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
-          count("*").cast("long").as("n"))
+      (s, d) => exactPercentiles(
+          t(s, d, "lineitem").select("l_returnflag", "l_extendedprice"),
+          "l_returnflag", "l_extendedprice", Seq(0.5))
+        .select(col("l_returnflag"), round(col("_ex0"), 4).as("median_price"),
+          col("_n_rows").as("n"))
         .orderBy("l_returnflag"),
       Some("SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price, " +
         "CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
@@ -371,14 +441,23 @@ object ExtraQueries {
     Q("q_approx_quantiles",
       (s, d) => {
         val qs = "array(0.25D, 0.5D, 0.95D)"
-        t(s, d, "lineitem")
+        // the sketch leg keeps its exact round-21 shape (approx_percentile
+        // over the raw rows — the estimate is sensitive to the input
+        // multiset); the EXACT leg moves to [[exactPercentiles]] so the
+        // expensive collect-the-group percentile disappears. The _ok
+        // comparisons see bit-identical exact values, so the booleans are
+        // unchanged.
+        val est = t(s, d, "lineitem")
           .groupBy("l_returnflag")
-          .agg(expr(s"approx_percentile(l_extendedprice, $qs, 10000)").as("est"),
-            expr(s"percentile(l_extendedprice, $qs)").as("ex"))
-          .select(Seq(col("l_returnflag")) ++ Seq(1, 2, 3).zip(Seq("p25", "p50", "p95"))
+          .agg(expr(s"approx_percentile(l_extendedprice, $qs, 10000)").as("est"))
+        val ex = exactPercentiles(
+          t(s, d, "lineitem").select("l_returnflag", "l_extendedprice"),
+          "l_returnflag", "l_extendedprice", Seq(0.25, 0.5, 0.95))
+        est.join(ex, Seq("l_returnflag"))
+          .select(Seq(col("l_returnflag")) ++ Seq(0, 1, 2).zip(Seq("p25", "p50", "p95"))
             .flatMap { case (i, n) => Seq(
-              Q.r4(element_at(col("ex"), i)).as(s"${n}_exact"),
-              (abs(element_at(col("est"), i) / element_at(col("ex"), i) - 1.0)
+              Q.r4(col(s"_ex$i")).as(s"${n}_exact"),
+              (abs(element_at(col("est"), i + 1) / col(s"_ex$i") - 1.0)
                 <= 0.05).as(s"${n}_ok")) }: _*)
           .orderBy("l_returnflag")
       },

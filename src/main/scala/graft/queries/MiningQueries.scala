@@ -589,11 +589,19 @@ object MiningQueries {
       (s, d) => {
         val tok = docs(s, d).select(col("doc_id"), explode(col("tokens")).as("term"))
         val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        // df rides a count-over-window on the SAME tf frame (round 22): the
+        // tf-rows-per-term count IS the doc frequency, so the former
+        // aggregate-then-join shape — which re-scanned and re-tokenized the
+        // whole corpus for the df branch (Spark shares no scan subtrees
+        // across join sides) — collapses to one tokenize + one exchange on
+        // term. Identical df per (term): count(*) over the term partition
+        // equals the old groupBy(term).count join value.
+        val withDf = tf.withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("term"))))
         val nd = t(s, d, "documents").agg(count(lit(1)).as("nd"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(round(col("score"), 6).desc, col("term").asc)
-        tf.join(dfT, Seq("term")).crossJoin(broadcast(nd))
+        withDf.crossJoin(broadcast(nd))
           .withColumn("score", col("tf").cast("double") *
             log((col("nd").cast("double") + 1.0) / (col("df").cast("double") + 1.0)))
           .withColumn("rank", row_number().over(w).cast("long"))

@@ -199,8 +199,8 @@ object SearchQueries {
     // joins. The skip-gram/PMI statistic of a feature pipeline, as a
     // first-class operator over the positions sidecar.
     Q("q_colloc_pmi",
-      (s, d) => PhraseSearch.collocations(
-          Bm25.positionalPostings(docs(s, d)), window = 2, minCount = 5)
+      (s, d) => PhraseSearch.collocationsFromTokens(
+          docs(s, d), window = 2, minCount = 5)
         .select(col("term_a"), col("term_b"), col("n_ab"),
           Q.r6(col("pmi")).as("pmi"))
         .orderBy("term_a", "term_b"),

@@ -188,6 +188,33 @@ object PhraseSearch {
     pmiOver(pairs, uni, minCount)
   }
 
+  /** [[collocations]] computed from the tokens frame `(doc_id, tokens)`
+    * instead of the positions sidecar — for callers that still HAVE the
+    * arrays (the corpus-mining query), where pair formation needs no join
+    * at all: each occurrence pairs with the next `window` positions of its
+    * own array (posexplode + slice + explode, all map-side in the scan
+    * stage), so the Σdl·window pair stream crosses exactly ONE exchange
+    * (the partial-agg'd pair count) instead of the positional self-join's
+    * two join-side shuffles + count shuffle (round 22). The pair multiset
+    * is identical to the (doc_id, pos) equi-join's — b.pos ∈ (a.pos,
+    * a.pos + window], positions past the array end simply don't exist —
+    * and scoring goes through the same [[pmiOver]]. Sidecar-only callers
+    * (the index CLI, the stream parity checks) keep [[collocations]]. */
+  def collocationsFromTokens(docsTokens: DataFrame, window: Int,
+      minCount: Long): DataFrame = {
+    require(window >= 1, s"collocation window must be ≥ 1, got $window")
+    val pairs = docsTokens
+      .select(col("tokens"), posexplode(col("tokens")).as(Seq("_i", "term_a")))
+      .select(col("term_a"),
+        explode(slice(col("tokens"), col("_i") + lit(2), lit(window))).as("term_b"))
+      .groupBy("term_a", "term_b")
+      .agg(count(lit(1)).cast("long").as("n_ab"))
+    val uni = docsTokens.select(explode(col("tokens")).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("long").as("n"))
+      .localCheckpoint(false)
+    pmiOver(pairs, uni, minCount)
+  }
+
   /** PMI scoring over a pair-count table `(term_a, term_b, n_ab)` and a
     * unigram-count table `(term, n)`: pmi = ln(n_ab · T ∕ (n_a · n_b)),
     * T = Σn. THE one scoring implementation — [[collocations]] feeds it

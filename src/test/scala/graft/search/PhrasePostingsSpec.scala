@@ -232,6 +232,26 @@ class PhrasePostingsSpec extends AnyFunSuite {
       ("b", "b") -> 1L, ("a", "c") -> 1L, ("b", "c") -> 1L), w2)
   }
 
+  test("collocationsFromTokens ≡ collocations over the positions sidecar " +
+      "(windows 1..3, incl. window past doc end, single-token and empty docs)") {
+    val docs = Seq(
+      1L -> Seq("a", "b", "a", "b"),
+      2L -> Seq("a", "b", "c"),
+      3L -> Seq("x"),
+      4L -> Seq.empty[String]
+    ).toDF("doc_id", "tokens")
+    val pos = Bm25.positionalPostings(docs)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, String, Long, Double)] =
+      df.collect().toSeq
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sorted
+    for (w <- 1 to 3; mc <- Seq(1L, 2L)) {
+      val viaJoin = rows(PhraseSearch.collocations(pos, w, minCount = mc))
+      val viaTokens = rows(PhraseSearch.collocationsFromTokens(docs, w, minCount = mc))
+      assert(viaTokens == viaJoin, s"window=$w minCount=$mc")
+    }
+  }
+
   test("serving --phrase: the positions index path and the token-filter " +
       "fallback return identical results") {
     val index = IndexData.load(spark, artifactDir)
