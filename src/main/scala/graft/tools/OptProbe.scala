@@ -17,9 +17,47 @@ object OptProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // `spread` mode sweeps this to emulate the multi-split regime a real
+      // corpus presents (many row groups / files ≥ cores) on the one-file
+      // fixture; every other mode keeps the bench default
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("GRAFT_MAX_SPLIT_BYTES", "134217728"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftStrategies.install(spark)
+
+    // mode: `spread` — measure, don't argue, Q.spreadScan's at-scale
+    // behavior (round-21 verdict item #5): print whether the spread is the
+    // IDENTITY under the current split geometry, then time the opt-in
+    // spread winners. Run once with the default 128 MiB splits (fixture:
+    // 1 split < cores → spread fires) and once with
+    // GRAFT_MAX_SPLIT_BYTES=1048576 (splits ≥ cores — the real-corpus
+    // regime → spreadScan must return its input unchanged and the shapes
+    // must hold their times through natural scan parallelism).
+    if (args.headOption.contains("spread")) {
+      val docsPath = s"$sfDir/documents.parquet"
+      val raw = spark.read.parquet(docsPath)
+      val spread = graft.queries.Q.spreadScan(spark, raw, docsPath)
+      val hp = new org.apache.hadoop.fs.Path(docsPath)
+      val bytes = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(hp).getLength
+      println(s"[spread] docBytes=$bytes " +
+        s"maxSplit=${spark.sessionState.conf.filesMaxPartitionBytes} " +
+        s"cores=${spark.sparkContext.defaultParallelism} " +
+        s"scanPartitions=${raw.rdd.getNumPartitions} " +
+        s"afterSpread=${spread.rdd.getNumPartitions} " +
+        s"identity=${spread eq raw}")
+      def noopS(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      for (i <- 1 to 3; n <- Seq("q_quality_gate", "q_text_repetition",
+          "q_dedup_excise_spans", "q_dedup_minhash_pairs")) {
+        val df = graft.SparkEntry.queries(n)(spark, sfDir)
+        val t0 = System.nanoTime(); noopS(df)
+        println(f"[spread] run$i $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      spark.stop()
+      return
+    }
 
     // mode: `final <query>` — run the declared query once and print the
     // FINAL adaptive plan (post-execution), to see what AQE actually ran
