@@ -140,6 +140,12 @@ object Cli {
       // 1000 keeps the full In list for any realistic query width (pinned in
       // SessionConfSpec; posture documented in PLANS.md).
       .config("spark.sql.parquet.pushdown.inFilterThreshold", Cli.ServingInFilterThreshold)
+      // generated-class cache sized to the engine's operator count — the
+      // 100-entry default thrashes across this many distinct query shapes
+      // and every request re-compiles its stages (see Bench for the
+      // measurement); classes only, never results
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -62,21 +62,29 @@ object KernelOps {
       var i = 0
       while (i < n) {
         val s = tokens.getUTF8String(i)
-        lens(i) = s.numChars()
-        val str = s.toString
-        var ci = 0
-        var k = 0
-        while (ci < str.length && k < 3) {
-          val cp = str.codePointAt(ci)
-          k match {
-            case 0 => cp0(i) = cp
-            case 1 => cp1(i) = cp
-            case 2 => cp2(i) = cp
+        if (s == null) {
+          // concat_ws skips null tokens AND their separators — mark with a
+          // -1 length sentinel, contribute no codepoints (round-22 ADVICE
+          // null-element hardening)
+          lens(i) = -1
+          cpn(i) = 0
+        } else {
+          lens(i) = s.numChars()
+          val str = s.toString
+          var ci = 0
+          var k = 0
+          while (ci < str.length && k < 3) {
+            val cp = str.codePointAt(ci)
+            k match {
+              case 0 => cp0(i) = cp
+              case 1 => cp1(i) = cp
+              case 2 => cp2(i) = cp
+            }
+            ci += Character.charCount(cp)
+            k += 1
           }
-          ci += Character.charCount(cp)
-          k += 1
+          cpn(i) = k
         }
-        cpn(i) = k
         i += 1
       }
       // walk each window's first 3 codepoints over the virtual
@@ -87,40 +95,46 @@ object KernelOps {
         var got = 0
         var t = 0
         var done = false
-        while (t < 3 && !done) {
+        var kept = 0
+        var lenSum = 0
+        while (t < 3) {
           val ti = w + t
-          if (t > 0) { // separator space
-            got match {
-              case 0 => a1 = 32
-              case 1 => a2 = 32
-              case 2 => a3 = 32
-            }
-            got += 1
-            if (got == 3) done = true
-          }
-          if (!done) {
-            var k = 0
-            while (k < cpn(ti) && !done) {
-              val cp = k match {
-                case 0 => cp0(ti)
-                case 1 => cp1(ti)
-                case _ => cp2(ti)
+          if (lens(ti) >= 0) { // null tokens (lens = -1) are skipped with
+            kept += 1         // their separator, exactly like concat_ws
+            lenSum += lens(ti)
+            if (!done) {
+              if (kept > 1) { // separator space before every kept-but-first
+                got match {
+                  case 0 => a1 = 32
+                  case 1 => a2 = 32
+                  case 2 => a3 = 32
+                }
+                got += 1
+                if (got == 3) done = true
               }
-              got match {
-                case 0 => a1 = cp
-                case 1 => a2 = cp
-                case 2 => a3 = cp
+              var k = 0
+              while (k < cpn(ti) && !done) {
+                val cp = k match {
+                  case 0 => cp0(ti)
+                  case 1 => cp1(ti)
+                  case _ => cp2(ti)
+                }
+                got match {
+                  case 0 => a1 = cp
+                  case 1 => a2 = cp
+                  case 2 => a3 = cp
+                }
+                got += 1
+                if (got == 3) done = true
+                k += 1
               }
-              got += 1
-              if (got == 3) done = true
-              k += 1
             }
           }
           t += 1
         }
         // 32-bit wrap then widen — matches the int Column arithmetic
         val h: Long =
-          (a1 * 961 + a2 * 31 + a3 + (lens(w) + lens(w + 1) + lens(w + 2) + 2) * 7919).toLong
+          (a1 * 961 + a2 * 31 + a3 + (lenSum + math.max(kept - 1, 0)) * 7919).toLong
         var j = 0
         while (j < 8) {
           val v = (h * (2 * j + 3) + (97 * j + 11)) % P
@@ -136,17 +150,24 @@ object KernelOps {
       while (w <= n - 3) {
         var len = 0
         var t = 0
+        var emitted = false
         while (t < 3) {
-          if (t > 0) {
-            if (len + 1 > scratch.length) scratch = grow(scratch, len + 1)
-            scratch(len) = ' '.toByte
-            len += 1
-          }
+          // concat_ws semantics: a null token is skipped ALONG WITH its
+          // separator (round-22 ADVICE null-element hardening; the
+          // engine's split()-derived inputs never carry one)
           val s = tokens.getUTF8String(w + t)
-          val sb = s.numBytes()
-          if (len + sb > scratch.length) scratch = grow(scratch, len + sb)
-          s.writeToMemory(scratch, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
-          len += sb
+          if (s != null) {
+            if (emitted) {
+              if (len + 1 > scratch.length) scratch = grow(scratch, len + 1)
+              scratch(len) = ' '.toByte
+              len += 1
+            }
+            val sb = s.numBytes()
+            if (len + sb > scratch.length) scratch = grow(scratch, len + sb)
+            s.writeToMemory(scratch, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
+            len += sb
+            emitted = true
+          }
           t += 1
         }
         val x = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
@@ -180,17 +201,22 @@ object KernelOps {
     while (w <= nt - n) {
       var len = 0
       var t = 0
+      var emitted = false
       while (t < n) {
-        if (t > 0) {
-          if (len + 1 > scratch.length) scratch = grow(scratch, len + 1)
-          scratch(len) = ' '.toByte
-          len += 1
-        }
+        // concat_ws semantics: skip null tokens and their separators
         val s = tokens.getUTF8String(w + t)
-        val sb = s.numBytes()
-        if (len + sb > scratch.length) scratch = grow(scratch, len + sb)
-        s.writeToMemory(scratch, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
-        len += sb
+        if (s != null) {
+          if (emitted) {
+            if (len + 1 > scratch.length) scratch = grow(scratch, len + 1)
+            scratch(len) = ' '.toByte
+            len += 1
+          }
+          val sb = s.numBytes()
+          if (len + sb > scratch.length) scratch = grow(scratch, len + sb)
+          s.writeToMemory(scratch, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
+          len += sb
+          emitted = true
+        }
         t += 1
       }
       out(w) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
@@ -217,17 +243,22 @@ object KernelOps {
       val end = math.min(start + n, nt)
       var len = 0
       var t = start
+      var emitted = false
       while (t < end) {
-        if (t > start) {
-          if (len + 1 > scratch.length) scratch = grow(scratch, len + 1)
-          scratch(len) = ' '.toByte
-          len += 1
-        }
+        // concat_ws semantics: skip null tokens and their separators
         val s = tokens.getUTF8String(t)
-        val sb = s.numBytes()
-        if (len + sb > scratch.length) scratch = grow(scratch, len + sb)
-        s.writeToMemory(scratch, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
-        len += sb
+        if (s != null) {
+          if (emitted) {
+            if (len + 1 > scratch.length) scratch = grow(scratch, len + 1)
+            scratch(len) = ' '.toByte
+            len += 1
+          }
+          val sb = s.numBytes()
+          if (len + sb > scratch.length) scratch = grow(scratch, len + sb)
+          s.writeToMemory(scratch, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
+          len += sb
+          emitted = true
+        }
         t += 1
       }
       out(w) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
@@ -261,10 +292,22 @@ object KernelOps {
     var j = 0
     var c = 0
     while (i < n && j < m) {
-      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+      val sa = a.getUTF8String(i)
+      val sb = b.getUTF8String(j)
+      // null elements sort FIRST under sort_array(asc) and array_intersect
+      // matches null with null — mirror both instead of NPE-ing (round-22
+      // ADVICE: the engine's inputs are split()-derived and never carry
+      // null elements, but the kernel must not diverge from the HOF it
+      // replaced if one ever appears)
+      if (sa == null && sb == null) { c += 1; i += 1; j += 1 }
+      else if (sa == null) i += 1
+      else if (sb == null) j += 1
+      else {
+        val cmp = sa.compareTo(sb)
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -295,8 +338,13 @@ object KernelOps {
     var c = 0L
     var i = 0
     while (i < n - 1) {
-      if (tokens.getUTF8String(i).equals(first) &&
-          tokens.getUTF8String(i + 1).equals(second)) c += 1
+      // a null token can never match (the HOF filter condition is null →
+      // the row is dropped); guard instead of NPE-ing
+      val a = tokens.getUTF8String(i)
+      if (a != null && a.equals(first)) {
+        val b = tokens.getUTF8String(i + 1)
+        if (b != null && b.equals(second)) c += 1
+      }
       i += 1
     }
     c

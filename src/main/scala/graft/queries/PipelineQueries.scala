@@ -360,6 +360,11 @@ object PipelineQueries {
     // repeated set vs the string windows holds up to xxhash64 collisions
     // (~(#windows)²/2⁶⁵ ≈ 1e-8 at sf0.1 — and the oracle parity run
     // re-proves the results on every fixture).
+    // NOTE (round-22 ADVICE): the id domains are ASYMMETRIC across engines
+    // — this side keys grams by 64-bit xxhash64, the DuckDB mirror below
+    // by 128-bit md5 — so oracle parity additionally assumes BOTH hash
+    // domains are collision-free on the compared fixture; the per-fixture
+    // oracle run is the guard.
     val grams = tok.filter(size(col("tokens")) >= RepeatedGramN)
       .select(col("doc_id"), posexplode(
         org.apache.spark.sql.graftbridge.ColumnBridge.column(

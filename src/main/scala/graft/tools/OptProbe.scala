@@ -22,6 +22,8 @@ object OptProbe {
       // fixture; every other mode keeps the bench default
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("GRAFT_MAX_SPLIT_BYTES", "134217728"))
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("GRAFT_CODEGEN_CACHE", "100"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftStrategies.install(spark)

@@ -138,4 +138,54 @@ class KernelExpressionsSpec extends AnyFunSuite {
     // non-vacuity: the phrase does occur in the fixture
     assert(df.select(sum(native)).head.getLong(0) > 0)
   }
+
+  test("null elements: kernels match their HOF formulations instead of NPE-ing " +
+      "(round-22 ADVICE — concat_ws skips nulls+separators, null never matches, " +
+      "null ∩ null counts once)") {
+    val nullish = Seq(
+      Seq("a", null, "b", "c", "x", "yy", "z", "w", "v", "u"),
+      Seq(null, null, "q", "r", "s", "t", "uu", "vv", "ww", "xx"),
+      Seq("table", null, "value", "table", "value", "k", "l", "m", "n", "o")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "tokens")
+
+    // minhash signature chain (portable + prod)
+    for (portable <- Seq(true, false)) {
+      val native = Dedup.withMinhashSignature(nullish, "tokens", portable)
+        .select(Seq(col("doc_id")) ++
+          (0 until Dedup.NumHashes).map(j => col(s"mh$j")): _*)
+      val hof = Dedup.withMinhashSignatureHof(nullish, "tokens", portable)
+        .select(Seq(col("doc_id")) ++
+          (0 until Dedup.NumHashes).map(j => col(s"mh$j")): _*)
+      assertSameRows(native, hof)
+    }
+    // window-hash kernels vs their concat_ws formulations
+    assertSameRows(
+      nullish.select(col("doc_id"), ColumnBridge.column(ShingleHashes64(
+        ColumnBridge.expression(col("tokens")), 8)).as("h")),
+      nullish.select(col("doc_id"), transform(
+        Dedup.shingles(col("tokens"), 8), w => xxhash64(w)).as("h")))
+    assertSameRows(
+      nullish.select(col("doc_id"), ColumnBridge.column(StrideWindowHashes64(
+        ColumnBridge.expression(col("tokens")), 8, 8)).as("h")),
+      nullish.select(col("doc_id"), transform(
+        sequence(lit(0), ceil(size(col("tokens")).cast("double") / 8).cast("int") - 1),
+        i => xxhash64(concat_ws(" ", slice(col("tokens"), i * 8 + 1, lit(8))))).as("h")))
+    // adjacency: null never matches (the HOF condition is null → dropped)
+    val adjNative = ColumnBridge.column(AdjacentPairCount(
+      ColumnBridge.expression(col("tokens")), "table", "value"))
+    val adjHof = size(filter(sequence(lit(1), size(col("tokens")) - 1),
+      i => element_at(col("tokens"), i) === "table" &&
+        element_at(col("tokens"), i + 1) === "value")).cast("long")
+    nullish.select(adjNative.as("n"), adjHof.as("h")).collect()
+      .foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // sorted intersect: null sorts first, null ∩ null counts once
+    val ipairs = Seq(
+      (Seq[String](null, "a", "c"), Seq[String](null, "b", "c")),
+      (Seq[String](null, "a"), Seq[String]("a", "b")),
+      (Seq[String]("a", "b"), Seq[String]("c"))
+    ).toDF("a", "b")
+    ipairs.select(Dedup.intersectSize(col("a"), col("b")).as("n"),
+        size(array_intersect(col("a"), col("b"))).as("h"))
+      .collect().foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
 }
