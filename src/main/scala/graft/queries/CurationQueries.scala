@@ -736,8 +736,15 @@ object CurationQueries {
     Q("q_text_bigram_logprob",
       (s, d) => {
         val tok = Q.docsTokens(s, d)
+        // vocab-sized unigram counts, materialized ONCE (the
+        // PhraseSearch.collocations uni policy): two consumers below — the
+        // c1 join and the vocab-size scalar — and Spark shares no scan
+        // subtrees across them, so without the lazy checkpoint each use
+        // re-scanned and re-tokenized the corpus (round 22; plan dump
+        // showed 3 corpus scans where 2 were claimed)
         val uni = tok.select(explode(col("tokens")).as("w1"))
           .groupBy("w1").agg(count(lit(1)).as("c1"))
+          .localCheckpoint(false)
         // vocab size IS uni's row count — deriving it there avoids a third
         // full corpus scan + exact-distinct shuffle for one scalar
         val vocabSize = uni.agg(count(lit(1)).as("v"))
